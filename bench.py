@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers the engine's main plan shapes: scan-agg,
+star-join-agg, window, as-of join, dedup (exact + LSH), similarity
+search, text analysis, sessionization, and the echo-mode LLM MR
+pipeline.  Each query runs once after a warmup query primes the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from instructions_mr_spark import registry
+from instructions_mr_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_broadcast",
+    "join_inner_eq",
+    "topk_per_group",
+    "window_running_sum",
+    "join_asof",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_search_topk",
+    "text_stats",
+    "stream_session",
+    "llm_echo_mapreduce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    spark = get_spark("bench")
+    # Warmup: prime JVM/codegen with a trivial action.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink: materializes every output column/row (count() would
+        # let Catalyst prune the projections away).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

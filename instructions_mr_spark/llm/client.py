@@ -1,0 +1,105 @@
+"""LLM clients (SURVEY.md §2.3 ``llm_call``).
+
+The reference calls an OpenAI-compatible ``chat.completions.create``
+with determinism pinning — temperature 0.0, top_p 0.01, fixed seed,
+max_tokens cap, optional JSON-schema response format
+(``src/python/instructionspipe/llm_cli.py:20-82``; Azure branch
+:36-41).  Here:
+
+* ``LlmClient`` — minimal async protocol: ``complete(messages) -> str``.
+* ``EchoLlmClient`` — deterministic pure-function client used for the
+  DuckDB-oracle checks of the *scaffolding* (scope, prompt assembly,
+  fan-out, regroup, sinks): the "LLM" echoes the last user message,
+  optionally tagged.  This is what makes the LLM-bound operators
+  hash-checkable (SURVEY.md §2.7 note).
+* ``OpenAILlmClient`` — the real path; import-gated so the engine works
+  in environments without the ``openai`` package.  One client per
+  executor task, shared across the async fan-out inside a partition.
+
+Clients are created *inside* mapInPandas partitions via
+``make_client`` (a picklable factory), never captured from the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Protocol
+
+from instructions_mr_spark.config import LlmConfig
+
+
+class LlmClient(Protocol):
+    async def complete(
+        self, messages: list[dict[str, str]], json_schema: dict[str, Any] | None = None
+    ) -> str: ...
+
+
+class EchoLlmClient:
+    """Deterministic stand-in: response = last user message content.
+
+    ``tag=True`` prepends ``[model]`` so tests can distinguish the
+    response from its prompt.
+    """
+
+    def __init__(self, conf: LlmConfig | None = None, tag: bool = False):
+        self.conf = conf or LlmConfig()
+        self.tag = tag
+
+    async def complete(
+        self, messages: list[dict[str, str]], json_schema: dict[str, Any] | None = None
+    ) -> str:
+        users = [m["content"] for m in messages if m["role"] == "user"]
+        body = users[-1] if users else ""
+        return f"[{self.conf.model}] {body}" if self.tag else body
+
+
+class OpenAILlmClient:
+    """OpenAI/Azure chat-completions client with the reference's knobs.
+
+    Mirrors llm_cli.py:60-82: model, seed, temperature (default 0.0),
+    top_p, max_tokens, optional ``response_format`` JSON schema.
+    """
+
+    def __init__(self, conf: LlmConfig):
+        try:
+            import openai  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env without openai
+            raise ImportError(
+                "openai package not installed; use api_type='echo' or install openai"
+            ) from e
+        from openai import AsyncAzureOpenAI, AsyncOpenAI
+
+        self.conf = conf
+        if conf.api_type == "azure":
+            self.cli = AsyncAzureOpenAI(
+                api_key=conf.api_key,
+                api_version=conf.api_version,
+                azure_endpoint=conf.api_url,
+            )
+        else:
+            self.cli = AsyncOpenAI(api_key=conf.api_key, base_url=conf.api_url)
+
+    async def complete(
+        self, messages: list[dict[str, str]], json_schema: dict[str, Any] | None = None
+    ) -> str:
+        kwargs: dict[str, Any] = dict(
+            model=self.conf.model,
+            messages=messages,
+            seed=self.conf.seed,
+            temperature=self.conf.temperature,
+            top_p=self.conf.top_p,
+            max_tokens=self.conf.max_tokens,
+        )
+        if json_schema is not None:
+            kwargs["response_format"] = {
+                "type": "json_schema",
+                "json_schema": json_schema,
+            }
+        resp = await self.cli.chat.completions.create(**kwargs)
+        return resp.choices[0].message.content or ""
+
+
+def make_client(conf: LlmConfig) -> LlmClient:
+    """Picklable factory — call inside the executor partition."""
+    if conf.api_type == "echo":
+        return EchoLlmClient(conf)
+    return OpenAILlmClient(conf)

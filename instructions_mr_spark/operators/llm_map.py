@@ -1,0 +1,207 @@
+"""The async micro-batched LLM map operator (SURVEY.md §2.3).
+
+Reference execution model: per record, ALL map instructions run
+concurrently via ``asyncio.gather``, one LLM call per instruction,
+each yielding one named output column
+(instructions_runners.py:107-130); records themselves are processed
+*sequentially* in a single process (bin/text_mr_pipe.py:51-58).
+
+Spark-first re-expression — the scale-out win:
+
+* Record parallelism comes from partitions (Spark schedules them
+  across executors); instruction parallelism comes from one asyncio
+  event loop per Arrow batch inside ``mapInPandas``.
+* Prompts are assembled JVM-side as columns *before* the Python
+  boundary (system message is a plan-time literal, user message is
+  ``to_json(struct(scope))``) so the Python stage only does the I/O
+  fan-out — no per-row Python string assembly.
+* Calls are issued instruction-major (all rows of instruction 0, then
+  instruction 1, ...), so calls that share an identical system-prompt
+  prefix are adjacent — the prefix-cache affinity the reference
+  README recommends exploiting (README.md:19,85), done as batch
+  ordering instead of server configuration.
+* Bounded concurrency via a semaphore; deterministic result order via
+  ``asyncio.gather``.
+
+At 100 TB the bottleneck is the LLM service, not Spark: this operator
+keeps every deterministic step distributed and JVM-side, and makes
+the service fan-out width (``concurrency`` × partitions) an explicit
+knob.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from collections.abc import Callable, Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from instructions_mr_spark.config import Instruction, LlmConfig, Stage
+from instructions_mr_spark.llm.client import LlmClient, make_client
+from instructions_mr_spark.operators.prompts import build_sys_msg, user_msg_col
+
+_PROMPT_PREFIX = "__prompt__"
+
+
+def _chatml(sys_msg: str, user_msg: str, model: str) -> list[dict[str, str]]:
+    """Python-side twin of prompts.chatml_col (instructions_runners.py:69-91),
+    used at call time inside the partition."""
+    if "mistral" in model.lower():
+        return [
+            {"role": "user", "content": sys_msg},
+            {"role": "assistant", "content": "Ok."},
+            {"role": "user", "content": user_msg},
+        ]
+    return [
+        {"role": "system", "content": sys_msg},
+        {"role": "user", "content": user_msg},
+    ]
+
+
+def _run_fanout(
+    client: LlmClient,
+    names: Sequence[str],
+    sys_msgs: dict[str, str],
+    prompts: dict[str, list[str]],
+    model: str,
+    concurrency: int,
+) -> dict[str, list[str]]:
+    """Run |names| × n_rows calls on one event loop, instruction-major."""
+
+    async def _go() -> dict[str, list[str]]:
+        sem = asyncio.Semaphore(concurrency)
+
+        async def one(name: str, user_msg: str) -> str:
+            async with sem:
+                return await client.complete(_chatml(sys_msgs[name], user_msg, model))
+
+        tasks = [
+            one(name, user_msg) for name in names for user_msg in prompts[name]
+        ]
+        flat = await asyncio.gather(*tasks)
+        out: dict[str, list[str]] = {}
+        n = len(prompts[names[0]]) if names else 0
+        for i, name in enumerate(names):
+            out[name] = list(flat[i * n : (i + 1) * n])
+        return out
+
+    return asyncio.run(_go())
+
+
+def instr_fanout_map(
+    df: DataFrame,
+    stage: Stage,
+    llm_conf: LlmConfig | None = None,
+    keep_cols: Sequence[str] | None = None,
+    concurrency: int = 32,
+    client_factory: Callable[[LlmConfig], LlmClient] = make_client,
+) -> DataFrame:
+    """One LLM-derived output column per instruction in ``stage``.
+
+    ``keep_cols`` are passed through (e.g. a record id so stage outputs
+    can be joined back); the reference keeps nothing but the stage
+    result dict (instructions.py:39-59) — pass ``keep_cols=None`` for
+    exact reference semantics.
+    """
+    conf = llm_conf or LlmConfig()
+    available = [f.name for f in df.schema.fields]
+    stage.validate_against(available)
+    keep = list(keep_cols) if keep_cols else []
+    names = stage.output_columns
+    sys_msgs = {ins.name: build_sys_msg(ins) for ins in stage.instructions}
+
+    # JVM-side prompt assembly: one user-message column per instruction.
+    prompted = df.select(
+        *[F.col(c) for c in keep],
+        *[
+            user_msg_col(ins.scope, available).alias(f"{_PROMPT_PREFIX}{ins.name}")
+            for ins in stage.instructions
+        ],
+    )
+
+    out_schema = T.StructType(
+        [prompted.schema[c] for c in keep]
+        + [T.StructField(n, T.StringType()) for n in names]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory(conf)
+        for pdf in batches:
+            prompts = {n: pdf[f"{_PROMPT_PREFIX}{n}"].tolist() for n in names}
+            results = _run_fanout(client, names, sys_msgs, prompts, conf.model, concurrency)
+            out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
+            for n in names:
+                out[n] = results[n]
+            yield out
+
+    return prompted.mapInPandas(run, schema=out_schema)
+
+
+def group_concat_reduce(
+    df: DataFrame,
+    stage: Stage,
+    llm_conf: LlmConfig | None = None,
+    keep_cols: Sequence[str] | None = None,
+    concurrency: int = 32,
+    client_factory: Callable[[LlmConfig], LlmClient] = make_client,
+    template: str | None = None,
+) -> DataFrame:
+    """The reference's reduce: regroup map-output columns by each reduce
+    instruction's scope, concatenate the group into one tag-wrapped
+    prompt, one rewrite call per group (self_verification_mr.py:440-521;
+    generic path instructions_runners.py via v0.py:48-50).
+
+    Deterministic part (regroup + wrap + concat) stays JVM-side via
+    ``xml_tag_wrap``; only the rewrite call crosses into Python.
+    """
+    from instructions_mr_spark.operators.prompts import prompt_template_sub, xml_tag_wrap
+
+    conf = llm_conf or LlmConfig()
+    available = [f.name for f in df.schema.fields]
+    stage.validate_against(available)
+    keep = list(keep_cols) if keep_cols else []
+    names = stage.output_columns
+
+    if template is not None:
+        sys_msgs = {
+            ins.name: prompt_template_sub(
+                template,
+                {
+                    "__ROLE__": ins.role or "",
+                    "__INPUT_DESC__": ins.input_desc or "",
+                    "__OUTPUT_DESC__": ins.output_desc or "",
+                },
+            )
+            for ins in stage.instructions
+        }
+    else:
+        sys_msgs = {ins.name: build_sys_msg(ins) for ins in stage.instructions}
+
+    prompted = df.select(
+        *[F.col(c) for c in keep],
+        *[
+            xml_tag_wrap(ins.scope or available).alias(f"{_PROMPT_PREFIX}{ins.name}")
+            for ins in stage.instructions
+        ],
+    )
+
+    out_schema = T.StructType(
+        [prompted.schema[c] for c in keep]
+        + [T.StructField(n, T.StringType()) for n in names]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory(conf)
+        for pdf in batches:
+            prompts = {n: pdf[f"{_PROMPT_PREFIX}{n}"].tolist() for n in names}
+            results = _run_fanout(client, names, sys_msgs, prompts, conf.model, concurrency)
+            out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
+            for n in names:
+                out[n] = results[n]
+            yield out
+
+    return prompted.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,73 @@
+"""Config -> DataFrame-plan compiler (SURVEY.md §2.4 ``mr_chain``).
+
+The reference lifecycle (v0.py:26-56): init pseudo-stage stringifies
+the input record (json2str_kv, v0.py:40-44), the map stage fans out
+one LLM call per instruction, the reduce stage regroups map outputs by
+scope and rewrites per group, and the final output carries the reduce
+result plus a markdown rendering (instructions_to_md, v0.py:51-55).
+
+Here the whole pipeline compiles to ONE lazy logical plan — a chain of
+``DataFrame`` transforms — which Catalyst then optimizes end-to-end
+(column pruning reaches the source scan through every stage; the
+reference's hand-rolled ``scope`` optimization becomes automatic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+from instructions_mr_spark.config import LlmConfig, PipelineConfig, Stage
+from instructions_mr_spark.llm.client import LlmClient, make_client
+from instructions_mr_spark.operators.llm_map import group_concat_reduce, instr_fanout_map
+from instructions_mr_spark.operators.scope import stringify_kv
+from instructions_mr_spark.sources.io import md_sink
+
+
+def run_stage(
+    df: DataFrame,
+    stage: Stage,
+    llm_conf: LlmConfig,
+    keep_cols: Sequence[str] | None = None,
+    client_factory: Callable[[LlmConfig], LlmClient] = make_client,
+    concurrency: int = 32,
+) -> DataFrame:
+    op = group_concat_reduce if stage.kind == "reduce" else instr_fanout_map
+    return op(
+        df,
+        stage,
+        llm_conf,
+        keep_cols=keep_cols,
+        concurrency=concurrency,
+        client_factory=client_factory,
+    )
+
+
+def run_pipeline(
+    df: DataFrame,
+    config: PipelineConfig,
+    keep_cols: Sequence[str] | None = None,
+    client_factory: Callable[[LlmConfig], LlmClient] = make_client,
+    with_md: bool = True,
+    concurrency: int = 32,
+) -> DataFrame:
+    """Compile + run: init(stringify) -> map -> reduce -> [md].
+
+    ``keep_cols`` flow through every stage so outputs stay joinable to
+    the input records (an engine extension; the reference loses record
+    identity between stages).
+    """
+    out = stringify_kv(df)  # init pseudo-stage (v0.py:40-44)
+    for stage in config.stages:
+        out = run_stage(
+            out,
+            stage,
+            config.llm,
+            keep_cols=keep_cols,
+            client_factory=client_factory,
+            concurrency=concurrency,
+        )
+    if with_md and config.stages:
+        out = md_sink(out, config.stages[-1].output_columns, out_col="result_md")
+    return out

@@ -1,0 +1,38 @@
+"""Shared helpers for query definitions.
+
+Float-stability convention: double sums go through DECIMAL casts on
+BOTH engines (exact arithmetic, identical result bits after the final
+cast to DOUBLE), because summing doubles in engine-dependent order
+drifts in the low bits and can flip a rounded value at large
+magnitudes.  Fragments are shared verbatim between the Spark F.expr
+side and the DuckDB oracle string so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from instructions_mr_spark.sources.tables import load_table
+
+# Exact-decimal aggregate fragments (valid in both Spark SQL and DuckDB).
+DEC_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+DEC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+DEC_DISC = "CAST(l_discount AS DECIMAL(8,4))"
+DEC_TAX = "CAST(l_tax AS DECIMAL(8,4))"
+REVENUE = f"{DEC_PRICE} * (1 - {DEC_DISC})"
+CHARGE = f"{DEC_PRICE} * (1 - {DEC_DISC}) * (1 + {DEC_TAX})"
+DEC_TOTAL = "CAST(o_totalprice AS DECIMAL(12,2))"
+DEC_BAL = "CAST(c_acctbal AS DECIMAL(12,2))"
+DEC_VALUE = "CAST(value AS DECIMAL(12,2))"
+
+
+def sum_d(fragment: str, alias: str) -> str:
+    return f"CAST(SUM({fragment}) AS DOUBLE) AS {alias}"
+
+
+def avg_d(fragment: str, alias: str) -> str:
+    return f"CAST(SUM({fragment}) AS DOUBLE) / COUNT({fragment}) AS {alias}"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)

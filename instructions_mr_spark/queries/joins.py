@@ -1,0 +1,208 @@
+"""Join surface (SURVEY.md §2.7): equi/broadcast/outer/semi/anti/
+range/as-of.  Absent from the reference entirely (§2.6).
+
+Scale notes per flavor:
+
+* dimension joins broadcast explicitly (region/nation/supplier stay
+  tiny at every sf — BROADCAST_DIMS) — no shuffle of the fact table;
+* fact-fact joins shuffle on the join key and rely on AQE for skew;
+* the range join is bounded by banding (join on coarse bucket first,
+  then refine) so it never degenerates to a full cross product;
+* the as-of join is a cogrouped merge — see operators/asof.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.operators.asof import asof_join
+from instructions_mr_spark.queries._util import REVENUE, sum_d, t
+from instructions_mr_spark.registry import query
+
+
+@query(
+    "join_inner_eq",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {sum_d(REVENUE, 'revenue')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_inner_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.expr(sum_d(REVENUE, "revenue")))
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT n_name, r_name, COUNT(*) AS n, {sum_d(REVENUE, 'revenue')}
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact scans once, dims broadcast — zero fact shuffles
+    before the aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n"), F.expr(sum_d(REVENUE, "revenue")))
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           cn.n_cust, sn.n_supp
+    FROM (SELECT CAST(c_nationkey AS BIGINT) AS nk, COUNT(*) AS n_cust
+          FROM customer GROUP BY 1) cn
+    FULL JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nk, COUNT(*) AS n_supp
+               FROM supplier GROUP BY 1) sn
+      ON cn.nk = sn.nk
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").cast("bigint").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           CAST(ROUND(CAST(a.s_acctbal AS DECIMAL(12,2)) - CAST(b.s_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS bal_gap
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND a.s_acctbal BETWEEN b.s_acctbal - 500 AND b.s_acctbal + 500
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join on a small table.  At scale, band the range
+    key (join on floor(bal/width) buckets ± 1, then refine) so the
+    planner gets an equi-key — demonstrated in tests/test_asof.py for
+    the banded variant."""
+    s = t(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        & (F.col("a.s_acctbal") >= F.col("b.s_acctbal") - 500)
+        & (F.col("a.s_acctbal") <= F.col("b.s_acctbal") + 500),
+    ).select(
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        F.expr(
+            "CAST(ROUND(CAST(a.s_acctbal AS DECIMAL(12,2)) - CAST(b.s_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE)"
+        ).alias("bal_gap"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, o.o_orderkey, o.o_orderdate
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ) o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event matched to that user's most recent order at-or-before
+    the event time (DuckDB ASOF LEFT JOIN is the oracle).
+
+    The right side is pre-reduced to one row per (custkey, orderdate) —
+    'most recent order' is otherwise underdetermined when a customer
+    places several orders the same day (32 such ties at sf0.01), and
+    engines would tiebreak differently."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+    joined = asof_join(
+        e, o, on_time_left="ts", on_time_right="o_orderdate",
+        by_left=["user_id"], by_right=["o_custkey"], how="left",
+    )
+    return joined.select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")

@@ -1,0 +1,432 @@
+"""LLM-pipeline operators (SURVEY.md §2.3-2.4 scaffolding + §2.7
+dedup/sim_search mandate).
+
+The LLM-bound operators run here in deterministic echo mode (the
+client returns the user message — llm/client.py), so the *scaffolding*
+(scope, prompt assembly, fan-out, regroup, assembly) is DuckDB-oracle
+checkable end-to-end; the remote-LLM path reuses the identical plan
+with a different client factory.
+
+Dedup + similarity search use a cross-engine-portable hash:
+``int(md5(x || seed)[:8], 16)`` — identical in Spark
+(conv(substring(md5(..),1,8),16,10)) and DuckDB
+(('0x' || substr(md5(..),1,8))::BIGINT), so even MinHash/LSH is
+hash-checkable, not just rows-only.
+
+Scale notes: exact dedup is one hash-aggregate; MinHash-LSH is
+signature (narrow projection) -> band explode -> equi-join on band
+key -> verify, the standard shuffle-bounded near-dup plan for ~100 TB
+corpora (candidate pairs only, never all pairs).  Brute-force cosine
+broadcasts the query vector; the IVF variant prunes by sign-bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.config import Instruction, LlmConfig, Stage
+from instructions_mr_spark.operators.llm_map import group_concat_reduce, instr_fanout_map
+from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.registry import query
+
+# ---------------------------------------------------------------- echo MR
+
+
+_MAP_STAGE = Stage(
+    [
+        Instruction(
+            name="summary",
+            content="Summarize the document.",
+            role="Analyst.",
+            scope=["text"],
+        ),
+        Instruction(
+            name="keywords",
+            content="List keywords.",
+            scope=["lang", "source"],
+        ),
+    ]
+)
+
+_REDUCE_STAGE = Stage(
+    [
+        Instruction(
+            name="report",
+            content="Merge the analyses.",
+            input_desc="Summary and keywords.",
+            output_desc="A merged report.",
+            scope=["summary", "keywords"],
+        )
+    ],
+    kind="reduce",
+)
+
+
+@query(
+    "llm_echo_map",
+    oracle="""
+    SELECT doc_id,
+           to_json(struct_pack(text := text))::VARCHAR AS summary,
+           to_json(struct_pack(lang := lang, source := source))::VARCHAR AS keywords
+    FROM documents
+    """,
+)
+def llm_echo_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """instr_fanout_map (instructions_runners.py:107-130) in echo mode:
+    each instruction's output = its assembled user message."""
+    d = t(spark, sf_dir, "documents")
+    return instr_fanout_map(d, _MAP_STAGE, LlmConfig(), keep_cols=["doc_id"])
+
+
+@query(
+    "llm_echo_mapreduce",
+    oracle="""
+    SELECT doc_id,
+           '<summary>' || chr(10) || to_json(struct_pack(text := text))::VARCHAR
+             || chr(10) || '</summary>' || chr(10) || chr(10) ||
+           '<keywords>' || chr(10)
+             || to_json(struct_pack(lang := lang, source := source))::VARCHAR
+             || chr(10) || '</keywords>' || chr(10) || chr(10) AS report
+    FROM documents
+    """,
+)
+def llm_echo_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mr_chain (v0.py:26-56): map fan-out, then the reduce
+    regroup: scope-select map outputs, tag-wrap, concat (the rewrite
+    call echoes the wrapped prompt)."""
+    d = t(spark, sf_dir, "documents")
+    mapped = instr_fanout_map(d, _MAP_STAGE, LlmConfig(), keep_cols=["doc_id"])
+    return group_concat_reduce(mapped, _REDUCE_STAGE, LlmConfig(), keep_cols=["doc_id"])
+
+
+# ---------------------------------------------------------------- dedup
+
+# Portable 32-bit hash fragments (see module docstring).
+def _spark_h32(expr: str, seed: int) -> str:
+    return f"CAST(CONV(SUBSTRING(MD5(CAST({expr} || '#{seed}' AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _duck_h32(expr: str, seed: int) -> str:
+    return f"('0x' || substr(md5({expr} || '#{seed}'), 1, 8))::BIGINT"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep the smallest
+    id as representative.  One shuffle of (digest, id) pairs — never
+    the document bodies."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.expr("MD5(CAST(text AS BINARY))").alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_MINHASH_K = 8  # 2 bands × 4 rows
+
+
+def _minhash_cols_spark() -> list[str]:
+    return [
+        f"ARRAY_MIN(TRANSFORM(words, w -> {_spark_h32('w', s)})) AS mh{s}"
+        for s in range(_MINHASH_K)
+    ]
+
+
+def _minhash_cols_duck() -> str:
+    return ", ".join(
+        f"list_min(list_transform(words, w -> {_duck_h32('w', s)})) AS mh{s}"
+        for s in range(_MINHASH_K)
+    )
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle=f"""
+    SELECT doc_id, {_minhash_cols_duck()}
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    """,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k={_MINHASH_K}) over word shingles — the
+    narrow projection that feeds LSH banding; hash-identical across
+    engines via the portable md5-derived hash."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    return d.selectExpr("doc_id", *_minhash_cols_spark())
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {_minhash_cols_duck()}
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 || '_' || mh1 || '_' || mh2 || '_' || mh3 AS key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh4 || '_' || mh5 || '_' || mh6 || '_' || mh7 AS key FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                 / len(list_distinct(wa.ws || wb.ws)), 6) AS jaccard
+    FROM cand
+    JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents) wa
+      ON cand.doc_a = wa.doc_id
+    JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents) wb
+      ON cand.doc_b = wb.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates (2 bands x 4 rows: band
+    collision prob = jaccard^4): signature -> band explode ->
+    equi-join on band key -> verify with exact word-set Jaccard.
+
+    This is the scale path: candidate generation is an equi-join on
+    band keys (shuffle bounded by collisions), and only candidates pay
+    the verify cost."""
+    words = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    sigs = words.selectExpr("doc_id", *_minhash_cols_spark())
+    bands = None
+    for band in range(_MINHASH_K // 4):
+        cols = [f"mh{4 * band + j}" for j in range(4)]
+        b = sigs.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws("_", *cols).alias("key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ws = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    )
+    wa = ws.alias("wa")
+    wb = ws.alias("wb")
+    return (
+        cand.join(wa, cand.doc_a == F.col("wa.doc_id"))
+        .join(wb, cand.doc_b == F.col("wb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("wa.ws", "wb.ws")).cast("double")
+                / F.size(F.array_union("wa.ws", "wb.ws")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram shingle Jaccard between adjacent doc ids — the
+    verify kernel of near-dup detection, isolated and oracle-checked.
+    (Adjacent-pair blocking keeps the check linear; production
+    candidate generation is the LSH query above.)"""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 3)
+    )
+    sh = words.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("words", i),
+                    F.element_at("words", i + 1),
+                    F.element_at("words", i + 2),
+                ),
+            )
+        ).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(
+            F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+            / F.size(F.array_union("a.shingles", "b.shingles")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id,
+           {' + '.join(f"(CASE WHEN (list_sum(list_transform(words, w -> CASE WHEN (({_duck_h32('w', 99)} >> {b}) & 1) = 1 THEN 1 ELSE -1 END))) > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))}
+             AS simhash
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_SIMHASH_BITS}-bit SimHash over word hashes: bit b of the
+    fingerprint is the sign of sum over words of ±1 by word-hash bit b.
+    Near-dups differ in few bits (hamming distance)."""
+    words = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN AGGREGATE(words, 0, (acc, w) -> acc + "
+        f"CASE WHEN (SHIFTRIGHT({_spark_h32('w', 99)}, {b}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return words.selectExpr("doc_id", f"{bit_terms} AS simhash")
+
+
+# ---------------------------------------------------------------- sim search
+
+_DOT = """
+    ROUND(
+      list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                  (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))
+         * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))),
+    6)
+"""
+
+
+def _cosine_col(a, b):
+    dot = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    s = F.aggregate(dot, F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.round(s / (na * nb), 6)
+
+
+@query(
+    "sim_search_topk",
+    oracle=f"""
+    SELECT e.vec_id, {_DOT} AS cosine
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector: the
+    query vector broadcasts (1-row crossJoin), the dot product runs
+    JVM-side via zip_with/aggregate, and top-k is TakeOrderedAndProject
+    — no full sort, no Python.  This is the exact baseline an ANN
+    variant must match on recall."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", _cosine_col(F.col("q"), F.col("embedding")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "sim_search_ivf",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(range(1, 5),
+               i -> CASE WHEN embedding[i] > 0 THEN (1 << (i-1)) ELSE 0 END), 'sum') AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT embedding, bucket FROM b WHERE vec_id = 0)
+    SELECT e.vec_id, {_DOT} AS cosine
+    FROM b e, qb q
+    WHERE e.bucket = q.bucket AND e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id LIMIT 5
+    """,
+)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket (LSH-style) pruned search: 4 sign bits of the first
+    dims partition vectors into 16 buckets; only the query's bucket is
+    scanned.  The scale path — candidate set shrinks ~16× per probe;
+    partition the lake by bucket to turn this into partition pruning."""
+    e = t(spark, sf_dir, "embeddings")
+    bucket = F.aggregate(
+        F.zip_with(
+            F.slice("embedding", 1, 4),
+            F.array([F.lit(1), F.lit(2), F.lit(4), F.lit(8)]),
+            lambda x, p: F.when(x > 0, p).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    b = e.withColumn("bucket", bucket)
+    qv = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        b.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", _cosine_col(F.col("q"), F.col("embedding")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+@query(
+    "embedding_pair_cosine",
+    oracle=f"""
+    SELECT e.vec_id AS vec_a, q.vec_id AS vec_b, {_DOT} AS cosine
+    FROM embeddings e JOIN embeddings q ON q.vec_id = e.vec_id + 1
+    """,
+)
+def embedding_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup verify kernel on adjacent-id pairs
+    (blocking keeps it linear; LSH/IVF generates candidates at scale)."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        _cosine_col(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    )

@@ -1,0 +1,214 @@
+"""Text analysis over the documents table (SURVEY.md §2.7
+text_analysis; BASELINE mandate: language-ID, quality scoring, token
+counting, fingerprinting).
+
+Everything is JVM-side built-ins (split/regexp/higher-order array
+functions) — no Python in the hot path; at 100 TB these are
+scan-projection pipelines with full WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.registry import query
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_char,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(LENGTH(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token,
+           LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+           LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_char"),
+        toks.alias("n_tokens"),
+        F.round(F.length("text").cast("double") / toks, 6).alias("chars_per_token"),
+        F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).alias("n_punct"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).alias("n_digit"),
+    )
+
+
+@query(
+    "token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish,
+           len(string_split(text, ' ')) AS n_ws
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish lexer regex
+    (letter runs / digit runs / single symbols)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)).alias(
+            "n_bpeish"
+        ),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    )
+
+
+# stopword lists for the n-gram-free language-ID heuristic
+_STOP = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+}
+
+
+def _stop_count_spark(lang: str) -> Column:
+    lst = ", ".join(f"'{w}'" for w in _STOP[lang])
+    return F.size(F.expr(f"FILTER(words, w -> w IN ({lst}))"))
+
+
+def _stop_count_duck(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _STOP[lang])
+    return f"len(list_filter(words, w -> w IN ({lst})))"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+             WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+             ELSE 'en'
+           END AS lang_guess,
+           s_en, s_de, s_fr, s_es
+    FROM (
+      SELECT doc_id,
+             {_stop_count_duck('en')} AS s_en,
+             {_stop_count_duck('de')} AS s_de,
+             {_stop_count_duck('fr')} AS s_fr,
+             {_stop_count_duck('es')} AS s_es
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+    )
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with a deterministic tie policy
+    (priority en > de > fr > es on equal scores).  A real model would
+    use char n-gram profiles; the Spark shape (projection + CASE) is
+    identical."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("words")
+    )
+    scored = d.select(
+        "doc_id",
+        _stop_count_spark("en").alias("s_en"),
+        _stop_count_spark("de").alias("s_de"),
+        _stop_count_spark("fr").alias("s_fr"),
+        _stop_count_spark("es").alias("s_es"),
+    )
+    return scored.select(
+        "doc_id",
+        F.when(
+            (F.col("s_de") > F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_fr"))
+            & (F.col("s_de") >= F.col("s_es")),
+            "de",
+        )
+        .when(
+            (F.col("s_fr") > F.col("s_en"))
+            & (F.col("s_fr") > F.col("s_de"))
+            & (F.col("s_fr") >= F.col("s_es")),
+            "fr",
+        )
+        .when(
+            (F.col("s_es") > F.col("s_en"))
+            & (F.col("s_es") > F.col("s_de"))
+            & (F.col("s_es") > F.col("s_fr")),
+            "es",
+        )
+        .otherwise("en")
+        .alias("lang_guess"),
+        "s_en",
+        "s_de",
+        "s_fr",
+        "s_es",
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(
+             LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+             + (1.0 - LEAST(CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                            / LENGTH(text), 1.0)) * 0.3
+             + CASE WHEN len(string_split(text, ' ')) > 0
+                    THEN CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> w IN ('the','and','of','to','a','in','is'))) AS DOUBLE)
+                         / len(string_split(text, ' '))
+                    ELSE 0 END * 0.2,
+           6) AS quality
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation (0.5), low
+    punctuation density (0.3), stopword ratio (0.2) — the standard
+    cheap pre-filter shape for training-data curation."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("double")
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("double")
+    stop = _stop_count_spark("en")
+    d = d.select(
+        "doc_id",
+        "text",
+        F.split(F.lower(F.col("text")), " ").alias("words"),
+    )
+    stop = F.size(F.expr("FILTER(words, w -> w IN ('the','and','of','to','a','in','is'))"))
+    return d.select(
+        "doc_id",
+        F.round(
+            F.least(toks / 100, F.lit(1.0)) * 0.5
+            + (F.lit(1.0) - F.least(punct / F.length("text"), F.lit(1.0))) * 0.3
+            + F.when(toks > 0, stop.cast("double") / toks).otherwise(0.0) * 0.2,
+            6,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_full,
+           md5(substring(lower(trim(text)), 1, 64)) AS md5_prefix64,
+           ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp32
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: full digest, normalized-prefix digest
+    (catches near-identical headers), and a compact 32-bit key for
+    join-friendly dedup maps."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("MD5(CAST(text AS BINARY))").alias("md5_full"),
+        F.expr("MD5(CAST(SUBSTRING(LOWER(TRIM(text)), 1, 64) AS BINARY))").alias("md5_prefix64"),
+        F.expr(
+            "CAST(CONV(SUBSTRING(MD5(CAST(text AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("fp32"),
+    )

@@ -1,0 +1,91 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+Reference behaviors re-expressed on Spark readers/writers:
+
+* ``jsonl_scan``  — reference reads a JSONL file one ``json.loads`` per
+  non-blank line (``bin/text_mr_pipe.py:46-49``).  Spark's JSON source
+  is already line-delimited and skips blank lines; schema may be
+  declared (production) or inferred (ad hoc).
+* ``jsonl_sink``  — reference appends a ``results`` column to each
+  input record and writes JSONL preserving non-ASCII
+  (``bin/text_mr_pipe.py:50-58``).  ``df.write.json`` writes one JSON
+  object per line; Spark does not ASCII-escape, matching
+  ``ensure_ascii=False``.
+* ``md_sink``     — reference renders a stage to markdown
+  ``"# {name}\n{content}\n\n"`` per instruction, concatenated in
+  instruction order (``src/python/instructionspipe/instructions.py:62-70``).
+  Here: a single JVM-side ``concat`` over the stage's output columns.
+
+csv/parquet variants are the EXT relational surface (§2.7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def jsonl_scan(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def jsonl_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def parquet_scan(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def parquet_sink(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def csv_scan(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def csv_sink(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def md_section(name: str, content: Column) -> Column:
+    """One markdown section: ``# {name}\n{content}\n\n``.
+
+    Mirrors instructions.py:64-69 ("# %s\n" % name then "%s\n\n" % msg).
+    """
+    return F.concat(F.lit(f"# {name}\n"), content, F.lit("\n\n"))
+
+
+def md_sink(df: DataFrame, columns: Sequence[str], out_col: str = "md") -> DataFrame:
+    """Render ``columns`` (a stage's outputs, in instruction order) to a
+    single markdown string column — the reference's ``instructions_to_md``
+    as a JVM-side concat (no UDF)."""
+    sections = [md_section(c, F.coalesce(F.col(c).cast("string"), F.lit(""))) for c in columns]
+    return df.withColumn(out_col, F.concat(*sections) if sections else F.lit(""))

@@ -1,0 +1,61 @@
+"""Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md).
+
+One parquet per table under ``{sf_dir}/{name}.parquet``.  Columnar
+scans with Catalyst pushdown — every query built on these gets column
+pruning + predicate pushdown into the parquet reader for free, which
+is the property that matters at 100 TB (scan only what the query
+needs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor
+# (region=5 rows, nation=25 rows at every sf; supplier/part grow slowly).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive: queries may run under a caller-provided session (the
+    # driver's); timestamp semantics must match the UTC-based oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read it as raw nanos and floor to microseconds
+        # (Spark's native timestamp precision).  DuckDB-oracle SQL casts
+        # its TIMESTAMP_NS to TIMESTAMP (µs) the same way.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL API path)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,53 @@
+"""Unit tests for the as-of join operator (operators/asof.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from instructions_mr_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-10 00:00:00"), "e1"),
+            (1, _ts("2024-01-20 00:00:00"), "e2"),
+            (2, _ts("2024-01-05 00:00:00"), "e3"),  # before any right row
+            (3, _ts("2024-01-05 00:00:00"), "e4"),  # key absent on right
+        ],
+        "uid int, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), "o1"),
+            (1, _ts("2024-01-10 00:00:00"), "o2"),  # exact match for e1
+            (1, _ts("2024-01-15 00:00:00"), "o3"),
+            (2, _ts("2024-01-07 00:00:00"), "o4"),
+        ],
+        "cid int, rts timestamp, ord string",
+    )
+    return left, right
+
+
+def test_asof_left_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "ts", "rts", ["uid"], ["cid"], how="left")
+    got = {r.ev: r.ord for r in out.collect()}
+    assert got == {"e1": "o2", "e2": "o3", "e3": None, "e4": None}
+    assert out.count() == 4
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "ts", "rts", ["uid"], ["cid"], how="inner")
+    assert {r.ev for r in out.collect()} == {"e1", "e2"}
+
+
+def test_asof_schema_is_left_plus_right(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "ts", "rts", ["uid"], ["cid"])
+    assert out.columns == ["uid", "ts", "ev", "cid", "rts", "ord"]

@@ -1,0 +1,100 @@
+"""Tests for the async LLM map/reduce operators and the config->plan
+compiler (SURVEY.md §2.3-2.4), echo mode."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from instructions_mr_spark.config import Instruction, LlmConfig, PipelineConfig, Stage
+from instructions_mr_spark.llm.client import EchoLlmClient
+from instructions_mr_spark.operators.llm_map import group_concat_reduce, instr_fanout_map
+from instructions_mr_spark.plans import run_pipeline
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "alpha text", "en"), (2, "beta text", "fr")],
+        "doc_id int, text string, lang string",
+    )
+
+
+def test_fanout_map_echo(spark):
+    stage = Stage(
+        [
+            Instruction(name="summary", content="Summarize.", scope=["text"]),
+            Instruction(name="tag", content="Tag.", scope=["lang"]),
+        ]
+    )
+    out = instr_fanout_map(_docs(spark), stage, LlmConfig(), keep_cols=["doc_id"])
+    rows = {r.doc_id: r for r in out.collect()}
+    assert json.loads(rows[1].summary) == {"text": "alpha text"}
+    assert json.loads(rows[2].tag) == {"lang": "fr"}
+
+
+def test_fanout_map_tagged_client(spark):
+    stage = Stage([Instruction(name="s", content="c", scope=["text"])])
+    out = instr_fanout_map(
+        _docs(spark),
+        stage,
+        LlmConfig(model="m1"),
+        keep_cols=["doc_id"],
+        client_factory=lambda conf: EchoLlmClient(conf, tag=True),
+    )
+    assert out.collect()[0].s.startswith("[m1] ")
+
+
+def test_scope_validation_fails_fast(spark):
+    stage = Stage([Instruction(name="s", content="c", scope=["nope"])])
+    with pytest.raises(ValueError, match="nope"):
+        instr_fanout_map(_docs(spark), stage, LlmConfig())
+
+
+def test_group_concat_reduce_echo(spark):
+    map_stage = Stage(
+        [
+            Instruction(name="a", content="x", scope=["text"]),
+            Instruction(name="b", content="y", scope=["lang"]),
+        ]
+    )
+    red = Stage([Instruction(name="r", content="m", scope=["a", "b"])], kind="reduce")
+    mapped = instr_fanout_map(_docs(spark), map_stage, LlmConfig(), keep_cols=["doc_id"])
+    out = group_concat_reduce(mapped, red, LlmConfig(), keep_cols=["doc_id"])
+    r = {x.doc_id: x.r for x in out.collect()}[1]
+    assert r.startswith("<a>\n") and "</a>\n\n<b>\n" in r and r.endswith("</b>\n\n")
+
+
+def test_run_pipeline_reference_config_shape(spark):
+    """Full mr_chain from the reference's JSON config format
+    (bin/text_mr_pipe.json topology: pipe[0]=map, pipe[1]=reduce)."""
+    conf = PipelineConfig.from_dict(
+        {
+            "llm": {"api_type": "echo", "model": "echo"},
+            "pipe": [
+                [
+                    {"name": "m1", "content": "do", "scope": ["text"]},
+                    {"name": "m2", "content": "do2", "scope": ["lang"]},
+                ],
+                [{"name": "final", "content": "merge", "scope": ["m1", "m2"]}],
+            ],
+        }
+    )
+    out = run_pipeline(_docs(spark), conf, keep_cols=["doc_id"])
+    row = {r.doc_id: r for r in out.collect()}["2"]  # stringify_kv casts keep_cols too
+    assert row.final.startswith("<m1>\n")
+    # markdown rendering of the final stage (v0.py:51-55)
+    assert row.result_md.startswith("# final\n<m1>\n")
+    assert row.result_md.endswith("\n\n")
+
+
+def test_pipeline_stringifies_init_stage(spark):
+    """Init pseudo-stage applies json2str_kv (v0.py:40-44): non-string
+    inputs reach instructions as strings."""
+    df = spark.createDataFrame([(7, [1, 2])], "doc_id int, arr array<int>")
+    conf = PipelineConfig.from_dict(
+        {"pipe": [[{"name": "m", "content": "c", "scope": ["arr"]}]]}
+    )
+    out = run_pipeline(df, conf, keep_cols=["doc_id"], with_md=False)
+    val = out.collect()[0].m
+    assert json.loads(val) == {"arr": "[1,2]"}  # arr stringified before scoping

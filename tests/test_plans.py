@@ -1,0 +1,67 @@
+"""Plan-shape assertions (SURVEY.md §4): the engine must emit plans
+where Catalyst's pushdown/broadcast actually fire — correctness of the
+*physical* strategy, not just the results."""
+
+from __future__ import annotations
+
+from instructions_mr_spark import registry
+
+registry.load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = registry.QUERIES["filter_pred"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    """scope_project must scan only scoped columns (the reference's
+    hand-rolled scope optimization, done by Catalyst for us)."""
+    df = registry.QUERIES["scope_project"](spark, sf_dir)
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read_schema and "props" not in read_schema
+
+
+def test_broadcast_join_fires(spark, sf_dir):
+    df = registry.QUERIES["join_broadcast"](spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_q1_wholestage_codegen(spark, sf_dir):
+    df = registry.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE finalizes the plan (and codegen spans) on execution
+    plan = _plan(df)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the plan string;
+    # also require a partial (map-side) aggregate before the exchange.
+    assert "*(1)" in plan
+    assert "partial_sum" in plan
+
+
+def test_topk_global_uses_take_ordered(spark, sf_dir):
+    df = registry.QUERIES["topk_global"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    semi = _plan(registry.QUERIES["join_semi"](spark, sf_dir))
+    anti = _plan(registry.QUERIES["join_anti"](spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_asof_join_has_no_python_stage(spark, sf_dir):
+    """The as-of join must stay JVM-side (no mapInPandas/ArrowEval in
+    the plan)."""
+    df = registry.QUERIES["join_asof"](spark, sf_dir)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan

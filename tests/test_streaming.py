@@ -1,0 +1,96 @@
+"""Structured Streaming tests (SURVEY.md §2.7 stream_*): the real
+streaming runtime — readStream over the events parquet, watermarked
+windowed aggregation into a memory sink, driven to completion with
+processAllAvailable().  Results must equal the batch twin on the same
+data (same logical window semantics)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, tmp_path_factory):
+    batch = load_table(spark, sf_dir, "events")
+    # file streaming source needs a directory + explicit schema; the
+    # nanos ts arrives as bigint (see load_table) and converts the same.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream_dir = tmp_path_factory.mktemp("events_stream")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), stream_dir / "part-0.parquet"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(str(stream_dir))
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    return stream, batch
+
+
+def _run_to_completion(df, name: str, mode: str):
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_tumbling_agg_matches_batch(spark, events_stream):
+    stream, batch = events_stream
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    _run_to_completion(agg, "stream_tumble_t", "append")
+    got = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM stream_tumble_t").collect()
+    }
+    expected = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # watermark may hold back the trailing window in append mode; all
+    # emitted windows must match batch exactly and cover nearly all.
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+    assert len(got) >= len(expected) - 4
+
+
+def test_stream_dedup_with_watermark(spark, events_stream):
+    stream, batch = events_stream
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicates(["user_id", "event_type"])
+    _run_to_completion(dedup, "stream_dedup_t", "append")
+    got = spark.sql("SELECT count(*) AS n FROM stream_dedup_t").collect()[0].n
+    distinct_keys = batch.select("user_id", "event_type").distinct().count()
+    assert got == distinct_keys
+
+
+def test_stream_session_window(spark, events_stream):
+    stream, batch = events_stream
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    _run_to_completion(sess, "stream_session_t", "append")
+    emitted = spark.sql("SELECT count(*) AS n FROM stream_session_t").collect()[0].n
+    batch_sessions = (
+        batch.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .count()
+    )
+    assert emitted > 0
+    assert emitted <= batch_sessions
