@@ -1,0 +1,81 @@
+"""Reusable Column-level function library (SURVEY.md §2.7 scalar
+families + the LLM-pipeline kernels).
+
+Everything here returns Column expressions (JVM-side, codegen'd);
+the portable-hash helpers have exact DuckDB twins for oracle checks
+(see queries/llm_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def h32(col_expr: str, seed: int) -> str:
+    """Portable 32-bit hash (SQL fragment): first 8 hex digits of
+    md5(x || '#seed') as a bigint.  Identical in DuckDB via
+    ('0x' || substr(md5(...),1,8))::BIGINT."""
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CAST({col_expr} || '#{seed}' AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def cosine_sim(a: Column, b: Column, digits: int = 6) -> Column:
+    """Cosine similarity of two float-array columns, computed in
+    doubles with a deterministic left-fold (order-stable across
+    engines), rounded for cross-engine comparability."""
+    dots = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(dots, F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.round(dot / (na * nb), digits)
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 fingerprints (SimHash
+    neighbor test): popcount of xor via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def rolling_hash(text: Column, length: int = 64, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash of the first ``length`` chars:
+    sum(ascii(c_i) * base^i) mod p, as a deterministic fingerprint.
+    Pure higher-order-function fold — no UDF."""
+    chars = F.split(F.substring(text, 1, length), "")
+    # fold state: struct(acc hash, pow)
+    init = F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p"))
+    step = lambda acc, c: F.struct(  # noqa: E731
+        ((acc["h"] + F.ascii(c) * acc["p"]) % mod).alias("h"),
+        ((acc["p"] * base) % mod).alias("p"),
+    )
+    return F.aggregate(chars, init, step, lambda acc: acc["h"])
+
+
+def jaccard(a: Column, b: Column, digits: int = 6) -> Column:
+    """Jaccard similarity of two array columns (set semantics)."""
+    return F.round(
+        F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b)),
+        digits,
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    words = F.split(text, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        )
+    )

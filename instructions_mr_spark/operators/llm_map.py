@@ -107,6 +107,9 @@ def instr_fanout_map(
     result dict (instructions.py:39-59) — pass ``keep_cols=None`` for
     exact reference semantics.
     """
+    from instructions_mr_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     conf = llm_conf or LlmConfig()
     available = [f.name for f in df.schema.fields]
     stage.validate_against(available)
@@ -160,6 +163,9 @@ def group_concat_reduce(
     """
     from instructions_mr_spark.operators.prompts import prompt_template_sub, xml_tag_wrap
 
+    from instructions_mr_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     conf = llm_conf or LlmConfig()
     available = [f.name for f in df.schema.fields]
     stage.validate_against(available)

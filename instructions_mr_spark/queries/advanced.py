@@ -1,0 +1,408 @@
+"""Advanced surface: multi-join TPC-H-style queries, pivot/unpivot,
+SQL-API correlated subqueries, percentiles, the UDF/UDAF/UDTF surface
+(SURVEY.md §2.7 udf_scalar / udaf_pandas / udtf), the self-verified
+chain (§2.5) in echo mode, multimodal metadata, and the banded range
+join (the scale path for theta joins).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from instructions_mr_spark.config import Instruction, LlmConfig, Stage
+from instructions_mr_spark.queries._util import REVENUE, sum_d, t
+from instructions_mr_spark.registry import query
+
+# ------------------------------------------------------- TPC-H shapes
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority, {sum_d(REVENUE, 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(sum_d(REVENUE, "revenue")))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, {sum_d(REVENUE, 'revenue')}
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue: the 6-table TPC-H Q5 shape.  Dims
+    broadcast; the orders⋈lineitem fact join shuffles on orderkey."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.expr(sum_d(REVENUE, "revenue")))
+    )
+
+
+# ------------------------------------------------------- pivot / unpivot
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "pivot_segments",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           {', '.join(f"COUNT(*) FILTER (WHERE c_mktsegment = '{s}') AS {s}" for s in _SEGMENTS)}
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").cast("bigint").alias("nationkey"), "c_mktsegment")
+        .groupBy("nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .count()
+        .na.fill(0, _SEGMENTS)
+    )
+
+
+@query(
+    "unpivot_part",
+    oracle="""
+    SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    """,
+)
+def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        "stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (metric, val)",
+    )
+
+
+# ------------------------------------------------------- SQL API
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+      AND c_acctbal > 0
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API path: same Catalyst plans as the DataFrame API
+    (correlated EXISTS rewrites to a semi join)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_sq")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM v_customer_sq c
+        WHERE EXISTS (SELECT 1 FROM v_orders_sq o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+          AND c_acctbal > 0
+        """
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont).  The 100 TB path is percentile_approx — see
+    agg_percentile_approx (rows-only, sketches differ by engine)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_p50"),
+        )
+    )
+
+
+@query("agg_percentile_approx")  # rows-only: sketch algorithms differ
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"))
+    )
+
+
+# ------------------------------------------------------- UDF surface
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT o_orderkey, ROUND(1 / (1 + exp(-(o_totalprice / 500000))), 6) AS saturation
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF — the sanctioned slow path when an
+    expression genuinely needs Python.  (This one is expressible as
+    F.tanh too; the point is the UDF machinery with an oracle.)"""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def saturation(total: pd.Series) -> pd.Series:
+        return np.round(1.0 / (1.0 + np.exp(-(total / 500000.0))), 6)
+
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", saturation("o_totalprice").alias("saturation"))
+    )
+
+
+@query(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS top10_sum,
+           CAST(10 AS BIGINT) AS n_top
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) x
+    WHERE rn <= 10 GROUP BY c_mktsegment
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via applyInPandas (one-row-per-group output): sum of
+    each segment's top-10 balances.  Shuffles once on the group key;
+    per-group logic is arbitrary pandas."""
+    out_schema = "c_mktsegment string, top10_sum double, n_top long"
+
+    def top10(pdf: pd.DataFrame) -> pd.DataFrame:
+        top = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(10)
+        # float64 sum of 10 two-decimal values: exact after round(2)
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "top10_sum": [round(float(top["c_acctbal"].sum()), 2)],
+                "n_top": [len(top)],
+            }
+        )
+
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(top10, schema=out_schema)
+    )
+
+
+@query(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one row per token with position.
+    The lateral-join shape; posexplode is the built-in fast twin."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i + 1, tok
+
+    spark.udtf.register("imr_tokenize", Tokenize)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "v_docs_udtf"
+    )
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.token FROM v_docs_udtf, LATERAL imr_tokenize(text) t"
+    )
+
+
+# ------------------------------------------------------- self-verified chain
+
+_SV_STAGE = Stage(
+    [Instruction(name="elements", content="Extract key facts.", scope=["text", "lang"])]
+)
+
+
+@query(
+    "sv_pipeline_echo",
+    oracle="""
+    SELECT doc_id,
+           to_json(struct_pack(text := text, lang := lang))::VARCHAR AS p1_extract,
+           'For each extracted item, find the span of the input text that '
+             || 'supports it. Output a JSON array of {content, evidence} objects.'
+             AS elements,
+           CAST(7 AS INT) AS n_turns
+    FROM documents
+    """,
+)
+def sv_pipeline_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verified 4-phase chain (SURVEY.md §2.5) in echo mode: the
+    transcript is fully deterministic — phase-1 response echoes the
+    serialized scoped input, the final response echoes the evidence
+    prompt, and the transcript has 7 turns (sys + user + 3x(assistant[,user]))."""
+    from instructions_mr_spark.operators.selfverify import self_verified_map
+
+    d = t(spark, sf_dir, "documents")
+    out = self_verified_map(
+        d, _SV_STAGE, LlmConfig(), keep_cols=["doc_id"], with_transcript=True
+    )
+    return out.select(
+        "doc_id",
+        F.col("elements__transcript")[2]["content"].alias("p1_extract"),
+        "elements",
+        F.size("elements__transcript").alias("n_turns"),
+    )
+
+
+# ------------------------------------------------------- multimodal
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS digest,
+           'unknown' AS format
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata WITHOUT decode (magic sniff + digest +
+    size, all JVM-side).  Payloads here are text bytes (no real media
+    in the testdata); the jpeg/png sniff paths are unit-tested with
+    synthetic magic bytes (tests/test_multimodal.py)."""
+    from instructions_mr_spark.operators.multimodal import binary_metadata
+
+    d = t(spark, sf_dir, "documents").withColumn("payload", F.col("text").cast("binary"))
+    m = binary_metadata(d, "payload", out="meta")
+    return m.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("digest"),
+        F.col("meta.format").alias("format"),
+    )
+
+
+# ------------------------------------------------------- banded range join
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           CAST(ROUND(CAST(a.s_acctbal AS DECIMAL(12,2)) - CAST(b.s_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS bal_gap
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND a.s_acctbal BETWEEN b.s_acctbal - 500 AND b.s_acctbal + 500
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as join_theta_range, but the scale path: band the
+    range key into width-500 buckets, explode one side to its 3
+    adjacent buckets, equi-join on bucket, then refine with the exact
+    predicate.  Catalyst gets a hash-joinable key instead of a
+    nested-loop theta join — at 100 TB this is the difference between
+    a shuffle join and a broadcast-nested-loop explosion."""
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    a = s.select(
+        F.col("s_suppkey").alias("a_key"),
+        F.col("s_acctbal").alias("a_bal"),
+        F.floor(F.col("s_acctbal") / 500).alias("bucket"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("b_key"),
+        F.col("s_acctbal").alias("b_bal"),
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / 500) - 1,
+                F.floor(F.col("s_acctbal") / 500),
+                F.floor(F.col("s_acctbal") / 500) + 1,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.col("a_bal") >= F.col("b_bal") - 500)
+            & (F.col("a_bal") <= F.col("b_bal") + 500)
+        )
+        .select(
+            F.col("a_key").alias("supp_a"),
+            F.col("b_key").alias("supp_b"),
+            F.expr(
+                "CAST(ROUND(CAST(a_bal AS DECIMAL(12,2)) - CAST(b_bal AS DECIMAL(12,2)), 2) AS DOUBLE)"
+            ).alias("bal_gap"),
+        )
+    )

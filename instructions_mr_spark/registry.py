@@ -46,3 +46,4 @@ def load_all() -> None:
     import instructions_mr_spark.queries.llm_pipeline  # noqa: F401
     import instructions_mr_spark.queries.text  # noqa: F401
     import instructions_mr_spark.queries.streaming_batch  # noqa: F401
+    import instructions_mr_spark.queries.advanced  # noqa: F401

@@ -1,0 +1,51 @@
+"""Ship this package to Spark executors' Python workers.
+
+mapInPandas/applyInPandas closures are cloudpickled *by reference* to
+their defining module, so executor Python workers must be able to
+``import instructions_mr_spark``.  That holds when the driver's cwd is
+the repo root (cwd is on the worker path in local mode) but breaks
+the moment a host application starts Spark from anywhere else.
+
+``ensure_shipped(spark)`` zips the package once and registers it via
+``sparkContext.addPyFile`` — on a real cluster this is also exactly
+how the package reaches remote executors.  Idempotent per application.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def _package_zip() -> str:
+    import instructions_mr_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(instructions_mr_spark.__file__))
+    out = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"instructions_mr_spark-{instructions_mr_spark.__version__}.zip",
+    )
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+        os.replace(tmp, out)
+    return out
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    spark.sparkContext.addPyFile(_package_zip())
+    _SHIPPED_APPS.add(app_id)

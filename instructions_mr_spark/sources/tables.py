@@ -34,7 +34,12 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive: queries may run under a caller-provided session (the
-    # driver's); timestamp semantics must match the UTC-based oracle.
+    # driver's); timestamp semantics must match the UTC-based oracle,
+    # and Python workers must be able to import this package no matter
+    # the driver's cwd (shipping.ensure_shipped).
+    from instructions_mr_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader

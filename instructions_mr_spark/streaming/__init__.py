@@ -1,0 +1,145 @@
+"""Structured Streaming surface (SURVEY.md §2.7 stream_*; M6).
+
+The reference cannot stream at all (README.md:96-97 "Can Not
+Streaming E2E"); this module defines the engine's streaming operators
+as readStream -> transform -> writeStream builders whose
+*transformations are shared with the batch queries* (same F.window /
+F.session_window expressions), so batch results are the oracle for
+streaming results.
+
+Scale notes: all aggregations are keyed (window, event_type, user_id)
+so state partitions across executors; watermarks bound state size;
+``foreachBatch`` gives exactly-once-per-epoch sinks for stores without
+a streaming writer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_events(
+    spark: SparkSession, events_dir: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """File-source stream over an events directory.  ``ts`` arriving as
+    raw nanos (bigint) converts to microseconds exactly like the batch
+    loader (sources/tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time aggregate with late-data handling — the
+    streaming twin of queries/streaming_batch.stream_tumble."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user (state merges as events arrive)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def watermark_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming keep-first dedup; watermark bounds the key state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
+    """Drive a (bounded) stream to completion into a memory sink —
+    the test/driver harness path."""
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    mode: str = "update",
+):
+    """Exactly-once-per-epoch custom sink (e.g. MERGE into a store):
+    Spark retries a failed epoch with the same epoch_id, so ``fn`` must
+    be idempotent per epoch."""
+    return (
+        df.writeStream.outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(fn)
+        .start()
+    )
+
+
+def running_max_per_user(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    max(value) + event count per user, emitted per micro-batch.
+
+    Demonstrates arbitrary keyed state where built-in windows don't
+    fit (the reference's multi-turn transcript state is the batch
+    analogue — operators/selfverify.py)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("max_value", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        mx, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += len(pdf)
+        state.update((mx, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "max_value": [mx], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -94,3 +94,33 @@ def test_stream_session_window(spark, events_stream):
     )
     assert emitted > 0
     assert emitted <= batch_sessions
+
+
+def test_stateful_running_max(spark, events_stream):
+    """applyInPandasWithState custom stateful operator: final per-user
+    state must equal the batch max/count."""
+    from instructions_mr_spark.streaming import running_max_per_user
+
+    stream, batch = events_stream
+    out = running_max_per_user(stream)
+    _run_to_completion(out, "stream_state_t", "update")
+    import pandas as pd
+
+    got = (
+        spark.sql(
+            "SELECT user_id, max(max_value) AS mx, max(n_events) AS n "
+            "FROM stream_state_t GROUP BY user_id"
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    exp = (
+        batch.groupBy("user_id")
+        .agg(F.max("value").alias("mx"), F.count("*").alias("n"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["mx"] == exp["mx"]).all()
+    assert (got["n"] == exp["n"]).all()
