@@ -42,8 +42,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all()
     spark = get_spark("bench")
-    # Warmup: prime JVM/codegen with a trivial action.
-    spark.range(1000).count()
+    # Warmup: prime JVM/codegen/parquet-reader paths with a real
+    # aggregate at the smallest sf (first-query JIT tax is ~2.5s and
+    # would otherwise be charged to the first timed query).
+    registry.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

