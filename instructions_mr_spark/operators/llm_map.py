@@ -99,8 +99,13 @@ def instr_fanout_map(
     keep_cols: Sequence[str] | None = None,
     concurrency: int = 32,
     client_factory: Callable[[LlmConfig], LlmClient] = make_client,
+    pretty: bool = False,
 ) -> DataFrame:
     """One LLM-derived output column per instruction in ``stage``.
+
+    ``pretty=True`` serializes user messages with the reference's
+    exact ``json.dumps(indent=2, ensure_ascii=False)`` formatting
+    (byte-parity mode; compact JVM path otherwise).
 
     ``keep_cols`` are passed through (e.g. a record id so stage outputs
     can be joined back); the reference keeps nothing but the stage
@@ -121,7 +126,9 @@ def instr_fanout_map(
     prompted = df.select(
         *[F.col(c) for c in keep],
         *[
-            user_msg_col(ins.scope, available).alias(f"{_PROMPT_PREFIX}{ins.name}")
+            user_msg_col(ins.scope, available, pretty=pretty).alias(
+                f"{_PROMPT_PREFIX}{ins.name}"
+            )
             for ins in stage.instructions
         ],
     )

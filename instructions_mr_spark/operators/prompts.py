@@ -58,14 +58,33 @@ def build_sys_msg(ins: Instruction) -> str:
     return "".join(parts)
 
 
-def user_msg_col(scope: Sequence[str] | None, available: Sequence[str]) -> Column:
-    """User message column = JSON-serialized scoped record.
+def scope_in_record_order(scope: Sequence[str] | None, available: Sequence[str]) -> list[str]:
+    """The reference's scope filter preserves the INPUT record's key
+    order, not the scope list's (instructions_runners.py:39 iterates
+    ``input_data.items()``)."""
+    if scope is None:
+        return list(available)
+    wanted = set(scope)
+    return [c for c in available if c in wanted]
 
-    Compact JSON (JVM ``to_json``); parity paths pretty-print via
-    ``operators.scope._pretty_json_str``.
+
+def user_msg_col(
+    scope: Sequence[str] | None, available: Sequence[str], pretty: bool = False
+) -> Column:
+    """User message column = JSON-serialized scoped record, keys in
+    record order (see scope_in_record_order).
+
+    Compact JSON (JVM ``to_json``) by default; ``pretty=True``
+    byte-matches the reference's ``json.dumps(indent=2,
+    ensure_ascii=False)`` via an Arrow-batched UDF.
     """
-    cols = list(scope) if scope is not None else list(available)
-    return F.to_json(F.struct(*[F.col(c) for c in cols]))
+    cols = scope_in_record_order(scope, available)
+    c = F.to_json(F.struct(*[F.col(x) for x in cols]))
+    if pretty:
+        from instructions_mr_spark.operators.scope import _pretty_json_str
+
+        c = _pretty_json_str(c)
+    return c
 
 
 def _msg(role: str, content: Column | str) -> Column:

@@ -82,6 +82,16 @@ def stringify_kv(df: DataFrame, pretty: bool = False) -> DataFrame:
     return df.select(*cols)
 
 
+def _scoped_cols(df: DataFrame, scope: Sequence[str] | None) -> list[str]:
+    # Reference semantics: scope filters but the record's own key
+    # order wins (instructions_runners.py:39).
+    names = [f.name for f in df.schema.fields]
+    if scope is None:
+        return names
+    wanted = set(scope)
+    return [c for c in names if c in wanted]
+
+
 def json_serialize(
     df: DataFrame,
     scope: Sequence[str] | None,
@@ -89,8 +99,7 @@ def json_serialize(
     pretty: bool = False,
 ) -> DataFrame:
     """Scoped record -> one JSON string column (the LLM user message)."""
-    cols = list(scope) if scope is not None else [f.name for f in df.schema.fields]
-    c = F.to_json(F.struct(*[F.col(x) for x in cols]))
+    c = F.to_json(F.struct(*[F.col(x) for x in _scoped_cols(df, scope)]))
     if pretty:
         c = _pretty_json_str(c)
     return df.withColumn(out_col, c)
@@ -100,8 +109,7 @@ def serialized_scope_col(
     df: DataFrame, scope: Sequence[str] | None, pretty: bool = False
 ) -> Column:
     """Column-valued variant of ``json_serialize`` for composition."""
-    cols = list(scope) if scope is not None else [f.name for f in df.schema.fields]
-    c = F.to_json(F.struct(*[F.col(x) for x in cols]))
+    c = F.to_json(F.struct(*[F.col(x) for x in _scoped_cols(df, scope)]))
     return _pretty_json_str(c) if pretty else c
 
 

@@ -32,15 +32,31 @@ def run_stage(
     keep_cols: Sequence[str] | None = None,
     client_factory: Callable[[LlmConfig], LlmClient] = make_client,
     concurrency: int = 32,
+    reduce_style: str = "serialize",
+    pretty: bool = False,
 ) -> DataFrame:
-    op = group_concat_reduce if stage.kind == "reduce" else instr_fanout_map
-    return op(
+    """Reduce styles: the LIBRARY pipeline's reducer reuses the same
+    scope-project + JSON-serialize prompt path as the mapper
+    (v0.py:48-50 -> instructions_runners.py:37-44), so ``"serialize"``
+    is the default; ``"xmlwrap"`` is the POC RewritingReducer's
+    tag-wrapped group concat (self_verification_mr.py:457-471)."""
+    if stage.kind == "reduce" and reduce_style == "xmlwrap":
+        return group_concat_reduce(
+            df,
+            stage,
+            llm_conf,
+            keep_cols=keep_cols,
+            concurrency=concurrency,
+            client_factory=client_factory,
+        )
+    return instr_fanout_map(
         df,
         stage,
         llm_conf,
         keep_cols=keep_cols,
         concurrency=concurrency,
         client_factory=client_factory,
+        pretty=pretty,
     )
 
 
@@ -51,14 +67,17 @@ def run_pipeline(
     client_factory: Callable[[LlmConfig], LlmClient] = make_client,
     with_md: bool = True,
     concurrency: int = 32,
+    reduce_style: str = "serialize",
+    pretty: bool = False,
 ) -> DataFrame:
     """Compile + run: init(stringify) -> map -> reduce -> [md].
 
     ``keep_cols`` flow through every stage so outputs stay joinable to
     the input records (an engine extension; the reference loses record
-    identity between stages).
+    identity between stages).  ``pretty=True`` gives byte-parity with
+    the reference's indent=2 serialization everywhere.
     """
-    out = stringify_kv(df)  # init pseudo-stage (v0.py:40-44)
+    out = stringify_kv(df, pretty=pretty)  # init pseudo-stage (v0.py:40-44)
     for stage in config.stages:
         out = run_stage(
             out,
@@ -67,6 +86,8 @@ def run_pipeline(
             keep_cols=keep_cols,
             client_factory=client_factory,
             concurrency=concurrency,
+            reduce_style=reduce_style,
+            pretty=pretty,
         )
     if with_md and config.stages:
         out = md_sink(out, config.stages[-1].output_columns, out_col="result_md")

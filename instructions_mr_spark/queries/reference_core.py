@@ -55,14 +55,16 @@ def stringify_kv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_serialize",
     oracle="""
     SELECT event_id,
-           to_json(struct_pack(event_type := event_type,
-                               user_id := user_id))::VARCHAR AS serialized
+           to_json(struct_pack(user_id := user_id,
+                               event_type := event_type))::VARCHAR AS serialized
     FROM events
     """,
 )
 def json_serialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scoped record -> one JSON string (the LLM user message,
-    instructions_runners.py:40-44); compact form on both engines."""
+    instructions_runners.py:40-44); compact form on both engines.
+    Keys serialize in RECORD order (user_id precedes event_type in
+    events), matching the reference's dict-iteration semantics."""
     df = json_serialize(
         t(spark, sf_dir, "events"), ["event_type", "user_id"], out_col="serialized"
     )

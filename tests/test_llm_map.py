@@ -80,12 +80,19 @@ def test_run_pipeline_reference_config_shape(spark):
             ],
         }
     )
+    # default reduce style mirrors the library pipeline (v0.py:48-50):
+    # the reduce prompt is the scoped map-result dict, serialized
     out = run_pipeline(_docs(spark), conf, keep_cols=["doc_id"])
     row = {r.doc_id: r for r in out.collect()}["2"]  # stringify_kv casts keep_cols too
-    assert row.final.startswith("<m1>\n")
+    assert json.loads(row.final).keys() == {"m1", "m2"}
     # markdown rendering of the final stage (v0.py:51-55)
-    assert row.result_md.startswith("# final\n<m1>\n")
+    assert row.result_md.startswith("# final\n")
     assert row.result_md.endswith("\n\n")
+
+    # POC reduce style: tag-wrapped group concat
+    out_xml = run_pipeline(_docs(spark), conf, keep_cols=["doc_id"], reduce_style="xmlwrap")
+    row_xml = {r.doc_id: r for r in out_xml.collect()}["2"]
+    assert row_xml.final.startswith("<m1>\n")
 
 
 def test_pipeline_stringifies_init_stage(spark):
