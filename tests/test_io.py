@@ -1,0 +1,105 @@
+"""Round-trip tests for sources/sinks (SURVEY.md §2.1) and the CLI."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.sources.io import (
+    csv_scan,
+    csv_sink,
+    jsonl_scan,
+    jsonl_sink,
+    parquet_scan,
+    parquet_sink,
+)
+
+
+def test_jsonl_roundtrip_preserves_unicode(spark, tmp_path):
+    df = spark.createDataFrame([(1, "héllo wörld", [1, 2])], "id long, s string, a array<int>")
+    out = str(tmp_path / "j")
+    jsonl_sink(df, out)
+    # non-ASCII must be written raw (reference ensure_ascii=False,
+    # text_mr_pipe.py:55-58)
+    raw = "".join(
+        open(os.path.join(out, f), encoding="utf-8").read()
+        for f in os.listdir(out)
+        if f.endswith(".json")
+    )
+    assert "héllo wörld" in raw
+    back = jsonl_scan(spark, out)
+    assert back.count() == 1
+    assert back.collect()[0].s == "héllo wörld"
+
+
+def test_jsonl_scan_skips_blank_lines(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"a": 1}\n\n{"a": 2}\n\n', encoding="utf-8")
+    df = jsonl_scan(spark, str(p))
+    assert sorted(r.a for r in df.collect()) == [1, 2]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    out = str(tmp_path / "c")
+    csv_sink(df, out)
+    back = csv_scan(spark, out, schema="id long, s string")
+    assert sorted((r.id, r.s) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id long, part string")
+    out = str(tmp_path / "p")
+    parquet_sink(df, out, partition_by=["part"])
+    assert os.path.isdir(os.path.join(out, "part=a"))  # partition pruning layout
+    back = parquet_scan(spark, out)
+    assert back.filter(F.col("part") == "a").count() == 2
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """The reference user's workflow: their config shape, JSONL in,
+    JSONL out, echo LLM."""
+    from instructions_mr_spark.cli import main
+
+    in_path = tmp_path / "in.jsonl"
+    in_path.write_text(
+        '{"text": "alpha", "tag": "t1"}\n{"text": "beta", "tag": "t2"}\n',
+        encoding="utf-8",
+    )
+    out_path = str(tmp_path / "out")
+    conf = {
+        "in_data_path": str(in_path),
+        "out_data_path": out_path,
+        "llm": {"api_type": "echo", "model": "echo", "temperature": 0.0},
+        "pipe": [
+            [
+                {"name": "summary", "content": "Summarize.", "scope": ["text"]},
+                {"name": "label", "content": "Label.", "scope": ["tag"]},
+            ],
+            [
+                {
+                    "name": "final",
+                    "content": "Merge.",
+                    "scope": ["summary", "label"],
+                }
+            ],
+        ],
+    }
+    conf_path = tmp_path / "conf.json"
+    conf_path.write_text(json.dumps(conf), encoding="utf-8")
+
+    assert main([str(conf_path)]) == 0
+
+    rows = []
+    for f in os.listdir(out_path):
+        if f.endswith(".json"):
+            for line in open(os.path.join(out_path, f), encoding="utf-8"):
+                if line.strip():
+                    rows.append(json.loads(line))
+    assert len(rows) == 2
+    by_final = sorted(rows, key=lambda r: r["final"])
+    assert set(rows[0]) == {"final", "result_md"}
+    assert json.loads(by_final[0]["final"]).keys() == {"summary", "label"}
+    assert rows[0]["result_md"].startswith("# final\n")
