@@ -141,3 +141,135 @@ def json_from_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["k"].alias("k"),
         (parsed["k"] * 2).alias("k2"),
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation pair, fact-fact join with
+    two broadcast dim lookups, yearly rollup."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle="""
+    SELECT COUNT(*) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk,
+                 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                        / COUNT(l_quantity)) AS qty_limit
+          FROM lineitem GROUP BY l_partkey) lim
+      ON lim.pk = l_partkey
+    WHERE p_brand = 'Brand#4' AND l_quantity < qty_limit
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated avg-per-part threshold, decorrelated
+    into a pre-aggregated join (the plan Catalyst produces for the
+    correlated subquery too).  The 0.2*avg threshold uses the shared
+    decimal-sum/count form so both engines compare against bit-equal
+    doubles."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.expr(
+                "0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+                " / COUNT(l_quantity))"
+            )
+        ).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(lim, li.l_partkey == lim.pk)
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: phase 1 groups by
+    (hot_key, salt) so a pathological key spreads over 16 reducers;
+    phase 2 merges the partials.  Decimal partials make the result
+    bit-identical to the single-phase oracle.  l_returnflag has only
+    3 values — exactly the shape where single-phase reduces bottleneck
+    on 3 tasks at 100 TB.  (Spark's partial aggregation gives this for
+    built-in aggs; the explicit salt pattern is for when it can't,
+    e.g. exact collect-based or UDAF aggregation.)"""
+    li = t(spark, sf_dir, "lineitem")
+    phase1 = (
+        li.withColumn("salt", (F.col("l_orderkey") % 16).cast("int"))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("part_sum"),
+            F.count("*").alias("part_n"),
+        )
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("part_sum").cast("double").alias("sum_qty"),
+        F.sum("part_n").alias("n"),
+    )
