@@ -45,7 +45,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .agg(F.expr(sum_d(REVENUE, "revenue")))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -271,7 +275,7 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The lateral-join shape; posexplode is the built-in fast twin."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, token string")
+    @udtf(returnType="pos bigint, token string")
     class Tokenize:
         def eval(self, text: str):
             for i, tok in enumerate(text.split(" ")):

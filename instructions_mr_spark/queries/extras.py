@@ -58,7 +58,7 @@ def vector_avg_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("pos0", "v"))
-        .select("label", (F.col("pos0") + 1).alias("pos"), "v")
+        .select("label", (F.col("pos0") + 1).cast("bigint").alias("pos"), "v")
         .groupBy("label", "pos")
         .agg(
             F.round(F.avg(F.col("v").cast("double")), 6).alias("avg_val"),

@@ -205,4 +205,7 @@ def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, o, on_time_left="ts", on_time_right="o_orderdate",
         by_left=["user_id"], by_right=["o_custkey"], how="left",
     )
-    return joined.select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    return joined.select(
+        "event_id", "user_id", "ts", "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )

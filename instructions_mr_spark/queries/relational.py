@@ -313,7 +313,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "c_custkey",
             "c_acctbal",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )

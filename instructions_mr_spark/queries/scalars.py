@@ -37,7 +37,7 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_name").alias("name_uc"),
         F.lower("p_brand").alias("brand_lc"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.substring("p_type", 1, 5).alias("type5"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
@@ -61,7 +61,7 @@ def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
-        F.length(F.regexp_replace("text", r"[aeiou]", "")).alias("novowel_len"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).cast("bigint").alias("novowel_len"),
         F.when(F.col("text").rlike("join|merge"), 1).otherwise(0).alias("mentions_join"),
     )
 
@@ -73,7 +73,7 @@ def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
            EXTRACT(year FROM o_orderdate) AS yr,
            EXTRACT(month FROM o_orderdate) AS mo,
            EXTRACT(day FROM o_orderdate) AS dy,
-           DATE_TRUNC('month', o_orderdate) AS month_start,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
            DATE_DIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch92,
            CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts
     FROM orders
@@ -145,7 +145,7 @@ def scalar_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         F.round(
             F.aggregate(
@@ -155,7 +155,7 @@ def scalar_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("sumsq8"),
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
     )
 
 

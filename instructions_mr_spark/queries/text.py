@@ -30,14 +30,14 @@ from instructions_mr_spark.registry import query
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    toks = F.size(F.split("text", " "))
+    toks = F.size(F.split("text", " ")).cast("bigint")
     return d.select(
         "doc_id",
-        F.length("text").alias("n_char"),
+        F.length("text").cast("bigint").alias("n_char"),
         toks.alias("n_tokens"),
         F.round(F.length("text").cast("double") / toks, 6).alias("chars_per_token"),
-        F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).alias("n_punct"),
-        F.length(F.regexp_replace("text", r"[^0-9]", "")).alias("n_digit"),
+        F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("bigint").alias("n_punct"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("bigint").alias("n_digit"),
     )
 
 
@@ -56,10 +56,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)).alias(
-            "n_bpeish"
-        ),
-        F.size(F.split("text", " ")).alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
+        .cast("bigint")
+        .alias("n_bpeish"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws"),
     )
 
 
@@ -74,7 +74,7 @@ _STOP = {
 
 def _stop_count_spark(lang: str) -> Column:
     lst = ", ".join(f"'{w}'" for w in _STOP[lang])
-    return F.size(F.expr(f"FILTER(words, w -> w IN ({lst}))"))
+    return F.size(F.expr(f"FILTER(words, w -> w IN ({lst}))")).cast("bigint")
 
 
 def _stop_count_duck(lang: str) -> str:

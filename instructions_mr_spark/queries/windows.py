@@ -35,9 +35,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_custkey",
         "c_acctbal",
-        F.rank().over(wr).alias("rnk"),
-        F.dense_rank().over(wr).alias("drnk"),
-        F.row_number().over(wn).alias("rn"),
+        F.rank().over(wr).cast("bigint").alias("rnk"),
+        F.dense_rank().over(wr).cast("bigint").alias("drnk"),
+        F.row_number().over(wn).cast("bigint").alias("rn"),
     )
 
 
@@ -61,7 +61,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        "o_orderdate",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("running_spend"),
     )
 
@@ -84,7 +84,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("bigint").alias("days_since_prev"),
         F.lead("o_orderkey").over(w).alias("next_order"),
     )
 
@@ -135,7 +135,7 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select(
             "c_custkey",
-            F.ntile(4).over(w).alias("quartile"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
             F.round(F.cume_dist().over(w), 8).alias("cume"),
         )
     )
