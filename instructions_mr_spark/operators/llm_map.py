@@ -62,6 +62,37 @@ def _chatml(sys_msg: str, user_msg: str, model: str) -> list[dict[str, str]]:
     ]
 
 
+async def call_with_retry(
+    client: LlmClient,
+    messages: list[dict[str, str]],
+    max_retries: int = 3,
+    backoff_base: float = 0.5,
+    on_error: str = "fail",
+) -> str | None:
+    """LLM call with exponential backoff.
+
+    Error semantics after retries are exhausted:
+    * ``fail`` — re-raise: the Spark task fails and Spark's own task
+      retry takes over (idempotent thanks to the reference's
+      determinism pinning: temperature 0, fixed seed).
+    * ``null`` — return None: mirrors the reference's short-circuit,
+      which nulls the stage result when an instruction never finishes
+      (instructions.py:43-45), but per-column instead of per-record so
+      one bad call doesn't discard the other instructions' outputs.
+    """
+    attempt = 0
+    while True:
+        try:
+            return await client.complete(messages)
+        except Exception:
+            if attempt >= max_retries:
+                if on_error == "null":
+                    return None
+                raise
+            await asyncio.sleep(backoff_base * (2**attempt))
+            attempt += 1
+
+
 def _run_fanout(
     client: LlmClient,
     names: Sequence[str],
@@ -69,21 +100,28 @@ def _run_fanout(
     prompts: dict[str, list[str]],
     model: str,
     concurrency: int,
-) -> dict[str, list[str]]:
+    max_retries: int = 3,
+    on_error: str = "fail",
+) -> dict[str, list[str | None]]:
     """Run |names| × n_rows calls on one event loop, instruction-major."""
 
-    async def _go() -> dict[str, list[str]]:
+    async def _go() -> dict[str, list[str | None]]:
         sem = asyncio.Semaphore(concurrency)
 
-        async def one(name: str, user_msg: str) -> str:
+        async def one(name: str, user_msg: str) -> str | None:
             async with sem:
-                return await client.complete(_chatml(sys_msgs[name], user_msg, model))
+                return await call_with_retry(
+                    client,
+                    _chatml(sys_msgs[name], user_msg, model),
+                    max_retries=max_retries,
+                    on_error=on_error,
+                )
 
         tasks = [
             one(name, user_msg) for name in names for user_msg in prompts[name]
         ]
         flat = await asyncio.gather(*tasks)
-        out: dict[str, list[str]] = {}
+        out: dict[str, list[str | None]] = {}
         n = len(prompts[names[0]]) if names else 0
         for i, name in enumerate(names):
             out[name] = list(flat[i * n : (i + 1) * n])
@@ -100,6 +138,8 @@ def instr_fanout_map(
     concurrency: int = 32,
     client_factory: Callable[[LlmConfig], LlmClient] = make_client,
     pretty: bool = False,
+    max_retries: int = 3,
+    on_error: str = "fail",
 ) -> DataFrame:
     """One LLM-derived output column per instruction in ``stage``.
 
@@ -142,7 +182,10 @@ def instr_fanout_map(
         client = client_factory(conf)
         for pdf in batches:
             prompts = {n: pdf[f"{_PROMPT_PREFIX}{n}"].tolist() for n in names}
-            results = _run_fanout(client, names, sys_msgs, prompts, conf.model, concurrency)
+            results = _run_fanout(
+                client, names, sys_msgs, prompts, conf.model, concurrency,
+                max_retries=max_retries, on_error=on_error,
+            )
             out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
             for n in names:
                 out[n] = results[n]
@@ -159,6 +202,8 @@ def group_concat_reduce(
     concurrency: int = 32,
     client_factory: Callable[[LlmConfig], LlmClient] = make_client,
     template: str | None = None,
+    max_retries: int = 3,
+    on_error: str = "fail",
 ) -> DataFrame:
     """The reference's reduce: regroup map-output columns by each reduce
     instruction's scope, concatenate the group into one tag-wrapped
@@ -211,7 +256,10 @@ def group_concat_reduce(
         client = client_factory(conf)
         for pdf in batches:
             prompts = {n: pdf[f"{_PROMPT_PREFIX}{n}"].tolist() for n in names}
-            results = _run_fanout(client, names, sys_msgs, prompts, conf.model, concurrency)
+            results = _run_fanout(
+                client, names, sys_msgs, prompts, conf.model, concurrency,
+                max_retries=max_retries, on_error=on_error,
+            )
             out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
             for n in names:
                 out[n] = results[n]

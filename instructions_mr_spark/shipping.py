@@ -25,20 +25,24 @@ def _package_zip() -> str:
     import instructions_mr_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(instructions_mr_spark.__file__))
+    sources: list[str] = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        sources.extend(os.path.join(root, fn) for fn in files if fn.endswith(".py"))
+    # Content-addressed name: a stale cached zip would ship OLD code to
+    # the workers after any source edit (observed: freshly-added
+    # operator kwargs missing inside mapInPandas when the driver ran
+    # outside the repo, because the repo-cwd fallback masked it).
+    newest = max(int(os.path.getmtime(p) * 1000) for p in sources)
     out = os.path.join(
         os.environ.get("TMPDIR", "/tmp"),
-        f"instructions_mr_spark-{instructions_mr_spark.__version__}.zip",
+        f"instructions_mr_spark-{instructions_mr_spark.__version__}-{newest}-{len(sources)}.zip",
     )
     if not os.path.exists(out):
-        tmp = out + ".tmp"
+        tmp = f"{out}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fn)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    zf.write(full, rel)
+            for full in sorted(sources):
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
         os.replace(tmp, out)
     return out
 

@@ -105,3 +105,67 @@ def test_pipeline_stringifies_init_stage(spark):
     out = run_pipeline(df, conf, keep_cols=["doc_id"], with_md=False)
     val = out.collect()[0].m
     assert json.loads(val) == {"arr": "[1,2]"}  # arr stringified before scoping
+
+
+def test_retry_recovers_from_transient_failures(spark):
+    # defined inside the test so cloudpickle ships it by value — test
+    # modules aren't importable from executor Python workers
+    class _FlakyClient:
+        """Fails the first N calls per prompt, then echoes."""
+
+        def __init__(self, conf, fail_times: int):
+            self.conf = conf
+            self.fail_times = fail_times
+            self.attempts: dict[str, int] = {}
+
+        async def complete(self, messages, json_schema=None):
+            key = messages[-1]["content"]
+            n = self.attempts.get(key, 0)
+            self.attempts[key] = n + 1
+            if n < self.fail_times:
+                raise RuntimeError("transient")
+            return key
+
+    stage = Stage([Instruction(name="s", content="c", scope=["text"])])
+    out = instr_fanout_map(
+        _docs(spark),
+        stage,
+        LlmConfig(),
+        keep_cols=["doc_id"],
+        client_factory=lambda conf: _FlakyClient(conf, fail_times=2),
+        max_retries=3,
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r.s is not None for r in rows)
+
+
+def test_on_error_null_quarantines_column(spark):
+    stage = Stage(
+        [
+            Instruction(name="bad", content="c", scope=["text"]),
+            Instruction(name="bad2", content="c", scope=["lang"]),
+        ]
+    )
+
+    class _AlwaysFail:
+        def __init__(self, conf):
+            self.conf = conf
+
+        async def complete(self, messages, json_schema=None):
+            raise RuntimeError("permanent")
+
+    out = instr_fanout_map(
+        _docs(spark),
+        stage,
+        LlmConfig(),
+        keep_cols=["doc_id"],
+        client_factory=_AlwaysFail,
+        max_retries=0,
+        on_error="null",
+    )
+    rows = out.collect()
+    # null-quarantine semantics (reference nulls unfinished results,
+    # instructions.py:43-45) — rows survive with null outputs
+    assert len(rows) == 2
+    assert all(r.bad is None and r.bad2 is None for r in rows)

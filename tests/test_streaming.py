@@ -124,3 +124,69 @@ def test_stateful_running_max(spark, events_stream):
     )
     assert (got["mx"] == exp["mx"]).all()
     assert (got["n"] == exp["n"]).all()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Drive two micro-batches through a watermarked tumbling window:
+    the second batch's very-late event must be dropped (its window is
+    behind the watermark), while batch mode over the same files counts
+    it — the exact late-data semantics the reference cannot express."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stream_dir = tmp_path / "late_stream"
+    stream_dir.mkdir()
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def drop_file(name: str, rows: list[tuple[int, dt.datetime]]):
+        tbl = pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tbl, str(stream_dir / name))
+
+    schema = "id long, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_t")
+        .start()
+    )
+    try:
+        # batch 1: on-time events advance the watermark to ~13:40
+        drop_file("batch1.parquet", [(i, t0 + dt.timedelta(minutes=10 * i)) for i in range(12)])
+        q.processAllAvailable()
+        # batch 2: an event 3h behind the watermark — must be dropped
+        drop_file("batch2.parquet", [(99, t0 - dt.timedelta(hours=3))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {r.ws: r.n for r in spark.sql("SELECT * FROM late_drop_t").collect()}
+
+    late_window = t0 - dt.timedelta(hours=3)
+    assert late_window not in emitted  # dropped: behind the watermark
+    assert sum(emitted.values()) <= 12  # only on-time rows counted
+
+    # batch mode over the same files DOES see the late event
+    batch = (
+        spark.read.schema(schema)
+        .parquet(str(stream_dir / "batch*"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    starts = [r["w"]["start"] for r in batch.collect()]
+    assert late_window in starts
