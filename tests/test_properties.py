@@ -1,0 +1,156 @@
+"""Property-based tests (SURVEY.md §5.4): randomized inputs ->
+invariants of the reference-core operators.
+
+Pure plan-time functions get full hypothesis fuzzing; DataFrame
+invariants batch every generated example into ONE DataFrame per case
+(a Spark job per example would be prohibitively slow).
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.config import Instruction
+from instructions_mr_spark.operators.prompts import (
+    build_sys_msg,
+    prompt_template_sub,
+    scope_in_record_order,
+)
+
+# text without surrogates (Spark/Arrow round-trip constraint)
+_txt = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+_key = st.text(alphabet="abcdefghij_", min_size=1, max_size=8)
+
+
+@given(
+    content=st.none() | _txt,
+    role=st.none() | _txt,
+    input_desc=st.none() | _txt,
+    output_desc=st.none() | _txt,
+)
+@settings(max_examples=200, deadline=None)
+def test_sys_msg_sections_iff_fields(content, role, input_desc, output_desc):
+    """A section appears iff its field is set, in fixed order
+    (instructions_runners.py:46-60)."""
+    ins = Instruction(
+        name="x", content=content, role=role, input_desc=input_desc, output_desc=output_desc
+    )
+    msg = build_sys_msg(ins)
+    assert ("## Instruction\n" in msg) == (content is not None)
+    assert ("## Your Role\n" in msg) == (role is not None)
+    assert ("## Your Given Input\n" in msg) == (input_desc is not None)
+    assert ("## The Extected Output\n" in msg) == (output_desc is not None)
+    if all(v is None for v in (content, role, input_desc, output_desc)):
+        assert msg == ""
+    headers = [h for h in ("## Instruction", "## Your Role", "## Your Given Input", "## The Extected Output") if h in msg]
+    assert headers == sorted(headers, key=msg.index)
+
+
+@given(st.lists(_key, unique=True, min_size=1, max_size=8), st.data())
+@settings(max_examples=100, deadline=None)
+def test_scope_order_is_record_order(available, data):
+    """Scoped keys always serialize in record order; result ⊆ available
+    (instructions_runners.py:37-39 semantics)."""
+    scope = data.draw(st.lists(st.sampled_from(available), unique=True, max_size=8))
+    out = scope_in_record_order(scope, available)
+    assert out == [c for c in available if c in set(scope)]
+    assert set(out) <= set(available)
+    assert scope_in_record_order(None, available) == list(available)
+
+
+@given(template=_txt, role=_txt, desc=_txt)
+@settings(max_examples=100, deadline=None)
+def test_template_sub_removes_placeholders(template, role, desc):
+    subbed = prompt_template_sub(
+        "A __ROLE__ B __INPUT_DESC__ C " + template.replace("__", ""),
+        {"__ROLE__": role.replace("__", ""), "__INPUT_DESC__": desc.replace("__", "")},
+    )
+    assert "__ROLE__" not in subbed
+    assert "__INPUT_DESC__" not in subbed
+
+
+@given(st.lists(_txt, min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None)
+def test_stringify_identity_on_strings(spark, strings):
+    """stringify_kv is the identity on string columns (utils.py:12-14)
+    — batched: one DataFrame carries all examples."""
+    from instructions_mr_spark.operators.scope import stringify_kv
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i int, s string")
+    out = {r.i: r.s for r in stringify_kv(df).collect()}
+    assert out == {str(i): s for i, s in enumerate(strings)}
+
+
+@given(st.lists(st.lists(st.integers(-1000, 1000), max_size=5), min_size=1, max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_stringify_complex_is_json_roundtrippable(spark, arrays):
+    from instructions_mr_spark.operators.scope import stringify_kv
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i int, a array<int>"
+    )
+    for r in stringify_kv(df).collect():
+        assert json.loads(r.a) == arrays[int(r.i)]
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abc d", max_size=30), st.text(alphabet="abc d", max_size=30)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_jaccard_bounds_and_symmetry(spark, pairs):
+    from instructions_mr_spark.functions import jaccard
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i int, a string, b string"
+    )
+    rows = df.select(
+        "i",
+        jaccard(F.split("a", " "), F.split("b", " ")).alias("jab"),
+        jaccard(F.split("b", " "), F.split("a", " ")).alias("jba"),
+        jaccard(F.split("a", " "), F.split("a", " ")).alias("jaa"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r.jab <= 1.0
+        assert r.jab == r.jba  # symmetric
+        assert r.jaa == 1.0  # reflexive
+
+
+@given(st.lists(st.text(alphabet="abcdefgh ", min_size=0, max_size=50), min_size=1, max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_rolling_hash_matches_python_model(spark, texts):
+    """The JVM fold equals the closed-form Python model."""
+    from instructions_mr_spark.functions import rolling_hash
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], "i int, s string")
+    got = {r.i: r.h for r in df.select("i", rolling_hash(F.col("s")).alias("h")).collect()}
+    for i, s in enumerate(texts):
+        expect = 0
+        p = 1
+        for ch in s[:64]:
+            expect = (expect + ord(ch) * p) % 1_000_000_007
+            p = (p * 31) % 1_000_000_007
+        assert got[i] == expect
+
+
+@given(st.lists(_key, unique=True, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_md_sink_section_count(spark, cols):
+    """md_sink emits exactly one '# ' section per column
+    (instructions.py:62-70)."""
+    from instructions_mr_spark.sources.io import md_sink
+
+    df = spark.createDataFrame([tuple("v" for _ in cols)], ", ".join(f"{c} string" for c in cols))
+    md = md_sink(df, cols).collect()[0].md
+    assert md.count("\n\n") == len(cols)
+    for c in cols:
+        assert f"# {c}\n" in md
