@@ -44,17 +44,31 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="byte-parity indent=2 prompt serialization (slower)",
     )
+    ap.add_argument(
+        "--schema",
+        default=None,
+        help="DDL schema for the input JSONL (declared field order; "
+        "without it Spark infers and sorts keys alphabetically, which "
+        "changes nested serialization order vs the raw file)",
+    )
     args = ap.parse_args(argv)
 
-    with open(args.config, encoding="utf-8") as fh:
-        conf_dict = json.load(fh)
+    try:
+        with open(args.config, encoding="utf-8") as fh:
+            conf_dict = json.load(fh)
+    except FileNotFoundError:
+        print(f"config not found: {args.config}", file=sys.stderr)
+        return 2
+    except json.JSONDecodeError as e:
+        print(f"config is not valid JSON: {e}", file=sys.stderr)
+        return 2
     config = PipelineConfig.from_dict(conf_dict)
     if not config.in_data_path or not config.out_data_path:
         print("config needs in_data_path and out_data_path", file=sys.stderr)
         return 2
 
     spark = get_spark("imr_pipe")
-    df = jsonl_scan(spark, config.in_data_path)
+    df = jsonl_scan(spark, config.in_data_path, schema=args.schema)
     if args.limit:
         df = df.limit(args.limit)
 

@@ -273,3 +273,92 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("part_sum").cast("double").alias("sum_qty"),
         F.sum("part_n").alias("n"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(max_abs, 6) AS scale_max,
+           list_sum(list_transform(embedding,
+             x -> CASE WHEN abs(CAST(round(CAST(x AS DOUBLE) / max_abs * 127) AS BIGINT)) > 120
+                       THEN 1 ELSE 0 END)) AS n_saturated,
+           ROUND(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)
+                      - CAST(round(CAST(x AS DOUBLE) / max_abs * 127) AS BIGINT)
+                        * max_abs / 127))), 6) AS max_abs_err
+    FROM scaled
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (the 4x storage
+    + SIMD-distance path for 100 TB vector corpora): per-vector scale =
+    max|x|, q = round(x/scale*127).  Output: scale, saturation count,
+    and max dequantization error — all JVM-side array folds, rounded
+    identically on both engines."""
+    e = t(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    e = e.withColumn("max_abs", max_abs)
+    q = lambda x: F.round(xd(x) / F.col("max_abs") * 127).cast("bigint")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.round(F.col("max_abs"), 6).alias("scale_max"),
+        F.aggregate(
+            F.transform("embedding", lambda x: F.when(F.abs(q(x)) > 120, 1).otherwise(0)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_saturated"),
+        F.round(
+            F.array_max(
+                F.transform(
+                    "embedding",
+                    lambda x: F.abs(xd(x) - q(x) * F.col("max_abs") / 127),
+                )
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT s.s_suppkey, s.s_nationkey, s.s_acctbal
+    FROM supplier s
+    JOIN (SELECT s_nationkey AS nk, MIN(s_acctbal) AS min_bal
+          FROM supplier GROUP BY s_nationkey) m
+      ON s.s_nationkey = m.nk AND s.s_acctbal = m.min_bal
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 kernel: the correlated-MIN subquery (supplier with the
+    minimum balance per nation), decorrelated into an aggregate join —
+    identical to what Catalyst produces for the correlated form."""
+    s = t(spark, sf_dir, "supplier")
+    m = s.groupBy(F.col("s_nationkey").alias("nk")).agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        s.join(F.broadcast(m), (s.s_nationkey == m.nk) & (s.s_acctbal == m.min_bal))
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+    )
+
+
+@query("sim_search_ivf_kmeans")  # rows-only: k-means centroids aren't SQL-expressible
+def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means IVF ANN (operators/simsearch.py): train 8 coarse
+    centroids (fixed seed), probe the 4 cells nearest the vec_id=0
+    query, exact cosine within candidates.  Recall vs the brute-force
+    baseline is asserted in tests/test_simsearch.py; n_probe=k here
+    would equal sim_search_topk exactly."""
+    from instructions_mr_spark.operators.simsearch import ivf_search, train_ivf_centroids
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(e, k=8, seed=42)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_search(e.filter(F.col("vec_id") != 0), centroids, qv, top_k=10, n_probe=4)

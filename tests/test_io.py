@@ -103,3 +103,14 @@ def test_cli_end_to_end(spark, tmp_path):
     assert set(rows[0]) == {"final", "result_md"}
     assert json.loads(by_final[0]["final"]).keys() == {"summary", "label"}
     assert rows[0]["result_md"].startswith("# final\n")
+
+
+def test_cli_bad_config_paths(tmp_path, capsys):
+    from instructions_mr_spark.cli import main
+
+    assert main([str(tmp_path / "missing.json")]) == 2
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json", encoding="utf-8")
+    assert main([str(bad)]) == 2
+    err = capsys.readouterr().err
+    assert "not found" in err and "not valid JSON" in err

@@ -1,0 +1,86 @@
+"""k-means IVF ANN tests: recall against the exact brute-force
+baseline, deterministic assignment, and pruning actually pruning."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.functions import cosine_sim
+from instructions_mr_spark.operators.simsearch import (
+    assign_ivf_cell,
+    ivf_search,
+    train_ivf_centroids,
+)
+from instructions_mr_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return train_ivf_centroids(emb, k=8, seed=42)
+
+
+def test_centroid_shape(centroids, emb):
+    dim = len(emb.select("embedding").first().embedding)
+    assert len(centroids) == 8
+    assert all(len(c) == dim for c in centroids)
+
+
+def test_assignment_is_deterministic_and_total(emb, centroids):
+    a = assign_ivf_cell(emb, centroids).select("vec_id", "cell")
+    b = assign_ivf_cell(emb, centroids).select("vec_id", "cell")
+    da = {r.vec_id: r.cell for r in a.collect()}
+    db = {r.vec_id: r.cell for r in b.collect()}
+    assert da == db
+    assert set(da.values()) <= set(range(8))
+    assert len(da) == emb.count()  # every vector assigned
+
+
+def test_ivf_recall_vs_brute_force(emb, centroids):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    brute = [
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", cosine_sim(F.col("embedding"), qlit).alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    approx = [
+        r.vec_id
+        for r in ivf_search(
+            emb.filter(F.col("vec_id") != 0), centroids, qv, top_k=10, n_probe=4
+        ).collect()
+    ]
+    recall = len(set(brute) & set(approx)) / len(brute)
+    assert recall >= 0.5  # half the probes -> decent recall on random data
+    # full probe == exact
+    exact = [
+        r.vec_id
+        for r in ivf_search(
+            emb.filter(F.col("vec_id") != 0), centroids, qv, top_k=10, n_probe=8
+        ).collect()
+    ]
+    assert exact == brute
+
+
+def test_ivf_prunes_candidates(emb, centroids):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    assigned = assign_ivf_cell(emb, centroids)
+    total = assigned.count()
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], qv))
+    probed = assigned.filter(F.col("cell").isin(order[:2])).count()
+    assert probed < total  # pruning really skips cells

@@ -190,3 +190,69 @@ def test_watermark_drops_late_data(spark, tmp_path):
     )
     starts = [r["w"]["start"] for r in batch.collect()]
     assert late_window in starts
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-bound condition:
+    clicks join views of the same user within 30 minutes before the
+    click.  The reference cannot express any join, let alone a
+    streaming one (SURVEY.md §2.6)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def write(dirname: str, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "uid": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "tag": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(d / "part.parquet"))
+        return str(d)
+
+    views_dir = write(
+        "views",
+        [(1, t0, "v1"), (1, t0 + dt.timedelta(hours=2), "v2"), (2, t0, "v3")],
+    )
+    clicks_dir = write(
+        "clicks",
+        [
+            (1, t0 + dt.timedelta(minutes=10), "c1"),  # joins v1
+            (1, t0 + dt.timedelta(hours=3), "c2"),     # no view within 30m
+            (2, t0 + dt.timedelta(minutes=25), "c3"),  # joins v3
+        ],
+    )
+
+    schema = "uid long, ts timestamp, tag string"
+    views = (
+        spark.readStream.schema(schema).parquet(views_dir)
+        .withWatermark("ts", "1 hour")
+        .select(F.col("uid").alias("v_uid"), F.col("ts").alias("v_ts"), F.col("tag").alias("view_tag"))
+    )
+    clicks = (
+        spark.readStream.schema(schema).parquet(clicks_dir)
+        .withWatermark("ts", "1 hour")
+        .select(F.col("uid").alias("c_uid"), F.col("ts").alias("c_ts"), F.col("tag").alias("click_tag"))
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_uid") == F.col("v_uid"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    _run_to_completion(joined, "ss_join_t", "append")
+    got = {
+        (r.click_tag, r.view_tag)
+        for r in spark.sql("SELECT click_tag, view_tag FROM ss_join_t").collect()
+    }
+    assert got == {("c1", "v1"), ("c3", "v3")}

@@ -1,0 +1,65 @@
+"""Regenerate PLANS.md: executed physical plans for the headline
+queries at sf0.01, with the plan properties each query is designed
+around.  Run: python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from instructions_mr_spark import registry
+from instructions_mr_spark.session import get_spark
+
+NOTES = {
+    "q1_pricing_summary": "Filter + projection pushed into the parquet scan "
+    "(PushedFilters/ReadSchema); partial_sum before the exchange (map-side "
+    "combine); whole-stage codegen (*(n) spans) end to end.",
+    "join_broadcast": "Star join: all three dims BroadcastHashJoin — the fact "
+    "table never shuffles before the aggregate.",
+    "join_asof": "Union + last-ignorenulls window: ONE hash exchange on the "
+    "key, no Python stage, right side semi-join-pruned to keys present on "
+    "the left.",
+    "dedup_minhash_lsh": "Signatures are a pure projection (no shuffle); "
+    "candidates come from an equi-join on band keys; only candidates pay the "
+    "exact-jaccard verify.",
+    "sim_search_topk": "Query vector broadcasts (1-row BroadcastNestedLoopJoin "
+    "= the broadcast); TakeOrderedAndProject for top-k — no global sort.",
+    "topk_per_group": "rank-limit pushdown: WindowGroupLimit keeps per-group "
+    "heaps before the full window sort.",
+    "join_range_banded": "Theta range join rewritten as an equi-join on "
+    "banded keys + refine: BroadcastHashJoin instead of a nested loop.",
+    "llm_echo_mapreduce": "Two Arrow-batched Python stages (the LLM fan-out), "
+    "ZERO exchanges — stages chain narrowly; prompts assembled JVM-side.",
+}
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("plans")
+    sf = "/root/testdata/sf0.01"
+    out = [
+        "# PLANS — executed physical plans of the headline queries (sf0.01)",
+        "",
+        "Regenerate with `python tools/dump_plans.py`.  These are the plan",
+        "properties the engine is designed around (see README 'Design for",
+        "scale'); tests/test_plans.py asserts the load-bearing ones.",
+        "",
+    ]
+    for name, note in NOTES.items():
+        df = registry.QUERIES[name](spark, sf)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # keep the final (post-AQE) plan section only
+        if "+- == Initial Plan ==" in plan:
+            plan = plan.split("+- == Initial Plan ==")[0].rstrip()
+        out += [f"## {name}", "", note, "", "```", plan, "```", ""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
