@@ -362,3 +362,78 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_ivf_centroids(e, k=8, seed=42)
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
     return ivf_search(e.filter(F.col("vec_id") != 0), centroids, qv, top_k=10, n_probe=4)
+
+
+@query(
+    "merge_upsert_balances",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(u.new_bal, c.c_acctbal) AS balance,
+           CASE WHEN u.c_custkey IS NULL THEN 0 ELSE 1 END AS updated
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey AS c_custkey,
+                      CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS new_bal
+               FROM orders GROUP BY o_custkey) u
+      ON c.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE emulation (operators/merge.py) driven relationally:
+    upsert each customer's balance to their max order total; customers
+    without orders keep theirs.  The oracle states the same contract
+    as a LEFT JOIN + COALESCE."""
+    from instructions_mr_spark.operators.merge import merge_upsert
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("balance"), F.lit(0).alias("updated")
+    )
+    u = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.expr("CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+                "balance"
+            )
+        )
+        .withColumn("updated", F.lit(1))
+    )
+    return merge_upsert(c, u, ["c_custkey"])
+
+
+_CLEAN_STOPS = "'the','and','of','to','a','in','is'"
+
+
+@query(
+    "text_clean",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(list_filter(string_split(lower(text), ' '),
+                                       w -> w NOT IN ({_CLEAN_STOPS}) AND w <> ''), ' ')
+             AS cleaned,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w IN ({_CLEAN_STOPS}))) AS n_removed
+    FROM documents
+    """,
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal + lowercase normalization — the transform side
+    of text curation (stats/filters live in queries/text.py).  Pure
+    higher-order array pipeline."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                words,
+                lambda w: ~w.isin("the", "and", "of", "to", "a", "in", "is")
+                & (w != ""),
+            ),
+            " ",
+        ).alias("cleaned"),
+        F.size(
+            F.filter(words, lambda w: w.isin("the", "and", "of", "to", "a", "in", "is"))
+        )
+        .cast("bigint")
+        .alias("n_removed"),
+    )

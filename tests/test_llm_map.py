@@ -169,3 +169,27 @@ def test_on_error_null_quarantines_column(spark):
     # instructions.py:43-45) — rows survive with null outputs
     assert len(rows) == 2
     assert all(r.bad is None and r.bad2 is None for r in rows)
+
+
+def test_multi_mr_chain_four_stages(spark):
+    """Multi-MR chaining (README.md:59-71 'MapReduces Flow'): reducer
+    output feeds the next mapper; four stages compose into one lazy
+    plan."""
+    conf = PipelineConfig.from_dict(
+        {
+            "pipe": [
+                [{"name": "s1", "content": "c1", "scope": ["text"]}],
+                [{"name": "s2", "content": "c2", "scope": ["s1"]}],
+                [{"name": "s3", "content": "c3", "scope": ["s2"]}],
+                [{"name": "s4", "content": "c4", "scope": ["s3"]}],
+            ]
+        }
+    )
+    out = run_pipeline(_docs(spark), conf, keep_cols=["doc_id"], with_md=False)
+    assert out.columns == ["doc_id", "s4"]
+    val = out.filter(out.doc_id == "1").collect()[0].s4
+    # each echo stage wraps the previous output one JSON level deeper
+    inner = json.loads(val)["s3"]
+    inner2 = json.loads(inner)["s2"]
+    inner3 = json.loads(inner2)["s1"]
+    assert json.loads(inner3) == {"text": "alpha text"}
