@@ -92,3 +92,21 @@ def run_pipeline(
     if with_md and config.stages:
         out = md_sink(out, config.stages[-1].output_columns, out_col="result_md")
     return out
+
+
+def split_quarantine(
+    df: DataFrame, output_cols: Sequence[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Split a stage's output into (good, quarantined): a row is
+    quarantined when ANY instruction output is null — i.e. an LLM call
+    exhausted its retries under on_error='null' (the configurable
+    quarantine-sink semantics of SURVEY.md §4: fail task OR null-column
+    + quarantine).  Route the second frame to a side sink for replay."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+
+    any_null = _reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in output_cols]
+    )
+    return df.filter(~any_null), df.filter(any_null)

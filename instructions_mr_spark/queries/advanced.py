@@ -375,7 +375,8 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as join_theta_range, but the scale path: band the
     range key into width-500 buckets, explode one side to its 3
     adjacent buckets, equi-join on bucket, then refine with the exact
-    predicate.  Catalyst gets a hash-joinable key instead of a
+    predicate (the bucketed-theta-join family of Okcan & Riedewald,
+    "Processing theta-joins using MapReduce", SIGMOD 2011).  Catalyst gets a hash-joinable key instead of a
     nested-loop theta join — at 100 TB this is the difference between
     a shuffle join and a broadcast-nested-loop explosion."""
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")

@@ -437,3 +437,42 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removed"),
     )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                               * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE),
+           6) AS promo_share,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
+    share) over a month of shipments, fact->dim broadcast join."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))"
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.expr(
+                f"ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {rev} "
+                f"ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) "
+                f"/ CAST(SUM({rev}) AS DOUBLE), 6)"
+            ).alias("promo_share"),
+            F.count("*").alias("n"),
+        )
+    )

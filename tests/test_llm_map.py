@@ -193,3 +193,33 @@ def test_multi_mr_chain_four_stages(spark):
     inner2 = json.loads(inner)["s2"]
     inner3 = json.loads(inner2)["s1"]
     assert json.loads(inner3) == {"text": "alpha text"}
+
+
+def test_split_quarantine(spark):
+    """Rows whose LLM outputs were null-quarantined route to the side
+    frame; clean rows pass through (SURVEY.md §4 error semantics)."""
+    from instructions_mr_spark.plans import split_quarantine
+
+    class _FailOdd:
+        def __init__(self, conf):
+            self.conf = conf
+
+        async def complete(self, messages, json_schema=None):
+            body = messages[-1]["content"]
+            if "alpha" in body:
+                return body
+            raise RuntimeError("permanent")
+
+    stage = Stage([Instruction(name="out", content="c", scope=["text"])])
+    res = instr_fanout_map(
+        _docs(spark),
+        stage,
+        LlmConfig(),
+        keep_cols=["doc_id"],
+        client_factory=_FailOdd,
+        max_retries=0,
+        on_error="null",
+    )
+    good, bad = split_quarantine(res, ["out"])
+    assert [r.doc_id for r in good.collect()] == [1]
+    assert [r.doc_id for r in bad.collect()] == [2]
