@@ -476,3 +476,81 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "funnel_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    views AS (
+      SELECT user_id, sid, MIN(ts) AS v_ts FROM numbered
+      WHERE event_type = 'view' GROUP BY user_id, sid
+    ),
+    clicks AS (
+      SELECT n.user_id, n.sid, MIN(n.ts) AS c_ts
+      FROM numbered n JOIN views v ON n.user_id = v.user_id AND n.sid = v.sid
+      WHERE n.event_type = 'click' AND n.ts > v.v_ts
+      GROUP BY n.user_id, n.sid
+    ),
+    buys AS (
+      SELECT n.user_id, n.sid, MIN(n.ts) AS p_ts
+      FROM numbered n JOIN clicks c ON n.user_id = c.user_id AND n.sid = c.sid
+      WHERE n.event_type = 'purchase' AND n.ts > c.c_ts
+      GROUP BY n.user_id, n.sid
+    )
+    SELECT (SELECT COUNT(DISTINCT (user_id, sid)) FROM numbered) AS n_sessions,
+           (SELECT COUNT(*) FROM views) AS n_view,
+           (SELECT COUNT(*) FROM clicks) AS n_view_click,
+           (SELECT COUNT(*) FROM buys) AS n_full_funnel
+    """,
+)
+def funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel (view -> click -> purchase, strictly ordered
+    within a 30-min-gap session): the canonical event-analytics shape.
+    Three keyed aggregations + keyed joins — every stage shuffles on
+    (user, session), so the funnel scales with users, not events."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_new = F.when(
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)) <= 1800, 0
+    ).otherwise(1)
+    numbered = e.withColumn(
+        "sid",
+        F.sum(gap_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    views = (
+        numbered.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    clicks = (
+        numbered.join(views, ["user_id", "sid"])
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    buys = (
+        numbered.join(clicks, ["user_id", "sid"])
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        numbered.agg(
+            F.countDistinct(F.struct("user_id", "sid")).alias("n_sessions")
+        )
+        .crossJoin(views.agg(F.count("*").alias("n_view")))
+        .crossJoin(clicks.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(buys.agg(F.count("*").alias("n_full_funnel")))
+    )
