@@ -35,6 +35,7 @@ HEADLINE = [
     "text_stats",
     "stream_session",
     "llm_echo_mapreduce",
+    "llm_echo_mapreduce_fused",
 ]
 
 

@@ -57,6 +57,15 @@ class Stage:
     # reference (same async_run code path, v0.py:45-50); kept for
     # plan readability and for the cross-record reduce extension.
 
+    def __post_init__(self) -> None:
+        names = [i.name for i in self.instructions]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(
+                f"duplicate instruction names in stage: {sorted(dupes)} — "
+                "each instruction's name is its output column and must be unique"
+            )
+
     @classmethod
     def from_conf(cls, conf: list[dict[str, Any]], kind: str = "map") -> "Stage":
         return cls([Instruction.from_dict(x) for x in conf], kind=kind)

@@ -266,3 +266,109 @@ def group_concat_reduce(
             yield out
 
     return prompted.mapInPandas(run, schema=out_schema)
+
+
+def instr_fanout_mapreduce_fused(
+    df: DataFrame,
+    map_stage: Stage,
+    reduce_stage: Stage,
+    llm_conf: LlmConfig | None = None,
+    keep_cols: Sequence[str] | None = None,
+    concurrency: int = 32,
+    client_factory: Callable[[LlmConfig], LlmClient] = make_client,
+    max_retries: int = 3,
+    on_error: str = "fail",
+) -> DataFrame:
+    """Map + reduce stages fused into ONE mapInPandas pass.
+
+    The unfused chain crosses the Arrow boundary twice (map outputs
+    materialize, JVM builds reduce prompts, second Python stage runs
+    the rewrites).  Fusing keeps the map outputs in the Python worker
+    and issues the reduce calls on the same event loop — one Arrow
+    round trip, and per-record map->reduce latency overlaps across
+    rows instead of waiting on a stage boundary.  Semantics identical
+    to instr_fanout_map >> group_concat_reduce (xml-wrap reduce):
+    same prompts, same outputs; the echo-mode oracle is shared.
+
+    Trade-off vs the unfused chain: no intermediate DataFrame to
+    inspect/checkpoint, and map outputs aren't reusable by two
+    different reduce stages — use the unfused operators for DAG-shaped
+    pipelines.
+    """
+    from instructions_mr_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    conf = llm_conf or LlmConfig()
+    available = [f.name for f in df.schema.fields]
+    map_stage.validate_against(available)
+    reduce_stage.validate_against(map_stage.output_columns)
+    keep = list(keep_cols) if keep_cols else []
+    map_names = map_stage.output_columns
+    red_names = reduce_stage.output_columns
+    map_sys = {ins.name: build_sys_msg(ins) for ins in map_stage.instructions}
+    red_sys = {ins.name: build_sys_msg(ins) for ins in reduce_stage.instructions}
+    red_scopes = {
+        ins.name: list(ins.scope) if ins.scope is not None else list(map_names)
+        for ins in reduce_stage.instructions
+    }
+
+    prompted = df.select(
+        *[F.col(c) for c in keep],
+        *[
+            user_msg_col(ins.scope, available).alias(f"{_PROMPT_PREFIX}{ins.name}")
+            for ins in map_stage.instructions
+        ],
+    )
+    out_schema = T.StructType(
+        [prompted.schema[c] for c in keep]
+        + [T.StructField(n, T.StringType()) for n in red_names]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory(conf)
+
+        async def per_row(row_prompts: dict[str, str], sem: asyncio.Semaphore):
+            async def call(sys_msg: str, user_msg: str):
+                async with sem:
+                    return await call_with_retry(
+                        client,
+                        _chatml(sys_msg, user_msg, conf.model),
+                        max_retries=max_retries,
+                        on_error=on_error,
+                    )
+
+            map_out = dict(
+                zip(
+                    map_names,
+                    await asyncio.gather(
+                        *[call(map_sys[n], row_prompts[n]) for n in map_names]
+                    ),
+                )
+            )
+            # reduce prompt: xml-wrapped group concat of scoped map
+            # outputs (self_verification_mr.py:457-471)
+            async def reduce_one(name: str):
+                wrapped = "".join(
+                    f"<{k}>\n{map_out[k] or ''}\n</{k}>\n\n" for k in red_scopes[name]
+                )
+                return await call(red_sys[name], wrapped)
+
+            red_out = await asyncio.gather(*[reduce_one(n) for n in red_names])
+            return dict(zip(red_names, red_out))
+
+        async def run_batch(pdf: pd.DataFrame) -> list[dict[str, str]]:
+            sem = asyncio.Semaphore(concurrency)
+            rows = [
+                {n: pdf[f"{_PROMPT_PREFIX}{n}"].iloc[i] for n in map_names}
+                for i in range(len(pdf))
+            ]
+            return list(await asyncio.gather(*[per_row(r, sem) for r in rows]))
+
+        for pdf in batches:
+            results = asyncio.run(run_batch(pdf))
+            out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
+            for n in red_names:
+                out[n] = [r[n] for r in results]
+            yield out
+
+    return prompted.mapInPandas(run, schema=out_schema)

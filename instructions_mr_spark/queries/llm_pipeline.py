@@ -100,6 +100,30 @@ def llm_echo_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_concat_reduce(mapped, _REDUCE_STAGE, LlmConfig(), keep_cols=["doc_id"])
 
 
+@query(
+    "llm_echo_mapreduce_fused",
+    oracle="""
+    SELECT doc_id,
+           '<summary>' || chr(10) || to_json(struct_pack(text := text))::VARCHAR
+             || chr(10) || '</summary>' || chr(10) || chr(10) ||
+           '<keywords>' || chr(10)
+             || to_json(struct_pack(lang := lang, source := source))::VARCHAR
+             || chr(10) || '</keywords>' || chr(10) || chr(10) AS report
+    FROM documents
+    """,
+)
+def llm_echo_mapreduce_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-fused twin of llm_echo_mapreduce: one Arrow round trip
+    instead of two, same oracle (operators/llm_map.py
+    instr_fanout_mapreduce_fused)."""
+    from instructions_mr_spark.operators.llm_map import instr_fanout_mapreduce_fused
+
+    d = t(spark, sf_dir, "documents")
+    return instr_fanout_mapreduce_fused(
+        d, _MAP_STAGE, _REDUCE_STAGE, LlmConfig(), keep_cols=["doc_id"]
+    )
+
+
 # ---------------------------------------------------------------- dedup
 
 # Portable 32-bit hash fragments (see module docstring).

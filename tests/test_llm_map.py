@@ -223,3 +223,16 @@ def test_split_quarantine(spark):
     good, bad = split_quarantine(res, ["out"])
     assert [r.doc_id for r in good.collect()] == [1]
     assert [r.doc_id for r in bad.collect()] == [2]
+
+
+def test_duplicate_instruction_names_rejected():
+    """Instruction names are output columns — duplicates are a config
+    error caught at stage construction (the reference would silently
+    overwrite one result with the other, instructions.py:55)."""
+    with pytest.raises(ValueError, match="duplicate instruction names"):
+        Stage(
+            [
+                Instruction(name="x", content="a"),
+                Instruction(name="x", content="b"),
+            ]
+        )

@@ -84,3 +84,24 @@ def test_ivf_prunes_candidates(emb, centroids):
     order = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], qv))
     probed = assigned.filter(F.col("cell").isin(order[:2])).count()
     assert probed < total  # pruning really skips cells
+
+
+def test_ivf_cells_as_partition_columns_prune(spark, emb, centroids, tmp_path):
+    """The 100 TB ANN layout: write vectors partitioned by IVF cell,
+    then a probe query's cell filter becomes PARTITION pruning — the
+    scan never touches unprobed cells' files."""
+    out = str(tmp_path / "ivf_lake")
+    assign_ivf_cell(emb, centroids).write.partitionBy("cell").parquet(out)
+
+    lake = spark.read.parquet(out)
+    probed = lake.filter(F.col("cell").isin([0, 1]))
+    probed.collect()
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    # pruning really reduces files read
+    import os
+
+    all_cells = {d for d in os.listdir(out) if d.startswith("cell=")}
+    assert len(all_cells) > 2
+    assert probed.count() < lake.count()
