@@ -554,3 +554,50 @@ def funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(clicks.agg(F.count("*").alias("n_view_click")))
         .crossJoin(buys.agg(F.count("*").alias("n_full_funnel")))
     )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_discount), 4) AS corr_qd,
+           ROUND(covar_samp(l_quantity, l_discount), 4) AS covar_qd,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS price_per_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr/covar/regression slope) — rounded at
+    a precision where engine-order float drift (~1e-10 relative) can't
+    surface.  Small-magnitude pairs chosen deliberately; see
+    queries/_util.py for the exact-decimal rule used for raw sums."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("corr_qd"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qd"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("price_per_qty"),
+    )
+
+
+@query(
+    "json_map_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(json_keys(props), ',') AS key_list,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed JSON handling: parse the payload as map<string,long>
+    and use map functions (size/keys) — the dynamic-schema path when
+    payload keys vary per row (vs from_json with a fixed struct)."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+        F.element_at(m, "k").alias("k_val"),
+    )
