@@ -278,6 +278,7 @@ def instr_fanout_mapreduce_fused(
     client_factory: Callable[[LlmConfig], LlmClient] = make_client,
     max_retries: int = 3,
     on_error: str = "fail",
+    reduce_style: str = "xmlwrap",
 ) -> DataFrame:
     """Map + reduce stages fused into ONE mapInPandas pass.
 
@@ -345,13 +346,25 @@ def instr_fanout_mapreduce_fused(
                     ),
                 )
             )
-            # reduce prompt: xml-wrapped group concat of scoped map
-            # outputs (self_verification_mr.py:457-471)
+            # reduce prompt: either the POC xml-wrap group concat
+            # (self_verification_mr.py:457-471) or the library v0
+            # serialize path (compact JSON of the scoped result dict,
+            # byte-matching JVM to_json)
             async def reduce_one(name: str):
-                wrapped = "".join(
-                    f"<{k}>\n{map_out[k] or ''}\n</{k}>\n\n" for k in red_scopes[name]
-                )
-                return await call(red_sys[name], wrapped)
+                if reduce_style == "xmlwrap":
+                    prompt = "".join(
+                        f"<{k}>\n{map_out[k] or ''}\n</{k}>\n\n"
+                        for k in red_scopes[name]
+                    )
+                else:
+                    import json as _json
+
+                    prompt = _json.dumps(
+                        {k: map_out[k] for k in red_scopes[name]},
+                        ensure_ascii=False,
+                        separators=(",", ":"),
+                    )
+                return await call(red_sys[name], prompt)
 
             red_out = await asyncio.gather(*[reduce_one(n) for n in red_names])
             return dict(zip(red_names, red_out))

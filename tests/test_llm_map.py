@@ -236,3 +236,42 @@ def test_duplicate_instruction_names_rejected():
                 Instruction(name="x", content="b"),
             ]
         )
+
+
+def test_fused_pipeline_equals_unfused(spark):
+    """run_pipeline(fused=True) must be byte-identical to the unfused
+    chain for both reduce styles (incl. unicode payloads)."""
+    docs = spark.createDataFrame(
+        [(1, "héllo wörld", "en"), (2, 'quote " backslash \\', "fr")],
+        "doc_id int, text string, lang string",
+    )
+    conf = PipelineConfig.from_dict(
+        {
+            "pipe": [
+                [
+                    {"name": "m1", "content": "a", "scope": ["text"]},
+                    {"name": "m2", "content": "b", "scope": ["lang"]},
+                ],
+                [{"name": "final", "content": "c", "scope": ["m1", "m2"]}],
+            ]
+        }
+    )
+    for style in ("serialize", "xmlwrap"):
+        plain = {
+            r.doc_id: r.final
+            for r in run_pipeline(
+                docs, conf, keep_cols=["doc_id"], with_md=False, reduce_style=style
+            ).collect()
+        }
+        fused = {
+            r.doc_id: r.final
+            for r in run_pipeline(
+                docs,
+                conf,
+                keep_cols=["doc_id"],
+                with_md=False,
+                reduce_style=style,
+                fused=True,
+            ).collect()
+        }
+        assert plain == fused, f"style={style}"
