@@ -601,3 +601,109 @@ def json_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_keys(m), ",").alias("key_list"),
         F.element_at(m, "k").alias("k_val"),
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH volumes AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(8,4))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    purchase volume per year — a conditional-sum ratio over a 7-table
+    join (two roles for nation).  Dims broadcast; facts shuffle once
+    on orderkey."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))"
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.expr(
+                f"ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN {vol} "
+                f"ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) "
+                f"/ CAST(SUM({vol}) AS DOUBLE), 6)"
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_type IN ('PROMO', 'ECONOMY') AND l_quantity >= 40)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicate branches
+    spanning both join sides.  Catalyst splits the single-side
+    conjuncts out of the OR and pushes them below the join; the
+    cross-side residue evaluates post-join."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (F.col("p_type").isin("PROMO", "ECONOMY") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+    )
