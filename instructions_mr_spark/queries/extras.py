@@ -604,6 +604,122 @@ def json_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q20_excess_stock",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    totals AS (
+      SELECT l_partkey, SUM(supp_qty) AS part_qty
+      FROM shipped GROUP BY l_partkey
+    ),
+    dominant AS (
+      SELECT DISTINCT s.l_suppkey
+      FROM shipped s JOIN totals t ON s.l_partkey = t.l_partkey
+      WHERE 10 * s.supp_qty > t.part_qty
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp table in the test schema, so
+    "availqty" is the supplier's shipped quantity): suppliers that
+    dominate (>10% of shipped volume) at least one Brand#1 part,
+    reached through a correlated-aggregate threshold and surfaced via
+    a semi-join.  The per-(supp,part) and per-part aggregates reuse
+    one shuffle keyed by partkey; the final semi-join broadcasts the
+    small dominant-supplier set.  Decimal sums keep the 10*x > total
+    comparison exact on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr(f"SUM({DEC_QTY})").alias("supp_qty"))
+    )
+    totals = shipped.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        shipped.join(totals, "l_partkey")
+        .filter(F.expr("10 * supp_qty > part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    threshold AS (
+      SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS avg_bal FROM pos
+    )
+    SELECT p.c_nationkey AS nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(p.bal) AS DOUBLE) AS totacctbal
+    FROM pos p, threshold
+    WHERE CAST(p.bal AS DOUBLE) > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY p.c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey stands in for the phone country
+    code): customers with above-average positive balance and no orders
+    since 2000-01-01 — a scalar-subquery threshold plus an anti-join, grouped by
+    nation.  The average is a one-row broadcast (cross join); the
+    anti-join shuffles on custkey and is the only wide exchange.
+    Exact-decimal sum feeds both the threshold and the output so the
+    comparison bits match DuckDB."""
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0.0).select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("CAST(c_acctbal AS DECIMAL(12,2))").alias("bal"),
+    )
+    threshold = pos.agg(
+        F.expr("CAST(SUM(bal) AS DOUBLE) / COUNT(*)").alias("avg_bal")
+    )
+    return (
+        pos.crossJoin(F.broadcast(threshold))
+        .filter(F.expr("CAST(bal AS DOUBLE) > avg_bal"))
+        .join(o, pos.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr("CAST(SUM(bal) AS DOUBLE)").alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
     "q8_market_share",
     oracle="""
     WITH volumes AS (
@@ -706,4 +822,109 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
             ).alias("revenue"),
         )
+    )
+
+
+@query(
+    "funnel_by_segment",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    views AS (
+      SELECT user_id, sid, MIN(ts) AS v_ts FROM numbered
+      WHERE event_type = 'view' GROUP BY user_id, sid
+    ),
+    clicks AS (
+      SELECT n.user_id, n.sid, MIN(n.ts) AS c_ts
+      FROM numbered n JOIN views v ON n.user_id = v.user_id AND n.sid = v.sid
+      WHERE n.event_type = 'click' AND n.ts > v.v_ts
+      GROUP BY n.user_id, n.sid
+    ),
+    buys AS (
+      SELECT n.user_id, n.sid, MIN(n.ts) AS p_ts
+      FROM numbered n JOIN clicks c ON n.user_id = c.user_id AND n.sid = c.sid
+      WHERE n.event_type = 'purchase' AND n.ts > c.c_ts
+      GROUP BY n.user_id, n.sid
+    ),
+    sess AS (
+      SELECT DISTINCT user_id, sid FROM numbered
+    )
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_sessions,
+           COUNT(v.v_ts) AS n_view,
+           COUNT(k.c_ts) AS n_view_click,
+           COUNT(b.p_ts) AS n_full_funnel,
+           ROUND(CAST(COUNT(b.p_ts) AS DOUBLE) / COUNT(*), 6) AS conversion
+    FROM sess s
+    JOIN customer ON c_custkey = s.user_id
+    LEFT JOIN views v ON v.user_id = s.user_id AND v.sid = s.sid
+    LEFT JOIN clicks k ON k.user_id = s.user_id AND k.sid = s.sid
+    LEFT JOIN buys b ON b.user_id = s.user_id AND b.sid = s.sid
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+)
+def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment funnel breakdown: the sessionized view->click->
+    purchase funnel joined to the customer dimension and rolled up by
+    market segment.  Sessionization shuffles once on user_id; the
+    segment dim is a broadcast; the three funnel stages reuse the
+    (user, sid) partitioning so only the final small rollup
+    re-shuffles.  Conversion = completed funnels / all sessions."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_new = F.when(
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)) <= 1800, 0
+    ).otherwise(1)
+    numbered = e.withColumn(
+        "sid",
+        F.sum(gap_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    views = (
+        numbered.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    clicks = (
+        numbered.join(views, ["user_id", "sid"])
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    buys = (
+        numbered.join(clicks, ["user_id", "sid"])
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    sess = numbered.select("user_id", "sid").distinct()
+    return (
+        sess.join(F.broadcast(cust), sess.user_id == F.col("c_custkey"))
+        .join(views, ["user_id", "sid"], "left")
+        .join(clicks, ["user_id", "sid"], "left")
+        .join(buys, ["user_id", "sid"], "left")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.count("v_ts").alias("n_view"),
+            F.count("c_ts").alias("n_view_click"),
+            F.count("p_ts").alias("n_full_funnel"),
+            F.round(
+                F.count("p_ts").cast("double") / F.count("*"), 6
+            ).alias("conversion"),
+        )
+        .orderBy("segment")
     )

@@ -516,3 +516,92 @@ def embedding_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vec_id").alias("vec_b"),
         _cosine_col(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
     )
+
+
+_PAIR_DOT = """
+    ROUND(
+      list_reduce(list_transform(range(1, len(ea.embedding) + 1),
+                  i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+                  (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))
+         * sqrt(list_reduce(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))),
+    6)
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, band,
+             CAST(list_sum(list_transform(range(1, 5),
+                  i -> CASE WHEN embedding[band * 4 + i] > 0
+                            THEN ([1, 2, 4, 8])[i] ELSE 0 END)) AS INT) AS bucket
+      FROM embeddings, generate_series(0, 3) AS bands(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bucketed a
+      JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+    )
+    SELECT * FROM (
+      SELECT c.vec_a, c.vec_b, {_PAIR_DOT} AS cosine
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+    ) WHERE cosine >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection at scale: random-
+    hyperplane-style sign LSH (4 bands x 4 sign bits over the first 16
+    dims) blocks the O(n^2) pair space into per-(band,bucket) groups;
+    exact cosine verifies candidates.  The self-join shuffles on
+    (band, bucket) — candidate volume is sum of bucket^2, not n^2, so
+    at 100 TB the band/bit counts are the recall/cost dial.  Pairs are
+    deduped across bands before the exact-cosine verify so each pair
+    pays the O(d) dot product once."""
+    e = t(spark, sf_dir, "embeddings")
+    pows = F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))
+    bands = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.slice("embedding", b * 4 + 1, 4),
+                    pows,
+                    lambda x, p: F.when(x > 0, p).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            for b in range(4)
+        ]
+    )
+    bucketed = e.select("vec_id", F.posexplode(bands).alias("band", "bucket"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("ea_id"), F.col("embedding").alias("ea_emb"))
+    eb = e.select(F.col("vec_id").alias("eb_id"), F.col("embedding").alias("eb_emb"))
+    return (
+        cand.join(ea, cand.vec_a == ea.ea_id)
+        .join(eb, cand.vec_b == eb.eb_id)
+        .select(
+            "vec_a",
+            "vec_b",
+            _cosine_col(F.col("ea_emb"), F.col("eb_emb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )
