@@ -98,7 +98,7 @@ class LlmConfig:
     top_p 0.01, fixed seed (llm_cli.py:26-30).
     """
 
-    api_type: str = "echo"  # "echo" | "openai" | "azure"
+    api_type: str = "echo"  # "echo" | "http" | "openai" | "azure"
     api_url: str | None = None
     api_key: str | None = None
     api_version: str | None = None

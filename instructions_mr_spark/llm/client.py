@@ -98,8 +98,66 @@ class OpenAILlmClient:
         return resp.choices[0].message.content or ""
 
 
+class HttpLlmClient:
+    """Dependency-free OpenAI-compatible client (stdlib urllib only).
+
+    Speaks the same ``POST {base}/chat/completions`` JSON protocol as
+    llm_cli.py:60-82 but without requiring the ``openai`` package —
+    the path that actually runs inside Spark Python workers in minimal
+    executor images.  Blocking I/O is pushed to a thread via
+    ``asyncio.to_thread`` so the per-partition event loop keeps the
+    instruction fan-out concurrent; HTTP errors raise and flow into
+    ``call_with_retry``'s backoff.
+    """
+
+    def __init__(self, conf: LlmConfig):
+        if not conf.api_url:
+            raise ValueError("api_type='http' requires api_url")
+        self.conf = conf
+        self.url = conf.api_url.rstrip("/") + "/chat/completions"
+
+    def _post(self, payload: dict[str, Any]) -> str:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(payload).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.conf.api_key or 'unused'}",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+        return body["choices"][0]["message"]["content"] or ""
+
+    async def complete(
+        self, messages: list[dict[str, str]], json_schema: dict[str, Any] | None = None
+    ) -> str:
+        import asyncio
+
+        payload: dict[str, Any] = dict(
+            model=self.conf.model,
+            messages=messages,
+            seed=self.conf.seed,
+            temperature=self.conf.temperature,
+            top_p=self.conf.top_p,
+            max_tokens=self.conf.max_tokens,
+        )
+        if json_schema is not None:
+            payload["response_format"] = {
+                "type": "json_schema",
+                "json_schema": json_schema,
+            }
+        return await asyncio.to_thread(self._post, payload)
+
+
 def make_client(conf: LlmConfig) -> LlmClient:
     """Picklable factory — call inside the executor partition."""
     if conf.api_type == "echo":
         return EchoLlmClient(conf)
+    if conf.api_type == "http":
+        return HttpLlmClient(conf)
     return OpenAILlmClient(conf)

@@ -80,6 +80,25 @@ def llm_echo_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_echo_map_arrow",
+    oracle="""
+    SELECT doc_id,
+           to_json(struct_pack(text := text))::VARCHAR AS summary,
+           to_json(struct_pack(lang := lang, source := source))::VARCHAR AS keywords
+    FROM documents
+    """,
+)
+def llm_echo_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """instr_fanout_map on the mapInArrow fast path (no pandas
+    materialization in the worker) — identical output to llm_echo_map,
+    same oracle."""
+    from instructions_mr_spark.operators.llm_map import instr_fanout_map_arrow
+
+    d = t(spark, sf_dir, "documents")
+    return instr_fanout_map_arrow(d, _MAP_STAGE, LlmConfig(), keep_cols=["doc_id"])
+
+
+@query(
     "llm_echo_mapreduce",
     oracle="""
     SELECT doc_id,

@@ -275,3 +275,34 @@ def test_fused_pipeline_equals_unfused(spark):
             ).collect()
         }
         assert plain == fused, f"style={style}"
+
+
+def test_fanout_map_arrow_matches_pandas_path(spark):
+    from instructions_mr_spark.operators.llm_map import instr_fanout_map_arrow
+
+    stage = Stage(
+        [
+            Instruction(name="summary", content="Summarize.", scope=["text"]),
+            Instruction(name="tag", content="Tag.", scope=["lang"]),
+        ]
+    )
+    base = instr_fanout_map(_docs(spark), stage, LlmConfig(), keep_cols=["doc_id"])
+    arrow = instr_fanout_map_arrow(_docs(spark), stage, LlmConfig(), keep_cols=["doc_id"])
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, arrow.collect()))
+    assert base.schema == arrow.schema
+
+
+def test_fanout_map_arrow_http(spark):
+    """Arrow path exercises retry + a real client factory too."""
+    from instructions_mr_spark.llm.client import EchoLlmClient
+    from instructions_mr_spark.operators.llm_map import instr_fanout_map_arrow
+
+    stage = Stage([Instruction(name="s", content="c", scope=["text"])])
+    out = instr_fanout_map_arrow(
+        _docs(spark),
+        stage,
+        LlmConfig(model="m1"),
+        keep_cols=["doc_id"],
+        client_factory=lambda conf: EchoLlmClient(conf, tag=True),
+    )
+    assert out.collect()[0].s.startswith("[m1] ")
