@@ -928,3 +928,52 @@ def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-join for skewed keys: the probe side gets a
+    uniform salt in [0,8); the build side is exploded 8x (one copy per
+    salt) so a hot orderkey's rows spread over 8 reducers instead of
+    one straggler task.  Result is provably identical to the plain
+    join (every probe row meets exactly one replica).  This is the
+    manual fallback for when AQE skew-split can't kick in — e.g. the
+    skew is in a single key inside one partition, or the join feeds a
+    window that pins partitioning.  Cost: 8x shuffle volume on the
+    (smaller) build side — the knob to tune per skew factor."""
+    nsalt = 8
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_quantity"), F.lit(nsalt))
+    )
+    # shuffle_hash hint: at test SF the exploded build side is small
+    # enough that Catalyst would broadcast it (making the salt moot);
+    # the hint pins the exchange-on-(key,salt) plan this operator
+    # exists to produce, which is what a too-big-to-broadcast build
+    # side gets at production scale.
+    o = (
+        t(spark, sf_dir, "orders")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(nsalt)])))
+        .hint("shuffle_hash")
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

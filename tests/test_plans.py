@@ -65,3 +65,19 @@ def test_asof_join_has_no_python_stage(spark, sf_dir):
     plan = _plan(df)
     assert "FlatMapGroupsInPandas" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_salted_join_exchanges_on_key_and_salt(spark, sf_dir):
+    """The skew-salted join must hash-exchange on (key, salt), not
+    broadcast (which would make the salt moot)."""
+    df = registry.QUERIES["join_salted_skew"](spark, sf_dir)
+    plan = _plan(df)
+    assert "ShuffledHashJoin [l_orderkey" in plan and "salt" in plan
+
+
+def test_embedding_dedup_joins_on_band_bucket(spark, sf_dir):
+    """LSH candidate generation must key the self-join exchange on the
+    (band, bucket) pair — that's the sub-quadratic blocking."""
+    df = registry.QUERIES["dedup_embedding_cosine"](spark, sf_dir)
+    plan = _plan(df)
+    assert "band" in plan and "bucket" in plan

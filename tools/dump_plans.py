@@ -33,6 +33,18 @@ NOTES = {
     "banded keys + refine: BroadcastHashJoin instead of a nested loop.",
     "llm_echo_mapreduce": "Two Arrow-batched Python stages (the LLM fan-out), "
     "ZERO exchanges — stages chain narrowly; prompts assembled JVM-side.",
+    "q8_market_share": "7-table join: every dimension BroadcastHashJoin; the "
+    "only wide exchanges are the two fact-fact shuffles (lineitem-orders on "
+    "orderkey, +customer on custkey) and the final year rollup.",
+    "dedup_embedding_cosine": "Candidate generation is a self-join on "
+    "(band, bucket) — exchange keyed by the LSH bucket, volume "
+    "sum-of-bucket-sizes^2 not n^2; exact cosine runs only on survivors.",
+    "join_salted_skew": "Build side exploded 8x with a salt column, probe "
+    "side salted by hash — the join exchange hashes on (key, salt) so a hot "
+    "key fans over 8 reducers.",
+    "funnel_by_segment": "Sessionization = one exchange on user_id; the "
+    "funnel stage joins reuse the (user_id, sid) hash partitioning "
+    "(no re-exchange until the tiny segment rollup); customer dim broadcasts.",
 }
 
 
