@@ -470,12 +470,17 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the *sole* late supplier on
     a multi-supplier finished order.  The canonical EXISTS/NOT-EXISTS
-    pair is re-expressed as aggregates (distinct-supplier count and
-    late-supplier count per order) joined back — set-based, no
-    nested-loop, and every intermediate is keyed on l_orderkey so the
-    three joins share one hash partitioning (reference semantics: sole
-    cause of delay; cf. reference's absence of joins, SURVEY.md §2.6).
+    pair is re-expressed set-based: the "no OTHER supplier was late"
+    branch is a count-over-window on the deduped late set (NOT a
+    groupBy + self-join back, which would scan the late side twice —
+    verified against the executed plan), and the "order had multiple
+    suppliers" branch is one aggregate over lineitem.  Every
+    intermediate is keyed on l_orderkey, so at 100 TB this is two
+    lineitem scans and three orderkey-hash exchanges total (reference
+    has no joins at all — SURVEY.md §2.6).
     """
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = (
@@ -484,23 +489,23 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
+    sole = (
+        late.withColumn(
+            "nlate", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("nlate") == 1)
+        .drop("nlate")
+    )
     multi = (
         li.groupBy("l_orderkey")
         .agg(F.countDistinct("l_suppkey").alias("nsupp"))
         .filter(F.col("nsupp") > 1)
         .select("l_orderkey")
     )
-    only_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("nlate"))
-        .filter(F.col("nlate") == 1)
-        .select("l_orderkey")
-    )
     s = t(spark, sf_dir, "supplier")
     return (
-        late.join(multi, "l_orderkey")
-        .join(only_late, "l_orderkey")
-        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        sole.join(multi, "l_orderkey")
+        .join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))

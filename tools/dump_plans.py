@@ -45,6 +45,19 @@ NOTES = {
     "funnel_by_segment": "Sessionization = one exchange on user_id; the "
     "funnel stage joins reuse the (user_id, sid) hash partitioning "
     "(no re-exchange until the tiny segment rollup); customer dim broadcasts.",
+    "q9_product_profit": "5-way star: supplier/nation/part(LIKE-filtered) "
+    "broadcast, so lineitem reaches the orders join without shuffling; "
+    "StringContains(p_name,gear) is a PushedFilter on the part scan.",
+    "q4_order_priority": "EXISTS decorrelated to LeftSemi BroadcastHashJoin "
+    "with the non-equi lateness predicate as the join residual; the quarter "
+    "filter on o_orderdate is a PushedFilter, lineitem reads 2 columns.",
+    "q18_large_volume": "The HAVING-IN subquery is a LeftSemi against a "
+    "grouped lineitem keyed on the same orderkey as the probe join — AQE "
+    "broadcasts the tiny qualifying-order set at this sf; at 100 TB both "
+    "sides align on the orderkey hash partitioning.",
+    "q21_waiting_supplier": "Sole-late-supplier: count-over-window on the "
+    "deduped late set (no self-join back, 2 lineitem scans total); all "
+    "intermediates keyed on l_orderkey; supplier dim broadcasts.",
 }
 
 
