@@ -1,0 +1,184 @@
+"""Graph / time-hierarchy extensions of the training-pipeline surface:
+
+* ``dedup_cluster_cc`` — connected components over the MinHash-LSH
+  near-dup graph (label propagation), turning pairwise near-dups into
+  dedup *clusters* with a canonical (min) doc id.  DuckDB's recursive
+  CTE is the oracle — a rare case where an iterative Spark algorithm
+  still has an exact SQL twin.
+* ``rollup_time_hierarchy`` — hypertable-style day→hour rollup over
+  ``events`` (continuous-aggregate shape).
+* ``join_asof_tolerance`` — backward as-of join that nulls out
+  matches older than a tolerance window (pandas ``merge_asof``
+  tolerance semantics, DuckDB ASOF + CASE as oracle).
+
+The reference has no joins, aggregations, or graph ops at all
+(SURVEY.md §2.6, verified absence) — these are EXT-mandate operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Imported for the side effect of registering dedup_minhash_lsh's
+# oracle before we compose it into the recursive-CTE oracle below.
+import instructions_mr_spark.queries.llm_pipeline as _llm  # noqa: F401
+from instructions_mr_spark.operators.asof import asof_join
+from instructions_mr_spark.queries._util import DEC_VALUE, sum_d, t
+from instructions_mr_spark.registry import ORACLES, query
+
+_LSH_PAIRS_SQL = ORACLES["dedup_minhash_lsh"]
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, MIN(root) AS cluster_id
+    FROM reach GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components of the LSH pair graph
+    by min-label propagation (each node repeatedly takes the min
+    cluster id among itself and its neighbours until fixpoint).
+
+    Scale design: this is the standard large-graph CC (GraphX/Pregel
+    shape) — O(component diameter) rounds, each round one shuffle of
+    the (src-keyed) edge list joined to the current labels.  Near-dup
+    components are shallow (dup clusters, not social graphs), so the
+    round count is small and the edge list — already bounded by LSH
+    band collisions — is the only big intermediate.  Each round
+    localCheckpoints the label table to truncate lineage (30 rounds of
+    join-on-join otherwise stack a plan Catalyst re-optimizes each
+    iteration).  Convergence test: labels only ever decrease, so an
+    unchanged SUM(label) is a fixpoint — one scalar agg per round, no
+    row-level diff join.
+    """
+    pairs = _llm.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(30):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("nb_doc"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == F.col("nb_doc"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.orderBy("doc_id")
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle=f"""
+    SELECT d AS day_bucket, h AS hour_bucket, GROUPING(d, h) AS gid,
+           COUNT(*) AS n, {sum_d(DEC_VALUE, 'total_value')}
+    FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                 value
+          FROM events)
+    GROUP BY ROLLUP(d, h)
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly leaf
+    buckets plus day subtotals plus a grand total in ONE pass
+    (GROUPING SETS expansion), instead of three separate scans.  At
+    100 TB the expansion happens after map-side partial aggregation on
+    the leaf grain, so the shuffle carries hour-level partials only.
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("day", "ts").alias("day_bucket"),
+            F.date_trunc("hour", "ts").alias("hour_bucket"),
+            "value",
+        )
+        .rollup("day_bucket", "hour_bucket")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.expr(sum_d(DEC_VALUE, "total_value")),
+        )
+    )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           CASE WHEN o.o_orderdate >= e.ts - INTERVAL 60 DAY
+                THEN o.o_orderkey END AS o_orderkey,
+           CASE WHEN o.o_orderdate >= e.ts - INTERVAL 60 DAY
+                THEN CAST(o.o_orderdate AS TIMESTAMP) END AS o_orderdate
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ) o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 60-day tolerance: a match older than the
+    window is nulled (pandas merge_asof ``tolerance`` semantics).
+    Same single-shuffle union+window plan as join_asof — tolerance is
+    a post-projection, NOT a join-condition change, so the operator's
+    cost is identical."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+    joined = asof_join(
+        e, o, on_time_left="ts", on_time_right="o_orderdate",
+        by_left=["user_id"], by_right=["o_custkey"], how="left",
+    )
+    within = F.col("o_orderdate") >= F.col("ts") - F.expr("INTERVAL 60 DAY")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(within, F.col("o_orderdate").cast("timestamp")).alias("o_orderdate"),
+    )
