@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 # oracle before we compose it into the recursive-CTE oracle below.
 import instructions_mr_spark.queries.llm_pipeline as _llm  # noqa: F401
 from instructions_mr_spark.operators.asof import asof_join
+from instructions_mr_spark.operators.graph import connected_components
 from instructions_mr_spark.queries._util import DEC_VALUE, sum_d, t
 from instructions_mr_spark.registry import ORACLES, query
 
@@ -52,58 +53,18 @@ _LSH_PAIRS_SQL = ORACLES["dedup_minhash_lsh"]
 )
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components of the LSH pair graph
-    by min-label propagation (each node repeatedly takes the min
-    cluster id among itself and its neighbours until fixpoint).
-
-    Scale design: this is the standard large-graph CC (GraphX/Pregel
-    shape) — O(component diameter) rounds, each round one shuffle of
-    the (src-keyed) edge list joined to the current labels.  Near-dup
-    components are shallow (dup clusters, not social graphs), so the
-    round count is small and the edge list — already bounded by LSH
-    band collisions — is the only big intermediate.  Each round
-    localCheckpoints the label table to truncate lineage (30 rounds of
-    join-on-join otherwise stack a plan Catalyst re-optimizes each
-    iteration).  Convergence test: labels only ever decrease, so an
-    unchanged SUM(label) is a fixpoint — one scalar agg per round, no
-    row-level diff join.
-    """
+    (operators/graph.py has the label-propagation algorithm and its
+    scale analysis).  cluster_id = min doc_id of the component — the
+    canonical survivor a dedup pass would keep."""
     pairs = _llm.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    return (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
         )
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.persist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+        .orderBy("doc_id")
     )
-    prev_sum = None
-    for _ in range(30):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("nb_doc"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        labels = (
-            labels.join(nbr_min, labels.doc_id == F.col("nb_doc"), "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
-    return labels.orderBy("doc_id")
 
 
 @query(
@@ -145,9 +106,9 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof_tolerance",
     oracle="""
     SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
-           CASE WHEN o.o_orderdate >= e.ts - INTERVAL 60 DAY
+           CASE WHEN o.o_orderdate >= e.ts - INTERVAL 9000 DAY
                 THEN o.o_orderkey END AS o_orderkey,
-           CASE WHEN o.o_orderdate >= e.ts - INTERVAL 60 DAY
+           CASE WHEN o.o_orderdate >= e.ts - INTERVAL 9000 DAY
                 THEN CAST(o.o_orderdate AS TIMESTAMP) END AS o_orderdate
     FROM events e
     ASOF LEFT JOIN (
@@ -158,8 +119,10 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of with a 60-day tolerance: a match older than the
-    window is nulled (pandas merge_asof ``tolerance`` semantics).
+    """Backward as-of with a 9000-day tolerance, chosen to split the
+    data's 22-29-year event-to-order gaps into both kept and nulled
+    matches: a match older than the window is nulled (pandas
+    merge_asof ``tolerance`` semantics).
     Same single-shuffle union+window plan as join_asof — tolerance is
     a post-projection, NOT a join-condition change, so the operator's
     cost is identical."""
@@ -174,7 +137,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, o, on_time_left="ts", on_time_right="o_orderdate",
         by_left=["user_id"], by_right=["o_custkey"], how="left",
     )
-    within = F.col("o_orderdate") >= F.col("ts") - F.expr("INTERVAL 60 DAY")
+    within = F.col("o_orderdate") >= F.col("ts") - F.expr("INTERVAL 9000 DAY")
     return joined.select(
         "event_id",
         "user_id",

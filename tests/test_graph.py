@@ -1,0 +1,105 @@
+"""Connected components (operators/graph.py), near-dup clustering,
+hypertable rollup, and tolerance as-of (queries/graph.py)."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import functions as F
+
+from instructions_mr_spark import registry
+from instructions_mr_spark.operators.graph import connected_components
+
+registry.load_all()
+
+
+def test_cc_chain_and_isolated_pair(spark):
+    """Transitivity: a chain 1-2-3-4 is ONE component even though 1
+    and 4 share no edge; a disjoint pair 10-11 stays separate."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_cc_orientation_invariance(spark):
+    """Edges are undirected: reversing every edge changes nothing."""
+    fwd = spark.createDataFrame([(5, 1), (1, 9), (7, 2)], ["src", "dst"])
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    a = sorted((r.node, r.component) for r in connected_components(fwd).collect())
+    b = sorted((r.node, r.component) for r in connected_components(rev).collect())
+    assert a == b
+    # component label is the min node id
+    assert dict(a)[9] == 1 and dict(a)[7] == 2
+
+
+def test_dedup_cluster_consistent_with_pairs(spark, sf_dir):
+    """Every LSH near-dup pair must land in the same cluster, and
+    every cluster id must be the min doc_id of its members."""
+    pairs = registry.QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    clusters = registry.QUERIES["dedup_cluster_cc"](spark, sf_dir)
+    lab = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    for r in pairs.collect():
+        assert lab[r.doc_a] == lab[r.doc_b]
+    by_cluster: dict[int, list[int]] = {}
+    for doc, c in lab.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    """Matches older than 9000 days are nulled; fresh ones survive
+    and equal the un-toleranced as-of output."""
+    tol = registry.QUERIES["join_asof_tolerance"](spark, sf_dir)
+    plain = registry.QUERIES["join_asof"](spark, sf_dir)
+    t_rows = {r.event_id: r for r in tol.collect()}
+    stale = fresh = 0
+    for p in plain.collect():
+        tr = t_rows[p.event_id]
+        if p.o_orderdate is None:
+            assert tr.o_orderkey is None
+        elif p.ts - p.o_orderdate > timedelta(days=9000):
+            assert tr.o_orderkey is None and tr.o_orderdate is None
+            stale += 1
+        else:
+            assert tr.o_orderkey == p.o_orderkey
+            fresh += 1
+    assert stale > 0 and fresh > 0  # both branches exercised
+
+
+def test_rollup_hierarchy_reconciles(spark, sf_dir):
+    """Day subtotals must equal the sum of their hour leaves, and the
+    grand total the sum of the days (one-pass GROUPING SETS)."""
+    rows = registry.QUERIES["rollup_time_hierarchy"](spark, sf_dir).collect()
+    leaves = [r for r in rows if r.gid == 0]
+    days = [r for r in rows if r.gid == 1]
+    total = [r for r in rows if r.gid == 3]
+    assert len(total) == 1
+    assert total[0].n == sum(r.n for r in leaves) == sum(r.n for r in days)
+    by_day: dict = {}
+    for r in leaves:
+        by_day[r.day_bucket] = by_day.get(r.day_bucket, 0) + r.n
+    for d in days:
+        assert by_day[d.day_bucket] == d.n
+
+
+def test_q21_plan_two_lineitem_scans(spark, sf_dir):
+    """The sole-late-supplier query must not re-derive the late set
+    (window formulation): exactly 2 lineitem scans in the plan."""
+    df = registry.QUERIES["q21_waiting_supplier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 2
+
+
+def test_q9_dimensions_broadcast(spark, sf_dir):
+    """Q9's supplier/nation/part joins must broadcast — lineitem may
+    not shuffle before reaching the orders join."""
+    df = registry.QUERIES["q9_product_profit"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,gear)" in plan  # LIKE pushed to scan
