@@ -1,0 +1,155 @@
+"""Deterministic sampling / dataset-splitting operators (EXT mandate:
+training-data pipeline surface).
+
+``df.sample()`` is seeded per-partition and NOT reproducible across
+cluster layouts, engines, or reruns with different partition counts —
+useless for a 100 TB pipeline that must produce the same train set
+twice.  The portable answer is content-hash bucketing: a row belongs
+to a sample/split iff ``hash(key) % N < k``.  That's a scan-local
+filter — no shuffle, no state, pushdown-friendly — and it gives the
+same answer on Spark, DuckDB, or a laptop, which also makes these
+operators oracle-checkable (the reference has no sampling at all;
+absence verified in SURVEY.md §2.6).
+
+The hash is the repo-wide portable md5-derived 32-bit hash
+(queries/llm_pipeline.py:149-154): identical fragments on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.queries._util import DEC_TOTAL, sum_d, t
+from instructions_mr_spark.queries.llm_pipeline import _duck_h32, _spark_h32
+from instructions_mr_spark.registry import query
+
+
+@query(
+    "sample_hash_mod",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE {_duck_h32('o_orderkey', 7)} % 10 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of orders by key-hash bucket.  Rerun
+    it on any engine, any partitioning, any day: same rows.  The
+    predicate is a pure per-row expression, so at 100 TB it rides the
+    scan (no shuffle, combines with column pruning)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.expr(f"{_spark_h32('o_orderkey', 7)} % 10 = 0"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM (SELECT n_chars, {_duck_h32('doc_id', 13)} % 100 AS b
+          FROM documents)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split of the corpus by doc-id hash
+    bucket — stable under re-partitioning and incremental ingestion
+    (a new doc never moves an old doc between splits, unlike
+    randomSplit).  Returned as per-split stats; the split column
+    itself is the reusable primitive."""
+    b = F.expr(f"{_spark_h32('doc_id', 13)} % 100")
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE {_duck_h32('event_id', 21)} % 5 = 0)
+             AS n_sample
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% per-stratum deterministic sample (strata = event_type),
+    reported as total-vs-sample counts per stratum.  Because the
+    bucket predicate is per-row, stratification needs NO extra pass
+    over the data — the conditional count shares the one aggregate
+    scan (contrast sampleBy, which is per-partition-seeded and not
+    reproducible)."""
+    in_sample = F.expr(f"{_spark_h32('event_id', 21)} % 5 = 0")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(in_sample, 1)).alias("n_sample"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "sample_reservoir_topup",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_kept, {sum_d(DEC_TOTAL, 'kept_value')}
+    FROM (
+      SELECT o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY {_duck_h32('o_orderkey', 31)}, o_orderkey)
+               AS rk
+      FROM orders)
+    WHERE rk <= 3
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def sample_reservoir_topup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'reservoir': keep at most 3 orders per customer,
+    chosen by hash-rank (a stable stand-in for random rank — same
+    sample every run).  Per-group top-k by hash order is how you cap
+    per-entity contributions in a training set (anti-spam / dedup by
+    source).  Plan: one shuffle on the group key, WindowGroupLimit
+    prunes to k per group before the full sort."""
+    w = F.expr(f"{_spark_h32('o_orderkey', 31)}")
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("o_custkey").orderBy(w.asc(), F.col("o_orderkey").asc())
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.expr(sum_d(DEC_TOTAL, "kept_value")),
+        )
+        .orderBy("o_custkey")
+    )
