@@ -36,6 +36,8 @@ HEADLINE = [
     "stream_session",
     "llm_echo_mapreduce",
     "llm_echo_mapreduce_fused",
+    "q9_product_profit",
+    "q21_waiting_supplier",
 ]
 
 
