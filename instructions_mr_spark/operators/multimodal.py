@@ -61,13 +61,16 @@ def binary_metadata(df: DataFrame, col: str, out: str = "meta") -> DataFrame:
 
 def _decode_one(payload: bytes, fake: bool) -> tuple[int, int]:
     """Return (width, height).  Real impl would use PIL; the fake is a
-    deterministic function of the payload digest so tests are stable."""
+    deterministic function of the payload's md5 digest so tests are
+    stable AND the whole mapInPandas decode path is oracle-checkable
+    (DuckDB can compute the identical md5-derived dims in SQL — see
+    queries/advanced.py multimodal_decode_fake)."""
     if not fake:
         raise NotImplementedError(
             "image decode requires PIL/opencv (not in this container); "
             "pass fake=True for the deterministic stub"
         )
-    h = hashlib.sha1(payload or b"").digest()
+    h = hashlib.md5(payload or b"").digest()
     w, ht = struct.unpack(">HH", h[:4])
     return (w % 1920) + 1, (ht % 1080) + 1
 

@@ -358,6 +358,48 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_decode_fake",
+    oracle="""
+    SELECT doc_id,
+           (('0x' || substr(md5(text), 1, 4))::INT % 1920) + 1 AS width,
+           (('0x' || substr(md5(text), 5, 4))::INT % 1080) + 1 AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode stage end-to-end through its real Arrow/mapInPandas
+    plumbing (operators/multimodal.decode_images), with the
+    deterministic fake decoder — so the oracle verifies the batch
+    schema, column threading, and the exact per-payload function, not
+    just 'some rows came back'.  The real decoder swaps _decode_one's
+    body for PIL; the plan is identical."""
+    from instructions_mr_spark.operators.multimodal import decode_images
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    return decode_images(d, "payload", fake=True).select(
+        "doc_id", "width", "height"
+    )
+
+
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (one row per sampled frame) with
+    the deterministic fake — rows-only check: the frame payloads are
+    binary digests DuckDB 1.0 cannot reproduce (no sha1), but the
+    fan-out shape and schema are driver-verified."""
+    from instructions_mr_spark.operators.multimodal import sample_frames
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+    return sample_frames(d, "payload", id_col="doc_id", every_n=10, fake=True)
+
+
 # ------------------------------------------------------- banded range join
 
 
