@@ -256,3 +256,39 @@ def test_stream_stream_join(spark, tmp_path):
         for r in spark.sql("SELECT click_tag, view_tag FROM ss_join_t").collect()
     }
     assert got == {("c1", "v1"), ("c3", "v3")}
+
+
+def test_stream_llm_map_pipeline(spark, sf_dir, tmp_path):
+    """The reference's declared drawback is 'Can Not Streaming E2E'
+    (README.md:96-97) — this engine runs the SAME instr_fanout_map
+    stage on a readStream source: documents stream in, the echo-LLM
+    map fans out per instruction, results land in a sink, and the
+    output equals the batch run row-for-row."""
+    import os as _os
+
+    from instructions_mr_spark.config import LlmConfig
+    from instructions_mr_spark.operators.llm_map import instr_fanout_map
+    from instructions_mr_spark.queries.llm_pipeline import _MAP_STAGE
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    _os.symlink(src, stream_dir / "part-0.parquet")
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).format("parquet").load(str(stream_dir))
+    mapped = instr_fanout_map(stream, _MAP_STAGE, LlmConfig(), keep_cols=["doc_id"])
+    assert mapped.isStreaming
+
+    _run_to_completion(mapped, "llm_stream", "append")
+    got = {
+        r.doc_id: (r.summary, r.keywords)
+        for r in spark.sql("SELECT * FROM llm_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.summary, r.keywords)
+        for r in instr_fanout_map(
+            spark.read.parquet(src), _MAP_STAGE, LlmConfig(), keep_cols=["doc_id"]
+        ).collect()
+    }
+    assert got == want and len(got) > 0
