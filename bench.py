@@ -50,15 +50,23 @@ def main() -> None:
     # would otherwise be charged to the first timed query).
     registry.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
+    # min over SPARK_GRAFT_BENCH_RUNS (default 2) runs per query: the
+    # JIT/GC/page-cache noise on a busy host is one-sided (only slows),
+    # so the min is the stable estimator of the plan's cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # noop sink: materializes every output column/row (count() would
-        # let Catalyst prune the projections away).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, runs)):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # noop sink: materializes every output column/row (count()
+            # would let Catalyst prune the projections away).
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
