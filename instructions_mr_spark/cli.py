@@ -51,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
         "without it Spark infers and sorts keys alphabetically, which "
         "changes nested serialization order vs the raw file)",
     )
+    ap.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the compiled physical plan instead of running "
+        "(what will execute: pushdowns, exchanges, Python stages)",
+    )
     args = ap.parse_args(argv)
 
     try:
@@ -80,6 +86,9 @@ def main(argv: list[str] | None = None) -> int:
         reduce_style=args.reduce_style,
         pretty=args.pretty,
     )
+    if args.explain:
+        out.explain("formatted")
+        return 0
     jsonl_sink(out, config.out_data_path)
     print(f"wrote {config.out_data_path}")
     return 0

@@ -57,6 +57,30 @@ def parquet_sink(
     writer.parquet(path)
 
 
+def orc_scan(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def orc_sink(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC sink (columnar alternative to parquet; same pushdown and
+    pruning support in Spark's vectorized reader)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def zstd_parquet_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Parquet with zstd: ~30% smaller than default snappy at similar
+    scan speed — at 100 TB the storage/scan-byte savings compound."""
+    df.write.mode(mode).option("compression", "zstd").parquet(path)
+
+
 def csv_scan(
     spark: SparkSession,
     path: str,

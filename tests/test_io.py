@@ -114,3 +114,48 @@ def test_cli_bad_config_paths(tmp_path, capsys):
     assert main([str(bad)]) == 2
     err = capsys.readouterr().err
     assert "not found" in err and "not valid JSON" in err
+
+
+def test_cli_explain_prints_plan(spark, tmp_path, capsys):
+    """--explain prints the compiled physical plan and writes nothing."""
+    import json as _json
+
+    from instructions_mr_spark.cli import main
+
+    in_path = tmp_path / "in.jsonl"
+    in_path.write_text('{"text": "alpha"}\n', encoding="utf-8")
+    out_path = str(tmp_path / "out_explain")
+    conf = {
+        "in_data_path": str(in_path),
+        "out_data_path": out_path,
+        "llm": {"api_type": "echo", "model": "echo"},
+        "pipe": [[{"name": "summary", "content": "Summarize.", "scope": ["text"]}]],
+    }
+    conf_path = tmp_path / "conf.json"
+    conf_path.write_text(_json.dumps(conf), encoding="utf-8")
+
+    assert main([str(conf_path), "--explain"]) == 0
+    plan = capsys.readouterr().out
+    assert "Physical Plan" in plan
+    assert not os.path.exists(out_path)  # nothing written
+
+
+def test_orc_and_zstd_roundtrip(spark, tmp_path):
+    from instructions_mr_spark.sources.io import (
+        orc_scan,
+        orc_sink,
+        zstd_parquet_sink,
+    )
+
+    df = spark.range(100).withColumn("s", F.concat(F.lit("v"), F.col("id")))
+    orc_path = str(tmp_path / "o.orc")
+    orc_sink(df, orc_path)
+    assert sorted(r.id for r in orc_scan(spark, orc_path).collect()) == list(range(100))
+
+    zp = str(tmp_path / "z.parquet")
+    zstd_parquet_sink(df, zp)
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(zp, "*.zstd.parquet"))
+    assert files  # codec actually applied (suffix carries the codec)
+    assert spark.read.parquet(zp).count() == 100
