@@ -138,3 +138,94 @@ def split_quarantine(
         lambda a, b: a | b, [F.col(c).isNull() for c in output_cols]
     )
     return df.filter(~any_null), df.filter(any_null)
+
+
+def record_schema(record, map_keys: frozenset[str] = frozenset()):
+    """StructType mirroring a JSON record's own key order.  Spark's
+    JSON schema inference sorts keys alphabetically, which changes
+    nested serialization order vs the raw record and breaks prompt
+    byte-parity (the reference iterates dicts in insertion order —
+    instructions_runners.py:40).  Keys named in ``map_keys`` become
+    string maps (for dict fields with per-row key sets)."""
+    from pyspark.sql import types as T
+
+    def build(value, key=None):
+        if isinstance(value, dict):
+            if key in map_keys:
+                return T.MapType(T.StringType(), T.StringType())
+            return T.StructType(
+                [T.StructField(k, build(v, k), True) for k, v in value.items()]
+            )
+        if isinstance(value, list):
+            elem = value[0] if value else ""
+            return T.ArrayType(build(elem, key), True)
+        if isinstance(value, bool):
+            return T.BooleanType()
+        if isinstance(value, int):
+            return T.LongType()
+        if isinstance(value, float):
+            return T.DoubleType()
+        return T.StringType()
+
+    return build(record)
+
+
+def run_with_configs(
+    spark,
+    llm,
+    inputs: dict,
+    map_conf: list[dict],
+    reduce_conf: list[dict],
+    reduce_style: str = "serialize",
+    pretty: bool = True,
+    map_keys: frozenset[str] = frozenset(),
+) -> dict:
+    """Drop-in twin of the reference library API
+    (``instructionspipe.pipelines.mapreduce.run_with_configs``,
+    v0.py:26-31): one record dict in, the reference's output dict out
+    — ``{"map_results": {...}, "reduce_results": {...}, "result":
+    markdown}`` (v0.py:51-55).  Synchronous (no asyncio — Spark owns
+    the concurrency); ``llm`` is the config's ``llm`` dict or an
+    LlmConfig.  For datasets use run_pipeline — this single-record
+    path exists so reference callers can migrate line-for-line.
+    """
+    import json as _json
+
+    from instructions_mr_spark.config import PipelineConfig
+
+    llm_dict = llm if isinstance(llm, dict) else None
+    config = PipelineConfig.from_dict(
+        {
+            "llm": llm_dict or {"api_type": "echo", "model": "echo"},
+            "pipe": [map_conf, reduce_conf],
+        }
+    )
+    if not isinstance(llm, dict) and llm is not None:
+        config = PipelineConfig(
+            llm=llm, stages=config.stages,
+            in_data_path=None, out_data_path=None,
+        )
+
+    schema = record_schema(inputs, map_keys=map_keys)
+    rdd = spark.sparkContext.parallelize([_json.dumps(inputs)])
+    df = spark.read.schema(schema).json(rdd)
+
+    init = stringify_kv(df, pretty=pretty)
+    mapped = run_stage(
+        init, config.stages[0], config.llm, pretty=pretty
+    ).persist()
+    map_results = mapped.collect()[0].asDict()
+    reduced = run_stage(
+        mapped,
+        config.stages[1],
+        config.llm,
+        reduce_style=reduce_style,
+        pretty=pretty,
+    )
+    final = md_sink(
+        reduced, config.stages[1].output_columns, out_col="result_md"
+    )
+    row = final.collect()[0].asDict()
+    mapped.unpersist()
+    md = row.pop("result_md")
+    return {"map_results": map_results, "reduce_results": row, "result": md}

@@ -153,3 +153,30 @@ def test_map_and_reduce_parity(spark, ehr, ref_config):
     md = row.pop("result_md")
     assert row == theirs["reduce_results"]
     assert md == theirs["result"]
+
+
+def test_run_with_configs_dropin_parity(spark, ehr, ref_config):
+    """The library-API twin: same signature shape, same output dict
+    {map_results, reduce_results, result} as the reference's
+    run_with_configs (v0.py:26-55), byte-identical in echo mode."""
+    ref_run, _ = _ref_modules()
+    record, _df = ehr
+    map_conf = ref_config["pipe"][0]
+    reduce_conf = ref_config["pipe"][1]
+
+    theirs = asyncio.run(ref_run(_EchoRefLlm(), record, map_conf, reduce_conf))
+
+    from instructions_mr_spark.plans import run_with_configs
+
+    ours = run_with_configs(
+        spark,
+        {"api_type": "echo", "model": "echo"},
+        record,
+        map_conf,
+        reduce_conf,
+        map_keys=frozenset({"results"}),
+    )
+    assert set(ours) == {"map_results", "reduce_results", "result"}
+    assert ours["map_results"] == theirs["map_results"]
+    assert ours["reduce_results"] == theirs["reduce_results"]
+    assert ours["result"] == theirs["result"]
