@@ -81,3 +81,34 @@ def test_embedding_dedup_joins_on_band_bucket(spark, sf_dir):
     df = registry.QUERIES["dedup_embedding_cosine"](spark, sf_dir)
     plan = _plan(df)
     assert "band" in plan and "bucket" in plan
+
+
+def test_no_python_stage_outside_allowlist(spark, sf_dir):
+    """Mechanical 'UDFs are the slow path' guarantee: every registered
+    query must compile to a pure-JVM plan unless it is one of the
+    operators that are Python BY DESIGN (the LLM executor, the
+    multimodal decode plumbing, the UDF-surface-parity queries).  A
+    regression that sneaks a Python eval into a relational query fails
+    here, not in a 100 TB run."""
+    PYTHON_BY_DESIGN = {
+        "llm_echo_map", "llm_echo_map_arrow", "llm_echo_mapreduce",
+        "llm_echo_mapreduce_fused", "sv_pipeline_echo",
+        "multimodal_decode_fake", "multimodal_frame_sample",
+        "udf_pandas_scalar", "udaf_grouped_pandas", "udtf_tokenize",
+    }
+    # iterative/ML queries execute work at plan-build time — checked
+    # by their own tests, skipped here to keep the sweep fast
+    SKIP = {"dedup_cluster_cc", "sim_search_ivf_kmeans"}
+    MARKERS = (
+        "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+        "FlatMapGroupsInPandas", "MapInArrow", "PythonUDTF",
+    )
+    offenders = []
+    for name, fn in sorted(registry.QUERIES.items()):
+        if name in SKIP or name in PYTHON_BY_DESIGN:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        hit = [m for m in MARKERS if m in plan]
+        if hit:
+            offenders.append((name, hit))
+    assert not offenders, f"Python stages in JVM-only queries: {offenders}"
