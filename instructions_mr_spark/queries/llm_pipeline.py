@@ -305,39 +305,64 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scale path: candidate generation is an equi-join on
     band keys (shuffle bounded by collisions), and only candidates
     pay the verify cost."""
-    sigs = _minhash_signatures(t(spark, sf_dir, "documents"))
+    # The signature projection (md5 per shingle + k permutations) is
+    # the dominant cost, and a self-join makes Catalyst DUPLICATE the
+    # subplan per side (x2 bands x2 sides = 4 computes — measured).
+    # So: parallelize the compute across cores (the testdata's single
+    # row group otherwise pins it to ONE task) and materialize it ONCE
+    # with localCheckpoint; the self-join then reads the materialized
+    # rows.  At 100 TB this is "stage the signature table" (persist or
+    # an intermediate table) — k ints + shingles per doc, tiny next to
+    # the corpus — instead of recomputing the digest pass 4x.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sh = _shingle_docs(docs)
+    base = f"TRANSFORM(shingles, w -> {_spark_h32('w', 0)})"
+    sigs = sh.selectExpr("doc_id", "shingles", f"{base} AS hs").selectExpr(
+        "doc_id",
+        "shingles",
+        *[
+            f"ARRAY_MIN(TRANSFORM(hs, h -> ({_MH_A[s]} * h + {_MH_B[s]}) % {_MH_P})) AS mh{s}"
+            for s in range(_MINHASH_K)
+        ],
+    ).localCheckpoint()
     r = _MINHASH_K // 2
     bands = None
     for band in range(2):
         cols = [f"mh{r * band + j}" for j in range(r)]
+        # shingles ride along in the band rows: the verify stage then
+        # needs NO join back to the shingle table — one band-key
+        # exchange (reused for both self-join sides) + one pair-dedup
+        # exchange, instead of 4 (the join-back variant re-scanned and
+        # re-shuffled the shingle table once per pair side).
         b = sigs.select(
             "doc_id",
+            "shingles",
             F.lit(band).alias("band"),
             F.concat_ws("_", *cols).alias("key"),
         )
         bands = b if bands is None else bands.unionByName(b)
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    ws = _shingle_docs(t(spark, sf_dir, "documents")).select(
-        "doc_id", F.col("shingles").alias("ws")
-    )
-    wa = ws.alias("wa")
-    wb = ws.alias("wb")
-    return (
-        cand.join(wa, cand.doc_a == F.col("wa.doc_id"))
-        .join(wb, cand.doc_b == F.col("wb.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("ws_a"),
+            F.col("b.shingles").alias("ws_b"),
+        )
+        .groupBy("doc_a", "doc_b")  # a pair can collide in both bands
+        .agg(F.first("ws_a").alias("ws_a"), F.first("ws_b").alias("ws_b"))
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.size(F.array_intersect("wa.ws", "wb.ws")).cast("double")
-                / F.size(F.array_union("wa.ws", "wb.ws")),
+                F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+                / F.size(F.array_union("ws_a", "ws_b")),
                 6,
             ).alias("jaccard"),
         )

@@ -22,9 +22,11 @@ NOTES = {
     "join_asof": "Union + last-ignorenulls window: ONE hash exchange on the "
     "key, no Python stage, right side semi-join-pruned to keys present on "
     "the left.",
-    "dedup_minhash_lsh": "Signatures are a pure projection (no shuffle); "
-    "candidates come from an equi-join on band keys; only candidates pay the "
-    "exact-jaccard verify.",
+    "dedup_minhash_lsh": "Signature table computed ONCE (parallelized "
+    "repartition + localCheckpoint — a self-join otherwise duplicates the "
+    "md5 subplan per band per side, 4x); candidates from an equi-join on "
+    "band keys with shingles riding along, so verify needs no join-back; "
+    "only candidates pay the exact-jaccard check.",
     "sim_search_topk": "Query vector broadcasts (1-row BroadcastNestedLoopJoin "
     "= the broadcast); TakeOrderedAndProject for top-k — no global sort.",
     "topk_per_group": "rank-limit pushdown: WindowGroupLimit keeps per-group "
