@@ -1,0 +1,110 @@
+"""Product-analytics shapes over the events stream table: running
+distinct counts (an operator Spark has no native window form for) and
+cohort retention.  Reference status: no aggregation of any kind
+(SURVEY.md §2.6) — EXT mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.registry import query
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_type, ts,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts) = 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events)
+    SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+           SUM(is_new) OVER (PARTITION BY event_type ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS running_users
+    FROM flagged
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT user) per event_type — neither Spark nor
+    most engines allow DISTINCT inside a window aggregate, and the
+    naive collect_set-over-window materializes a per-row set (O(n^2)
+    memory on a hot partition).  The scalable identity: a user's FIRST
+    occurrence contributes 1, every later one 0, so running-distinct =
+    running SUM of first-occurrence flags — two window passes that
+    share the event_type hash partitioning (one exchange; the second
+    window only re-sorts within partitions)."""
+    is_new = (
+        F.row_number().over(
+            Window.partitionBy("event_type", "user_id").orderBy("ts")
+        )
+        == 1
+    ).cast("int")
+    running = Window.partitionBy("event_type").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_type", "ts", "user_id")
+        .withColumn("is_new", is_new)
+        .select(
+            "event_type",
+            "ts",
+            F.sum("is_new").over(running).alias("running_users"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week,
+                       date_trunc('week', e.ts)) // 7 AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           week_offset,
+           COUNT(*) AS active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted once per (cohort, week-offset) they were active in.
+
+    Plan: first_seen is one aggregate on user_id; the join back to
+    events reuses the user_id partitioning (first_seen is also tiny —
+    one row per user — so AQE broadcasts it); the distinct + final
+    rollup group on the small (cohort, offset) key space.  At 100 TB
+    the only wide exchange is the per-user MIN."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        e.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "datediff(date_trunc('week', ts), cohort_week) DIV 7"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
