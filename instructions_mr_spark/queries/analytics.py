@@ -108,3 +108,39 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT SUM(n) AS total FROM c)
+    SELECT user_id, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS share
+    FROM c, tot
+    WHERE n > total / 200
+    ORDER BY n DESC, user_id
+    LIMIT 25
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys above 0.5% of total traffic — the skew diagnosis that decides
+    whether a join/agg key needs salting (join_salted_skew /
+    agg_salted_twophase are the remedies).  One partial-agg shuffle on
+    the key + a 1-row broadcast total; at 100 TB run it on a
+    sample_hash_mod slice first."""
+    c = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.agg(F.sum("n").alias("total"))
+    return (
+        c.join(F.broadcast(tot))
+        .filter(F.col("n") > F.col("total") / 200)
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(25)
+    )

@@ -113,3 +113,41 @@ def md_sink(df: DataFrame, columns: Sequence[str], out_col: str = "md") -> DataF
     as a JVM-side concat (no UDF)."""
     sections = [md_section(c, F.coalesce(F.col(c).cast("string"), F.lit(""))) for c in columns]
     return df.withColumn(out_col, F.concat(*sections) if sections else F.lit(""))
+
+
+def sorted_parquet_sink(
+    df: DataFrame, path: str, sort_cols: Sequence[str], mode: str = "overwrite"
+) -> None:
+    """Write parquet with rows sorted inside each file on
+    ``sort_cols``: parquet keeps per-row-group min/max stats, so a
+    later filter on those columns skips whole row groups — the poor
+    man's z-order, free at write time.  Sort is WITHIN partitions
+    (no global shuffle); pair with repartition(col) upstream when
+    files should also be value-clustered across files."""
+    df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and return the new file count.
+    The #1 lake-maintenance chore at 100 TB — streaming/micro-batch
+    sinks leave thousands of KB-sized files whose per-file open cost
+    dominates scans.  coalesce (not repartition): no shuffle, just
+    fewer write tasks."""
+    import math
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(root, f))
+        for root, _, files in _os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(out_path)
+    return n

@@ -159,3 +159,33 @@ def test_orc_and_zstd_roundtrip(spark, tmp_path):
     files = _glob.glob(os.path.join(zp, "*.zstd.parquet"))
     assert files  # codec actually applied (suffix carries the codec)
     assert spark.read.parquet(zp).count() == 100
+
+
+def test_sorted_sink_rowgroup_stats(spark, tmp_path):
+    """Sorted files carry tight min/max stats; a selective filter on
+    the sort column must prune row groups (verified via the pushdown
+    filter reaching the scan and correct results)."""
+    from instructions_mr_spark.sources.io import sorted_parquet_sink
+
+    df = spark.range(0, 10000).withColumn("k", (F.col("id") * 7919) % 10000)
+    out = str(tmp_path / "sorted")
+    sorted_parquet_sink(df, out, ["k"])
+    back = spark.read.parquet(out).filter(F.col("k") < 5)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "LessThan(k,5)" in plan  # pushed to the parquet reader
+    assert sorted(r.k for r in back.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from instructions_mr_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # 64 tiny files
+    spark.range(0, 6400).repartition(64).write.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_before == 64
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_bytes=10**9)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n == 1 and n_after == 1
+    assert spark.read.parquet(out).count() == 6400
