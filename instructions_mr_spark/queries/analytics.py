@@ -144,3 +144,48 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("user_id"))
         .limit(25)
     )
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT r_name, l.n_name, l.n_customers
+    FROM region r,
+    LATERAL (
+      SELECT n_name, COUNT(c_custkey) AS n_customers
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      WHERE n_regionkey = r.r_regionkey
+      GROUP BY n_name
+      ORDER BY n_customers DESC, n_name
+      LIMIT 2
+    ) l
+    ORDER BY r_name, l.n_customers DESC, l.n_name
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL API (Spark 4
+    supports LATERAL): top-2 nations by customer count per region.
+    Catalyst decorrelates it into the same window-rank plan as the
+    DataFrame top-k-per-group — the point is SQL-surface parity, not
+    a new physical strategy."""
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    r = t(spark, sf_dir, "region")
+    n.createOrReplaceTempView("v_nation_lat")
+    c.createOrReplaceTempView("v_customer_lat")
+    r.createOrReplaceTempView("v_region_lat")
+    return spark.sql(
+        """
+        SELECT r_name, l.n_name, l.n_customers
+        FROM v_region_lat r,
+        LATERAL (
+          SELECT n_name, COUNT(c_custkey) AS n_customers
+          FROM v_nation_lat JOIN v_customer_lat ON c_nationkey = n_nationkey
+          WHERE n_regionkey = r.r_regionkey
+          GROUP BY n_name
+          ORDER BY n_customers DESC, n_name
+          LIMIT 2
+        ) l
+        ORDER BY r_name, l.n_customers DESC, l.n_name
+        """
+    )

@@ -60,6 +60,12 @@ NOTES = {
     "q21_waiting_supplier": "Sole-late-supplier: count-over-window on the "
     "deduped late set (no self-join back, 2 lineitem scans total); all "
     "intermediates keyed on l_orderkey; supplier dim broadcasts.",
+    "window_running_distinct": "Running COUNT(DISTINCT) via the "
+    "first-occurrence-flag identity: two Window ops sharing the event_type "
+    "hash partitioning — one exchange, no per-row set state.",
+    "cohort_retention": "One wide exchange (per-user MIN); first_seen "
+    "broadcasts back to events; distinct + rollup on the tiny "
+    "(cohort, offset) key space.",
 }
 
 
