@@ -103,3 +103,43 @@ def test_q9_dimensions_broadcast(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3
     assert "StringContains(p_name,gear)" in plan  # LIKE pushed to scan
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property check against an independent algorithm: on random
+    graphs, label propagation must produce exactly the components a
+    driver-side union-find computes."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_nodes = rng.randint(5, 40)
+        n_edges = rng.randint(3, 60)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {a for e in edges for a in e}
+        want = {}
+        for v in touched:
+            root = find(v)
+            comp_min = min(u for u in touched if find(u) == root)
+            want[v] = comp_min
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r.node: r.component for r in connected_components(df).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
