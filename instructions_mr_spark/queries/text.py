@@ -212,3 +212,72 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CONV(SUBSTRING(MD5(CAST(text AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
         ).alias("fp32"),
     )
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE levenshtein(a.text, b.text) <= 150
+    ORDER BY doc_a
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verify kernel: Levenshtein distance
+    between adjacent doc ids, kept when <= 150 edits (~p10 of adjacent-pair distances here).  Like
+    dedup_ngram_jaccard this isolates the verify stage with linear
+    blocking; production candidate generation is the LSH path —
+    edit distance is O(len^2) per pair and must only ever run on
+    LSH-blocked candidates at scale."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 150)
+        .orderBy("doc_a")
+    )
+
+
+@query(
+    "text_ngram_freq",
+    oracle="""
+    SELECT bg, COUNT(*) AS n FROM (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM (SELECT string_split(text, ' ') AS w FROM documents))
+    GROUP BY bg
+    ORDER BY n DESC, bg
+    LIMIT 50
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency (top 50): the building block of
+    n-gram LMs and contamination checks.  explode is a narrow op —
+    the only shuffle is the count aggregate, with map-side partials
+    over the exploded stream (never materializing the full n-gram
+    list per partition)."""
+    w = t(spark, sf_dir, "documents").select(F.split("text", " ").alias("w"))
+    bigrams = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("bg")
+    )
+    return (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bg"))
+        .limit(50)
+    )
