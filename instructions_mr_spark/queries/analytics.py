@@ -189,3 +189,100 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r_name, l.n_customers DESC, l.n_name
         """
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (SELECT event_type, user_id, COUNT(*) AS n
+               FROM events GROUP BY event_type, user_id)
+    SELECT event_type, user_id AS mode_user, n
+    FROM (SELECT event_type, user_id, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, user_id) AS rk
+          FROM c)
+    WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tiebreak (most frequent
+    user per event type; smallest id wins ties) — built-in mode() is
+    tie-nondeterministic on both engines, so re-runs and engines can
+    disagree.  Count + window-rank keeps it reproducible: one shuffle
+    on the pair key, one on the group key."""
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("n").desc(), F.col("user_id")
+        )
+    )
+    return (
+        c.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"), "n")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           BOOL_AND(l_discount <= 0.1) AS all_small_disc,
+           BOOL_OR(l_quantity > 45) AS any_big_qty,
+           COUNT(*) FILTER (WHERE l_tax = 0) AS n_tax_free
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) + filtered count — predicates
+    fold into the partial aggregate, so the shuffle carries 3 booleans
+    and a long per group."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_discount") <= 0.1).alias("all_small_disc"),
+            F.bool_or(F.col("l_quantity") > 45).alias("any_big_qty"),
+            F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 5) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bucket = floor(value/5)): the
+    one-pass distribution profile used to pick salt factors and spot
+    outliers.  Bucketing is a scan-local expression; the aggregate
+    shuffles only (bucket, partials)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.col("value") / 5).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
