@@ -139,3 +139,83 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.cume_dist().over(w), 8).alias("cume"),
         )
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    WITH nrev AS (
+      SELECT n_regionkey, n_name,
+             SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey, n_name)
+    SELECT n_name,
+           CAST(bal AS DOUBLE) AS nation_bal,
+           ROUND(CAST(bal AS DOUBLE)
+                 / CAST(SUM(bal) OVER (PARTITION BY n_regionkey) AS DOUBLE),
+                 6) AS region_share
+    FROM nrev
+    ORDER BY n_name
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's customer
+    balance — aggregate once, then a partition-total window over the
+    SMALL aggregated frame (25 rows), never a second pass over the
+    fact table.  Share division happens in exact DECIMAL until the
+    final rounded double."""
+    nrev = (
+        t(spark, sf_dir, "nation")
+        .join(
+            t(spark, sf_dir, "customer"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.expr("SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal"))
+    )
+    total = F.sum("bal").over(W.partitionBy("n_regionkey"))
+    return nrev.select(
+        "n_name",
+        F.col("bal").cast("double").alias("nation_bal"),
+        F.round(
+            F.col("bal").cast("double") / total.cast("double"), 6
+        ).alias("region_share"),
+    ).orderBy("n_name")
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             FIRST_VALUE(o_orderkey) OVER w AS first_order,
+             LAST_VALUE(o_orderkey) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, first_order, last_order, COUNT(*) AS n_orders
+    FROM o GROUP BY o_custkey, first_order, last_order
+    ORDER BY o_custkey
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value per customer (the classic
+    first-touch/last-touch attribution kernel).  LAST_VALUE needs the
+    full-partition frame on both engines — the default running frame
+    would return the CURRENT row.  (o_orderdate, o_orderkey) ordering
+    makes ties deterministic; both windows share one exchange+sort."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+    )
+    return (
+        o.groupBy("o_custkey", "first_order", "last_order")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_custkey")
+    )
