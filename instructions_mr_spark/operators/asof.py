@@ -7,7 +7,9 @@ largest right-time <= left-time among rows sharing the equi-key
 
 Implementation (scale-first, pure JVM): tag and union both sides,
 then one window pass per key ordered by (time, tag) carrying the
-latest right payload forward with ``last(..., ignorenulls=True)``:
+latest right payload forward — as a SINGLE struct column — with
+``last(struct(...), ignorenulls=True)``, so all right columns come
+from the same matched row even when that row has NULL payloads:
 
     right rows sort before left rows at equal times (inclusive match),
     each left row reads the most recent right payload in its frame.
@@ -89,15 +91,22 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     unioned = tagged_left.unionByName(tagged_right)
+    # Carry the right payload as ONE struct so every output column
+    # comes from the same matched right row — filling each column
+    # independently would backfill a NULL payload column from an older
+    # right row, diverging from DuckDB ASOF JOIN semantics.
     filled = unioned.select(
         "__tag",
         *left_cols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
-        F.last(F.when(F.col("__tag") == 0, F.lit(1)), ignorenulls=True)
+        F.last(
+            F.when(F.col("__tag") == 0, F.struct(*right_cols)), ignorenulls=True
+        )
         .over(w)
-        .alias("__matched"),
+        .alias("__r"),
     )
     out = filled.filter(F.col("__tag") == 1)
     if how == "inner":
-        out = out.filter(F.col("__matched").isNotNull())
-    return out.select(*left_cols, *right_cols)
+        out = out.filter(F.col("__r").isNotNull())
+    return out.select(
+        *left_cols, *[F.col("__r")[c].alias(c) for c in right_cols]
+    )

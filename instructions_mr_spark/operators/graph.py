@@ -55,6 +55,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             e.join(labels, e.src == labels.node)
@@ -74,7 +75,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     e.unpersist()
+    if not converged:
+        # Min-label propagation needs O(diameter) rounds; exhausting
+        # the loop without hitting the sum fixpoint means some
+        # component is still split — returning silently would look
+        # valid but be wrong.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (component diameter exceeds it)"
+        )
     return labels

@@ -39,10 +39,17 @@ def scd2_apply(
 
     ``current`` must carry ``valid_from``/``valid_to`` (null = open);
     ``changes`` carries the key, attributes, and ``change_ts``.
+
+    Multiple changes for one key in a single batch are chained: each
+    version's ``valid_to`` is the NEXT change's ``valid_from`` (a
+    ``lead`` window over the batch), so exactly one row per key stays
+    open — the SCD2 invariant — instead of several concurrent opens.
     """
     keys = list(keys)
+    w_chain = W.partitionBy(*keys).orderBy(change_ts)
     ch = changes.withColumn(valid_from, F.col(change_ts)).withColumn(
-        valid_to, F.lit(None).cast(current.schema[valid_to].dataType)
+        valid_to,
+        F.lead(change_ts).over(w_chain).cast(current.schema[valid_to].dataType),
     )
     first_change = ch.groupBy(*keys).agg(F.min(change_ts).alias("__first_change"))
 

@@ -79,7 +79,9 @@ def user_msg_col(
     ensure_ascii=False)`` via an Arrow-batched UDF.
     """
     cols = scope_in_record_order(scope, available)
-    c = F.to_json(F.struct(*[F.col(x) for x in cols]))
+    from instructions_mr_spark.operators.scope import to_json_keep_nulls
+
+    c = to_json_keep_nulls(F.struct(*[F.col(x) for x in cols]))
     if pretty:
         from instructions_mr_spark.operators.scope import _pretty_json_str
 

@@ -41,6 +41,14 @@ def scope_project(df: DataFrame, scope: Sequence[str] | None) -> DataFrame:
     return df.select(*scope)
 
 
+def to_json_keep_nulls(col: Column) -> Column:
+    """``F.to_json`` with ``ignoreNullFields=false`` — the reference's
+    ``json.dumps`` emits ``"key": null`` and DuckDB's ``to_json`` keeps
+    nulls, while Spark's default drops them; this keeps byte parity for
+    records containing null scoped fields."""
+    return F.to_json(col, {"ignoreNullFields": "false"})
+
+
 @F.pandas_udf(T.StringType())
 def _pretty_json_str(s: pd.Series) -> pd.Series:
     """json.dumps(indent=2, ensure_ascii=False) over already-JSON text.
@@ -73,7 +81,7 @@ def stringify_kv(df: DataFrame, pretty: bool = False) -> DataFrame:
         if _is_string_type(f.dataType):
             cols.append(F.col(f.name))
         elif isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
-            c = F.to_json(F.col(f.name))
+            c = to_json_keep_nulls(F.col(f.name))
             if pretty:
                 c = _pretty_json_str(c)
             cols.append(c.alias(f.name))
@@ -99,7 +107,7 @@ def json_serialize(
     pretty: bool = False,
 ) -> DataFrame:
     """Scoped record -> one JSON string column (the LLM user message)."""
-    c = F.to_json(F.struct(*[F.col(x) for x in _scoped_cols(df, scope)]))
+    c = to_json_keep_nulls(F.struct(*[F.col(x) for x in _scoped_cols(df, scope)]))
     if pretty:
         c = _pretty_json_str(c)
     return df.withColumn(out_col, c)
@@ -109,7 +117,7 @@ def serialized_scope_col(
     df: DataFrame, scope: Sequence[str] | None, pretty: bool = False
 ) -> Column:
     """Column-valued variant of ``json_serialize`` for composition."""
-    c = F.to_json(F.struct(*[F.col(x) for x in _scoped_cols(df, scope)]))
+    c = to_json_keep_nulls(F.struct(*[F.col(x) for x in _scoped_cols(df, scope)]))
     return _pretty_json_str(c) if pretty else c
 
 
@@ -121,7 +129,7 @@ def any_to_str(col: Column, dt: T.DataType) -> Column:
     Spark's cast semantics cover the rest of the primitive types.
     """
     if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
-        return F.to_json(col)
+        return to_json_keep_nulls(col)
     return col.cast("string")
 
 

@@ -138,16 +138,18 @@ def compact_parquet(
     The #1 lake-maintenance chore at 100 TB — streaming/micro-batch
     sinks leave thousands of KB-sized files whose per-file open cost
     dominates scans.  coalesce (not repartition): no shuffle, just
-    fewer write tasks."""
-    import math
-    import os as _os
+    fewer write tasks.
 
-    total = sum(
-        _os.path.getsize(_os.path.join(root, f))
-        for root, _, files in _os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    Sizing goes through the Hadoop FileSystem API (not os.walk), so it
+    works for any filesystem Spark can read — s3a://, hdfs://, file://
+    — not just the driver's local disk."""
+    import math
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
     n = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(out_path)
     return n

@@ -47,6 +47,27 @@ def test_asof_inner_drops_unmatched(spark):
     assert {r.ev for r in out.collect()} == {"e1", "e2"}
 
 
+def test_asof_null_payload_not_backfilled(spark):
+    """A matched right row with a NULL payload column must yield NULL —
+    not a value backfilled from an OLDER right row (DuckDB ASOF JOIN
+    semantics: all output columns come from the single matched row)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-20 00:00:00"), "e1")], "uid int, ts timestamp, ev string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), "old_val", 10),
+            (1, _ts("2024-01-15 00:00:00"), None, 20),  # the match; payload NULL
+        ],
+        "cid int, rts timestamp, payload string, amt int",
+    )
+    out = asof_join(left, right, "ts", "rts", ["uid"], ["cid"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.amt == 20 and r.rts == _ts("2024-01-15 00:00:00")
+    assert r.payload is None  # NOT "old_val"
+
+
 def test_asof_schema_is_left_plus_right(spark):
     left, right = _frames(spark)
     out = asof_join(left, right, "ts", "rts", ["uid"], ["cid"])

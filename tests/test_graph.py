@@ -37,6 +37,22 @@ def test_cc_orientation_invariance(spark):
     assert dict(a)[9] == 1 and dict(a)[7] == 2
 
 
+def test_cc_raises_on_exhausted_iterations(spark):
+    """A path graph of diameter > max_iter cannot converge — the
+    operator must raise rather than return silently-split components
+    (ADVICE r01)."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
+    # and with enough rounds the same graph is one component
+    out = connected_components(edges, max_iter=30)
+    assert {r.component for r in out.collect()} == {0}
+
+
 def test_dedup_cluster_consistent_with_pairs(spark, sf_dir):
     """Every LSH near-dup pair must land in the same cluster, and
     every cluster id must be the min doc_id of its members."""

@@ -56,6 +56,35 @@ def test_scd2_apply(spark):
     assert all(r["count"] == 1 for r in open_counts)
 
 
+def test_scd2_apply_multiple_changes_one_batch(spark):
+    """Several changes for one key in a single batch must chain:
+    each version's valid_to = next change's valid_from, exactly one
+    row left open (the SCD2 invariant)."""
+    t0 = dt.datetime(2024, 1, 1)
+    current = spark.createDataFrame(
+        [(2, "addr_b", t0, None)],
+        "id int, addr string, valid_from timestamp, valid_to timestamp",
+    )
+    t2 = dt.datetime(2024, 9, 1)
+    t3 = dt.datetime(2024, 10, 1)
+    t4 = dt.datetime(2024, 11, 1)
+    changes = spark.createDataFrame(
+        [(2, "addr_b2", t2), (2, "addr_b3", t3), (2, "addr_b4", t4)],
+        "id int, addr string, change_ts timestamp",
+    )
+    out = scd2_apply(current, changes, ["id"], "change_ts")
+    rows = sorted((r.addr, r.valid_from, r.valid_to) for r in out.collect())
+    assert rows == sorted(
+        [
+            ("addr_b", t0, t2),
+            ("addr_b2", t2, t3),   # chained inside the batch
+            ("addr_b3", t3, t4),
+            ("addr_b4", t4, None),  # only the last change stays open
+        ]
+    )
+    assert out.filter(F.col("valid_to").isNull()).count() == 1
+
+
 def test_latest_version(spark):
     cdc = spark.createDataFrame(
         [(1, 1, "v1"), (1, 3, "v3"), (1, 2, "v2"), (2, 1, "w1")],

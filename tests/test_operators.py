@@ -62,6 +62,19 @@ def test_json_serialize_pretty_parity(spark):
     assert got == json.dumps({"k1": "a", "k2": "é"}, indent=2, ensure_ascii=False)
 
 
+def test_json_serialize_null_fields_kept(spark):
+    """Records with NULL scoped fields must serialize like the
+    reference's json.dumps ("key": null) — Spark's to_json default
+    drops null fields (ignoreNullFields=true), which would silently
+    break parity and the DuckDB oracle (ADVICE r01)."""
+    df = spark.createDataFrame([("a", None)], "k1 string, k2 string")
+    got = json_serialize(df, ["k1", "k2"]).collect()[0].serialized
+    assert json.loads(got) == {"k1": "a", "k2": None}
+    assert "k2" in got
+    pretty = json_serialize(df, ["k1", "k2"], pretty=True).collect()[0].serialized
+    assert pretty == json.dumps({"k1": "a", "k2": None}, indent=2, ensure_ascii=False)
+
+
 def test_json_clean(spark):
     df = spark.createDataFrame([("```json\n{}\n```",)], "s string")
     assert df.select(json_clean(F.col("s")).alias("c")).collect()[0].c == "\n{}\n"
