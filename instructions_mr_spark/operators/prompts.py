@@ -112,6 +112,18 @@ def prompt_template_sub(template: str, subs: Mapping[str, str]) -> str:
     return out
 
 
+def prompt_template_sub_col(template: str, subs: Mapping[str, Column]) -> Column:
+    """Column-valued placeholder substitution: fill a template with
+    per-record values (the reference fills with config literals only,
+    self_verification_mr.py:473-486; this is the distributed
+    generalization — same replace chain, JVM-side ``F.replace``, no
+    UDF)."""
+    out: Column = F.lit(template)
+    for key, val in subs.items():
+        out = F.replace(out, F.lit(key), val)
+    return out
+
+
 def xml_tag_wrap_one(name: str, content: Column) -> Column:
     """``<NAME>\ncontent\n</NAME>\n\n`` for one named input."""
     return F.concat(

@@ -115,6 +115,29 @@ def md_sink(df: DataFrame, columns: Sequence[str], out_col: str = "md") -> DataF
     return df.withColumn(out_col, F.concat(*sections) if sections else F.lit(""))
 
 
+def stdout_render(df: DataFrame, columns: Sequence[str] | None = None, sep: str = "\t") -> DataFrame:
+    """Render rows to the text lines the stdout sink prints: one
+    ``sep``-joined line per row, nulls as empty strings — the
+    deterministic core of ``stdout_sink``, exposed as a DataFrame so
+    the rendering is oracle-checkable."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    line = F.concat_ws(
+        sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    )
+    return df.withColumn("line", line)
+
+
+def stdout_sink(df: DataFrame, columns: Sequence[str] | None = None, limit: int = 20) -> int:
+    """Print up to ``limit`` rendered rows to stdout (the reference
+    CLI's terminal output; ``bin/text_mr_pipe.py`` prints per-record
+    results as it loops).  Returns the number of lines printed.
+    ``take(limit)`` bounds driver transfer — never a full collect."""
+    rows = stdout_render(df, columns).select("line").take(limit)
+    for r in rows:
+        print(r.line)
+    return len(rows)
+
+
 def sorted_parquet_sink(
     df: DataFrame, path: str, sort_cols: Sequence[str], mode: str = "overwrite"
 ) -> None:

@@ -189,3 +189,25 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
     assert n == 1 and n_after == 1
     assert spark.read.parquet(out).count() == 6400
+
+
+def test_stdout_sink_prints_rendered_lines(spark, capsys):
+    from instructions_mr_spark.sources.io import stdout_sink
+
+    df = spark.createDataFrame([(1, "a", None), (2, "b", "x")], "id int, s string, n string")
+    n = stdout_sink(df, limit=10)
+    out = capsys.readouterr().out
+    assert n == 2
+    assert "1\ta\t" in out and "2\tb\tx" in out  # nulls render empty
+
+
+def test_prompt_template_sub_col_fills_per_record(spark):
+    from instructions_mr_spark.operators.prompts import prompt_template_sub_col
+
+    df = spark.createDataFrame([("en", "web")], "lang string, src string")
+    got = df.select(
+        prompt_template_sub_col(
+            "L=__L__ S=__S__", {"__L__": F.col("lang"), "__S__": F.col("src")}
+        ).alias("p")
+    ).collect()[0].p
+    assert got == "L=en S=web"
