@@ -185,12 +185,36 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx")  # rows-only: sketch algorithms differ
+@query(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           TRUE AS approx_in_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (KLL-style sketch, the 100 TB path — bounded
+    memory vs exact percentile's full sort).  Sketch outputs differ by
+    engine, so the checkable contract is the RANK-ERROR BOUND: with
+    accuracy=1000 the estimate's rank error is ~n/1000, far inside the
+    [p45, p55] exact band emitted as a pinned-TRUE boolean; the exact
+    interpolated median rides along for the value hash."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"))
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__approx"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_p50"),
+            F.expr("percentile(l_extendedprice, 0.45)").alias("__lo"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("__hi"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            F.col("__approx").between(F.col("__lo"), F.col("__hi")).alias("approx_in_band"),
+        )
     )
 
 
@@ -385,19 +409,33 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(0, (strlen(text) % 50) + 10, 10))::INT AS frame_idx,
+           20 AS frame_bytes
+    FROM documents
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (one row per sampled frame) with
-    the deterministic fake — rows-only check: the frame payloads are
-    binary digests DuckDB 1.0 cannot reproduce (no sha1), but the
-    fan-out shape and schema are driver-verified."""
+    the deterministic fake.  The sha1 frame payloads aren't
+    reproducible in DuckDB (no sha1 function), so the oracle pins the
+    full FAN-OUT CONTRACT instead: exact frame indices per document
+    (one per every_n up to the payload-derived frame count) and the
+    20-byte sha1 digest length — schema, explode shape, and batch
+    threading all hash-checked."""
     from instructions_mr_spark.operators.multimodal import sample_frames
 
     d = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.col("text").cast("binary").alias("payload"))
     )
-    return sample_frames(d, "payload", id_col="doc_id", every_n=10, fake=True)
+    frames = sample_frames(d, "payload", id_col="doc_id", every_n=10, fake=True)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
 
 
 # ------------------------------------------------------- banded range join

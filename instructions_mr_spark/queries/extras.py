@@ -349,19 +349,38 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_search_ivf_kmeans")  # rows-only: k-means centroids aren't SQL-expressible
+@query(
+    "sim_search_ivf_kmeans",
+    oracle="SELECT 10 AS n_results, TRUE AS recall_ok",
+)
 def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means IVF ANN (operators/simsearch.py): train 8 coarse
     centroids (fixed seed), probe the 4 cells nearest the vec_id=0
-    query, exact cosine within candidates.  Recall vs the brute-force
-    baseline is asserted in tests/test_simsearch.py; n_probe=k here
-    would equal sim_search_topk exactly."""
+    query, exact cosine within candidates.  Centroids aren't
+    SQL-expressible, so the driver-checkable contract is the ANN
+    QUALITY GUARANTEE: result count == top_k and recall@10 vs the
+    exact brute-force scan >= 0.5, pinned TRUE by the oracle (the
+    per-sf recall value itself is asserted in tests/test_simsearch.py;
+    n_probe=k here would equal sim_search_topk exactly)."""
     from instructions_mr_spark.operators.simsearch import ivf_search, train_ivf_centroids
+
+    from instructions_mr_spark.functions import cosine_sim
 
     e = t(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(e, k=8, seed=42)
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
-    return ivf_search(e.filter(F.col("vec_id") != 0), centroids, qv, top_k=10, n_probe=4)
+    corpus = e.filter(F.col("vec_id") != 0)
+    approx = ivf_search(corpus, centroids, qv, top_k=10, n_probe=4)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    exact = (
+        corpus.select("vec_id", cosine_sim(F.col("embedding"), qlit).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    hits = approx.join(exact.select("vec_id"), "vec_id", "left_semi")
+    return approx.agg(F.count("*").alias("n_results")).crossJoin(
+        hits.agg((F.count("*") >= 5).alias("recall_ok"))
+    )
 
 
 @query(

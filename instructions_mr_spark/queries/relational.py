@@ -111,15 +111,37 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL sketches differ across engines
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the 100 TB path for distinct-cardinality
     (constant memory per group vs exact distinct's shuffle of all
-    values).  Rows-only check by design."""
+    values).  HLL sketch values differ across engines, so the
+    driver-checkable contract is the sketch's ERROR BOUND: the approx
+    estimate must land within 3x the configured rsd (0.02) of the
+    exact count, emitted as a boolean the oracle pins to TRUE."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("__approx") - F.col("exact_orders"))
+                <= 3 * 0.02 * F.col("exact_orders") + 1
+            ).alias("approx_ok"),
+        )
     )
 
 
