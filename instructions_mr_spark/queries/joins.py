@@ -67,6 +67,61 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_bucketed",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {sum_d(REVENUE, 'revenue')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via the bucketed-table registry
+    (sources/tables.py save_bucketed/load_bucketed): both sides are
+    persisted bucketed+sorted on orderkey, so the join plan has NO
+    Exchange on the join key — the write-once shuffle is amortized
+    across every later query on the key (the plan property is asserted
+    in tests/test_bucketing.py).  Same answer as join_inner_eq by
+    construction; the oracle cross-checks the bucketed write+scan
+    didn't lose or duplicate rows."""
+    import hashlib
+    import os
+    import tempfile
+
+    from instructions_mr_spark.sources.tables import load_bucketed, save_bucketed
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), "imr_bucketed")
+    bo, bl = f"b_orders_{key}", f"b_lineitem_{key}"
+    # Within one session the bucketed twins are written once and
+    # reused (the catalog remembers them); a fresh session re-writes.
+    if not spark.catalog.tableExists(bo):
+        save_bucketed(
+            t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+            bo,
+            ["o_orderkey"],
+            n_buckets=8,
+            path=os.path.join(base, bo),
+        )
+    if not spark.catalog.tableExists(bl):
+        save_bucketed(
+            t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            bl,
+            ["l_orderkey"],
+            n_buckets=8,
+            path=os.path.join(base, bl),
+        )
+    li = load_bucketed(spark, bl)
+    o = load_bucketed(spark, bo)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.expr(sum_d(REVENUE, "revenue")))
+    )
+
+
+@query(
     "join_left",
     oracle="""
     SELECT c_custkey, COUNT(o_orderkey) AS n_orders

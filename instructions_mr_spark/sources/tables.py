@@ -54,6 +54,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str] | tuple[str, ...],
+    n_buckets: int = 8,
+    sort_cols: list[str] | tuple[str, ...] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (+ sorted-within-bucket) lake table.
+
+    Bucketing is the 100 TB shuffle-elimination path: two tables
+    bucketed on the same key with the same bucket count join WITHOUT
+    an Exchange (each bucket pair is co-located), and sortBy makes the
+    merge side of SortMergeJoin a streaming pass.  At real scale this
+    is how fact-fact joins (lineitem x orders, events x sessions)
+    avoid re-shuffling terabytes on every query — the shuffle is paid
+    ONCE at write time and amortized over every later join/agg on the
+    key.
+
+    ``saveAsTable`` is required (bucket metadata lives in the catalog,
+    not the files); ``path`` keeps the data external so the warehouse
+    dir doesn't capture it.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = df.write.bucketBy(n_buckets, *bucket_cols).sortBy(
+        *(sort_cols if sort_cols is not None else bucket_cols)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.mode(mode).saveAsTable(name)
+
+
+def load_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Read a table written by ``save_bucketed``; scans report
+    ``SelectedBucketsCount`` and joins on the bucket key skip their
+    Exchange."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    return spark.table(name)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
