@@ -60,19 +60,31 @@ def binary_metadata(df: DataFrame, col: str, out: str = "meta") -> DataFrame:
 
 
 def _decode_one(payload: bytes, fake: bool) -> tuple[int, int]:
-    """Return (width, height).  Real impl would use PIL; the fake is a
-    deterministic function of the payload's md5 digest so tests are
-    stable AND the whole mapInPandas decode path is oracle-checkable
-    (DuckDB can compute the identical md5-derived dims in SQL — see
-    queries/advanced.py multimodal_decode_fake)."""
-    if not fake:
+    """Return (width, height).
+
+    ``fake=True``: deterministic function of the payload's md5 digest,
+    so tests are stable AND the whole mapInPandas decode path is
+    oracle-checkable (DuckDB can compute the identical md5-derived
+    dims in SQL — see queries/advanced.py multimodal_decode_fake).
+
+    ``fake=False``: real decode through PIL if importable (optional
+    dependency — absent from this container); otherwise a clear
+    NotImplementedError, never a silent fake."""
+    if fake:
+        h = hashlib.md5(payload or b"").digest()
+        w, ht = struct.unpack(">HH", h[:4])
+        return (w % 1920) + 1, (ht % 1080) + 1
+    try:
+        from PIL import Image  # optional; import inside the worker
+    except ImportError as e:
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
+            "real image decode requires PIL (pip install pillow); "
             "pass fake=True for the deterministic stub"
-        )
-    h = hashlib.md5(payload or b"").digest()
-    w, ht = struct.unpack(">HH", h[:4])
-    return (w % 1920) + 1, (ht % 1080) + 1
+        ) from e
+    import io
+
+    with Image.open(io.BytesIO(payload or b"")) as im:
+        return int(im.width), int(im.height)
 
 
 def decode_images(

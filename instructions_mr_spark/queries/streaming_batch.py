@@ -102,6 +102,98 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, micros
+
+
+@query(
+    "stream_funnel_sessions",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), numbered AS (
+      SELECT *,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), seen AS (
+      SELECT *,
+             COALESCE(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id, sid ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS seen_view
+      FROM numbered
+    )
+    SELECT user_id,
+           make_timestamp(MIN(ts_us)) AS session_start,
+           make_timestamp(MAX(ts_us) + {_GAP_US}) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases,
+           MAX(CASE WHEN event_type = 'purchase' AND seen_view = 1
+                    THEN 1 ELSE 0 END) = 1 AS converted
+    FROM seen GROUP BY user_id, sid
+    """,
+)
+def stream_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming session-funnel operator
+    (streaming/__init__.py session_funnel): gap sessionization via
+    lag + running sum, funnel conversion = purchase with a strictly
+    earlier view in the same session.  The streaming op must emit
+    exactly these rows for every closed session
+    (tests/test_streaming.py::test_stateful_session_funnel)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts_us") - prev > _GAP_US), 1
+    ).otherwise(0)
+    numbered = e.withColumn(
+        "sid",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    w_sess = (
+        W.partitionBy("user_id", "sid")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seen_view = F.coalesce(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w_sess),
+        F.lit(0),
+    )
+    seen = numbered.withColumn(
+        "conv_evt",
+        F.when(
+            (F.col("event_type") == "purchase") & (seen_view == 1), 1
+        ).otherwise(0),
+    )
+    return (
+        seen.groupBy("user_id", "sid")
+        .agg(
+            F.timestamp_micros(F.min("ts_us")).alias("session_start"),
+            F.timestamp_micros(F.max("ts_us") + _GAP_US).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+            (F.max("conv_evt") == 1).alias("converted"),
+        )
+        .drop("sid")
+    )
+
+
 @query(
     "stream_dedup_keys",
     oracle="""

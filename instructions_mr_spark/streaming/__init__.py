@@ -101,6 +101,113 @@ def foreach_batch_sink(
     )
 
 
+def session_funnel(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful sessionization + funnel detection via
+    ``applyInPandasWithState`` with an EVENT-TIME TIMEOUT: per user,
+    events within ``gap_minutes`` of each other form a session; a
+    session CLOSES either when a later event arrives past the gap
+    (emitted immediately) or when the watermark passes session_end
+    (the timeout path — how real pipelines flush idle users without
+    waiting for their next event).  Emits one row per closed session:
+    (user_id, session_start, session_end=last_ts+gap, n_events,
+    n_purchases, converted) where ``converted`` means a purchase
+    happened after a view within the session — the classic funnel.
+
+    The batch twin (same numbers, minus the still-open tail sessions)
+    is queries/streaming_batch.stream_funnel_sessions, which is the
+    DuckDB-oracled contract for these semantics.
+
+    Scale: state is one open session per user key, partitioned across
+    executors by user hash; the watermark bounds how long an idle
+    session can hold state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_purchases", T.LongType()),
+            T.StructField("converted", T.BooleanType()),
+        ]
+    )
+    # epoch-micros longs in state: exact, arrow-friendly
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_purchases", T.LongType()),
+            T.StructField("seen_view", T.BooleanType()),
+            T.StructField("converted", T.BooleanType()),
+        ]
+    )
+
+    def _row(uid: int, st: tuple) -> dict:
+        start_us, last_us, n, np_, _sv, conv = st
+        return {
+            "user_id": uid,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(last_us + gap_us, unit="us"),
+            "n_events": n,
+            "n_purchases": np_,
+            "converted": conv,
+        }
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+        closed: list[dict] = []
+        if state.hasTimedOut:
+            closed.append(_row(uid, state.get))
+            state.remove()
+            yield pd.DataFrame(closed)
+            return
+        cur = list(state.get) if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for ts, etype in zip(batch["ts"], batch["event_type"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if cur is not None and ts_us - cur[1] > gap_us:
+                closed.append(_row(uid, tuple(cur)))
+                cur = None
+            if cur is None:
+                cur = [ts_us, ts_us, 0, 0, False, False]
+            cur[1] = ts_us
+            cur[2] += 1
+            if etype == "purchase":
+                cur[3] += 1
+                if cur[4]:
+                    cur[5] = True
+            elif etype == "view":
+                cur[4] = True
+        state.update(tuple(cur))
+        # flush the open session once the watermark passes its end
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        yield pd.DataFrame(closed) if closed else pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in out_schema.fields}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def running_max_per_user(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     max(value) + event count per user, emitted per micro-batch.

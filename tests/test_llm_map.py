@@ -45,6 +45,45 @@ def test_fanout_map_tagged_client(spark):
     assert out.collect()[0].s.startswith("[m1] ")
 
 
+def test_fanout_calls_are_instruction_major(spark):
+    """Prefix-cache affinity contract (llm_map.py:18-22): within a
+    partition, ALL calls for instruction 0 must be issued before any
+    call for instruction 1, so calls sharing a system-prompt prefix
+    are adjacent at the LLM service.  Verified with a sequence-stamping
+    client at concurrency=1 (strict issue order): every 'first' seq
+    must be below every 'second' seq."""
+
+    class _SeqClient:
+        def __init__(self, conf):
+            self.seq = 0
+
+        async def complete(self, messages):
+            self.seq += 1
+            return str(self.seq)
+
+    stage = Stage(
+        [
+            Instruction(name="first", content="A.", scope=["text"]),
+            Instruction(name="second", content="B.", scope=["lang"]),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en") for i in range(20)], "doc_id int, text string, lang string"
+    ).coalesce(1)
+    out = instr_fanout_map(
+        docs,
+        stage,
+        LlmConfig(),
+        keep_cols=["doc_id"],
+        concurrency=1,
+        client_factory=_SeqClient,
+    ).collect()
+    first_seqs = [int(r.first) for r in out]
+    second_seqs = [int(r.second) for r in out]
+    assert max(first_seqs) < min(second_seqs)
+    assert sorted(first_seqs + second_seqs) == list(range(1, 41))
+
+
 def test_scope_validation_fails_fast(spark):
     stage = Stage([Instruction(name="s", content="c", scope=["nope"])])
     with pytest.raises(ValueError, match="nope"):

@@ -40,6 +40,41 @@ def test_decode_requires_fake_flag(spark, media):
         decode_images(media, "payload", fake=False).collect()
 
 
+def test_real_decode_uses_pil_when_importable(monkeypatch):
+    """fake=False must route through PIL when it imports (the optional
+    real path) — exercised with a stub PIL module since the container
+    lacks pillow; the dims must come from Image.open, not the fake."""
+    import io
+    import sys
+    import types
+
+    from instructions_mr_spark.operators.multimodal import _decode_one
+
+    class _FakeImage:
+        width, height = 640, 480
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    opened_with: list[bytes] = []
+
+    def _open(buf):
+        assert isinstance(buf, io.BytesIO)
+        opened_with.append(buf.getvalue())
+        return _FakeImage()
+
+    pil = types.ModuleType("PIL")
+    pil.Image = types.SimpleNamespace(open=_open)
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    assert _decode_one(b"imagebytes", fake=False) == (640, 480)
+    assert opened_with == [b"imagebytes"]
+    # and the fake path stays PIL-independent
+    assert _decode_one(b"imagebytes", fake=True) != (640, 480)
+
+
 def test_fake_decode_is_deterministic(spark, media):
     a = {r.media_id: (r.width, r.height) for r in decode_images(media, "payload", fake=True).collect()}
     b = {r.media_id: (r.width, r.height) for r in decode_images(media, "payload", fake=True).collect()}

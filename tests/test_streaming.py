@@ -126,6 +126,90 @@ def test_stateful_running_max(spark, events_stream):
     assert (got["n"] == exp["n"]).all()
 
 
+def test_stateful_session_funnel(spark, events_stream, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization with event-time timeout:
+    every emitted (closed) session must equal its batch-twin row
+    exactly — start/end/count/purchases/conversion.  A far-future
+    sentinel batch pushes the watermark so real sessions time out and
+    flush."""
+    import datetime as dt
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from instructions_mr_spark import registry
+    from instructions_mr_spark.streaming import session_funnel
+
+    registry.load_all()
+    _, batch = events_stream
+
+    # fresh stream dir: the real events file + a sentinel event far in
+    # the future (one synthetic user) to advance the watermark past
+    # every real session's end.
+    stream_dir = tmp_path / "funnel_stream"
+    stream_dir.mkdir()
+    _os.symlink(
+        _os.path.join(sf_dir, "events.parquet"), stream_dir / "part-0.parquet"
+    )
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    sentinel_ns = (
+        int((max_ts + dt.timedelta(days=365)).timestamp()) * 1_000_000_000
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10**9], pa.int64()),
+                "ts": pa.array([sentinel_ns], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["view"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ),
+        str(stream_dir / "part-1.parquet"),
+    )
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(stream_dir))
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    out = session_funnel(stream, gap_minutes=30, watermark="1 minute")
+    assert out.isStreaming
+    _run_to_completion(out, "funnel_t", "append")
+
+    got = {
+        (r.user_id, r.session_start): (
+            r.session_end,
+            r.n_events,
+            r.n_purchases,
+            r.converted,
+        )
+        for r in spark.sql(
+            "SELECT * FROM funnel_t WHERE user_id >= 0"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (
+            r.session_end,
+            r.n_events,
+            r.n_purchases,
+            r.converted,
+        )
+        for r in registry.QUERIES["stream_funnel_sessions"](spark, sf_dir).collect()
+    }
+    assert got, "no sessions were emitted"
+    for k, v in got.items():
+        assert want[k] == v, f"session {k}: stream={v} batch={want[k]}"
+    # the sentinel pushed the watermark past every real session: the
+    # stream must have flushed (nearly) the full batch-twin set
+    assert len(got) >= len(want) - 1
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Drive two micro-batches through a watermarked tumbling window:
     the second batch's very-late event must be dropped (its window is
