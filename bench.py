@@ -71,6 +71,32 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # Per-query deltas vs the previous round's recorded bench (if any):
+    # regressions must be visible per query, not hidden in the total.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if prev_files:
+        try:
+            with open(os.path.join(here, prev_files[-1]), encoding="utf-8") as fh:
+                prev = json.load(fh)
+            # driver records wrap the bench line under "parsed"
+            prev_q = prev.get("parsed", prev).get("queries", {})
+            for name, cur in timings.items():
+                if name in prev_q and prev_q[name] > 0:
+                    ratio = cur / prev_q[name]
+                    flag = "  <-- REGRESSION" if ratio > 1.5 else ""
+                    print(
+                        f"# delta vs {prev_files[-1]} {name}: "
+                        f"{prev_q[name]:.3f}s -> {cur:.3f}s ({ratio:.2f}x){flag}",
+                        file=sys.stderr,
+                    )
+        except (OSError, ValueError):
+            pass
+
     print(
         json.dumps(
             {
