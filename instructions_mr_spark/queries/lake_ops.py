@@ -1,0 +1,204 @@
+"""Lake-maintenance / table-management query shapes (SURVEY.md §2.7
+EXT): partition-pruned scans, time-series densification, CDC
+compaction, and SCD2 history — the operations a 100 TB lake runs
+daily around the analytical queries.  The reference has no storage
+management at all (SURVEY.md §2.6); these are engine-grade extensions
+with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.registry import query
+
+
+def _tmp(name: str, sf_dir: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), "imr_lake", f"{name}-{key}")
+
+
+@query(
+    "partition_pruned_scan",
+    oracle="""
+    SELECT user_id % 16 AS user_bucket, COUNT(*) AS n
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id % 16
+    """,
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition layout end to end: write events
+    partitioned by event_type, read back with a partition filter —
+    the scan must touch ONLY the matching directory (partition
+    pruning; asserted on the plan in tests/test_plans_lake.py).  At
+    100 TB this is the difference between scanning 1/N of the lake
+    and all of it."""
+    path = _tmp("events_by_type", sf_dir)
+    e = t(spark, sf_dir, "events")
+    if not os.path.isdir(path):  # write once per sf; reruns reuse
+        e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return (
+        back.groupBy((F.col("user_id") % 16).alias("user_bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), counts AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.hour_start, ty.event_type, COALESCE(c.n, 0) AS n
+    FROM grid g CROSS JOIN types ty
+    LEFT JOIN counts c
+      ON c.hour_start = g.hour_start AND c.event_type = ty.event_type
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: hourly counts per event type with
+    missing hours zero-filled.  The hour grid comes from
+    ``sequence()`` + ``explode`` (JVM-side, no driver loop) crossed
+    with the distinct type dimension; real counts LEFT-join onto the
+    grid.  The grid side is tiny (hours x types), so both joins
+    broadcast — the fact table is scanned exactly once."""
+    e = t(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        ).agg(F.count("*").alias("cnt"))
+    )
+    grid = (
+        e.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_start")
+        )
+    )
+    types = e.select("event_type").distinct()
+    return (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(types))
+        .join(counts, ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n"),
+        )
+    )
+
+
+@query(
+    "cdc_latest_version",
+    oracle="""
+    SELECT user_id, event_type, event_id AS latest_event, value AS latest_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction (operators/merge.latest_version): reduce an
+    event stream to the newest row per key — the serving-table
+    refresh every CDC pipeline runs.  One shuffle on the key; the
+    window row_number prunes everything else.  Ties on ts break by
+    event_id so the result is deterministic on both engines."""
+    from instructions_mr_spark.operators.merge import latest_version
+
+    e = t(spark, sf_dir, "events")
+    latest = latest_version(
+        e, ["user_id", "event_type"], F.struct(F.col("ts"), F.col("event_id"))
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("latest_event"),
+        F.col("value").alias("latest_value"),
+    )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey AS id, c_mktsegment AS attr,
+             TIMESTAMP '1990-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer WHERE c_custkey < 200
+    ), ch AS (
+      SELECT o_custkey AS id, MAX(o_orderpriority) AS attr,
+             CAST(o_orderdate AS TIMESTAMP) AS cts
+      FROM orders WHERE o_custkey < 200 GROUP BY o_custkey, o_orderdate
+    ), first_ch AS (
+      SELECT id, MIN(cts) AS f FROM ch GROUP BY id
+    ), closed_now AS (
+      SELECT cur.id, cur.attr, cur.valid_from, first_ch.f AS valid_to
+      FROM cur JOIN first_ch ON cur.id = first_ch.id
+    ), untouched AS (
+      SELECT cur.* FROM cur
+      WHERE cur.id NOT IN (SELECT id FROM first_ch)
+    ), new_versions AS (
+      SELECT id, attr, cts AS valid_from,
+             LEAD(cts) OVER (PARTITION BY id ORDER BY cts) AS valid_to
+      FROM ch
+    )
+    SELECT * FROM closed_now
+    UNION ALL SELECT * FROM untouched
+    UNION ALL SELECT * FROM new_versions
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build (operators/merge.scd2_apply): customers
+    start with one open segment row; each order date becomes an
+    attribute change.  Changes for one key CHAIN inside the batch
+    (valid_to = next change's valid_from — the ADVICE r01 fix), so
+    exactly one row per key ends open.  The oracle restates the
+    close-out + chained-append contract in SQL."""
+    from instructions_mr_spark.operators.merge import scd2_apply
+
+    current = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_mktsegment").alias("attr"),
+            F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    changes = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .groupBy(
+            F.col("o_custkey").alias("id"),
+            F.col("o_orderdate").cast("timestamp").alias("change_ts"),
+        )
+        .agg(F.max("o_orderpriority").alias("attr"))
+        .select("id", "attr", "change_ts")
+    )
+    return scd2_apply(current, changes, ["id"], "change_ts")
