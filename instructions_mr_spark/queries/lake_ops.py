@@ -202,3 +202,61 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "attr", "change_ts")
     )
     return scd2_apply(current, changes, ["id"], "change_ts")
+
+
+@query(
+    "fk_orphan_audit",
+    oracle="""
+    SELECT 'customer->nation' AS relation,
+           (SELECT COUNT(*) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+    UNION ALL SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL SELECT 'nation->region',
+           (SELECT COUNT(*) FROM nation
+            WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+    UNION ALL SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL SELECT 'supplier->nation',
+           (SELECT COUNT(*) FROM supplier
+            WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    """,
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the data-quality gate a lake runs
+    after every load: per FK relation, how many child rows point at a
+    missing parent.  Each relation is one anti join (parents
+    broadcast when small) feeding a single-row count; the five counts
+    union into one report.  At 100 TB each audit is a semi-join-shaped
+    scan, parallel across relations."""
+    def orphans(relation: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        return (
+            child.select(F.col(ckey).alias("k"))
+            .join(
+                F.broadcast(parent.select(F.col(pkey).alias("k"))),
+                "k",
+                "left_anti",
+            )
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(relation).alias("relation"), "n_orphans")
+        )
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    s = t(spark, sf_dir, "supplier")
+    parts = [
+        orphans("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        orphans("nation->region", n, "n_regionkey", r, "r_regionkey"),
+        orphans("orders->customer", o, "o_custkey", c, "c_custkey"),
+        orphans("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

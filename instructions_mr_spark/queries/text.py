@@ -281,3 +281,73 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bg"))
         .limit(50)
     )
+
+
+@query(
+    "text_redact_pii",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               substr(text, 1, 40) || ' contact user' || doc_id ||
+                 '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — a mandatory pass before text lands in a
+    training corpus: regex redaction of emails and phone-shaped
+    strings, all JVM-side regexp_replace (full codegen, no Python).
+    The corpus has no real PII, so deterministic synthetic PII is
+    appended per row and must come back fully redacted; patterns are
+    kept in the RE2-and-Java-regex common subset so both engines
+    agree."""
+    d = t(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            with_pii, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"555-[0-9]{4}",
+        "<PHONE>",
+    )
+    return d.select("doc_id", redacted.alias("redacted"))
+
+
+@query(
+    "doc_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(gs.start AS BIGINT) AS chunk_start,
+           substr(text, gs.start, 200) AS chunk_text
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(1, GREATEST(LENGTH(text), 1), 150))
+                  AS start) gs
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for RAG/window-bounded training: fixed
+    200-char chunks with 50-char overlap (stride 150), generated by
+    ``sequence`` + ``explode`` — an all-JVM explode-shaped pipeline
+    (one output row per chunk, no Python, no shuffle until whatever
+    aggregates downstream)."""
+    d = t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150)
+    )
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.expr("substring(text, chunk_start, 200)").alias("chunk_text"),
+        )
+    )
