@@ -66,6 +66,20 @@ NOTES = {
     "cohort_retention": "One wide exchange (per-user MIN); first_seen "
     "broadcasts back to events; distinct + rollup on the tiny "
     "(cohort, offset) key space.",
+    "join_bucketed": "Co-located bucketed join: both scans report "
+    "SelectedBucketsCount, the join has NO Exchange on either key — the "
+    "write-once bucket shuffle is amortized across every query on the key.",
+    "partition_pruned_scan": "event_type filter is a PartitionFilter on the "
+    "scan (directory pruning), not a post-scan Filter: only 1 of 5 "
+    "partition directories is read.",
+    "ts_gap_fill": "Grid (sequence-explode) and type dims broadcast; the "
+    "events fact shuffles once for its own aggregate and is scanned once.",
+    "stream_funnel_sessions": "Sessionization + funnel in TWO window passes "
+    "sharing one user_id exchange; the aggregate reuses the same hash "
+    "partitioning (no re-exchange before groupBy(user_id, sid)).",
+    "fk_orphan_audit": "Five anti joins in one plan: small parents "
+    "broadcast (BroadcastHashJoin LeftAnti); the lineitem->orders leg is "
+    "the only shuffled anti join; counts union driver-free.",
 }
 
 
