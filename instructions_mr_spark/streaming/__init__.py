@@ -208,6 +208,68 @@ def session_funnel(
     )
 
 
+def user_stats_tws(events: DataFrame) -> DataFrame:
+    """Running per-user event/purchase counters via
+    ``transformWithStateInPandas`` — Spark 4.x's arbitrary-state API
+    (typed ValueState on the RocksDB state store, the successor to
+    ``applyInPandasWithState``).  Emits the updated totals for every
+    user touched by a micro-batch; the final emission per user must
+    equal the batch groupBy aggregate (tests/test_streaming.py).
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (the TWS-backing store) AND the
+    ``protobuf`` package (the TWS driver worker imports
+    google.protobuf; absent from this container, so the E2E test
+    skips itself when the import fails — the primary stateful path
+    remains ``applyInPandasWithState`` (session_funnel,
+    running_max_per_user), which has no such dependency)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_purchases", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("np", T.LongType()),
+        ]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getValueState("counts", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = np_ = 0
+            if self._counts.exists():
+                n, np_ = self._counts.get()
+            for pdf in rows:
+                n += len(pdf)
+                np_ += int((pdf["event_type"] == "purchase").sum())
+            self._counts.update((n, np_))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "n_purchases": [np_]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_max_per_user(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     max(value) + event count per user, emitted per micro-batch.

@@ -126,6 +126,49 @@ def test_stateful_running_max(spark, events_stream):
     assert (got["n"] == exp["n"]).all()
 
 
+def test_transform_with_state_user_stats(spark, events_stream):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API,
+    RocksDB-backed ValueState): final per-user emission must equal the
+    batch aggregate.  Skips when protobuf is absent (the TWS driver
+    worker imports google.protobuf; not in this container)."""
+    pytest.importorskip(
+        "google.protobuf", reason="TWS driver worker requires protobuf"
+    )
+    from instructions_mr_spark.streaming import user_stats_tws
+
+    stream, batch = events_stream
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = user_stats_tws(stream)
+        _run_to_completion(out, "tws_stats_t", "update")
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {
+        r.user_id: (r.n, r.np)
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n, max(n_purchases) AS np "
+            "FROM tws_stats_t GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.np)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stateful_session_funnel(spark, events_stream, sf_dir, tmp_path):
     """applyInPandasWithState sessionization with event-time timeout:
     every emitted (closed) session must equal its batch-twin row
