@@ -286,3 +286,56 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "interval_concurrency",
+    oracle="""
+    WITH edges AS (
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ts, 1 AS delta
+      FROM orders
+      UNION ALL
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY, -1
+      FROM orders
+    ), swept AS (
+      SELECT o_custkey,
+             SUM(delta) OVER (PARTITION BY o_custkey ORDER BY ts, delta
+                              ROWS UNBOUNDED PRECEDING) AS open_now
+      FROM edges
+    )
+    SELECT o_custkey, MAX(open_now) AS max_concurrent
+    FROM swept GROUP BY o_custkey
+    """,
+)
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval overlap: max concurrently-open orders per
+    customer, treating each order as a 30-day interval.  The classic
+    scalable pattern — intervals explode to (+1 start, -1 end) edge
+    events, a keyed running sum counts the open set, no interval
+    self-join (which would be O(n^2) per key).  Ends sort before
+    starts at equal timestamps (delta ascending), making [start, end)
+    half-open on both engines."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("timestamp").alias("start_ts")
+    )
+    edges = o.select(
+        "o_custkey", F.col("start_ts").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        o.select(
+            "o_custkey",
+            (F.col("start_ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("ts", "delta")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        edges.withColumn("open_now", F.sum("delta").over(w))
+        .groupBy("o_custkey")
+        .agg(F.max("open_now").alias("max_concurrent"))
+    )

@@ -260,3 +260,48 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "json_parse_quarantine",
+    oracle="""
+    SELECT event_type,
+           SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_parsed,
+           SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS n_quarantined,
+           CAST(SUM(CASE WHEN ok THEN k ELSE 0 END) AS BIGINT) AS sum_k
+    FROM (
+      SELECT event_type,
+             json_valid(CASE WHEN event_id % 7 = 0 THEN 'x' || props
+                             ELSE props END) AS ok,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(props->>'k' AS BIGINT) END AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def json_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine — the ingest-hardening every real
+    pipeline needs: parse a JSON column with a declared schema; rows
+    that fail to parse are counted into a quarantine bucket instead of
+    poisoning the batch.  Corruption is injected deterministically
+    (every 7th event) so both engines agree; parsing is ``from_json``
+    (null on malformed = quarantine signal), all JVM-side."""
+    e = t(spark, sf_dir, "events")
+    corrupted = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    # PERMISSIVE from_json yields a struct of nulls (not a null
+    # struct) on malformed input, so field-level null is the
+    # quarantine signal — the corpus has no legit null k.
+    parsed = F.from_json(corrupted, "k bigint")
+    ok = parsed["k"].isNotNull()
+    return (
+        e.select("event_type", ok.alias("ok"), parsed["k"].alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_parsed"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_quarantined"),
+            F.sum(F.when(F.col("ok"), F.col("k")).otherwise(0)).alias("sum_k"),
+        )
+    )
