@@ -154,3 +154,84 @@ def test_md_sink_section_count(spark, cols):
     assert md.count("\n\n") == len(cols)
     for c in cols:
         assert f"# {c}\n" in md
+
+
+def test_scd2_random_batches_invariants(spark):
+    """SCD2 chaining on random multi-change batches: exactly one open
+    row per live key, validity windows chain without gap or overlap,
+    and the chain replays the change sequence."""
+    import datetime as dt
+    import random
+
+    from instructions_mr_spark.operators.merge import scd2_apply
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 1, 1)
+    keys = list(range(8))
+    current = spark.createDataFrame(
+        [(k, f"init{k}", t0, None) for k in keys],
+        "id int, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = []
+    per_key: dict[int, list] = {k: [] for k in keys}
+    for k in keys[: 6]:  # two keys stay untouched
+        n = rng.randint(1, 5)
+        days = rng.sample(range(1, 400), n)
+        for d in sorted(days):
+            ts = t0 + dt.timedelta(days=d)
+            changes.append((k, f"v{k}_{d}", ts))
+            per_key[k].append(ts)
+    out = scd2_apply(
+        current,
+        spark.createDataFrame(changes, "id int, attr string, change_ts timestamp"),
+        ["id"],
+        "change_ts",
+    ).collect()
+
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.id, []).append(r)
+    for k in keys:
+        rows = sorted(by_key[k], key=lambda r: r.valid_from)
+        opens = [r for r in rows if r.valid_to is None]
+        assert len(opens) == 1, f"key {k}: {len(opens)} open rows"
+        # windows chain: each valid_to == next valid_from
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from, f"key {k}: gap/overlap"
+        assert len(rows) == 1 + len(per_key[k])
+
+
+def test_interval_concurrency_matches_bruteforce(spark, sf_dir):
+    """Sweep-line max-overlap must equal the O(n^2) per-key brute
+    force on a sample of customers."""
+    import datetime as dt
+
+    from instructions_mr_spark import registry
+
+    registry.load_all()
+    out = {
+        r.o_custkey: r.max_concurrent
+        for r in registry.QUERIES["interval_concurrency"](spark, sf_dir)
+        .filter(F.col("o_custkey") < 100)
+        .collect()
+    }
+    from instructions_mr_spark.sources.tables import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    )
+    by_cust: dict[int, list] = {}
+    for r in orders:
+        start = r.o_orderdate
+        by_cust.setdefault(r.o_custkey, []).append(
+            (start, start + dt.timedelta(days=30))
+        )
+    for cust, ivals in by_cust.items():
+        best = 0
+        for s, _ in ivals:  # max overlap occurs at some interval start
+            n = sum(1 for s2, e2 in ivals if s2 <= s < e2)
+            best = max(best, n)
+        assert out[cust] == best, f"cust {cust}: {out[cust]} != {best}"
