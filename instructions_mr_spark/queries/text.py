@@ -351,3 +351,61 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(text, chunk_start, 200)").alias("chunk_text"),
         )
     )
+
+
+@query(
+    "tf_idf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ), terms AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM words
+      WHERE LENGTH(w) >= 4 GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY w
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.w,
+             ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM terms t JOIN df ON t.w = df.w CROSS JOIN n
+    )
+    SELECT doc_id, w, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, w) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, top-3 terms per document — the classic two-level
+    text aggregation: explode words -> per-doc term frequency -> corpus
+    document frequency -> join tf x idf -> per-doc top-k.  The df table
+    is vocabulary-sized, so its join broadcasts; the only wide shuffles
+    are the two keyed aggregates.  Terms under 4 chars are dropped
+    (stopword-ish floor) to keep idf meaningful."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 4)
+    terms = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_tab = terms.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        terms.join(F.broadcast(df_tab), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
+    )
+    return scored.withColumn("rk", rk).filter(F.col("rk") <= 3).drop("rk")

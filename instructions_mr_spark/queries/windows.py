@@ -219,3 +219,32 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "window_moving_median",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(quantile_cont(o_totalprice, 0.5) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS median5
+    FROM orders
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median (exact interpolated percentile) over the last 5
+    orders per customer — an order-statistic window aggregate, the
+    robust-smoothing twin of window_moving_avg.  Spark's percentile()
+    and DuckDB's quantile_cont share linear-interpolation semantics."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.expr("percentile(o_totalprice, 0.5)").over(w), 4).alias("median5"),
+    )
