@@ -47,12 +47,21 @@ def asof_join(
     by_left: Sequence[str],
     by_right: Sequence[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join; right columns appended to left.
+    """Inclusive as-of join; right columns appended to left.
+
+    ``direction="backward"`` (default) matches the latest right row
+    with time <= left time; ``"forward"`` matches the earliest right
+    row with time >= left time (same machinery, reversed sort — at
+    equal times the right row still wins, keeping both directions
+    inclusive).
 
     ``by_*`` equi-keys must be comparable types; left/right column
     names must not collide (rename before joining).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by_left = list(by_left)
     by_right = list(by_right)
     left_fields = list(left.schema.fields)
@@ -85,9 +94,10 @@ def asof_join(
         *[F.col(c) for c in right_cols],
     )
 
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         W.partitionBy(*keys)
-        .orderBy("__t", "__tag")
+        .orderBy(t_order, F.col("__tag").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     unioned = tagged_left.unionByName(tagged_right)

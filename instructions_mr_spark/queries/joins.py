@@ -264,3 +264,43 @@ def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "o_orderkey",
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT v.event_id, v.user_id, CAST(v.ts AS TIMESTAMP) AS view_ts,
+           p.purchase_id, CAST(p.p_ts AS TIMESTAMP) AS purchase_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (
+      SELECT user_id AS p_uid, ts AS p_ts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ) p
+      ON v.user_id = p.p_uid AND v.ts <= p.p_ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each view event attributed to that user's NEXT
+    purchase at-or-after it (the conversion-attribution join).  Same
+    union+window machinery as the backward direction with the sort
+    reversed; DuckDB's ASOF with ``<=`` is the oracle.  Purchases are
+    pre-reduced per (user, ts) to keep ties deterministic."""
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select("p_uid", "p_ts", "purchase_id")
+    )
+    joined = asof_join(
+        views, purchases, on_time_left="view_ts", on_time_right="p_ts",
+        by_left=["user_id"], by_right=["p_uid"], how="left",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "view_ts", "purchase_id",
+        F.col("p_ts").alias("purchase_ts"),
+    )

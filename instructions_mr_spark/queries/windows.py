@@ -95,16 +95,25 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(12,2)))
                 OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                               l_quantity, l_extendedprice
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
              AS qty_ma4
     FROM lineitem
     """,
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 4-row frame.  The ordering includes
+    l_quantity/l_extendedprice tiebreakers: the generated lineitem has
+    duplicate (orderkey, linenumber) pairs (118k at sf0.1, one of
+    which also ties on suppkey+shipdate), and a frame-sensitive
+    aggregate over a non-total order is nondeterministic — Spark's
+    tie order varies by partition arrival, DuckDB's by its own sort."""
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
         .rowsBetween(-3, W.currentRow)
     )
     return t(spark, sf_dir, "lineitem").select(

@@ -208,6 +208,51 @@ def session_funnel(
     )
 
 
+def incremental_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint: str,
+):
+    """Streaming MERGE INTO emulation over plain parquet: every
+    micro-batch upserts its newest-row-per-key into a serving table
+    (foreachBatch -> latest_version -> merge_upsert -> staging-swap
+    write).  With Delta/Iceberg on the classpath the body becomes one
+    MERGE INTO statement; the logical content is identical.
+
+    Epoch idempotency (Spark replays a failed epoch with the same
+    data): last-write-wins upsert of the same rows is a no-op, so a
+    replay converges to the same table.
+
+    The staging swap (write to ``path + '.staging'`` then rename) is
+    atomic on local/HDFS renames; object stores want a manifest or a
+    table format instead — the 100 TB deployment uses Delta/Iceberg
+    MERGE where this whole function collapses to one statement."""
+    import os
+    import shutil
+
+    from instructions_mr_spark.operators.merge import latest_version, merge_upsert
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = latest_version(batch_df, keys, order_col)
+        if os.path.isdir(path):
+            target = spark.read.parquet(path)
+            out = merge_upsert(
+                target, latest.select(*[f.name for f in target.schema.fields]), keys
+            )
+        else:
+            out = latest
+        staging = path + ".staging"
+        out.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(staging, path)
+
+    return foreach_batch_sink(stream_df, fn, checkpoint, mode="append")
+
+
 def user_stats_tws(events: DataFrame) -> DataFrame:
     """Running per-user event/purchase counters via
     ``transformWithStateInPandas`` — Spark 4.x's arbitrary-state API

@@ -385,6 +385,51 @@ def test_stream_stream_join(spark, tmp_path):
     assert got == {("c1", "v1"), ("c3", "v3")}
 
 
+def test_incremental_upsert_sink(spark, tmp_path):
+    """foreachBatch MERGE emulation: two micro-batches upsert into a
+    parquet serving table; the final table is newest-row-per-key
+    across both batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from instructions_mr_spark.streaming import incremental_upsert_sink
+
+    stream_dir = tmp_path / "upsert_src"
+    stream_dir.mkdir()
+    serve = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "uid": pa.array([r[0] for r in rows], pa.int64()),
+                    "total": pa.array([r[1] for r in rows], pa.float64()),
+                    "seq": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            str(stream_dir / name),
+        )
+
+    drop("b1.parquet", [(1, 10.0, 1), (2, 20.0, 1), (2, 21.0, 2)])
+    stream = (
+        spark.readStream.schema("uid long, total double, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = incremental_upsert_sink(stream, serve, ["uid"], "seq", ckpt)
+    try:
+        q.processAllAvailable()
+        got1 = {r.uid: r.total for r in spark.read.parquet(serve).collect()}
+        assert got1 == {1: 10.0, 2: 21.0}  # within-batch latest wins
+        drop("b2.parquet", [(2, 22.0, 3), (3, 30.0, 1)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got2 = {r.uid: r.total for r in spark.read.parquet(serve).collect()}
+    assert got2 == {1: 10.0, 2: 22.0, 3: 30.0}
+
+
 def test_stream_llm_map_pipeline(spark, sf_dir, tmp_path):
     """The reference's declared drawback is 'Can Not Streaming E2E'
     (README.md:96-97) — this engine runs the SAME instr_fanout_map
