@@ -209,3 +209,41 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
         F.least(F.col("c_nationkey").cast("bigint"), F.lit(10)).alias("nk_cap"),
     )
+
+
+@query(
+    "scalar_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(raw_num AS BIGINT) AS as_int,
+           TRY_CAST(raw_date AS DATE) AS as_date,
+           CASE WHEN den = 0 THEN NULL ELSE CAST(10.0 / den AS DOUBLE) END AS safe_div
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR) ELSE 'not-a-number' END AS raw_num,
+             CASE WHEN doc_id % 2 = 0 THEN '2024-01-15' ELSE 'bogus' END AS raw_date,
+             doc_id % 4 AS den
+      FROM documents
+    )
+    """,
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe casting for dirty inputs — try_cast/try_to_date/try_divide
+    return NULL instead of failing the job: the difference between one
+    bad record poisoning a 100 TB batch and a quarantine column.  Bad
+    values are injected deterministically so both engines see
+    identical dirt."""
+    d = t(spark, sf_dir, "documents")
+    raw_num = F.when(
+        F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string")
+    ).otherwise(F.lit("not-a-number"))
+    raw_date = F.when(F.col("doc_id") % 2 == 0, F.lit("2024-01-15")).otherwise(
+        F.lit("bogus")
+    )
+    den = F.col("doc_id") % 4
+    return d.select(
+        "doc_id",
+        raw_num.try_cast("bigint").alias("as_int"),
+        raw_date.try_cast("date").alias("as_date"),
+        F.try_divide(F.lit(10.0), den).alias("safe_div"),
+    )

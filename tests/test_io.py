@@ -211,3 +211,17 @@ def test_prompt_template_sub_col_fills_per_record(spark):
         ).alias("p")
     ).collect()[0].p
     assert got == "L=en S=web"
+
+
+def test_observed_metrics_ride_the_job(spark):
+    """observe() counters must report row count and per-column null
+    counts from the SAME pass as the action — no second scan."""
+    from instructions_mr_spark.sources.tables import observed_with
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "id int, s string"
+    )
+    watched, obs = observed_with(df, null_check_cols=["s"])
+    assert watched.filter(F.col("id") > 0).count() == 4
+    got = obs.get
+    assert got["n_rows"] == 4 and got["nulls_s"] == 2
