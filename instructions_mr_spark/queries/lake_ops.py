@@ -305,3 +305,30 @@ def json_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("ok"), F.col("k")).otherwise(0)).alias("sum_k"),
         )
     )
+
+
+@query(
+    "nested_roundtrip",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalize-then-flatten: lineitems nest into a per-order
+    array<struct> (the one-row-per-entity layout wide lakes store to
+    kill the join) and explode back out; the value hash certifies the
+    nested layout loses nothing.  collect_list + sort_array keeps the
+    array deterministic; one shuffle each way."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey", F.explode("lines").alias("ln")
+    ).select(
+        "l_orderkey",
+        F.col("ln.l_linenumber").alias("l_linenumber"),
+        F.col("ln.l_quantity").alias("l_quantity"),
+    )

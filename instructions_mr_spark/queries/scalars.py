@@ -247,3 +247,28 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_date.try_cast("date").alias("as_date"),
         F.try_divide(F.lit(10.0), den).alias("safe_div"),
     )
+
+
+@query(
+    "variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS k,
+           CASE WHEN json_valid(props) THEN 'OBJECT' ELSE NULL END AS vtype
+    FROM events
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json -> binary variant -> typed path extraction
+    (try_variant_get) + schema introspection (schema_of_variant).
+    VARIANT is the modern lake answer to JSON-string columns — parsed
+    once at ingest, fielded access without re-parsing per query; the
+    oracle states the same extraction over the raw JSON text."""
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.when(F.schema_of_variant(v).startswith("OBJECT"), "OBJECT").alias("vtype"),
+    )
