@@ -41,7 +41,9 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     and all of it."""
     path = _tmp("events_by_type", sf_dir)
     e = t(spark, sf_dir, "events")
-    if not os.path.isdir(path):  # write once per sf; reruns reuse
+    # write once per sf; reruns reuse — gated on the _SUCCESS marker,
+    # not the directory, so a crashed partial write is re-done
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         e.write.mode("overwrite").partitionBy("event_type").parquet(path)
     back = spark.read.parquet(path).filter(F.col("event_type") == "click")
     return (

@@ -409,3 +409,111 @@ def tf_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
     )
     return scored.withColumn("rk", rk).filter(F.col("rk") <= 3).drop("rk")
+
+
+@query(
+    "contamination_check",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0
+    ), bench_grams AS (
+      SELECT DISTINCT bench_id, g FROM (
+        SELECT bench_id,
+               array_to_string(toks[i : i + 3], ' ') AS g
+        FROM (SELECT bench_id, string_split(lower(text), ' ') AS toks FROM bench),
+             LATERAL (SELECT unnest(generate_series(1, GREATEST(len(toks) - 3, 0))) AS i) s
+      ) WHERE g IS NOT NULL
+    ), corpus_grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               array_to_string(toks[i : i + 3], ' ') AS g
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents WHERE doc_id % 97 <> 0),
+             LATERAL (SELECT unnest(generate_series(1, GREATEST(len(toks) - 3, 0))) AS i) s
+      ) WHERE g IS NOT NULL
+    )
+    SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared_grams,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus_grams c JOIN bench_grams b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan — the pre-training hygiene step:
+    flag corpus documents sharing any 4-token n-gram with a held-out
+    benchmark set (here: every 97th doc plays the benchmark).  Both
+    sides explode to distinct 4-grams; the join is an equi-join on the
+    gram (the benchmark side is small → broadcast), never a doc x doc
+    cross product.  At 100 TB gram-hashing (not the raw string) keys
+    the join; semantics are identical."""
+    d = t(spark, sf_dir, "documents")
+
+    def grams(df: DataFrame, id_out: str) -> DataFrame:
+        # Materialize the token array ONCE per row, build the gram
+        # array inside the row (transform over start positions), then
+        # explode only (id, gram).  Two pitfalls measured at sf0.01:
+        # exploding positions first duplicates the token array onto
+        # every gram row (70x), and referencing split() inside the
+        # lambda re-splits the text per position (O(tokens^2), 10x).
+        toked = df.select(
+            F.col("doc_id").alias(id_out),
+            F.split(F.lower("text"), " ").alias("toks"),
+        )
+        gram_arr = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("toks") - 3, F.lit(0))
+            ),
+            lambda i: F.array_join(F.slice("toks", i, 4), " "),
+        )
+        return toked.select(id_out, F.explode(gram_arr).alias("g")).distinct()
+
+    bench = grams(d.filter(F.col("doc_id") % 97 == 0), "bench_id")
+    corpus = grams(d.filter(F.col("doc_id") % 97 != 0), "doc_id")
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@query(
+    "mixture_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(n_docs) AS n FROM per_source)
+    SELECT source, n_docs, n_chars_total,
+           ROUND(CAST(n_docs AS DOUBLE) / tot.n, 6) AS actual_share,
+           ROUND((1.0 / (SELECT COUNT(*) FROM per_source))
+                 / (CAST(n_docs AS DOUBLE) / tot.n), 6) AS upsample_factor
+    FROM per_source, tot
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weighting — per-source sampling factors to reach a
+    target mixture (uniform across sources here): one aggregate pass
+    plus two broadcast scalars (total count, source count).  The
+    upsample_factor column is what a sampler multiplies each source's
+    keep-probability by."""
+    d = t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars_total")
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("n"), F.count("*").alias("n_sources")
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias("actual_share"),
+        F.round(
+            (F.lit(1.0) / F.col("n_sources"))
+            / (F.col("n_docs").cast("double") / F.col("n")),
+            6,
+        ).alias("upsample_factor"),
+    )
