@@ -31,3 +31,38 @@ def test_scd2_history_one_open_row_per_key(spark, sf_dir):
     out = registry.QUERIES["scd2_history"](spark, sf_dir)
     open_rows = out.filter(F.col("valid_to").isNull()).groupBy("id").count()
     assert open_rows.filter(F.col("count") != 1).count() == 0
+
+
+def test_tf_idf_broadcasts_df_table(spark, sf_dir):
+    """The vocabulary-sized df/n_docs sides must broadcast; the fact
+    (terms) never shuffles for those joins."""
+    df = registry.QUERIES["tf_idf_top_terms"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_contamination_joins_on_gram_not_docs(spark, sf_dir):
+    """Contamination must be an equi-join on the gram (benchmark side
+    broadcast) — never a doc x doc nested loop."""
+    df = registry.QUERIES["contamination_check"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [g" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fanout_queries_have_no_python_stage(spark, sf_dir):
+    """The new text/lake queries are pure JVM — no Arrow/Python
+    boundary may appear in their plans."""
+    for name in (
+        "contamination_check",
+        "mixture_weights",
+        "doc_chunks",
+        "text_redact_pii",
+        "nested_roundtrip",
+        "variant_extract",
+        "interval_concurrency",
+        "json_parse_quarantine",
+    ):
+        plan = registry.QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name} has a Python stage: {marker}"
