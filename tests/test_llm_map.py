@@ -345,3 +345,31 @@ def test_fanout_map_arrow_http(spark):
         client_factory=lambda conf: EchoLlmClient(conf, tag=True),
     )
     assert out.collect()[0].s.startswith("[m1] ")
+
+
+def test_fluent_builder_equals_config_pipeline(spark):
+    """The fluent builder must compile to the SAME plan as the JSON
+    config path: identical outputs, and to_dict() round-trips through
+    PipelineConfig.from_dict."""
+    from instructions_mr_spark.plans.builder import Pipeline, instruction
+
+    docs = _docs(spark)
+    p = (
+        Pipeline()
+        .llm(api_type="echo", model="echo")
+        .map(
+            instruction("summary", content="Summarize.", scope=["text"]),
+            instruction("tag", content="Tag.", scope=["lang"]),
+        )
+        .reduce(instruction("report", content="Merge.", scope=["summary", "tag"]))
+    )
+    fluent = {r.doc_id: r.report for r in p.run(docs, keep_cols=["doc_id"]).collect()}
+
+    conf = PipelineConfig.from_dict(p.to_dict())
+    assert [s.kind for s in conf.stages] == ["map", "reduce"]
+    assert conf.stages[0].output_columns == ["summary", "tag"]
+    json_path = {
+        r.doc_id: r.report
+        for r in run_pipeline(docs, conf, keep_cols=["doc_id"]).collect()
+    }
+    assert fluent == json_path and len(fluent) == 2
