@@ -112,3 +112,11 @@ def test_no_python_stage_outside_allowlist(spark, sf_dir):
         if hit:
             offenders.append((name, hit))
     assert not offenders, f"Python stages in JVM-only queries: {offenders}"
+
+
+def test_every_registered_query_has_an_oracle():
+    """Zero rows-only entries: every queries() key must have an
+    oracle_sql() twin — a future rows-only addition must be a
+    conscious decision, not a drift."""
+    assert set(registry.QUERIES) == set(registry.ORACLES)
+    assert len(registry.QUERIES) >= 160
