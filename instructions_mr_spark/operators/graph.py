@@ -27,6 +27,104 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _edge_checksum(e: DataFrame) -> tuple[int, int]:
+    """Cheap fixpoint signature: (row count, sum of src+dst)."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col("src") + F.col("dst")), F.lit(0)).alias("s"),
+    ).first()
+    return int(row.n), int(row.s)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds regardless of component DIAMETER, vs
+    min-label propagation's O(diameter).  The scale choice for long
+    chain-shaped components (URL redirect chains, citation paths)
+    where propagation needs hundreds of rounds.
+
+    large-star(u): every neighbor v > u re-links to m = min(N(u)+{u});
+    small-star(u): every neighbor v <= u (and u) links to that m.
+    Each round = two groupBy-join passes over the edge list; fixpoint
+    when the edge multiset stops changing.  Output matches
+    connected_components: (node, component=min node id).
+    """
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # collect nodes BEFORE dropping self-loops so a node appearing
+    # only in a self-loop still gets a (node, node) label
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .unionByName(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = raw.filter(F.col("src") != F.col("dst"))
+    # canonical direction src > dst (edge points larger -> smaller)
+    e = (
+        e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star: group by u over BOTH orientations; attach
+        # strictly-larger neighbors to the minimum of the neighborhood
+        both = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = both.groupBy("src").agg(
+            F.least(F.min("dst"), F.col("src")).alias("m")
+        )
+        large = (
+            both.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        e = (
+            large.filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star: edges already point large->small; group by
+        # src, link every smaller neighbor (and src) to the minimum
+        mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+        linked = e.join(mins, "src")
+        small = (
+            linked.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(linked.select("src", F.col("m").alias("dst")))
+        )
+        e = (
+            small.filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = _edge_checksum(e)
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # stars: every non-root points directly at its component min
+    labels = nodes.join(
+        e.select(F.col("src").alias("node"), F.col("dst").alias("component")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("component", "node").alias("component"))
+    return labels
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -68,6 +68,30 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_cc_star",
+    oracle=ORACLES["dedup_cluster_cc"],
+)
+def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as dedup_cluster_cc, computed by the
+    large-star/small-star algorithm (operators/graph.py
+    connected_components_star) — O(log n) rounds independent of
+    component diameter, the scale-right choice when dup chains run
+    long.  Shares the label-propagation oracle: both must produce the
+    identical min-id labeling."""
+    from instructions_mr_spark.operators.graph import connected_components_star
+
+    pairs = _llm.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components_star(pairs, src="doc_a", dst="doc_b")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "rollup_time_hierarchy",
     oracle=f"""
     SELECT d AS day_bucket, h AS hour_bucket, GROUPING(d, h) AS gid,

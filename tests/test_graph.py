@@ -159,3 +159,40 @@ def test_cc_matches_union_find_on_random_graphs(spark):
             r.node: r.component for r in connected_components(df).collect()
         }
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_cc_star_matches_label_propagation(spark):
+    """Large-star/small-star CC (O(log n) rounds) must produce exactly
+    the same (node, min-id component) labeling as label propagation on
+    random graphs, self-loops included."""
+    import random
+
+    from instructions_mr_spark.operators.graph import connected_components_star
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n_nodes = rng.randint(5, 50)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(3, 70))
+        ] + [(n_nodes + 1, n_nodes + 1)]  # self-loop-only node survives
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        a = {
+            (r.node, r.component)
+            for r in connected_components(df, max_iter=100).collect()
+        }
+        b = {
+            (r.node, r.component)
+            for r in connected_components_star(df).collect()
+        }
+        assert a == b, f"trial {trial}"
+
+
+def test_cc_star_long_chain_few_rounds(spark):
+    """A diameter-200 path (label propagation would need ~200 rounds)
+    must converge within star's 25-round budget to ONE component."""
+    from instructions_mr_spark.operators.graph import connected_components_star
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(200)], ["src", "dst"])
+    out = connected_components_star(chain)
+    assert {r.component for r in out.collect()} == {0}
