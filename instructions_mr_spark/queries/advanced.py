@@ -491,3 +491,46 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bal_gap"),
         )
     )
+
+
+@query(
+    "udaf_grouped_arrow",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(ROUND(MIN(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS min_bal,
+           CAST(ROUND(MAX(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS max_bal,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation via applyInArrow — the zero-copy
+    sibling of applyInPandas: per-group logic runs directly on
+    pyarrow Tables (no pandas conversion), the right boundary when the
+    group fits in one Arrow batch and the kernel is expressible with
+    pyarrow.compute.  Shuffles once on the group key."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from instructions_mr_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    out_schema = "c_mktsegment string, min_bal double, max_bal double, n long"
+
+    def minmax(tbl: pa.Table) -> pa.Table:
+        bal = tbl["c_acctbal"]
+        return pa.table(
+            {
+                "c_mktsegment": [tbl["c_mktsegment"][0].as_py()],
+                "min_bal": [round(pc.min(bal).as_py(), 2)],
+                "max_bal": [round(pc.max(bal).as_py(), 2)],
+                "n": [tbl.num_rows],
+            }
+        )
+
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInArrow(minmax, schema=out_schema)
+    )

@@ -304,3 +304,75 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "view_ts", "purchase_id",
         F.col("p_ts").alias("purchase_ts"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id AS p_uid, ts AS p_ts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    back AS (
+      SELECT v.event_id, p.purchase_id AS b_id, p.p_ts AS b_ts
+      FROM v ASOF LEFT JOIN p ON v.user_id = p.p_uid AND v.ts >= p.p_ts
+    ),
+    fwd AS (
+      SELECT v.event_id, p.purchase_id AS f_id, p.p_ts AS f_ts
+      FROM v ASOF LEFT JOIN p ON v.user_id = p.p_uid AND v.ts <= p.p_ts
+    )
+    SELECT v.event_id, v.user_id,
+           CASE
+             WHEN b_id IS NULL THEN f_id
+             WHEN f_id IS NULL THEN b_id
+             WHEN (v.ts - b_ts) <= (f_ts - v.ts) THEN b_id
+             ELSE f_id
+           END AS nearest_purchase
+    FROM v
+    LEFT JOIN back ON v.event_id = back.event_id
+    LEFT JOIN fwd ON v.event_id = fwd.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event as-of (either direction): each view matched to the
+    closest purchase in time, ties to the earlier one — composed from
+    the backward and forward as-of joins (each one shuffle+sort on the
+    key), then a projection picks the closer side.  No extra join: the
+    forward pass reuses the backward pass's output as its left side."""
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select("p_uid", "p_ts", "purchase_id")
+    )
+    back = asof_join(
+        views, purchases.select(F.col("p_uid").alias("b_uid"),
+                                F.col("p_ts").alias("b_ts"),
+                                F.col("purchase_id").alias("b_id")),
+        on_time_left="view_ts", on_time_right="b_ts",
+        by_left=["user_id"], by_right=["b_uid"], how="left",
+    ).drop("b_uid")
+    both = asof_join(
+        back, purchases.select(F.col("p_uid").alias("f_uid"),
+                               F.col("p_ts").alias("f_ts"),
+                               F.col("purchase_id").alias("f_id")),
+        on_time_left="view_ts", on_time_right="f_ts",
+        by_left=["user_id"], by_right=["f_uid"], how="left",
+        direction="forward",
+    )
+    nearest = (
+        F.when(F.col("b_id").isNull(), F.col("f_id"))
+        .when(F.col("f_id").isNull(), F.col("b_id"))
+        .when(
+            F.col("view_ts").cast("long") - F.col("b_ts").cast("long")
+            <= F.col("f_ts").cast("long") - F.col("view_ts").cast("long"),
+            F.col("b_id"),
+        )
+        .otherwise(F.col("f_id"))
+    )
+    return both.select("event_id", "user_id", nearest.alias("nearest_purchase"))

@@ -94,14 +94,15 @@ def test_no_python_stage_outside_allowlist(spark, sf_dir):
         "llm_echo_map", "llm_echo_map_arrow", "llm_echo_mapreduce",
         "llm_echo_mapreduce_fused", "sv_pipeline_echo",
         "multimodal_decode_fake", "multimodal_frame_sample",
-        "udf_pandas_scalar", "udaf_grouped_pandas", "udtf_tokenize",
+        "udf_pandas_scalar", "udaf_grouped_pandas", "udaf_grouped_arrow",
+        "udtf_tokenize",
     }
     # iterative/ML queries execute work at plan-build time — checked
     # by their own tests, skipped here to keep the sweep fast
-    SKIP = {"dedup_cluster_cc", "sim_search_ivf_kmeans"}
+    SKIP = {"dedup_cluster_cc", "dedup_cluster_cc_star", "sim_search_ivf_kmeans"}
     MARKERS = (
         "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-        "FlatMapGroupsInPandas", "MapInArrow", "PythonUDTF",
+        "FlatMapGroupsInPandas", "FlatMapGroupsInArrow", "MapInArrow", "PythonUDTF",
     )
     offenders = []
     for name, fn in sorted(registry.QUERIES.items()):
