@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from instructions_mr_spark.operators.asof import asof_join
 
 
@@ -72,3 +74,53 @@ def test_asof_schema_is_left_plus_right(spark):
     left, right = _frames(spark)
     out = asof_join(left, right, "ts", "rts", ["uid"], ["cid"])
     assert out.columns == ["uid", "ts", "ev", "cid", "rts", "ord"]
+
+
+def test_asof_matches_pandas_merge_asof_on_random_data(spark):
+    """Independent-oracle property check: backward and forward
+    asof_join must equal pandas merge_asof (direction backward/
+    forward, allow_exact_matches=True) on random keyed time series."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(99)
+    for trial in range(3):
+        left_rows = [
+            (rng.randint(0, 4), rng.randint(0, 1000), i)
+            for i in range(rng.randint(5, 40))
+        ]
+        right_rows_raw = {
+            (rng.randint(0, 4), rng.randint(0, 1000)): i
+            for i in range(rng.randint(3, 30))
+        }
+        right_rows = [(k, ts, v) for (k, ts), v in right_rows_raw.items()]
+
+        lpdf = pd.DataFrame(left_rows, columns=["k", "t", "lid"])
+        rpdf = pd.DataFrame(right_rows, columns=["rk", "rt", "rid"])
+        left = spark.createDataFrame(lpdf).select(
+            "k", F.to_timestamp(F.from_unixtime("t")).alias("t"), "lid"
+        )
+        right = spark.createDataFrame(rpdf).select(
+            "rk", F.to_timestamp(F.from_unixtime("rt")).alias("rt"), "rid"
+        )
+
+        for direction in ("backward", "forward"):
+            got = {
+                r.lid: r.rid
+                for r in asof_join(
+                    left, right, "t", "rt", ["k"], ["rk"], direction=direction
+                ).collect()
+            }
+            lp = lpdf.sort_values("t", kind="mergesort")
+            rp = rpdf.sort_values("rt", kind="mergesort")
+            want_df = pd.merge_asof(
+                lp, rp, left_on="t", right_on="rt",
+                left_by="k", right_by="rk", direction=direction,
+                allow_exact_matches=True,
+            )
+            want = {
+                int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                for r in want_df.itertuples()
+            }
+            assert got == want, f"trial {trial} {direction}: {got} != {want}"
