@@ -339,3 +339,35 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.max("open_now").alias("max_concurrent"))
     )
+
+
+@query(
+    "sql_api_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door end to end: tables registered as temp views
+    (sources/tables.register_views), the query itself written in Spark
+    SQL — same Catalyst plan as the DataFrame path, proving a SQL-only
+    user needs nothing else.  The SQL string is shared semantics with
+    the DuckDB oracle modulo quoting."""
+    from instructions_mr_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY o_orderpriority
+        """
+    )
