@@ -334,3 +334,37 @@ def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ln.l_linenumber").alias("l_linenumber"),
         F.col("ln.l_quantity").alias("l_quantity"),
     )
+
+
+@query(
+    "python_datasource_scan",
+    oracle="""
+    SELECT lang, COUNT(*) AS n, MIN(digest) AS min_digest
+    FROM (
+      SELECT i % 5 AS lx,
+             ['en','fr','de','es','ja'][(i % 5) + 1] AS lang,
+             md5(CAST(i AS VARCHAR)) AS digest
+      FROM (SELECT unnest(generate_series(0, 799)) AS i)
+    )
+    GROUP BY lang
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom Python Data Source as a first-class scan
+    (sources/pysource.py): spark.read.format("imr_synth") with 8
+    parallel input partitions, aggregated per lang.  The source's rows
+    are a pure function of the row id, so DuckDB reproduces the whole
+    table from generate_series — certifying the partitioned reader
+    delivered exactly the declared rows, no dupes, no gaps."""
+    from instructions_mr_spark.sources.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("imr_synth")
+        .option("n_rows", 800)
+        .option("n_parts", 8)
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n"), F.min("digest").alias("min_digest")
+    )

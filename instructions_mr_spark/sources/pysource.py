@@ -1,0 +1,85 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource``) —
+a deterministic synthetic-documents generator exposed as a real
+``spark.read.format(...)`` source (SURVEY.md §2.1 extension: the
+engine can host NEW source formats in pure Python, partitioned for
+parallelism, without touching the JVM).
+
+Shape: ``spark.read.format("imr_synth").option("n_rows", N)
+.option("n_parts", P).schema(...).load()`` yields N rows split across
+P input partitions; every value is a pure function of the row id (md5
+text, id % lang buckets), so any engine can reproduce the table —
+which is exactly what the DuckDB oracle does (queries/lake_ops.py
+``python_datasource_scan``).
+
+At scale: partitions() returns P independent splits, each read() runs
+in its own task — the same parallel-scan contract as a file source;
+a real connector would put its split metadata (file ranges, shard
+ids) in the InputPartition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+_LANGS = ("en", "fr", "de", "es", "ja")
+
+
+def synth_row(i: int) -> tuple[int, str, str]:
+    """Deterministic row i — shared by the reader AND the tests, and
+    restated in SQL by the oracle."""
+    return i, hashlib.md5(str(i).encode()).hexdigest(), _LANGS[i % len(_LANGS)]
+
+
+class _SynthPartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class _SynthReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 100))
+        self.n_parts = max(1, int(options.get("n_parts", 4)))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = -(-self.n_rows // self.n_parts)  # ceil division
+        return [
+            _SynthPartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _SynthPartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield synth_row(i)
+
+
+class SynthDocsDataSource(DataSource):
+    """``format("imr_synth")``: id, md5 text digest, cycled lang."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "imr_synth"
+
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("digest", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return _SynthReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration; call before format("imr_synth")."""
+    from instructions_mr_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    spark.dataSource.register(SynthDocsDataSource)

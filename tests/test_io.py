@@ -225,3 +225,23 @@ def test_observed_metrics_ride_the_job(spark):
     assert watched.filter(F.col("id") > 0).count() == 4
     got = obs.get
     assert got["n_rows"] == 4 and got["nulls_s"] == 2
+
+
+def test_python_datasource_partitions_exact(spark):
+    """Custom Python Data Source: N rows across P partitions, no
+    dupes, no gaps, values matching the shared synth_row function."""
+    from instructions_mr_spark.sources.pysource import register, synth_row
+
+    register(spark)
+    df = (
+        spark.read.format("imr_synth")
+        .option("n_rows", 103)  # deliberately not divisible by parts
+        .option("n_parts", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r.id: (r.digest, r.lang) for r in df.collect()}
+    assert sorted(rows) == list(range(103))
+    for i in (0, 7, 102):
+        _, digest, lang = synth_row(i)
+        assert rows[i] == (digest, lang)
