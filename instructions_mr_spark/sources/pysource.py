@@ -77,9 +77,52 @@ class SynthDocsDataSource(DataSource):
         return _SynthReader(self.options)
 
 
+class _SynthStreamReader:
+    """Micro-batch stream over the same synthetic rows: each batch
+    advances the offset by ``batch_rows`` ids until ``n_rows`` —
+    a SimpleDataSourceStreamReader (offset = dict, exactly-once by
+    offset-range replay)."""
+
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 100))
+        self.batch_rows = int(options.get("batch_rows", 25))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.batch_rows, self.n_rows)
+        # a picklable ITERATOR is required: generators can't pickle,
+        # bare lists fail next(); iter(list) satisfies both
+        return iter([synth_row(i) for i in range(lo, hi)]), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_row(i) for i in range(start["pos"], end["pos"])])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SynthDocsStreamDataSource(DataSource):
+    """``format("imr_synth_stream")``: the streaming twin — same rows
+    delivered as micro-batches with replayable offset ranges."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "imr_synth_stream"
+
+    def schema(self) -> T.StructType:
+        return SynthDocsDataSource.schema(self)
+
+    def simpleStreamReader(self, schema: T.StructType) -> "_SynthStreamReader":
+        return _SynthStreamReader(self.options)
+
+
 def register(spark) -> None:
     """Idempotent registration; call before format("imr_synth")."""
     from instructions_mr_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
     spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(SynthDocsStreamDataSource)

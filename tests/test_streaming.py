@@ -464,3 +464,38 @@ def test_stream_llm_map_pipeline(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_python_streaming_datasource(spark, tmp_path):
+    """Custom Python STREAMING data source (SimpleDataSourceStreamReader):
+    micro-batches with replayable offset ranges must deliver exactly
+    the batch-source rows once the stream drains."""
+    from instructions_mr_spark.sources.pysource import register, synth_row
+
+    register(spark)
+    stream = (
+        spark.readStream.format("imr_synth_stream")
+        .option("n_rows", 90)
+        .option("batch_rows", 40)
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pysrc_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r.id: (r.digest, r.lang)
+        for r in spark.sql("SELECT * FROM pysrc_stream_t").collect()
+    }
+    assert sorted(rows) == list(range(90))
+    for i in (0, 41, 89):
+        _, digest, lang = synth_row(i)
+        assert rows[i] == (digest, lang)
