@@ -22,7 +22,13 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql import types as T
 
 _LANGS = ("en", "fr", "de", "es", "ja")
@@ -119,6 +125,72 @@ class SynthDocsStreamDataSource(DataSource):
         return _SynthStreamReader(self.options)
 
 
+class _ShardMsg(WriterCommitMessage):
+    """Task commit message: shard path + row count (module-level so
+    it pickles back to the driver)."""
+
+    def __init__(self, shard: str, n: int) -> None:
+        self.shard = shard
+        self.n = n
+
+
+class _JsonlShardWriter(DataSourceWriter):
+    """DataSourceWriter: each task writes its partition to a private
+    shard file, commit() publishes a manifest of the task-reported
+    shards — the two-phase (write-then-commit) contract that makes a
+    distributed sink atomic-ish: uncommitted shards are invisible
+    because readers go through the manifest."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        shard = os.path.join(self.path, f"shard-{pid}-{uuid.uuid4().hex[:8]}.jsonl")
+        n = 0
+        with open(shard, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), ensure_ascii=False) + "\n")
+                n += 1
+        return _ShardMsg(shard, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "shards": [m.shard for m in messages],
+            "rows": sum(m.n for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.shard):
+                os.remove(m.shard)
+
+
+class JsonlShardSink(DataSource):
+    """``format("imr_jsonl_sink")``: manifest-committed JSONL shards."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "imr_jsonl_sink"
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> _JsonlShardWriter:
+        return _JsonlShardWriter(self.options, overwrite)
+
+
 def register(spark) -> None:
     """Idempotent registration; call before format("imr_synth")."""
     from instructions_mr_spark.shipping import ensure_shipped
@@ -126,3 +198,4 @@ def register(spark) -> None:
     ensure_shipped(spark)
     spark.dataSource.register(SynthDocsDataSource)
     spark.dataSource.register(SynthDocsStreamDataSource)
+    spark.dataSource.register(JsonlShardSink)

@@ -245,3 +245,31 @@ def test_python_datasource_partitions_exact(spark):
     for i in (0, 7, 102):
         _, digest, lang = synth_row(i)
         assert rows[i] == (digest, lang)
+
+
+def test_python_datasource_writer_manifest(spark, tmp_path):
+    """Custom Python sink: per-task shard files + a commit-published
+    manifest; manifest row count and shard contents must match the
+    written DataFrame exactly."""
+    import json
+    import os
+
+    from instructions_mr_spark.sources.pysource import register
+
+    register(spark)
+    out = str(tmp_path / "sinkout")
+    df = spark.range(57).selectExpr("id", "md5(CAST(id AS STRING)) AS digest").repartition(3)
+    df.write.format("imr_jsonl_sink").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 57
+    assert len(manifest["shards"]) == 3
+    rows = {}
+    for shard in manifest["shards"]:
+        for line in open(shard, encoding="utf-8"):
+            r = json.loads(line)
+            rows[r["id"]] = r["digest"]
+    import hashlib
+
+    assert sorted(rows) == list(range(57))
+    assert rows[7] == hashlib.md5(b"7").hexdigest()
