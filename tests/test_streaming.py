@@ -499,3 +499,55 @@ def test_python_streaming_datasource(spark, tmp_path):
     for i in (0, 41, 89):
         _, digest, lang = synth_row(i)
         assert rows[i] == (digest, lang)
+
+
+def test_incremental_upsert_survives_restart(spark, tmp_path):
+    """Checkpoint recovery: stop the upsert query, start a NEW query
+    on the same checkpoint, feed another batch — the serving table
+    must reflect all batches exactly once (no replay duplication, no
+    loss)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from instructions_mr_spark.streaming import incremental_upsert_sink
+
+    stream_dir = tmp_path / "restart_src"
+    stream_dir.mkdir()
+    serve = str(tmp_path / "serving")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "uid": pa.array([r[0] for r in rows], pa.int64()),
+                    "total": pa.array([r[1] for r in rows], pa.float64()),
+                    "seq": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            str(stream_dir / name),
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema("uid long, total double, seq long")
+            .parquet(str(stream_dir))
+        )
+        return incremental_upsert_sink(stream, serve, ["uid"], "seq", ckpt)
+
+    drop("b1.parquet", [(1, 10.0, 1), (2, 20.0, 1)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    drop("b2.parquet", [(2, 22.0, 2), (3, 30.0, 1)])
+    q2 = start()  # fresh query object, same checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {r.uid: r.total for r in spark.read.parquet(serve).collect()}
+    assert got == {1: 10.0, 2: 22.0, 3: 30.0}
