@@ -551,3 +551,33 @@ def test_incremental_upsert_survives_restart(spark, tmp_path):
 
     got = {r.uid: r.total for r in spark.read.parquet(serve).collect()}
     assert got == {1: 10.0, 2: 22.0, 3: 30.0}
+
+
+def test_stream_static_dimension_join(spark, events_stream, sf_dir):
+    """Stream-static join: the streaming fact joins a STATIC dimension
+    (per-user tier derived from customer) without watermarks — the
+    static side is re-read per micro-batch.  Result must equal the
+    batch join."""
+    static_dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream, batch = events_stream
+    joined = (
+        stream.join(static_dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"))
+    )
+    _run_to_completion(joined, "ss_dim_t", "complete")
+    got = {r.segment: r.n for r in spark.sql("SELECT * FROM ss_dim_t").collect()}
+    want = {
+        r.segment: r.n
+        for r in batch.join(static_dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
