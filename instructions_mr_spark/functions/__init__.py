@@ -86,3 +86,30 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(length >= 1, F.array_distinct(acc)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def zorder_key_sql(x_expr: str, y_expr: str, bits: int = 10) -> str:
+    """SQL fragment (valid in Spark SQL AND DuckDB) interleaving the
+    low ``bits`` of two non-negative ints into one Morton/Z-curve key:
+    sorting or range-partitioning on it clusters data so a filter on
+    EITHER column skips most row groups — multi-column data skipping
+    without a table format's Z-ORDER command.  Pure integer bit ops,
+    shared verbatim with the oracle so the curves cannot drift."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x_expr} >> {b}) & 1) * {1 << (2 * b)})")
+        terms.append(f"((({y_expr} >> {b}) & 1) * {1 << (2 * b + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Column form of zorder_key_sql (same bit math via Column ops)."""
+    from pyspark.sql import functions as F
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + (
+            F.shiftleft(F.shiftright(x.cast("long"), b).bitwiseAND(1), 2 * b)
+            + F.shiftleft(F.shiftright(y.cast("long"), b).bitwiseAND(1), 2 * b + 1)
+        )
+    return out

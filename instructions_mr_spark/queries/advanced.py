@@ -534,3 +534,50 @@ def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .applyInArrow(minmax, schema=out_schema)
     )
+
+
+@query(
+    "udtf_dynamic_topn",
+    oracle="""
+    SELECT doc_id, w AS tok1, lead1 AS tok2 FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(string_split(text, ' ')[2:]
+                    || [CAST(NULL AS VARCHAR)]) AS lead1,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents WHERE doc_id < 10
+    ) WHERE pos <= 3
+    """,
+)
+def udtf_dynamic_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze`` static method):
+    the output schema — how many leading token columns to emit — is
+    computed at PLAN time from a constant argument, the dynamic-schema
+    table function the fixed-returnType UDTF can't express.  Here
+    n=2: first 3 positions emit (token, next-token) pairs."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql import types as T
+
+    class LeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            fields = [T.StructField(f"tok{i + 1}", T.StringType()) for i in range(width)]
+            return AnalyzeResult(schema=T.StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(min(3, len(toks))):
+                yield tuple(
+                    toks[i + j] if i + j < len(toks) else None for j in range(n)
+                )
+
+    spark.udtf.register("imr_lead_tokens", udtf(LeadTokens))
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10).createOrReplaceTempView(
+        "v_docs_dyn_udtf"
+    )
+    return spark.sql(
+        "SELECT doc_id, t.tok1, t.tok2 "
+        "FROM v_docs_dyn_udtf, LATERAL imr_lead_tokens(text, 2) t"
+    )

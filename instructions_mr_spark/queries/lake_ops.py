@@ -368,3 +368,40 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("lang").agg(
         F.count("*").alias("n"), F.min("digest").alias("min_digest")
     )
+
+
+from instructions_mr_spark.functions import zorder_key_sql as _zsql
+
+_Z_FRAG = _zsql("(l_orderkey % 1024)", "(l_suppkey % 1024)", bits=10)
+
+
+@query(
+    "zorder_cluster_key",
+    oracle=f"""
+    SELECT (zkey >> 14) AS zbucket,
+           COUNT(*) AS n,
+           MIN(zkey) AS zmin, MAX(zkey) AS zmax
+    FROM (SELECT {_Z_FRAG} AS zkey FROM lineitem)
+    GROUP BY 1
+    """,
+)
+def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two filter columns: bit
+    interleaving maps (orderkey, suppkey) onto one space-filling-curve
+    key; range-partitioning/sorting the lake on it clusters BOTH
+    dimensions at once, so row-group min/max stats prune filters on
+    either column — multi-column data skipping without a table
+    format's Z-ORDER.  The SQL fragment is shared verbatim with the
+    oracle (functions.zorder_key_sql); buckets = key >> 14 summarize
+    the curve for the hash check."""
+    li = t(spark, sf_dir, "lineitem")
+    zkey = F.expr(_Z_FRAG)
+    return (
+        li.select(zkey.alias("zkey"))
+        .groupBy((F.col("zkey") / (1 << 14)).cast("long").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+        )
+    )

@@ -95,7 +95,7 @@ def test_no_python_stage_outside_allowlist(spark, sf_dir):
         "llm_echo_mapreduce_fused", "sv_pipeline_echo",
         "multimodal_decode_fake", "multimodal_frame_sample",
         "udf_pandas_scalar", "udaf_grouped_pandas", "udaf_grouped_arrow",
-        "udtf_tokenize",
+        "udtf_tokenize", "udtf_dynamic_topn",
     }
     # iterative/ML queries execute work at plan-build time — checked
     # by their own tests, skipped here to keep the sweep fast
