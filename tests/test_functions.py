@@ -48,3 +48,29 @@ def test_jaccard_and_shingles(spark):
     ).collect()[0]
     assert abs(out.j - 3 / 5) < 1e-9
     assert out.sh == ["a b c", "b c d"]
+
+
+def test_zorder_column_matches_sql_fragment_and_bijective(spark):
+    """zorder_key (Column ops) must equal zorder_key_sql (shared SQL
+    fragment) on random coordinates, and the 10-bit curve must be
+    bijective over its domain sample."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from instructions_mr_spark.functions import zorder_key, zorder_key_sql
+
+    rng = random.Random(5)
+    pts = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = df.select(
+        "x", "y",
+        zorder_key(F.col("x"), F.col("y")).alias("zc"),
+        F.expr(zorder_key_sql("x", "y")).alias("zs"),
+    ).collect()
+    keys = set()
+    for r in out:
+        assert r.zc == r.zs, (r.x, r.y)
+        keys.add((r.x, r.y, r.zc))
+    # distinct points -> distinct keys (bijective on the 10-bit grid)
+    assert len({(x, y) for x, y, _ in keys}) == len({z for _, _, z in keys})
