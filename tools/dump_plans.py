@@ -80,6 +80,15 @@ NOTES = {
     "fk_orphan_audit": "Five anti joins in one plan: small parents "
     "broadcast (BroadcastHashJoin LeftAnti); the lineitem->orders leg is "
     "the only shuffled anti join; counts union driver-free.",
+    "tf_idf_top_terms": "Two keyed shuffles total (per-doc tf, corpus df); "
+    "the vocabulary-sized df table and the 1-row n_docs both broadcast "
+    "back onto terms; per-doc top-3 via WindowGroupLimit.",
+    "contamination_check": "Grams built IN-ROW (transform over start "
+    "positions) then exploded — no token-array duplication; benchmark "
+    "gram set broadcasts; the join is equi on the gram, never doc x doc.",
+    "zorder_cluster_key": "Pure projection + one aggregate: the Morton "
+    "key is integer bit math inside WholeStageCodegen, no Python, no "
+    "extra scan.",
 }
 
 
