@@ -212,3 +212,51 @@ def stdout_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the print itself is a bounded take(limit) over exactly these
     lines — sources/io.py:stdout_sink)."""
     return stdout_render(t(spark, sf_dir, "nation")).select("n_nationkey", "line")
+
+
+@query(
+    "textfile_scan",
+    oracle="SELECT md5(CAST(n_nationkey AS VARCHAR) || ':' || n_name) AS line FROM nation",
+)
+def textfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source round trip (spark.read/write.text):
+    one digest line per nation row out, scanned back verbatim — the
+    raw-corpus ingest format (one document per line) at its simplest."""
+    nation = t(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.md5(
+            F.concat(F.col("n_nationkey").cast("string"), F.lit(":"), F.col("n_name"))
+        ).alias("value")
+    )
+    path = _rt_path("textfile_scan", sf_dir)
+    lines.write.mode("overwrite").text(path)
+    return spark.read.text(path).select(F.col("value").alias("line"))
+
+
+@query(
+    "binaryfile_scan",
+    oracle="""
+    SELECT strlen(n_name) AS n_bytes, md5(n_name) AS digest
+    FROM nation
+    """,
+)
+def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal ingest front door: opaque files scanned with the
+    ``binaryFile`` source (path, length, content) — here one file per
+    nation row with known bytes, so the oracle recomputes each file's
+    length+digest from the table without touching the filesystem.
+    At 100 TB this is how image/audio blobs enter the lake before
+    binary_metadata/decode (operators/multimodal.py) take over."""
+    import os as _os
+
+    nation_rows = t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    base = _rt_path("binaryfile_scan", sf_dir)
+    _os.makedirs(base, exist_ok=True)
+    for r in nation_rows:  # bounded: 25 files at every sf
+        with open(_os.path.join(base, f"n{r.n_nationkey}.bin"), "wb") as fh:
+            fh.write(r.n_name.encode("utf-8"))
+    files = spark.read.format("binaryFile").load(base)
+    return files.select(
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )
