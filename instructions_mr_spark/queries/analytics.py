@@ -371,3 +371,38 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE up(id, cur, steps) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 500
+      UNION ALL
+      SELECT id, cur // 2, steps + 1 FROM up WHERE cur > 1
+    )
+    SELECT id, MAX(steps) AS depth, CAST(SUM(cur) AS BIGINT) AS chain_sum
+    FROM up GROUP BY id
+    """,
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4) transitive closure: every customer
+    walks a synthetic parent chain (parent = id DIV 2, root 1) and
+    reports its depth and ancestor-id sum — the org-hierarchy / BOM
+    explosion shape that needed driver-side loops before recursive
+    CTEs landed.  Each recursion step is one distributed self-join;
+    depth is O(log id), so the plan unrolls ~9 steps here."""
+    from instructions_mr_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE up(id, cur, steps) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 500
+          UNION ALL
+          SELECT id, cur DIV 2, steps + 1 FROM up WHERE cur > 1
+        )
+        SELECT id, MAX(steps) AS depth, SUM(cur) AS chain_sum
+        FROM up GROUP BY id
+        """
+    )
