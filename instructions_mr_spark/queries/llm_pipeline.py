@@ -649,3 +649,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.4)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "lsh_bucket_stats",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {_minhash_cols_duck()} FROM ({_DUCK_SHINGLE_DOCS})
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band,
+             mh0 || '_' || mh1 || '_' || mh2 || '_' || mh3 || '_' || mh4 || '_' || mh5 AS key
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band,
+             mh6 || '_' || mh7 || '_' || mh8 || '_' || mh9 || '_' || mh10 || '_' || mh11 AS key
+      FROM sigs
+    ),
+    buckets AS (
+      SELECT band, key, COUNT(*) AS bucket_size
+      FROM bands GROUP BY band, key
+    )
+    SELECT band, bucket_size,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(bucket_size * (bucket_size - 1) / 2) AS BIGINT) AS pair_cost
+    FROM buckets GROUP BY band, bucket_size
+    """,
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH skew diagnostic: band-bucket size distribution plus the
+    candidate-pair cost each size class contributes (sum of s*(s-1)/2).
+    At 100 TB this is what you run BEFORE the dedup pass — a single
+    hot bucket (boilerplate-heavy shards, empty documents) turns the
+    candidate join quadratic, and the fix (more rows per band, salting
+    the hot key, or pre-filtering degenerate docs) is chosen from this
+    histogram.  Cost: signatures + two keyed aggregates — no pair
+    materialization."""
+    sigs = _minhash_signatures(t(spark, sf_dir, "documents"))
+    b0 = sigs.select(
+        "doc_id",
+        F.lit(0).alias("band"),
+        F.concat_ws("_", *[F.col(f"mh{i}") for i in range(6)]).alias("key"),
+    )
+    b1 = sigs.select(
+        "doc_id",
+        F.lit(1).alias("band"),
+        F.concat_ws("_", *[F.col(f"mh{i}") for i in range(6, 12)]).alias("key"),
+    )
+    buckets = (
+        b0.unionByName(b1)
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_size"))
+    )
+    return buckets.groupBy("band", "bucket_size").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")
+        ).alias("pair_cost"),
+    )
