@@ -405,3 +405,41 @@ def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").alias("zmax"),
         )
     )
+
+
+@query(
+    "dpp_filtered_dim_scan",
+    oracle="""
+    SELECT e.event_type, COUNT(*) AS n
+    FROM events e
+    JOIN (SELECT DISTINCT event_type FROM events
+          WHERE event_type IN ('click', 'purchase')) d
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def dpp_filtered_dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the hive-partitioned
+    events layout (partition_pruned_scan's write), the dim side is a
+    FILTERED distinct-types table — Catalyst injects the dim's keys as
+    a runtime partition filter on the fact scan
+    (dynamicpruningexpression in the plan, asserted in
+    tests/test_plans_lake.py), so only the matching partition
+    directories are read even though the filter values are only known
+    after the dim is evaluated.  THE optimizer feature for star joins
+    over partitioned 100 TB facts."""
+    path = _tmp("events_by_type", sf_dir)
+    e = t(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .filter(F.col("event_type").isin("click", "purchase"))
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -66,3 +66,11 @@ def test_fanout_queries_have_no_python_stage(spark, sf_dir):
         plan = registry.QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert marker not in plan, f"{name} has a Python stage: {marker}"
+
+
+def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
+    """The filtered dim's keys must appear as a dynamic pruning
+    expression on the partitioned fact scan."""
+    df = registry.QUERIES["dpp_filtered_dim_scan"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan or "dynamicpruning" in plan.lower()
