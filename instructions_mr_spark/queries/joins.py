@@ -376,3 +376,52 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("f_id"))
     )
     return both.select("event_id", "user_id", nearest.alias("nearest_purchase"))
+
+
+@query(
+    "runtime_bloom_join",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {sum_d(REVENUE, 'revenue')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: Catalyst builds a bloom
+    filter from the FILTERED orders side and injects might_contain on
+    the lineitem scan, so most non-matching fact rows die before the
+    shuffle — the optimizer-level semi-join reduction that matters
+    when the filter is selective and the fact is 100 TB.  Confs are
+    scoped to this query: planning is forced while they're set, then
+    they're restored (the default applicationSideScanSizeThreshold of
+    10 GB correctly skips the rule for scans this small — at real
+    scale it fires on its own)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = t(spark, sf_dir, "lineitem")
+        o = t(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"), F.expr(sum_d(REVENUE, "revenue")))
+        )
+        # force planning NOW so the bloom rule sees the scoped confs
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

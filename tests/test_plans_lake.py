@@ -74,3 +74,11 @@ def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
     df = registry.QUERIES["dpp_filtered_dim_scan"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan or "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """The bloom rule must inject might_contain on the fact scan side
+    (built from the filtered orders side)."""
+    df = registry.QUERIES["runtime_bloom_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan and "bloom_filter_agg" in plan
