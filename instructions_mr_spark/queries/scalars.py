@@ -272,3 +272,36 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "bigint").alias("k"),
         F.when(F.schema_of_variant(v).startswith("OBJECT"), "OBJECT").alias("vtype"),
     )
+
+
+@query(
+    "collation_ci_group",
+    oracle="""
+    SELECT lower(lang) AS lang_ci,
+           COUNT(*) AS n,
+           COUNT(DISTINCT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END)
+             AS n_case_variants
+    FROM documents GROUP BY lower(lang)
+    """,
+)
+def collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive semantics via Spark 4 COLLATION (UTF8_LCASE):
+    a mixed-case column (every other row uppercased) groups under a
+    collated key — the engine-level answer to case normalization that
+    previously needed explicit lower() at every comparison site.  The
+    stable output key is lower()ed (a collation group's representative
+    is first-seen, not deterministic); the distinct count shows the
+    collation really merged multiple raw spellings."""
+    d = t(spark, sf_dir, "documents")
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("lang")).otherwise(F.col("lang"))
+    return (
+        d.select(F.collate(mixed, "UTF8_LCASE").alias("lang_coll"), mixed.alias("raw"))
+        .groupBy("lang_coll")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.collate(F.col("raw"), "UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(F.lower(F.col("lang_coll")).alias("lang_ci"), "n", "n_case_variants")
+    )
