@@ -406,3 +406,35 @@ def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM up GROUP BY id
         """
     )
+
+
+@query(
+    "sql_scripting_param",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_vip,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS vip_bal
+    FROM customer WHERE c_acctbal > 9000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_scripting_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting + session variables (Spark 4): a BEGIN...END
+    block declares the threshold once and the final statement's result
+    is the block's output — parameterized SQL without string
+    interpolation (injection-safe, plan-cache-friendly).  The oracle
+    states the same query with the literal inlined."""
+    from instructions_mr_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE vip_cutoff DOUBLE DEFAULT 9000.0;
+          SELECT c_mktsegment, COUNT(*) AS n_vip,
+                 CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS vip_bal
+          FROM customer WHERE c_acctbal > vip_cutoff
+          GROUP BY c_mktsegment;
+        END
+        """
+    )
