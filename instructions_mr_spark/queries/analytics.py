@@ -438,3 +438,66 @@ def sql_scripting_param(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_totalprice),
+           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profile: per-column row/null/distinct counts and
+    min/max (stringified for a uniform report schema) — the
+    post-ingest quality report, computed as a SINGLE aggregate scan
+    per profiled set (every stat for all columns shares one pass;
+    contrast per-column DESCRIBE loops that rescan the table)."""
+    o = t(spark, sf_dir, "orders")
+
+    def stats(col: str, numeric: bool) -> list:
+        mn = F.round(F.min(col), 2) if numeric else F.min(col)
+        mx = F.round(F.max(col), 2) if numeric else F.max(col)
+        return [
+            F.count(F.lit(1)).alias(f"{col}__n"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"{col}__nulls"),
+            F.countDistinct(col).alias(f"{col}__nd"),
+            mn.cast("string").alias(f"{col}__min"),
+            mx.cast("string").alias(f"{col}__max"),
+        ]
+
+    cols = [("o_custkey", False), ("o_orderpriority", False), ("o_totalprice", True)]
+    one = o.agg(*[a for c, num in cols for a in stats(c, num)])
+    parts = []
+    for c, _ in cols:
+        parts.append(
+            one.select(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
