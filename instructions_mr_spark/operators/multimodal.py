@@ -113,12 +113,46 @@ def decode_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _sample_frames_one(payload: bytes, every_n: int, fake: bool) -> list[tuple[int, bytes]]:
+    """Return [(frame_idx, frame_bytes), ...] for one video payload.
+
+    ``fake=True``: digest-derived pseudo-frames — deterministic, library
+    free, oracle-checkable.
+
+    ``fake=False``: real decode through imageio's ffmpeg/pyav plugin if
+    importable (optional dependency — absent from this container, same
+    pattern as the PIL branch in :func:`_decode_one`); each sampled frame
+    is re-encoded to PNG bytes so downstream stages see self-contained
+    binary frames.  Otherwise a clear NotImplementedError, never a
+    silent fake."""
+    if fake:
+        n_frames = (len(payload or b"") % 50) + every_n
+        return [
+            (i, hashlib.sha1((payload or b"") + bytes([i % 256])).digest())
+            for i in range(0, n_frames, every_n)
+        ]
+    try:
+        import imageio.v3 as iio  # optional; import inside the worker
+    except ImportError as e:
+        raise NotImplementedError(
+            "real video decode requires imageio + an ffmpeg/pyav plugin "
+            "(pip install imageio av); pass fake=True for the "
+            "deterministic stub"
+        ) from e
+    out: list[tuple[int, bytes]] = []
+    for i, frame in enumerate(iio.imiter(payload or b"", plugin="pyav")):
+        if i % every_n == 0:
+            out.append((i, bytes(iio.imwrite("<bytes>", frame, extension=".png"))))
+    return out
+
+
 def sample_frames(
     df: DataFrame, col: str, id_col: str, every_n: int = 10, fake: bool = False
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame
     (id, frame_idx, frame_bytes).  The fake emits digest-derived
-    pseudo-frames; a real impl would call ffmpeg per Arrow batch."""
+    pseudo-frames; ``fake=False`` routes through the optional
+    imageio/pyav branch of :func:`_sample_frames_one`."""
     from instructions_mr_spark.shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -134,16 +168,10 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for rid, payload in zip(pdf[id_col], pdf[col]):
-                if not fake:
-                    raise NotImplementedError(
-                        "video decode requires ffmpeg (not in this container); "
-                        "pass fake=True for the deterministic stub"
-                    )
-                n_frames = (len(payload or b"") % 50) + every_n
-                for i in range(0, n_frames, every_n):
+                for i, fb in _sample_frames_one(payload, every_n, fake):
                     ids.append(rid)
                     idxs.append(i)
-                    frames.append(hashlib.sha1((payload or b"") + bytes([i % 256])).digest())
+                    frames.append(fb)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(run, schema=out_schema)

@@ -26,14 +26,45 @@ from instructions_mr_spark.functions import cosine_sim, dot_product
 
 
 def train_ivf_centroids(
-    df: DataFrame, vec_col: str = "embedding", k: int = 16, seed: int = 42
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 42,
+    train_cap: int = 100_000,
 ) -> list[list[float]]:
     """Train k coarse centroids (fixed seed -> deterministic given the
-    same input and Spark version).  Train on a sample at scale."""
+    same input and Spark version).
+
+    Training is bounded by ``train_cap``: coarse-quantizer centroids need
+    only a representative sample, so running 20 KMeans iterations over the
+    full table (100 TB of vectors) would be pure waste.  The cap is applied
+    with a deterministic hash-bucket filter on the vector bytes (portable,
+    order-independent — same sample on any partitioning), sized from a
+    cheap count, then hard-bounded with ``limit``.  ``train_cap=None``
+    disables sampling (tiny tables / tests).
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = df.select(array_to_vector(F.col(vec_col)).alias("features"))
+    sample = df
+    if train_cap is not None:
+        n = df.count()
+        if n > train_cap:
+            # Deterministic membership: md5 of the vector rendered to text,
+            # keep buckets < cap/n of the space.  Not df.sample() — that
+            # depends on partitioning; this is stable across engines/runs.
+            n_buckets = 1_000_003
+            keep = max(1, int(n_buckets * train_cap / n))
+            bucket = F.pmod(
+                F.abs(
+                    F.conv(
+                        F.substring(F.md5(F.col(vec_col).cast("string")), 1, 15), 16, 10
+                    ).cast("long")
+                ),
+                F.lit(n_buckets),
+            )
+            sample = df.filter(bucket < keep).limit(train_cap)
+    feat = sample.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=20).fit(feat)
     return [list(map(float, c)) for c in model.clusterCenters()]
 

@@ -75,6 +75,63 @@ def test_real_decode_uses_pil_when_importable(monkeypatch):
     assert _decode_one(b"imagebytes", fake=True) != (640, 480)
 
 
+def test_real_frame_sampling_uses_imageio_when_importable(monkeypatch):
+    """fake=False video sampling must route through imageio's pyav plugin
+    when it imports — exercised with a stub module (the container lacks
+    imageio/ffmpeg); frames must come from imiter+imwrite, not the fake."""
+    import sys
+    import types
+
+    from instructions_mr_spark.operators.multimodal import _sample_frames_one
+
+    calls: dict[str, list] = {"imiter": [], "imwrite": []}
+
+    def _imiter(payload, plugin=None):
+        calls["imiter"].append((payload, plugin))
+        yield from ["f0", "f1", "f2", "f3", "f4"]
+
+    def _imwrite(uri, frame, extension=None):
+        calls["imwrite"].append((uri, frame, extension))
+        return b"png:" + frame.encode()
+
+    v3 = types.ModuleType("imageio.v3")
+    v3.imiter, v3.imwrite = _imiter, _imwrite
+    pkg = types.ModuleType("imageio")
+    pkg.v3 = v3
+    monkeypatch.setitem(sys.modules, "imageio", pkg)
+    monkeypatch.setitem(sys.modules, "imageio.v3", v3)
+
+    out = _sample_frames_one(b"videobytes", every_n=2, fake=False)
+    assert out == [(0, b"png:f0"), (2, b"png:f2"), (4, b"png:f4")]
+    assert calls["imiter"] == [(b"videobytes", "pyav")]
+    assert all(ext == ".png" for _, _, ext in calls["imwrite"])
+    # and the fake path stays imageio-independent (different output shape)
+    fake = _sample_frames_one(b"videobytes", every_n=2, fake=True)
+    assert fake and fake != out
+
+
+def test_real_frame_sampling_without_lib_raises(monkeypatch):
+    """Without imageio importable, fake=False must be a clear
+    NotImplementedError — never a silent fallback to the fake."""
+    import builtins
+    import sys
+
+    from instructions_mr_spark.operators.multimodal import _sample_frames_one
+
+    monkeypatch.delitem(sys.modules, "imageio", raising=False)
+    monkeypatch.delitem(sys.modules, "imageio.v3", raising=False)
+    orig_import = builtins.__import__
+
+    def no_imageio(name, *a, **kw):
+        if name.startswith("imageio"):
+            raise ImportError(name)
+        return orig_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_imageio)
+    with pytest.raises(NotImplementedError, match="imageio"):
+        _sample_frames_one(b"videobytes", every_n=2, fake=False)
+
+
 def test_fake_decode_is_deterministic(spark, media):
     a = {r.media_id: (r.width, r.height) for r in decode_images(media, "payload", fake=True).collect()}
     b = {r.media_id: (r.width, r.height) for r in decode_images(media, "payload", fake=True).collect()}

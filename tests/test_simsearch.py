@@ -71,6 +71,33 @@ def test_ivf_recall_vs_brute_force(emb, centroids):
     assert exact == brute
 
 
+def test_train_cap_bounds_kmeans_input(emb, monkeypatch):
+    """KMeans must fit on at most ``train_cap`` rows (the 100 TB story:
+    coarse centroids from a deterministic sample, never 20 iterations
+    over the full vector table) — spied via the fit entry point."""
+    from pyspark.ml.clustering import KMeans
+
+    seen = {}
+    orig = KMeans.fit
+
+    def spy(self, dataset, *a, **kw):
+        seen["n"] = dataset.count()
+        return orig(self, dataset, *a, **kw)
+
+    monkeypatch.setattr(KMeans, "fit", spy)
+    cap = 50
+    assert emb.count() > cap  # the cap must actually engage
+    c1 = train_ivf_centroids(emb, k=4, seed=42, train_cap=cap)
+    assert seen["n"] <= cap
+    assert len(c1) == 4
+    # deterministic: same input + cap -> identical centroids
+    c2 = train_ivf_centroids(emb, k=4, seed=42, train_cap=cap)
+    assert c1 == c2
+    # cap=None keeps the legacy full-table path for tiny inputs
+    train_ivf_centroids(emb, k=4, seed=42, train_cap=None)
+    assert seen["n"] == emb.count()
+
+
 def test_ivf_prunes_candidates(emb, centroids):
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     assigned = assign_ivf_cell(emb, centroids)
