@@ -76,17 +76,21 @@ def stringify_kv(df: DataFrame, pretty: bool = False) -> DataFrame:
     ``json.dumps`` scalar output for ints; floats keep their shortest
     repr via JSON formatting), complex columns via ``to_json``.
     """
+    # Null parity: json2str_kv (utils.py:10-17) never emits Python None —
+    # a null value of ANY type (string included: isinstance(None, str) is
+    # False) falls through to json.dumps(None) == "null".  Coalesce every
+    # branch to the literal "null" to byte-match.
     cols: list[Column] = []
     for f in df.schema.fields:
         if _is_string_type(f.dataType):
-            cols.append(F.col(f.name))
+            c = F.col(f.name)
         elif isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
             c = to_json_keep_nulls(F.col(f.name))
             if pretty:
                 c = _pretty_json_str(c)
-            cols.append(c.alias(f.name))
         else:
-            cols.append(F.col(f.name).cast("string").alias(f.name))
+            c = F.col(f.name).cast("string")
+        cols.append(F.coalesce(c, F.lit("null")).alias(f.name))
     return df.select(*cols)
 
 

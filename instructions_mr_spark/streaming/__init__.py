@@ -315,6 +315,72 @@ def user_stats_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def user_stats_apws(events: DataFrame) -> DataFrame:
+    """Protobuf-free twin of :func:`user_stats_tws`: identical running
+    per-user event/purchase counters, expressed with
+    ``applyInPandasWithState`` (no google.protobuf dependency, default
+    HDFS-backed state store).  Same output schema and same
+    final-emission semantics, so the two engines are interchangeable —
+    :func:`user_stats_stateful` picks whichever runs in the current
+    environment."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_purchases", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("np", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        n = np_ = 0
+        if state.exists:
+            n, np_ = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            np_ += int((pdf["event_type"] == "purchase").sum())
+        state.update((n, np_))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_purchases": [np_]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_stats_stateful(events: DataFrame, engine: str = "auto") -> DataFrame:
+    """Environment-adaptive stateful user stats: the TWS path
+    (RocksDB ValueState, Spark 4's arbitrary-state successor API) when
+    ``google.protobuf`` is importable, else the dependency-free
+    ``applyInPandasWithState`` twin.  ``engine`` forces one
+    ("tws" | "apws") for tests."""
+    if engine == "auto":
+        try:
+            import google.protobuf  # noqa: F401 - capability probe only
+
+            engine = "tws"
+        except ImportError:
+            engine = "apws"
+    if engine == "tws":
+        return user_stats_tws(events)
+    if engine == "apws":
+        return user_stats_apws(events)
+    raise ValueError(f"unknown engine {engine!r}: expected auto|tws|apws")
+
+
 def running_max_per_user(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running
     max(value) + event count per user, emitted per micro-batch.

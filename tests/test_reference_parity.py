@@ -108,6 +108,72 @@ def ref_config():
     return json.load(open(os.path.join(REF, "bin/text_mr_pipe.json"), encoding="utf-8"))
 
 
+@pytest.fixture(scope="module")
+def ehr_edge(spark, tmp_path_factory):
+    """The reference's EHR record mutated with the two classes of input
+    that broke (or nearly broke) parity in earlier rounds: null fields
+    (top-level, nested-in-struct, nested-in-array) and non-ASCII text
+    (CJK, combining accents, emoji, astral plane)."""
+    src = os.path.join(REF, "demo_data/ehr/faked_0.jsonl")
+    record = json.loads(open(src, encoding="utf-8").readline())
+    record["patient"]["name"] = "Žofie 中村-Ó'Brien \U0001f308"
+    record["patient"]["contact"] = None  # null nested in struct
+    record["allergies"][0]["reaction"] = None  # null nested in array-of-struct
+    record["notes"] = None  # whole top-level column null
+    record["unicode_note"] = "naïve — é combining, emoji 🎉, ∑∫√"
+    path = tmp_path_factory.mktemp("parity_edge") / "edge.jsonl"
+    path.write_text(json.dumps(record, ensure_ascii=False) + "\n", encoding="utf-8")
+    schema = _schema_for(record)
+    df = spark.read.schema(schema).json(str(path))
+    return record, df
+
+
+def test_stringify_parity_null_and_unicode(ehr_edge):
+    """Byte parity on the edge corpus: nulls at every nesting depth must
+    render as the reference's json.dumps output ("null" for a null
+    top-level value of ANY type, `"key": null` nested), and non-ASCII
+    text must pass through unescaped (ensure_ascii=False)."""
+    _run, json2str_kv = _ref_modules()
+    record, df = ehr_edge
+    from instructions_mr_spark.operators.scope import stringify_kv
+
+    ours = stringify_kv(df, pretty=True).collect()[0].asDict()
+    theirs = json2str_kv(record)
+    assert set(ours) == set(theirs)
+    for k in theirs:
+        assert ours[k] == theirs[k], f"column {k} differs"
+    assert ours["notes"] == "null"
+    assert '"contact": null' in ours["patient"]
+    assert "Žofie 中村-Ó'Brien \U0001f308" in ours["patient"]
+    assert ours["unicode_note"] == record["unicode_note"]
+
+
+def test_map_reduce_parity_null_and_unicode(spark, ehr_edge, ref_config):
+    """Full mr_chain byte parity on the null+unicode corpus with the
+    reference's shipped config — the prompt assembly, map and reduce
+    outputs, and markdown must all byte-match."""
+    run_with_configs, _ = _ref_modules()
+    record, df = ehr_edge
+    map_conf = ref_config["pipe"][0]
+    reduce_conf = ref_config["pipe"][1]
+
+    theirs = asyncio.run(
+        run_with_configs(_EchoRefLlm(), record, map_conf, reduce_conf)
+    )
+
+    from instructions_mr_spark.config import PipelineConfig
+    from instructions_mr_spark.plans import run_pipeline
+
+    config = PipelineConfig.from_dict(
+        {"llm": {"api_type": "echo", "model": "echo"}, "pipe": [map_conf, reduce_conf]}
+    )
+    full = run_pipeline(df, config, pretty=True, with_md=True)
+    row = full.collect()[0].asDict()
+    md = row.pop("result_md")
+    assert row == theirs["reduce_results"]
+    assert md == theirs["result"]
+
+
 def test_stringify_parity(ehr):
     """init pseudo-stage: stringify_kv(pretty) == json2str_kv byte-wise
     for every top-level column of the reference's own EHR record."""

@@ -169,6 +169,59 @@ def test_transform_with_state_user_stats(spark, events_stream):
     assert got == want and len(got) > 0
 
 
+def test_user_stats_fallback_apws(spark, events_stream):
+    """The protobuf-free twin (applyInPandasWithState) must produce the
+    same final per-user stats as the batch aggregate — this runs in
+    EVERY environment, so user stats are never a silent skip."""
+    from instructions_mr_spark.streaming import user_stats_apws
+
+    stream, batch = events_stream
+    out = user_stats_apws(stream)
+    _run_to_completion(out, "apws_stats_t", "update")
+    got = {
+        r.user_id: (r.n, r.np)
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n, max(n_purchases) AS np "
+            "FROM apws_stats_t GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.np)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_user_stats_auto_engine_selection(spark, events_stream):
+    """engine="auto" must pick TWS exactly when protobuf imports, and
+    the apws twin otherwise — never raise, never silently no-op."""
+    from instructions_mr_spark import streaming as S
+
+    stream, _ = events_stream
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    called = {}
+    orig_tws, orig_apws = S.user_stats_tws, S.user_stats_apws
+    S.user_stats_tws = lambda df: called.setdefault("engine", "tws") and orig_tws(df)
+    S.user_stats_apws = lambda df: called.setdefault("engine", "apws") and orig_apws(df)
+    try:
+        S.user_stats_stateful(stream, engine="auto")
+    finally:
+        S.user_stats_tws, S.user_stats_apws = orig_tws, orig_apws
+    assert called["engine"] == ("tws" if has_protobuf else "apws")
+    with pytest.raises(ValueError, match="unknown engine"):
+        S.user_stats_stateful(stream, engine="bogus")
+
+
 def test_stateful_session_funnel(spark, events_stream, sf_dir, tmp_path):
     """applyInPandasWithState sessionization with event-time timeout:
     every emitted (closed) session must equal its batch-twin row
