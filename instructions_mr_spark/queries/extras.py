@@ -542,7 +542,8 @@ def funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     w = W.partitionBy("user_id").orderBy("ts")
     gap_new = F.when(
-        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)) <= 1800, 0
+        (F.col("ts").cast("timestamp").cast("long")
+         - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)) <= 1800, 0
     ).otherwise(1)
     numbered = e.withColumn(
         "sid",
@@ -906,7 +907,8 @@ def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("user_id").orderBy("ts")
     gap_new = F.when(
-        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)) <= 1800, 0
+        (F.col("ts").cast("timestamp").cast("long")
+         - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)) <= 1800, 0
     ).otherwise(1)
     numbered = e.withColumn(
         "sid",

@@ -369,8 +369,10 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("b_id").isNull(), F.col("f_id"))
         .when(F.col("f_id").isNull(), F.col("b_id"))
         .when(
-            F.col("view_ts").cast("long") - F.col("b_ts").cast("long")
-            <= F.col("f_ts").cast("long") - F.col("view_ts").cast("long"),
+            # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike;
+            # a direct CAST(ts AS BIGINT) is rejected for NTZ inputs.
+            F.expr("timestampdiff(MICROSECOND, b_ts, view_ts)")
+            <= F.expr("timestampdiff(MICROSECOND, view_ts, f_ts)"),
             F.col("b_id"),
         )
         .otherwise(F.col("f_id"))

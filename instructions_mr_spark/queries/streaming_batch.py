@@ -153,7 +153,12 @@ def stream_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        "user_id",
+        "event_id",
+        "event_type",
+        # unix_micros requires TIMESTAMP; events.ts reads as TIMESTAMP_NTZ
+        # from tz-less parquet, so cast first (session tz is pinned UTC).
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
     w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     prev = F.lag("ts_us").over(w)

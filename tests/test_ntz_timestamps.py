@@ -1,0 +1,68 @@
+"""Tz-less parquet timestamps read as TIMESTAMP_NTZ in Spark 4
+(``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults true), and
+NTZ forbids several casts plain TIMESTAMP allows (``CAST(ts AS
+BIGINT)``, ``unix_micros(ts)``).  The driver's testdata is written
+tz-less, so every events/orders time expression must be NTZ-safe —
+this file pins that contract after round 3's ``join_asof_nearest``
+driver failure (DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from instructions_mr_spark import registry
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+# Queries whose round-3 implementations broke on NTZ input.
+NTZ_REGRESSED = [
+    "join_asof_nearest",
+    "funnel_sessions",
+    "funnel_by_segment",
+    "stream_funnel_sessions",
+]
+
+
+def test_events_ts_is_ntz(spark):
+    """The driver writes tz-less parquet; if this ever flips back to
+    instant-typed TIMESTAMP the NTZ-safe expressions must still work
+    (they cast through TIMESTAMP, a no-op then)."""
+    ts_type = dict(spark.read.parquet(f"{SF_SMALL}/events.parquet").dtypes)["ts"]
+    assert ts_type in ("timestamp_ntz", "timestamp")
+
+
+def test_ntz_regressed_queries_run(spark):
+    for name in NTZ_REGRESSED:
+        df = registry.QUERIES[name](spark, SF_SMALL)
+        assert df.count() >= 0, name
+
+
+def test_asof_join_accepts_both_timestamp_flavors(spark):
+    """asof_join must produce identical matches whether the time
+    columns arrive as TIMESTAMP or TIMESTAMP_NTZ (session tz UTC)."""
+    from instructions_mr_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 09:00:00")],
+        "k int, lt string",
+    )
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", "a"), (1, "2024-01-01 11:00:00", "b")],
+        "rk int, rt string, payload string",
+    )
+    for flavor in (T.TimestampType(), T.TimestampNTZType()):
+        lf = left.select("k", F.col("lt").cast(flavor).alias("lt"))
+        rf = right.select("rk", F.col("rt").cast(flavor).alias("rt"), "payload")
+        got = asof_join(
+            lf, rf, on_time_left="lt", on_time_right="rt",
+            by_left=["k"], by_right=["rk"], how="left",
+        )
+        rows = {(r.k, str(r.lt), r.payload) for r in got.collect()}
+        assert rows == {
+            (1, "2024-01-01 10:00:00", "a"),
+            (1, "2024-01-01 12:00:00", "b"),
+            (2, "2024-01-01 09:00:00", None),
+        }

@@ -18,20 +18,23 @@ from instructions_mr_spark.sources.tables import load_table
 @pytest.fixture(scope="module")
 def events_stream(spark, sf_dir, tmp_path_factory):
     batch = load_table(spark, sf_dir, "events")
-    # file streaming source needs a directory + explicit schema; the
-    # nanos ts arrives as bigint (see load_table) and converts the same.
+    # file streaming source needs a directory + explicit schema; a
+    # TIMESTAMP(NANOS) ts arrives as bigint (see load_table) and
+    # converts the same way, a µs ts arrives as timestamp_ntz as-is.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream_dir = tmp_path_factory.mktemp("events_stream")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"), stream_dir / "part-0.parquet"
     )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(str(stream_dir))
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    stream = spark.readStream.schema(raw.schema).format("parquet").load(str(stream_dir))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # withWatermark rejects TIMESTAMP_NTZ event time
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); pin both twins to plain
+    # TIMESTAMP so stream and batch collect identical instants.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream, batch
 
 
@@ -248,16 +251,23 @@ def test_stateful_session_funnel(spark, events_stream, sf_dir, tmp_path):
     _os.symlink(
         _os.path.join(sf_dir, "events.parquet"), stream_dir / "part-0.parquet"
     )
-    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    raw = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    ts_is_ns_bigint = dict(raw.dtypes).get("ts") == "bigint"
     max_ts = batch.agg(F.max("ts")).first()[0]
-    sentinel_ns = (
-        int((max_ts + dt.timedelta(days=365)).timestamp()) * 1_000_000_000
-    )
+    sentinel_dt = max_ts + dt.timedelta(days=365)
+    if ts_is_ns_bigint:
+        sentinel_ts = pa.array(
+            [int(sentinel_dt.timestamp()) * 1_000_000_000], pa.int64()
+        )
+    else:
+        sentinel_ts = pa.array(
+            [sentinel_dt.replace(tzinfo=None)], pa.timestamp("us")
+        )
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array([10**9], pa.int64()),
-                "ts": pa.array([sentinel_ns], pa.int64()),
+                "ts": sentinel_ts,
                 "user_id": pa.array([-1], pa.int64()),
                 "event_type": pa.array(["view"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),
@@ -268,12 +278,14 @@ def test_stateful_session_funnel(spark, events_stream, sf_dir, tmp_path):
     )
 
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(raw.schema)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(str(stream_dir))
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
+    if ts_is_ns_bigint:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     out = session_funnel(stream, gap_minutes=30, watermark="1 minute")
     assert out.isStreaming
     _run_to_completion(out, "funnel_t", "append")
