@@ -517,3 +517,142 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("upsample_factor"),
     )
+
+
+@query(
+    "quality_repetition",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    base AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             ROUND(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+               AS dup_word_frac,
+             ROUND(CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+                        AS DOUBLE) / len(words), 6) AS mean_word_len,
+             list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+               AS bigrams
+      FROM w
+    ),
+    bg AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(bigrams) AS gram FROM base)
+      GROUP BY doc_id, gram
+    ),
+    top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot FROM bg GROUP BY doc_id)
+    SELECT b.doc_id, b.n_words, b.dup_word_frac, b.mean_word_len,
+           ROUND(COALESCE(CAST(top.top_c AS DOUBLE) / top.tot, 0.0), 6)
+             AS top_bigram_frac
+    FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    duplicate-word fraction, mean word length, and the fraction of all
+    bigrams taken by the single most frequent bigram (boilerplate /
+    degenerate-generation detector).
+
+    Spark shape: the word-level signals are in-row array algebra
+    (WholeStageCodegen, no shuffle); the top-bigram mode needs a
+    per-(doc, gram) count, so bigrams explode into two keyed
+    aggregations on doc_id — shuffles proportional to corpus token
+    count, no corpus-wide state.  Parity ref: the reference engine has
+    no text-quality surface; signals follow Rae et al. (Gopher)
+    repetition filters."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    n_words = F.size("words").cast("bigint")
+    sum_len = F.expr("aggregate(words, 0L, (acc, x) -> acc + length(x))")
+    base = d.select(
+        "doc_id",
+        "words",
+        n_words.alias("n_words"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("words")).cast("double") / n_words.cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(sum_len.cast("double") / n_words.cast("double"), 6).alias(
+            "mean_word_len"
+        ),
+    )
+    bigrams = F.expr(
+        """CASE WHEN size(words) >= 2
+                THEN transform(sequence(0, size(words) - 2),
+                               i -> concat(words[i], ' ', words[i + 1]))
+                ELSE array() END"""
+    )
+    bg = (
+        base.select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+    )
+    top = bg.groupBy("doc_id").agg(
+        F.max("count").alias("top_c"), F.sum("count").alias("tot")
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "mean_word_len",
+        F.round(
+            F.coalesce(F.col("top_c").cast("double") / F.col("tot"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(words) - 1), i ->
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS gram
+      FROM w
+    ),
+    cnt AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS shared_frac
+    FROM g JOIN cnt USING (gram) GROUP BY doc_id
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-n-gram (boilerplate) detection: for each
+    document, the fraction of its distinct word trigrams that also
+    appear in at least one OTHER document (nd >= 2 across the corpus)
+    — the CCNet/C4-style signal for template text and cross-document
+    contamination.
+
+    Spark shape: per-doc distinct shingles explode once; one global
+    groupBy(gram) counts containing docs; a keyed sort-merge join back
+    on gram tags each shingle.  Both shuffles key on the gram — no
+    all-pairs comparison, no driver state, skew bounded by the hottest
+    shingle (salt the gram key if a header dominates at 100 TB)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    trigrams = F.expr(
+        """CASE WHEN size(words) >= 3
+                THEN array_distinct(transform(sequence(0, size(words) - 3),
+                     i -> concat(words[i], ' ', words[i + 1], ' ', words[i + 2])))
+                ELSE array() END"""
+    )
+    g = d.select("doc_id", F.explode(trigrams).alias("gram"))
+    cnt = g.groupBy("gram").agg(F.count("*").alias("nd"))
+    shared = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        g.join(cnt, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(shared).cast("bigint").alias("n_shared"),
+            F.round(
+                F.sum(shared).cast("double") / F.count("*"), 6
+            ).alias("shared_frac"),
+        )
+    )
