@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # files.maxPartitionBytes left at default 128m: right for both
         # the local sf dirs and a production parquet lake.
+        # autoBroadcastJoinThreshold left at the 10 MB default:
+        # tools/sweep_broadcast.py at sf0.1 (results checked in at
+        # tools/sweep_broadcast_results.json) measured -1 / 1 MB / 10 MB;
+        # 10 MB and 1 MB tie, fully-off is ~25% slower because
+        # AQE-derived interior broadcasts demote to shuffle.  The star
+        # dims are hinted explicitly (F.broadcast), so dimension growth
+        # at high SF cannot silently demote them.
     )
     # Local test SFs are single ~10 MB parquet files; the 128 MB default
     # split gives them ONE scan task and serializes every aggregate.
