@@ -187,3 +187,60 @@ def connected_components(
             "raise max_iter (component diameter exceeds it)"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank by power iteration over an edge DataFrame — returns
+    (id, rank) for every node appearing as src or dst.
+
+    Fixed iteration count (not convergence-tested): a deterministic
+    K-step power iteration has an exact unrolled-SQL twin, so the
+    result stays oracle-checkable, and in practice curation pipelines
+    run a fixed small K anyway.  Dangling nodes (no out-edges) leak
+    their mass — the simple variant; redistribute externally if the
+    graph has sinks (an undirected edge list never does).
+
+    Scale shape per iteration: one keyed join of the static
+    (src, dst, out-degree) edge table to the current rank vector +
+    one groupBy(dst) partial-aggregated sum + one left join back to
+    the node list — every stage keyed, no driver state, no all-pairs.
+    The edge table is persisted once; ranks are localCheckpoint()ed
+    per round to truncate the iterative lineage (same pattern as
+    connected_components above).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edeg = e.join(deg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = edeg.join(ranks, edeg["src"] == ranks["id"]).select(
+            F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c")
+        )
+        sums = contribs.groupBy("id").agg(F.sum("c").alias("acc"))
+        ranks = (
+            nodes.join(sums, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    edeg.unpersist()
+    return ranks

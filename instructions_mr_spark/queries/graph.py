@@ -169,3 +169,67 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("o_orderkey")).alias("o_orderkey"),
         F.when(within, F.col("o_orderdate").cast("timestamp")).alias("o_orderdate"),
     )
+
+
+_PR_ITER = 5
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    """Unrolled power iteration as plain CTE stages — exact SQL twin
+    of operators/graph.py:pagerank for a fixed iteration count (no
+    recursive-CTE aggregation, which engines restrict)."""
+    stages = []
+    prev = "pr0"
+    for k in range(1, iterations + 1):
+        stages.append(f"""
+    pr{k} AS (
+      SELECT nd.id, 0.15 / nn.cnt + 0.85 * COALESCE(s.acc, 0) AS rank
+      FROM nodes nd CROSS JOIN n nn
+      LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.rank / dg.d) AS acc
+        FROM edges e
+        JOIN {prev} p ON p.id = e.src
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst
+      ) s ON s.id = nd.id
+    )""")
+        prev = f"pr{k}"
+    return f"""
+    WITH
+    base AS (SELECT DISTINCT l_partkey AS p, 1000000000 + l_suppkey AS s
+             FROM lineitem),
+    edges AS (SELECT p AS src, s AS dst FROM base
+              UNION ALL SELECT s AS src, p AS dst FROM base),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    n AS (SELECT COUNT(*) AS cnt FROM nodes),
+    pr0 AS (SELECT nd.id, 1.0 / nn.cnt AS rank FROM nodes nd CROSS JOIN n nn),
+    {",".join(stages)}
+    SELECT p.id, ROUND(p.rank * nn.cnt, 6) AS rank_scaled
+    FROM {prev} p CROSS JOIN n nn
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(_PR_ITER))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the bipartite part<->supplier supply
+    graph from lineitem (undirected: both edge directions), 5 power
+    iterations at damping 0.85 — the graph-centrality shape a curation
+    pipeline uses for source/domain authority weighting.  Supplier
+    node ids are offset by 1e9 to disjoin the two key spaces.
+    rank_scaled = rank * N (so a uniform graph scores ~1.0).
+
+    Oracle: the identical power iteration unrolled into 5 CTE stages
+    (see _pagerank_oracle) — iterative Spark op, exact SQL twin."""
+    from instructions_mr_spark.operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"),
+        (F.lit(1_000_000_000) + F.col("l_suppkey")).alias("s"),
+    ).distinct()
+    edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=_PR_ITER, damping=0.85)
+    n = ranks.count()
+    return ranks.select("id", F.round(F.col("rank") * n, 6).alias("rank_scaled"))

@@ -1,0 +1,171 @@
+"""Statistical feature-engineering / data-profiling queries: group-wise
+normalization, robust outlier gating, distribution entropy, and exact
+percentile summaries.  Reference status: the reference engine has no
+aggregation surface at all (SURVEY.md §2.6) — EXT mandate, standard
+preprocessing shapes for a training-data pipeline.
+
+Scale notes: every query here is one keyed exchange (groupBy or
+window on the group key) plus in-row arithmetic — no driver-side
+state, no collect.  Exact percentiles shuffle the group's values to
+one reducer per group; at 100 TB switch the same call sites to
+``approx_percentile`` (t-digest, mergeable partials) — the query
+shapes are otherwise identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.registry import query
+
+
+@query(
+    "zscore_by_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ROUND((l_extendedprice - AVG(l_extendedprice) OVER g)
+                 / STDDEV_SAMP(l_extendedprice) OVER g, 6) AS zscore
+    FROM lineitem
+    WINDOW g AS (PARTITION BY l_returnflag)
+    """,
+)
+def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score normalization (feature scaling within a
+    category): one hash exchange on the group key, then two unbounded
+    window aggregates that share the partitioning — no join-back."""
+    g = Window.partitionBy("l_returnflag")
+    price = F.col("l_extendedprice")
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(
+            (price - F.avg(price).over(g)) / F.stddev_samp(price).over(g), 6
+        ).alias("zscore"),
+    )
+
+
+@query(
+    "outlier_iqr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS upper_fence
+    FROM events e JOIN q USING (event_type)
+    WHERE e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+    """,
+)
+def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier gate per group: exact Q1/Q3 of event value
+    per event_type (tiny aggregate), broadcast back onto the fact
+    scan, keep rows above Q3 + 1.5*IQR.  The quantile table is
+    group-count-sized, so the join is always a broadcast."""
+    e = t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .filter(F.col("value") > fence)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(fence, 6).alias("upper_fence"),
+        )
+    )
+
+
+@query(
+    "column_entropy",
+    oracle="""
+    WITH counted AS (
+      SELECT column_name, v, COUNT(*) AS c FROM (
+        SELECT 'lang' AS column_name, lang AS v FROM documents
+        UNION ALL SELECT 'source', source FROM documents
+        UNION ALL SELECT 'event_type', event_type FROM events
+      ) GROUP BY column_name, v
+    ), tot AS (
+      SELECT column_name, SUM(c) AS n, COUNT(*) AS n_distinct
+      FROM counted GROUP BY column_name
+    )
+    SELECT c.column_name, t.n_distinct,
+           ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n) * log2(CAST(c.c AS DOUBLE) / t.n)), 6)
+             AS entropy_bits
+    FROM counted c JOIN tot t USING (column_name)
+    GROUP BY c.column_name, t.n_distinct
+    """,
+)
+def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of categorical column distributions — the
+    data-profiling signal for near-constant columns (entropy ~ 0) and
+    key-like columns (entropy ~ log2 n).  Shape: union of projections,
+    one count per (column, value), one small rollup; everything keyed,
+    map-side partials throughout."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "events")
+    stacked = (
+        d.select(F.lit("lang").alias("column_name"), F.col("lang").alias("v"))
+        .unionByName(
+            d.select(F.lit("source").alias("column_name"), F.col("source").alias("v"))
+        )
+        .unionByName(
+            e.select(
+                F.lit("event_type").alias("column_name"),
+                F.col("event_type").alias("v"),
+            )
+        )
+    )
+    counted = stacked.groupBy("column_name", "v").agg(F.count("*").alias("c"))
+    tot = counted.groupBy("column_name").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        counted.join(tot, "column_name")
+        .groupBy("column_name", "n_distinct")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+    )
+
+
+@query(
+    "token_percentiles",
+    oracle="""
+    WITH m AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens, n_chars FROM documents
+    )
+    SELECT ROUND(quantile_cont(n_tokens, 0.10), 6) AS tok_p10,
+           ROUND(quantile_cont(n_tokens, 0.50), 6) AS tok_p50,
+           ROUND(quantile_cont(n_tokens, 0.90), 6) AS tok_p90,
+           ROUND(quantile_cont(n_tokens, 0.99), 6) AS tok_p99,
+           ROUND(quantile_cont(n_chars, 0.50), 6) AS chars_p50,
+           ROUND(quantile_cont(n_chars, 0.99), 6) AS chars_p99
+    FROM m
+    """,
+)
+def token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length-distribution summary of the corpus (the numbers
+    behind truncation/packing decisions for a training run).  Exact
+    ``percentile`` here; at 100 TB use ``approx_percentile`` — same
+    query shape, mergeable sketch instead of a per-group sort."""
+    d = t(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).alias("n_tokens"), "n_chars"
+    )
+    pct = lambda c, p: F.round(F.expr(f"percentile({c}, {p})"), 6)  # noqa: E731
+    return d.agg(
+        pct("n_tokens", 0.10).alias("tok_p10"),
+        pct("n_tokens", 0.50).alias("tok_p50"),
+        pct("n_tokens", 0.90).alias("tok_p90"),
+        pct("n_tokens", 0.99).alias("tok_p99"),
+        pct("n_chars", 0.50).alias("chars_p50"),
+        pct("n_chars", 0.99).alias("chars_p99"),
+    )

@@ -196,3 +196,45 @@ def test_cc_star_long_chain_few_rounds(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(200)], ["src", "dst"])
     out = connected_components_star(chain)
     assert {r.component for r in out.collect()} == {0}
+
+
+def test_pagerank_star_graph(spark):
+    """Star graph (hub 0 <-> spokes 1..4, undirected): the hub must
+    outrank every spoke, spokes must tie, and ranks must sum to 1
+    (undirected graphs have no dangling mass loss)."""
+    from instructions_mr_spark.operators.graph import pagerank
+
+    spokes = [1, 2, 3, 4]
+    edges = spark.createDataFrame(
+        [(0, s) for s in spokes] + [(s, 0) for s in spokes], "src int, dst int"
+    )
+    got = {r.id: r.rank for r in pagerank(edges, iterations=10).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(abs(got[s] - got[1]) < 1e-12 for s in spokes)
+    assert got[0] > got[1] * 2
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Exact parity with a dense numpy power iteration on a fixed
+    directed graph, including a dangling node (3 has no out-edges:
+    its mass leaks, matching the operator's documented variant)."""
+    import numpy as np
+
+    from instructions_mr_spark.operators.graph import pagerank
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 3)]
+    n, d, iters = 4, 0.85, 7
+    # column-stochastic transition on out-degrees; dangling column 0
+    M = np.zeros((n, n))
+    out = np.zeros(n)
+    for s, t_ in edge_list:
+        out[s] += 1
+    for s, t_ in edge_list:
+        M[t_, s] = 1.0 / out[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (M @ r)
+    edges = spark.createDataFrame(edge_list, "src int, dst int")
+    got = {row.id: row.rank for row in pagerank(edges, iterations=iters).collect()}
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
