@@ -1,0 +1,124 @@
+"""Sequence packing — assigning documents to fixed-token-capacity
+training bins, the step between curation and batching in an LLM data
+pipeline.  Reference status: no batching/packing surface (SURVEY.md
+§2.6) — EXT mandate.
+
+Two packers over the documents table, both per-source (the unit a
+real pipeline packs within so mixtures stay controllable):
+
+* ``pack_quantized`` — boundary-splitting packing: bins are CAPACITY-
+  token stripes of the per-source running token count.  Pure window
+  algebra (one exchange on source), exact SQL twin, and the shape
+  used when documents may be split across context windows.
+* ``pack_greedy`` — next-fit packing: a document that would overflow
+  the current bin opens a new one (documents never split).  The
+  capped-reset running state is not expressible in window algebra, so
+  it runs as an Arrow-batched ``applyInPandas`` fold per source; the
+  oracle is a DuckDB recursive CTE walking rows in the same order.
+
+Scale: both shuffle once on the group key.  At 100 TB a single
+source's documents exceed one task — pre-shard the group key to
+(source, hash(doc_id) % K) and pack within shards; bin ids then get a
+shard prefix.  The fold itself is O(rows) per shard with O(1) state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.registry import query
+
+CAPACITY = 512  # tokens per bin
+
+
+@query(
+    "pack_quantized",
+    oracle=f"""
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / {CAPACITY}) AS BIGINT)
+             AS bin_id
+    FROM (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    """,
+)
+def pack_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-splitting packing: bin = which CAPACITY-token stripe
+    the document STARTS in (split-allowed semantics).  One window
+    running sum per source — single exchange, whole-stage codegen."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")).cast("double") / CAPACITY)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+
+
+@query(
+    "pack_greedy",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk(source, rn, doc_id, n_tokens, bin_id, fill) AS (
+      SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN w.fill + d.n_tokens <= {CAPACITY}
+                  THEN w.bin_id ELSE w.bin_id + 1 END,
+             CASE WHEN w.fill + d.n_tokens <= {CAPACITY}
+                  THEN w.fill + d.n_tokens ELSE d.n_tokens END
+      FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, bin_id FROM walk
+    """,
+)
+def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit packing (documents never split): sequential capped-
+    reset fold per source, run as one Arrow-batched applyInPandas per
+    group — the honest Python-boundary case (window algebra cannot
+    express a running sum that resets on overflow).  Oracle: DuckDB
+    recursive CTE replaying the identical walk."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        for toks in pdf["n_tokens"]:
+            if fill and fill + toks > CAPACITY:
+                bin_id += 1
+                fill = 0
+            fill += toks
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return d.groupBy("source").applyInPandas(
+        fold, "source string, doc_id bigint, n_tokens bigint, bin_id bigint"
+    )

@@ -169,3 +169,78 @@ def token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct("n_chars", 0.50).alias("chars_p50"),
         pct("n_chars", 0.99).alias("chars_p99"),
     )
+
+
+@query(
+    "sketch_hll_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merge_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Spark 4 datasketches): per-group user
+    cardinality computed by sketching two DISJOINT halves of the data
+    separately and hll_union_agg-ing the binary sketches — the
+    mergeable-partial shape that lets 1000 executors sketch locally
+    and combine at 100 TB with constant memory.  Sketch bytes are
+    engine-specific, so the contract oracle pins the union estimate
+    to within 5% of exact (boolean TRUE), like agg_approx_distinct."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "half", (F.col("event_id") % 2).cast("int")
+    )
+    halves = e.groupBy("event_type", "half").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    merged = halves.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users") + 1
+        ).alias("merge_ok"),
+    )
+
+
+@query(
+    "sketch_theta_union",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS exact_union,
+           TRUE AS union_ok
+    FROM events WHERE event_type IN ('view', 'purchase')
+    """,
+)
+def sketch_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Spark 4): set-expression cardinality across
+    segments — distinct users who viewed OR purchased, from two
+    independently-built sketches theta_union_agg'd together.  Unlike
+    HLL, theta sketches also support intersection/difference, the
+    audience-overlap shapes.  Contract oracle: union estimate within
+    5% of exact, pinned TRUE."""
+    e = t(spark, sf_dir, "events")
+    sketches = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    est = sketches.agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est")
+    )
+    exact = e.filter(F.col("event_type").isin("view", "purchase")).agg(
+        F.countDistinct("user_id").alias("exact_union")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_union",
+        (
+            F.abs(F.col("est") - F.col("exact_union"))
+            <= 0.05 * F.col("exact_union") + 1
+        ).alias("union_ok"),
+    )

@@ -53,5 +53,6 @@ def load_all() -> None:
     import instructions_mr_spark.queries.sampling  # noqa: F401
     import instructions_mr_spark.queries.analytics  # noqa: F401
     import instructions_mr_spark.queries.stats  # noqa: F401
+    import instructions_mr_spark.queries.packing  # noqa: F401
     import instructions_mr_spark.queries.io_roundtrip  # noqa: F401
     import instructions_mr_spark.queries.lake_ops  # noqa: F401

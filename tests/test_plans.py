@@ -96,10 +96,16 @@ def test_no_python_stage_outside_allowlist(spark, sf_dir):
         "multimodal_decode_fake", "multimodal_frame_sample",
         "udf_pandas_scalar", "udaf_grouped_pandas", "udaf_grouped_arrow",
         "udtf_tokenize", "udtf_dynamic_topn",
+        # next-fit packing is a sequential capped-reset fold — not
+        # expressible in window algebra, Python by design (packing.py)
+        "pack_greedy",
     }
     # iterative/ML queries execute work at plan-build time — checked
     # by their own tests, skipped here to keep the sweep fast
-    SKIP = {"dedup_cluster_cc", "dedup_cluster_cc_star", "sim_search_ivf_kmeans"}
+    SKIP = {
+        "dedup_cluster_cc", "dedup_cluster_cc_star", "sim_search_ivf_kmeans",
+        "graph_pagerank",
+    }
     MARKERS = (
         "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
         "FlatMapGroupsInPandas", "FlatMapGroupsInArrow", "MapInArrow", "PythonUDTF",
