@@ -127,3 +127,24 @@ def test_every_registered_query_has_an_oracle():
     conscious decision, not a drift."""
     assert set(registry.QUERIES) == set(registry.ORACLES)
     assert len(registry.QUERIES) >= 160
+
+
+def test_pack_quantized_single_exchange(spark, sf_dir):
+    """Boundary-splitting packing must stay one window pass: exactly
+    one hash exchange (on source), no Python stage."""
+    plan = _plan(registry.QUERIES["pack_quantized"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_outlier_iqr_broadcasts_quantiles(spark, sf_dir):
+    """The per-group quantile table must come back as a broadcast —
+    the fact scan never shuffles for the fence check."""
+    plan = _plan(registry.QUERIES["outlier_iqr"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zscore_single_exchange_two_windows(spark, sf_dir):
+    """avg and stddev must share the one group-key exchange."""
+    plan = _plan(registry.QUERIES["zscore_by_group"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -89,6 +89,30 @@ NOTES = {
     "zorder_cluster_key": "Pure projection + one aggregate: the Morton "
     "key is integer bit math inside WholeStageCodegen, no Python, no "
     "extra scan.",
+    "quality_repetition": "Word-level signals (dup-word frac, mean word "
+    "len) are in-row array algebra on the scan; only the top-bigram mode "
+    "explodes, into two aggregations that SHARE the doc_id hash "
+    "partitioning; the join back to the in-row stats is keyed on doc_id.",
+    "boilerplate_ngrams": "Per-doc distinct trigrams explode once; the "
+    "global gram count and the tag-back join both key on the gram — "
+    "sub-quadratic corpus self-comparison, no doc x doc pairs.",
+    "graph_pagerank": "Power iteration: static degree-annotated edge "
+    "table persisted once; each round is edge-to-rank keyed join + "
+    "partial-aggregated groupBy(dst) + left join to nodes, ranks "
+    "localCheckpoint()ed so the plan stays one round deep.",
+    "pack_quantized": "Boundary-splitting packing is ONE window running "
+    "sum per source — single exchange, full codegen, no Python.",
+    "pack_greedy": "Next-fit packing: the capped-reset fold is "
+    "FlatMapGroupsInPandas by design (window algebra cannot reset a "
+    "running sum on overflow); one exchange on source, Arrow-batched.",
+    "zscore_by_group": "Two unbounded window aggregates (avg, stddev) "
+    "sharing ONE l_returnflag exchange; no join-back for the stats.",
+    "outlier_iqr": "Exact per-group quantiles reduce to a tiny table "
+    "that BroadcastHashJoins back onto the fact scan — the fact table "
+    "never shuffles.",
+    "sketch_hll_merge": "Mergeable HLL partials: per-(group, half) "
+    "sketches partial-aggregate map-side; the union re-aggregates only "
+    "sketch bytes — constant memory per group at any scale.",
 }
 
 
