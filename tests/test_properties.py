@@ -235,3 +235,46 @@ def test_interval_concurrency_matches_bruteforce(spark, sf_dir):
             n = sum(1 for s2, e2 in ivals if s2 <= s < e2)
             best = max(best, n)
         assert out[cust] == best, f"cust {cust}: {out[cust]} != {best}"
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=700), min_size=1, max_size=60),
+)
+@settings(max_examples=20, deadline=None)
+def test_pack_greedy_fold_invariants(spark, tokens):
+    """Next-fit packing invariants on random token sequences: bins
+    fill to <= CAPACITY unless a single oversized document owns the
+    bin; bin ids are contiguous from 0 in document order; every
+    document is assigned exactly once."""
+    import pandas as pd
+
+    from instructions_mr_spark.queries.packing import CAPACITY, pack_greedy
+
+    rows = [("s0", i, f"{'w ' * (t - 1)}w") for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = pack_greedy(spark, tmp).toPandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == list(range(len(tokens)))
+    assert list(out["n_tokens"]) == tokens
+    bins = list(out["bin_id"])
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    fills = out.groupby("bin_id")["n_tokens"].agg(["sum", "count"])
+    for _, row in fills.iterrows():
+        assert row["sum"] <= CAPACITY or row["count"] == 1
+
+
+def test_pagerank_ranks_sum_to_one_on_undirected(spark):
+    """On an undirected graph (no dangling nodes) total PageRank mass
+    is conserved at every iteration count."""
+    from instructions_mr_spark.operators.graph import pagerank
+
+    edge_list = [(a, b) for a in range(6) for b in range(6) if (a + b) % 3 == 0 and a != b]
+    edges = spark.createDataFrame(
+        edge_list + [(b, a) for a, b in edge_list], "src int, dst int"
+    )
+    for k in (1, 4):
+        total = sum(r.rank for r in pagerank(edges, iterations=k).collect())
+        assert abs(total - 1.0) < 1e-9, (k, total)
