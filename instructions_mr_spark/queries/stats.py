@@ -244,3 +244,34 @@ def sketch_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_union") + 1
         ).alias("union_ok"),
     )
+
+
+@query(
+    "dataset_manifest",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+             AS content_checksum
+    FROM documents GROUP BY source
+    """,
+)
+def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset manifest: row count, token total, key range,
+    and an ORDER-INDEPENDENT content checksum (sum of 32-bit text
+    fingerprints) — the artifact a pipeline writes next to a
+    materialized dataset so a re-read (or a second cluster) can verify
+    integrity without re-shuffling anything.  Commutative sum means
+    partial aggregation works and partition order never matters."""
+    d = t(spark, sf_dir, "documents")
+    fp32 = F.expr("CAST(CONV(SUBSTRING(MD5(CAST(text AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum(fp32).cast("bigint").alias("content_checksum"),
+    )
