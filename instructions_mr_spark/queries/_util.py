@@ -36,3 +36,28 @@ def avg_d(fragment: str, alias: str) -> str:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def ts_epoch_seconds(col):
+    """Event-time column -> epoch seconds, NTZ-safe.
+
+    ``CAST(ts AS BIGINT)`` is rejected for TIMESTAMP_NTZ (the flavor
+    tz-less parquet reads as under Spark 4); casting through TIMESTAMP
+    first is exact because the session timezone is pinned UTC
+    (session.py).  Use this — never a bare ``.cast("long")`` — for any
+    ``events.ts`` / ``orders.o_orderdate`` arithmetic; round 3's
+    driver failure was exactly that bare cast.
+    """
+    from pyspark.sql import Column, functions as F
+
+    c = F.col(col) if not isinstance(col, Column) else col
+    return c.cast("timestamp").cast("long")
+
+
+def ts_epoch_micros(col):
+    """Event-time column -> epoch microseconds, NTZ-safe (see
+    ts_epoch_seconds)."""
+    from pyspark.sql import Column, functions as F
+
+    c = F.col(col) if not isinstance(col, Column) else col
+    return F.unix_micros(c.cast("timestamp"))

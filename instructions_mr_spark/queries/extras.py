@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from instructions_mr_spark.queries._util import DEC_QTY, sum_d, t
+from instructions_mr_spark.queries._util import DEC_QTY, sum_d, t, ts_epoch_seconds
 from instructions_mr_spark.registry import query
 
 
@@ -542,8 +542,7 @@ def funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     w = W.partitionBy("user_id").orderBy("ts")
     gap_new = F.when(
-        (F.col("ts").cast("timestamp").cast("long")
-         - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)) <= 1800, 0
+        (ts_epoch_seconds("ts") - F.lag(ts_epoch_seconds("ts")).over(w)) <= 1800, 0
     ).otherwise(1)
     numbered = e.withColumn(
         "sid",
@@ -907,8 +906,7 @@ def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("user_id").orderBy("ts")
     gap_new = F.when(
-        (F.col("ts").cast("timestamp").cast("long")
-         - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)) <= 1800, 0
+        (ts_epoch_seconds("ts") - F.lag(ts_epoch_seconds("ts")).over(w)) <= 1800, 0
     ).otherwise(1)
     numbered = e.withColumn(
         "sid",

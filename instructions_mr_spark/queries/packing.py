@@ -43,8 +43,8 @@ CAPACITY = 512  # tokens per bin
              AS bin_id
     FROM (
       SELECT source, doc_id,
-             len(string_split(text, ' ')) AS n_tokens,
-             SUM(len(string_split(text, ' '))) OVER (
+             len(string_split(COALESCE(text, ''), ' ')) AS n_tokens,
+             SUM(len(string_split(COALESCE(text, ''), ' '))) OVER (
                PARTITION BY source ORDER BY doc_id
                ROWS UNBOUNDED PRECEDING) AS cum
       FROM documents
@@ -55,8 +55,16 @@ def pack_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-splitting packing: bin = which CAPACITY-token stripe
     the document STARTS in (split-allowed semantics).  One window
     running sum per source — single exchange, whole-stage codegen."""
+    # COALESCE(text, ''): a NULL text must still count as one (empty)
+    # token on BOTH sides — a NULL n_tokens would NaN-poison the
+    # pandas fold while the SQL walk's CASE takes the ELSE branch,
+    # silently diverging for every later document in that source.
     d = t(spark, sf_dir, "documents").select(
-        "source", "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+        "source",
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     w = (
         Window.partitionBy("source")
@@ -78,7 +86,7 @@ def pack_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_greedy",
     oracle=f"""
     WITH RECURSIVE d AS (
-      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+      SELECT source, doc_id, len(string_split(COALESCE(text, ''), ' ')) AS n_tokens,
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       FROM documents
     ),
@@ -102,8 +110,16 @@ def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     group — the honest Python-boundary case (window algebra cannot
     express a running sum that resets on overflow).  Oracle: DuckDB
     recursive CTE replaying the identical walk."""
+    # COALESCE(text, ''): a NULL text must still count as one (empty)
+    # token on BOTH sides — a NULL n_tokens would NaN-poison the
+    # pandas fold while the SQL walk's CASE takes the ELSE branch,
+    # silently diverging for every later document in that source.
     d = t(spark, sf_dir, "documents").select(
-        "source", "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+        "source",
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:

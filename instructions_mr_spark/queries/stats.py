@@ -14,36 +14,45 @@ shapes are otherwise identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.queries._util import DEC_PRICE, t
 from instructions_mr_spark.registry import query
+
+# z-score from EXACT decimal moments, shared verbatim by both engines
+# (the float-stability rule in _util.py): native AVG/STDDEV over
+# millions of doubles accumulate in engine-dependent order and can
+# flip a ROUND(...,6) hash at scale; decimal S1/S2 are exact, and the
+# double arithmetic derived from them is bit-identical everywhere.
+_Z_WIN = "OVER (PARTITION BY l_returnflag)"
+_Z_N = f"COUNT(*) {_Z_WIN}"
+_Z_S1 = f"CAST(SUM({DEC_PRICE}) {_Z_WIN} AS DOUBLE)"
+_Z_S2 = f"CAST(SUM({DEC_PRICE} * {DEC_PRICE}) {_Z_WIN} AS DOUBLE)"
+_Z_EXPR = (
+    f"ROUND((l_extendedprice - {_Z_S1} / {_Z_N}) / "
+    f"SQRT(({_Z_S2} - {_Z_S1} * {_Z_S1} / {_Z_N}) / ({_Z_N} - 1)), 6)"
+)
 
 
 @query(
     "zscore_by_group",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber, l_returnflag,
-           ROUND((l_extendedprice - AVG(l_extendedprice) OVER g)
-                 / STDDEV_SAMP(l_extendedprice) OVER g, 6) AS zscore
+           {_Z_EXPR} AS zscore
     FROM lineitem
-    WINDOW g AS (PARTITION BY l_returnflag)
     """,
 )
 def zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise z-score normalization (feature scaling within a
-    category): one hash exchange on the group key, then two unbounded
-    window aggregates that share the partitioning — no join-back."""
-    g = Window.partitionBy("l_returnflag")
-    price = F.col("l_extendedprice")
+    category): one hash exchange on the group key, then window
+    aggregates that share the partitioning — no join-back.  Moments
+    via exact decimal sums (see _Z_EXPR note)."""
     return t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        F.round(
-            (price - F.avg(price).over(g)) / F.stddev_samp(price).over(g), 6
-        ).alias("zscore"),
+        F.expr(_Z_EXPR).alias("zscore"),
     )
 
 

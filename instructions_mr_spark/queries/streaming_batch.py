@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from instructions_mr_spark.queries._util import DEC_VALUE, sum_d, t
+from instructions_mr_spark.queries._util import DEC_VALUE, sum_d, t, ts_epoch_micros
 from instructions_mr_spark.registry import query
 
 
@@ -156,9 +156,7 @@ def stream_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        # unix_micros requires TIMESTAMP; events.ts reads as TIMESTAMP_NTZ
-        # from tz-less parquet, so cast first (session tz is pinned UTC).
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        ts_epoch_micros("ts").alias("ts_us"),
     )
     w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     prev = F.lag("ts_us").over(w)

@@ -222,7 +222,8 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 
     from instructions_mr_spark.operators.graph import pagerank
 
-    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 3)]
+    # node 3 is dst-only (no out-edges): a genuine dangling sink
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)]
     n, d, iters = 4, 0.85, 7
     # column-stochastic transition on out-degrees; dangling column 0
     M = np.zeros((n, n))

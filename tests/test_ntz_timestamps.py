@@ -26,11 +26,15 @@ NTZ_REGRESSED = [
 ]
 
 
-def test_events_ts_is_ntz(spark):
-    """The driver writes tz-less parquet; if this ever flips back to
-    instant-typed TIMESTAMP the NTZ-safe expressions must still work
-    (they cast through TIMESTAMP, a no-op then)."""
-    ts_type = dict(spark.read.parquet(f"{SF_SMALL}/events.parquet").dtypes)["ts"]
+def test_events_ts_loads_as_timestamp_flavor(spark):
+    """Whatever flavor the driver generates (tz-less µs -> NTZ,
+    TIMESTAMP(NANOS) -> bigint normalized by load_table, or instant
+    TIMESTAMP), the canonical loader must hand queries a timestamp
+    type — the NTZ-safe expressions cast through TIMESTAMP, a no-op
+    for the instant flavor."""
+    from instructions_mr_spark.sources.tables import load_table
+
+    ts_type = dict(load_table(spark, SF_SMALL, "events").dtypes)["ts"]
     assert ts_type in ("timestamp_ntz", "timestamp")
 
 
