@@ -70,3 +70,36 @@ def test_asof_join_accepts_both_timestamp_flavors(spark):
             (1, "2024-01-01 12:00:00", "b"),
             (2, "2024-01-01 09:00:00", None),
         }
+
+
+def test_regressed_queries_run_on_nanos_flavor(spark, tmp_path):
+    """The OTHER generation flavor: events.ts as parquet
+    TIMESTAMP(NANOS), which load_table reads as bigint (nanosAsLong)
+    and normalizes via timestamp_micros.  The same queries must run
+    unchanged — this pins both flavors so a driver-side regeneration
+    can never break one of them again."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    pdf = src.toPandas()
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    i = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(
+        i, "ts", tbl.column("ts").cast(pa.timestamp("ns"))
+    )
+    flavor_dir = tmp_path / "nanos_sf"
+    flavor_dir.mkdir()
+    pq.write_table(tbl, str(flavor_dir / "events.parquet"))
+    # honesty check: the file really is TIMESTAMP(NANOS) on disk (a
+    # silent pyarrow us-coercion would make this test re-test NTZ)
+    written = pq.read_schema(str(flavor_dir / "events.parquet"))
+    assert written.field("ts").type == pa.timestamp("ns"), written.field("ts")
+    for name in ("customer", "orders", "lineitem", "documents"):
+        os.symlink(f"{SF_SMALL}/{name}.parquet", flavor_dir / f"{name}.parquet")
+
+    for name in NTZ_REGRESSED + ["join_asof_forward"]:
+        df = registry.QUERIES[name](spark, str(flavor_dir))
+        assert df.count() >= 0, name
