@@ -656,3 +656,83 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+# BM25 parameters + fixed query terms (deterministic, oracle-shared)
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("spark", "table", "query")
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+    ), tf AS (
+      SELECT doc_id, len(words) AS dl,
+             {", ".join(f"len(list_filter(words, w -> w = '{t}')) AS tf_{t}" for t in _BM25_TERMS)}
+      FROM d
+    ), g AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {", ".join(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+      FROM tf
+    )
+    SELECT doc_id,
+           ROUND({" + ".join(
+             f"(ln((g.n - g.df_{t} + 0.5) / (g.df_{t} + 0.5) + 1.0) * "
+             f"(tf.tf_{t} * ({_BM25_K1} + 1.0)) / "
+             f"(tf.tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / g.avgdl)))"
+             for t in _BM25_TERMS)}, 6) AS bm25
+    FROM tf CROSS JOIN g
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 3-term query — the classical
+    lexical-search scorer (Robertson/Sparck Jones), computed with zero
+    explodes: per-document term frequencies are in-row
+    ``FILTER`` counts on the split array, corpus statistics (N, avgdl,
+    per-term document frequencies) reduce to ONE scalar row that
+    broadcasts back onto the scan, and the top-k is
+    TakeOrderedAndProject.  Two passes over documents, no shuffle of
+    document rows at any width — at 100 TB the same plan holds with
+    the stats row still one broadcast."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("words")
+    )
+    tf = d.select(
+        "doc_id",
+        F.size("words").alias("dl"),
+        *[
+            F.expr(f"size(filter(words, w -> w = '{term}'))").alias(f"tf_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    g = tf.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0)).alias(f"df_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    score = None
+    for term in _BM25_TERMS:
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{term}") + 0.5) / (F.col(f"df_{term}") + 0.5)
+            + 1.0
+        )
+        part = idf * (
+            F.col(f"tf_{term}") * (_BM25_K1 + 1.0)
+        ) / (
+            F.col(f"tf_{term}")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        tf.crossJoin(F.broadcast(g))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
