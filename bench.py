@@ -50,10 +50,12 @@ def main() -> None:
     # would otherwise be charged to the first timed query).
     registry.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
-    # min over SPARK_GRAFT_BENCH_RUNS (default 2) runs per query: the
+    # min over SPARK_GRAFT_BENCH_RUNS (default 3) runs per query: the
     # JIT/GC/page-cache noise on a busy host is one-sided (only slows),
-    # so the min is the stable estimator of the plan's cost.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # so the min is the stable estimator of the plan's cost.  Measured
+    # run-to-run spread with 2 runs was up to 2.3x on a single query
+    # (join_broadcast 1.17s..2.76s, identical code); 3 runs tightens it.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
