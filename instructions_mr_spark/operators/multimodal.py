@@ -1,12 +1,15 @@
 """Multimodal column plumbing (BASELINE mandate): image/audio/video as
 opaque ``binary`` columns with typed metadata.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic fake decoder so the
-Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is fully real and tested.  Swapping in PIL/ffmpeg later
-only changes the body of ``_decode_one``.
+Metadata decode is REAL and stdlib-only: :func:`parse_image_dims`
+reads PNG/JPEG/GIF dimensions straight from the container headers
+(IHDR / SOF marker walk / screen descriptor), no PIL required.  Full
+pixel decode remains an optional-dependency path: ``decode_images``
+raises NotImplementedError without PIL unless ``fake=True``, which
+substitutes a deterministic fake decoder so the Spark-side plumbing —
+schema, partitioning, Arrow batch shape, UDF signatures — is fully
+real and tested.  Swapping in PIL/ffmpeg later only changes the body
+of ``_decode_one``.
 
 Scale notes: binary payloads ride normal parquet pages; metadata
 extraction is a narrow projection (never decodes); decode/resize runs
@@ -57,6 +60,90 @@ def binary_metadata(df: DataFrame, col: str, out: str = "meta") -> DataFrame:
         F.sha1(b).alias("sha1"),
     )
     return df.withColumn(out, meta)
+
+
+# SOF segment markers that carry JPEG frame dimensions (C4/C8/CC are
+# huffman/arithmetic tables, not frames)
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def parse_image_dims(payload: bytes | None) -> tuple[str, int | None, int | None]:
+    """REAL image dimensions from container headers, stdlib-only — no
+    PIL needed for the metadata contract:
+
+    * PNG: width/height are big-endian u32 at bytes 16..24 of the IHDR
+      chunk, which the spec pins as the first chunk after the 8-byte
+      signature.
+    * JPEG: walk the marker segments from SOI until a SOF frame header;
+      height/width are big-endian u16 at offsets +5/+7 in the segment.
+    * GIF: width/height are little-endian u16 at bytes 6..10 of the
+      logical screen descriptor.
+
+    Returns (format, width, height); unknown/truncated payloads yield
+    (fmt, None, None) rather than raising — corrupt bytes are data, not
+    errors, at 100 TB."""
+    b = payload or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", w, h
+        return "png", None, None
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            if i + 4 > len(b):
+                break
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF and i + 9 <= len(b):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seg_len
+        return "jpeg", None, None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return "gif", w, h
+        return "gif", None, None
+    return "unknown", None, None
+
+
+def decode_image_headers(df: DataFrame, col: str) -> DataFrame:
+    """Real (non-fake) decode of format/width/height from container
+    headers via :func:`parse_image_dims` — the PIL-free metadata
+    contract.  Same mapInPandas shape as :func:`decode_images` so
+    swapping in a full pixel decode later changes only the kernel."""
+    from instructions_mr_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    fields = list(df.schema.fields) + [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+    out_schema = T.StructType(fields)
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_dims(p) for p in pdf[col]]
+            out = pdf[in_cols].copy()
+            out["format"] = [p[0] for p in parsed]
+            out["width"] = pd.array([p[1] for p in parsed], dtype="Int32")
+            out["height"] = pd.array([p[2] for p in parsed], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def _decode_one(payload: bytes, fake: bool) -> tuple[int, int]:

@@ -410,6 +410,66 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+           CAST((doc_id * 37) % 4000 + 1 AS INT) AS width,
+           CAST((doc_id * 91) % 3000 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header decode, no fake and no PIL: JVM-side expressions
+    synthesize valid PNG IHDR / JPEG SOF0 / GIF screen-descriptor bytes
+    with dims derived from doc_id, and parse_image_dims (stdlib struct
+    parsing in the mapInPandas kernel) must recover exactly those dims
+    from the binary layout.  The oracle recomputes the dims from the
+    same doc_id formulas — a hash mismatch means the byte layout or the
+    parser is wrong.  Reference: no media surface at all (SURVEY §2.6);
+    this is the EXT multimodal-metadata contract."""
+    from instructions_mr_spark.operators.multimodal import decode_image_headers
+
+    w = (F.col("doc_id") * 37 % 4000 + 1).cast("int")
+    h = (F.col("doc_id") * 91 % 3000 + 1).cast("int")
+
+    def be32(c):  # big-endian u32, as PNG IHDR stores dims
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def be16(c):  # big-endian u16, as JPEG SOF stores dims
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    def le16(c):  # little-endian u16, as GIF stores dims
+        hx = F.lpad(F.hex(c), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),  # signature
+        F.lit(b"\x00\x00\x00\x0dIHDR"),  # IHDR length + type
+        be32(w),
+        be32(h),
+        F.lit(b"\x08\x06\x00\x00\x00"),  # bit depth / color / trailer
+    )
+    jpeg = F.concat(
+        F.lit(b"\xff\xd8"),  # SOI
+        F.lit(b"\xff\xc0\x00\x11\x08"),  # SOF0, len 17, precision 8
+        be16(h),
+        be16(w),
+        F.lit(b"\x03"),  # component count
+    )
+    gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00"))
+    mod3 = (F.col("doc_id") % 3).cast("int")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(mod3 == 0, png).when(mod3 == 1, jpeg).otherwise(gif).alias("payload"),
+    )
+    return decode_image_headers(d, "payload").select(
+        "doc_id", "format", "width", "height"
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id,

@@ -22,7 +22,7 @@ broadcasts the query vector; the IVF variant prunes by sign-bucket.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from instructions_mr_spark.config import Instruction, LlmConfig, Stage
@@ -263,9 +263,9 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_signatures(t(spark, sf_dir, "documents"))
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# Shared by dedup_minhash_lsh and dedup_minhash_lsh_salted: salting is
+# a pure execution-strategy change, so both must match the SAME oracle.
+_LSH_ORACLE_SQL = f"""
     WITH sigs AS (
       SELECT doc_id, {_minhash_cols_duck()} FROM ({_DUCK_SHINGLE_DOCS})
     ),
@@ -293,8 +293,10 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN (SELECT doc_id, shingles AS ws FROM ({_DUCK_SHINGLE_DOCS})) wb
         ON cand.doc_b = wb.doc_id
     ) WHERE jaccard >= 0.5
-    """,
-)
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_LSH_ORACLE_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs (2 bands x 6 rows: band collision
     prob = jaccard^6): dictionary-hashed signatures -> band explode ->
@@ -314,6 +316,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows.  At 100 TB this is "stage the signature table" (persist or
     # an intermediate table) — k ints + shingles per doc, tiny next to
     # the corpus — instead of recomputing the digest pass 4x.
+    return _verify_lsh_pairs(_lsh_candidate_pairs(_lsh_band_rows(spark, sf_dir)))
+
+
+def _lsh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature projection + band explode: (doc_id, shingles, band,
+    key) rows, the shared front half of the unsalted and salted LSH
+    paths.  Shingles ride along so the verify stage needs no join
+    back to the shingle table."""
     docs = (
         t(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -332,11 +342,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = None
     for band in range(2):
         cols = [f"mh{r * band + j}" for j in range(r)]
-        # shingles ride along in the band rows: the verify stage then
-        # needs NO join back to the shingle table — one band-key
-        # exchange (reused for both self-join sides) + one pair-dedup
-        # exchange, instead of 4 (the join-back variant re-scanned and
-        # re-shuffled the shingle table once per pair side).
         b = sigs.select(
             "doc_id",
             "shingles",
@@ -344,6 +349,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("_", *cols).alias("key"),
         )
         bands = b if bands is None else bands.unionByName(b)
+    return bands
+
+
+def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Plain band-key self-join: one band-key exchange (reused for
+    both sides) — the m² work of a bucket lands in ONE task."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -355,7 +366,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.shingles").alias("ws_a"),
             F.col("b.shingles").alias("ws_b"),
         )
-        .groupBy("doc_a", "doc_b")  # a pair can collide in both bands
+    )
+
+
+def _verify_lsh_pairs(pairs: DataFrame) -> DataFrame:
+    """Pair dedup (a pair can collide in both bands) + exact word-set
+    Jaccard verify + threshold filter — only candidates pay this."""
+    return (
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.first("ws_a").alias("ws_a"), F.first("ws_b").alias("ws_b"))
         .select(
             "doc_a",
@@ -367,6 +385,96 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _LSH_THRESHOLD)
+    )
+
+
+_LSH_HOT_MIN = 32  # bucket size above which the salted path kicks in
+_LSH_SALT = 4  # sub-buckets per hot bucket
+
+
+def _lsh_candidate_pairs_salted(
+    bands: DataFrame, hot_min: int = _LSH_HOT_MIN, n_salt: int = _LSH_SALT
+) -> DataFrame:
+    """Skew-aware candidate generation: identical OUTPUT to
+    :func:`_lsh_candidate_pairs`, but a bucket larger than ``hot_min``
+    is split into ``n_salt`` salted sub-buckets and self-joined with
+    the triangle replication scheme, so its m² pair work spreads over
+    n_salt*(n_salt+1)/2 tasks instead of one.
+
+    Triangle scheme: each hot-bucket doc gets salt r = h32(doc_id) %
+    n_salt and is replicated to every reducer (band, key, u, v) with
+    u = min(r, p), v = max(r, p) for p in 0..n_salt-1 — exactly the
+    reducers whose salt pair includes r.  Reducer (u, v) then forms
+    only pairs whose two salts are {u, v}, so every cross-salt pair
+    materializes exactly once and no pair is lost — the correctness
+    argument the oracle (identical to the unsalted one) checks."""
+    # Bucket size via a window count: reuses the (band, key) hash
+    # partitioning the join needs anyway — O(m) per bucket, not m².
+    w = Window.partitionBy("band", "key")
+    sized = bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+    cold = sized.filter(F.col("bucket_n") <= hot_min).drop("bucket_n")
+    cold_pairs = _lsh_candidate_pairs(cold)
+
+    hot = (
+        sized.filter(F.col("bucket_n") > hot_min)
+        .drop("bucket_n")
+        .withColumn("salt", F.expr(_spark_h32("CAST(doc_id AS STRING)", 7)) % n_salt)
+    )
+    repl = hot.select(
+        "doc_id",
+        "shingles",
+        "band",
+        "key",
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("p"),
+    ).select(
+        "doc_id",
+        "shingles",
+        "band",
+        "key",
+        "salt",
+        F.least("salt", "p").alias("u"),
+        F.greatest("salt", "p").alias("v"),
+    ).distinct()  # p == salt duplicates the (r, r) reducer row
+    a = repl.alias("a")
+    b = repl.alias("b")
+    hot_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.v") == F.col("b.v")),
+        )
+        # form a pair only in the one reducer matching its salt pair
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.col("a.salt") == F.col("a.u")) & (F.col("b.salt") == F.col("a.v"))
+                | (F.col("a.salt") == F.col("a.v")) & (F.col("b.salt") == F.col("a.u"))
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("ws_a"),
+            F.col("b.shingles").alias("ws_b"),
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
+@query("dedup_minhash_lsh_salted", oracle=_LSH_ORACLE_SQL)
+def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-salted LSH near-dup pairs: same result contract as
+    dedup_minhash_lsh (the oracle is byte-identical), but buckets
+    bigger than _LSH_HOT_MIN fan their pair work out across
+    _LSH_SALT*(_LSH_SALT+1)/2 tasks — the 100 TB guard against a
+    boilerplate-heavy corpus where one band key collects millions of
+    near-identical docs (the skew lsh_bucket_stats exists to
+    detect)."""
+    return _verify_lsh_pairs(
+        _lsh_candidate_pairs_salted(_lsh_band_rows(spark, sf_dir))
     )
 
 

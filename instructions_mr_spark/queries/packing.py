@@ -126,6 +126,10 @@ def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins = []
         bin_id, fill = 0, 0
+        # `fill and ...`: only distinguishes the FIRST row (fill==0) —
+        # afterwards fill >= 1 always (n_tokens >= 1, and a reset sets
+        # fill = toks).  It pins the oracle's base case: row 1 stays in
+        # bin 0 even when n_tokens alone exceeds CAPACITY.
         for toks in pdf["n_tokens"]:
             if fill and fill + toks > CAPACITY:
                 bin_id += 1
@@ -137,4 +141,83 @@ def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.groupBy("source").applyInPandas(
         fold, "source string, doc_id bigint, n_tokens bigint, bin_id bigint"
+    )
+
+
+PACK_SHARDS = 8  # K in the (source, h32(doc_id) % K) pre-shard
+
+# Shard-id fragments — the portable md5-derived 32-bit hash (see
+# llm_pipeline._spark_h32/_duck_h32) so Spark and DuckDB agree on the
+# shard every doc lands in.  h32 is non-negative, so % K == pmod.
+_SPARK_SHARD = (
+    "CAST(CONV(SUBSTRING(MD5(CAST(CAST(doc_id AS STRING) || '#shard' AS BINARY)),"
+    f" 1, 8), 16, 10) AS BIGINT) % {PACK_SHARDS}"
+)
+_DUCK_SHARD = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shard'), 1, 8))::BIGINT"
+    f" % {PACK_SHARDS}"
+)
+
+
+@query(
+    "pack_greedy_sharded",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT source, {_DUCK_SHARD} AS shard, doc_id,
+             len(string_split(COALESCE(text, ''), ' ')) AS n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, {_DUCK_SHARD} ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk(source, shard, rn, doc_id, n_tokens, bin_id, fill) AS (
+      SELECT source, shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.shard, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN w.fill + d.n_tokens <= {CAPACITY}
+                  THEN w.bin_id ELSE w.bin_id + 1 END,
+             CASE WHEN w.fill + d.n_tokens <= {CAPACITY}
+                  THEN w.fill + d.n_tokens ELSE d.n_tokens END
+      FROM walk w
+      JOIN d ON d.source = w.source AND d.shard = w.shard AND d.rn = w.rn + 1
+    )
+    SELECT source, shard, doc_id, n_tokens,
+           shard * 1000000000 + bin_id AS bin_id
+    FROM walk
+    """,
+)
+def pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit packing with the 100 TB task-parallelism fix: the fold
+    group key is (source, h32(doc_id) % K) instead of bare source, so a
+    single giant source fans out to K parallel Arrow tasks instead of
+    serializing into one straggler.  Bin ids get the shard as a prefix
+    (shard * 1e9 + local bin) so they stay globally unique per source
+    without any cross-shard coordination.  Oracle: the same recursive-
+    CTE walk per (source, shard)."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(_SPARK_SHARD).cast("bigint").alias("shard"),
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        for toks in pdf["n_tokens"]:
+            if fill and fill + toks > CAPACITY:
+                bin_id += 1
+                fill = 0
+            fill += toks
+            bins.append(bin_id)
+        shard_base = int(pdf["shard"].iloc[0]) * 1_000_000_000 if len(pdf) else 0
+        pdf["bin_id"] = pd.Series(bins, dtype="int64") + shard_base
+        return pdf
+
+    return d.groupBy("source", "shard").applyInPandas(
+        fold,
+        "source string, shard bigint, doc_id bigint, n_tokens bigint, bin_id bigint",
     )

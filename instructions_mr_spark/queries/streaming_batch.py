@@ -198,6 +198,26 @@ def stream_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_running_max",
+    oracle="""
+    SELECT user_id, MAX(value) AS max_value, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the running_max_per_user stateful streaming
+    operator (streaming/__init__.py): the stream's final per-user
+    state must equal this per-user max/count (the E2E
+    tests/test_streaming.py::test_stateful_running_max pins stream ==
+    batch; this entry pins batch == oracle, closing the loop).  MAX is
+    order-independent so no decimal/rounding dance is needed."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max("value").alias("max_value"), F.count("*").alias("n_events")
+    )
+
+
+@query(
     "stream_dedup_keys",
     oracle="""
     SELECT user_id, event_type, MIN(event_id) AS first_event

@@ -152,3 +152,70 @@ def test_frame_sampling_explodes_rows(spark, media):
     by_id = [r for r in rows if r.media_id == 3]
     assert [r.frame_idx for r in by_id] == sorted(r.frame_idx for r in by_id)
     assert all(isinstance(r.frame, (bytes, bytearray)) for r in rows)
+
+
+def _png(w: int, h: int) -> bytes:
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _jpeg(w: int, h: int, leading_segments: bytes = b"") -> bytes:
+    import struct
+
+    return (
+        b"\xff\xd8"
+        + leading_segments
+        + b"\xff\xc0\x00\x11\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+    )
+
+
+def test_parse_image_dims_stdlib():
+    """Header parsing is REAL (no PIL): PNG IHDR, JPEG SOF walk (incl.
+    skipping APP0/comment segments before SOF), GIF LE descriptor."""
+    from instructions_mr_spark.operators.multimodal import parse_image_dims
+
+    assert parse_image_dims(_png(1920, 1080)) == ("png", 1920, 1080)
+    assert parse_image_dims(_jpeg(640, 480)) == ("jpeg", 640, 480)
+    # SOF behind an APP0 (JFIF) segment and a comment segment
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe\x00\x07hello"
+    assert parse_image_dims(_jpeg(12, 34, app0 + com)) == ("jpeg", 12, 34)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00"
+    assert parse_image_dims(gif) == ("gif", 320, 200)
+
+
+def test_parse_image_dims_corrupt_is_data_not_error():
+    """Truncated/corrupt payloads must yield None dims, never raise —
+    bad bytes are data at 100 TB, not exceptions."""
+    from instructions_mr_spark.operators.multimodal import parse_image_dims
+
+    assert parse_image_dims(None) == ("unknown", None, None)
+    assert parse_image_dims(b"") == ("unknown", None, None)
+    assert parse_image_dims(b"\x89PNG\r\n\x1a\n\x00\x00") == ("png", None, None)
+    assert parse_image_dims(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") == ("jpeg", None, None)
+    assert parse_image_dims(b"GIF89a\x01") == ("gif", None, None)
+    assert parse_image_dims(b"not an image at all") == ("unknown", None, None)
+
+
+def test_decode_image_headers_dataframe(spark):
+    """The mapInPandas header-decode stage: real dims out of real
+    bytes, nullable dims for the unknown row."""
+    from instructions_mr_spark.operators.multimodal import decode_image_headers
+
+    rows = [(1, _png(800, 600)), (2, _jpeg(320, 240)), (3, b"opaque")]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    out = {
+        r.media_id: (r.format, r.width, r.height)
+        for r in decode_image_headers(df, "payload").collect()
+    }
+    assert out[1] == ("png", 800, 600)
+    assert out[2] == ("jpeg", 320, 240)
+    assert out[3] == ("unknown", None, None)

@@ -119,3 +119,50 @@ def test_md_sink_format(spark):
     df = spark.createDataFrame([("v1", "v2")], "a string, b string")
     got = md_sink(df, ["a", "b"]).collect()[0].md
     assert got == "# a\nv1\n\n# b\nv2\n\n"
+
+
+class TestSaltedLsh:
+    """The salted candidate generator must be a pure execution-strategy
+    change: identical pair set to the plain self-join, with the hot
+    bucket's work spread over salt-pair reducers."""
+
+    def _bands(self, spark, n_hot=60, n_cold=12):
+        rows = []
+        # one giant bucket (the boilerplate key) + scattered cold keys
+        for i in range(n_hot):
+            rows.append((i, [f"w{i}", "common"], 0, "HOTKEY"))
+        for i in range(n_cold):
+            rows.append((1000 + i, [f"c{i}"], 0, f"cold{i // 2}"))
+        return spark.createDataFrame(
+            rows, "doc_id bigint, shingles array<string>, band int, key string"
+        )
+
+    def _pairs(self, df):
+        return sorted((r.doc_a, r.doc_b) for r in df.collect())
+
+    def test_salted_equals_plain_on_skew(self, spark):
+        from instructions_mr_spark.queries.llm_pipeline import (
+            _lsh_candidate_pairs,
+            _lsh_candidate_pairs_salted,
+        )
+
+        bands = self._bands(spark)
+        plain = self._pairs(_lsh_candidate_pairs(bands))
+        for n_salt in (2, 3, 4):
+            salted = self._pairs(
+                _lsh_candidate_pairs_salted(bands, hot_min=10, n_salt=n_salt)
+            )
+            assert salted == plain, f"n_salt={n_salt}"
+        # sanity: the hot bucket really did generate all-pairs
+        assert len(plain) == 60 * 59 // 2 + 6
+
+    def test_all_cold_passthrough(self, spark):
+        from instructions_mr_spark.queries.llm_pipeline import (
+            _lsh_candidate_pairs,
+            _lsh_candidate_pairs_salted,
+        )
+
+        bands = self._bands(spark, n_hot=5, n_cold=8)
+        assert self._pairs(
+            _lsh_candidate_pairs_salted(bands, hot_min=10, n_salt=4)
+        ) == self._pairs(_lsh_candidate_pairs(bands))
