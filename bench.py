@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from instructions_mr_spark import registry
 from instructions_mr_spark.session import get_spark
 
+# Estimator/harness version, recorded in the output line so cross-round
+# deltas are only read within one harness (the r3->r4 min-of-2 ->
+# min-of-3 change inflated the apparent r4 win; never again).
+HARNESS = "min3-noop-warmup-v2"
+
 HEADLINE = [
     "q1_pricing_summary",
     "join_broadcast",
@@ -56,8 +61,12 @@ def main() -> None:
     # run-to-run spread with 2 runs was up to 2.3x on a single query
     # (join_broadcast 1.17s..2.76s, identical code); 3 runs tightens it.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Scale-curve runs (tools/gen_sf.py) override the query set; the
+    # driver's per-round record always uses the stable HEADLINE list.
+    names_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    names = [n for n in names_env.split(",") if n] or HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = registry.QUERIES[name]
         best = None
         for _ in range(max(1, runs)):
@@ -107,6 +116,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
+                "harness": HARNESS,
             }
         )
     )

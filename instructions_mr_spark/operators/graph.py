@@ -224,6 +224,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # degrade gracefully like connected_components: an empty edge
+        # list yields an empty rank vector, not a ZeroDivisionError
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):

@@ -92,6 +92,81 @@ def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_dedup_survivors",
+    oracle=f"""
+    WITH clusters AS (
+      SELECT * FROM ({ORACLES["dedup_cluster_cc"]})
+    ),
+    exact AS (
+      SELECT doc_id, source,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_rep
+      FROM documents
+    ),
+    flags AS (
+      SELECT e.source,
+             e.doc_id <> e.exact_rep AS exact_drop,
+             (c.doc_id IS NOT NULL AND c.cluster_id <> e.doc_id) AS near_drop
+      FROM exact e LEFT JOIN clusters c ON c.doc_id = e.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN exact_drop THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dropped,
+           CAST(SUM(CASE WHEN NOT exact_drop AND near_drop THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_neardup_dropped,
+           CAST(SUM(CASE WHEN NOT exact_drop AND NOT near_drop THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors
+    FROM flags GROUP BY source
+    """,
+)
+def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pass, the curation centerpiece composed from
+    the stack's own pieces: exact dedup (keep min doc_id per md5) +
+    MinHash-LSH near-dup clustering (keep the cluster's min doc_id),
+    reported as per-source survivor/drop counts — the summary a 100 TB
+    curation run logs per segment.
+
+    A doc survives iff it is its exact-group representative AND (it is
+    not in the near-dup graph OR it is its cluster's canonical id).
+    Exact dups that also collide in LSH (jaccard 1.0) are counted once,
+    as exact drops — the near-dup count is exclusively fuzzy-only
+    drops.  Scale shape: the LSH/CC subplan is dedup_cluster_cc's; the
+    exact-rep window shuffles (digest, doc_id) only, never text."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr("MD5(CAST(text AS BINARY))").alias("text_md5")
+    )
+    from pyspark.sql import Window as W
+
+    exact = docs.withColumn(
+        "exact_rep", F.min("doc_id").over(W.partitionBy("text_md5"))
+    )
+    pairs = _llm.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    flags = exact.join(clusters, "doc_id", "left").select(
+        "source",
+        (F.col("doc_id") != F.col("exact_rep")).alias("exact_drop"),
+        (
+            F.col("cluster_id").isNotNull()
+            & (F.col("cluster_id") != F.col("doc_id"))
+        ).alias("near_drop"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("exact_drop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_dropped"),
+        F.sum(F.when(~F.col("exact_drop") & F.col("near_drop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neardup_dropped"),
+        F.sum(F.when(~F.col("exact_drop") & ~F.col("near_drop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_survivors"),
+    )
+
+
+@query(
     "rollup_time_hierarchy",
     oracle=f"""
     SELECT d AS day_bucket, h AS hour_bucket, GROUPING(d, h) AS gid,
@@ -172,18 +247,27 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PR_ITER = 5
+_PR_DAMPING = 0.85
+# Accepted drift risk, 4-decimal contract: the oracle's SUM(rank/deg)
+# runs in engine-dependent order, so the two engines' doubles agree
+# only to ~1e-12 — far inside a 0.5e-4 rounding cell but not a 0.5e-6
+# one at large N.  4 decimals keeps the exact-hash gate safe at sf1+
+# (verified: bit-identical at sf0.01 and sf0.1) while still
+# discriminating real rank changes (rank_scaled ~ 1.0).
+_PR_ROUND = 4
 
 
-def _pagerank_oracle(iterations: int) -> str:
+def _pagerank_oracle(iterations: int, damping: float = _PR_DAMPING) -> str:
     """Unrolled power iteration as plain CTE stages — exact SQL twin
     of operators/graph.py:pagerank for a fixed iteration count (no
-    recursive-CTE aggregation, which engines restrict)."""
+    recursive-CTE aggregation, which engines restrict).  ``damping``
+    must match the Spark call; both terms derive from the one value."""
     stages = []
     prev = "pr0"
     for k in range(1, iterations + 1):
         stages.append(f"""
     pr{k} AS (
-      SELECT nd.id, 0.15 / nn.cnt + 0.85 * COALESCE(s.acc, 0) AS rank
+      SELECT nd.id, {1.0 - damping} / nn.cnt + {damping} * COALESCE(s.acc, 0) AS rank
       FROM nodes nd CROSS JOIN n nn
       LEFT JOIN (
         SELECT e.dst AS id, SUM(p.rank / dg.d) AS acc
@@ -205,7 +289,7 @@ def _pagerank_oracle(iterations: int) -> str:
     n AS (SELECT COUNT(*) AS cnt FROM nodes),
     pr0 AS (SELECT nd.id, 1.0 / nn.cnt AS rank FROM nodes nd CROSS JOIN n nn),
     {",".join(stages)}
-    SELECT p.id, ROUND(p.rank * nn.cnt, 6) AS rank_scaled
+    SELECT p.id, ROUND(p.rank * nn.cnt, {_PR_ROUND}) AS rank_scaled
     FROM {prev} p CROSS JOIN n nn
     """
 
@@ -230,6 +314,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
         li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
-    ranks = pagerank(edges, iterations=_PR_ITER, damping=0.85)
+    ranks = pagerank(edges, iterations=_PR_ITER, damping=_PR_DAMPING)
     n = ranks.count()
-    return ranks.select("id", F.round(F.col("rank") * n, 6).alias("rank_scaled"))
+    return ranks.select(
+        "id", F.round(F.col("rank") * n, _PR_ROUND).alias("rank_scaled")
+    )

@@ -108,7 +108,7 @@ def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counted GROUP BY column_name
     )
     SELECT c.column_name, t.n_distinct,
-           ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n) * log2(CAST(c.c AS DOUBLE) / t.n)), 6)
+           ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n) * log2(CAST(c.c AS DOUBLE) / t.n)), 4)
              AS entropy_bits
     FROM counted c JOIN tot t USING (column_name)
     GROUP BY c.column_name, t.n_distinct
@@ -142,7 +142,9 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counted.join(tot, "column_name")
         .groupBy("column_name", "n_distinct")
-        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+        # 4 decimals, not 6: the float-sum runs in engine-dependent
+        # order (same accepted-drift contract as graph._PR_ROUND)
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"))
     )
 
 

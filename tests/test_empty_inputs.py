@@ -55,6 +55,17 @@ def test_connected_components_empty_edges(spark):
     assert connected_components_star(edges).count() == 0
 
 
+def test_pagerank_empty_edges(spark):
+    """No ZeroDivisionError on n=0 — empty rank vector, same graceful
+    degradation as connected_components."""
+    from instructions_mr_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges)
+    assert out.columns == ["id", "rank"]
+    assert out.count() == 0
+
+
 def test_merge_upsert_empty_updates(spark):
     from instructions_mr_spark.operators.merge import merge_upsert
 
