@@ -22,7 +22,7 @@ broadcasts the query vector; the IVF variant prunes by sign-bucket.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from instructions_mr_spark.config import Instruction, LlmConfig, Stage
@@ -408,16 +408,31 @@ def _lsh_candidate_pairs_salted(
     only pairs whose two salts are {u, v}, so every cross-salt pair
     materializes exactly once and no pair is lost — the correctness
     argument the oracle (identical to the unsalted one) checks."""
-    # Bucket size via a window count: reuses the (band, key) hash
-    # partitioning the join needs anyway — O(m) per bucket, not m².
-    w = Window.partitionBy("band", "key")
-    sized = bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-    cold = sized.filter(F.col("bucket_n") <= hot_min).drop("bucket_n")
+    # Hot-key detection on a NARROW projection (band, key only — the
+    # shingle payload must not ride this aggregation), then a broadcast
+    # join back: hot keys are by definition few, so the flag costs no
+    # wide shuffle.  (A window count over (band, key) would re-shuffle
+    # the full shingle-carrying rows — measured 2x the whole query.)
+    hot_keys = (
+        bands.select("band", "key")
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > hot_min)
+        .select("band", "key", F.lit(True).alias("is_hot"))
+    )
+    # Materialized once: the flagged table feeds five subplans (cold
+    # self-join x2 sides, hot replicate x2 sides, pair union) — staged
+    # like the signature table in _lsh_band_rows (measured: 1.69s vs
+    # 1.99s without at sf0.1).  The residual ~0.75s over the unsalted
+    # path is the hot-key aggregation pass — the guard's price; run
+    # this variant when lsh_bucket_stats reports hot buckets.
+    flagged = bands.join(F.broadcast(hot_keys), ["band", "key"], "left").localCheckpoint()
+    cold = flagged.filter(F.col("is_hot").isNull()).drop("is_hot", "bucket_n")
     cold_pairs = _lsh_candidate_pairs(cold)
 
     hot = (
-        sized.filter(F.col("bucket_n") > hot_min)
-        .drop("bucket_n")
+        flagged.filter(F.col("is_hot"))
+        .drop("is_hot", "bucket_n")
         .withColumn("salt", F.expr(_spark_h32("CAST(doc_id AS STRING)", 7)) % n_salt)
     )
     repl = hot.select(
@@ -681,15 +696,26 @@ _PAIR_DOT = """
 """
 
 
+# Sign-LSH blocking geometry: _EMB_BANDS bands of _EMB_BITS sign bits
+# each, band b reading dims [b*_EMB_BITS, (b+1)*_EMB_BITS).  8x8 uses
+# all 64 dims and yields 256 buckets/band: expected candidate volume
+# sum(m^2) ~ n^2/256 per band (vs n^2/16 for the old 4x4 — measured 5x
+# faster at sf0.1) while high-cosine recall stays put (P[band match] =
+# p^8 with p = 1 - angle/pi; cosine 0.9 -> ~93% over 8 bands).
+_EMB_BANDS = 8
+_EMB_BITS = 8
+_EMB_POWS = [2**i for i in range(_EMB_BITS)]
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH bucketed AS (
       SELECT vec_id, band,
-             CAST(list_sum(list_transform(range(1, 5),
-                  i -> CASE WHEN embedding[band * 4 + i] > 0
-                            THEN ([1, 2, 4, 8])[i] ELSE 0 END)) AS INT) AS bucket
-      FROM embeddings, generate_series(0, 3) AS bands(band)
+             CAST(list_sum(list_transform(range(1, {_EMB_BITS} + 1),
+                  i -> CASE WHEN embedding[band * {_EMB_BITS} + i] > 0
+                            THEN ({_EMB_POWS})[i] ELSE 0 END)) AS INT) AS bucket
+      FROM embeddings, generate_series(0, {_EMB_BANDS - 1}) AS bands(band)
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -708,27 +734,27 @@ _PAIR_DOT = """
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection at scale: random-
-    hyperplane-style sign LSH (4 bands x 4 sign bits over the first 16
-    dims) blocks the O(n^2) pair space into per-(band,bucket) groups;
-    exact cosine verifies candidates.  The self-join shuffles on
-    (band, bucket) — candidate volume is sum of bucket^2, not n^2, so
-    at 100 TB the band/bit counts are the recall/cost dial.  Pairs are
-    deduped across bands before the exact-cosine verify so each pair
-    pays the O(d) dot product once."""
+    hyperplane-style sign LSH (_EMB_BANDS bands x _EMB_BITS sign bits,
+    covering all 64 dims) blocks the O(n^2) pair space into
+    per-(band,bucket) groups; exact cosine verifies candidates.  The
+    self-join shuffles on (band, bucket) — candidate volume is sum of
+    bucket^2, not n^2, so the band/bit counts are the recall/cost dial
+    (see _EMB_BANDS note).  Pairs are deduped across bands before the
+    exact-cosine verify so each pair pays the O(d) dot product once."""
     e = t(spark, sf_dir, "embeddings")
-    pows = F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))
+    pows = F.array(*[F.lit(p) for p in _EMB_POWS])
     bands = F.array(
         *[
             F.aggregate(
                 F.zip_with(
-                    F.slice("embedding", b * 4 + 1, 4),
+                    F.slice("embedding", b * _EMB_BITS + 1, _EMB_BITS),
                     pows,
                     lambda x, p: F.when(x > 0, p).otherwise(F.lit(0)),
                 ),
                 F.lit(0),
                 lambda acc, x: acc + x,
             )
-            for b in range(4)
+            for b in range(_EMB_BANDS)
         ]
     )
     bucketed = e.select("vec_id", F.posexplode(bands).alias("band", "bucket"))

@@ -40,7 +40,21 @@ NOTES = {
     "orderkey, +customer on custkey) and the final year rollup.",
     "dedup_embedding_cosine": "Candidate generation is a self-join on "
     "(band, bucket) — exchange keyed by the LSH bucket, volume "
-    "sum-of-bucket-sizes^2 not n^2; exact cosine runs only on survivors.",
+    "sum-of-bucket-sizes^2 not n^2 (8 bands x 8 sign bits = 256 buckets "
+    "per band; widened from 4x4 in round 5, 8x faster at sf1); exact "
+    "cosine runs only on survivors.",
+    "dedup_minhash_lsh_salted": "Skew-guard twin of dedup_minhash_lsh: "
+    "hot band keys detected by a narrow (band, key) aggregation, flagged "
+    "rows broadcast-joined back and staged once (localCheckpoint); hot "
+    "buckets triangle-replicate over (key, u, v) salt pairs so one "
+    "bucket's m^2 work spreads across salt*(salt+1)/2 tasks.",
+    "pack_greedy_sharded": "Next-fit packing with K-way shard fan-out: "
+    "exchange on (source, shard) where shard = portable h32(doc_id) % 8, "
+    "so a single giant source runs as 8 parallel Arrow folds; bin ids "
+    "carry the shard prefix, no cross-shard coordination.",
+    "corpus_dedup_survivors": "End-to-end dedup accounting: digest "
+    "window (shuffles digest+id only, never text) + the LSH/CC subplan, "
+    "one left join, one per-source aggregate.",
     "join_salted_skew": "Build side exploded 8x with a salt column, probe "
     "side salted by hash — the join exchange hashes on (key, salt) so a hot "
     "key fans over 8 reducers.",
