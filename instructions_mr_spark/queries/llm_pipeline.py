@@ -546,6 +546,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(a.shingles), 6) AS containment_a_in_b
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT C(A,B) = |A n B| / |A| between adjacent doc
+    ids — the asymmetric twin of Jaccard that catches sub-document
+    duplication (a short doc wholly embedded in a long one scores ~1.0
+    here but low Jaccard, the case a dedup pass must not miss).  Same
+    blocking and in-row shingle algebra as dedup_ngram_jaccard."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 3)
+    )
+    sh = words.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("words", i),
+                    F.element_at("words", i + 1),
+                    F.element_at("words", i + 2),
+                ),
+            )
+        ).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(
+            F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+            / F.size("a.shingles"),
+            6,
+        ).alias("containment_a_in_b"),
+    )
+
+
 _SIMHASH_BITS = 16
 
 

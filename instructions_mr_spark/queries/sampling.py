@@ -153,3 +153,36 @@ def sample_reservoir_topup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "shuffle_epoch_order",
+    oracle=f"""
+    SELECT doc_id, epoch, shuffle_rank FROM (
+      SELECT doc_id, e.epoch,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.epoch
+               ORDER BY {_duck_h32("CAST(doc_id AS VARCHAR) || '@' || CAST(e.epoch AS VARCHAR)", 11)}, doc_id
+             ) AS shuffle_rank
+      FROM documents, (SELECT 0 AS epoch UNION ALL SELECT 1) e
+    )
+    """,
+)
+def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: rank docs by the
+    portable hash of (doc_id, epoch) — a reshuffle every epoch that is
+    reproducible across engines, reruns, and cluster layouts (what
+    ``ORDER BY rand()`` can never give a resumable training job).
+    The rank is a global sort per epoch — Spark executes it as a
+    range-partitioned sort, the honest distributed shape; at 100 TB
+    you materialize this once per epoch and read sequentially."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    epochs = d.sparkSession.range(2).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs))
+    h = _spark_h32("CAST(doc_id AS STRING) || '@' || CAST(epoch AS STRING)", 11)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("epoch").orderBy(F.expr(h), "doc_id")
+    return keyed.select(
+        "doc_id", "epoch", F.row_number().over(w).alias("shuffle_rank")
+    )

@@ -736,3 +736,55 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "quality_filter_gopher",
+    oracle="""
+    SELECT doc_id, n_words,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(alpha_word_ratio, 6) AS alpha_word_ratio,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND alpha_word_ratio >= 0.8) AS keep
+    FROM (
+      SELECT doc_id,
+             len(words) AS n_words,
+             CAST(LENGTH(text) - (len(words) - 1) AS DOUBLE) / len(words)
+               AS mean_word_len,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                  AS DOUBLE) / len(words) AS alpha_word_ratio
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+            FROM documents)
+    )
+    """,
+)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021, simplified): keep a
+    doc iff word count in [50, 100000], mean word length in [3, 10],
+    and >= 80% of words contain an alphabetic character.  This is the
+    boolean gate a curation pass actually applies, composed from cheap
+    in-row signals — pure projection, rides the scan at 100 TB.
+    mean_word_len uses LENGTH(text) - (n_words - 1) == sum of word
+    lengths under single-space splitting, identical on both engines."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("words")
+    )
+    n_words = F.size("words").cast("bigint")
+    mean_wl = (F.length("text") - (n_words - 1)).cast("double") / n_words
+    alpha_ratio = (
+        F.size(F.expr("FILTER(words, w -> w RLIKE '[A-Za-z]')")).cast("double")
+        / n_words
+    )
+    keep = (
+        n_words.between(50, 100000)
+        & mean_wl.between(3, 10)
+        & (alpha_ratio >= 0.8)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        keep.alias("keep"),
+    )
