@@ -895,3 +895,203 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")
         ).alias("pair_cost"),
     )
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+_PARA_W = 10  # words per "paragraph" (testdata text has no newlines)
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), paras AS (
+      SELECT doc_id, i AS para_idx,
+             array_to_string(w[(i-1)*{_PARA_W}+1 : i*{_PARA_W}], ' ') AS para
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(
+             1, CAST(ceil(len(w) / {_PARA_W}.0) AS BIGINT))) AS i) s
+    ), keep AS (
+      SELECT para, MIN(doc_id * 1024 + para_idx) AS keeper
+      FROM paras GROUP BY para
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN p.doc_id * 1024 + p.para_idx = k.keeper
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(
+             CASE WHEN p.doc_id * 1024 + p.para_idx = k.keeper THEN p.para END,
+             ' ' ORDER BY p.para_idx), '')) AS cleaned_md5
+    FROM paras p JOIN keep k USING (para)
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reconstruction — the
+    MassiveText/Gopher curation step the whole-doc hash can't do:
+    a paragraph repeated across documents (boilerplate, headers,
+    licenses) is kept only at its globally first occurrence
+    (min (doc_id, para_idx)) and REMOVED from every later document,
+    which is then reassembled from its surviving paragraphs in order.
+    Paragraph := non-overlapping 10-word window (the synthetic corpus
+    has no newline structure; on real data the split is '\\n\\n').
+
+    Scale shape: explode to (doc_id, para_idx, para) once; the
+    keeper election groups by the paragraph (at 100 TB: its digest,
+    same argmin) — the shuffle carries digest + two ints, never the
+    document; reconstruction is one groupBy(doc_id) whose rows were
+    already co-keyed by the explode.  No self-join, no window over
+    the full corpus.  Reference has no dedup at all (SURVEY §2.6)."""
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split("text", " ").alias("w"))
+    n_paras = F.ceil(F.size("w") / F.lit(float(_PARA_W)))
+    para_arr = F.transform(
+        F.sequence(F.lit(1), n_paras),
+        lambda i: F.struct(
+            i.alias("para_idx"),
+            F.array_join(F.slice("w", (i - 1) * _PARA_W + 1, _PARA_W), " ").alias(
+                "para"
+            ),
+        ),
+    )
+    paras = toked.select(
+        "doc_id", F.explode(para_arr).alias("p")
+    ).select("doc_id", F.col("p.para_idx").alias("para_idx"), F.col("p.para").alias("para"))
+    # Keeper election: argmin encoded as doc_id*1024+para_idx (para_idx
+    # <= ~60 << 1024) so Spark and DuckDB run the same integer argmin.
+    keep = paras.groupBy("para").agg(
+        F.min(F.col("doc_id") * 1024 + F.col("para_idx")).alias("keeper")
+    )
+    joined = paras.join(keep, "para").withColumn(
+        "kept", F.col("doc_id") * 1024 + F.col("para_idx") == F.col("keeper")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("para_idx", "para"))
+                        )
+                    ),
+                    lambda s: s.para,
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+# ------------------------------------------- fuzzy decontamination (LSH)
+
+_DUCK_SHINGLE_BENCH = _DUCK_SHINGLE_DOCS.replace(
+    "FROM documents)", "FROM documents WHERE doc_id % 11 = 0)"
+)
+_DUCK_SHINGLE_CORPUS = _DUCK_SHINGLE_DOCS.replace(
+    "FROM documents)", "FROM documents WHERE doc_id % 11 <> 0)"
+)
+
+
+def _duck_bands(shingle_cte: str) -> str:
+    return f"""
+      SELECT doc_id, 0 AS band,
+             mh0 || '_' || mh1 || '_' || mh2 || '_' || mh3 || '_' || mh4 || '_' || mh5 AS key
+      FROM (SELECT doc_id, {_minhash_cols_duck()} FROM ({shingle_cte}))
+      UNION ALL
+      SELECT doc_id, 1 AS band,
+             mh6 || '_' || mh7 || '_' || mh8 || '_' || mh9 || '_' || mh10 || '_' || mh11 AS key
+      FROM (SELECT doc_id, {_minhash_cols_duck()} FROM ({shingle_cte}))
+    """
+
+
+_CONTAM_THRESHOLD = 0.5
+
+
+@query(
+    "contamination_minhash",
+    oracle=f"""
+    WITH cand AS (
+      SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+      FROM ({_duck_bands(_DUCK_SHINGLE_CORPUS)}) c
+      JOIN ({_duck_bands(_DUCK_SHINGLE_BENCH)}) b
+        ON c.band = b.band AND c.key = b.key
+    )
+    SELECT doc_id, bench_id, jaccard FROM (
+      SELECT cand.doc_id, cand.bench_id,
+             ROUND(CAST(len(list_intersect(wc.ws, wb.ws)) AS DOUBLE)
+                   / len(list_distinct(wc.ws || wb.ws)), 6) AS jaccard
+      FROM cand
+      JOIN (SELECT doc_id, shingles AS ws FROM ({_DUCK_SHINGLE_CORPUS})) wc
+        ON cand.doc_id = wc.doc_id
+      JOIN (SELECT doc_id, shingles AS ws FROM ({_DUCK_SHINGLE_BENCH})) wb
+        ON cand.bench_id = wb.doc_id
+    ) WHERE jaccard >= {_CONTAM_THRESHOLD}
+    """,
+)
+def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination — the near-dup twin of the exact-n-gram
+    contamination_check: corpus documents whose shingle-set Jaccard
+    with any held-out benchmark document (every 11th doc) clears 0.5,
+    found via the SAME MinHash banding as dedup_minhash_lsh but as a
+    corpus x bench join instead of a self-join.
+
+    Scale shape: the benchmark side is tiny (eval sets are MBs, the
+    corpus is TBs), so its band table is BROADCAST — candidate
+    generation costs one map-side hash probe per corpus band row,
+    zero shuffle of the corpus; only candidates pay the exact-Jaccard
+    verify.  This is how you sweep 100 TB against every eval suite."""
+    docs = t(spark, sf_dir, "documents")
+    corpus_bands = _band_rows_of(
+        docs.filter(F.col("doc_id") % 11 != 0)
+    )
+    bench_bands = _band_rows_of(docs.filter(F.col("doc_id") % 11 == 0)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("shingles").alias("ws_b"),
+        "band",
+        "key",
+    )
+    cand = (
+        corpus_bands.join(F.broadcast(bench_bands), ["band", "key"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.first("shingles").alias("ws_c"), F.first("ws_b").alias("ws_b"))
+    )
+    return cand.select(
+        "doc_id",
+        "bench_id",
+        F.round(
+            F.size(F.array_intersect("ws_c", "ws_b")).cast("double")
+            / F.size(F.array_union("ws_c", "ws_b")),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= _CONTAM_THRESHOLD)
+
+
+def _band_rows_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles, band, key) band rows for an arbitrary doc
+    subset — the generalized front half of _lsh_band_rows."""
+    sh = _shingle_docs(docs)
+    base = f"TRANSFORM(shingles, w -> {_spark_h32('w', 0)})"
+    sigs = sh.selectExpr("doc_id", "shingles", f"{base} AS hs").selectExpr(
+        "doc_id",
+        "shingles",
+        *[
+            f"ARRAY_MIN(TRANSFORM(hs, h -> ({_MH_A[s]} * h + {_MH_B[s]}) % {_MH_P})) AS mh{s}"
+            for s in range(_MINHASH_K)
+        ],
+    )
+    r = _MINHASH_K // 2
+    out = None
+    for band in range(2):
+        cols = [f"mh{r * band + j}" for j in range(r)]
+        b = sigs.select(
+            "doc_id",
+            "shingles",
+            F.lit(band).alias("band"),
+            F.concat_ws("_", *cols).alias("key"),
+        )
+        out = b if out is None else out.unionByName(b)
+    return out

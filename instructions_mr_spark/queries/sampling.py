@@ -186,3 +186,61 @@ def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "doc_id", "epoch", F.row_number().over(w).alias("shuffle_rank")
     )
+
+
+@query(
+    "mixture_resample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {_duck_h32('doc_id', 43)}, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_before
+      FROM documents
+    ), nmin AS (SELECT MIN(n) AS n_min FROM (
+      SELECT COUNT(*) AS n FROM documents GROUP BY source))
+    SELECT source,
+           MAX(n_before) AS n_before,
+           COUNT(*) FILTER (WHERE rk <= n_min) AS n_kept,
+           SUM(doc_id) FILTER (WHERE rk <= n_min) AS kept_id_sum
+    FROM ranked, nmin
+    GROUP BY source ORDER BY source
+    """,
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling — the executable half of
+    mixture_weights: downsample every source to the size of the
+    smallest source (uniform target mixture) by keeping each source's
+    n_min lowest content-hash ranks.  Hash-rank, not df.sample():
+    rerun on any engine or partitioning selects the SAME documents,
+    and adding a new source never changes which old docs survive.
+    Output pins membership via an order-independent kept-id checksum.
+
+    Scale: the exact-k rank is one window exchange keyed by source
+    (salt the giant sources if skewed); when an ~exact share is
+    acceptable, the scan-local form ``h32(doc_id) % N < p*N`` drops
+    the shuffle entirely — same determinism, zero exchange — which is
+    the 100 TB default; the rank form is for hard token budgets."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    n_min = (
+        d.groupBy("source").count().agg(F.min("count").alias("n_min"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.expr(_spark_h32("doc_id", 43)), "doc_id")
+    )
+    ranked = d.select("source", "doc_id").withColumn("rk", rk).crossJoin(
+        F.broadcast(n_min)
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.count(F.when(F.col("rk") <= F.col("n_min"), 1)).alias("n_kept"),
+            F.sum(F.when(F.col("rk") <= F.col("n_min"), F.col("doc_id"))).alias(
+                "kept_id_sum"
+            ),
+        )
+        .orderBy("source")
+    )
