@@ -118,3 +118,141 @@ def ivf_search(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(top_k)
     )
+
+
+# -------------------------------------------------- product quantization
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 10,
+    train_cap: int = 10_000,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the d-dim vector into ``m`` subvectors
+    and run a deterministic Lloyd's k-means (numpy, driver-side) per
+    subspace on a bounded sample.  Returns ``codebooks[m][k][d/m]``.
+
+    Determinism: the sample is hash-bucket-selected (same rows on any
+    partitioning), sorted by its hash, and initial centroids are k
+    evenly spaced sample points — no RNG anywhere, so the codebook is
+    bit-stable across runs/engines.  Training cost is O(cap * k * d *
+    iters) on the driver — a codebook needs a representative sample,
+    never the corpus (at 100 TB you train on ~1e5 vectors and encode
+    the rest with the Column-only kernel below)."""
+    import numpy as np
+
+    hashed = df.select(
+        F.col(vec_col).alias("v"),
+        F.conv(F.substring(F.md5(F.col(vec_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    rows = hashed.orderBy("h", "v").limit(train_cap).collect()
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    ds = d // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = X[:, s * ds : (s + 1) * ds]
+        idx = np.linspace(0, len(sub) - 1, k).astype(int)
+        cent = sub[idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                pts = sub[assign == j]
+                if len(pts):
+                    cent[j] = pts.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cent])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as one packed int64: per subspace the argmin-
+    L2 codeword, 4 bits each for k<=16.  Pure Column algebra — argmin
+    L2 == argmax (x·c - |c|²/2), so each subspace is k dot products
+    against literals over a slice; no UDF, no shuffle.  This is the
+    64d-float -> 8-byte compression that makes a 100 TB embedding
+    store fit hot storage."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    ds = len(codebooks[0][0])
+    # array_position(scores, array_max(scores)) references the score
+    # array twice, so stage each subspace's array in a named column
+    # (projection-only; Catalyst collapses the withColumn chain).
+    enc = df
+    packed = F.lit(0).cast("long")
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * ds + 1, ds)
+        scores = F.array(
+            *[
+                dot_product(sub, F.array(*[F.lit(x) for x in c]))
+                - F.lit(sum(x * x for x in c) / 2.0)
+                for c in codebooks[s]
+            ]
+        )
+        c = f"__pq_s{s}"
+        enc = enc.withColumn(c, scores)
+        code = F.expr(f"array_position({c}, array_max({c}))").cast("long") - 1
+        packed = packed + code * (k ** s)
+    enc = enc.withColumn(out, packed)
+    return enc.drop(*[f"__pq_s{s}" for s in range(m)])
+
+
+def pq_adc_search(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_k: int = 10,
+    rerank: int = 20,
+) -> DataFrame:
+    """Asymmetric-distance top-k with exact re-rank: per subspace a
+    k-entry lookup table of L2(query_sub, codeword) is burned into the
+    plan as an array literal; each row's approximate distance is m
+    element_at lookups on its packed code — O(m) per row instead of
+    O(d), on the 8-byte code instead of the 256-byte vector.  The ADC
+    scan shortlists ``rerank * top_k`` rows (TakeOrderedAndProject, no
+    global sort), then ONLY the shortlist pays an exact L2 against the
+    full vector — the standard production shape: quantized scan over
+    everything, full-precision fetch for a few dozen candidates."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    ds = len(codebooks[0][0])
+    encoded = pq_encode(df, codebooks, vec_col=vec_col)
+    dist = F.lit(0.0)
+    for s in range(m):
+        q = query_vec[s * ds : (s + 1) * ds]
+        lut = [
+            float(sum((qx - cx) ** 2 for qx, cx in zip(q, c))) for c in codebooks[s]
+        ]
+        code_s = F.pmod((F.col("pq_code") / F.lit(k ** s)).cast("long"), F.lit(k))
+        dist = dist + F.element_at(F.array(*[F.lit(x) for x in lut]), code_s.cast("int") + 1)
+    shortlist = (
+        encoded.select(id_col, vec_col, dist.alias("approx_l2"))
+        .orderBy(F.col("approx_l2").asc(), F.col(id_col))
+        .limit(rerank * top_k)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact_l2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), qlit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        shortlist.select(id_col, F.round(exact_l2, 6).alias("l2"))
+        .orderBy(F.col("l2").asc(), F.col(id_col))
+        .limit(top_k)
+    )

@@ -1095,3 +1095,57 @@ def _band_rows_of(docs: DataFrame) -> DataFrame:
         )
         out = b if out is None else out.unionByName(b)
     return out
+
+
+# ------------------------------------------------ product-quantized ANN
+
+
+@query(
+    "sim_search_pq",
+    oracle="SELECT 10 AS n_results, TRUE AS recall_ok",
+)
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/simsearch.py): 64-dim float
+    vectors compressed to ONE packed int64 (8 subspaces x 16 codewords
+    = 4 bits each), searched by asymmetric distance — per-row cost is
+    8 lookup-table reads instead of a 64-dim dot product, and the
+    store shrinks 32x (256 B -> 8 B/vector), which is what lets a
+    100 TB embedding corpus live in memory.  Codebooks train on a
+    deterministic hash-selected sample, driver-side numpy (bounded);
+    encode + search are pure Column algebra.  Like the k-means IVF
+    entry, codebooks aren't SQL-expressible, so the driver-checked
+    contract is the ANN guarantee: result count == top_k and
+    recall@10 vs the exact scan >= 0.5 (actual value asserted in
+    tests/test_simsearch.py)."""
+    from instructions_mr_spark.functions import cosine_sim
+    from instructions_mr_spark.operators.simsearch import (
+        pq_adc_search,
+        train_pq_codebooks,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(e, m=8, k=16)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    corpus = e.filter(F.col("vec_id") != 0)
+    approx = pq_adc_search(corpus, books, qv, top_k=10)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    exact = (
+        corpus.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    qlit,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("l2"),
+        )
+        .orderBy(F.col("l2").asc(), F.col("vec_id"))
+        .limit(10)
+    )
+    hits = approx.join(exact.select("vec_id"), "vec_id", "left_semi")
+    return approx.agg(F.count("*").alias("n_results")).crossJoin(
+        hits.agg((F.count("*") >= 5).alias("recall_ok"))
+    )

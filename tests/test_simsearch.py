@@ -132,3 +132,56 @@ def test_ivf_cells_as_partition_columns_prune(spark, emb, centroids, tmp_path):
     all_cells = {d for d in os.listdir(out) if d.startswith("cell=")}
     assert len(all_cells) > 2
     assert probed.count() < lake.count()
+
+
+# ---------------------------------------------------------------- PQ
+
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    from instructions_mr_spark.operators.simsearch import train_pq_codebooks
+
+    return train_pq_codebooks(emb, m=8, k=16)
+
+
+def test_pq_codebook_shape_and_determinism(emb, pq_books):
+    from instructions_mr_spark.operators.simsearch import train_pq_codebooks
+
+    dim = len(emb.select("embedding").first().embedding)
+    assert len(pq_books) == 8
+    assert all(len(b) == 16 for b in pq_books)
+    assert all(len(c) == dim // 8 for b in pq_books for c in b)
+    again = train_pq_codebooks(emb, m=8, k=16)
+    assert again == pq_books  # bit-stable: no RNG anywhere
+
+
+def test_pq_encode_packs_one_long(emb, pq_books):
+    from instructions_mr_spark.operators.simsearch import pq_encode
+
+    enc = pq_encode(emb, pq_books).select("vec_id", "pq_code")
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    # 8 subspaces x 4 bits: code fits in 32 bits, always non-negative
+    assert all(0 <= r.pq_code < 16**8 for r in rows)
+
+
+def test_pq_recall_vs_exact(emb, pq_books):
+    """ADC shortlist + exact re-rank must recover >= 7 of the true
+    top-10 (uniform random embeddings are the PQ worst case: distance
+    concentration leaves tiny neighbor gaps; the rerank=20 shortlist
+    absorbs the quantization noise)."""
+    import numpy as np
+
+    from instructions_mr_spark.operators.simsearch import pq_adc_search
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    rows = corpus.select("vec_id", "embedding").collect()
+    X = np.array([r.embedding for r in rows])
+    ids = [r.vec_id for r in rows]
+    d = ((X - np.array(qv)) ** 2).sum(axis=1)
+    exact = {ids[i] for i in np.argsort(d, kind="stable")[:10]}
+    approx = pq_adc_search(corpus, pq_books, qv, top_k=10).collect()
+    assert len(approx) == 10
+    hits = len([r for r in approx if r.vec_id in exact])
+    assert hits >= 7
