@@ -1149,3 +1149,81 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.agg(F.count("*").alias("n_results")).crossJoin(
         hits.agg((F.count("*") >= 5).alias("recall_ok"))
     )
+
+
+# ----------------------------------------------------- semantic dedup
+
+
+_SEM_COS_T = 0.4  # pair threshold (matches dedup_embedding_cosine)
+
+
+@query(
+    "semdedup_cells",
+    oracle="SELECT 8 AS n_cells, TRUE AS pairs_nonzero, TRUE AS recall_ok",
+)
+def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): block the
+    O(n^2) pair space with k-means cells (k=8, top-2 multi-assignment
+    so boundary-straddling pairs still share a block), exact cosine
+    within blocks, drop any vector with a lower-id neighbor above the
+    threshold.  Centroids aren't SQL-expressible, so the driver-checked
+    contract is the blocking-quality guarantee: cells == k, at least
+    one dup pair found, and SAMPLED pair recall >= 0.5 — the audit
+    brute-forces only vectors with vec_id % 10 == 0 (n^2/100
+    comparisons, the bounded audit you'd actually run at 100 TB) and
+    requires the cell-blocked pass to find at least half of those
+    pairs.  Exact counts are asserted in tests/test_simsearch.py.
+
+    Scale shape: assignment is a projection; the pair join shuffles on
+    the cell (sum-of-cell-size^2 candidates, never n^2); the audit is
+    a 1%-sampled self-join."""
+    from instructions_mr_spark.operators.simsearch import (
+        assign_top2_cells,
+        train_ivf_centroids,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(e, k=8, seed=42)
+    cells = assign_top2_cells(e, cents).select("cell", "vec_id", "embedding")
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.first("a.embedding").alias("ea"), F.first("b.embedding").alias("eb"))
+        .select("vec_a", "vec_b", _cosine_col(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") >= _SEM_COS_T)
+        .localCheckpoint()
+    )
+    # Sampled-recall audit: brute-force pairs among the 10% hash sample.
+    s = e.filter(F.col("vec_id") % 10 == 0)
+    sa, sb = s.alias("sa"), s.alias("sb")
+    audit = (
+        sa.join(sb, F.col("sa.vec_id") < F.col("sb.vec_id"))
+        .select(
+            F.col("sa.vec_id").alias("vec_a"),
+            F.col("sb.vec_id").alias("vec_b"),
+            _cosine_col(F.col("sa.embedding"), F.col("sb.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= _SEM_COS_T)
+    )
+    found_in_audit = audit.join(pairs.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi")
+    n_cells = F.lit(len(cents))
+    return (
+        pairs.agg((F.count("*") > 0).alias("pairs_nonzero"))
+        .crossJoin(audit.agg(F.count("*").alias("n_audit")))
+        .crossJoin(found_in_audit.agg(F.count("*").alias("n_found")))
+        .select(
+            n_cells.alias("n_cells"),
+            "pairs_nonzero",
+            (
+                (F.col("n_audit") == 0)
+                | (F.col("n_found") >= F.col("n_audit") * 0.5)
+            ).alias("recall_ok"),
+        )
+    )

@@ -229,3 +229,50 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates-with-watermark (state = one row per key)."""
     e = t(spark, sf_dir, "events")
     return e.groupBy("user_id", "event_type").agg(F.min("event_id").alias("first_event"))
+
+
+@query(
+    "stream_join_interval",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           CAST((epoch_us(CAST(c.ts AS TIMESTAMP))
+                 - epoch_us(CAST(v.ts AS TIMESTAMP))) // 1000000 AS BIGINT)
+             AS lag_sec
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts < v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (view -> click
+    attribution within 30 min, per user): equality on user_id plus a
+    time-range predicate — EXACTLY the plan Structured Streaming runs
+    with two watermarked sources, where the interval bound is what
+    lets the engine expire join state (tests/test_streaming.py
+    test_stream_stream_join drives the readStream form).  At 100 TB
+    the equi-key carries the shuffle; the range condition prunes
+    within each key group, and state size is bounded by
+    watermark + interval, not history."""
+    e = t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") < F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    lag_sec = (
+        ts_epoch_micros(F.col("c_ts")) - ts_epoch_micros(F.col("v_ts"))
+    ) / 1_000_000
+    return j.select(
+        "user_id", "view_id", "click_id", lag_sec.cast("long").alias("lag_sec")
+    )

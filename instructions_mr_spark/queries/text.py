@@ -788,3 +788,97 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
         keep.alias("keep"),
     )
+
+
+@query(
+    "dedup_span_coverage",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i : i + 7], ' ') AS g
+      FROM toked,
+           LATERAL (SELECT unnest(generate_series(
+             1, GREATEST(len(toks) - 7, 0))) AS i) s
+    ), rep AS (
+      SELECT g FROM pos GROUP BY g HAVING COUNT(*) > 1
+    ), spans AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL OR pos > LAG(pos) OVER w + 7
+                  THEN 1 ELSE 0 END AS new_island
+      FROM pos SEMI JOIN rep USING (g)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM spans
+    ), cov AS (
+      SELECT doc_id, SUM(max_p - min_p + 8) AS covered FROM (
+        SELECT doc_id, island, MIN(pos) AS min_p, MAX(pos) AS max_p
+        FROM islands GROUP BY doc_id, island)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.toks) AS n_tokens,
+           COALESCE(c.covered, 0) AS covered_tokens,
+           ROUND(CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(t.toks), 6)
+             AS coverage_frac
+    FROM toked t LEFT JOIN cov c ON t.doc_id = c.doc_id
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring coverage — the per-document signal behind
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): the fraction of a
+    document's tokens covered by at least one 8-token gram that occurs
+    more than once in the corpus.  Docs with high coverage are
+    templated/boilerplate; the covered spans themselves are what a
+    substring-dedup pass would cut.
+
+    Scale shape: grams are built in-row (transform over start
+    positions) and exploded once; the repeated-gram election is one
+    gram-keyed aggregate + a semi join back (both key on the gram —
+    at 100 TB, on its digest); span union is gaps-and-islands with
+    two window passes sharing ONE doc_id exchange — no interval
+    self-join, no suffix array."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split("text", " ").alias("toks"))
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - 7, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice("toks", i, 8), " ").alias("g")
+        ),
+    )
+    pos = toked.select("doc_id", F.explode(gram_arr).alias("p")).select(
+        "doc_id", F.col("p.pos").alias("pos"), F.col("p.g").alias("g")
+    )
+    rep = pos.groupBy("g").count().filter(F.col("count") > 1).select("g")
+    hits = pos.join(rep, "g", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    spans = hits.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + 7),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w))
+    cov = (
+        spans.groupBy("doc_id", "island")
+        .agg((F.max("pos") - F.min("pos") + 8).alias("ilen"))
+        .groupBy("doc_id")
+        .agg(F.sum("ilen").alias("covered"))
+    )
+    return (
+        toked.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("covered"), F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.size("toks"),
+                6,
+            ).alias("coverage_frac"),
+        )
+    )

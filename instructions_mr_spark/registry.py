@@ -55,6 +55,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_salted",
     "dedup_ngram_jaccard",
+    "dedup_paragraph",
     "dedup_simhash",
     "dedup_edit_distance",
     "dedup_embedding_cosine",
@@ -65,18 +66,17 @@ DRIVER_WINDOW: list[str] = [
     "sim_search_topk",
     "sim_search_ivf",
     "sim_search_ivf_kmeans",
+    "sim_search_pq",
     "embedding_pair_cosine",
     # text analysis / quality
     "text_stats",
-    "token_count",
     "lang_id",
     "quality_score",
-    "doc_fingerprint",
-    "text_ngram_freq",
     "text_redact_pii",
     "doc_chunks",
     "tf_idf_top_terms",
     "contamination_check",
+    "contamination_minhash",
     "mixture_weights",
     "quality_repetition",
     "boilerplate_ngrams",

@@ -185,3 +185,63 @@ def test_pq_recall_vs_exact(emb, pq_books):
     assert len(approx) == 10
     hits = len([r for r in approx if r.vec_id in exact])
     assert hits >= 7
+
+
+def test_top2_cells_cover_singleton_assignment(emb, centroids):
+    """Every vector gets exactly 2 distinct cells, and the top-1 cell
+    matches assign_ivf_cell's single assignment."""
+    from instructions_mr_spark.operators.simsearch import (
+        assign_ivf_cell,
+        assign_top2_cells,
+    )
+
+    single = {r.vec_id: r.cell for r in assign_ivf_cell(emb, centroids).collect()}
+    rows = assign_top2_cells(emb, centroids).select("vec_id", "cell").collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r.cell)
+    assert all(len(cs) == 2 and len(set(cs)) == 2 for cs in by_vec.values())
+    assert all(cs[0] == single[v] for v, cs in by_vec.items())
+
+
+def test_semdedup_recall_vs_brute_force(emb, spark, sf_dir):
+    """Cell-blocked pair discovery must find >= 60% of ALL cosine>=0.4
+    pairs (measured ~0.86 at sf0.01, ~0.80 at sf0.1)."""
+    import numpy as np
+
+    from instructions_mr_spark.operators.simsearch import (
+        assign_top2_cells,
+        train_ivf_centroids,
+    )
+    from instructions_mr_spark.functions import cosine_sim
+
+    cents = train_ivf_centroids(emb, k=8, seed=42)
+    cells = assign_top2_cells(emb, cents).select("cell", "vec_id", "embedding")
+    a, b = cells.alias("a"), cells.alias("b")
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(F.first("a.embedding").alias("ea"), F.first("b.embedding").alias("eb"))
+        .select("vec_a", "vec_b", cosine_sim(F.col("ea"), F.col("eb")).alias("c"))
+        .filter(F.col("c") >= 0.4)
+        .collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r.embedding for r in rows])
+    ids = [r.vec_id for r in rows]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    truth = {
+        (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(float(S[i, j]), 6) >= 0.4
+    }
+    assert truth, "test corpus should contain high-cosine pairs"
+    assert found <= truth or len(found - truth) == 0
+    assert len(found & truth) / len(truth) >= 0.6

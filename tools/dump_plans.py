@@ -127,6 +127,23 @@ NOTES = {
     "sketch_hll_merge": "Mergeable HLL partials: per-(group, half) "
     "sketches partial-aggregate map-side; the union re-aggregates only "
     "sketch bytes — constant memory per group at any scale.",
+    "dedup_paragraph": "Paragraph explode -> keeper election keyed on the "
+    "paragraph (groupBy, argmin as integer min) -> join back -> one "
+    "groupBy(doc_id) reassembly; no self-join and no corpus-wide window, "
+    "and the election shuffle carries (para, doc_id*1024+idx) only.",
+    "contamination_minhash": "Corpus-vs-benchmark LSH: the benchmark band "
+    "table BROADCASTS (eval sets are tiny), so candidate generation is a "
+    "map-side hash probe per corpus band row — the corpus never shuffles; "
+    "only candidates pay the exact-Jaccard verify.",
+    "mixture_resample": "One window exchange keyed on source (hash-rank "
+    "election), n_min broadcast back as a 1-row scalar; the per-source "
+    "aggregate reuses the window's source partitioning.",
+    "sim_search_pq": "Encode+ADC scan is pure projection (codebook burned "
+    "in as literals, per-row cost 8 LUT reads on a packed int64); "
+    "TakeOrderedAndProject shortlist, exact re-rank only on rerank*k rows.",
+    "stream_join_interval": "Equi-key (user_id) exchange carries the join; "
+    "the 30-min range predicate is a join residual — the same plan "
+    "Structured Streaming bounds state with under watermarks.",
 }
 
 
