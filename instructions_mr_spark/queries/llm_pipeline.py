@@ -1227,3 +1227,65 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(string_split(text, ' ')[1:10], ' ')) AS h
+      FROM documents
+    ), existing AS (
+      SELECT DISTINCT h FROM fp WHERE doc_id % 5 <> 0
+    ), incoming AS (
+      SELECT doc_id, h, source FROM fp WHERE doc_id % 5 = 0
+    )
+    SELECT i.source,
+           COUNT(*) AS n_incoming,
+           COUNT(*) FILTER (WHERE e.h IS NULL) AS n_new,
+           CAST(SUM(CASE WHEN e.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_already_seen
+    FROM incoming i LEFT JOIN existing e ON i.h = e.h
+    GROUP BY i.source ORDER BY i.source
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup — the daily-batch shape: an incoming
+    slice (every 5th doc plays the new crawl) is admitted only where
+    its content fingerprint (digest of the first 10 words — the
+    prefix fingerprint crawl dedup uses so near-identical re-crawls
+    still collide) is absent from the existing corpus' fingerprint set.
+    The join carries DIGESTS only, never bodies; at 100 TB the
+    existing-digest table is the persisted artifact of past ingests
+    (append-only), the join keys both sides on the digest, and a
+    bloom_filter_agg prefilter (see runtime_bloom_join for the
+    mechanics) screens the 99% of misses before the exact anti join.
+    Reported per-source so the admission rate is monitorable."""
+    d = t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, 10), " ").cast("binary")
+        ).alias("h"),
+    )
+    existing = (
+        fp.filter(F.col("doc_id") % 5 != 0)
+        .select("h")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    incoming = fp.filter(F.col("doc_id") % 5 == 0).select("doc_id", "h", "source")
+    j = incoming.join(existing, "h", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.count(F.when(F.col("seen").isNull(), 1)).alias("n_new"),
+            F.sum(F.when(F.col("seen").isNull(), 0).otherwise(1)).alias(
+                "n_already_seen"
+            ),
+        )
+        .orderBy("source")
+    )

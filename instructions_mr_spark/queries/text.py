@@ -882,3 +882,63 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_frac"),
         )
     )
+
+
+@query(
+    "quality_unigram_logprob",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                              / (SELECT COUNT(*) FROM words)), 4)
+                     AS DECIMAL(18,4)) AS logp
+      FROM words GROUP BY w
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(CAST(SUM(v.logp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_logp
+    FROM words JOIN vocab v USING (w)
+    GROUP BY doc_id
+    """,
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (the KenLM-filter shape used in
+    CCNet/RedPajama curation): train a unigram LM on the corpus itself
+    (word -> log relative frequency), score each document by mean word
+    log-probability — improbable-word-heavy docs (OCR noise, gibberish,
+    wrong language) score low and get filtered.
+
+    Scale shape: the LM "training" is one word-keyed aggregate; the
+    vocab table is language-sized, not corpus-sized, so the score join
+    BROADCASTS it back onto the exploded words; the per-doc aggregate
+    re-keys on doc_id.  log-probs are rounded to 4 decimals and summed
+    as DECIMAL (exact, order-free) per the float-stability convention
+    — only the final division returns to DOUBLE.  At 100 TB the vocab
+    aggregate gets a cap (top-K by count + an OOV bucket), which
+    changes no plan shape."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    totals = words.agg(F.count(F.lit(1)).alias("n_total"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w",
+            F.expr(
+                "CAST(ROUND(LN(CAST(cnt AS DOUBLE) / n_total), 4)"
+                " AS DECIMAL(18,4))"
+            ).alias("logp"),
+        )
+    )
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.expr("CAST(CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS DOUBLE)").alias(
+                "mean_logp"
+            ),
+        )
+    )
