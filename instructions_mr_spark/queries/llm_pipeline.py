@@ -1176,7 +1176,13 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: assignment is a projection; the pair join shuffles on
     the cell (sum-of-cell-size^2 candidates, never n^2); the audit is
-    a 1%-sampled self-join."""
+    a 1%-sampled self-join.  k is the prune dial: production SemDeDup
+    runs k ~ n/10k with a 0.95+ threshold, where near-identical
+    vectors land in the same cell at ANY k (planted-duplicate test in
+    tests/test_simsearch.py pins 100% recall at k=32).  This corpus'
+    UNIFORM random vectors only have moderate-cosine (0.4) pairs, the
+    worst case for cell blocking, so the demo keeps k=8 — the recall
+    dial is the data's, not the plan's."""
     from instructions_mr_spark.operators.simsearch import (
         assign_top2_cells,
         train_ivf_centroids,

@@ -245,3 +245,49 @@ def test_semdedup_recall_vs_brute_force(emb, spark, sf_dir):
     assert truth, "test corpus should contain high-cosine pairs"
     assert found <= truth or len(found - truth) == 0
     assert len(found & truth) / len(truth) >= 0.6
+
+
+def test_semdedup_planted_duplicates_survive_large_k(spark):
+    """The production SemDeDup regime: near-identical vectors (cosine
+    ~0.99, the 0.95+ threshold real semantic dedup uses) must share a
+    top-2 cell at LARGE k — blocking recall on true near-dups does not
+    degrade as k grows, unlike the moderate-cosine (0.4) pairs of the
+    uniform test corpus.  Plants 20 duplicate pairs among 2000 random
+    vectors, k=32: every planted pair must be found."""
+    import numpy as np
+
+    from instructions_mr_spark.functions import cosine_sim
+    from instructions_mr_spark.operators.simsearch import (
+        assign_top2_cells,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(2000, 64).astype("float32")
+    planted = []
+    for i in range(20):
+        j = 2000 + i
+        dup = base[i * 50] + rng.randn(64).astype("float32") * 0.05
+        base = np.vstack([base, dup[None, :]])
+        planted.append((i * 50, j))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    cents = train_ivf_centroids(df, k=32, seed=42)
+    cells = assign_top2_cells(df, cents).select("cell", "vec_id", "embedding")
+    a, b = cells.alias("a"), cells.alias("b")
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(F.first("a.embedding").alias("ea"), F.first("b.embedding").alias("eb"))
+        .select("vec_a", "vec_b", cosine_sim(F.col("ea"), F.col("eb")).alias("c"))
+        .filter(F.col("c") >= 0.95)
+        .collect()
+    }
+    assert all((a_, b_) in found for a_, b_ in planted)
