@@ -1295,3 +1295,65 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_KNN_PROBES = 8
+_KNN_K = 5
+_KNN_PAIR_DOT = """
+    ROUND(
+      list_reduce(list_transform(range(1, len(p.embedding) + 1),
+                  i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                  (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))
+         * sqrt(list_reduce(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))),
+    6)
+"""
+
+
+@query(
+    "knn_join_batch",
+    oracle=f"""
+    SELECT probe_id, vec_id, cosine, rnk FROM (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             {_KNN_PAIR_DOT} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                ORDER BY {_KNN_PAIR_DOT} DESC, c.vec_id) AS rnk
+      FROM embeddings p JOIN embeddings c
+        ON p.vec_id < {_KNN_PROBES} AND c.vec_id >= {_KNN_PROBES}
+    ) WHERE rnk <= {_KNN_K}
+    """,
+)
+def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN JOIN: top-{_KNN_K} corpus neighbors for EVERY probe
+    vector at once (retrieval / hard-negative-mining shape), vs
+    sim_search_topk's single query vector.
+
+    Scale shape: the probe set is the small side — it BROADCASTS onto
+    the corpus scan (BroadcastNestedLoopJoin), cosine runs JVM-side via
+    zip_with/aggregate inside the join projection, and per-probe top-k
+    is one window over rows already partitioned by probe_id.  The
+    corpus never shuffles for the join itself; the only exchange keys
+    on probe_id for the rank — |probes| * |corpus| candidate rows never
+    materialize beyond the pipelined join output.  At 100 TB with a big
+    probe set, swap the nested-loop for the IVF cell join
+    (sim_search_ivf_kmeans) — same downstream window."""
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _KNN_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("q")
+    )
+    corpus = e.filter(F.col("vec_id") >= _KNN_PROBES)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(probes))
+        .select(
+            "probe_id",
+            "vec_id",
+            _cosine_col(F.col("q"), F.col("embedding")).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+    )

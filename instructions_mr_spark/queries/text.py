@@ -942,3 +942,110 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# DSIR hashed-bigram feature space: buckets are small enough that the
+# per-bucket log-ratio table always broadcasts (256 rows regardless of
+# corpus size — that invariance is the whole point of hashed features).
+_DSIR_BUCKETS = 256
+_DSIR_SEED = 7
+
+
+def _dsir_oracle() -> str:
+    from instructions_mr_spark.queries.llm_pipeline import _duck_h32
+
+    b = _DSIR_BUCKETS
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(words)),
+               i -> words[i] || ' ' || words[i+1])) AS g
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 2
+    ), hashed AS (
+      SELECT doc_id, lang, {_duck_h32('g', _DSIR_SEED)} % {b} AS bkt FROM grams
+    ), tot AS (
+      SELECT COUNT(*) AS n_r, COUNT(*) FILTER (WHERE lang = 'en') AS n_t
+      FROM hashed
+    ), ratio AS (
+      SELECT bkt,
+             CAST(ROUND(LN((COUNT(*) FILTER (WHERE lang = 'en') + 1.0)
+                             / (tot.n_t + {b}))
+                        - LN((COUNT(*) + 1.0) / (tot.n_r + {b})), 4)
+                  AS DECIMAL(18,4)) AS lr
+      FROM hashed, tot GROUP BY bkt, tot.n_t, tot.n_r
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(lr) AS DOUBLE) AS dsir_logweight
+    FROM hashed JOIN ratio USING (bkt)
+    GROUP BY doc_id
+    """
+
+
+@query("dsir_importance_weights", oracle=_dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much its hashed
+    word-bigram features look like the target domain (here lang='en')
+    versus the raw corpus — log w(d) = sum over d's bigram occurrences
+    of log(p_target(bucket)/p_raw(bucket)) with Laplace-smoothed bucket
+    unigram models.  Sampling proportional to exp(logweight) is the
+    DSIR resampling step (mixture_resample's hash-rank mechanics apply
+    from there).
+
+    Scale shape: one bigram explode feeds BOTH bucket-count aggregates
+    (target via count-filter, raw via plain count) in a single
+    groupBy(bucket) pass; the resulting log-ratio table is at most
+    _DSIR_BUCKETS rows — broadcast back onto the exploded grams, then
+    one doc_id-keyed aggregate.  Log-ratios are rounded to 4 decimals
+    and summed as DECIMAL (exact, order-free) per the float-stability
+    convention.  Nothing here grows with corpus size except the two
+    linear scans; the feature table stays 256 rows at 100 TB."""
+    from instructions_mr_spark.queries.llm_pipeline import _spark_h32
+
+    b = _DSIR_BUCKETS
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", "lang", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("words", i), F.element_at("words", i + 1)
+                    ),
+                )
+            ).alias("g"),
+        )
+    )
+    hashed = grams.selectExpr(
+        "doc_id", "lang", f"{_spark_h32('g', _DSIR_SEED)} % {b} AS bkt"
+    )
+    tot = hashed.agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+    )
+    ratio = (
+        hashed.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bkt",
+            f"CAST(ROUND(LN((c_t + 1.0) / (n_t + {b}))"
+            f" - LN((c_r + 1.0) / (n_r + {b})), 4) AS DECIMAL(18,4)) AS lr",
+        )
+    )
+    return (
+        hashed.join(F.broadcast(ratio), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("CAST(SUM(lr) AS DOUBLE)").alias("dsir_logweight"),
+        )
+    )
