@@ -319,3 +319,55 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "id", F.round(F.col("rank") * n, _PR_ROUND).alias("rank_scaled")
     )
+
+
+@query(
+    "cluster_rep_best",
+    oracle=f"""
+    WITH clusters AS (
+      SELECT * FROM ({ORACLES["dedup_cluster_cc"]})
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+           n_members
+    FROM (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM clusters c JOIN documents d USING (doc_id)
+    ) WHERE rn = 1
+    """,
+)
+def cluster_rep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative election: for each near-dup cluster
+    keep the LONGEST member (ties -> min doc_id) instead of the min-id
+    canonical — the "keep the best copy" policy real curation runs use
+    (a truncated scrape fragment should lose to the full page it
+    duplicates).  Swap n_chars for any quality score column and the
+    plan is unchanged.
+
+    Scale shape: the cluster table (id pairs only, never text) joins
+    doc metadata on doc_id, then ONE cluster_id-keyed window does both
+    the member count and the argmax election — a single exchange on
+    cluster_id beyond the clustering itself."""
+    from pyspark.sql import Window as W
+
+    clusters = dedup_cluster_cc(spark, sf_dir)
+    meta = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.partitionBy("cluster_id")
+    ranked = (
+        clusters.join(meta, "doc_id")
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("n_chars").alias("rep_n_chars"),
+        "n_members",
+    )

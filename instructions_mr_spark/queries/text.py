@@ -1049,3 +1049,79 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(lr) AS DOUBLE)").alias("dsir_logweight"),
         )
     )
+
+
+_PMI_MIN_COUNT = 3
+
+
+@query(
+    "collocation_pmi",
+    oracle=f"""
+    WITH grams AS (
+      SELECT unnest(list_transform(range(1, len(words)),
+               i -> struct_pack(w1 := words[i], w2 := words[i+1]))) AS g
+      FROM (SELECT string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 2
+    ), pairs AS (
+      SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS c12 FROM grams GROUP BY 1, 2
+    ), lefts AS (
+      SELECT w1, SUM(c12) AS c1 FROM pairs GROUP BY w1
+    ), rights AS (
+      SELECT w2, SUM(c12) AS c2 FROM pairs GROUP BY w2
+    ), tot AS (SELECT SUM(c12) AS n FROM pairs)
+    SELECT p.w1, p.w2, p.c12,
+           ROUND(LN(CAST(p.c12 AS DOUBLE) * tot.n / (l.c1 * r.c2)), 6) AS pmi
+    FROM pairs p
+    JOIN lefts l USING (w1) JOIN rights r USING (w2), tot
+    WHERE p.c12 >= {_PMI_MIN_COUNT}
+    """,
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: for every
+    adjacent word pair with support >= {_PMI_MIN_COUNT}, PMI = ln(P(w1,w2)
+    / (P(w1 as left) * P(w2 as right))) — high-PMI pairs are the multi-
+    word expressions a tokenizer-training or phrase-mining pass wants.
+
+    Scale shape: one bigram explode and ONE (w1,w2)-keyed aggregate do
+    all the corpus-sized work; the marginal tables derive from the pair
+    table itself (vocab-sized reaggregates, no second corpus scan) and
+    BROADCAST back onto it with the 1-row total.  PMI is a pure per-row
+    function of exact integer counts — no float accumulation, so the
+    ROUND(...,6) is engine-stable by construction."""
+    d = t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.struct(
+                        F.element_at("words", i).alias("w1"),
+                        F.element_at("words", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g")
+        )
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+    lefts = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    rights = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = pairs.agg(F.sum("c12").alias("n"))
+    return (
+        pairs.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(lefts), "w1")
+        .join(F.broadcast(rights), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(F.col("c12").cast("double") * F.col("n") / (F.col("c1") * F.col("c2"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
