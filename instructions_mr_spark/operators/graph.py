@@ -27,6 +27,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_checkpoint(df: DataFrame | None) -> None:
+    """Release the block-manager storage of a SUPERSEDED
+    localCheckpoint()ed DataFrame.
+
+    Spark never frees local-checkpoint blocks on its own: every round
+    of an iterative algorithm otherwise leaves one cached RDD behind
+    for the life of the session — in a long-lived driver process
+    (bench loops, notebook, streaming foreachBatch) that accumulation
+    turns into executor-memory pressure and GC churn.  The checkpoint
+    RDD hides inside the LogicalRDD node of the checkpointed plan;
+    unpersisting the DataFrame's visible .rdd would miss it.
+
+    The freed DataFrame must never be referenced again (its lineage is
+    truncated — recompute is impossible by design).  Freeing is
+    best-effort: a non-checkpointed plan simply no-ops.
+    """
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _edge_checksum(e: DataFrame) -> tuple[int, int]:
     """Cheap fixpoint signature: (row count, sum of src+dst)."""
     row = e.agg(
@@ -58,6 +82,8 @@ def connected_components_star(
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # collect nodes BEFORE dropping self-loops so a node appearing
     # only in a self-loop still gets a (node, node) label
+    # (superseded per-round checkpoints are freed via _free_checkpoint;
+    # see its docstring)
     nodes = (
         raw.select(F.col("src").alias("node"))
         .unionByName(raw.select(F.col("dst").alias("node")))
@@ -89,11 +115,13 @@ def connected_components_star(
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
+        prev_e = e
         e = (
             large.filter(F.col("src") != F.col("dst"))
             .distinct()
             .localCheckpoint()
         )
+        _free_checkpoint(prev_e)
         # ---- small-star: edges already point large->small; group by
         # src, link every smaller neighbor (and src) to the minimum
         mins = e.groupBy("src").agg(F.min("dst").alias("m"))
@@ -102,11 +130,13 @@ def connected_components_star(
             linked.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionByName(linked.select("src", F.col("m").alias("dst")))
         )
+        prev_e = e
         e = (
             small.filter(F.col("src") != F.col("dst"))
             .distinct()
             .localCheckpoint()
         )
+        _free_checkpoint(prev_e)
         sig = _edge_checksum(e)
         if sig == prev_sig:
             converged = True
@@ -160,6 +190,7 @@ def connected_components(
             .groupBy(F.col("dst").alias("nb_node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        prev_labels = labels
         labels = (
             labels.join(nbr_min, labels.node == F.col("nb_node"), "left")
             .select(
@@ -171,6 +202,7 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        _free_checkpoint(prev_labels)
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
             converged = True
@@ -235,6 +267,7 @@ def pagerank(
             F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c")
         )
         sums = contribs.groupBy("id").agg(F.sum("c").alias("acc"))
+        prev_ranks = ranks
         ranks = (
             nodes.join(sums, "id", "left")
             .select(
@@ -246,5 +279,6 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        _free_checkpoint(prev_ranks)
     edeg.unpersist()
     return ranks

@@ -144,6 +144,44 @@ NOTES = {
     "stream_join_interval": "Equi-key (user_id) exchange carries the join; "
     "the 30-min range predicate is a join residual — the same plan "
     "Structured Streaming bounds state with under watermarks.",
+    "semdedup_cells": "k-means cell blocking: centroid distances are "
+    "Column-only argmax (codebook as literals, no Python); the pair join "
+    "keys on the cell — candidate volume sum(cell^2), never n^2; exact "
+    "cosine only on within-cell pairs.",
+    "quality_unigram_logprob": "LM 'training' is ONE word-keyed "
+    "aggregate; the vocab table broadcasts back onto the exploded words; "
+    "DECIMAL-exact log-prob sums keyed on doc_id.",
+    "dedup_span_coverage": "In-row gram build + explode; repeated grams "
+    "elected by a gram-keyed aggregate + semi join; gaps-and-islands "
+    "span union in two windows sharing one doc_id exchange.",
+    "dedup_incremental": "Digest-only left join (bodies never shuffle): "
+    "existing-corpus fingerprints deduped then probed by the incoming "
+    "batch; per-source admission rates in one aggregate.",
+    "quality_filter_gopher": "Pure in-row projection riding the scan — "
+    "word count, mean word length, alpha-ratio all WholeStageCodegen; "
+    "zero exchanges before the verdict column.",
+    "dedup_containment": "Same in-row shingle algebra + adjacent-id "
+    "blocking as dedup_ngram_jaccard; the asymmetric |AnB|/|A| division "
+    "is the only difference — no new exchange.",
+    "shuffle_epoch_order": "Deterministic reshuffle: portable-hash rank "
+    "per (doc, epoch) is a projection; one range-partitioned sort per "
+    "epoch emits the training order — no Python, no driver state.",
+    "dsir_importance_weights": "One bigram explode feeds BOTH bucket "
+    "counts (target count-filter + raw count) in a single groupBy(bkt); "
+    "the 256-row log-ratio table broadcasts back onto the grams; "
+    "DECIMAL-exact per-doc sums — feature table size is constant in "
+    "corpus size.",
+    "knn_join_batch": "Probe set BROADCASTS onto the corpus scan "
+    "(BroadcastNestedLoopJoin); cosine is JVM-side zip_with/aggregate in "
+    "the join projection; per-probe top-k is one window already keyed on "
+    "probe_id — the corpus never shuffles for the join.",
+    "collocation_pmi": "One bigram explode + ONE (w1,w2) aggregate does "
+    "all corpus-sized work; marginals reaggregate from the pair table "
+    "itself (localCheckpoint, no second corpus scan) and broadcast back "
+    "with the 1-row total; PMI is per-row integer math.",
+    "cluster_rep_best": "Cluster ids (never text) join doc metadata on "
+    "doc_id; a single cluster_id window does both member count and the "
+    "(n_chars DESC, doc_id) argmax election.",
 }
 
 
