@@ -61,19 +61,19 @@ DRIVER_WINDOW: list[str] = [
     "dedup_embedding_cosine",
     "dedup_cluster_cc",
     "dedup_cluster_cc_star",
-    "lsh_bucket_stats",
+    "cluster_rep_best",
     # similarity search
     "sim_search_topk",
     "sim_search_ivf",
     "sim_search_ivf_kmeans",
     "sim_search_pq",
-    "embedding_pair_cosine",
+    "knn_join_batch",
     # text analysis / quality
     "text_stats",
     "lang_id",
     "quality_score",
-    "text_redact_pii",
-    "doc_chunks",
+    "dsir_importance_weights",
+    "collocation_pmi",
     "tf_idf_top_terms",
     "contamination_check",
     "contamination_minhash",
