@@ -262,3 +262,68 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def parse_audio_meta(
+    payload: bytes | None,
+) -> tuple[str, int | None, int | None, int | None]:
+    """REAL audio metadata from a RIFF/WAVE container header,
+    stdlib-only — the audio twin of :func:`parse_image_dims`:
+
+    * chunk walk from byte 12 (after "RIFF"+size+"WAVE");
+    * "fmt " chunk: channels u16 @+2, sample_rate u32 @+4,
+      block_align u16 @+12 (all little-endian per RIFF);
+    * "data" chunk: n_samples = chunk size / block_align.
+
+    Returns (format, sample_rate, channels, n_samples); non-WAV or
+    truncated payloads yield ("unknown"/"wav", None, ...) rather than
+    raising — corrupt bytes are data, not errors, at 100 TB."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return "unknown", None, None, None
+    sr: int | None = None
+    ch: int | None = None
+    block: int | None = None
+    n: int | None = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            _fmt, ch, sr, _br, block, _bits = struct.unpack(
+                "<HHIIHH", b[i + 8 : i + 24]
+            )
+        elif cid == b"data" and block:
+            n = size // block
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return "wav", sr, ch, n
+
+
+def decode_audio_headers(df: DataFrame, col: str) -> DataFrame:
+    """Arrow-batched real WAV header decode via
+    :func:`parse_audio_meta` — same mapInPandas shape as
+    :func:`decode_image_headers`, so a full PCM decode later swaps
+    only the kernel."""
+    from instructions_mr_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    fields = list(df.schema.fields) + [
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+    ]
+    out_schema = T.StructType(fields)
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_audio_meta(p) for p in pdf[col]]
+            out = pdf[in_cols].copy()
+            out["format"] = [p[0] for p in parsed]
+            out["sample_rate"] = pd.array([p[1] for p in parsed], dtype="Int32")
+            out["channels"] = pd.array([p[2] for p in parsed], dtype="Int32")
+            out["n_samples"] = pd.array([p[3] for p in parsed], dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

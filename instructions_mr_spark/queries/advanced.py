@@ -641,3 +641,74 @@ def udtf_dynamic_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, t.tok1, t.tok2 "
         "FROM v_docs_dyn_udtf, LATERAL imr_lead_tokens(text, 2) t"
     )
+
+
+@query(
+    "multimodal_audio_real",
+    oracle="""
+    SELECT doc_id,
+           'wav' AS format,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+           CAST(doc_id % 2 + 1 AS INT) AS channels,
+           CAST(doc_id % 1000 + 1 AS INT) AS n_samples
+    FROM documents
+    """,
+)
+def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE header decode, no fake and no audio lib: JVM-side
+    expressions synthesize a valid WAV header (RIFF size, fmt chunk
+    with channels/sample-rate/block-align, data chunk size) with
+    parameters derived from doc_id, and parse_audio_meta (stdlib
+    struct parsing in the mapInPandas kernel) must walk the chunk
+    layout and recover exactly those parameters.  The oracle recomputes
+    them from the same doc_id formulas — a hash mismatch means the
+    byte layout or the chunk walker is wrong.  The audio twin of
+    multimodal_decode_real."""
+    from instructions_mr_spark.operators.multimodal import decode_audio_headers
+
+    ch = (F.col("doc_id") % 2 + 1).cast("int")
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    n = (F.col("doc_id") % 1000 + 1).cast("int")
+    data_size = n * ch * 2
+    byte_rate = sr * ch * 2
+    block = ch * 2
+
+    def le16(c):  # little-endian u16, as RIFF stores shorts
+        hx = F.lpad(F.hex(c), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    def le32(c):  # little-endian u32
+        hx = F.lpad(F.hex(c), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(hx, 7, 2),
+                F.substring(hx, 5, 2),
+                F.substring(hx, 3, 2),
+                F.substring(hx, 1, 2),
+            )
+        )
+
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        le32(data_size + 36),
+        F.lit(b"WAVE"),
+        F.lit(b"fmt "),
+        F.lit(b"\x10\x00\x00\x00"),  # fmt chunk size 16
+        F.lit(b"\x01\x00"),  # PCM
+        le16(ch),
+        le32(sr),
+        le32(byte_rate),
+        le16(block),
+        F.lit(b"\x10\x00"),  # 16 bits/sample
+        F.lit(b"data"),
+        le32(data_size),
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", wav.alias("payload"))
+    return decode_audio_headers(d, "payload").select(
+        "doc_id", "format", "sample_rate", "channels", "n_samples"
+    )

@@ -219,3 +219,64 @@ def test_decode_image_headers_dataframe(spark):
     assert out[1] == ("png", 800, 600)
     assert out[2] == ("jpeg", 320, 240)
     assert out[3] == ("unknown", None, None)
+
+
+def _wav(sr: int, ch: int, n: int) -> bytes:
+    import struct
+
+    data = n * ch * 2
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+        + b"data" + struct.pack("<I", data)
+    )
+
+
+def test_parse_audio_meta_real_layouts():
+    from instructions_mr_spark.operators.multimodal import parse_audio_meta
+
+    assert parse_audio_meta(_wav(44100, 2, 500)) == ("wav", 44100, 2, 500)
+    assert parse_audio_meta(_wav(8000, 1, 1)) == ("wav", 8000, 1, 1)
+
+
+def test_parse_audio_meta_chunk_walk():
+    """An extra chunk before fmt (odd-sized, exercising word alignment)
+    must be skipped, and data before fmt yields no n_samples (block
+    size unknown at that point) — chunk order is walker-honest."""
+    import struct
+
+    from instructions_mr_spark.operators.multimodal import parse_audio_meta
+
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 22050, 22050 * 4, 4, 16)
+    data = b"data" + struct.pack("<I", 40)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # padded to even
+    good = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + junk + fmt + data
+    assert parse_audio_meta(good) == ("wav", 22050, 2, 10)
+    reordered = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + data + b"\x00" * 40  # data chunk WITH its 40 payload bytes
+        + fmt
+    )
+    assert parse_audio_meta(reordered) == ("wav", 22050, 2, None)
+
+
+def test_parse_audio_meta_degrades():
+    from instructions_mr_spark.operators.multimodal import parse_audio_meta
+
+    assert parse_audio_meta(None) == ("unknown", None, None, None)
+    assert parse_audio_meta(b"") == ("unknown", None, None, None)
+    assert parse_audio_meta(b"RIFF\x00\x00\x00\x00AVI ") == ("unknown", None, None, None)
+    assert parse_audio_meta(b"RIFF\x04\x00\x00\x00WAVE") == ("wav", None, None, None)
+
+
+def test_decode_audio_headers_dataframe(spark):
+    from instructions_mr_spark.operators.multimodal import decode_audio_headers
+
+    rows = [(1, _wav(16000, 1, 100)), (2, b"not audio")]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    out = {
+        r.media_id: (r.format, r.sample_rate, r.channels, r.n_samples)
+        for r in decode_audio_headers(df, "payload").collect()
+    }
+    assert out[1] == ("wav", 16000, 1, 100)
+    assert out[2] == ("unknown", None, None, None)

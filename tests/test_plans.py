@@ -102,6 +102,7 @@ def test_no_python_stage_outside_allowlist(spark, sf_dir):
         # real header decode runs stdlib struct parsing in the
         # mapInPandas kernel — Python by design (multimodal.py)
         "multimodal_decode_real",
+        "multimodal_audio_real",
     }
     # iterative/ML queries execute work at plan-build time — checked
     # by their own tests, skipped here to keep the sweep fast
