@@ -712,3 +712,65 @@ def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_headers(d, "payload").select(
         "doc_id", "format", "sample_rate", "channels", "n_samples"
     )
+
+
+@query(
+    "multimodal_video_real",
+    oracle="""
+    SELECT doc_id,
+           'mp4' AS format,
+           CAST(CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 600 WHEN 1 THEN 1000
+             WHEN 2 THEN 90000 ELSE 24000 END AS INT) AS timescale,
+           CAST(doc_id * 1001 % 100000 + 1 AS BIGINT) AS duration,
+           CAST(doc_id % 3 + 1 AS INT) AS n_tracks
+    FROM documents
+    """,
+)
+def multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF (MP4) header decode, no fake and no ffmpeg:
+    JVM-side expressions synthesize a valid box tree (ftyp, moov
+    containing an mvhd movie header and N empty trak boxes, every box
+    size correct) with parameters derived from doc_id, and
+    parse_video_meta (stdlib box walker in the mapInPandas kernel)
+    must recurse the tree and recover exactly those parameters.
+    Completes the REAL-header-decode trio with multimodal_decode_real
+    (image) and multimodal_audio_real (audio)."""
+    from instructions_mr_spark.operators.multimodal import decode_video_headers
+
+    ts = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(90000), F.lit(24000)),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    dur = (F.col("doc_id") * 1001 % 100000 + 1).cast("int")
+    ntrak = (F.col("doc_id") % 3 + 1).cast("int")
+
+    def be32(c):  # big-endian u32, as ISO-BMFF stores box sizes
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    ftyp = F.concat(
+        be32(F.lit(16)), F.lit(b"ftyp"), F.lit(b"isomiso2")
+    )
+    mvhd = F.concat(
+        be32(F.lit(28)),
+        F.lit(b"mvhd"),
+        F.lit(b"\x00\x00\x00\x00"),  # version 0 + flags
+        F.lit(b"\x00" * 8),  # creation/modification time
+        be32(ts),
+        be32(dur),
+    )
+    trak = F.concat(be32(F.lit(8)), F.lit(b"trak"))
+    traks = F.aggregate(
+        F.sequence(F.lit(1), ntrak),
+        F.lit(b""),
+        lambda acc, _i: F.concat(acc, trak),
+    )
+    moov = F.concat(
+        be32(F.lit(36) + ntrak * 8), F.lit(b"moov"), mvhd, traks
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(ftyp, moov).alias("payload")
+    )
+    return decode_video_headers(d, "payload").select(
+        "doc_id", "format", "timescale", "duration", "n_tracks"
+    )

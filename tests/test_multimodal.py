@@ -280,3 +280,70 @@ def test_decode_audio_headers_dataframe(spark):
     }
     assert out[1] == ("wav", 16000, 1, 100)
     assert out[2] == ("unknown", None, None, None)
+
+
+def _mp4(ts: int, dur: int, ntrak: int) -> bytes:
+    import struct
+
+    def box(cc, body):
+        return struct.pack(">I", 8 + len(body)) + cc + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", ts, dur) + b"\x00" * 80,
+    )
+    traks = b"".join(box(b"trak", b"\x00" * 16) for _ in range(ntrak))
+    return box(b"ftyp", b"isomiso2") + box(b"moov", mvhd + traks)
+
+
+def test_parse_video_meta_real_layouts():
+    from instructions_mr_spark.operators.multimodal import parse_video_meta
+
+    assert parse_video_meta(_mp4(90000, 1234567, 2)) == ("mp4", 90000, 1234567, 2)
+    assert parse_video_meta(_mp4(600, 1, 1)) == ("mp4", 600, 1, 1)
+
+
+def test_parse_video_meta_v1_mvhd():
+    """Version-1 mvhd stores 64-bit timestamps; timescale/duration
+    shift accordingly and duration is u64."""
+    import struct
+
+    from instructions_mr_spark.operators.multimodal import parse_video_meta
+
+    def box(cc, body):
+        return struct.pack(">I", 8 + len(body)) + cc + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+        + struct.pack(">IQ", 600, 2**33) + b"\x00" * 80,
+    )
+    b = box(b"ftyp", b"isom") + box(b"moov", mvhd)
+    assert parse_video_meta(b) == ("mp4", 600, 2**33, None)
+
+
+def test_parse_video_meta_degrades():
+    from instructions_mr_spark.operators.multimodal import parse_video_meta
+
+    assert parse_video_meta(None) == ("unknown", None, None, None)
+    assert parse_video_meta(b"") == ("unknown", None, None, None)
+    assert parse_video_meta(b"\x00\x00\x00\x08free") == ("unknown", None, None, None)
+    # valid ftyp but truncated moov -> mp4 with null fields
+    import struct
+
+    b = struct.pack(">I", 16) + b"ftyp" + b"isomiso2" + struct.pack(">I", 100) + b"moov"
+    assert parse_video_meta(b) == ("mp4", None, None, None)
+
+
+def test_decode_video_headers_dataframe(spark):
+    from instructions_mr_spark.operators.multimodal import decode_video_headers
+
+    rows = [(1, _mp4(1000, 5000, 3)), (2, b"not video")]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    out = {
+        r.media_id: (r.format, r.timescale, r.duration, r.n_tracks)
+        for r in decode_video_headers(df, "payload").collect()
+    }
+    assert out[1] == ("mp4", 1000, 5000, 3)
+    assert out[2] == ("unknown", None, None, None)

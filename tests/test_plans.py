@@ -103,6 +103,7 @@ def test_no_python_stage_outside_allowlist(spark, sf_dir):
         # mapInPandas kernel — Python by design (multimodal.py)
         "multimodal_decode_real",
         "multimodal_audio_real",
+        "multimodal_video_real",
     }
     # iterative/ML queries execute work at plan-build time — checked
     # by their own tests, skipped here to keep the sweep fast
