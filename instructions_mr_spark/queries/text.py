@@ -1125,3 +1125,60 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "text_script_profile",
+    oracle=r"""
+    SELECT doc_id, n_latin, n_han, n_cyrillic, n_digit,
+           CASE WHEN n_latin >= n_han AND n_latin >= n_cyrillic THEN 'latin'
+                WHEN n_han >= n_cyrillic THEN 'han'
+                ELSE 'cyrillic' END AS main_script
+    FROM (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS n_latin,
+             length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS n_han,
+             length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS n_cyrillic,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM documents
+    )
+    """,
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script histogram per document (Latin / Han / Cyrillic /
+    digit counts + dominant script) — the mixed-script signal a
+    curation pass uses to catch encoding mojibake, script-spoofing
+    spam, and mislabeled-language docs that n-gram language-ID alone
+    misses.
+
+    Scale shape: pure in-row regexp counting on the scan, full
+    WholeStageCodegen, zero exchanges.  Java's \\p{IsHan} and RE2's
+    \\p{Han} count identical code points for these script classes, so
+    the oracle is exact.  The dominant-script CASE uses a fixed
+    precedence (latin > han > cyrillic) on ties in both engines."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", r"[^\p{IsLatin}]", ""))
+        .cast("bigint")
+        .alias("n_latin"),
+        F.length(F.regexp_replace("text", r"[^\p{IsHan}]", ""))
+        .cast("bigint")
+        .alias("n_han"),
+        F.length(F.regexp_replace("text", r"[^\p{IsCyrillic}]", ""))
+        .cast("bigint")
+        .alias("n_cyrillic"),
+        F.length(F.regexp_replace("text", r"[^0-9]", ""))
+        .cast("bigint")
+        .alias("n_digit"),
+    )
+    return counts.withColumn(
+        "main_script",
+        F.when(
+            (F.col("n_latin") >= F.col("n_han"))
+            & (F.col("n_latin") >= F.col("n_cyrillic")),
+            "latin",
+        )
+        .when(F.col("n_han") >= F.col("n_cyrillic"), "han")
+        .otherwise("cyrillic"),
+    )
