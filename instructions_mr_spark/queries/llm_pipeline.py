@@ -1357,3 +1357,76 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _KNN_K)
     )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(norm) AS norm_md5, MIN(doc_id) AS kept_doc_id,
+           COUNT(*) AS n_copies
+    FROM (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '[ ]+', ' ', 'g'))) AS norm
+      FROM documents
+    ) GROUP BY md5(norm)
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup (the C4-style "fuzzy exact"
+    pass): lowercase, trim, collapse space runs, THEN digest — catches
+    re-serialized copies that raw-byte dedup misses while staying one
+    digest shuffle.  Same scale shape as dedup_exact: only
+    (digest, id) pairs move, never bodies; the normalization is in-row
+    string algebra on the scan."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.expr(
+                "MD5(CAST(lower(trim(regexp_replace(text, ' +', ' '))) AS BINARY))"
+            ).alias("norm_md5"),
+            "doc_id",
+        )
+        .groupBy("norm_md5")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_BLOCKLIST = [
+    "casino", "lottery", "viagra", "jackpot", "betting",
+    "clickbait", "unsubscribe",
+]
+
+
+@query(
+    "quality_blocklist_hits",
+    oracle=f"""
+    SELECT doc_id,
+           {' + '.join(f"len(list_filter(words, w -> lower(w) = '{t}'))" for t in _BLOCKLIST)}
+             AS n_hits,
+           ({' + '.join(f"len(list_filter(words, w -> lower(w) = '{t}'))" for t in _BLOCKLIST)}) > 0
+             AS flagged
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    """,
+)
+def quality_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-based content gate (the NSFW/spam-blocklist filter
+    every public curation recipe runs): per-doc count of exact
+    blocklist-term matches + a boolean flag.  Word-exact matching (not
+    substring) avoids the classic Scunthorpe false positive.
+
+    Scale shape: the list is a compile-time literal folded into an
+    in-row filter+size expression — pure scan projection, zero
+    exchanges, zero joins; a 10k-term production list becomes a
+    broadcast map lookup with the identical plan shape."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    hits = None
+    for term in _BLOCKLIST:
+        c = F.size(F.filter("words", lambda w: F.lower(w) == term))
+        hits = c if hits is None else hits + c
+    return d.select(
+        "doc_id",
+        hits.cast("bigint").alias("n_hits"),
+        (hits > 0).alias("flagged"),
+    )
