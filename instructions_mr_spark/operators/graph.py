@@ -115,29 +115,33 @@ def connected_components_star(
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
+        # LAZY checkpoints: the round's one real action (_edge_checksum
+        # below) materializes both — no extra count() job per
+        # checkpoint; superseded rounds are freed only AFTER that
+        # action (freeing earlier would tear blocks the still-lazy
+        # chain needs).
         prev_e = e
-        e = (
+        e_large = (
             large.filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        _free_checkpoint(prev_e)
         # ---- small-star: edges already point large->small; group by
         # src, link every smaller neighbor (and src) to the minimum
-        mins = e.groupBy("src").agg(F.min("dst").alias("m"))
-        linked = e.join(mins, "src")
+        mins = e_large.groupBy("src").agg(F.min("dst").alias("m"))
+        linked = e_large.join(mins, "src")
         small = (
             linked.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionByName(linked.select("src", F.col("m").alias("dst")))
         )
-        prev_e = e
         e = (
             small.filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        _free_checkpoint(prev_e)
         sig = _edge_checksum(e)
+        _free_checkpoint(prev_e)
+        _free_checkpoint(e_large)
         if sig == prev_sig:
             converged = True
             break
@@ -190,6 +194,9 @@ def connected_components(
             .groupBy(F.col("dst").alias("nb_node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # LAZY checkpoint: the convergence aggregate below is the
+        # round's one action and materializes it — no extra count()
+        # job; the superseded round is freed only after that action.
         prev_labels = labels
         labels = (
             labels.join(nbr_min, labels.node == F.col("nb_node"), "left")
@@ -200,10 +207,10 @@ def connected_components(
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        _free_checkpoint(prev_labels)
         cur_sum = labels.agg(F.sum("component")).first()[0]
+        _free_checkpoint(prev_labels)
         if cur_sum == prev_sum:
             converged = True
             break
@@ -262,23 +269,26 @@ def pagerank(
         return nodes.select("id", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    last_ck: DataFrame | None = None
+    for i in range(iterations):
         contribs = edeg.join(ranks, edeg["src"] == ranks["id"]).select(
             F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c")
         )
         sums = contribs.groupBy("id").agg(F.sum("c").alias("acc"))
-        prev_ranks = ranks
-        ranks = (
-            nodes.join(sums, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(sums, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))
+            ).alias("rank"),
         )
-        _free_checkpoint(prev_ranks)
+        # Checkpoint every SECOND round (and the last): pagerank has no
+        # per-round action, so each eager checkpoint is a full driver
+        # barrier — halving them halves the per-iteration job count
+        # while the interleaved plan only ever stacks two rounds deep.
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
+            _free_checkpoint(last_ck)
+            last_ck = ranks
     edeg.unpersist()
     return ranks
