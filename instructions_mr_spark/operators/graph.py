@@ -255,6 +255,14 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Persist the static edge table plain: the per-round join
+    # BROADCASTS the rank vector (it is node-count-sized, and AQE
+    # picks broadcast from the cached stats), so the edge side never
+    # shuffles for the join at all — pre-repartitioning it on src was
+    # measured as pure upfront cost (plan probe: BroadcastExchange on
+    # ranks, zero edge exchanges).  Only in a billion-node regime
+    # where ranks outgrow broadcast would a src-repartitioned cache
+    # pay; at that point add .repartition("src") here.
     edeg = e.join(deg, "src").persist()
     nodes = (
         e.select(F.col("src").alias("id"))
