@@ -286,3 +286,76 @@ def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         F.sum(fp32).cast("bigint").alias("content_checksum"),
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, source, md5(text) AS dg FROM documents
+      WHERE doc_id % 7 != 0
+    ), b AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS dg
+      FROM documents WHERE doc_id % 5 != 0
+    ), j AS (
+      SELECT COALESCE(a.source, b.source) AS source,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.dg <> b.dg THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE status = 'added') AS n_added,
+           COUNT(*) FILTER (WHERE status = 'removed') AS n_removed,
+           COUNT(*) FILTER (WHERE status = 'changed') AS n_changed,
+           COUNT(*) FILTER (WHERE status = 'unchanged') AS n_unchanged
+    FROM j GROUP BY source
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the incremental-ingestion planning step:
+    given two dataset versions, classify every doc as added / removed /
+    changed / unchanged by content digest and report per-source counts
+    (what a nightly 100 TB refresh logs before deciding what to
+    reprocess).  Snapshots here are deterministic views of the corpus
+    (A drops doc_id%7==0, B drops %5==0 and rewrites %11==0) so the
+    oracle is exact.
+
+    Scale shape: both sides reduce to (doc_id, source, digest) at the
+    scan — the full outer join shuffles digests and ids only, never
+    bodies; the per-source rollup is a tiny aggregate.  This is
+    dedup_incremental's admission check generalized to a three-way
+    diff."""
+    d = t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.col("source").alias("src_a"),
+        F.md5(F.col("text").cast("binary")).alias("dg_a"),
+    )
+    b = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.col("source").alias("src_b"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("dg_b"),
+    )
+    j = a.join(b, "doc_id", "full").select(
+        F.coalesce("src_a", "src_b").alias("source"),
+        F.when(F.col("dg_a").isNull(), "added")
+        .when(F.col("dg_b").isNull(), "removed")
+        .when(F.col("dg_a") != F.col("dg_b"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("source").agg(
+        F.count(F.when(F.col("status") == "added", 1)).alias("n_added"),
+        F.count(F.when(F.col("status") == "removed", 1)).alias("n_removed"),
+        F.count(F.when(F.col("status") == "changed", 1)).alias("n_changed"),
+        F.count(F.when(F.col("status") == "unchanged", 1)).alias("n_unchanged"),
+    )

@@ -30,6 +30,8 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):  # Spark-written table = directory of parts
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     return con
 
