@@ -278,3 +278,75 @@ def test_pagerank_ranks_sum_to_one_on_undirected(spark):
     for k in (1, 4):
         total = sum(r.rank for r in pagerank(edges, iterations=k).collect())
         assert abs(total - 1.0) < 1e-9, (k, total)
+
+
+# ---------------------------------------------------------------- media headers
+
+
+@given(
+    sr=st.integers(min_value=1, max_value=2**31 - 1),
+    ch=st.integers(min_value=1, max_value=64),
+    n=st.integers(min_value=0, max_value=1_000_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_roundtrip_any_params(sr, ch, n):
+    """parse_audio_meta must invert the WAV layout for ANY parameter
+    combination (not just the oracle's doc_id-derived ones)."""
+    import struct
+
+    from instructions_mr_spark.operators.multimodal import parse_audio_meta
+
+    data = n * ch * 2
+    b = (
+        b"RIFF" + struct.pack("<I", 36 + (data & 0xFFFFFFFF)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr,
+                                 (sr * ch * 2) & 0xFFFFFFFF, ch * 2, 16)
+        + b"data" + struct.pack("<I", data & 0xFFFFFFFF)
+    )
+    want_n = (data & 0xFFFFFFFF) // (ch * 2)
+    assert parse_audio_meta(b) == ("wav", sr, ch, want_n)
+
+
+@given(payload=st.binary(max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_media_parsers_never_raise_on_garbage(payload):
+    """All three header parsers must classify arbitrary bytes, never
+    raise — corrupt bytes are data at 100 TB."""
+    from instructions_mr_spark.operators.multimodal import (
+        parse_audio_meta,
+        parse_image_dims,
+        parse_video_meta,
+    )
+
+    for fn in (parse_image_dims, parse_audio_meta, parse_video_meta):
+        out = fn(payload)
+        assert isinstance(out, tuple) and isinstance(out[0], str)
+
+
+@given(
+    ts=st.integers(min_value=1, max_value=2**31 - 1),
+    dur=st.integers(min_value=0, max_value=2**31 - 1),
+    ntrak=st.integers(min_value=0, max_value=16),
+    junk=st.binary(min_size=0, max_size=32),
+)
+@settings(max_examples=200, deadline=None)
+def test_mp4_roundtrip_any_params(ts, dur, ntrak, junk):
+    """parse_video_meta must invert the box layout for any params, with
+    an arbitrary extra box ('free') padded into moov before mvhd."""
+    import struct
+
+    from instructions_mr_spark.operators.multimodal import parse_video_meta
+
+    def box(cc, body):
+        return struct.pack(">I", 8 + len(body)) + cc + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", ts, dur) + b"\x00" * 80,
+    )
+    inner = box(b"free", junk) + mvhd + b"".join(
+        box(b"trak", b"") for _ in range(ntrak)
+    )
+    b = box(b"ftyp", b"isom") + box(b"moov", inner)
+    assert parse_video_meta(b) == ("mp4", ts, dur, ntrak or None)
