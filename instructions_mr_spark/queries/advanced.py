@@ -774,3 +774,31 @@ def multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_headers(d, "payload").select(
         "doc_id", "format", "timescale", "duration", "n_tracks"
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 1)) || CAST(o_orderkey % 10 AS VARCHAR)
+             AS tag
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``, SPARK-40307) —
+    the third UDF execution surface next to the pandas UDF and plain
+    pickled UDF: row-at-a-time Python semantics but Arrow-batched
+    transfer, so it sits between them in cost.  Registered for API
+    parity; the engine's own operators never use this path (the
+    no-Python-stage plan guard pins that)."""
+
+    @F.udf(T.StringType(), useArrow=True)
+    def tag(priority: str, key: int) -> str:
+        return priority[0].upper() + str(key % 10)
+
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", tag("o_orderpriority", "o_orderkey").alias("tag"))
+    )

@@ -95,7 +95,7 @@ def test_no_python_stage_outside_allowlist(spark, sf_dir):
         "llm_echo_mapreduce_fused", "sv_pipeline_echo",
         "multimodal_decode_fake", "multimodal_frame_sample",
         "udf_pandas_scalar", "udaf_grouped_pandas", "udaf_grouped_arrow",
-        "udtf_tokenize", "udtf_dynamic_topn",
+        "udtf_tokenize", "udtf_dynamic_topn", "udf_arrow_scalar",
         # next-fit packing is a sequential capped-reset fold — not
         # expressible in window algebra, Python by design (packing.py)
         "pack_greedy", "pack_greedy_sharded",
