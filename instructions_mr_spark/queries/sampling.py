@@ -244,3 +244,66 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BUDGET_TOKENS = 20_000
+
+
+@query(
+    "token_budget_select",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), src AS (
+      SELECT source, SUM(n_tokens) AS src_tokens FROM toked GROUP BY source
+    ), tot AS (SELECT SUM(n_tokens) AS total FROM toked),
+    quota AS (
+      SELECT source, {_BUDGET_TOKENS} * src_tokens // tot.total AS src_quota
+      FROM src, tot
+    ), ranked AS (
+      SELECT t.doc_id, t.source, t.n_tokens, q.src_quota,
+             SUM(t.n_tokens) OVER (PARTITION BY t.source
+                                   ORDER BY t.n_tokens DESC, t.doc_id) AS cum
+      FROM toked t JOIN quota q USING (source)
+    )
+    SELECT doc_id, source, n_tokens, cum AS cum_tokens
+    FROM ranked WHERE cum <= src_quota
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained dataset assembly: given a total token budget,
+    allocate each source a quota proportional to its corpus share, then
+    greedily admit that source's documents in quality order (longest
+    first, ties by id) until the running token sum hits the quota —
+    the final trim step that turns 'weights' into an actual dataset.
+
+    Scale shape: per-source token totals are a tiny aggregate whose
+    quota table BROADCASTS back; the selection itself is ONE window
+    running sum per source (same single-exchange shape as
+    pack_quantized); all arithmetic is exact integers, so the oracle
+    is hash-exact."""
+    toked = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    src = toked.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    tot = toked.agg(F.sum("n_tokens").alias("total"))
+    # exact integer division on BOTH sides (Spark DIV == DuckDB //):
+    # a double-division quota would truncate on one engine and round on
+    # the other when the ratio lands on a representation boundary
+    quota = src.crossJoin(F.broadcast(tot)).selectExpr(
+        "source", f"{_BUDGET_TOKENS} * src_tokens DIV total AS src_quota"
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = toked.join(F.broadcast(quota), "source").withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    return ranked.filter(F.col("cum") <= F.col("src_quota")).select(
+        "doc_id", "source", "n_tokens", F.col("cum").alias("cum_tokens")
+    )
