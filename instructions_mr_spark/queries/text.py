@@ -1182,3 +1182,86 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_han") >= F.col("n_cyrillic"), "han")
         .otherwise("cyrillic"),
     )
+
+
+@query(
+    "quality_bigram_logprob",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)),
+               i -> struct_pack(w1 := words[i], w2 := words[i+1]))) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 2
+    ), pairs AS (
+      SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS c12 FROM grams GROUP BY 1, 2
+    ), lefts AS (
+      SELECT w1, SUM(c12) AS c1 FROM pairs GROUP BY w1
+    ), vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM pairs),
+    scored AS (
+      SELECT p.w1, p.w2,
+             CAST(ROUND(LN((p.c12 + 1.0) / (l.c1 + vocab.v)), 4)
+                  AS DECIMAL(18,4)) AS logp
+      FROM pairs p JOIN lefts l USING (w1), vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(CAST(SUM(s.logp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_logp
+    FROM grams g JOIN scored s ON s.w1 = g.g.w1 AND s.w2 = g.g.w2
+    GROUP BY doc_id
+    """,
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score — the conditional-probability step up
+    from quality_unigram_logprob: mean log P(w_i | w_{i-1}) under an
+    add-one-smoothed corpus bigram model.  Catches locally-scrambled
+    text (every word common, transitions improbable) that a unigram
+    score passes.
+
+    Scale shape: identical to collocation_pmi's — one bigram explode,
+    ONE (w1,w2) aggregate, marginals reaggregated from the pair table;
+    the scored pair table is vocabulary^-order-sized and BROADCASTS
+    back onto the exploded grams; DECIMAL-exact log-prob sums per the
+    float-stability convention."""
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.struct(
+                        F.element_at("words", i).alias("w1"),
+                        F.element_at("words", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    pairs = (
+        grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ).localCheckpoint(eager=False)
+    lefts = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = pairs.agg(F.countDistinct("w2").alias("v"))
+    scored = (
+        pairs.join(lefts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .selectExpr(
+            "w1",
+            "w2",
+            "CAST(ROUND(LN((c12 + 1.0) / (c1 + v)), 4) AS DECIMAL(18,4)) AS logp",
+        )
+    )
+    return (
+        grams.join(F.broadcast(scored), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("CAST(CAST(SUM(logp) AS DOUBLE) / COUNT(*) AS DOUBLE)").alias(
+                "mean_logp"
+            ),
+        )
+    )
