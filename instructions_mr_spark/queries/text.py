@@ -1219,10 +1219,12 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     score passes.
 
     Scale shape: identical to collocation_pmi's — one bigram explode,
-    ONE (w1,w2) aggregate, marginals reaggregated from the pair table;
-    the scored pair table is vocabulary^-order-sized and BROADCASTS
-    back onto the exploded grams; DECIMAL-exact log-prob sums per the
-    float-stability convention."""
+    ONE (w1,w2) aggregate, marginals reaggregated from the pair table.
+    The scored PAIR table is vocab^2-order-sized (unlike the unigram
+    vocab), so the score join carries NO broadcast hint: AQE broadcasts
+    it when it fits and falls back to a (w1,w2)-keyed shuffle join when
+    a web-scale bigram table doesn't.  DECIMAL-exact log-prob sums per
+    the float-stability convention."""
     d = t(spark, sf_dir, "documents")
     grams = (
         d.select("doc_id", F.split("text", " ").alias("words"))
@@ -1256,7 +1258,7 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        grams.join(F.broadcast(scored), ["w1", "w2"])
+        grams.join(scored, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
