@@ -1106,7 +1106,10 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c12"))
     )
-    pairs = pairs.localCheckpoint(eager=False)
+    # EAGER: three downstream references (marginals, total, final
+    # join) race to compute a lazy checkpoint in parallel stages and
+    # duplicate the corpus-sized aggregate; eager materializes it once.
+    pairs = pairs.localCheckpoint()
     lefts = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     rights = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
     tot = pairs.agg(F.sum("c12").alias("n"))
@@ -1243,9 +1246,12 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     )
+    # EAGER for the same reason as collocation_pmi's pair table: lazy
+    # checkpoints race under multi-reference plans and re-run the
+    # corpus aggregate per referencing stage.
     pairs = (
         grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     lefts = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = pairs.agg(F.countDistinct("w2").alias("v"))
     scored = (
