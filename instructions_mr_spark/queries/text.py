@@ -1273,3 +1273,64 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "vocab_coverage",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+    ), ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rnk,
+             SUM(cnt) OVER (ORDER BY cnt DESC, w
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM vocab
+    ), tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    th(p100) AS (VALUES (50), (90), (99))
+    SELECT th.p100,
+           MIN(r.rnk) AS k_words,
+           MIN(r.cum) AS cum_tokens
+    FROM th, ranked r, tot
+    WHERE r.cum * 100 >= th.p100 * tot.total
+    GROUP BY th.p100
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing question: how
+    many distinct words (by frequency rank) cover 50% / 90% / 99% of
+    all token occurrences.  A steep curve says a small vocab suffices;
+    a flat one says the corpus is typo/boilerplate-heavy.
+
+    Scale shape: ONE word-keyed aggregate does the corpus-sized work;
+    the ranked running sum runs over the vocab table (language-sized).
+    The vocab-wide window is single-partition by construction — correct
+    here because vocab << corpus; at web-scale vocab, two-phase rank
+    (per-partition prefix sums + offset join) replaces it with the same
+    contract.  Thresholds compare as exact integers (cum*100 >=
+    p*total) — no float in the cut."""
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as W
+
+    w_rank = W.orderBy(F.col("cnt").desc(), F.col("w"))
+    ranked = vocab.select(
+        "cnt",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("cnt").over(w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+    )
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    th = words.sparkSession.createDataFrame([(50,), (90,), (99,)], "p100 int")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(th),
+            F.col("cum") * 100 >= F.col("p100") * F.col("total"),
+        )
+        .groupBy("p100")
+        .agg(F.min("rnk").alias("k_words"), F.min("cum").alias("cum_tokens"))
+    )
