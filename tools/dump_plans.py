@@ -182,6 +182,23 @@ NOTES = {
     "cluster_rep_best": "Cluster ids (never text) join doc metadata on "
     "doc_id; a single cluster_id window does both member count and the "
     "(n_chars DESC, doc_id) argmax election.",
+    "text_script_profile": "Pure in-row regexp counting on the scan "
+    "(Latin/Han/Cyrillic/digit), zero exchanges; the dominant-script "
+    "CASE is per-row.",
+    "snapshot_diff": "Both snapshot views reduce to (id, source, digest) "
+    "at the scan; the full outer join shuffles digests and ids only, "
+    "never bodies; per-source rollup is a tiny aggregate.",
+    "token_budget_select": "Per-source token totals reaggregate to a "
+    "quota table that BROADCASTS back; the selection is ONE window "
+    "running sum per source (pack_quantized's single-exchange shape); "
+    "quota math is exact integer DIV.",
+    "quality_bigram_logprob": "One bigram explode + one (w1,w2) "
+    "aggregate (eager-checkpointed once, three consumers); the score "
+    "join carries no broadcast hint — AQE broadcasts the pair table "
+    "while it fits, shuffle-joins when a web-scale one doesn't.",
+    "vocab_coverage": "Corpus-sized work is one word-keyed aggregate; "
+    "the ranked running sum runs over the language-sized vocab table; "
+    "threshold cut is an exact-integer theta join against 3 rows.",
 }
 
 
