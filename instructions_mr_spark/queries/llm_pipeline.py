@@ -1430,3 +1430,49 @@ def quality_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.cast("bigint").alias("n_hits"),
         (hits > 0).alias("flagged"),
     )
+
+
+@query(
+    "neardup_threshold_curve",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT {_PAIR_DOT.replace('ea.', 'a.').replace('eb.', 'b.')} AS cosine
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ), th(thr) AS (VALUES (0.5), (0.7), (0.8), (0.9))
+    SELECT th.thr,
+           CAST(COUNT(CASE WHEN p.cosine >= th.thr THEN 1 END) AS BIGINT)
+             AS n_pairs
+    FROM th CROSS JOIN pairs p
+    GROUP BY th.thr
+    """,
+)
+def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold selection curve: how many candidate pairs
+    survive at cosine thresholds 0.5/0.7/0.8/0.9 — the diagnostic a
+    curation run consults before committing to a near-dup cutoff (too
+    low deletes real data, too high keeps dups).  Pairs here are the
+    adjacent-id verify kernel; swap in the LSH candidate table for the
+    production curve, same downstream shape.
+
+    Scale shape: cosines computed once (JVM-side), then a 4-row
+    threshold table cross-joins as a broadcast — one pass over the
+    pair table produces the whole curve; comparisons are on the
+    ROUND(,6) value both engines share."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        _cosine_col(F.col("a.embedding"), F.col("b.embedding")).alias("cosine")
+    )
+    th = e.sparkSession.createDataFrame(
+        [(0.5,), (0.7,), (0.8,), (0.9,)], "thr double"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(th))
+        .groupBy("thr")
+        .agg(
+            F.count(F.when(F.col("cosine") >= F.col("thr"), 1))
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )

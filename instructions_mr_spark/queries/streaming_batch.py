@@ -276,3 +276,71 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "user_id", "view_id", "click_id", lag_sec.cast("long").alias("lag_sec")
     )
+
+
+@query(
+    "stream_anomaly_zscore",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, COUNT(*) AS n_w, SUM(c) AS s1, SUM(c * c) AS s2
+      FROM counts GROUP BY event_type
+    )
+    SELECT c.window_start, c.event_type, c.c AS n_events,
+           ROUND((c.c - CAST(s.s1 AS DOUBLE) / s.n_w)
+                 / sqrt((s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 / s.n_w)
+                        / (s.n_w - 1)), 6) AS z,
+           ABS(ROUND((c.c - CAST(s.s1 AS DOUBLE) / s.n_w)
+                 / sqrt((s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 / s.n_w)
+                        / (s.n_w - 1)), 6)) >= 2.0 AS anomalous
+    FROM counts c JOIN stats s USING (event_type)
+    WHERE s.n_w > 1
+      AND (s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 / s.n_w) > 0
+    """,
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly detection: z-score each (hour, event_type)
+    window's event count against that type's across-window
+    distribution, flagging |z| >= 2 — the monitoring query a streaming
+    deployment runs per trigger (the batch twin of tumbling counts +
+    a broadcast stats join).
+
+    Float stability: the per-type moments are INTEGER sums (count,
+    sum, sum-of-squares) — order-free by construction; the z formula
+    is then a per-row function of identical integers on both engines,
+    so ROUND(...,6) is exact.  Scale shape: one window-count aggregate,
+    a type-keyed reaggregate (tiny, broadcasts back), no second corpus
+    pass."""
+    e = t(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = counts.join(F.broadcast(stats), "event_type").filter(
+        (F.col("n_w") > 1)
+        & (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_w") > 0)
+    )
+    z = F.round(
+        (F.col("c") - F.col("s1").cast("double") / F.col("n_w"))
+        / F.sqrt(
+            (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_w"))
+            / (F.col("n_w") - 1)
+        ),
+        6,
+    )
+    return j.select(
+        "window_start",
+        "event_type",
+        F.col("c").alias("n_events"),
+        z.alias("z"),
+        (F.abs(z) >= 2.0).alias("anomalous"),
+    )
