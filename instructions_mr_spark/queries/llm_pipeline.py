@@ -1476,3 +1476,65 @@ def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pairs")
         )
     )
+
+
+@query(
+    "source_contamination_matrix",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(substring(lower(trim(text)), 1, 64)) AS dg, source, doc_id
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_dup_pairs,
+           CAST(COUNT(DISTINCT a.dg) AS BIGINT) AS n_shared_texts
+    FROM fp a JOIN fp b
+      ON b.dg = a.dg AND (a.source < b.source
+                          OR (a.source = b.source AND a.doc_id < b.doc_id))
+    GROUP BY a.source, b.source
+    """,
+)
+def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication forensics: for every source pair, how
+    many document pairs share a normalized 64-char prefix fingerprint
+    (doc_fingerprint's md5_prefix64 — the shared-boilerplate/header
+    signal) and how many distinct fingerprints are involved — the
+    "which scrape re-crawled which" matrix that decides source-level
+    dedup ordering and provenance priority at ingestion time.  Swap
+    the fingerprint for the full digest for strict exact-dup pairs.
+
+    Scale shape: the self-join keys on the content digest — only
+    (digest, source, id) triples shuffle, never bodies, and the join
+    volume is sum over dup groups of m², bounded by the duplicate rate
+    (the all-pairs-of-everything shape never appears).  The ordered
+    source/id predicate keeps every unordered pair exactly once."""
+    fp = t(spark, sf_dir, "documents").select(
+        F.expr(
+            "MD5(CAST(SUBSTRING(LOWER(TRIM(text)), 1, 64) AS BINARY))"
+        ).alias("dg"),
+        "source",
+        "doc_id",
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.dg") == F.col("a.dg"))
+            & (
+                (F.col("a.source") < F.col("b.source"))
+                | (
+                    (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.countDistinct("a.dg").cast("bigint").alias("n_shared_texts"),
+        )
+    )
