@@ -646,3 +646,72 @@ def test_stream_static_dimension_join(spark, events_stream, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_anomaly_detection_e2e(spark, events_stream, sf_dir):
+    """The anomaly monitor as a REAL stream: windowed counts computed
+    under readStream + watermark, anomaly-flagged in foreachBatch
+    against the broadcast per-type stats table (the deployment shape:
+    stats trained on history, stream scored per trigger).  Flags must
+    equal the batch twin's for every (window, type)."""
+    from instructions_mr_spark import registry
+
+    registry.load_all()
+    stream, batch = events_stream
+    # "historical" per-type stats from the batch side (integer moments)
+    counts = batch.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+
+    flagged_rows: list = []
+
+    def score_batch(bdf, _epoch):
+        j = bdf.join(F.broadcast(stats), "event_type").filter(F.col("n_w") > 1)
+        z = (
+            (F.col("n") - F.col("s1").cast("double") / F.col("n_w"))
+            / F.sqrt(
+                (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_w"))
+                / (F.col("n_w") - 1)
+            )
+        )
+        flagged_rows.extend(
+            j.select(
+                F.col("window").getField("start").alias("ws"),
+                "event_type",
+                (F.abs(F.round(z, 6)) >= 2.0).alias("anomalous"),
+            ).collect()
+        )
+
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("window"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(score_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.ws, r.event_type): r.anomalous for r in flagged_rows}
+    want = {
+        (r.window_start, r.event_type): r.anomalous
+        for r in registry.QUERIES["stream_anomaly_zscore"](spark, sf_dir)
+        .withColumn("window_start", F.col("window_start").cast("timestamp"))
+        .collect()
+    }
+    # stream side only emits windows closed by the watermark; every
+    # emitted flag must match the batch twin, and most windows close
+    assert got, "stream produced no scored windows"
+    mismatched = {k for k in got if k in want and got[k] != want[k]}
+    assert not mismatched, mismatched
+    assert len(got) >= len(want) * 0.5
