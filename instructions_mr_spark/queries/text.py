@@ -1334,3 +1334,56 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p100")
         .agg(F.min("rnk").alias("k_words"), F.min("cum").alias("cum_tokens"))
     )
+
+
+@query(
+    "quality_bucket_shares",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                              / (SELECT COUNT(*) FROM words)), 4)
+                     AS DECIMAL(18,4)) AS logp
+      FROM words GROUP BY w
+    ), scored AS (
+      SELECT doc_id,
+             CAST(CAST(SUM(v.logp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_logp
+      FROM words JOIN vocab v USING (w) GROUP BY doc_id
+    ), bucketed AS (
+      SELECT d.source,
+             NTILE(3) OVER (ORDER BY s.mean_logp DESC, s.doc_id) AS bucket
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT bucket, source, COUNT(*) AS n_docs
+    FROM bucketed GROUP BY bucket, source
+    """,
+)
+def quality_bucket_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: rank every document by its
+    unigram-LM score, cut the corpus into head/middle/tail thirds
+    (NTILE), and report per-(bucket, source) document counts — the
+    table that decides how much of each source's head vs tail a
+    training mixture takes.
+
+    Scale shape: reuses quality_unigram_logprob's plan (one word
+    aggregate, vocab broadcast back); the global NTILE is a rank over
+    the doc-level score table — corpus-COUNT-sized but tiny rows
+    (id + score); at extreme scale the same two-phase rank replacement
+    as vocab_coverage applies.  Ties broken by doc_id so the cut is
+    deterministic on both engines."""
+    scored = quality_unigram_logprob(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    bucketed = (
+        scored.select("doc_id", "mean_logp")
+        .join(docs, "doc_id")
+        .withColumn(
+            "bucket",
+            F.ntile(3).over(W.orderBy(F.col("mean_logp").desc(), F.col("doc_id"))),
+        )
+    )
+    return bucketed.groupBy("bucket", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
