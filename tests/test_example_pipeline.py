@@ -31,3 +31,18 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     }
     packed = spark.read.parquet(os.path.join(out, "packed"))
     assert "bin" in packed.columns or "bin_id" in packed.columns
+
+
+def test_retrieval_eval_recall_floors(spark, sf_dir):
+    """The ANN eval harness must run end-to-end and report sane
+    recall: PQ with exact re-rank near-exact, IVF (n_probe=4 of 8
+    cells on uniform-random vectors) above the 4/8 mass floor."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "examples")
+    )
+    import retrieval_eval
+
+    out = retrieval_eval.run(sf_dir, k=10, n_probes=4)
+    assert out["pq"] >= 0.9
+    assert out["ivf"] >= 0.4
+    assert out["ivf"] <= 1.0 and out["pq"] <= 1.0
