@@ -1538,3 +1538,60 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("a.dg").cast("bigint").alias("n_shared_texts"),
         )
     )
+
+
+@query(
+    "minhash_estimate_calibration",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLE_DOCS}
+    ), sig AS (
+      SELECT doc_id,
+             {', '.join(f"list_min(list_transform(list_transform(shingles, w -> {_duck_h32('w', 0)}), h -> ({_MH_A[s]} * h + {_MH_B[s]}) % {_MH_P})) AS mh{s}" for s in range(_MINHASH_K))}
+      FROM sh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS true_jaccard,
+           ROUND(({' + '.join(f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END" for s in range(_MINHASH_K))})
+                 / {float(_MINHASH_K)}, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+    JOIN sh sa ON sa.doc_id = a.doc_id
+    JOIN sh sb ON sb.doc_id = b.doc_id
+    """,
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature calibration report: for adjacent-id doc pairs, the
+    TRUE shingle Jaccard next to the MinHash-estimated one (matching
+    signature components / k) — the diagnostic that justifies the
+    k={_MINHASH_K} signature size before trusting LSH candidate
+    generation on a new corpus (estimator std is sqrt(j(1-j)/k)).
+
+    Scale shape: signatures and shingles are both scan projections;
+    the adjacent-id blocking keeps the comparison linear, exactly as
+    dedup_ngram_jaccard's verify kernel."""
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingle_docs(docs)
+    sig = _minhash_signatures(docs)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    est = sum(
+        F.when(F.col(f"a.mh{s}") == F.col(f"b.mh{s}"), 1).otherwise(0)
+        for s in range(_MINHASH_K)
+    ) / float(_MINHASH_K)
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .join(sa, F.col("sa.doc_id") == F.col("a.doc_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("sa.shingles", "sb.shingles")).cast("double")
+                / F.size(F.array_union("sa.shingles", "sb.shingles")),
+                6,
+            ).alias("true_jaccard"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+    )

@@ -359,3 +359,56 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("status") == "changed", 1)).alias("n_changed"),
         F.count(F.when(F.col("status") == "unchanged", 1)).alias("n_unchanged"),
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT u.i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 100000000) AS BIGINT) AS xi
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    )
+    SELECT dim,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(xi) AS DOUBLE) / 1e8 / COUNT(*), 9) AS mean,
+           ROUND(CAST(SUM(CAST(xi AS DECIMAL(38,0)) * xi) AS DOUBLE) / 1e16 / COUNT(*)
+             - (CAST(SUM(xi) AS DOUBLE) / 1e8 / COUNT(*))
+               * (CAST(SUM(xi) AS DOUBLE) / 1e8 / COUNT(*)), 9) AS var,
+           ROUND(CAST(MIN(xi) AS DOUBLE) / 1e8, 9) AS min_x,
+           ROUND(CAST(MAX(xi) AS DOUBLE) / 1e8, 9) AS max_x
+    FROM dims GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA: mean/variance/range for every
+    vector dimension — the health check that catches dead dimensions
+    (var ~ 0), un-normalized batches (means far from 0), and clipped
+    activations (max pinned) before they poison similarity search.
+
+    Scale shape: posexplode over the vector column is the only
+    corpus-sized step; the aggregate keys on the dimension index
+    (fixed cardinality = vector width, perfectly balanced).  Moments
+    are DECIMAL-exact sums (order-free); the mean/var division to
+    DOUBLE happens once per dimension from identical integers-scaled
+    decimals on both engines."""
+    e = t(spark, sf_dir, "embeddings")
+    # fixed-point at 1e-8: both engines round the SAME double to the
+    # SAME integer, and the sums are then exact (BIGINT / DECIMAL(38))
+    # — a float->DECIMAL cast instead differs at the representation
+    # edge (measured 1e-9 var drift)
+    dims = e.select(F.posexplode("embedding").alias("dim", "raw")).select(
+        "dim",
+        F.expr("CAST(ROUND(CAST(raw AS DOUBLE) * 100000000) AS BIGINT)").alias("xi"),
+    )
+    return dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("ROUND(CAST(SUM(xi) AS DOUBLE) / 1e8 / COUNT(*), 9)").alias("mean"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(xi AS DECIMAL(38,0)) * xi) AS DOUBLE) / 1e16 / COUNT(*)"
+            " - (CAST(SUM(xi) AS DOUBLE) / 1e8 / COUNT(*))"
+            " * (CAST(SUM(xi) AS DOUBLE) / 1e8 / COUNT(*)), 9)"
+        ).alias("var"),
+        F.expr("ROUND(CAST(MIN(xi) AS DOUBLE) / 1e8, 9)").alias("min_x"),
+        F.expr("ROUND(CAST(MAX(xi) AS DOUBLE) / 1e8, 9)").alias("max_x"),
+    )
