@@ -23,8 +23,9 @@ from instructions_mr_spark.registry import query
                   THEN 1 ELSE 0 END AS is_new
       FROM events)
     SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
-           SUM(is_new) OVER (PARTITION BY event_type ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS running_users
+           CAST(SUM(is_new) OVER (PARTITION BY event_type ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_users
     FROM flagged
     """,
 )
@@ -303,7 +304,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS UNBOUNDED PRECEDING) AS open_now
       FROM edges
     )
-    SELECT o_custkey, MAX(open_now) AS max_concurrent
+    SELECT o_custkey, CAST(MAX(open_now) AS BIGINT) AS max_concurrent
     FROM swept GROUP BY o_custkey
     """,
 )

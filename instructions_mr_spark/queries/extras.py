@@ -288,7 +288,7 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(max_abs, 6) AS scale_max,
            list_sum(list_transform(embedding,
              x -> CASE WHEN abs(CAST(round(CAST(x AS DOUBLE) / max_abs * 127) AS BIGINT)) > 120
-                       THEN 1 ELSE 0 END)) AS n_saturated,
+                       THEN 1 ELSE 0 END))::BIGINT AS n_saturated,
            ROUND(list_max(list_transform(embedding,
              x -> abs(CAST(x AS DOUBLE)
                       - CAST(round(CAST(x AS DOUBLE) / max_abs * 127) AS BIGINT)

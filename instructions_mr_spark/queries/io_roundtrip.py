@@ -69,7 +69,7 @@ def jsonl_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT source) AS n_sources,
-           SUM(CASE WHEN result = upper(lang) THEN 1 ELSE 0 END) AS n_result_ok
+           CAST(SUM(CASE WHEN result = upper(lang) THEN 1 ELSE 0 END) AS BIGINT) AS n_result_ok
     FROM (SELECT lang, source, upper(lang) AS result FROM documents)
     GROUP BY lang
     """,

@@ -268,8 +268,8 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_parse_quarantine",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_parsed,
-           SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS n_quarantined,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
            CAST(SUM(CASE WHEN ok THEN k ELSE 0 END) AS BIGINT) AS sum_k
     FROM (
       SELECT event_type,

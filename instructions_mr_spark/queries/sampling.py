@@ -55,7 +55,7 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN b < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (SELECT n_chars, {_duck_h32('doc_id', 13)} % 100 AS b
           FROM documents)
     GROUP BY 1 ORDER BY 1
@@ -202,7 +202,7 @@ def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            MAX(n_before) AS n_before,
            COUNT(*) FILTER (WHERE rk <= n_min) AS n_kept,
-           SUM(doc_id) FILTER (WHERE rk <= n_min) AS kept_id_sum
+           CAST(SUM(doc_id) FILTER (WHERE rk <= n_min) AS BIGINT) AS kept_id_sum
     FROM ranked, nmin
     GROUP BY source ORDER BY source
     """,
@@ -267,7 +267,7 @@ _BUDGET_TOKENS = 20_000
                                    ORDER BY t.n_tokens DESC, t.doc_id) AS cum
       FROM toked t JOIN quota q USING (source)
     )
-    SELECT doc_id, source, n_tokens, cum AS cum_tokens
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
     FROM ranked WHERE cum <= src_quota
     """,
 )

@@ -483,7 +483,8 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_weights",
     oracle="""
     WITH per_source AS (
-      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars_total
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
       FROM documents GROUP BY source
     ), tot AS (SELECT SUM(n_docs) AS n FROM per_source)
     SELECT source, n_docs, n_chars_total,
@@ -819,7 +820,7 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id
     )
     SELECT t.doc_id, len(t.toks) AS n_tokens,
-           COALESCE(c.covered, 0) AS covered_tokens,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
            ROUND(CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(t.toks), 6)
              AS coverage_frac
     FROM toked t LEFT JOIN cov c ON t.doc_id = c.doc_id
@@ -1292,7 +1293,7 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     th(p100) AS (VALUES (50), (90), (99))
     SELECT th.p100,
            MIN(r.rnk) AS k_words,
-           MIN(r.cum) AS cum_tokens
+           CAST(MIN(r.cum) AS BIGINT) AS cum_tokens
     FROM th, ranked r, tot
     WHERE r.cum * 100 >= th.p100 * tot.total
     GROUP BY th.p100
