@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from instructions_mr_spark import registry
+from instructions_mr_spark.queries._util import free_staged_checkpoints
 from instructions_mr_spark.session import get_spark
 
 # Estimator/harness version, recorded in the output line so cross-round
@@ -78,6 +79,11 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # release staged localCheckpoints (LSH signature / PMI pair
+        # tables) once this query's runs are fully consumed — without
+        # this a long bench session accumulates one block set per
+        # staged table per run (queries/_util.free_staged_checkpoints)
+        free_staged_checkpoints()
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

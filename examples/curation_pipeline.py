@@ -58,21 +58,31 @@ def run(sf_dir: str, out_dir: str) -> dict[str, int]:
         F.col("kept_doc_id").alias("doc_id")
     )
 
+    admitted = gated.join(exact_keep, "doc_id")  # gate AND exact-keeper
+
     # -- 3. near-dup dedup: drop every clustered doc except its elected
-    #       (longest-member) representative
+    #       (longest-member) representative.  Representatives are
+    #       elected among GATE-SURVIVING members only: electing on the
+    #       full corpus would let a cluster whose longest member fails
+    #       a gate lose all copies of that content (the rep is gated
+    #       out, every other member is a near-dup loser).
+    from pyspark.sql import Window as W
+
     clusters = q["dedup_cluster_cc"](spark, sf_dir)
-    reps = q["cluster_rep_best"](spark, sf_dir).select(
-        F.col("rep_doc_id").alias("doc_id"), F.lit(True).alias("is_rep")
+    member_len = (
+        clusters.join(admitted, "doc_id")  # survivors only
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
     )
     near_drop = (
-        clusters.join(reps, clusters.doc_id == reps.doc_id, "left_anti")
-        .select(clusters.doc_id)
+        member_len.withColumn("rn", rn).filter(F.col("rn") > 1).select("doc_id")
     )
 
-    survivors = (
-        gated.join(exact_keep, "doc_id")  # semi: gate AND exact-keeper
-        .join(near_drop, "doc_id", "left_anti")  # minus near-dup losers
-    )
+    survivors = admitted.join(near_drop, "doc_id", "left_anti")
 
     # -- 4. DSIR domain weights for the survivors
     weights = q["dsir_importance_weights"](spark, sf_dir).select(

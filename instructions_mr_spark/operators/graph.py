@@ -46,9 +46,26 @@ def _free_checkpoint(df: DataFrame | None) -> None:
     if df is None:
         return
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        analyzed = df._jdf.queryExecution().analyzed()
+        # Only a LogicalRDD node carries the checkpoint RDD; if a
+        # future Spark wraps the checkpointed plan in something else,
+        # freeing silently no-ops — log it so the per-round leak is
+        # observable instead of invisible.
+        if analyzed.nodeName() != "LogicalRDD":
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "_free_checkpoint skipped: analyzed plan is %s, not LogicalRDD",
+                analyzed.nodeName(),
+            )
+            return
+        analyzed.rdd().unpersist(False)
     except Exception:
-        pass
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "_free_checkpoint failed (leak possible)", exc_info=True
+        )
 
 
 def _edge_checksum(e: DataFrame) -> tuple[int, int]:
@@ -234,6 +251,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over an edge DataFrame — returns
     (id, rank) for every node appearing as src or dst.
@@ -252,6 +270,19 @@ def pagerank(
     The edge table is persisted once; ranks are localCheckpoint()ed
     per round to truncate the iterative lineage (same pattern as
     connected_components above).
+
+    ``quantize_decimals``: when set, ranks and per-edge contributions
+    are carried as integer counts of 1e-q units (FLOOR-scaled) and
+    summed as DECIMAL(38,0) — an exact, ORDER-FREE aggregation, so
+    the result is bit-identical under any partitioning/engine (the
+    float-stability convention the LM-score oracles use).  FLOOR, not
+    ROUND: quantized inputs make exact half-quantum ties systematic,
+    and engines break ROUND ties through different double paths —
+    FLOOR after one IEEE multiply/divide has no tie semantics at all.
+    The quantized iteration IS the contract: an unrolled-SQL twin
+    applying the same FLOOR-scaling reproduces it value-exactly.
+    Leave None for production use (full double precision,
+    order-dependent in the last ulp).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -275,21 +306,33 @@ def pagerank(
         # degrade gracefully like connected_components: an empty edge
         # list yields an empty rank vector, not a ZeroDivisionError
         return nodes.select("id", F.lit(0.0).alias("rank"))
-    base = (1.0 - damping) / n
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    q = quantize_decimals
+    pow10 = float(10**q) if q is not None else None
+    if q is None:
+        rank0 = F.lit(1.0 / n)
+    else:
+        # units of 1e-q: every arithmetic step below is one IEEE
+        # double op (identical on any engine) followed by FLOOR
+        rank0 = F.floor(F.lit(pow10) / F.lit(n)).cast("decimal(38,0)")
+    ranks = nodes.select("id", rank0.alias("rank"))
     last_ck: DataFrame | None = None
     for i in range(iterations):
+        contrib = F.col("rank").cast("double") / F.col("deg")
+        if q is not None:
+            contrib = F.floor(contrib).cast("decimal(38,0)")
         contribs = edeg.join(ranks, edeg["src"] == ranks["id"]).select(
-            F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c")
+            F.col("dst").alias("id"), contrib.alias("c")
         )
         sums = contribs.groupBy("id").agg(F.sum("c").alias("acc"))
-        ranks = nodes.join(sums, "id", "left").select(
-            "id",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        acc_d = F.coalesce(F.col("acc").cast("double"), F.lit(0.0))
+        if q is None:
+            nxt = F.lit((1.0 - damping) / n) + F.lit(damping) * acc_d
+        else:
+            nxt = F.floor(
+                F.lit((1.0 - damping) * pow10) / F.lit(n)
+                + F.lit(damping) * acc_d
+            ).cast("decimal(38,0)")
+        ranks = nodes.join(sums, "id", "left").select("id", nxt.alias("rank"))
         # Checkpoint every SECOND round (and the last): pagerank has no
         # per-round action, so each eager checkpoint is a full driver
         # barrier — halving them halves the per-iteration job count
@@ -299,4 +342,11 @@ def pagerank(
             _free_checkpoint(last_ck)
             last_ck = ranks
     edeg.unpersist()
+    if q is not None:
+        # back from 1e-q units to rank scale; units/pow10 is one IEEE
+        # division of an exactly-represented integer — bit-identical
+        # on any engine
+        ranks = ranks.select(
+            "id", (F.col("rank").cast("double") / F.lit(pow10)).alias("rank")
+        )
     return ranks

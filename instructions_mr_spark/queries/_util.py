@@ -54,6 +54,43 @@ def ts_epoch_seconds(col):
     return c.cast("timestamp").cast("long")
 
 
+_STAGED_CKPTS: list[DataFrame] = []
+
+
+def supersede_checkpoint(key: str, df: DataFrame) -> DataFrame:
+    """Record a query builder's staged localCheckpoint so a harness
+    can release it between iterations.
+
+    Query builders that eagerly localCheckpoint a staged table (PMI /
+    bigram pair tables, LSH signature tables) otherwise leak one
+    cached RDD per invocation for the life of the session — the exact
+    accumulation graph.py's _free_checkpoint fixes for iterative
+    loops.  Auto-freeing on rebuild is NOT safe here: two related
+    queries (e.g. dedup_minhash_lsh and dedup_cluster_cc) may stage
+    the same table while both returned plans are still pending, so
+    freeing is explicit — bench.py calls free_staged_checkpoints()
+    after each query's timing loop; one-shot drivers leak at most one
+    block set per staged table.  ``key`` labels the site for
+    debugging only.
+    """
+    _STAGED_CKPTS.append(df)
+    return df
+
+
+def free_staged_checkpoints() -> int:
+    """Release every staged checkpoint recorded since the last call.
+    Call ONLY when all previously-built query results are fully
+    consumed (their lineage is truncated — recompute is impossible).
+    Returns the number of checkpoints freed."""
+    from instructions_mr_spark.operators.graph import _free_checkpoint
+
+    n = len(_STAGED_CKPTS)
+    for df in _STAGED_CKPTS:
+        _free_checkpoint(df)
+    _STAGED_CKPTS.clear()
+    return n
+
+
 def ts_epoch_micros(col):
     """Event-time column -> epoch microseconds, NTZ-safe (see
     ts_epoch_seconds)."""

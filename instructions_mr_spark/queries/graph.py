@@ -248,29 +248,55 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITER = 5
 _PR_DAMPING = 0.85
-# Accepted drift risk, 4-decimal contract: the oracle's SUM(rank/deg)
-# runs in engine-dependent order, so the two engines' doubles agree
-# only to ~1e-12 — far inside a 0.5e-4 rounding cell but not a 0.5e-6
-# one at large N.  4 decimals keeps the exact-hash gate safe at sf1+
-# (verified: bit-identical at sf0.01 and sf0.1) while still
-# discriminating real rank changes (rank_scaled ~ 1.0).
-_PR_ROUND = 4
+# Order-free contract (r6, was a 4-decimal accepted-drift one): both
+# engines round every per-edge contribution and per-round rank to
+# _PR_Q decimals and sum them as DECIMAL(38,_PR_Q) — an exact
+# aggregation no partitioning or engine can reorder into a different
+# value.  The quantized iteration IS the contract, and the final
+# rank_scaled is emitted UNROUNDED (exact-decimal rank -> double * n,
+# bit-identical on both engines): a final ROUND would hit exact
+# half-quantum ties that the two engines' double-rounding paths break
+# differently.  Residual cross-engine risk is only a mid-iteration
+# double landing within ~1 ulp of a half-quantum boundary (~1e-7 per
+# term, deterministic for fixed data — verified at sf0.01 and sf1).
+_PR_Q = 12
+
+
+def _dlit(x: float) -> str:
+    """Render a Python double as a DuckDB DOUBLE literal.  e-notation
+    parses directly as DOUBLE (one string->double rounding, exact
+    round-trip); a plain decimal literal would parse as DECIMAL and
+    the decimal->double conversion can double-round off by an ulp."""
+    return f"{x:.17e}"
 
 
 def _pagerank_oracle(iterations: int, damping: float = _PR_DAMPING) -> str:
     """Unrolled power iteration as plain CTE stages — exact SQL twin
-    of operators/graph.py:pagerank for a fixed iteration count (no
-    recursive-CTE aggregation, which engines restrict).  ``damping``
-    must match the Spark call; both terms derive from the one value."""
+    of operators/graph.py:pagerank(quantize_decimals=_PR_Q) for a
+    fixed iteration count (no recursive-CTE aggregation, which engines
+    restrict).  ``damping`` must match the Spark call; both terms
+    derive from the one value.  Rank is carried as an integer count of
+    1e-_PR_Q units (FLOOR-scaled, summed as DECIMAL(38,0)) so every
+    step is one IEEE double op + FLOOR — no ROUND tie semantics, no
+    aggregation-order sensitivity, bit-identical to the Spark side."""
+    pow10 = float(10**_PR_Q)
+    base_units = (1.0 - damping) * pow10
     stages = []
     prev = "pr0"
     for k in range(1, iterations + 1):
         stages.append(f"""
     pr{k} AS (
-      SELECT nd.id, {1.0 - damping} / nn.cnt + {damping} * COALESCE(s.acc, 0) AS rank
+      SELECT nd.id,
+             CAST(FLOOR(
+               CAST({_dlit(base_units)} AS DOUBLE) / nn.cnt
+               + CAST({_dlit(damping)} AS DOUBLE)
+                 * COALESCE(CAST(s.acc AS DOUBLE), 0)
+             ) AS DECIMAL(38,0)) AS rank
       FROM nodes nd CROSS JOIN n nn
       LEFT JOIN (
-        SELECT e.dst AS id, SUM(p.rank / dg.d) AS acc
+        SELECT e.dst AS id,
+               SUM(CAST(FLOOR(CAST(p.rank AS DOUBLE) / dg.d)
+                   AS DECIMAL(38,0))) AS acc
         FROM edges e
         JOIN {prev} p ON p.id = e.src
         JOIN deg dg ON dg.src = e.src
@@ -287,9 +313,14 @@ def _pagerank_oracle(iterations: int, damping: float = _PR_DAMPING) -> str:
     deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
     nodes AS (SELECT DISTINCT src AS id FROM edges),
     n AS (SELECT COUNT(*) AS cnt FROM nodes),
-    pr0 AS (SELECT nd.id, 1.0 / nn.cnt AS rank FROM nodes nd CROSS JOIN n nn),
+    pr0 AS (SELECT nd.id,
+                   CAST(FLOOR(CAST({_dlit(pow10)} AS DOUBLE) / nn.cnt)
+                        AS DECIMAL(38,0)) AS rank
+            FROM nodes nd CROSS JOIN n nn),
     {",".join(stages)}
-    SELECT p.id, ROUND(p.rank * nn.cnt, {_PR_ROUND}) AS rank_scaled
+    SELECT p.id,
+           (CAST(p.rank AS DOUBLE) / CAST({_dlit(pow10)} AS DOUBLE)) * nn.cnt
+             AS rank_scaled
     FROM {prev} p CROSS JOIN n nn
     """
 
@@ -314,10 +345,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
         li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
-    ranks = pagerank(edges, iterations=_PR_ITER, damping=_PR_DAMPING)
+    ranks = pagerank(
+        edges, iterations=_PR_ITER, damping=_PR_DAMPING, quantize_decimals=_PR_Q
+    )
     n = ranks.count()
     return ranks.select(
-        "id", F.round(F.col("rank") * n, _PR_ROUND).alias("rank_scaled")
+        "id",
+        (F.col("rank").cast("double") * F.lit(n)).alias("rank_scaled"),
     )
 
 

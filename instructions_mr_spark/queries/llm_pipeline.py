@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from instructions_mr_spark.config import Instruction, LlmConfig, Stage
 from instructions_mr_spark.operators.llm_map import group_concat_reduce, instr_fanout_map
-from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.queries._util import supersede_checkpoint, t
 from instructions_mr_spark.registry import query
 
 # ---------------------------------------------------------------- echo MR
@@ -337,7 +337,8 @@ def _lsh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ARRAY_MIN(TRANSFORM(hs, h -> ({_MH_A[s]} * h + {_MH_B[s]}) % {_MH_P})) AS mh{s}"
             for s in range(_MINHASH_K)
         ],
-    ).localCheckpoint()
+    )
+    sigs = supersede_checkpoint("lsh_sigs", sigs.localCheckpoint())
     r = _MINHASH_K // 2
     bands = None
     for band in range(2):
@@ -426,7 +427,10 @@ def _lsh_candidate_pairs_salted(
     # 1.99s without at sf0.1).  The residual ~0.75s over the unsalted
     # path is the hot-key aggregation pass — the guard's price; run
     # this variant when lsh_bucket_stats reports hot buckets.
-    flagged = bands.join(F.broadcast(hot_keys), ["band", "key"], "left").localCheckpoint()
+    flagged = supersede_checkpoint(
+        "lsh_salted_flagged",
+        bands.join(F.broadcast(hot_keys), ["band", "key"], "left").localCheckpoint(),
+    )
     cold = flagged.filter(F.col("is_hot").isNull()).drop("is_hot", "bucket_n")
     cold_pairs = _lsh_candidate_pairs(cold)
 
@@ -1156,40 +1160,63 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_COS_T = 0.4  # pair threshold (matches dedup_embedding_cosine)
 
+# Cell count for the demo-scale SemDeDup entry.  This is the prune
+# dial: production SemDeDup runs k ~ n/10k cells with a 0.95+
+# threshold (near-identical vectors land in the same cell at ANY k);
+# the demo corpus' UNIFORM random vectors only have moderate-cosine
+# pairs — the worst case for cell blocking — so the demo keeps k
+# small.  The high-threshold/k=32 scale regime has its own oracled
+# entry below (semdedup_planted_k32) plus the planted-duplicate
+# recall test in tests/test_simsearch.py.
+_SEMDEDUP_K = 8
+
 
 @query(
     "semdedup_cells",
-    oracle="SELECT 8 AS n_cells, TRUE AS pairs_nonzero, TRUE AS recall_ok",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    audit AS (
+      SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b
+      FROM s ea JOIN s eb ON ea.vec_id < eb.vec_id
+      WHERE {_PAIR_DOT} >= {_SEM_COS_T}
+    )
+    SELECT {_SEMDEDUP_K} AS n_cells,
+           CAST(COUNT(*) AS BIGINT) AS n_audit_pairs,
+           CAST(COALESCE(SUM(vec_a * 1000003 + vec_b), 0) AS BIGINT)
+             AS audit_checksum,
+           TRUE AS pairs_nonzero,
+           TRUE AS recall_ok
+    FROM audit
+    """,
 )
 def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): block the
-    O(n^2) pair space with k-means cells (k=8, top-2 multi-assignment
-    so boundary-straddling pairs still share a block), exact cosine
-    within blocks, drop any vector with a lower-id neighbor above the
-    threshold.  Centroids aren't SQL-expressible, so the driver-checked
-    contract is the blocking-quality guarantee: cells == k, at least
-    one dup pair found, and SAMPLED pair recall >= 0.5 — the audit
-    brute-forces only vectors with vec_id % 10 == 0 (n^2/100
-    comparisons, the bounded audit you'd actually run at 100 TB) and
-    requires the cell-blocked pass to find at least half of those
-    pairs.  Exact counts are asserted in tests/test_simsearch.py.
+    O(n^2) pair space with k-means cells (k=_SEMDEDUP_K, top-2
+    multi-assignment so boundary-straddling pairs still share a
+    block), exact cosine within blocks, drop any vector with a
+    lower-id neighbor above the threshold.  Centroids aren't
+    SQL-expressible, so the driver-checked contract has two parts:
+    VALUE-BEARING — the sampled brute-force audit (all pairs among
+    vec_id % 10 == 0, the n^2/100 audit you'd actually run at 100 TB)
+    is recomputed exactly by DuckDB: pair count plus an
+    order-independent pair checksum; BOOLEAN — cells == k, at least
+    one cell-blocked pair found, and the blocked pass recovers >= 0.5
+    of the audit pairs.  Exact counts are also asserted in
+    tests/test_simsearch.py.
 
     Scale shape: assignment is a projection; the pair join shuffles on
     the cell (sum-of-cell-size^2 candidates, never n^2); the audit is
-    a 1%-sampled self-join.  k is the prune dial: production SemDeDup
-    runs k ~ n/10k with a 0.95+ threshold, where near-identical
-    vectors land in the same cell at ANY k (planted-duplicate test in
-    tests/test_simsearch.py pins 100% recall at k=32).  This corpus'
-    UNIFORM random vectors only have moderate-cosine (0.4) pairs, the
-    worst case for cell blocking, so the demo keeps k=8 — the recall
-    dial is the data's, not the plan's."""
+    a 1%-sampled self-join.  See _SEMDEDUP_K for the production k
+    guidance."""
     from instructions_mr_spark.operators.simsearch import (
         assign_top2_cells,
         train_ivf_centroids,
     )
 
     e = t(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(e, k=8, seed=42)
+    cents = train_ivf_centroids(e, k=_SEMDEDUP_K, seed=42)
     cells = assign_top2_cells(e, cents).select("cell", "vec_id", "embedding")
     a, b = cells.alias("a"), cells.alias("b")
     pairs = (
@@ -1204,8 +1231,8 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("a.embedding").alias("ea"), F.first("b.embedding").alias("eb"))
         .select("vec_a", "vec_b", _cosine_col(F.col("ea"), F.col("eb")).alias("cos"))
         .filter(F.col("cos") >= _SEM_COS_T)
-        .localCheckpoint()
     )
+    pairs = supersede_checkpoint("semdedup_pairs", pairs.localCheckpoint())
     # Sampled-recall audit: brute-force pairs among the 10% hash sample.
     s = e.filter(F.col("vec_id") % 10 == 0)
     sa, sb = s.alias("sa"), s.alias("sb")
@@ -1222,16 +1249,103 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = F.lit(len(cents))
     return (
         pairs.agg((F.count("*") > 0).alias("pairs_nonzero"))
-        .crossJoin(audit.agg(F.count("*").alias("n_audit")))
+        .crossJoin(
+            audit.agg(
+                F.count("*").alias("n_audit"),
+                F.coalesce(
+                    F.sum(F.col("vec_a") * 1000003 + F.col("vec_b")), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("audit_checksum"),
+            )
+        )
         .crossJoin(found_in_audit.agg(F.count("*").alias("n_found")))
         .select(
             n_cells.alias("n_cells"),
+            F.col("n_audit").alias("n_audit_pairs"),
+            "audit_checksum",
             "pairs_nonzero",
             (
                 (F.col("n_audit") == 0)
                 | (F.col("n_found") >= F.col("n_audit") * 0.5)
             ).alias("recall_ok"),
         )
+    )
+
+
+# High-threshold SemDeDup regime: production runs k ~ n/10k cells with
+# a 0.95+ cosine threshold, where duplicates are (near-)identical
+# vectors that land in the same cell at ANY k.  The planted-duplicate
+# construction makes that regime value-checkable: a deterministic
+# corpus sample unioned with exact copies (shifted ids) must yield
+# EXACTLY the brute-force pair set — DuckDB recomputes it in full.
+_SEMDEDUP_K32 = 32
+_SEMDEDUP_HI_T = 0.95
+_PLANT_SHIFT = 10_000_000
+
+
+@query(
+    "semdedup_planted_k32",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, embedding FROM s
+      UNION ALL
+      SELECT vec_id + {_PLANT_SHIFT} AS vec_id, embedding FROM s
+    )
+    SELECT * FROM (
+      SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b, {_PAIR_DOT} AS cosine
+      FROM corpus ea JOIN corpus eb ON ea.vec_id < eb.vec_id
+    ) WHERE cosine >= {_SEMDEDUP_HI_T}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def semdedup_planted_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the production operating point (high threshold,
+    many cells): a deterministic 1/17 corpus sample is unioned with an
+    exact copy of itself (ids shifted by _PLANT_SHIFT), cell-blocked
+    at k=_SEMDEDUP_K32 with top-2 assignment, and pairs above cosine
+    _SEMDEDUP_HI_T are returned.  Identical vectors get identical
+    cell assignments at any k, so the blocked pass is guaranteed to
+    recover every planted pair — which lets the oracle be the EXACT
+    brute-force pair set over the same (bounded) corpus, not a
+    recall bound: a value-level driver check of the scale regime the
+    k=_SEMDEDUP_K demo entry can't certify.
+
+    Scale shape matches semdedup_cells: assignment is a projection,
+    the pair join shuffles on the cell, candidates are
+    sum-of-cell-size^2.  k adapts to the sample so the tiny sf0.001
+    corpus still trains (k_eff <= n/2, >= 2)."""
+    from instructions_mr_spark.operators.simsearch import (
+        assign_top2_cells,
+        train_ivf_centroids,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    s = e.filter(F.col("vec_id") % 17 == 0).select("vec_id", "embedding")
+    corpus = s.unionByName(
+        s.select((F.col("vec_id") + _PLANT_SHIFT).alias("vec_id"), "embedding")
+    )
+    n = corpus.count()  # bounded: 2/17ths of the embeddings table
+    k_eff = max(2, min(_SEMDEDUP_K32, n // 2))
+    cents = train_ivf_centroids(corpus, k=k_eff, seed=42)
+    cells = assign_top2_cells(corpus, cents).select("cell", "vec_id", "embedding")
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.first("a.embedding").alias("ea"), F.first("b.embedding").alias("eb"))
+        .select("vec_a", "vec_b", _cosine_col(F.col("ea"), F.col("eb")).alias("cosine"))
+        .filter(F.col("cosine") >= _SEMDEDUP_HI_T)
+        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -1595,3 +1709,11 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est, 6).alias("est_jaccard"),
         )
     )
+
+dedup_minhash_signature.__doc__ = dedup_minhash_signature.__doc__.replace('{_MINHASH_K}', str(_MINHASH_K))  # fill plan-constant into help()
+
+dedup_simhash.__doc__ = dedup_simhash.__doc__.replace('{_SIMHASH_BITS}', str(_SIMHASH_BITS))  # fill plan-constant into help()
+
+knn_join_batch.__doc__ = knn_join_batch.__doc__.replace('{_KNN_K}', str(_KNN_K))  # fill plan-constant into help()
+
+minhash_estimate_calibration.__doc__ = minhash_estimate_calibration.__doc__.replace('{_MINHASH_K}', str(_MINHASH_K))  # fill plan-constant into help()

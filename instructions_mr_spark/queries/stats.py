@@ -108,8 +108,9 @@ def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counted GROUP BY column_name
     )
     SELECT c.column_name, t.n_distinct,
-           ROUND(-SUM((CAST(c.c AS DOUBLE) / t.n) * log2(CAST(c.c AS DOUBLE) / t.n)), 4)
-             AS entropy_bits
+           ROUND(-CAST(SUM(CAST(ROUND(
+               (CAST(c.c AS DOUBLE) / t.n) * log2(CAST(c.c AS DOUBLE) / t.n),
+             10) AS DECIMAL(38,10))) AS DOUBLE), 6) AS entropy_bits
     FROM counted c JOIN tot t USING (column_name)
     GROUP BY c.column_name, t.n_distinct
     """,
@@ -139,12 +140,17 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n"), F.count("*").alias("n_distinct")
     )
     p = F.col("c").cast("double") / F.col("n")
+    # Per-term 10-decimal round + DECIMAL(38,10) sum: exact and
+    # order-free under any partitioning/engine (the float-stability
+    # convention the LM-score oracles use), so the output can carry
+    # 6 decimals instead of the old 4-decimal accepted-drift bound.
+    term = F.round(p * F.log2(p), 10).cast("decimal(38,10)")
     return (
         counted.join(tot, "column_name")
         .groupBy("column_name", "n_distinct")
-        # 4 decimals, not 6: the float-sum runs in engine-dependent
-        # order (same accepted-drift contract as graph._PR_ROUND)
-        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"))
+        .agg(
+            F.round((-F.sum(term)).cast("double"), 6).alias("entropy_bits")
+        )
     )
 
 
@@ -302,7 +308,7 @@ def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COALESCE(a.source, b.source) AS source,
              CASE WHEN a.doc_id IS NULL THEN 'added'
                   WHEN b.doc_id IS NULL THEN 'removed'
-                  WHEN a.dg <> b.dg THEN 'changed'
+                  WHEN a.dg IS DISTINCT FROM b.dg THEN 'changed'
                   ELSE 'unchanged' END AS status
       FROM a FULL OUTER JOIN b USING (doc_id)
     )
@@ -329,10 +335,15 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_incremental's admission check generalized to a three-way
     diff."""
     d = t(spark, sf_dir, "documents")
+    # Explicit presence markers: classification must key on "row exists
+    # on that side", not on digest nullability — a NULL text value on a
+    # row present in both snapshots has a NULL digest but is still
+    # present (it would otherwise misread as 'added'/'removed').
     a = d.filter(F.col("doc_id") % 7 != 0).select(
         "doc_id",
         F.col("source").alias("src_a"),
         F.md5(F.col("text").cast("binary")).alias("dg_a"),
+        F.lit(True).alias("in_a"),
     )
     b = d.filter(F.col("doc_id") % 5 != 0).select(
         "doc_id",
@@ -344,12 +355,13 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("text"))
             .cast("binary")
         ).alias("dg_b"),
+        F.lit(True).alias("in_b"),
     )
     j = a.join(b, "doc_id", "full").select(
         F.coalesce("src_a", "src_b").alias("source"),
-        F.when(F.col("dg_a").isNull(), "added")
-        .when(F.col("dg_b").isNull(), "removed")
-        .when(F.col("dg_a") != F.col("dg_b"), "changed")
+        F.when(F.col("in_a").isNull(), "added")
+        .when(F.col("in_b").isNull(), "removed")
+        .when(~F.col("dg_a").eqNullSafe(F.col("dg_b")), "changed")
         .otherwise("unchanged")
         .alias("status"),
     )

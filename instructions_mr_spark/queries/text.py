@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.queries._util import supersede_checkpoint, t
 from instructions_mr_spark.registry import query
 
 
@@ -1110,7 +1110,9 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EAGER: three downstream references (marginals, total, final
     # join) race to compute a lazy checkpoint in parallel stages and
     # duplicate the corpus-sized aggregate; eager materializes it once.
-    pairs = pairs.localCheckpoint()
+    # NOTE: this runs a corpus-sized job at query-BUILD time (not just
+    # at collect); superseded across invocations to cap the leak.
+    pairs = supersede_checkpoint("pmi_pairs", pairs.localCheckpoint())
     lefts = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     rights = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
     tot = pairs.agg(F.sum("c12").alias("n"))
@@ -1249,10 +1251,14 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # EAGER for the same reason as collocation_pmi's pair table: lazy
     # checkpoints race under multi-reference plans and re-run the
-    # corpus aggregate per referencing stage.
-    pairs = (
-        grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ).localCheckpoint()
+    # corpus aggregate per referencing stage.  Build-time job + leak
+    # cap: see collocation_pmi.
+    pairs = supersede_checkpoint(
+        "bigram_pairs",
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(),
+    )
     lefts = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = pairs.agg(F.countDistinct("w2").alias("v"))
     scored = (
@@ -1388,3 +1394,5 @@ def quality_bucket_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("bucket", "source").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+collocation_pmi.__doc__ = collocation_pmi.__doc__.replace('{_PMI_MIN_COUNT}', str(_PMI_MIN_COUNT))  # fill plan-constant into help()
