@@ -1,0 +1,80 @@
+"""URL normalization for web-corpus dedup (EXT mandate: URL/domain-
+level dedup is the one curation signal a crawled 100 TB corpus keys on
+before any content pass — exact-duplicate fetches of the same page
+under cosmetically different URLs).
+
+The reference has no web/URL handling (its I/O is JSONL records —
+bin/text_mr_pipe.py:46-58); this is an EXT-mandate operator like
+dedup/ANN.  Everything is a pure Column expression (regexp + string +
+higher-order array built-ins, full WholeStageCodegen): at 100 TB this
+is a scan projection, and the dedup that follows shuffles only
+(normalized-url digest, doc_id) pairs.
+
+Normalization policy (the CCNet/RefinedWeb-style canonical form):
+
+* drop the fragment (``#...``)
+* lowercase (scheme and host are case-insensitive; paths are folded
+  too — the aggressive form web-dedup pipelines use, since crawlers
+  rarely emit case-variant paths for distinct content)
+* drop the scheme (``http://`` == ``https://`` for identity purposes)
+* drop a leading ``www.``
+* drop tracking query parameters (``utm_*``, ``ref``, ``fbclid``,
+  ``gclid``) but KEEP meaningful ones, sorted canonically
+* drop empty queries and trailing slashes
+
+Every step has an exact DuckDB twin (queries/web.py) so the operator
+is oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tracking parameters stripped during normalization (param names only;
+# anchored at the key= prefix).
+TRACKING_PARAM_RE = "^(utm_[a-z0-9_]+|ref|fbclid|gclid)="
+
+
+def _stripped(url: Column | str) -> Column:
+    """fragment dropped, lowercased, scheme and www. removed."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, "#.*$", "")
+    u = F.lower(u)
+    u = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")
+    return F.regexp_replace(u, r"^www\.", "")
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL string (see module docstring for the policy).
+
+    Shape: pure per-row expression — regexp chain + one split/filter/
+    sort/join over the query params (bounded, in-row).  No UDF.
+    """
+    u = _stripped(url)
+    path = F.regexp_replace(F.split_part(u, F.lit("?"), F.lit(1)), "/+$", "")
+    qs = F.split_part(u, F.lit("?"), F.lit(2))
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qnorm = F.array_join(params, "&")
+    return F.concat(
+        path, F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit(""))
+    )
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host (www.-stripped), e.g. ``sub.example.com``."""
+    u = _stripped(url)
+    return F.split_part(F.split_part(u, F.lit("/"), F.lit(1)), F.lit("?"), F.lit(1))
+
+
+def registrable_domain(url: Column | str) -> Column:
+    """Last-two-label domain heuristic (``example.com`` from
+    ``a.b.example.com``).  A production pipeline swaps in the public-
+    suffix list (a broadcast lookup table — same plan shape); the
+    two-label form is the standard demo approximation."""
+    return F.regexp_extract(url_host(url), r"[^.]+\.[^.]+$", 0)

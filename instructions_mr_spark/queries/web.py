@@ -1,0 +1,160 @@
+"""URL / domain-level dedup queries (EXT mandate — web-corpus
+curation signals; operators/urls.py holds the normalization policy).
+
+The testdata has no URL column, so both engines SYNTHESIZE the same
+deterministic URL per document from (doc_id, source, lang) — mixed-
+case schemes/hosts, optional ``www.``/mobile subdomains, tracking
+params, trailing slashes, and fragments — and must then agree on the
+normalized form, the dedup groups, and the per-domain rollup.  The
+synthesis fragment is ONE string valid in both dialects, so the two
+sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.operators.urls import (
+    normalize_url,
+    registrable_domain,
+    url_host,
+)
+from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.registry import query
+
+# Shared Spark-SQL/DuckDB synthesis fragment (STRING is a valid cast
+# target in both dialects).
+_URL_SYNTH = """
+    CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://'
+         WHEN doc_id % 4 = 1 THEN 'https://'
+         WHEN doc_id % 4 = 2 THEN 'http://'
+         ELSE 'https://' END
+    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN 'm.' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END
+    || CASE WHEN doc_id % 9 = 0 THEN '.COM' ELSE '.com' END
+    || '/' || lang || '/page-' || CAST(doc_id % 40 AS STRING)
+    || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS STRING)
+            WHEN doc_id % 3 = 1
+            THEN '?id=' || CAST(doc_id % 5 AS STRING) || '&utm_campaign=x'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END
+"""
+
+# DuckDB twin of operators/urls.py:_stripped + normalize_url.
+_DUCK_NORM_CTES = f"""
+    urls AS (
+      SELECT doc_id, source, lang, ({_URL_SYNTH}) AS url FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, source, lang,
+             regexp_replace(regexp_replace(
+               lower(regexp_replace(url, '#.*$', '')),
+               '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', '') AS u
+      FROM urls
+    ),
+    parts AS (
+      SELECT doc_id, source, lang, u,
+             regexp_replace(split_part(u, '?', 1), '/+$', '') AS path,
+             split_part(u, '?', 2) AS qs
+      FROM stripped
+    ),
+    norm AS (
+      SELECT doc_id, source, lang, u,
+             path || CASE WHEN qn != '' THEN '?' || qn ELSE '' END AS norm_url
+      FROM (
+        SELECT *,
+               array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                 p -> p != '' AND NOT regexp_matches(p,
+                   '^(utm_[a-z0-9_]+|ref|fbclid|gclid)='))), '&') AS qn
+        FROM parts)
+    )
+"""
+
+
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.expr(f"({_URL_SYNTH})").alias("url")
+    )
+
+
+@query(
+    "url_dedup",
+    oracle=f"""
+    WITH {_DUCK_NORM_CTES}
+    SELECT norm_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS kept_doc_id
+    FROM norm GROUP BY norm_url
+    """,
+)
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: canonicalize every document's URL
+    (operators/urls.py policy: fragment/scheme/www/tracking-params/
+    trailing-slash dropped, params sorted, lowercased) and keep the
+    lowest doc_id per canonical URL — the fetch-dedup pass a crawled
+    corpus runs before any content-based dedup.
+
+    Scale shape: normalization is a scan projection (regexp + in-row
+    array ops, WholeStageCodegen); the group-by shuffles only
+    (norm_url, doc_id) — at 100 TB, hash norm_url to a 64-bit digest
+    first so the exchange carries 16 bytes/row, same plan."""
+    u = _synth_urls(spark, sf_dir)
+    return (
+        u.select("doc_id", normalize_url("url").alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("kept_doc_id"),
+        )
+    )
+
+
+@query(
+    "domain_stats",
+    oracle=f"""
+    WITH {_DUCK_NORM_CTES}
+    SELECT regexp_extract(split_part(split_part(u, '/', 1), '?', 1),
+                          '[^.]+\\.[^.]+$') AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT split_part(split_part(u, '/', 1), '?', 1))
+                AS BIGINT) AS n_hosts,
+           CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_unique_urls,
+           ROUND(1.0 - CAST(COUNT(DISTINCT norm_url) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM norm GROUP BY 1
+    """,
+)
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level crawl report: per registrable domain (last-two-
+    label heuristic; swap in the public-suffix list via a broadcast
+    table at production), document count, distinct hosts, distinct
+    canonical URLs, and the URL-duplication rate — the signal that
+    drives per-domain fetch budgets and mirror blacklisting.
+
+    Scale shape: one projection + one domain-keyed aggregate; the
+    distinct-URL count re-keys inside the aggregate (Spark plans
+    count-distinct as a two-phase expand — still one exchange on the
+    domain key)."""
+    u = _synth_urls(spark, sf_dir)
+    return (
+        u.select(
+            registrable_domain("url").alias("domain"),
+            url_host("url").alias("host"),
+            normalize_url("url").alias("norm_url"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("norm_url").alias("n_unique_urls"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("norm_url").cast("double") / F.count("*"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -180,5 +180,6 @@ def load_all() -> None:
     import instructions_mr_spark.queries.packing  # noqa: F401
     import instructions_mr_spark.queries.io_roundtrip  # noqa: F401
     import instructions_mr_spark.queries.lake_ops  # noqa: F401
+    import instructions_mr_spark.queries.web  # noqa: F401
 
     _reorder_for_driver()
