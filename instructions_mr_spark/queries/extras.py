@@ -349,19 +349,37 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_search_ivf_kmeans",
-    oracle="SELECT 10 AS n_results, TRUE AS recall_ok",
-)
+def _ivf_kmeans_oracle() -> str:
+    from instructions_mr_spark.queries.llm_pipeline import _DOT
+
+    return f"""
+    WITH exact AS (
+      SELECT e.vec_id, {_DOT} AS cosine
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY cosine DESC, e.vec_id LIMIT 10
+    )
+    SELECT 10 AS n_results,
+           CAST(SUM(vec_id) AS BIGINT) AS exact_topk_id_sum,
+           MAX(cosine) AS exact_top1_cos,
+           TRUE AS recall_ok
+    FROM exact
+    """
+
+
+@query("sim_search_ivf_kmeans", oracle=_ivf_kmeans_oracle())
 def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means IVF ANN (operators/simsearch.py): train 8 coarse
     centroids (fixed seed), probe the 4 cells nearest the vec_id=0
     query, exact cosine within candidates.  Centroids aren't
-    SQL-expressible, so the driver-checkable contract is the ANN
-    QUALITY GUARANTEE: result count == top_k and recall@10 vs the
-    exact brute-force scan >= 0.5, pinned TRUE by the oracle (the
-    per-sf recall value itself is asserted in tests/test_simsearch.py;
-    n_probe=k here would equal sim_search_topk exactly)."""
+    SQL-expressible, so the driver-checkable contract has two parts:
+    VALUE-BEARING — the exact brute-force reference scan's top-10 id
+    sum and best cosine, recomputed exactly by DuckDB (certifies the
+    reference side the recall bound is measured against); BOOLEAN —
+    result count == top_k and recall@10 vs that exact scan >= 0.5
+    (the per-sf recall value itself is asserted in
+    tests/test_simsearch.py; n_probe=k here would equal
+    sim_search_topk exactly)."""
     from instructions_mr_spark.operators.simsearch import ivf_search, train_ivf_centroids
 
     from instructions_mr_spark.functions import cosine_sim
@@ -378,8 +396,15 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     hits = approx.join(exact.select("vec_id"), "vec_id", "left_semi")
-    return approx.agg(F.count("*").alias("n_results")).crossJoin(
-        hits.agg((F.count("*") >= 5).alias("recall_ok"))
+    exact_stats = exact.agg(
+        F.sum("vec_id").cast("bigint").alias("exact_topk_id_sum"),
+        F.max("cosine").alias("exact_top1_cos"),
+    )
+    return (
+        approx.agg(F.count("*").alias("n_results"))
+        .crossJoin(F.broadcast(exact_stats))
+        .crossJoin(hits.agg((F.count("*") >= 5).alias("recall_ok")))
+        .select("n_results", "exact_topk_id_sum", "exact_top1_cos", "recall_ok")
     )
 
 

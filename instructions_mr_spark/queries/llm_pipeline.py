@@ -1104,9 +1104,28 @@ def _band_rows_of(docs: DataFrame) -> DataFrame:
 # ------------------------------------------------ product-quantized ANN
 
 
+_PQ_EXACT_L2 = """
+    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+         * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))),
+      (a, b) -> a + b)
+"""
+
+
 @query(
     "sim_search_pq",
-    oracle="SELECT 10 AS n_results, TRUE AS recall_ok",
+    oracle=f"""
+    WITH exact AS (
+      SELECT e.vec_id, {_PQ_EXACT_L2} AS l2
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY l2 ASC, e.vec_id LIMIT 10
+    )
+    SELECT 10 AS n_results,
+           CAST(SUM(vec_id) AS BIGINT) AS exact_topk_id_sum,
+           TRUE AS recall_ok
+    FROM exact
+    """,
 )
 def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/simsearch.py): 64-dim float
@@ -1120,7 +1139,9 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry, codebooks aren't SQL-expressible, so the driver-checked
     contract is the ANN guarantee: result count == top_k and
     recall@10 vs the exact scan >= 0.5 (actual value asserted in
-    tests/test_simsearch.py)."""
+    tests/test_simsearch.py) — plus a VALUE-BEARING column: the exact
+    L2 scan's top-10 id sum, recomputed by DuckDB with the identical
+    left-fold, certifying the reference side of the recall bound."""
     from instructions_mr_spark.functions import cosine_sim
     from instructions_mr_spark.operators.simsearch import (
         pq_adc_search,
@@ -1150,8 +1171,14 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     hits = approx.join(exact.select("vec_id"), "vec_id", "left_semi")
-    return approx.agg(F.count("*").alias("n_results")).crossJoin(
-        hits.agg((F.count("*") >= 5).alias("recall_ok"))
+    exact_stats = exact.agg(
+        F.sum("vec_id").cast("bigint").alias("exact_topk_id_sum")
+    )
+    return (
+        approx.agg(F.count("*").alias("n_results"))
+        .crossJoin(F.broadcast(exact_stats))
+        .crossJoin(hits.agg((F.count("*") >= 5).alias("recall_ok")))
+        .select("n_results", "exact_topk_id_sum", "recall_ok")
     )
 
 
