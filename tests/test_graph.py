@@ -239,3 +239,49 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     got = {row.id: row.rank for row in pagerank(edges, iterations=iters).collect()}
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+
+
+def test_pagerank_quantized_partition_invariance(spark):
+    """quantize_decimals mode must be BIT-identical under different
+    input partitionings (the order-free-aggregation contract the
+    graph_pagerank oracle depends on), and within 1e-q of the
+    unquantized ranks."""
+    from instructions_mr_spark.operators.graph import pagerank
+
+    edge_list = [(i, (i * 7) % 50) for i in range(200)] + [
+        ((i * 3) % 50, i) for i in range(0, 200, 2)
+    ]
+    edges = spark.createDataFrame(edge_list, "src int, dst int")
+    a = {
+        r.id: r.rank
+        for r in pagerank(edges, iterations=5, quantize_decimals=12).collect()
+    }
+    b = {
+        r.id: r.rank
+        for r in pagerank(
+            edges.repartition(7, "dst"), iterations=5, quantize_decimals=12
+        ).collect()
+    }
+    assert a == b  # exact float equality, not approx
+    full = {r.id: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert all(abs(a[i] - full[i]) < 1e-9 for i in full)
+
+
+def test_free_staged_checkpoints_releases_and_counts(spark):
+    """Staged checkpoints recorded via supersede_checkpoint are
+    released (and the registry emptied) by free_staged_checkpoints."""
+    from instructions_mr_spark.queries._util import (
+        _STAGED_CKPTS,
+        free_staged_checkpoints,
+        supersede_checkpoint,
+    )
+
+    free_staged_checkpoints()  # clean slate
+    df = supersede_checkpoint(
+        "test_site", spark.range(100).localCheckpoint()
+    )
+    assert df.count() == 100
+    assert len(_STAGED_CKPTS) == 1
+    assert free_staged_checkpoints() == 1
+    assert len(_STAGED_CKPTS) == 0
+    assert free_staged_checkpoints() == 0
