@@ -1198,6 +1198,53 @@ _SEM_COS_T = 0.4  # pair threshold (matches dedup_embedding_cosine)
 _SEMDEDUP_K = 8
 
 
+def _cell_blocked_pairs(e, k: int, threshold: float):
+    """Shared SemDeDup kernel: k-means cell blocking -> exact-cosine
+    pairs above ``threshold``.  Returns (pairs_df, n_centroids).
+
+    Plan shape (the part that holds at 100 TB): the cell self-join
+    carries NARROW (cell, vec_id) rows — candidate id-pairs dedupe
+    across the top-2 multi-assignment as 16-byte rows, and the
+    embeddings join BACK by id so each surviving pair pays the O(d)
+    cosine exactly once and no array ever rides the candidate
+    shuffle.  (The r6 rewrite: deduping via groupBy(first(embedding))
+    shuffled two 64-float arrays per candidate — ~30x the shuffle
+    bytes; measured 391s -> 16s at sf1, same output.)  The join-back
+    uses a broadcast hint because the vector table is tiny next to
+    the candidate set; at billion-vector scale drop the hint for an
+    id-keyed shuffle join — the plan is otherwise identical."""
+    from instructions_mr_spark.operators.simsearch import (
+        assign_top2_cells,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(e, k=k, seed=42)
+    cells = assign_top2_cells(e, cents).select("cell", "vec_id")
+    a, b = cells.alias("a"), cells.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        cand.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
+        .select(
+            "vec_a", "vec_b", _cosine_col(F.col("ea"), F.col("eb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs, len(cents)
+
+
 @query(
     "semdedup_cells",
     oracle=f"""
@@ -1234,31 +1281,18 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_simsearch.py.
 
     Scale shape: assignment is a projection; the pair join shuffles on
-    the cell (sum-of-cell-size^2 candidates, never n^2); the audit is
-    a 1%-sampled self-join.  See _SEMDEDUP_K for the production k
-    guidance."""
-    from instructions_mr_spark.operators.simsearch import (
-        assign_top2_cells,
-        train_ivf_centroids,
-    )
-
+    the cell carrying NARROW rows only — (cell, vec_id), never the
+    embedding arrays (r6 fix: the old plan deduped pairs via a
+    groupBy that shuffled two 64-float arrays per candidate, ~30x
+    the bytes; sf1 measured 391s -> this shape is the same join-back
+    pattern dedup_embedding_cosine uses).  Candidates dedupe as bare
+    id-pairs, embeddings join back by id for the one exact cosine per
+    pair (broadcast here — vector table is node-count-sized; at
+    100 TB swap the hint for an id-keyed shuffle join, same plan
+    otherwise).  The audit is a 1%-sampled self-join.  See
+    _SEMDEDUP_K for the production k guidance."""
     e = t(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(e, k=_SEMDEDUP_K, seed=42)
-    cells = assign_top2_cells(e, cents).select("cell", "vec_id", "embedding")
-    a, b = cells.alias("a"), cells.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .groupBy(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .agg(F.first("a.embedding").alias("ea"), F.first("b.embedding").alias("eb"))
-        .select("vec_a", "vec_b", _cosine_col(F.col("ea"), F.col("eb")).alias("cos"))
-        .filter(F.col("cos") >= _SEM_COS_T)
-    )
+    pairs, n_centroids = _cell_blocked_pairs(e, k=_SEMDEDUP_K, threshold=_SEM_COS_T)
     pairs = supersede_checkpoint("semdedup_pairs", pairs.localCheckpoint())
     # Sampled-recall audit: brute-force pairs among the 10% hash sample.
     s = e.filter(F.col("vec_id") % 10 == 0)
@@ -1273,7 +1307,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _SEM_COS_T)
     )
     found_in_audit = audit.join(pairs.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi")
-    n_cells = F.lit(len(cents))
+    n_cells = F.lit(n_centroids)
     return (
         pairs.agg((F.count("*") > 0).alias("pairs_nonzero"))
         .crossJoin(
@@ -1341,15 +1375,10 @@ def semdedup_planted_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall bound: a value-level driver check of the scale regime the
     k=_SEMDEDUP_K demo entry can't certify.
 
-    Scale shape matches semdedup_cells: assignment is a projection,
-    the pair join shuffles on the cell, candidates are
-    sum-of-cell-size^2.  k adapts to the sample so the tiny sf0.001
-    corpus still trains (k_eff <= n/2, >= 2)."""
-    from instructions_mr_spark.operators.simsearch import (
-        assign_top2_cells,
-        train_ivf_centroids,
-    )
-
+    Scale shape matches semdedup_cells (shared _cell_blocked_pairs
+    kernel: narrow cell join, id-pair dedupe, embeddings join back).
+    k adapts to the sample so the tiny sf0.001 corpus still trains
+    (k_eff <= n/2, >= 2)."""
     e = t(spark, sf_dir, "embeddings")
     s = e.filter(F.col("vec_id") % 17 == 0).select("vec_id", "embedding")
     corpus = s.unionByName(
@@ -1357,23 +1386,10 @@ def semdedup_planted_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = corpus.count()  # bounded: 2/17ths of the embeddings table
     k_eff = max(2, min(_SEMDEDUP_K32, n // 2))
-    cents = train_ivf_centroids(corpus, k=k_eff, seed=42)
-    cells = assign_top2_cells(corpus, cents).select("cell", "vec_id", "embedding")
-    a, b = cells.alias("a"), cells.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .groupBy(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .agg(F.first("a.embedding").alias("ea"), F.first("b.embedding").alias("eb"))
-        .select("vec_a", "vec_b", _cosine_col(F.col("ea"), F.col("eb")).alias("cosine"))
-        .filter(F.col("cosine") >= _SEMDEDUP_HI_T)
-        .orderBy("vec_a", "vec_b")
-    )
+    pairs, _ = _cell_blocked_pairs(corpus, k=k_eff, threshold=_SEMDEDUP_HI_T)
+    return pairs.select(
+        "vec_a", "vec_b", F.col("cos").alias("cosine")
+    ).orderBy("vec_a", "vec_b")
 
 
 @query(
