@@ -158,6 +158,10 @@ def test_driver_window_ordering():
     window = registry.DRIVER_WINDOW
     missing = [n for n in window if n not in registry.QUERIES]
     assert not missing, f"DRIVER_WINDOW names not registered: {missing}"
+    # the driver checks exactly the first 50 entries (r5 evidence: all
+    # 50 window names landed in CORRECTNESS_r05.json) — a shorter list
+    # wastes checked slots, a longer one silently truncates
+    assert len(window) == 50, len(window)
     assert names[: len(window)] == window
     # oracle dict must be reordered in lockstep (driver zips them)
     assert list(registry.ORACLES)[: len(window)] == [
