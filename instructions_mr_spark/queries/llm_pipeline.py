@@ -1187,15 +1187,20 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_COS_T = 0.4  # pair threshold (matches dedup_embedding_cosine)
 
-# Cell count for the demo-scale SemDeDup entry.  This is the prune
-# dial: production SemDeDup runs k ~ n/10k cells with a 0.95+
-# threshold (near-identical vectors land in the same cell at ANY k);
-# the demo corpus' UNIFORM random vectors only have moderate-cosine
-# pairs — the worst case for cell blocking — so the demo keeps k
-# small.  The high-threshold/k=32 scale regime has its own oracled
-# entry below (semdedup_planted_k32) plus the planted-duplicate
-# recall test in tests/test_simsearch.py.
+# SemDeDup cell dial: k_eff = max(_SEMDEDUP_K, n // _SEMDEDUP_CELL_TARGET)
+# holds the EXPECTED CELL SIZE constant (~_SEMDEDUP_CELL_TARGET vectors,
+# 2x that after top-2 multi-assignment), which makes the cell-blocked
+# candidate count LINEAR in n — the production SemDeDup scaling (k ~
+# n/10k at 0.95+ thresholds; the demo target is smaller so the tiny
+# driver corpus still exercises multi-cell blocking).  Measured at sf1
+# (20k vectors, 0.4 threshold — the worst case for cell blocking):
+# k=8 recall 0.990 @ 100s, k=40 recall 0.959 @ 45s — the bound in
+# recall_ok (>= 0.5) holds with 2x headroom while the quadratic
+# fixed-k cost path disappears.  The high-threshold/k=32 regime has
+# its own oracled entry below (semdedup_planted_k32) plus the
+# planted-duplicate recall test in tests/test_simsearch.py.
 _SEMDEDUP_K = 8
+_SEMDEDUP_CELL_TARGET = 500
 
 
 def _cell_blocked_pairs(e, k: int, threshold: float):
@@ -1256,7 +1261,9 @@ def _cell_blocked_pairs(e, k: int, threshold: float):
       FROM s ea JOIN s eb ON ea.vec_id < eb.vec_id
       WHERE {_PAIR_DOT} >= {_SEM_COS_T}
     )
-    SELECT {_SEMDEDUP_K} AS n_cells,
+    SELECT CAST(GREATEST({_SEMDEDUP_K},
+             (SELECT COUNT(*) FROM embeddings) // {_SEMDEDUP_CELL_TARGET})
+             AS BIGINT) AS n_cells,
            CAST(COUNT(*) AS BIGINT) AS n_audit_pairs,
            CAST(COALESCE(SUM(vec_a * 1000003 + vec_b), 0) AS BIGINT)
              AS audit_checksum,
@@ -1267,9 +1274,10 @@ def _cell_blocked_pairs(e, k: int, threshold: float):
 )
 def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): block the
-    O(n^2) pair space with k-means cells (k=_SEMDEDUP_K, top-2
-    multi-assignment so boundary-straddling pairs still share a
-    block), exact cosine within blocks, drop any vector with a
+    O(n^2) pair space with k-means cells (k adaptive — constant cell
+    size, see _SEMDEDUP_CELL_TARGET — so candidates scale LINEARLY in
+    n), top-2 multi-assignment so boundary-straddling pairs still
+    share a block, exact cosine within blocks, drop any vector with a
     lower-id neighbor above the threshold.  Centroids aren't
     SQL-expressible, so the driver-checked contract has two parts:
     VALUE-BEARING — the sampled brute-force audit (all pairs among
@@ -1292,7 +1300,9 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise).  The audit is a 1%-sampled self-join.  See
     _SEMDEDUP_K for the production k guidance."""
     e = t(spark, sf_dir, "embeddings")
-    pairs, n_centroids = _cell_blocked_pairs(e, k=_SEMDEDUP_K, threshold=_SEM_COS_T)
+    n = e.count()  # bounded scalar agg (the k dial needs corpus size)
+    k_eff = max(_SEMDEDUP_K, n // _SEMDEDUP_CELL_TARGET)
+    pairs, n_centroids = _cell_blocked_pairs(e, k=k_eff, threshold=_SEM_COS_T)
     pairs = supersede_checkpoint("semdedup_pairs", pairs.localCheckpoint())
     # Sampled-recall audit: brute-force pairs among the 10% hash sample.
     s = e.filter(F.col("vec_id") % 10 == 0)
@@ -1307,7 +1317,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _SEM_COS_T)
     )
     found_in_audit = audit.join(pairs.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi")
-    n_cells = F.lit(n_centroids)
+    n_cells = F.lit(n_centroids).cast("bigint")
     return (
         pairs.agg((F.count("*") > 0).alias("pairs_nonzero"))
         .crossJoin(
