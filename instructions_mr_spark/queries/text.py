@@ -886,6 +886,127 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_span_cut",
+    oracle="""
+    WITH toked AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i : i + 7], ' ') AS g
+      FROM toked,
+           LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
+      WHERE len(toks) >= 8
+    ), rep AS (
+      SELECT g FROM pos GROUP BY g HAVING COUNT(*) > 1
+    ), spans AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL OR pos > LAG(pos) OVER w + 7
+                  THEN 1 ELSE 0 END AS new_island
+      FROM pos SEMI JOIN rep USING (g)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM spans
+    ), ranges AS (
+      SELECT doc_id, island, MIN(pos) AS min_p, MAX(pos) + 7 AS max_p
+      FROM islands GROUP BY doc_id, island
+    ), covered AS (
+      SELECT doc_id, unnest(generate_series(min_p, max_p)) AS idx FROM ranges
+    ), toks_i AS (
+      SELECT doc_id, i AS idx, toks[i] AS tok
+      FROM toked, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+    ), kept AS (
+      SELECT t.doc_id, t.idx, t.tok
+      FROM toks_i t ANTI JOIN covered c USING (doc_id, idx)
+    ), agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY idx) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           md5(COALESCE(a.cleaned, '')) AS kept_md5
+    FROM toked t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+)
+def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring CUT — the corpus-producing half of
+    dedup_span_coverage (Lee et al. 2021 substring dedup, cut-all
+    policy): remove every token covered by a repeated 8-gram island
+    and reassemble the document in order.  Coverage is the
+    diagnostic; this emits the cleaned corpus (here its digest, so
+    the checked rows stay narrow while certifying the full
+    reassembled text byte-for-byte).
+
+    Cut-ALL policy (both copies removed), i.e. boilerplate removal —
+    the keep-first-occurrence variant adds a global first-occurrence
+    election per gram (dedup_paragraph's argmin shape) on the same
+    plan.
+
+    Scale shape: identical front half to dedup_span_coverage (in-row
+    gram build, ONE gram-keyed aggregate, gaps-and-islands on one
+    doc_id exchange); the cut is an anti join of (doc, token_idx)
+    rows against exploded island ranges, and reassembly is the
+    dedup_paragraph pattern — sort_array(collect_list(struct)) under
+    one doc_id aggregate, no window over bodies."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split("text", " ").alias("toks"))
+    long_enough = toked.filter(F.size("toks") >= 8)
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 7),
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice("toks", i, 8), " ").alias("g")
+        ),
+    )
+    pos = long_enough.select("doc_id", F.explode(gram_arr).alias("p")).select(
+        "doc_id", F.col("p.pos").alias("pos"), F.col("p.g").alias("g")
+    )
+    rep = pos.groupBy("g").count().filter(F.col("count") > 1).select("g")
+    hits = pos.join(rep, "g", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    spans = hits.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + 7),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w))
+    covered = (
+        spans.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("min_p"), (F.max("pos") + 7).alias("max_p"))
+        .select(
+            "doc_id", F.explode(F.sequence("min_p", "max_p")).alias("idx")
+        )
+    )
+    toks_i = toked.select(
+        "doc_id", F.posexplode("toks").alias("idx0", "tok")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "tok")
+    kept = toks_i.join(covered, ["doc_id", "idx"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return toked.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.md5(F.coalesce(F.col("cleaned"), F.lit("")).cast("binary")).alias(
+            "kept_md5"
+        ),
+    )
+
+
+@query(
     "quality_unigram_logprob",
     oracle="""
     WITH words AS (
