@@ -370,6 +370,122 @@ def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {_minhash_cols_duck()} FROM ({_DUCK_SHINGLE_DOCS})
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band,
+             mh0 || '_' || mh1 || '_' || mh2 || '_' || mh3 || '_' || mh4 || '_' || mh5 AS key
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band,
+             mh6 || '_' || mh7 || '_' || mh8 || '_' || mh9 || '_' || mh10 || '_' || mh11 AS key
+      FROM sigs
+    ),
+    sides AS (
+      SELECT doc_id, {_duck_h32('doc_id', 13)} % 100 AS b FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS test_doc, t.doc_id AS train_doc
+      FROM bands a
+      JOIN sides sa ON a.doc_id = sa.doc_id AND sa.b >= 90
+      JOIN bands t ON a.band = t.band AND a.key = t.key
+      JOIN sides st ON t.doc_id = st.doc_id AND st.b < 80
+    ),
+    leaked AS (
+      SELECT DISTINCT test_doc FROM (
+        SELECT cand.test_doc,
+               ROUND(CAST(len(list_intersect(wa.shingles, wb.shingles)) AS DOUBLE)
+                     / len(list_distinct(wa.shingles || wb.shingles)), 6) AS j
+        FROM cand
+        JOIN ({_DUCK_SHINGLE_DOCS}) wa ON cand.test_doc = wa.doc_id
+        JOIN ({_DUCK_SHINGLE_DOCS}) wb ON cand.train_doc = wb.doc_id
+      ) WHERE j >= {_LSH_THRESHOLD}
+    ),
+    test_docs AS (
+      SELECT d.doc_id, d.source FROM documents d
+      JOIN sides s ON d.doc_id = s.doc_id WHERE s.b >= 90
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(COUNT(l.test_doc) AS BIGINT) AS n_leaked,
+           ROUND(CAST(COUNT(l.test_doc) AS DOUBLE) / COUNT(*), 6) AS leak_rate
+    FROM test_docs t LEFT JOIN leaked l ON t.doc_id = l.test_doc
+    GROUP BY t.source
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split LEAKAGE audit — the eval-integrity check every
+    training pipeline needs and external-benchmark decontamination
+    (contamination_check/_minhash) doesn't cover: a near-duplicate of
+    a TEST document sitting in the TRAIN split silently inflates eval
+    scores.  Splits are the same deterministic hash rule as
+    split_train_test (h32(doc_id) % 100: train < 80, test >= 90);
+    near-dup detection is the same MinHash band machinery as
+    dedup_minhash_lsh (band equi-join between the test and train
+    sides only, exact shingle-Jaccard verify at the same threshold).
+    Output: per-source test-doc count, leaked count, leak rate.
+
+    Scale shape: one staged signature pass (shared with the LSH
+    entries via the lsh_sigs checkpoint); the cross-split candidate
+    join is band-keyed with the test side naturally tiny (10% of
+    docs); only candidates pay the verify.  At 100 TB this runs as a
+    nightly gate before an eval freeze."""
+    bands = _lsh_band_rows(spark, sf_dir)
+    b_expr = F.expr(f"{_spark_h32('doc_id', 13)} % 100")
+    test_b = bands.withColumn("b", b_expr).filter(F.col("b") >= 90).alias("a")
+    train_b = bands.withColumn("b", b_expr).filter(F.col("b") < 80).alias("t")
+    cand = (
+        test_b.join(
+            train_b,
+            (F.col("a.band") == F.col("t.band"))
+            & (F.col("a.key") == F.col("t.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("test_doc"),
+            F.col("t.doc_id").alias("train_doc"),
+            F.col("a.shingles").alias("ws_a"),
+            F.col("t.shingles").alias("ws_b"),
+        )
+    )
+    verified = (
+        cand.groupBy("test_doc", "train_doc")
+        .agg(F.first("ws_a").alias("ws_a"), F.first("ws_b").alias("ws_b"))
+        .select(
+            "test_doc",
+            F.round(
+                F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+                / F.size(F.array_union("ws_a", "ws_b")),
+                6,
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= _LSH_THRESHOLD)
+    )
+    leaked = (
+        verified.select("test_doc").distinct().withColumn("leaked", F.lit(True))
+    )
+    docs = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", f"{_spark_h32('doc_id', 13)} % 100 AS b"
+    )
+    test_docs = docs.filter(F.col("b") >= 90)
+    return (
+        test_docs.join(
+            leaked, test_docs.doc_id == leaked.test_doc, "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count("leaked").alias("n_leaked"),
+            F.round(
+                F.count("leaked").cast("double") / F.count(F.lit(1)), 6
+            ).alias("leak_rate"),
+        )
+    )
+
+
 def _verify_lsh_pairs(pairs: DataFrame) -> DataFrame:
     """Pair dedup (a pair can collide in both bands) + exact word-set
     Jaccard verify + threshold filter — only candidates pay this."""
