@@ -63,6 +63,19 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     a, b = normalize(a), normalize(b)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # int-vs-float dtype split: values can be numerically equal and
+        # still driver-hash-mismatch (int64 vs float64 — the r5
+        # mixture_weights red row, caused by DuckDB HUGEINT landing in
+        # pandas as float64).  The float-tolerance branch below would
+        # mask it, so fail it explicitly here.
+        if pd.api.types.is_integer_dtype(av) != pd.api.types.is_integer_dtype(bv) and (
+            pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv)
+        ):
+            problems.append(
+                f"col {c}: dtype split spark={av.dtype} duckdb={bv.dtype} "
+                "(driver hash WILL mismatch even on equal values)"
+            )
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             aa = av.astype(float).to_numpy()
             bb = bv.astype(float).to_numpy()
