@@ -37,11 +37,21 @@ TRACKING_PARAM_RE = "^(utm_[a-z0-9_]+|ref|fbclid|gclid)="
 
 
 def _stripped(url: Column | str) -> Column:
-    """fragment dropped, lowercased, scheme and www. removed."""
+    """fragment dropped, lowercased, scheme / userinfo / port / www.
+    removed.
+
+    Userinfo is everything up to an ``@`` inside the authority (the
+    char class cannot cross ``/``/``?``/``#``, so a path ``@`` is
+    untouched); the port is a trailing ``:digits`` run on the first
+    segment (no lookahead — RE2 on the DuckDB twin has none — so a
+    malformed ``:80ab`` loses only the digit run).
+    """
     u = F.col(url) if isinstance(url, str) else url
     u = F.regexp_replace(u, "#.*$", "")
     u = F.lower(u)
     u = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, "^[^/?#]*@", "")
+    u = F.regexp_replace(u, "^([^/:?#]*):[0-9]+", "$1")
     return F.regexp_replace(u, r"^www\.", "")
 
 
@@ -76,5 +86,11 @@ def registrable_domain(url: Column | str) -> Column:
     """Last-two-label domain heuristic (``example.com`` from
     ``a.b.example.com``).  A production pipeline swaps in the public-
     suffix list (a broadcast lookup table — same plan shape); the
-    two-label form is the standard demo approximation."""
-    return F.regexp_extract(url_host(url), r"[^.]+\.[^.]+$", 0)
+    two-label form is the standard demo approximation.
+
+    Single-label hosts (``localhost``, bare IPv4 is still dotted so it
+    matches) fall back to the host itself instead of collapsing into
+    one empty-string phantom domain."""
+    host = url_host(url)
+    dom = F.regexp_extract(host, r"[^.]+\.[^.]+$", 0)
+    return F.when(dom == "", host).otherwise(dom)

@@ -26,6 +26,23 @@ DEC_BAL = "CAST(c_acctbal AS DECIMAL(12,2))"
 DEC_VALUE = "CAST(value AS DECIMAL(12,2))"
 
 
+def spark_h60(expr: str, seed: int) -> str:
+    """Portable 60-bit digest fragment (Spark SQL side): first 15 hex
+    chars of md5 — fits a signed BIGINT with headroom, and byte-
+    identical to :func:`duck_h60`, so a digest used as a GROUP BY /
+    join key produces the same buckets on both engines (the 32-bit
+    twin in queries/llm_pipeline.py birthday-collides past ~100k keys;
+    use THIS one for gram/url-cardinality keys)."""
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CAST({expr} || '#{seed}' AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def duck_h60(expr: str, seed: int) -> str:
+    """DuckDB twin of :func:`spark_h60` (same bytes, same value)."""
+    return f"('0x' || substr(md5({expr} || '#{seed}'), 1, 15))::BIGINT"
+
+
 def sum_d(fragment: str, alias: str) -> str:
     return f"CAST(SUM({fragment}) AS DOUBLE) AS {alias}"
 

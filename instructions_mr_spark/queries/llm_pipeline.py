@@ -319,11 +319,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_lsh_pairs(_lsh_candidate_pairs(_lsh_band_rows(spark, sf_dir)))
 
 
-def _lsh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signature projection + band explode: (doc_id, shingles, band,
-    key) rows, the shared front half of the unsalted and salted LSH
-    paths.  Shingles ride along so the verify stage needs no join
-    back to the shingle table."""
+def _lsh_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged signature table: (doc_id, shingles, mh0..mh{k-1}),
+    materialized ONCE (localCheckpoint) so self-joins don't duplicate
+    the digest pass — at 100 TB this is "persist the signature
+    table"."""
     docs = (
         t(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -338,19 +338,35 @@ def _lsh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_MINHASH_K)
         ],
     )
-    sigs = supersede_checkpoint("lsh_sigs", sigs.localCheckpoint())
+    return supersede_checkpoint("lsh_sigs", sigs.localCheckpoint())
+
+
+def _band_rows(sigs: DataFrame, with_shingles: bool) -> DataFrame:
+    """Band explode over a staged signature table.  ``with_shingles``
+    lets the verify stage skip a join back; pass False whenever the
+    band rows feed a pair-generating join (never ship arrays through
+    a candidate exchange — the SemDeDup 4.2× lesson)."""
+    extra = ["shingles"] if with_shingles else []
     r = _MINHASH_K // 2
     bands = None
     for band in range(2):
         cols = [f"mh{r * band + j}" for j in range(r)]
         b = sigs.select(
             "doc_id",
-            "shingles",
+            *extra,
             F.lit(band).alias("band"),
             F.concat_ws("_", *cols).alias("key"),
         )
         bands = b if bands is None else bands.unionByName(b)
     return bands
+
+
+def _lsh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature projection + band explode: (doc_id, shingles, band,
+    key) rows, the shared front half of the unsalted and salted LSH
+    paths.  Shingles ride along so the verify stage needs no join
+    back to the shingle table."""
+    return _band_rows(_lsh_sigs(spark, sf_dir), with_shingles=True)
 
 
 def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
@@ -396,14 +412,12 @@ def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
       JOIN sides st ON t.doc_id = st.doc_id AND st.b < 80
     ),
     leaked AS (
-      SELECT DISTINCT test_doc FROM (
-        SELECT cand.test_doc,
-               ROUND(CAST(len(list_intersect(wa.shingles, wb.shingles)) AS DOUBLE)
-                     / len(list_distinct(wa.shingles || wb.shingles)), 6) AS j
-        FROM cand
-        JOIN ({_DUCK_SHINGLE_DOCS}) wa ON cand.test_doc = wa.doc_id
-        JOIN ({_DUCK_SHINGLE_DOCS}) wb ON cand.train_doc = wb.doc_id
-      ) WHERE j >= {_LSH_THRESHOLD}
+      SELECT DISTINCT cand.test_doc
+      FROM cand
+      JOIN ({_DUCK_SHINGLE_DOCS}) wa ON cand.test_doc = wa.doc_id
+      JOIN ({_DUCK_SHINGLE_DOCS}) wb ON cand.train_doc = wb.doc_id
+      WHERE 2 * len(list_intersect(wa.shingles, wb.shingles))
+            >= len(list_distinct(wa.shingles || wb.shingles))
     ),
     test_docs AS (
       SELECT d.doc_id, d.source FROM documents d
@@ -412,7 +426,7 @@ def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     SELECT t.source,
            CAST(COUNT(*) AS BIGINT) AS n_test,
            CAST(COUNT(l.test_doc) AS BIGINT) AS n_leaked,
-           ROUND(CAST(COUNT(l.test_doc) AS DOUBLE) / COUNT(*), 6) AS leak_rate
+           CAST(COUNT(l.test_doc) AS DOUBLE) / COUNT(*) AS leak_rate
     FROM test_docs t LEFT JOIN leaked l ON t.doc_id = l.test_doc
     GROUP BY t.source
     """,
@@ -426,46 +440,45 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_train_test (h32(doc_id) % 100: train < 80, test >= 90);
     near-dup detection is the same MinHash band machinery as
     dedup_minhash_lsh (band equi-join between the test and train
-    sides only, exact shingle-Jaccard verify at the same threshold).
-    Output: per-source test-doc count, leaked count, leak rate.
+    sides only, exact shingle-Jaccard verify at the same threshold —
+    compared integer-exactly as 2·|∩| >= |∪|, no float round).
+    Output: per-source test-doc count, leaked count, leak rate
+    (emitted UNROUNDED — one IEEE division of two exact BIGINTs is
+    bit-identical cross-engine; ROUND(double) ties are not).
 
     Scale shape: one staged signature pass (shared with the LSH
     entries via the lsh_sigs checkpoint); the cross-split candidate
-    join is band-keyed with the test side naturally tiny (10% of
-    docs); only candidates pay the verify.  At 100 TB this runs as a
-    nightly gate before an eval freeze."""
-    bands = _lsh_band_rows(spark, sf_dir)
-    b_expr = F.expr(f"{_spark_h32('doc_id', 13)} % 100")
-    test_b = bands.withColumn("b", b_expr).filter(F.col("b") >= 90).alias("a")
-    train_b = bands.withColumn("b", b_expr).filter(F.col("b") < 80).alias("t")
-    cand = (
-        test_b.join(
-            train_b,
-            (F.col("a.band") == F.col("t.band"))
-            & (F.col("a.key") == F.col("t.key")),
-        )
-        .select(
-            F.col("a.doc_id").alias("test_doc"),
-            F.col("t.doc_id").alias("train_doc"),
-            F.col("a.shingles").alias("ws_a"),
-            F.col("t.shingles").alias("ws_b"),
-        )
-    )
-    verified = (
-        cand.groupBy("test_doc", "train_doc")
-        .agg(F.first("ws_a").alias("ws_a"), F.first("ws_b").alias("ws_b"))
-        .select(
-            "test_doc",
-            F.round(
-                F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-                / F.size(F.array_union("ws_a", "ws_b")),
-                6,
-            ).alias("j"),
-        )
-        .filter(F.col("j") >= _LSH_THRESHOLD)
-    )
+    join is band-keyed and NARROW — (doc_id, band, key) rows only,
+    never shingle arrays (the SemDeDup 4.2× lesson: a
+    boilerplate-heavy bucket fans every pair out per matching band,
+    so arrays on that exchange multiply) — then (test_doc, train_doc)
+    pairs are deduped and shingles join back BY DOC ID (one array per
+    doc on a doc_id exchange, not per candidate pair).  Only
+    candidates pay the verify.  At 100 TB this runs as a nightly gate
+    before an eval freeze."""
+    sigs = _lsh_sigs(spark, sf_dir)
+    cand = _split_leakage_candidates(sigs)
+    sh = sigs.select("doc_id", "shingles")
     leaked = (
-        verified.select("test_doc").distinct().withColumn("leaked", F.lit(True))
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("test_doc"), F.col("shingles").alias("ws_a")
+            ),
+            "test_doc",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("train_doc"), F.col("shingles").alias("ws_b")
+            ),
+            "train_doc",
+        )
+        .filter(
+            2 * F.size(F.array_intersect("ws_a", "ws_b"))
+            >= F.size(F.array_union("ws_a", "ws_b"))
+        )
+        .select("test_doc")
+        .distinct()
+        .withColumn("leaked", F.lit(True))
     )
     docs = t(spark, sf_dir, "documents").selectExpr(
         "doc_id", "source", f"{_spark_h32('doc_id', 13)} % 100 AS b"
@@ -479,10 +492,34 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_test"),
             F.count("leaked").alias("n_leaked"),
-            F.round(
-                F.count("leaked").cast("double") / F.count(F.lit(1)), 6
-            ).alias("leak_rate"),
+            (F.count("leaked").cast("double") / F.count(F.lit(1))).alias(
+                "leak_rate"
+            ),
         )
+    )
+
+
+def _split_leakage_candidates(sigs: DataFrame) -> DataFrame:
+    """Narrow candidate generation for split_leakage_audit: distinct
+    (test_doc, train_doc) pairs from a band equi-join over
+    (doc_id, band, key) rows — NO array columns anywhere in this
+    subtree (tests/test_plans.py asserts the band exchange carries
+    none)."""
+    bands = _band_rows(sigs, with_shingles=False)
+    b_expr = F.expr(f"{_spark_h32('doc_id', 13)} % 100")
+    test_b = bands.withColumn("b", b_expr).filter(F.col("b") >= 90).alias("a")
+    train_b = bands.withColumn("b", b_expr).filter(F.col("b") < 80).alias("t")
+    return (
+        test_b.join(
+            train_b,
+            (F.col("a.band") == F.col("t.band"))
+            & (F.col("a.key") == F.col("t.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("test_doc"),
+            F.col("t.doc_id").alias("train_doc"),
+        )
+        .distinct()
     )
 
 

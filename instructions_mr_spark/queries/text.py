@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from instructions_mr_spark.queries._util import supersede_checkpoint, t
+from instructions_mr_spark.queries._util import (
+    duck_h60,
+    spark_h60,
+    supersede_checkpoint,
+    t,
+)
 from instructions_mr_spark.registry import query
 
 
@@ -791,13 +796,34 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Span-dedup gram key: the 8-token gram is grouped/joined by its
+# portable 60-bit digest, never the gram TEXT — at 100 TB the gram
+# election exchange carries int64 keys (the docstring advice, now the
+# executed plan; r6 verdict item 5).  Seed 29 on both engines.
+_DUCK_GRAM_H60 = duck_h60("array_to_string(toks[i : i + 7], ' ')", 29)
+
+
+def _spark_gram_h60(g):
+    """Column twin of _DUCK_GRAM_H60 for an already-built gram string
+    (same bytes as queries/_util.spark_h60, Column API so it composes
+    inside F.transform lambdas)."""
+    return (
+        F.conv(
+            F.md5(F.concat(g, F.lit("#29")).cast("binary")).substr(1, 15),
+            16,
+            10,
+        ).cast("bigint")
+    )
+
+
 @query(
     "dedup_span_coverage",
-    oracle="""
+    oracle=f"""
     WITH toked AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), pos AS (
-      SELECT doc_id, i AS pos, array_to_string(toks[i : i + 7], ' ') AS g
+      SELECT doc_id, i AS pos,
+             {_DUCK_GRAM_H60} AS g
       FROM toked,
            LATERAL (SELECT unnest(generate_series(
              1, GREATEST(len(toks) - 7, 0))) AS i) s
@@ -848,7 +874,8 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_arr = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("toks") - 7, F.lit(0))),
         lambda i: F.struct(
-            i.alias("pos"), F.array_join(F.slice("toks", i, 8), " ").alias("g")
+            i.alias("pos"),
+            _spark_gram_h60(F.array_join(F.slice("toks", i, 8), " ")).alias("g"),
         ),
     )
     pos = toked.select("doc_id", F.explode(gram_arr).alias("p")).select(
@@ -887,11 +914,11 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_span_cut",
-    oracle="""
+    oracle=f"""
     WITH toked AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), pos AS (
-      SELECT doc_id, i AS pos, array_to_string(toks[i : i + 7], ' ') AS g
+      SELECT doc_id, i AS pos, {_DUCK_GRAM_H60} AS g
       FROM toked,
            LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
       WHERE len(toks) >= 8
@@ -959,7 +986,8 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_arr = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 7),
         lambda i: F.struct(
-            i.alias("pos"), F.array_join(F.slice("toks", i, 8), " ").alias("g")
+            i.alias("pos"),
+            _spark_gram_h60(F.array_join(F.slice("toks", i, 8), " ")).alias("g"),
         ),
     )
     pos = long_enough.select("doc_id", F.explode(gram_arr).alias("p")).select(

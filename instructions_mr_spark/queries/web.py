@@ -20,7 +20,7 @@ from instructions_mr_spark.operators.urls import (
     registrable_domain,
     url_host,
 )
-from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.queries._util import duck_h60, spark_h60, t
 from instructions_mr_spark.registry import query
 
 # Shared Spark-SQL/DuckDB synthesis fragment (STRING is a valid cast
@@ -51,9 +51,11 @@ _DUCK_NORM_CTES = f"""
     ),
     stripped AS (
       SELECT doc_id, source, lang,
-             regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                lower(regexp_replace(url, '#.*$', '')),
-               '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', '') AS u
+               '^[a-z][a-z0-9+.-]*://', ''),
+               '^[^/?#]*@', ''),
+               '^([^/:?#]*):[0-9]+', '\\1'), '^www\\.', '') AS u
       FROM urls
     ),
     parts AS (
@@ -85,27 +87,31 @@ def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "url_dedup",
     oracle=f"""
     WITH {_DUCK_NORM_CTES}
-    SELECT norm_url,
+    SELECT {duck_h60('norm_url', 17)} AS url_h,
            CAST(COUNT(*) AS BIGINT) AS n_dups,
            MIN(doc_id) AS kept_doc_id
-    FROM norm GROUP BY norm_url
+    FROM norm GROUP BY 1
     """,
 )
 def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup: canonicalize every document's URL
-    (operators/urls.py policy: fragment/scheme/www/tracking-params/
-    trailing-slash dropped, params sorted, lowercased) and keep the
-    lowest doc_id per canonical URL — the fetch-dedup pass a crawled
-    corpus runs before any content-based dedup.
+    (operators/urls.py policy: fragment/scheme/userinfo/port/www/
+    tracking-params/trailing-slash dropped, params sorted,
+    lowercased) and keep the lowest doc_id per canonical-URL DIGEST —
+    the fetch-dedup pass a crawled corpus runs before any
+    content-based dedup.
 
     Scale shape: normalization is a scan projection (regexp + in-row
-    array ops, WholeStageCodegen); the group-by shuffles only
-    (norm_url, doc_id) — at 100 TB, hash norm_url to a 64-bit digest
-    first so the exchange carries 16 bytes/row, same plan."""
+    array ops, WholeStageCodegen); the group-by keys on the portable
+    60-bit digest of the canonical URL, so the exchange carries
+    (int64, int64) rows — never the URL strings.  Inspecting a dup
+    group's actual URL is a join back by url_h on the tiny flagged
+    subset."""
     u = _synth_urls(spark, sf_dir)
     return (
         u.select("doc_id", normalize_url("url").alias("norm_url"))
-        .groupBy("norm_url")
+        .select("doc_id", F.expr(spark_h60("norm_url", 17)).alias("url_h"))
+        .groupBy("url_h")
         .agg(
             F.count("*").alias("n_dups"),
             F.min("doc_id").alias("kept_doc_id"),
@@ -116,27 +122,36 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "domain_stats",
     oracle=f"""
-    WITH {_DUCK_NORM_CTES}
-    SELECT regexp_extract(split_part(split_part(u, '/', 1), '?', 1),
-                          '[^.]+\\.[^.]+$') AS domain,
+    WITH {_DUCK_NORM_CTES},
+    hosted AS (
+      SELECT doc_id, norm_url,
+             split_part(split_part(u, '/', 1), '?', 1) AS host
+      FROM norm
+    )
+    SELECT COALESCE(NULLIF(regexp_extract(host, '[^.]+\\.[^.]+$'), ''), host)
+             AS domain,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(DISTINCT split_part(split_part(u, '/', 1), '?', 1))
-                AS BIGINT) AS n_hosts,
-           CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_unique_urls,
-           ROUND(1.0 - CAST(COUNT(DISTINCT norm_url) AS DOUBLE) / COUNT(*), 6)
-             AS dup_rate
-    FROM norm GROUP BY 1
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(COUNT(DISTINCT {duck_h60('norm_url', 17)}) AS BIGINT)
+             AS n_unique_urls,
+           CAST(COUNT(*) - COUNT(DISTINCT {duck_h60('norm_url', 17)}) AS BIGINT)
+             AS n_dup_urls
+    FROM hosted GROUP BY 1
     """,
 )
 def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level crawl report: per registrable domain (last-two-
-    label heuristic; swap in the public-suffix list via a broadcast
-    table at production), document count, distinct hosts, distinct
-    canonical URLs, and the URL-duplication rate — the signal that
-    drives per-domain fetch budgets and mirror blacklisting.
+    label heuristic with single-label fallback; swap in the public-
+    suffix list via a broadcast table at production), document count,
+    distinct hosts, distinct canonical URLs, and the duplicate-URL
+    count — the signal that drives per-domain fetch budgets and
+    mirror blacklisting.  (Duplication is emitted as the exact integer
+    pair n_unique_urls/n_dup_urls, never a rounded rate — cross-engine
+    ROUND(double) ties are the one thing that red-rows a float hash.)
 
     Scale shape: one projection + one domain-keyed aggregate; the
-    distinct-URL count re-keys inside the aggregate (Spark plans
+    distinct-URL count keys on the 60-bit digest (int64, not the URL
+    string) and re-keys inside the aggregate (Spark plans
     count-distinct as a two-phase expand — still one exchange on the
     domain key)."""
     u = _synth_urls(spark, sf_dir)
@@ -146,15 +161,16 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             url_host("url").alias("host"),
             normalize_url("url").alias("norm_url"),
         )
+        .select(
+            "domain",
+            "host",
+            F.expr(spark_h60("norm_url", 17)).alias("url_h"),
+        )
         .groupBy("domain")
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("host").alias("n_hosts"),
-            F.countDistinct("norm_url").alias("n_unique_urls"),
-            F.round(
-                F.lit(1.0)
-                - F.countDistinct("norm_url").cast("double") / F.count("*"),
-                6,
-            ).alias("dup_rate"),
+            F.countDistinct("url_h").alias("n_unique_urls"),
+            (F.count("*") - F.countDistinct("url_h")).alias("n_dup_urls"),
         )
     )

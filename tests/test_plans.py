@@ -204,3 +204,26 @@ def test_zscore_single_exchange_two_windows(spark, sf_dir):
     """avg and stddev must share the one group-key exchange."""
     plan = _plan(registry.QUERIES["zscore_by_group"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_split_leakage_band_exchange_is_narrow(spark, sf_dir):
+    """The leakage audit's band-keyed candidate exchanges must carry
+    NO array columns (r6 verdict: shingle arrays riding a band
+    exchange multiply per matching band — the SemDeDup 4.2× shuffle
+    shape).  Formatted explain lists each Exchange's Input columns;
+    every exchange keyed on the band key must be array-free."""
+    df = registry.QUERIES["split_leakage_audit"](spark, sf_dir)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # split into per-node sections; Exchange sections carrying the
+    # band/key pair must not list shingles among their inputs
+    sections = formatted.split("\n\n")
+    band_exchanges = [
+        s for s in sections
+        if s.lstrip().startswith("(") and "Exchange" in s.splitlines()[0]
+        and "band" in s and "key" in s
+    ]
+    assert band_exchanges, "expected at least one band-keyed exchange"
+    for s in band_exchanges:
+        assert "shingles" not in s, s

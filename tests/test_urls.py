@@ -32,6 +32,17 @@ CASES = [
      "example.com"),
     ("https://example.com/p?id=1&id=1", "example.com/p?id=1&id=1",
      "example.com", "example.com"),
+    # single-label host: domain falls back to the host (no phantom '')
+    ("http://localhost:8080/health", "localhost/health",
+     "localhost", "localhost"),
+    # IPv4 host: port stripped, last-two-label heuristic yields the
+    # trailing octet pair (documented approximation, not '')
+    ("http://10.0.0.1:9200/_cat", "10.0.0.1/_cat", "10.0.0.1", "0.1"),
+    # userinfo stripped; path '@' untouched
+    ("https://user:pw@Example.com:443/a?id=2", "example.com/a?id=2",
+     "example.com", "example.com"),
+    ("https://example.com/docs/@v2/page", "example.com/docs/@v2/page",
+     "example.com", "example.com"),
 ]
 
 # Must stay byte-identical to queries/web.py:_DUCK_NORM_CTES (minus
@@ -39,9 +50,11 @@ CASES = [
 _DUCK_NORM = """
     WITH stripped AS (
       SELECT raw,
-             regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                lower(regexp_replace(raw, '#.*$', '')),
-               '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', '') AS u
+               '^[a-z][a-z0-9+.-]*://', ''),
+               '^[^/?#]*@', ''),
+               '^([^/:?#]*):[0-9]+', '\\1'), '^www\\.', '') AS u
       FROM urls
     ),
     parts AS (
@@ -53,8 +66,10 @@ _DUCK_NORM = """
     SELECT raw,
            path || CASE WHEN qn != '' THEN '?' || qn ELSE '' END AS norm_url,
            split_part(split_part(u, '/', 1), '?', 1) AS host,
-           regexp_extract(split_part(split_part(u, '/', 1), '?', 1),
-                          '[^.]+\\.[^.]+$') AS domain
+           COALESCE(NULLIF(regexp_extract(
+               split_part(split_part(u, '/', 1), '?', 1),
+               '[^.]+\\.[^.]+$'), ''),
+             split_part(split_part(u, '/', 1), '?', 1)) AS domain
     FROM (
       SELECT *,
              array_to_string(list_sort(list_filter(string_split(qs, '&'),
