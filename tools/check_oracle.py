@@ -110,9 +110,15 @@ def main() -> int:
     spark = get_spark("check_oracle")
     con = duck_con(sf_dir)
     n_fail = 0
+    from instructions_mr_spark.queries._util import free_staged_checkpoints
+
     for name, fn in registry.QUERIES.items():
         if only and name not in only:
             continue
+        # previous query's result is fully consumed (toPandas) — release
+        # its staged localCheckpoints so a full sweep doesn't pin one
+        # block set per staged table for the whole session (r6 advice)
+        free_staged_checkpoints()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
