@@ -82,6 +82,79 @@ def url_host(url: Column | str) -> Column:
     return F.split_part(F.split_part(u, F.lit("/"), F.lit(1)), F.lit("?"), F.lit(1))
 
 
+# Demo slice of the public-suffix list (publicsuffix.org is the
+# public source; a production table swaps the full ~9k-rule list in —
+# same broadcast-join plan).  Single-label entries are the implicit
+# default rule; multi-label entries are where the PSL beats the
+# two-label heuristic (``a.co.uk`` -> ``a.co.uk``, not ``co.uk``).
+PUBLIC_SUFFIXES_DEMO: list[str] = [
+    "com", "org", "net", "io", "dev", "uk", "au", "jp",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "github.io", "blogspot.com",
+]
+
+
+def public_suffix_table(spark) -> "DataFrame":  # noqa: F821
+    """The PSL as a (suffix, slen) DataFrame — tiny, always broadcast.
+    ``slen`` is the suffix's label count (match length for the
+    longest-match election)."""
+    rows = [(s, s.count(".") + 1) for s in PUBLIC_SUFFIXES_DEMO]
+    return spark.createDataFrame(rows, "suffix string, slen int")
+
+
+def registrable_domain_psl(hosts, spark):
+    """Public-suffix-list registrable domain: per host, the LONGEST
+    listed suffix wins and the registrable domain is that suffix plus
+    one preceding label; unlisted suffixes fall back to the default
+    single-label rule (= the two-label heuristic), and a host that IS
+    a suffix (or single-label) falls back to itself.
+
+    ``hosts`` must carry (doc_id, host).  Returns (doc_id, host,
+    domain).
+
+    Shape: candidate suffixes (the host's last 1..3 labels) explode
+    in-row — bounded fan-out of 3 — then a BROADCAST join against the
+    suffix table and a (doc_id, host)-keyed max.  At 100 TB the PSL
+    is ~9k rows: permanently broadcast-able, so the scan never
+    shuffles to resolve domains."""
+    from pyspark.sql import functions as F  # local: keep module header lean
+
+    labels = F.split("host", r"\.")
+    cands = hosts.select(
+        "doc_id",
+        "host",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            F.size(labels) >= L,
+                            F.array_join(F.slice(labels, -L, L), "."),
+                        )
+                        for L in (1, 2, 3)
+                    ]
+                ),
+                lambda c: c.isNotNull(),
+            )
+        ).alias("cand"),
+    )
+    suf = public_suffix_table(spark)
+    matched = (
+        cands.join(F.broadcast(suf), cands.cand == suf.suffix)
+        .groupBy("doc_id", "host")
+        .agg(F.max("slen").alias("sl"))
+    )
+    out = hosts.join(matched, ["doc_id", "host"], "left")
+    sl = F.coalesce(F.col("sl"), F.lit(1))
+    domain = F.when(
+        F.size(labels) >= sl + 1,
+        F.array_join(F.slice(labels, -(sl + 1), sl + 1), "."),
+    ).otherwise(F.col("host"))
+    return out.select("doc_id", "host", domain.alias("domain"))
+
+
 def registrable_domain(url: Column | str) -> Column:
     """Last-two-label domain heuristic (``example.com`` from
     ``a.b.example.com``).  A production pipeline swaps in the public-

@@ -968,18 +968,25 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembled text byte-for-byte).
 
     Cut-ALL policy (both copies removed), i.e. boilerplate removal —
-    the keep-first-occurrence variant adds a global first-occurrence
-    election per gram (dedup_paragraph's argmin shape) on the same
-    plan.
+    dedup_span_cut_keepfirst is the Lee et al. keep-one variant.
 
     Scale shape: identical front half to dedup_span_coverage (in-row
-    gram build, ONE gram-keyed aggregate, gaps-and-islands on one
-    doc_id exchange); the cut is an anti join of (doc, token_idx)
-    rows against exploded island ranges, and reassembly is the
-    dedup_paragraph pattern — sort_array(collect_list(struct)) under
-    one doc_id aggregate, no window over bodies."""
-    from pyspark.sql import Window as W
+    gram build, ONE gram-keyed aggregate on the 60-bit gram digest,
+    gaps-and-islands on one doc_id exchange); the cut is an anti join
+    of (doc, token_idx) rows against exploded island ranges, and
+    reassembly is the dedup_paragraph pattern —
+    sort_array(collect_list(struct)) under one doc_id aggregate, no
+    window over bodies."""
+    toked, pos = _span_gram_pos(spark, sf_dir)
+    rep = pos.groupBy("g").count().filter(F.col("count") > 1).select("g")
+    hits = pos.join(rep, "g", "left_semi")
+    return _span_cut_from_hits(toked, hits)
 
+
+def _span_gram_pos(spark: SparkSession, sf_dir: str):
+    """Shared front half of the span-cut family: tokenized docs and
+    the exploded (doc_id, pos, gram-digest) table for docs with >= 8
+    tokens."""
     d = t(spark, sf_dir, "documents")
     toked = d.select("doc_id", F.split("text", " ").alias("toks"))
     long_enough = toked.filter(F.size("toks") >= 8)
@@ -993,8 +1000,14 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = long_enough.select("doc_id", F.explode(gram_arr).alias("p")).select(
         "doc_id", F.col("p.pos").alias("pos"), F.col("p.g").alias("g")
     )
-    rep = pos.groupBy("g").count().filter(F.col("count") > 1).select("g")
-    hits = pos.join(rep, "g", "left_semi")
+    return toked, pos
+
+
+def _span_cut_from_hits(toked: DataFrame, hits: DataFrame) -> DataFrame:
+    """Shared back half: (doc_id, pos) hit rows -> gaps-and-islands ->
+    anti-join cut -> in-order reassembly digest."""
+    from pyspark.sql import Window as W
+
     w = W.partitionBy("doc_id").orderBy("pos")
     spans = hits.withColumn(
         "new_island",
@@ -1032,6 +1045,92 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_md5"
         ),
     )
+
+
+# Shared oracle tail for the span-cut family (expects a ``hits`` CTE of
+# (doc_id, pos) duplicate-gram occurrences to cut).
+_DUCK_SPAN_CUT_TAIL = """
+    spans AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER w IS NULL OR pos > LAG(pos) OVER w + 7
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM spans
+    ), ranges AS (
+      SELECT doc_id, island, MIN(pos) AS min_p, MAX(pos) + 7 AS max_p
+      FROM islands GROUP BY doc_id, island
+    ), covered AS (
+      SELECT doc_id, unnest(generate_series(min_p, max_p)) AS idx FROM ranges
+    ), toks_i AS (
+      SELECT doc_id, i AS idx, toks[i] AS tok
+      FROM toked, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+    ), kept AS (
+      SELECT t.doc_id, t.idx, t.tok
+      FROM toks_i t ANTI JOIN covered c USING (doc_id, idx)
+    ), agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY idx) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           md5(COALESCE(a.cleaned, '')) AS kept_md5
+    FROM toked t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
+@query(
+    "dedup_span_cut_keepfirst",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS pos, {_DUCK_GRAM_H60} AS g
+      FROM toked,
+           LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s
+      WHERE len(toks) >= 8
+    ), hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM pos)
+      WHERE rn >= 2
+    ),
+    {_DUCK_SPAN_CUT_TAIL}
+    """,
+)
+def dedup_span_cut_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring cut, KEEP-FIRST-OCCURRENCE policy — the
+    variant Lee et al. 2021 actually ships (one copy of every
+    repeated passage survives): the globally first occurrence of each
+    repeated 8-gram (ordered by doc_id, then position) is kept; every
+    LATER occurrence is cut via the same gaps-and-islands machinery
+    as dedup_span_cut.  Cut-all removes boilerplate entirely;
+    keep-first preserves exactly one copy of genuinely informative
+    repeated text.
+
+    Scale shape: the election is ROW_NUMBER over the gram-digest key
+    (one int64-keyed exchange, the same exchange the cut-all variant
+    spends on its count election — occurrence lists per gram are
+    collision-bucket-sized); everything downstream is the shared
+    narrow cut path (_span_cut_from_hits).  First occurrence is a
+    total order (doc_id, pos) — deterministic on both engines."""
+    from pyspark.sql import Window as W
+
+    toked, pos = _span_gram_pos(spark, sf_dir)
+    wg = W.partitionBy("g").orderBy("doc_id", "pos")
+    hits = (
+        pos.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    return _span_cut_from_hits(toked, hits)
 
 
 @query(

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from instructions_mr_spark.operators.urls import (
+    PUBLIC_SUFFIXES_DEMO,
     normalize_url,
     registrable_domain,
     url_host,
@@ -173,4 +174,97 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("url_h").alias("n_unique_urls"),
             (F.count("*") - F.countDistinct("url_h")).alias("n_dup_urls"),
         )
+    )
+
+
+# PSL-query synthesis: suffix variety is the whole point (a .co.uk /
+# .github.io host is where the PSL beats the two-label heuristic), so
+# this twin-dialect fragment rotates hosts through listed multi-label
+# suffixes, unlisted country suffixes, and bare/single-label hosts.
+_URL_SYNTH_PSL = """
+    'https://'
+    || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN 'edge.' ELSE '' END
+    || source
+    || CASE doc_id % 7 WHEN 0 THEN '.com'
+                       WHEN 1 THEN '.co.uk'
+                       WHEN 2 THEN '.com.au'
+                       WHEN 3 THEN '.github.io'
+                       WHEN 4 THEN '.ac.uk'
+                       WHEN 5 THEN '.org'
+                       ELSE '.co.zz' END
+    || '/' || lang || '/p' || CAST(doc_id % 20 AS STRING)
+"""
+
+_PSL_VALUES = ", ".join(
+    f"('{s}', {s.count('.') + 1})" for s in PUBLIC_SUFFIXES_DEMO
+)
+
+
+@query(
+    "domain_stats_psl",
+    oracle=f"""
+    WITH psl(suffix, slen) AS (VALUES {_PSL_VALUES}),
+    urls AS (
+      SELECT doc_id, ({_URL_SYNTH_PSL}) AS url FROM documents
+    ),
+    hosts AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(url),
+               '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', '') AS u
+      FROM urls
+    ),
+    h AS (
+      SELECT doc_id, split_part(split_part(u, '/', 1), '?', 1) AS host
+      FROM hosts
+    ),
+    cands AS (
+      SELECT doc_id, host, L,
+             array_to_string(string_split(host, '.')[-L:], '.') AS cand
+      FROM h, LATERAL (SELECT unnest([1, 2, 3]) AS L) s
+      WHERE len(string_split(host, '.')) >= L
+    ),
+    matched AS (
+      SELECT c.doc_id, c.host, MAX(p.slen) AS sl
+      FROM cands c JOIN psl p ON c.cand = p.suffix
+      GROUP BY c.doc_id, c.host
+    ),
+    reg AS (
+      SELECT h.doc_id, h.host,
+             CASE WHEN len(string_split(h.host, '.'))
+                       >= COALESCE(m.sl, 1) + 1
+                  THEN array_to_string(
+                    string_split(h.host, '.')[-(COALESCE(m.sl, 1) + 1):], '.')
+                  ELSE h.host END AS domain
+      FROM h LEFT JOIN matched m ON h.doc_id = m.doc_id AND h.host = m.host
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM reg GROUP BY 1
+    """,
+)
+def domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup under the PUBLIC-SUFFIX LIST (the
+    production replacement for the two-label heuristic): per host the
+    longest listed suffix wins and the registrable domain is suffix +
+    one label, so ``docs.blog.co.uk`` rolls up to ``blog.co.uk`` (the
+    heuristic's ``co.uk`` would merge every .co.uk site into one
+    phantom domain).  Suffix match is a BROADCAST join against the
+    (tiny, ~9k-rule in production) suffix table — the scan never
+    shuffles to resolve domains (operators/urls.py
+    registrable_domain_psl; demo PSL slice PUBLIC_SUFFIXES_DEMO).
+
+    Unlisted suffixes (the synthetic ``.co.zz``) fall back to the
+    default single-label rule — publicsuffix.org's own '*' default."""
+    from instructions_mr_spark.operators.urls import registrable_domain_psl
+
+    u = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"({_URL_SYNTH_PSL})").alias("url")
+    )
+    hosts = u.select("doc_id", url_host("url").alias("host"))
+    reg = registrable_domain_psl(hosts, spark)
+    return reg.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
     )

@@ -37,111 +37,146 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Driver-visibility window: the correctness driver oracle-checks exactly the
-# FIRST 50 entries of ``queries()`` in registration order (r5 confirmed all
-# 50 window names landed in CORRECTNESS_r05.json).  The window rotates each
-# round onto never-driver-checked names; everything else keeps registration
-# order after it, with the still-never-checked names ahead of the
-# already-green ones so future rounds can rotate coverage simply by editing
-# this list.  Round-6 rotation: the 12 HUGEINT-cast-fixed oracles (incl. the
-# r5 red row mixture_weights), the 5 contract-changed queries (pagerank /
-# entropy / snapshot_diff / both semdedup entries), the r5-new text/quality
-# diagnostics, multimodal audio+video, the dedup extras, the 8 never-checked
-# TPC-H shapes, and the sources/sinks block.
+# FIRST 50 entries of ``queries()`` in registration order (r5/r6 confirmed
+# all 50 window names landed in CORRECTNESS_r0{5,6}.json).  The window
+# rotates each round onto never-driver-checked names; everything else keeps
+# registration order after it, with the still-never-checked names ahead of
+# the already-green ones so future rounds can rotate coverage simply by
+# editing this list.  Round-7 rotation (the r6 verdict's list): the four
+# r7-fixed web/leakage/span queries, the two r6-contract-upgraded ANN
+# entries, the 12 remaining TPC-H shapes, the UDF/UDTF surface, lake ops,
+# skew-handling joins/aggs, streaming interval/sliding, multimodal
+# meta/fake/frame, and the riskiest never-checked singles.
 DRIVER_WINDOW: list[str] = [
-    # continuity rows (driver-green r1-r5, anchor the comparison)
+    # continuity rows (driver-green r1-r6, anchor the comparison)
     "q1_pricing_summary",
     "scope_project",
-    # r6: oracles rewritten with CAST(... AS BIGINT) (HUGEINT fix; the
-    # r5 red row mixture_weights must re-green under the new oracle)
-    "mixture_weights",
-    "dedup_span_coverage",
-    "vocab_coverage",
-    "embedding_quantize_int8",
-    "q12_late_priority",
-    "split_train_test",
-    "mixture_resample",
-    "token_budget_select",
-    "window_running_distinct",
-    "interval_concurrency",
-    "jsonl_sink",
-    "json_parse_quarantine",
-    # r6: contract-changed queries (need fresh driver rows)
-    "graph_pagerank",
-    "column_entropy",
-    "semdedup_cells",
-    "semdedup_planted_k32",
-    "snapshot_diff",
-    # r5-new text/quality diagnostics (never driver-checked)
-    "quality_unigram_logprob",
-    "quality_bigram_logprob",
-    "quality_bucket_shares",
-    "text_script_profile",
-    "stream_anomaly_zscore",
-    "neardup_threshold_curve",
-    "source_contamination_matrix",
-    "minhash_estimate_calibration",
-    "embedding_dim_stats",
-    # multimodal audio / video header decode
-    "multimodal_audio_real",
-    "multimodal_video_real",
-    # dedup extras
-    "dedup_incremental",
-    "dedup_containment",
-    "corpus_dedup_survivors",
-    "dedup_exact_normalized",
-    # never-checked TPC-H shapes
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "q14_promo_share",
-    "q17_small_quantity",
-    "q20_excess_stock",
-    "q22_dormant_customers",
-    # sources / sinks / config round-trips
-    "jsonl_scan",
-    "csv_scan",
-    "csv_sink",
-    "config_scan",
-    "prompt_template_sub",
-    "stdout_sink",
-    "textfile_scan",
-    "binaryfile_scan",
+    # r7: contract changed this round (digest keys / de-ROUNDed finals /
+    # narrow-pair restructure) — must land fresh driver rows
+    "dedup_span_cut",
+    "url_dedup",
+    "domain_stats",
+    "split_leakage_audit",
+    # r6 contract-upgraded ANN oracles (value-bearing since 41e162a)
+    "sim_search_pq",
+    "sim_search_ivf_kmeans",
+    # the 12 never-checked TPC-H shapes (completes driver TPC-H coverage)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q18_large_volume",
+    "q19_disjunctive_filter",
+    "q21_waiting_supplier",
+    # UDF / UDAF / UDTF surface
+    "udf_pandas_scalar",
+    "udf_arrow_scalar",
+    "udaf_grouped_pandas",
+    "udaf_grouped_arrow",
+    "udtf_tokenize",
+    "udtf_dynamic_topn",
+    # lake ops
+    "scd2_history",
+    "cdc_latest_version",
+    "ts_gap_fill",
+    "fk_orphan_audit",
+    "partition_pruned_scan",
+    # quality gates
+    "quality_filter_gopher",
+    "quality_blocklist_hits",
+    # skew-handling joins / aggs + banded joins
+    "join_salted_skew",
+    "agg_salted_twophase",
+    "join_asof_tolerance",
+    "join_range_banded",
+    # streaming twins
+    "stream_join_interval",
+    "stream_sliding",
+    # multimodal plumbing
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "multimodal_decode_fake",
+    # riskiest never-checked singles
+    "recursive_cte_hierarchy",
+    "variant_extract",
+    "zorder_cluster_key",
+    "python_datasource_scan",
+    "funnel_sessions",
+    "heavy_hitters",
+    "text_redact_pii",
+    "merge_upsert_balances",
 ]
+
+# Round-8 rotation plan (the remaining never-driver-checked backlog after
+# r7's window lands — rotate ALL of these in next round; with the anchors
+# that still leaves slots for any r7-new queries):
+#   agg_bool, agg_corr_covar, agg_grouping_sets, agg_mode_deterministic,
+#   agg_percentile, agg_percentile_approx, cohort_retention,
+#   collation_ci_group, doc_chunks, doc_fingerprint, doc_rolling_hash,
+#   dpp_filtered_dim_scan, embedding_pair_cosine, funnel_by_segment,
+#   json_from_schema, json_map_ops, lsh_bucket_stats,
+#   multimodal_decode_real (re-green under any contract drift),
+#   nested_roundtrip, pivot_segments, rollup_time_hierarchy,
+#   sample_hash_mod, sample_reservoir_topup, sample_stratified,
+#   scalar_try_cast, shuffle_epoch_order, sql_api_revenue,
+#   sql_exists_subquery, sql_lateral_topk, sql_scripting_param,
+#   table_profile, text_clean, text_ngram_freq, token_count,
+#   unpivot_part, value_histogram, vector_avg_by_label, window_range_frame,
+#   plus the r7-new ops: dedup_span_cut_keepfirst, domain_stats_psl
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
 _DRIVER_GREEN_PAST = frozenset({
     "agg_approx_distinct", "agg_collect", "agg_cube", "agg_distinct",
-    "agg_hash", "agg_rollup", "agg_stats", "any_to_str", "bm25_topk",
-    "boilerplate_ngrams", "chatml_init", "chatml_mistral_rewrite",
-    "cluster_rep_best", "collocation_pmi", "column_entropy",
-    "contamination_check", "contamination_minhash", "dataset_manifest",
-    "dedup_cluster_cc", "dedup_cluster_cc_star", "dedup_edit_distance",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_minhash_lsh_salted", "dedup_minhash_signature",
-    "dedup_ngram_jaccard", "dedup_paragraph", "dedup_simhash",
-    "distinct_rows", "dsir_importance_weights", "filter_pred",
-    "graph_pagerank", "join_anti", "join_asof", "join_asof_forward",
+    "agg_hash", "agg_rollup", "agg_stats", "any_to_str", "binaryfile_scan",
+    "bm25_topk", "boilerplate_ngrams", "chatml_init",
+    "chatml_mistral_rewrite", "cluster_rep_best", "collocation_pmi",
+    "column_entropy", "config_scan", "contamination_check",
+    "contamination_minhash", "corpus_dedup_survivors", "csv_scan",
+    "csv_sink", "dataset_manifest", "dedup_cluster_cc",
+    "dedup_cluster_cc_star", "dedup_containment", "dedup_edit_distance",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_exact_normalized",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_minhash_lsh_salted",
+    "dedup_minhash_signature", "dedup_ngram_jaccard", "dedup_paragraph",
+    "dedup_simhash", "dedup_span_coverage", "distinct_rows",
+    "dsir_importance_weights", "embedding_dim_stats",
+    "embedding_quantize_int8", "filter_pred", "graph_pagerank",
+    "interval_concurrency", "join_anti", "join_asof", "join_asof_forward",
     "join_asof_nearest", "join_broadcast", "join_bucketed", "join_full",
     "join_inner_eq", "join_left", "join_semi", "join_theta_range",
-    "json_clean", "json_extract", "json_serialize", "knn_join_batch",
-    "lang_id", "llm_echo_map", "llm_echo_map_arrow", "llm_echo_mapreduce",
-    "llm_echo_mapreduce_fused", "md_sink", "multimodal_decode_real",
-    "outlier_iqr", "pack_greedy", "pack_greedy_sharded", "pack_quantized",
-    "project_expr", "q1_pricing_summary", "quality_repetition",
-    "quality_score", "runtime_bloom_join", "scalar_array_map",
+    "json_clean", "json_extract", "json_parse_quarantine", "json_serialize",
+    "jsonl_scan", "jsonl_sink", "knn_join_batch", "lang_id", "llm_echo_map",
+    "llm_echo_map_arrow", "llm_echo_mapreduce", "llm_echo_mapreduce_fused",
+    "md_sink", "minhash_estimate_calibration", "mixture_resample",
+    "mixture_weights", "multimodal_audio_real", "multimodal_decode_real",
+    "multimodal_video_real", "neardup_threshold_curve", "outlier_iqr",
+    "pack_greedy", "pack_greedy_sharded", "pack_quantized", "project_expr",
+    "prompt_template_sub", "q12_late_priority", "q14_promo_share",
+    "q17_small_quantity", "q1_pricing_summary", "q20_excess_stock",
+    "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q5_local_supplier", "q7_volume_shipping", "quality_bigram_logprob",
+    "quality_bucket_shares", "quality_repetition", "quality_score",
+    "quality_unigram_logprob", "runtime_bloom_join", "scalar_array_map",
     "scalar_conditional", "scalar_datetime", "scalar_math", "scalar_regexp",
-    "scalar_string", "scope_project", "set_except", "set_intersect",
-    "set_union_all", "sim_search_ivf", "sim_search_ivf_kmeans",
-    "sim_search_pq", "sim_search_topk", "sketch_hll_merge",
-    "sketch_theta_union", "stream_dedup_keys", "stream_funnel_sessions",
-    "stream_running_max", "stream_session", "stream_tumble", "stringify_kv",
-    "sv_pipeline_echo", "text_stats", "tf_idf_top_terms",
-    "token_percentiles", "topk_global", "topk_per_group",
-    "window_first_last", "window_lag_lead", "window_moving_avg",
-    "window_moving_median", "window_ntile_cume", "window_rank",
-    "window_ratio_to_report", "window_running_sum", "xml_tag_wrap",
+    "scalar_string", "scope_project", "semdedup_cells",
+    "semdedup_planted_k32", "set_except", "set_intersect", "set_union_all",
+    "sim_search_ivf", "sim_search_ivf_kmeans", "sim_search_pq",
+    "sim_search_topk", "sketch_hll_merge", "sketch_theta_union",
+    "snapshot_diff", "source_contamination_matrix", "split_train_test",
+    "stdout_sink", "stream_anomaly_zscore", "stream_dedup_keys",
+    "stream_funnel_sessions", "stream_running_max", "stream_session",
+    "stream_tumble", "stringify_kv", "sv_pipeline_echo",
+    "text_script_profile", "text_stats", "textfile_scan",
+    "tf_idf_top_terms", "token_budget_select", "token_percentiles",
+    "topk_global", "topk_per_group", "vocab_coverage", "window_first_last",
+    "window_lag_lead", "window_moving_avg", "window_moving_median",
+    "window_ntile_cume", "window_rank", "window_ratio_to_report",
+    "window_running_distinct", "window_running_sum", "xml_tag_wrap",
     "zscore_by_group",
 })
 

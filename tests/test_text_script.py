@@ -76,3 +76,35 @@ def test_dedup_span_cut_semantics(spark, tmp_path):
     assert out[1] == (11, 3, md5("x y z"))
     assert out[2] == (11, 3, md5("p q r"))
     assert out[3] == (9, 9, md5("unique words only here none repeat at all now"))
+
+
+def test_dedup_span_cut_keepfirst_semantics(spark, tmp_path):
+    """Keep-first policy: the globally first occurrence (by doc_id,
+    pos) of a repeated 8-gram survives; later occurrences are cut.
+    Same handcrafted corpus as the cut-all pin — doc 1 holds the first
+    occurrence, so it passes through intact while doc 2 is cut."""
+    import hashlib
+
+    from instructions_mr_spark import registry
+
+    registry.load_all()
+    phrase = "a b c d e f g h"
+    docs = [
+        (1, f"{phrase} x y z", "en", "src0", 21),
+        (2, f"p q {phrase} r", "en", "src0", 20),
+        (3, "unique words only here none repeat at all now", "en", "src1", 45),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.kept_md5)
+        for r in registry.QUERIES["dedup_span_cut_keepfirst"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1] == (11, 11, md5(f"{phrase} x y z"))
+    assert out[2] == (11, 3, md5("p q r"))
+    assert out[3] == (9, 9, md5("unique words only here none repeat at all now"))

@@ -126,3 +126,34 @@ def test_url_dedup_groups(spark):
     by_url = {r.n: (r.c, r.keep) for r in groups}
     assert by_url["example.com/docs"] == (3, 1)
     assert by_url["example.com/other"] == (1, 4)
+
+
+def test_registrable_domain_psl(spark):
+    """PSL longest-match beats the two-label heuristic on listed
+    multi-label suffixes; unlisted suffixes fall back to the default
+    single-label rule; a host that IS a suffix falls back to itself."""
+    from instructions_mr_spark.operators.urls import registrable_domain_psl
+
+    rows = [
+        (1, "docs.blog.co.uk"),      # listed 2-label suffix -> 3 labels
+        (2, "example.com"),          # default rule
+        (3, "a.b.example.com"),      # default rule, deep host
+        (4, "user.github.io"),       # listed 2-label suffix
+        (5, "shop.co.zz"),           # UNlisted 2-label -> default rule
+        (6, "localhost"),            # single label -> itself
+        (7, "co.uk"),                # host IS a suffix -> itself
+    ]
+    hosts = spark.createDataFrame(rows, "doc_id long, host string")
+    got = {
+        r.doc_id: r.domain
+        for r in registrable_domain_psl(hosts, spark).collect()
+    }
+    assert got == {
+        1: "blog.co.uk",
+        2: "example.com",
+        3: "example.com",
+        4: "user.github.io",
+        5: "co.zz",
+        6: "localhost",
+        7: "co.uk",
+    }
