@@ -316,7 +316,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows.  At 100 TB this is "stage the signature table" (persist or
     # an intermediate table) — k ints + shingles per doc, tiny next to
     # the corpus — instead of recomputing the digest pass 4x.
-    return _verify_lsh_pairs(_lsh_candidate_pairs(_lsh_band_rows(spark, sf_dir)))
+    # Candidate generation is NARROW ((doc_id, band, key) rows only;
+    # shingles join back by doc id in the verify) — the r6 SemDeDup
+    # 4.2x lesson applied to the LSH family itself (r6 verdict's one
+    # residual on this plan).
+    sigs = _lsh_sigs(spark, sf_dir)
+    return _verify_lsh_pairs(
+        _lsh_candidate_pairs(_band_rows(sigs, with_shingles=False)), sigs
+    )
 
 
 def _lsh_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,17 +368,10 @@ def _band_rows(sigs: DataFrame, with_shingles: bool) -> DataFrame:
     return bands
 
 
-def _lsh_band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Signature projection + band explode: (doc_id, shingles, band,
-    key) rows, the shared front half of the unsalted and salted LSH
-    paths.  Shingles ride along so the verify stage needs no join
-    back to the shingle table."""
-    return _band_rows(_lsh_sigs(spark, sf_dir), with_shingles=True)
-
-
 def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Plain band-key self-join: one band-key exchange (reused for
-    both sides) — the m² work of a bucket lands in ONE task."""
+    """Plain band-key self-join over NARROW (doc_id, band, key) rows:
+    one band-key exchange (reused for both sides) — the m² work of a
+    bucket lands in ONE task, and the exchange carries no arrays."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -380,8 +380,6 @@ def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("ws_a"),
-            F.col("b.shingles").alias("ws_b"),
         )
     )
 
@@ -523,12 +521,22 @@ def _split_leakage_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _verify_lsh_pairs(pairs: DataFrame) -> DataFrame:
-    """Pair dedup (a pair can collide in both bands) + exact word-set
+def _verify_lsh_pairs(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Pair dedup (a pair can collide in both bands) as NARROW id
+    pairs, then shingles join back BY DOC ID (one array per doc on a
+    doc_id exchange, never per candidate×band) for the exact word-set
     Jaccard verify + threshold filter — only candidates pay this."""
+    sh = sigs.select("doc_id", "shingles")
     return (
-        pairs.groupBy("doc_a", "doc_b")
-        .agg(F.first("ws_a").alias("ws_a"), F.first("ws_b").alias("ws_b"))
+        pairs.distinct()
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("ws_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("ws_b")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -562,11 +570,11 @@ def _lsh_candidate_pairs_salted(
     only pairs whose two salts are {u, v}, so every cross-salt pair
     materializes exactly once and no pair is lost — the correctness
     argument the oracle (identical to the unsalted one) checks."""
-    # Hot-key detection on a NARROW projection (band, key only — the
-    # shingle payload must not ride this aggregation), then a broadcast
+    # Hot-key detection on the (band, key) projection, then a broadcast
     # join back: hot keys are by definition few, so the flag costs no
-    # wide shuffle.  (A window count over (band, key) would re-shuffle
-    # the full shingle-carrying rows — measured 2x the whole query.)
+    # wide shuffle.  (A window count over (band, key) would add a second
+    # full exchange — measured 2x the whole query when rows still
+    # carried shingles.)
     hot_keys = (
         bands.select("band", "key")
         .groupBy("band", "key")
@@ -576,7 +584,7 @@ def _lsh_candidate_pairs_salted(
     )
     # Materialized once: the flagged table feeds five subplans (cold
     # self-join x2 sides, hot replicate x2 sides, pair union) — staged
-    # like the signature table in _lsh_band_rows (measured: 1.69s vs
+    # like the signature table in _lsh_sigs (measured: 1.69s vs
     # 1.99s without at sf0.1).  The residual ~0.75s over the unsalted
     # path is the hot-key aggregation pass — the guard's price; run
     # this variant when lsh_bucket_stats reports hot buckets.
@@ -594,14 +602,12 @@ def _lsh_candidate_pairs_salted(
     )
     repl = hot.select(
         "doc_id",
-        "shingles",
         "band",
         "key",
         "salt",
         F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("p"),
     ).select(
         "doc_id",
-        "shingles",
         "band",
         "key",
         "salt",
@@ -629,8 +635,6 @@ def _lsh_candidate_pairs_salted(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("ws_a"),
-            F.col("b.shingles").alias("ws_b"),
         )
     )
     return cold_pairs.unionByName(hot_pairs)
@@ -644,9 +648,11 @@ def dedup_minhash_lsh_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     _LSH_SALT*(_LSH_SALT+1)/2 tasks — the 100 TB guard against a
     boilerplate-heavy corpus where one band key collects millions of
     near-identical docs (the skew lsh_bucket_stats exists to
-    detect)."""
+    detect).  Candidate generation is narrow ((doc_id, band, key) +
+    salt columns only; shingles join back by doc id in the verify)."""
+    sigs = _lsh_sigs(spark, sf_dir)
     return _verify_lsh_pairs(
-        _lsh_candidate_pairs_salted(_lsh_band_rows(spark, sf_dir))
+        _lsh_candidate_pairs_salted(_band_rows(sigs, with_shingles=False)), sigs
     )
 
 
@@ -1229,7 +1235,7 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _band_rows_of(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles, band, key) band rows for an arbitrary doc
-    subset — the generalized front half of _lsh_band_rows."""
+    subset — the generalized front half of _lsh_sigs + _band_rows."""
     sh = _shingle_docs(docs)
     base = f"TRANSFORM(shingles, w -> {_spark_h32('w', 0)})"
     sigs = sh.selectExpr("doc_id", "shingles", f"{base} AS hs").selectExpr(

@@ -227,3 +227,24 @@ def test_split_leakage_band_exchange_is_narrow(spark, sf_dir):
     assert band_exchanges, "expected at least one band-keyed exchange"
     for s in band_exchanges:
         assert "shingles" not in s, s
+
+
+def test_lsh_band_exchange_is_narrow(spark, sf_dir):
+    """Same narrow-exchange guarantee for the LSH family proper: the
+    band-keyed candidate exchanges of dedup_minhash_lsh and its salted
+    twin must carry no shingle arrays (r7 restructure — shingles join
+    back by doc id in the verify)."""
+    for name in ("dedup_minhash_lsh", "dedup_minhash_lsh_salted"):
+        df = registry.QUERIES[name](spark, sf_dir)
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        sections = formatted.split("\n\n")
+        band_exchanges = [
+            s for s in sections
+            if s.lstrip().startswith("(") and "Exchange" in s.splitlines()[0]
+            and "band" in s and "key" in s
+        ]
+        assert band_exchanges, f"{name}: expected a band-keyed exchange"
+        for s in band_exchanges:
+            assert "shingles" not in s, (name, s)
