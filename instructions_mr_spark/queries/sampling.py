@@ -307,3 +307,71 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("cum") <= F.col("src_quota")).select(
         "doc_id", "source", "n_tokens", F.col("cum").alias("cum_tokens")
     )
+
+
+@query(
+    "mixture_temperature_shares",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), scaled AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000000) AS BIGINT)
+               AS sqrt_units
+      FROM per_source
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             CAST(SUM(sqrt_units) AS BIGINT) AS sqrt_total
+      FROM scaled
+    )
+    SELECT source, n_docs, sqrt_units,
+           CAST(n_docs AS DOUBLE) / n_total AS actual_share,
+           CAST(sqrt_units AS DOUBLE) / sqrt_total AS temp_share,
+           (CAST(sqrt_units AS DOUBLE) / sqrt_total)
+             / (CAST(n_docs AS DOUBLE) / n_total) AS boost
+    FROM scaled, tot
+    """,
+)
+def mixture_temperature_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture shares (the multilingual-LLM
+    mixing dial, mT5/XLM-R style): source i samples with probability
+    proportional to f_i^alpha, flattening the head and boosting the
+    tail; alpha = 0.5 here because SQRT is IEEE-correctly-rounded on
+    every engine (a generic POWER(f, alpha) can differ in the last ulp
+    between libm implementations — the one cross-engine hazard this
+    table must not have).  Per the repo convention the scaled values
+    are FLOOR-quantized to integer units (1e-9) and summed exactly as
+    BIGINTs; shares are emitted as UNROUNDED divisions of those exact
+    integers, and ``boost`` = temp_share / actual_share is what a
+    sampler multiplies each source's keep-probability by.
+
+    Scale shape: one aggregate pass over (source) plus one broadcast
+    scalar pair — identical to mixture_weights; the sampler that
+    consumes ``boost`` stays scan-local (h32 keep-rule), so the whole
+    mixing decision costs one tiny rollup at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    scaled = (
+        d.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .withColumn(
+            "sqrt_units",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000000).cast(
+                "bigint"
+            ),
+        )
+    )
+    tot = scaled.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum("sqrt_units").cast("bigint").alias("sqrt_total"),
+    )
+    actual = F.col("n_docs").cast("double") / F.col("n_total")
+    temp = F.col("sqrt_units").cast("double") / F.col("sqrt_total")
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sqrt_units",
+        actual.alias("actual_share"),
+        temp.alias("temp_share"),
+        (temp / actual).alias("boost"),
+    )

@@ -24,9 +24,10 @@ NOTES = {
     "the left.",
     "dedup_minhash_lsh": "Signature table computed ONCE (parallelized "
     "repartition + localCheckpoint — a self-join otherwise duplicates the "
-    "md5 subplan per band per side, 4x); candidates from an equi-join on "
-    "band keys with shingles riding along, so verify needs no join-back; "
-    "only candidates pay the exact-jaccard check.",
+    "md5 subplan per band per side, 4x); candidates from a NARROW "
+    "equi-join on band keys ((doc_id, band, key) rows, no arrays on the "
+    "exchange — r7); distinct id pairs, then shingles join back by doc "
+    "id so only candidates pay the exact-jaccard check.",
     "sim_search_topk": "Query vector broadcasts (1-row BroadcastNestedLoopJoin "
     "= the broadcast); TakeOrderedAndProject for top-k — no global sort.",
     "topk_per_group": "rank-limit pushdown: WindowGroupLimit keeps per-group "
@@ -47,7 +48,8 @@ NOTES = {
     "hot band keys detected by a narrow (band, key) aggregation, flagged "
     "rows broadcast-joined back and staged once (localCheckpoint); hot "
     "buckets triangle-replicate over (key, u, v) salt pairs so one "
-    "bucket's m^2 work spreads across salt*(salt+1)/2 tasks.",
+    "bucket's m^2 work spreads across salt*(salt+1)/2 tasks; replication "
+    "and pair rows are array-free (shingles join back at verify, r7).",
     "pack_greedy_sharded": "Next-fit packing with K-way shard fan-out: "
     "exchange on (source, shard) where shard = portable h32(doc_id) % 8, "
     "so a single giant source runs as 8 parallel Arrow folds; bin ids "
