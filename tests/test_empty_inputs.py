@@ -83,3 +83,28 @@ def test_llm_map_empty_input(spark):
     stage = Stage([Instruction(name="s", content="c", scope=["text"])])
     out = instr_fanout_map(docs, stage, LlmConfig(), keep_cols=["doc_id"])
     assert out.count() == 0 and out.columns == ["doc_id", "s"]
+
+
+def test_registrable_domain_psl_empty(spark):
+    from instructions_mr_spark.operators.urls import registrable_domain_psl
+
+    hosts = spark.createDataFrame([], "doc_id long, host string")
+    out = registrable_domain_psl(hosts, spark)
+    assert out.columns == ["doc_id", "host", "domain"]
+    assert out.count() == 0
+
+
+def test_span_cut_keepfirst_no_repeats(spark, tmp_path):
+    """A corpus with no repeated 8-gram passes through uncut (identity)
+    under both cut policies."""
+    from instructions_mr_spark import registry
+
+    registry.load_all()
+    docs = [(1, "one two three four five six seven eight nine", "en", "s", 9)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    for name in ("dedup_span_cut", "dedup_span_cut_keepfirst"):
+        r = registry.QUERIES[name](spark, str(tmp_path)).collect()[0]
+        assert (r.n_tokens, r.n_kept) == (9, 9), name
