@@ -221,3 +221,78 @@ def pack_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold,
         "source string, shard bigint, doc_id bigint, n_tokens bigint, bin_id bigint",
     )
+
+
+@query(
+    "pack_concat_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#77'), 1, 8))::BIGINT AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+      FROM d
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum_end - n_tokens AS BIGINT) AS cum_start,
+           CAST((cum_end - n_tokens) // {CAPACITY} AS BIGINT) AS first_chunk,
+           CAST((cum_end - 1) // {CAPACITY} AS BIGINT) AS last_chunk
+    FROM c
+    """,
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing (the GPT-pretraining layout): all
+    documents are concatenated in a deterministic shuffled order
+    (portable hash, like shuffle_epoch_order) and the token stream is
+    cut into fixed CAPACITY-token context windows; each document
+    reports its global token offset and the chunk range it spans —
+    boundary-splitting across documents, the third packing policy
+    next to pack_quantized (per-source stripes) and pack_greedy
+    (never-split bins).
+
+    Scale shape — the part that matters: the global prefix sum is NOT
+    a single global-order window (which collapses to ONE task).  It
+    runs as the two-phase scan: bucket = top 6 bits of the order hash
+    (order-preserving ranges), per-bucket running sums under a
+    bucket-keyed window (64-way parallel), per-bucket totals rolled
+    into cumulative offsets on a 64-row table (trivial), offsets
+    broadcast back and added.  Exact BIGINT arithmetic end-to-end;
+    the oracle computes the same stream with one plain window.
+    tests/test_plans.py asserts the doc-level window exchange is
+    bucket-keyed."""
+    from instructions_mr_spark.queries.llm_pipeline import _spark_h32
+
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        f"{_spark_h32('doc_id', 77)} AS h",
+    )
+    d = d.withColumn("bucket", F.shiftright("h", 26))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = d.withColumn("in_end", F.sum("n_tokens").over(w_in))
+    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("tot"))
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("tot").over(w_b), F.lit(0)).alias("offset")
+    )
+    out = in_bucket.join(F.broadcast(offsets), "bucket")
+    cum_end = F.col("offset") + F.col("in_end")
+    cum_start = cum_end - F.col("n_tokens")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        cum_start.cast("bigint").alias("cum_start"),
+        F.floor(cum_start / CAPACITY).cast("bigint").alias("first_chunk"),
+        F.floor((cum_end - 1) / CAPACITY).cast("bigint").alias("last_chunk"),
+    )

@@ -248,3 +248,14 @@ def test_lsh_band_exchange_is_narrow(spark, sf_dir):
         assert band_exchanges, f"{name}: expected a band-keyed exchange"
         for s in band_exchanges:
             assert "shingles" not in s, (name, s)
+
+
+def test_pack_concat_chunks_bucketed_prefix_sum(spark, sf_dir):
+    """The global prefix sum must run as the two-phase scan: the
+    doc-level running-sum window exchanges on the order-range bucket
+    (64-way parallel), never a single global-order window over the
+    full table (the tiny 64-row offset roll-up is the only
+    unpartitioned window allowed)."""
+    df = registry.QUERIES["pack_concat_chunks"](spark, sf_dir)
+    plan = _plan(df)
+    assert "hashpartitioning(bucket" in plan
