@@ -46,3 +46,26 @@ def test_retrieval_eval_recall_floors(spark, sf_dir):
     assert out["pq"] >= 0.9
     assert out["ivf"] >= 0.4
     assert out["ivf"] <= 1.0 and out["pq"] <= 1.0
+
+
+def test_web_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(__file__), "..", "examples"),
+    )
+    import web_curation_pipeline
+
+    out = str(tmp_path / "web_out")
+    funnel = web_curation_pipeline.run(sf_dir, out)
+    assert (
+        funnel["total"]
+        >= funnel["after_url_and_domain"]
+        >= funnel["after_span_cut"]
+        == funnel["survivors"]
+        > 0
+    )
+    survivors = spark.read.parquet(os.path.join(out, "web_survivors"))
+    assert survivors.count() == funnel["survivors"]
+    assert {"doc_id", "source", "domain", "n_tokens", "n_kept", "boost"} <= set(
+        survivors.columns
+    )
