@@ -201,6 +201,25 @@ NOTES = {
     "vocab_coverage": "Corpus-sized work is one word-keyed aggregate; "
     "the ranked running sum runs over the language-sized vocab table; "
     "threshold cut is an exact-integer theta join against 3 rows.",
+    "split_leakage_audit": "Cross-split near-dup audit: band-keyed "
+    "candidate join over NARROW (doc_id, band, key) rows (no arrays on "
+    "the exchange), distinct (test, train) id pairs, shingles join back "
+    "by doc id for the integer-exact Jaccard verify (2|A∩B| >= |A∪B|).",
+    "pack_concat_chunks": "Two-phase distributed prefix sum: order-range "
+    "buckets from the top hash bits exchange in parallel for the "
+    "per-bucket running sums; the only unpartitioned window is the "
+    "64-row cumulative offset roll-up, broadcast back for the add.",
+    "domain_stats_psl": "Public-suffix-list domains: bounded in-row "
+    "candidate explode (last 1..3 labels) -> BroadcastHashJoin against "
+    "the suffix table -> (doc, host)-keyed max election; the corpus "
+    "never shuffles to resolve domains.",
+    "join_fuzzy_blocked": "Entity-resolution fuzzy join: 3-char-prefix "
+    "blocking equi-join so only block collisions pay the codegen'd "
+    "levenshtein; deterministic (dist, name) argmin in one partkey "
+    "window.",
+    "url_dedup": "Canonicalization is a pure scan projection (regexp + "
+    "in-row array ops); the group-by keys on the 60-bit URL digest, so "
+    "the exchange carries (int64, int64) rows only.",
 }
 
 
