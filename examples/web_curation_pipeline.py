@@ -54,10 +54,21 @@ def run(sf_dir: str, out_dir: str) -> dict[str, int]:
         F.col("kept_doc_id").alias("doc_id")
     )
 
-    # -- 2. domain blacklist: duplicate fetches outnumber unique pages
+    # -- 2. domain blacklist: RELATIVE mirror detection — a domain is
+    # dropped when its duplicate-fetch share is more than double the
+    # corpus-wide share (an absolute rule like dups > uniques zeroes
+    # out on any heavily-replicated corpus; relative survives any
+    # global dup level).  Integer cross-multiply, no float thresholds.
+    stats = q["domain_stats"](spark, sf_dir)
+    corpus = stats.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("n_dup_urls").alias("tot_dups")
+    )
     bad_domains = (
-        q["domain_stats"](spark, sf_dir)
-        .filter(F.col("n_dup_urls") > F.col("n_unique_urls"))
+        stats.crossJoin(F.broadcast(corpus))
+        .filter(
+            F.col("n_dup_urls") * F.col("tot_docs")
+            > 2 * F.col("tot_dups") * F.col("n_docs")
+        )
         .select("domain")
     )
 
