@@ -1661,3 +1661,98 @@ def quality_bucket_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 collocation_pmi.__doc__ = (collocation_pmi.__doc__ or '').replace('{_PMI_MIN_COUNT}', str(_PMI_MIN_COUNT))  # fill plan-constant into help()
+
+
+def _ensemble_oracle() -> str:
+    """Composed oracle: CTE-wraps the three signal queries' OWN oracle
+    strings (the registry is composable on the SQL side too), ranks
+    docs by the LM score, and ANDs the gates with a reject bitmask."""
+    from instructions_mr_spark.registry import ORACLES
+
+    g = ORACLES["quality_filter_gopher"]
+    b = ORACLES["quality_blocklist_hits"]
+    lm = ORACLES["quality_unigram_logprob"]
+    return f"""
+    WITH g AS ({g}), b AS ({b}), lm AS ({lm}),
+    ranked AS (
+      SELECT doc_id, mean_logp,
+             ROW_NUMBER() OVER (ORDER BY mean_logp, doc_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM lm
+    )
+    SELECT g.doc_id,
+           g.keep AS keep_gopher,
+           NOT b.flagged AS keep_blocklist,
+           r.rk > r.n // 10 AS keep_lm,
+           (g.keep AND NOT b.flagged AND r.rk > r.n // 10) AS keep,
+           CAST(CASE WHEN NOT g.keep THEN 1 ELSE 0 END
+              + CASE WHEN b.flagged THEN 2 ELSE 0 END
+              + CASE WHEN r.rk <= r.n // 10 THEN 4 ELSE 0 END AS BIGINT)
+             AS reject_bits
+    FROM g
+    JOIN b ON g.doc_id = b.doc_id
+    JOIN ranked r ON g.doc_id = r.doc_id
+    """
+
+
+@query("quality_ensemble_keep", oracle=_ensemble_oracle())
+def quality_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal ENSEMBLE (the Dolma/RedPajama "mixer" shape):
+    the final keep decision a curation run applies, ANDing the Gopher
+    rule gate, the blocklist gate, and a bottom-decile cut on the
+    unigram-LM score — with per-signal attribution (keep_* columns and
+    an integer reject bitmask: 1=gopher, 2=blocklist, 4=lm), because a
+    mixer that can't say WHY a doc died can't be tuned.
+
+    Scale shape: the two rule gates are scan projections; the LM
+    bottom-decile threshold is found with a distributed
+    TakeOrdered(k) over (score, doc_id) — NEVER a global-order window
+    over the corpus — and applied as a broadcast 1-row tuple compare.
+    The three signals join on doc_id (one co-partitioned exchange
+    set).  Ties are impossible cross-engine: the cut compares the
+    exact (DECIMAL-sum-derived score, doc_id) pair."""
+    g = quality_filter_gopher(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_gopher")
+    )
+    from instructions_mr_spark.queries.llm_pipeline import quality_blocklist_hits
+
+    b = quality_blocklist_hits(spark, sf_dir).select(
+        "doc_id", (~F.col("flagged")).alias("keep_blocklist")
+    )
+    lm = supersede_checkpoint(
+        "ensemble_lm",
+        quality_unigram_logprob(spark, sf_dir)
+        .select("doc_id", "mean_logp")
+        .localCheckpoint(),
+    )
+    n = lm.count()  # bounded scalar: the decile dial needs corpus size
+    k = n // 10
+    if k > 0:
+        thr = (
+            lm.orderBy("mean_logp", "doc_id")
+            .limit(k)
+            .agg(F.max(F.struct("mean_logp", "doc_id")).alias("thr"))
+        )
+        scored = lm.crossJoin(F.broadcast(thr)).select(
+            "doc_id",
+            (F.struct("mean_logp", "doc_id") > F.col("thr")).alias("keep_lm"),
+        )
+    else:
+        scored = lm.select("doc_id", F.lit(True).alias("keep_lm"))
+    out = g.join(b, "doc_id").join(scored, "doc_id")
+    return out.select(
+        "doc_id",
+        "keep_gopher",
+        "keep_blocklist",
+        "keep_lm",
+        (F.col("keep_gopher") & F.col("keep_blocklist") & F.col("keep_lm")).alias(
+            "keep"
+        ),
+        (
+            F.when(~F.col("keep_gopher"), 1).otherwise(0)
+            + F.when(~F.col("keep_blocklist"), 2).otherwise(0)
+            + F.when(~F.col("keep_lm"), 4).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("reject_bits"),
+    )

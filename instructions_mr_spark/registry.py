@@ -128,7 +128,8 @@ DRIVER_WINDOW: list[str] = [
 #   table_profile, text_clean, text_ngram_freq, token_count,
 #   unpivot_part, value_histogram, vector_avg_by_label, window_range_frame,
 #   plus the r7-new ops: dedup_span_cut_keepfirst, domain_stats_psl,
-#   mixture_temperature_shares, pack_concat_chunks, join_fuzzy_blocked
+#   mixture_temperature_shares, pack_concat_chunks, join_fuzzy_blocked,
+#   quality_ensemble_keep
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
