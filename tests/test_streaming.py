@@ -715,3 +715,57 @@ def test_stream_anomaly_detection_e2e(spark, events_stream, sf_dir):
     mismatched = {k for k in got if k in want and got[k] != want[k]}
     assert not mismatched, mismatched
     assert len(got) >= len(want) * 0.5
+
+
+def test_stream_url_dedup(spark, sf_dir, tmp_path_factory):
+    """Streaming twin of url_dedup: URL canonicalization is a pure
+    Column projection, so it runs unchanged inside a stream; watermark
+    + dropDuplicates on the 60-bit URL digest bounds the dedup state.
+    Emitted first-seen count must equal the batch distinct-URL count."""
+    import os
+
+    from instructions_mr_spark.operators.urls import normalize_url
+    from instructions_mr_spark.queries._util import spark_h60
+    from instructions_mr_spark.queries.web import _URL_SYNTH
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stream_dir = tmp_path_factory.mktemp("docs_stream")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"), stream_dir / "part-0.parquet"
+    )
+    stream = (
+        spark.readStream.schema(raw.schema).format("parquet")
+        .load(str(stream_dir))
+    )
+
+    def canonical(df):
+        return (
+            df.select(
+                "doc_id",
+                F.expr(f"({_URL_SYNTH})").alias("url"),
+                # base offset keeps every synthetic instant strictly
+                # above the initial zero watermark (a ts == epoch-0 row
+                # is treated as late and silently dropped)
+                F.expr(
+                    "timestamp_micros(CAST((doc_id + 7200) * 1000000 AS BIGINT))"
+                ).alias("ts"),
+            )
+            .select(
+                "doc_id",
+                "ts",
+                normalize_url("url").alias("norm_url"),
+            )
+            .select(
+                "doc_id", "ts", F.expr(spark_h60("norm_url", 17)).alias("url_h")
+            )
+        )
+
+    dedup = (
+        canonical(stream)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["url_h"])
+    )
+    _run_to_completion(dedup, "stream_url_dedup_t", "append")
+    got = spark.sql("SELECT count(*) AS n FROM stream_url_dedup_t").collect()[0].n
+    batch_distinct = canonical(raw).select("url_h").distinct().count()
+    assert got == batch_distinct > 0
