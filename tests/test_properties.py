@@ -350,3 +350,38 @@ def test_mp4_roundtrip_any_params(ts, dur, ntrak, junk):
     )
     b = box(b"ftyp", b"isom") + box(b"moov", inner)
     assert parse_video_meta(b) == ("mp4", ts, dur, ntrak or None)
+
+
+def test_normalize_url_invariants_batched(spark):
+    """URL canonicalization invariants over generated URL soup, batched
+    into one DataFrame: (1) IDEMPOTENT — normalizing a normalized URL
+    is a fixpoint; (2) CASE-INVARIANT — upper/lower variants collapse;
+    (3) TRACKING-INVARIANT — adding utm params / fragments never
+    changes the canonical form."""
+    import itertools
+
+    from instructions_mr_spark.operators.urls import normalize_url
+
+    schemes = ["https://", "HTTP://", ""]
+    hosts = ["Example.COM", "www.example.com", "a.b.Example.org:8080",
+             "user@Example.net", "localhost"]
+    paths = ["", "/", "/A/b", "/a//b/", "/p-1.html"]
+    queries = ["", "?id=3", "?b=2&a=1", "?id=3&utm_source=x", "?utm_medium=m"]
+    frags = ["", "#top"]
+    urls = [
+        "".join(p)
+        for p in itertools.islice(
+            itertools.product(schemes, hosts, paths, queries, frags), 400
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string").select(
+        "u",
+        normalize_url("u").alias("n1"),
+        normalize_url(normalize_url("u")).alias("n2"),
+        normalize_url(F.upper("u")).alias("n_upper"),
+        normalize_url(F.concat("u", F.lit("#frag2"))).alias("n_frag"),
+    )
+    for r in df.collect():
+        assert r.n2 == r.n1, ("not idempotent", r.u, r.n1, r.n2)
+        assert r.n_upper == r.n1, ("not case-invariant", r.u)
+        assert r.n_frag == r.n1, ("fragment changed canonical form", r.u)
