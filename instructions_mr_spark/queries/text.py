@@ -1667,6 +1667,12 @@ def _ensemble_oracle() -> str:
     """Composed oracle: CTE-wraps the three signal queries' OWN oracle
     strings (the registry is composable on the SQL side too), ranks
     docs by the LM score, and ANDs the gates with a reject bitmask."""
+    # runs at import time of THIS module: pull in the blocklist's
+    # module explicitly so a direct `import ...queries.text` (without
+    # registry.load_all's fixed order) still finds its oracle —
+    # one-way import, no cycle (llm_pipeline never imports text)
+    import instructions_mr_spark.queries.llm_pipeline  # noqa: F401
+
     from instructions_mr_spark.registry import ORACLES
 
     g = ORACLES["quality_filter_gopher"]
