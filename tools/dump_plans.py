@@ -220,6 +220,15 @@ NOTES = {
     "url_dedup": "Canonicalization is a pure scan projection (regexp + "
     "in-row array ops); the group-by keys on the 60-bit URL digest, so "
     "the exchange carries (int64, int64) rows only.",
+    "dedup_span_cut": "Gram election on the 60-bit digest key (int64 "
+    "exchange); islands collect into per-doc range ARRAYS that join "
+    "back by doc_id once; the cut + reassembly are a pure projection "
+    "(exists() probe per island) — token text never leaves its scan "
+    "row (r7: replaced the token posexplode + anti-join, 2x at sf2).",
+    "quality_ensemble_keep": "Three quality signals joined on doc_id; "
+    "rule gates are scan projections; the LM bottom-decile threshold "
+    "is TakeOrderedAndProject(k) + a broadcast 1-row tuple compare — "
+    "no global-order window anywhere.",
 }
 
 
