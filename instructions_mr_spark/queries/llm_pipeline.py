@@ -1943,3 +1943,235 @@ dedup_simhash.__doc__ = (dedup_simhash.__doc__ or '').replace('{_SIMHASH_BITS}',
 knn_join_batch.__doc__ = (knn_join_batch.__doc__ or '').replace('{_KNN_K}', str(_KNN_K))  # fill plan-constant into help()
 
 minhash_estimate_calibration.__doc__ = (minhash_estimate_calibration.__doc__ or '').replace('{_MINHASH_K}', str(_MINHASH_K))  # fill plan-constant into help()
+
+
+# ------------------------------------------ simhash hamming-radius join
+
+_SH64_BITS = 60  # one h60 digest per word supplies all 60 sign bits
+_SH64_BANDS = 4  # 15-bit pigeonhole blocks: hamming<=3 => >=1 equal block
+_SH64_RADIUS = 3
+
+
+def _simhash60_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged 60-bit SimHash fingerprints (doc_id, fp): one h60 digest
+    per word (computed ONCE, then 60 bit-tests of the same value — not
+    60 digest passes), sign-summed per bit.  localCheckpoint'd because
+    the hamming join reads it on both sides (the LSH staging
+    precedent: never let a self-join duplicate the digest pass)."""
+    from instructions_mr_spark.queries._util import spark_h60
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr("doc_id", "split(text, ' ') AS words")
+        .filter(F.size("words") >= 1)
+        .selectExpr("doc_id", f"TRANSFORM(words, w -> {spark_h60('w', 7)}) AS hs")
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN AGGREGATE(hs, 0, (acc, h) -> acc + "
+        f"CASE WHEN (SHIFTRIGHT(h, {b}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(_SH64_BITS)
+    )
+    fp = words.selectExpr("doc_id", f"{bit_terms} AS fp")
+    return supersede_checkpoint("simhash60_fp", fp.localCheckpoint())
+
+
+def _duck_simhash60() -> str:
+    from instructions_mr_spark.queries._util import duck_h60
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(_SH64_BITS)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 1
+    ),
+    hashed AS (
+      SELECT doc_id, list_transform(words, w -> {duck_h60('w', 7)}) AS hs
+      FROM toks
+    ),
+    fp AS (SELECT doc_id, {bit_terms} AS fp FROM hashed)
+    """
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH {_duck_simhash60()},
+    bands AS (
+      SELECT doc_id, fp, b AS band, (fp >> (b * 15)) & 32767 AS key
+      FROM fp, LATERAL (SELECT unnest([0, 1, 2, 3]) AS b) s
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {_SH64_RADIUS}
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via pigeonhole-blocked hamming join —
+    the step dedup_simhash (fingerprints only) stops short of.  A
+    {_SH64_BITS}-bit fingerprint (sign-sum of one 60-bit word digest
+    per bit) splits into {_SH64_BANDS} 15-bit blocks; any pair within
+    hamming radius {_SH64_RADIUS} must agree on >=1 whole block
+    (pigeonhole), so candidate generation is an EQUI-join on
+    (block_idx, block_value) — never an all-pairs scan — and only
+    candidates pay the bit_count verify.  This is the Google
+    near-duplicate-detection blocking scheme (Manku et al., WWW'07)
+    re-expressed as a DataFrame equi-join.
+
+    Scale shape: fingerprints are staged once (localCheckpoint — the
+    self-join would otherwise recompute the digest pass per side);
+    band rows are (int64 doc_id, int band, int64 key, int64 fp) — no
+    strings, no arrays on the exchange; 15-bit blocks keep bucket
+    sizes ~n/32768 per band so the join fan-out stays near-linear.
+    At 100 TB: widen to 64-bit fingerprints + 16-bit blocks and
+    pre-partition the staged table by block value.  Pairs at radius 0
+    are exact-text or permutation dups; radius 1-3 are edit-level
+    near-dups.  Reference has no dedup at all (SURVEY §2.6)."""
+    fp = _simhash60_fp(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(F.expr("sequence(0, 3)")).alias("band"),
+    ).withColumn("key", F.expr("SHIFTRIGHT(fp, band * 15) & 32767"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.fp ^ b.fp) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SH64_RADIUS)
+        .distinct()
+    )
+
+
+# ------------------------------------- CCNet-style line-frequency dedup
+
+_LINE_DF_MIN_DROP = 2  # drop a paragraph EVERYWHERE once it appears in >= 2 docs
+
+
+@query(
+    "dedup_line_frequency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), paras AS (
+      SELECT doc_id, i AS para_idx,
+             array_to_string(w[(i-1)*{_PARA_W}+1 : i*{_PARA_W}], ' ') AS para
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(
+             1, CAST(ceil(len(w) / {_PARA_W}.0) AS BIGINT))) AS i) s
+    ), keyed AS (
+      SELECT doc_id, para_idx, para,
+             ('0x' || substr(md5(para || '#31'), 1, 15))::BIGINT AS para_h
+      FROM paras
+    ), freq AS (
+      SELECT para_h, COUNT(DISTINCT doc_id) AS df
+      FROM keyed GROUP BY para_h
+    )
+    SELECT k.doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN f.df >= {_LINE_DF_MIN_DROP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(
+             CASE WHEN f.df < {_LINE_DF_MIN_DROP} THEN k.para END,
+             ' ' ORDER BY k.para_idx), '')) AS cleaned_md5
+    FROM keyed k JOIN freq f USING (para_h)
+    GROUP BY k.doc_id
+    """,
+)
+def dedup_line_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-frequency dedup: a paragraph that appears in
+    >= {_LINE_DF_MIN_DROP} distinct documents is boilerplate and is
+    removed from EVERY document (headers, licenses, nav bars) — the
+    drop-everywhere policy, vs dedup_paragraph's keep-first-occurrence
+    (both exist in production pipelines; CCNet/RefinedWeb use this
+    one for line-level cleanup because keeping one copy of a nav bar
+    is still noise).  Paragraph := non-overlapping {_PARA_W}-word
+    window (testdata has no newlines; real data splits on '\\n').
+
+    Scale shape: explode once; the document-frequency count groups by
+    the paragraph's portable 60-bit DIGEST (int64 on the exchange,
+    never paragraph text — the r7 span/url digest convention applied
+    from day one); the verdict join back is digest-keyed; doc
+    reassembly is one groupBy(doc_id) with an order-by-index
+    string_agg.  No self-join, no window over the corpus.  A
+    same-paragraph repeat WITHIN one doc has df=1 and is kept —
+    in-doc repetition is quality_repetition's job, not dedup's."""
+    from instructions_mr_spark.queries._util import spark_h60
+
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split("text", " ").alias("w"))
+    n_paras = F.ceil(F.size("w") / F.lit(float(_PARA_W)))
+    para_arr = F.transform(
+        F.sequence(F.lit(1), n_paras),
+        lambda i: F.struct(
+            i.alias("para_idx"),
+            F.array_join(F.slice("w", (i - 1) * _PARA_W + 1, _PARA_W), " ").alias(
+                "para"
+            ),
+        ),
+    )
+    keyed = (
+        toked.select("doc_id", F.explode(para_arr).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.para_idx").alias("para_idx"),
+            F.col("p.para").alias("para"),
+        )
+        .withColumn("para_h", F.expr(spark_h60("para", 31)))
+    )
+    freq = keyed.groupBy("para_h").agg(F.countDistinct("doc_id").alias("df"))
+    joined = keyed.join(freq, "para_h").withColumn(
+        "dropped", F.col("df") >= _LINE_DF_MIN_DROP
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("dropped"),
+                                    F.struct("para_idx", "para"),
+                                )
+                            )
+                        ),
+                        lambda s: s.para,
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+dedup_simhash_hamming.__doc__ = (
+    (dedup_simhash_hamming.__doc__ or "")
+    .replace("{_SH64_BITS}", str(_SH64_BITS))
+    .replace("{_SH64_BANDS}", str(_SH64_BANDS))
+    .replace("{_SH64_RADIUS}", str(_SH64_RADIUS))
+)
+dedup_line_frequency.__doc__ = (
+    (dedup_line_frequency.__doc__ or "")
+    .replace("{_LINE_DF_MIN_DROP}", str(_LINE_DF_MIN_DROP))
+    .replace("{_PARA_W}", str(_PARA_W))
+)
