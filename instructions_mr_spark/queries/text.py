@@ -1762,3 +1762,203 @@ def quality_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("reject_bits"),
     )
+
+
+# -------------------------------------------- BPE merge-pair counting
+
+_BPE_TOP = 20
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, COUNT(*) AS wc FROM toks
+      WHERE word != '' GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, wc
+      FROM wc, LATERAL (SELECT unnest(generate_series(
+        1, CAST(length(word) AS BIGINT) - 1)) AS i) s
+      WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT {_BPE_TOP}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training step at corpus scale: count every
+    adjacent character pair weighted by word frequency and emit the
+    top {_BPE_TOP} merge candidates — the inner loop of
+    Sennrich et al.'s byte-pair encoding, which production tokenizer
+    trainers (SentencePiece/HF tokenizers) run over exactly this
+    aggregate.  Deterministic tie-break: (count DESC, pair ASC).
+
+    Scale shape: the corpus explode collapses FIRST into a distinct-
+    word count table (Zipf: vocabulary is ~sqrt-ish of token count,
+    so the expensive char-pair explode runs over vocab, not corpus);
+    pair counting is then a second small group-by, and the top-k is
+    TakeOrdered — no global sort.  Iterating the full BPE loop merges
+    the winning pair into the vocab table and repeats: each round is
+    these same two narrow exchanges over an ever-smaller vocab."""
+    d = t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .selectExpr(
+            "explode(transform(sequence(1, length(word) - 1),"
+            " i -> substring(word, i, 2))) AS pair",
+            "wc",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+# ------------------------------------------- seed-lexicon topic tagging
+
+_TOPIC_SEEDS = [
+    ("storage", "table"), ("storage", "row"), ("storage", "part"),
+    ("storage", "batch"),
+    ("exec", "scan"), ("exec", "fast"), ("exec", "slow"), ("exec", "merge"),
+    ("query", "sort"), ("query", "window"), ("query", "hash"),
+    ("query", "agg"),
+]
+
+_TOPIC_VALUES = ", ".join(f"('{t_}', '{k}')" for t_, k in _TOPIC_SEEDS)
+
+
+@query(
+    "topic_seed_assign",
+    oracle=f"""
+    WITH seeds(topic, kw) AS (VALUES {_TOPIC_VALUES}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, s.topic, COUNT(*) AS cnt
+      FROM toks t JOIN seeds s ON t.word = s.kw
+      GROUP BY t.doc_id, s.topic
+    ),
+    elected AS (
+      SELECT doc_id, topic, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, topic) AS rn
+      FROM hits
+    )
+    SELECT topic,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(cnt) AS BIGINT) AS won_hits
+    FROM elected WHERE rn = 1 GROUP BY topic
+    """,
+)
+def topic_seed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-lexicon topic tagging (the cheap domain classifier that
+    drives mixture weighting before any model-based labeler exists):
+    a tiny topic->keyword lexicon is BROADCAST against the token
+    stream, hits are counted per (doc, topic), and each doc elects
+    its argmax topic with a deterministic tie-break (count DESC,
+    topic ASC).  Output is the per-topic doc count and the hit mass
+    of the winning assignments.  Docs matching no seed keyword stay
+    unlabeled (excluded) — the honest behavior for a seed lexicon.
+
+    Scale shape: the lexicon join is a broadcast hash join inside the
+    scan stage (no corpus shuffle to tag tokens); the only exchanges
+    are the (doc_id, topic) count and the per-doc election window,
+    both narrow int/short-string rows.  At 100 TB the election
+    replaces ROW_NUMBER with max_by(struct) to skip the sort."""
+    seeds = spark.createDataFrame(_TOPIC_SEEDS, "topic string, kw string")
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    hits = (
+        toks.join(F.broadcast(seeds), toks.word == seeds.kw)
+        .groupBy("doc_id", "topic")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "topic")
+    elected = hits.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return elected.groupBy("topic").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("cnt").alias("won_hits"),
+    )
+
+
+# --------------------------------------- conjunctive posting intersection
+
+_CONJ_TERMS = ("table", "scan", "merge")
+
+
+@query(
+    "posting_list_intersect",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM toks
+      WHERE word IN {str(_CONJ_TERMS)}
+      GROUP BY doc_id, word
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_total
+    FROM postings
+    GROUP BY doc_id
+    HAVING COUNT(*) = {len(_CONJ_TERMS)}
+    """,
+)
+def posting_list_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) retrieval by posting-list intersection: docs
+    containing ALL query terms {_CONJ_TERMS}, with their summed term
+    frequency — the boolean-retrieval primitive bm25_topk (disjunctive
+    scored) doesn't cover.  Intersection-as-aggregation: a doc
+    qualifies iff its distinct matching-term count equals the query
+    length, so the whole query is filter -> two narrow group-bys —
+    no N-way self-join of posting lists.
+
+    Scale shape: the IN-list predicate prunes the token stream inside
+    the scan stage; the postings group-by ships (doc_id, word, tf)
+    only for matching terms (a tiny fraction of the corpus); at 100 TB
+    the postings table is pre-materialized once (doc_id-bucketed) and
+    every conjunctive query becomes one aggregate over its terms'
+    slices, cheapest-term-first."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    postings = (
+        toks.filter(F.col("word").isin(*_CONJ_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        postings.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("tf_total"),
+            F.count("*").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(_CONJ_TERMS))
+        .drop("n_terms")
+    )
+
+
+bpe_pair_counts.__doc__ = (bpe_pair_counts.__doc__ or "").replace(
+    "{_BPE_TOP}", str(_BPE_TOP)
+)
+posting_list_intersect.__doc__ = (posting_list_intersect.__doc__ or "").replace(
+    "{_CONJ_TERMS}", str(_CONJ_TERMS)
+)

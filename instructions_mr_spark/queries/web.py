@@ -268,3 +268,131 @@ def domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("host").alias("n_hosts"),
     )
+
+
+# ------------------------------------------------ query-param mining
+
+_TRACKING_RE = "^(utm_[a-z0-9_]+|ref|fbclid|gclid)$"
+
+
+@query(
+    "url_param_mining",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, ({_URL_SYNTH}) AS url FROM documents
+    ),
+    qs AS (
+      SELECT doc_id,
+             split_part(regexp_replace(url, '#.*$', ''), '?', 2) AS q
+      FROM urls
+    ),
+    params AS (
+      SELECT doc_id,
+             split_part(p, '=', 1) AS param,
+             substr(p, length(split_part(p, '=', 1)) + 2) AS val
+      FROM qs, LATERAL (SELECT unnest(string_split(q, '&')) AS p) s
+      WHERE q != '' AND p != ''
+    )
+    SELECT param,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_values,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN regexp_matches(param, '{_TRACKING_RE}')
+                     THEN 1 ELSE 0 END AS BIGINT) AS policy_stripped
+    FROM params GROUP BY param
+    """,
+)
+def url_param_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-parameter mining — the audit that DISCOVERS tracking
+    params instead of assuming the blocklist: per observed parameter
+    name, occurrence count, distinct-value count, and distinct-doc
+    count, plus whether the current normalization policy
+    (operators/urls.py tracking-param regexp) already strips it.
+    Params with many URLs but near-constant values (utm_source=feed)
+    or values ~unique per URL (session ids) are stripping candidates
+    the policy may be missing; this table is how the blocklist gets
+    its next entry.
+
+    Scale shape: parsing is a scan projection (regexp + split, no
+    UDF); the aggregate groups by the parameter NAME — cardinality
+    ~hundreds on real crawls — so the exchange is trivially small and
+    count-distinct expands map-side.  At 100 TB run it on a sampled
+    partition slice first; the ranking is stable under sampling."""
+    u = _synth_urls(spark, sf_dir)
+    params = (
+        u.select(
+            "doc_id",
+            F.split_part(
+                F.regexp_replace("url", "#.*$", ""), F.lit("?"), F.lit(2)
+            ).alias("q"),
+        )
+        .filter(F.col("q") != "")
+        .select("doc_id", F.explode(F.split("q", "&")).alias("p"))
+        .filter(F.col("p") != "")
+        .select(
+            "doc_id",
+            F.split_part(F.col("p"), F.lit("="), F.lit(1)).alias("param"),
+            F.expr(
+                "substr(p, length(split_part(p, '=', 1)) + 2)"
+            ).alias("val"),
+        )
+    )
+    return params.groupBy("param").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("val").alias("n_values"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max(
+            F.when(
+                F.regexp_like("param", F.lit(_TRACKING_RE)), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("policy_stripped"),
+    )
+
+
+# ------------------------------------------- crawl-frontier politeness
+
+
+@query(
+    "crawl_frontier_politeness",
+    oracle=f"""
+    WITH {_DUCK_NORM_CTES},
+    hosted AS (
+      SELECT doc_id, split_part(split_part(u, '/', 1), '?', 1) AS host
+      FROM norm
+    ),
+    waves AS (
+      SELECT host,
+             CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id)
+                  AS BIGINT) AS wave
+      FROM hosted
+    )
+    SELECT wave, CAST(COUNT(*) AS BIGINT) AS n_fetches
+    FROM waves GROUP BY wave
+    """,
+)
+def crawl_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier: at most ONE fetch per host
+    per wave, so each URL's wave is its rank within its host queue
+    (deterministic doc_id order) and the schedule's shape is the wave
+    histogram — wave 1 hits every distinct host, the tail waves are
+    the hot hosts that throttle the crawl (makespan = max wave =
+    largest per-host queue).  This is how a frontier sized for 1000
+    fetchers is laid out so no host sees concurrent requests.
+
+    Scale shape: one window partitioned BY HOST (the natural crawl
+    partitioning — each host queue is independent and the exchange
+    key matches the politeness domain), then a narrow (wave) count.
+    Skewed hosts make long queues, not hot shuffle keys: the window
+    processes each host's queue on one task, which is exactly the
+    politeness constraint."""
+    from pyspark.sql import Window
+
+    u = _synth_urls(spark, sf_dir)
+    hosted = u.select("doc_id", url_host("url").alias("host"))
+    w = Window.partitionBy("host").orderBy("doc_id")
+    waves = hosted.select(
+        F.row_number().over(w).cast("bigint").alias("wave")
+    )
+    return waves.groupBy("wave").agg(F.count("*").alias("n_fetches"))
