@@ -129,7 +129,9 @@ DRIVER_WINDOW: list[str] = [
 #   unpivot_part, value_histogram, vector_avg_by_label, window_range_frame,
 #   plus the r7-new ops: dedup_span_cut_keepfirst, domain_stats_psl,
 #   mixture_temperature_shares, pack_concat_chunks, join_fuzzy_blocked,
-#   quality_ensemble_keep
+#   quality_ensemble_keep, dedup_simhash_hamming, dedup_line_frequency,
+#   bpe_pair_counts, topic_seed_assign, posting_list_intersect,
+#   url_param_mining, crawl_frontier_politeness
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
