@@ -424,3 +424,166 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ROUND(CAST(MIN(xi) AS DOUBLE) / 1e8, 9)").alias("min_x"),
         F.expr("ROUND(CAST(MAX(xi) AS DOUBLE) / 1e8, 9)").alias("max_x"),
     )
+
+
+# ---------------------------------------------- k-anonymity audit
+
+_KANON_K = 5
+_KANON_BUCKET = 50  # n_chars bucket width
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH classes AS (
+      SELECT lang, source,
+             CAST(FLOOR(n_chars / {_KANON_BUCKET}.0) AS BIGINT) AS chars_bucket,
+             COUNT(*) AS class_size
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS below_k
+    FROM classes GROUP BY class_size
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (lang, source,
+    bucketed length): the histogram of equivalence-class sizes, with
+    classes smaller than k={_KANON_K} flagged — documents in such
+    classes are re-identifiable by their metadata alone, the privacy
+    screen a training corpus runs before release (Sweeney's
+    k-anonymity, applied to corpus metadata instead of database
+    rows).  Remediation (suppress or generalize the flagged classes)
+    joins this table back by class key.
+
+    Scale shape: one group-by on the quasi-identifier tuple, then a
+    tiny group-by on class size.  Floor-division buckets the
+    continuous column so both engines agree exactly (integer
+    arithmetic, no ROUND(double))."""
+    d = t(spark, sf_dir, "documents")
+    classes = d.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / _KANON_BUCKET).cast("bigint").alias("chars_bucket"),
+    ).agg(F.count("*").alias("class_size"))
+    return classes.groupBy("class_size").agg(
+        F.count("*").alias("n_classes"),
+        F.sum("class_size").alias("n_docs"),
+        F.when(F.col("class_size") < _KANON_K, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("below_k"),
+    )
+
+
+# ------------------------------------- per-label embedding centroid QA
+
+
+@query(
+    "embedding_label_centroid",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, u.i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 100000000) AS BIGINT) AS xi
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ),
+    cent AS (
+      SELECT label, dim, SUM(xi) AS sx, COUNT(*) AS n
+      FROM dims GROUP BY label, dim
+    ),
+    per_vec AS (
+      SELECT d.vec_id, d.label,
+             SUM(CAST(d.xi * c.n - c.sx AS DECIMAL(38,0))
+                 * CAST(d.xi * c.n - c.sx AS DECIMAL(38,0))) AS num,
+             MAX(c.n) AS n
+      FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+      GROUP BY d.vec_id, d.label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(num) AS DOUBLE)
+                 / (1e16 * CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE))
+                 / COUNT(*), 9) AS mean_dist2,
+           ROUND(CAST(MAX(num) AS DOUBLE)
+                 / (1e16 * CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)), 9)
+             AS max_dist2,
+           CAST(split_part(MAX(lpad(CAST(num AS VARCHAR), 40, '0') || '_'
+                || lpad(CAST(vec_id AS VARCHAR), 12, '0')), '_', 2) AS BIGINT)
+             AS far_vec_id
+    FROM per_vec GROUP BY label
+    """,
+)
+def embedding_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-cluster QA: squared distance of every
+    vector to its LABEL centroid, rolled up to (count, mean, max,
+    farthest vector) per label — the mislabel/outlier screen run on
+    an embedded corpus before the labels drive mixture decisions.  A
+    label whose max_dist2 dwarfs its mean has mislabeled members;
+    far_vec_id is the first candidate to inspect.
+
+    Exactness: the centroid DIVISION never happens — distances use
+    the common-denominator form (xi*n - sum_x)^2 / (1e8*n)^2, where
+    the numerator is an exact DECIMAL(38) sum of fixed-point (1e-8)
+    integers on BOTH engines, and the single final division of
+    identical integers is bit-identical (the embedding_dim_stats
+    fixed-point rule extended to joins-with-aggregates).
+
+    Scale shape: posexplode -> (label, dim) centroid aggregate (tiny:
+    labels x dims rows, broadcast back) -> per-vec numerator sum ->
+    per-label rollup.  The only corpus-sized exchange is the per-vec
+    group-by, keyed on (vec_id, label) int pairs; the farthest-vector
+    election is max(struct) over exact integers, no window."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "raw"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.expr("CAST(ROUND(CAST(raw AS DOUBLE) * 100000000) AS BIGINT)").alias("xi"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.sum("xi").alias("sx"), F.count("*").alias("n")
+    )
+    per_vec = (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "CAST(xi * n - sx AS DECIMAL(38,0)) * CAST(xi * n - sx AS DECIMAL(38,0))"
+            ).alias("term"),
+            "n",
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("term").alias("num"), F.max("n").alias("n"))
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.expr(
+            "ROUND(CAST(SUM(num) AS DOUBLE)"
+            " / (1e16 * CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE))"
+            " / COUNT(*), 9)"
+        ).alias("mean_dist2"),
+        F.expr(
+            "ROUND(CAST(MAX(num) AS DOUBLE)"
+            " / (1e16 * CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)), 9)"
+        ).alias("max_dist2"),
+        # tie-safe argmax shared with the oracle: zero-padded string
+        # pack orders identically in both engines (num >= 0, scale 0)
+        F.expr(
+            "CAST(split_part(MAX(CONCAT(lpad(CAST(num AS STRING), 40, '0'), '_',"
+            " lpad(CAST(vec_id AS STRING), 12, '0'))), '_', 2) AS BIGINT)"
+        ).alias("far_vec_id"),
+    )
+
+
+k_anonymity_audit.__doc__ = (k_anonymity_audit.__doc__ or "").replace(
+    "{_KANON_K}", str(_KANON_K)
+)

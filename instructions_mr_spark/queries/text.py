@@ -1962,3 +1962,45 @@ bpe_pair_counts.__doc__ = (bpe_pair_counts.__doc__ or "").replace(
 posting_list_intersect.__doc__ = (posting_list_intersect.__doc__ or "").replace(
     "{_CONJ_TERMS}", str(_CONJ_TERMS)
 )
+
+
+# ------------------------------------------ lang-id confusion matrix
+
+from instructions_mr_spark.registry import ORACLES as _ORACLES
+
+
+@query(
+    "langid_confusion",
+    oracle=f"""
+    WITH guessed AS ({_ORACLES['lang_id']})
+    SELECT d.lang AS declared, g.lang_guess AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM guessed g JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-predicted language confusion matrix: the audit
+    that catches mislabeled `lang` metadata (and classifier drift) at
+    corpus scale — off-diagonal mass is either bad metadata or bad
+    language ID, and both gate mixture decisions keyed on language.
+    Composes the registered lang_id classifier verbatim (same
+    stopword-vote, same tie policy) so the matrix can never disagree
+    with the classifier it audits; the oracle CTE-composes lang_id's
+    oracle the same way (the quality_ensemble_keep composition
+    pattern).
+
+    Scale shape: the classifier is a scan projection; the join back
+    to the declared label is by doc_id (at 100 TB: both sides carry
+    (doc_id, 2-char code) only); the matrix aggregate has
+    |langs|^2 groups — trivially small."""
+    guessed = lang_id(spark, sf_dir).select("doc_id", "lang_guess")
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        guessed.join(d, "doc_id")
+        .groupBy(
+            F.col("lang").alias("declared"),
+            F.col("lang_guess").alias("predicted"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
