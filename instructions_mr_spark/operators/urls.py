@@ -82,6 +82,15 @@ def url_host(url: Column | str) -> Column:
     return F.split_part(F.split_part(u, F.lit("/"), F.lit(1)), F.lit("?"), F.lit(1))
 
 
+def url_path(url: Column | str) -> Column:
+    """Path component of the stripped URL ('/'-rooted, query dropped,
+    trailing slashes KEPT — robots.txt prefix rules are sensitive to
+    them); a URL with no path yields '/'."""
+    u = _stripped(url)
+    p = F.regexp_replace(F.split_part(u, F.lit("?"), F.lit(1)), "^[^/]*", "")
+    return F.when(p == "", "/").otherwise(p)
+
+
 # Demo slice of the public-suffix list (publicsuffix.org is the
 # public source; a production table swaps the full ~9k-rule list in —
 # same broadcast-join plan).  Single-label entries are the implicit

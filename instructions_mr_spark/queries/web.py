@@ -396,3 +396,195 @@ def crawl_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("wave")
     )
     return waves.groupBy("wave").agg(F.count("*").alias("n_fetches"))
+
+
+# ------------------------------------------------- robots.txt gating
+
+# Demo robots rules per host pattern (production: fetched robots.txt,
+# parsed into one (host, path_prefix, allow) row per rule, broadcast).
+_ROBOTS_RULES = [
+    # (host_suffix_label, path_prefix, allow) — host matched exactly on
+    # the synthesized corpus's '<source>.com' hosts.
+    ("src0.com", "/en/", 0),
+    ("src0.com", "/en/page-1", 1),   # allow overrides for page-1*
+    ("src1.com", "/de/", 0),
+    ("m.src2.com", "/", 0),          # mobile mirror fully disallowed
+]
+
+_ROBOTS_VALUES = ", ".join(
+    f"('{h}', '{p}', {a})" for h, p, a in _ROBOTS_RULES
+)
+
+
+@query(
+    "robots_txt_gate",
+    oracle=f"""
+    WITH rules(rhost, prefix, allow) AS (VALUES {_ROBOTS_VALUES}),
+    {_DUCK_NORM_CTES},
+    pages AS (
+      SELECT doc_id,
+             split_part(split_part(u, '/', 1), '?', 1) AS host,
+             CASE WHEN regexp_replace(split_part(u, '?', 1), '^[^/]*', '') = ''
+                  THEN '/'
+                  ELSE regexp_replace(split_part(u, '?', 1), '^[^/]*', '') END
+               AS path
+      FROM stripped
+    ),
+    matched AS (
+      SELECT p.doc_id, p.host,
+             MAX(CASE WHEN r.prefix IS NOT NULL
+                      THEN lpad(CAST(length(r.prefix) AS VARCHAR), 4, '0')
+                           || CAST(r.allow AS VARCHAR) END) AS win
+      FROM pages p
+      LEFT JOIN rules r
+        ON p.host = r.rhost AND p.path LIKE r.prefix || '%'
+      GROUP BY p.doc_id, p.host
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(CASE WHEN win IS NULL OR substr(win, 5, 1) = '1'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           CAST(SUM(CASE WHEN win IS NOT NULL AND substr(win, 5, 1) = '0'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+    FROM matched GROUP BY host
+    """,
+)
+def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gating with LONGEST-MATCH precedence (the Google/
+    RFC 9309 rule): per URL, among all rules whose path-prefix
+    matches, the longest prefix wins and its allow/disallow verdict
+    decides; no matching rule means allowed.  Emitted as a per-host
+    crawl report (urls / allowed / blocked) — the gate a fetcher
+    consults before every request, run here corpus-wide to size the
+    crawlable frontier.
+
+    Scale shape: the rule table (thousands of rows in production) is
+    BROADCAST; prefix matching is a broadcast theta-join evaluated in
+    the scan stage, and the longest-match election is an exact
+    string-pack max (zero-padded rule length + verdict — the
+    embedding_label_centroid argmax pattern) inside the (doc, host)
+    aggregate.  No corpus shuffle to resolve verdicts; the only
+    exchanges are the per-doc election and the tiny host rollup."""
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "rhost string, prefix string, allow int"
+    )
+    u = _synth_urls(spark, sf_dir)
+    from instructions_mr_spark.operators.urls import url_path
+
+    pages = u.select(
+        "doc_id",
+        url_host("url").alias("host"),
+        url_path("url").alias("path"),
+    )
+    matched = (
+        pages.join(
+            F.broadcast(rules),
+            (pages.host == rules.rhost)
+            & pages.path.startswith(rules.prefix),
+            "left",
+        )
+        .groupBy("doc_id", "host")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("prefix").isNotNull(),
+                    F.concat(
+                        F.lpad(F.length("prefix").cast("string"), 4, "0"),
+                        F.col("allow").cast("string"),
+                    ),
+                )
+            ).alias("win")
+        )
+    )
+    return matched.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(
+            F.when(
+                F.col("win").isNull() | (F.substring("win", 5, 1) == "1"), 1
+            ).otherwise(0)
+        ).alias("n_allowed"),
+        F.sum(
+            F.when(
+                F.col("win").isNotNull() & (F.substring("win", 5, 1) == "0"), 1
+            ).otherwise(0)
+        ).alias("n_blocked"),
+    )
+
+
+# ------------------------------------------- dedup cascade attribution
+
+
+@query(
+    "dedup_cascade_attribution",
+    oracle=f"""
+    WITH {_DUCK_NORM_CTES},
+    keyed AS (
+      SELECT n.doc_id, md5(d.text) AS text_h,
+             {duck_h60('n.norm_url', 17)} AS url_h
+      FROM norm n JOIN documents d ON n.doc_id = d.doc_id
+    ),
+    keep1 AS (
+      SELECT text_h, MIN(doc_id) AS keeper1 FROM keyed GROUP BY text_h
+    ),
+    s1 AS (
+      SELECT k.doc_id, k.url_h, (k.doc_id != p.keeper1) AS killed_exact
+      FROM keyed k JOIN keep1 p USING (text_h)
+    ),
+    keep2 AS (
+      SELECT url_h, MIN(doc_id) AS keeper2
+      FROM s1 WHERE NOT killed_exact GROUP BY url_h
+    ),
+    attributed AS (
+      SELECT s1.doc_id,
+             CASE WHEN s1.killed_exact THEN 'exact'
+                  WHEN s1.doc_id != p2.keeper2 THEN 'url'
+                  ELSE 'kept' END AS killed_by
+      FROM s1 LEFT JOIN keep2 p2 USING (url_h)
+    )
+    SELECT killed_by, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM attributed GROUP BY killed_by
+    """,
+)
+def dedup_cascade_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CASCADE with per-stage attribution — the production
+    ordering (cheapest first): stage 1 exact-text hash keeps the
+    lowest doc_id per body; stage 2 canonical-URL dedup runs ONLY
+    over stage-1 survivors (cascade semantics: a doc killed by the
+    cheap stage never reaches the expensive one).  Output is the
+    kill-attribution rollup ('exact' / 'url' / 'kept') that tells a
+    pipeline owner which stage is earning its cost — the report that
+    decides whether to add/remove stages (near-dup LSH would be stage
+    3, same composition pattern).
+
+    Scale shape: both elections are digest-keyed argmin group-bys
+    (md5 body hash, 60-bit URL digest — int64/hex exchanges, never
+    bodies); the cascade filter is a join-back by the same digest, so
+    stage 2's exchange shrinks by stage 1's kill rate.  At 100 TB
+    each stage's keeper table is also the incremental-ingestion state
+    (dedup_incremental's left-join shape)."""
+    from pyspark.sql.functions import md5
+
+    d = t(spark, sf_dir, "documents")
+    u = _synth_urls(spark, sf_dir)
+    keyed = d.select("doc_id", md5("text").alias("text_h")).join(
+        u.select("doc_id", normalize_url("url").alias("norm_url")).select(
+            "doc_id", F.expr(spark_h60("norm_url", 17)).alias("url_h")
+        ),
+        "doc_id",
+    )
+    keep1 = keyed.groupBy("text_h").agg(F.min("doc_id").alias("keeper1"))
+    s1 = keyed.join(keep1, "text_h").select(
+        "doc_id", "url_h", (F.col("doc_id") != F.col("keeper1")).alias("killed_exact")
+    )
+    keep2 = (
+        s1.filter(~F.col("killed_exact"))
+        .groupBy("url_h")
+        .agg(F.min("doc_id").alias("keeper2"))
+    )
+    attributed = s1.join(keep2, "url_h", "left").select(
+        F.when(F.col("killed_exact"), "exact")
+        .when(F.col("doc_id") != F.col("keeper2"), "url")
+        .otherwise("kept")
+        .alias("killed_by")
+    )
+    return attributed.groupBy("killed_by").agg(F.count("*").alias("n_docs"))
