@@ -587,3 +587,147 @@ def embedding_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 k_anonymity_audit.__doc__ = (k_anonymity_audit.__doc__ or "").replace(
     "{_KANON_K}", str(_KANON_K)
 )
+
+
+# ----------------------------------- top-PC power iteration (integer)
+
+_PC_ITERS = 3
+
+
+def _duck_pc_iter_ctes(n_iters: int) -> str:
+    """Unrolled power-iteration CTE chain (DuckDB side). HUGEINT sums
+    are exact; rescale is decimal-digit-length + truncating // so both
+    engines see identical integers at every step."""
+    parts = [
+        """dims AS (
+      SELECT vec_id, u.i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 100000000) AS BIGINT) AS xi
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ),
+    v0 AS (SELECT DISTINCT dim, CAST(1 AS HUGEINT) AS v FROM dims)"""
+    ]
+    for k in range(1, n_iters + 1):
+        parts.append(f"""dots{k} AS (
+      SELECT d.vec_id, SUM(CAST(d.xi AS HUGEINT) * v.v) AS dot
+      FROM dims d JOIN v{k-1} v USING (dim) GROUP BY d.vec_id
+    ),
+    u{k} AS (
+      SELECT d.dim, SUM(CAST(d.xi AS HUGEINT) * t.dot) AS u
+      FROM dims d JOIN dots{k} t USING (vec_id) GROUP BY d.dim
+    ),
+    m{k} AS (SELECT MAX(length(CAST(abs(u) AS VARCHAR))) AS digits FROM u{k}),
+    v{k} AS (
+      SELECT dim, u // CAST('1' || repeat('0', GREATEST(digits - 6, 0)) AS HUGEINT) AS v
+      FROM u{k}, m{k}
+    )""")
+    return ",\n    ".join(parts)
+
+
+@query(
+    "embedding_top_pc",
+    oracle=f"""
+    WITH {_duck_pc_iter_ctes(_PC_ITERS)},
+    n2 AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS n2 FROM v{_PC_ITERS}),
+    conv AS (
+      SELECT SUM(CAST(a.v AS HUGEINT) * b.v) AS ab,
+             SUM(CAST(a.v AS HUGEINT) * a.v) AS aa,
+             SUM(CAST(b.v AS HUGEINT) * b.v) AS bb
+      FROM v{_PC_ITERS - 1} a JOIN v{_PC_ITERS} b USING (dim)
+    )
+    SELECT dim, CAST(v AS BIGINT) AS pc_fixed,
+           ROUND(CAST(v AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 9) AS loading,
+           ROUND(CAST(ab AS DOUBLE)
+                 / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 9)
+             AS conv_cos
+    FROM v{_PC_ITERS}, n2, conv ORDER BY dim
+    """,
+)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding matrix by
+    {_PC_ITERS}-step POWER ITERATION expressed entirely in relational
+    algebra — each step is two narrow keyed aggregates (row dot
+    products, then column accumulation), i.e. a distributed
+    Gram-matrix matvec.  Output: per-dim integer component, unit-norm
+    loading, and `conv_cos` (cosine between the last two iterates —
+    ~1.0 means converged; low values mean a flat spectrum, as on this
+    synthetic corpus whose dims are iid).  Uncentered (embedding
+    corpora are ~zero-mean; compose with the centering numerators of
+    embedding_label_centroid otherwise).
+
+    Exactness (the reason this is oracle-checkable at all): every
+    arithmetic step is INTEGER — 1e-8 fixed-point inputs, HUGEINT/
+    DECIMAL(38) exact sums, and a rescale that divides by a power of
+    ten derived from the max magnitude's DECIMAL-DIGIT COUNT (string
+    length — exact in both engines) using truncating integer division
+    (`div` / `//`, both truncate toward zero).  Both engines
+    therefore see bit-identical iterates; the only floats are the
+    final loadings, divided once from identical integers.
+
+    Scale shape: v broadcasts (vector-width rows); each iteration
+    shuffles (vec_id, dot) then (dim, partial) — map-side combine on
+    both; {_PC_ITERS} unrolled iterations = {2 * _PC_ITERS} narrow
+    exchanges over the corpus.  This is the Krylov building block:
+    Lanczos/Oja variants reuse exactly this plan."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "raw")
+    ).select(
+        "vec_id",
+        "dim",
+        F.expr("CAST(ROUND(CAST(raw AS DOUBLE) * 100000000) AS BIGINT)").alias("xi"),
+    )
+    v = dims.select("dim").distinct().select(
+        "dim", F.expr("CAST(1 AS DECIMAL(38,0))").alias("v")
+    )
+    prev = None
+    for _ in range(_PC_ITERS):
+        dots = (
+            dims.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.expr("SUM(CAST(xi AS DECIMAL(38,0)) * v)").alias("dot"))
+        )
+        u = (
+            dims.join(dots, "vec_id")
+            .groupBy("dim")
+            .agg(F.expr("SUM(CAST(xi AS DECIMAL(38,0)) * dot)").alias("u"))
+        )
+        mdig = u.agg(
+            F.expr("MAX(length(CAST(abs(u) AS STRING)))").alias("digits")
+        )
+        prev = v
+        v = u.crossJoin(F.broadcast(mdig)).select(
+            "dim",
+            F.expr(
+                "u div CAST('1' || repeat('0', GREATEST(digits - 6, 0)) AS DECIMAL(38,0))"
+            ).alias("v"),
+        )
+    norm = v.agg(F.expr("SUM(CAST(v AS DECIMAL(38,0)) * v)").alias("n2"))
+    conv = (
+        prev.withColumnRenamed("v", "va")
+        .join(v.withColumnRenamed("v", "vb"), "dim")
+        .agg(
+            F.expr("SUM(CAST(va AS DECIMAL(38,0)) * vb)").alias("ab"),
+            F.expr("SUM(CAST(va AS DECIMAL(38,0)) * va)").alias("aa"),
+            F.expr("SUM(CAST(vb AS DECIMAL(38,0)) * vb)").alias("bb"),
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(conv))
+        .select(
+            "dim",
+            F.expr("CAST(v AS BIGINT)").alias("pc_fixed"),
+            F.expr(
+                "ROUND(CAST(v AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 9)"
+            ).alias("loading"),
+            F.expr(
+                "ROUND(CAST(ab AS DOUBLE)"
+                " / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 9)"
+            ).alias("conv_cos"),
+        )
+    )
+
+
+embedding_top_pc.__doc__ = (embedding_top_pc.__doc__ or "").replace(
+    "{_PC_ITERS}", str(_PC_ITERS)
+).replace("{2 * _PC_ITERS}", str(2 * _PC_ITERS))

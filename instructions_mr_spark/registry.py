@@ -132,7 +132,8 @@ DRIVER_WINDOW: list[str] = [
 #   quality_ensemble_keep, dedup_simhash_hamming, dedup_line_frequency,
 #   bpe_pair_counts, topic_seed_assign, posting_list_intersect,
 #   url_param_mining, crawl_frontier_politeness, k_anonymity_audit,
-#   embedding_label_centroid, langid_confusion
+#   embedding_label_centroid, langid_confusion, robots_txt_gate,
+#   dedup_cascade_attribution, embedding_top_pc
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
