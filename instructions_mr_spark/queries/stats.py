@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from instructions_mr_spark.queries._util import DEC_PRICE, t
+from instructions_mr_spark.queries._util import DEC_PRICE, supersede_checkpoint, t
 from instructions_mr_spark.registry import query
 
 # z-score from EXACT decimal moments, shared verbatim by both engines
@@ -695,11 +695,23 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("MAX(length(CAST(abs(u) AS STRING)))").alias("digits")
         )
         prev = v
-        v = u.crossJoin(F.broadcast(mdig)).select(
-            "dim",
-            F.expr(
-                "u div CAST('1' || repeat('0', GREATEST(digits - 6, 0)) AS DECIMAL(38,0))"
-            ).alias("v"),
+        # Stage the (vector-width)-row iterate: without this, every
+        # downstream reference re-expands the FULL prior-iteration
+        # subtree (u feeds both v and mdig, v feeds the next matvec
+        # AND the conv/norm tails), and 3 unrolled iterations plan
+        # 272 exchanges / ~14 corpus aggregations instead of 6.
+        # localCheckpoint of 64 rows is free; it is exactly the LSH
+        # "stage the signature table" convention.
+        v = supersede_checkpoint(
+            "pc_iterate",
+            u.crossJoin(F.broadcast(mdig))
+            .select(
+                "dim",
+                F.expr(
+                    "u div CAST('1' || repeat('0', GREATEST(digits - 6, 0)) AS DECIMAL(38,0))"
+                ).alias("v"),
+            )
+            .localCheckpoint(),
         )
     norm = v.agg(F.expr("SUM(CAST(v AS DECIMAL(38,0)) * v)").alias("n2"))
     conv = (
