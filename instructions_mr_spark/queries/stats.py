@@ -743,3 +743,61 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
 embedding_top_pc.__doc__ = (embedding_top_pc.__doc__ or "").replace(
     "{_PC_ITERS}", str(_PC_ITERS)
 ).replace("{2 * _PC_ITERS}", str(2 * _PC_ITERS))
+
+
+# ---------------------------------------------- l-diversity audit
+
+_LDIV_L = 2
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH classes AS (
+      SELECT source,
+             CAST(FLOOR(n_chars / {_KANON_BUCKET}.0) AS BIGINT) AS chars_bucket,
+             COUNT(DISTINCT lang) AS l_distinct,
+             COUNT(*) AS class_size
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT l_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN l_distinct < {_LDIV_L} THEN 1 ELSE 0 END AS BIGINT)
+             AS below_l
+    FROM classes GROUP BY l_distinct
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.) — the companion
+    k_anonymity_audit can't do alone: an equivalence class whose
+    SENSITIVE attribute (here `lang`, standing in for any sensitive
+    label) takes fewer than l={_LDIV_L} distinct values leaks that
+    attribute even when the class is large.  Output is the histogram
+    of classes by sensitive-value diversity with below-l flags, over
+    the (source, length-bucket) quasi-identifier.
+
+    Scale shape: one group-by on the QI tuple with a count-distinct
+    (two-phase expand, map-side partials), then a tiny diversity
+    rollup; FLOOR-division buckets as in k_anonymity_audit."""
+    d = t(spark, sf_dir, "documents")
+    classes = d.groupBy(
+        "source",
+        F.floor(F.col("n_chars") / _KANON_BUCKET).cast("bigint").alias("chars_bucket"),
+    ).agg(
+        F.countDistinct("lang").alias("l_distinct"),
+        F.count("*").alias("class_size"),
+    )
+    return classes.groupBy("l_distinct").agg(
+        F.count("*").alias("n_classes"),
+        F.sum("class_size").alias("n_docs"),
+        F.when(F.col("l_distinct") < _LDIV_L, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("below_l"),
+    )
+
+
+l_diversity_audit.__doc__ = (l_diversity_audit.__doc__ or "").replace(
+    "{_LDIV_L}", str(_LDIV_L)
+)

@@ -2004,3 +2004,117 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------- Zipf vocabulary fit
+
+
+@query(
+    "zipf_vocab_fit",
+    oracle="""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word != '' GROUP BY word
+    ),
+    hist AS (SELECT c, COUNT(*) AS n_words FROM wc GROUP BY c),
+    base AS (
+      SELECT c, COALESCE(SUM(n_words) OVER (
+               ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS rank_base
+      FROM hist
+    ),
+    ranked AS (
+      SELECT w.word, w.c,
+             b.rank_base + ROW_NUMBER() OVER (PARTITION BY w.c ORDER BY w.word)
+               AS r
+      FROM wc w JOIN base b USING (c)
+    ),
+    pts AS (
+      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 10) AS DECIMAL(18,10)) AS x,
+             CAST(ROUND(ln(CAST(c AS DOUBLE)), 10) AS DECIMAL(18,10)) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope,
+           ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n, 6)
+             AS intercept,
+           ROUND(POWER(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r2
+    FROM s
+    """,
+)
+def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: least-squares slope /
+    intercept / R² of log(frequency) against log(rank) — natural text
+    sits near slope -1, and deviation is a corpus-health signal
+    (synthetic/templated text flattens the head, OCR noise fattens
+    the tail).  Tokenizer sizing reads the same curve (how much mass
+    the next 10k vocab slots buy).
+
+    Scale shape: ranking NEVER uses a global-order window over the
+    vocabulary.  Two-phase rank (the pack_concat_chunks prefix-sum
+    pattern): the frequency HISTOGRAM (distinct counts — tiny, Zipf
+    guarantees it) gets cumulative bases in one tiny window; each
+    word then ranks within its frequency class only (vocab-sized
+    exchange partitioned BY COUNT VALUE, deterministic word
+    tie-break).  The regression sums are DECIMAL-exact over
+    10-decimal-rounded logs (the column_entropy convention: rounding
+    absorbs sub-ulp libm differences between engines), so both
+    engines divide identical numbers once at the end."""
+    d = t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    hist = wc.groupBy("c").agg(F.count("*").alias("n_words"))
+    wbase = (
+        Window.orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = hist.select(
+        "c", F.coalesce(F.sum("n_words").over(wbase), F.lit(0)).alias("rank_base")
+    )
+    win = Window.partitionBy("c").orderBy("word")
+    ranked = wc.join(base, "c").select(
+        "c", (F.col("rank_base") + F.row_number().over(win)).alias("r")
+    )
+    pts = ranked.select(
+        F.expr("CAST(ROUND(ln(CAST(r AS DOUBLE)), 10) AS DECIMAL(18,10))").alias("x"),
+        F.expr("CAST(ROUND(ln(CAST(c AS DOUBLE)), 10) AS DECIMAL(18,10))").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x*y")).alias("sxy"),
+        F.sum(F.expr("x*x")).alias("sxx"),
+        F.sum(F.expr("y*y")).alias("syy"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_vocab",
+        "ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+        " AS slope",
+        "ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n, 6)"
+        " AS intercept",
+        "ROUND(POWER(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)"
+        " / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+        " AS r2",
+    )

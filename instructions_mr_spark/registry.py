@@ -133,7 +133,8 @@ DRIVER_WINDOW: list[str] = [
 #   bpe_pair_counts, topic_seed_assign, posting_list_intersect,
 #   url_param_mining, crawl_frontier_politeness, k_anonymity_audit,
 #   embedding_label_centroid, langid_confusion, robots_txt_gate,
-#   dedup_cascade_attribution, embedding_top_pc
+#   dedup_cascade_attribution, embedding_top_pc, zipf_vocab_fit,
+#   l_diversity_audit
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -70,3 +70,41 @@ def test_langid_confusion_diagonal_and_off(spark, tmp_path):
     }
     assert got[("fr", "fr")] == 1
     assert got[("en", "fr")] == 1
+
+
+def test_l_diversity_flags_homogeneous_classes(spark, tmp_path):
+    """Class (a, bucket0) spans en+fr -> l=2 (ok); class (b, bucket0)
+    is all-en -> l=1, below_l."""
+    rows = [
+        (0, "w", "en", "a", 10),
+        (1, "w", "fr", "a", 10),
+        (2, "w", "en", "b", 10),
+        (3, "w", "en", "b", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.l_distinct: r
+        for r in registry.QUERIES["l_diversity_audit"](spark, str(tmp_path)).collect()
+    }
+    assert got[2].n_classes == 1 and got[2].below_l == 0
+    assert got[1].n_classes == 1 and got[1].n_docs == 2 and got[1].below_l == 1
+
+
+def test_zipf_fit_exact_power_law(spark, tmp_path):
+    """Counts 720/r for ranks 1..6 lie EXACTLY on log c = log 720 -
+    log r: slope -1, r2 1 (up to the 1e-10 log rounding)."""
+    words = []
+    for r, c in enumerate([720, 360, 240, 180, 144, 120], start=1):
+        words += [f"w{r}"] * c
+    df = spark.createDataFrame(
+        [(0, " ".join(words), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = registry.QUERIES["zipf_vocab_fit"](spark, str(tmp_path)).collect()[0]
+    assert got.n_vocab == 6
+    assert abs(got.slope - (-1.0)) < 1e-4
+    assert abs(got.r2 - 1.0) < 1e-6
