@@ -4,6 +4,10 @@ content-level pipeline in examples/curation_pipeline.py.
 
 Stages (each registry-backed and oracle-checked on its own):
 
+  0. robots gate         longest-match robots.txt verdicts
+                         (robots_verdicts, the per-doc form of
+                         robots_txt_gate): disallowed fetches never
+                         enter the corpus
   1. URL fetch dedup     canonical-URL digest keeper (url_dedup)
   2. domain blacklist    per-registrable-domain dup accounting
                          (domain_stats); domains where duplicate
@@ -48,6 +52,18 @@ def run(sf_dir: str, out_dir: str) -> dict[str, int]:
         "doc_id", "source", registrable_domain("url").alias("domain")
     )
     n_total = docs.count()
+
+    # -- 0. robots gate: longest-match verdict per doc; disallowed
+    # fetches (5th char of the string-pack win = '0') never enter
+    from instructions_mr_spark.queries.web import robots_verdicts
+
+    allowed = (
+        robots_verdicts(spark, sf_dir)
+        .filter(F.col("win").isNull() | (F.substring("win", 5, 1) == "1"))
+        .select("doc_id")
+    )
+    docs = docs.join(allowed, "doc_id", "left_semi")
+    n_after_robots = docs.count()
 
     # -- 1. URL fetch dedup: keep one doc per canonical URL
     url_keep = q["url_dedup"](spark, sf_dir).select(
@@ -97,6 +113,7 @@ def run(sf_dir: str, out_dir: str) -> dict[str, int]:
     )
     return {
         "total": n_total,
+        "after_robots": n_after_robots,
         "after_url_and_domain": n_after_web,
         "after_span_cut": n_after_cut,
         "survivors": survivors.count(),

@@ -465,6 +465,28 @@ def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_label_centroid argmax pattern) inside the (doc, host)
     aggregate.  No corpus shuffle to resolve verdicts; the only
     exchanges are the per-doc election and the tiny host rollup."""
+    matched = robots_verdicts(spark, sf_dir)
+    return matched.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(
+            F.when(
+                F.col("win").isNull() | (F.substring("win", 5, 1) == "1"), 1
+            ).otherwise(0)
+        ).alias("n_allowed"),
+        F.sum(
+            F.when(
+                F.col("win").isNotNull() & (F.substring("win", 5, 1) == "0"), 1
+            ).otherwise(0)
+        ).alias("n_blocked"),
+    )
+
+
+def robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document robots verdict (doc_id, host, win) under
+    longest-match precedence; `win` is NULL (no rule -> allowed) or
+    the zero-padded (rule length, allow-bit) string pack whose 5th
+    char holds the verdict.  Shared by the robots_txt_gate rollup and
+    the web-curation example's per-doc gate."""
     rules = spark.createDataFrame(
         _ROBOTS_RULES, "rhost string, prefix string, allow int"
     )
@@ -476,7 +498,7 @@ def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_host("url").alias("host"),
         url_path("url").alias("path"),
     )
-    matched = (
+    return (
         pages.join(
             F.broadcast(rules),
             (pages.host == rules.rhost)
@@ -495,19 +517,6 @@ def robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("win")
         )
-    )
-    return matched.groupBy("host").agg(
-        F.count("*").alias("n_urls"),
-        F.sum(
-            F.when(
-                F.col("win").isNull() | (F.substring("win", 5, 1) == "1"), 1
-            ).otherwise(0)
-        ).alias("n_allowed"),
-        F.sum(
-            F.when(
-                F.col("win").isNotNull() & (F.substring("win", 5, 1) == "0"), 1
-            ).otherwise(0)
-        ).alias("n_blocked"),
     )
 
 

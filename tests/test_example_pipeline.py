@@ -59,11 +59,14 @@ def test_web_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     funnel = web_curation_pipeline.run(sf_dir, out)
     assert (
         funnel["total"]
+        >= funnel["after_robots"]
         >= funnel["after_url_and_domain"]
         >= funnel["after_span_cut"]
         == funnel["survivors"]
         > 0
     )
+    # the robots stage must actually block something on this corpus
+    assert funnel["after_robots"] < funnel["total"]
     survivors = spark.read.parquet(os.path.join(out, "web_survivors"))
     assert survivors.count() == funnel["survivors"]
     assert {"doc_id", "source", "domain", "n_tokens", "n_kept", "boost"} <= set(

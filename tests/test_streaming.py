@@ -769,3 +769,39 @@ def test_stream_url_dedup(spark, sf_dir, tmp_path_factory):
     got = spark.sql("SELECT count(*) AS n FROM stream_url_dedup_t").collect()[0].n
     batch_distinct = canonical(raw).select("url_h").distinct().count()
     assert got == batch_distinct > 0
+
+
+def test_stream_topic_assign(spark, sf_dir, tmp_path_factory):
+    """Streaming twin of topic_seed_assign's tagging stage: the seed
+    lexicon is a broadcast static-dimension join inside the stream
+    (no state), and the per-topic hit counts aggregate in complete
+    mode.  Totals must equal the batch hit counts."""
+    import os
+
+    from instructions_mr_spark.queries.text import _TOPIC_SEEDS
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stream_dir = tmp_path_factory.mktemp("docs_topic_stream")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"), stream_dir / "part-0.parquet"
+    )
+    stream = (
+        spark.readStream.schema(raw.schema).format("parquet").load(str(stream_dir))
+    )
+    seeds = spark.createDataFrame(_TOPIC_SEEDS, "topic string, kw string")
+
+    def hits(df):
+        toks = df.select(F.explode(F.split("text", " ")).alias("word"))
+        return (
+            toks.join(F.broadcast(seeds), toks.word == seeds.kw)
+            .groupBy("topic")
+            .agg(F.count("*").alias("n_hits"))
+        )
+
+    _run_to_completion(hits(stream), "stream_topic_t", "complete")
+    got = {
+        r.topic: r.n_hits
+        for r in spark.sql("SELECT * FROM stream_topic_t").collect()
+    }
+    want = {r.topic: r.n_hits for r in hits(raw).collect()}
+    assert got == want and sum(got.values()) > 0
