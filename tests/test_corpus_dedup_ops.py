@@ -74,3 +74,72 @@ def test_line_frequency_drops_everywhere(spark, tmp_path):
     assert got[0].cleaned_md5 == hashlib.md5(p2.encode()).hexdigest()
     assert got[1].cleaned_md5 == hashlib.md5(p3.encode()).hexdigest()
     assert got[2].cleaned_md5 == hashlib.md5(p4.encode()).hexdigest()
+
+
+def test_new_ops_empty_documents(spark, tmp_path):
+    """Empty documents table: every new corpus op returns an empty (or
+    for the Zipf fit, NaN-free single) result rather than crashing —
+    the first thing that happens when an upstream filter matches
+    nothing."""
+    df = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from instructions_mr_spark import registry as reg
+
+    for name in (
+        "dedup_simhash_hamming",
+        "dedup_line_frequency",
+        "bpe_pair_counts",
+        "topic_seed_assign",
+        "posting_list_intersect",
+        "url_param_mining",
+        "crawl_frontier_politeness",
+        "k_anonymity_audit",
+        "l_diversity_audit",
+        "langid_confusion",
+        "robots_txt_gate",
+        "dedup_cascade_attribution",
+    ):
+        assert reg.QUERIES[name](spark, str(tmp_path)).count() == 0, name
+
+
+def test_line_frequency_order_invariance(spark, tmp_path):
+    """Relabeling which doc carries which text must not change the
+    kill COUNTS (digest grouping is content-keyed): swap two docs'
+    texts and compare aggregate counts."""
+    from instructions_mr_spark import registry as reg
+
+    p_shared = " ".join(["dup"] * 10)
+    a = [(0, p_shared, "en", "s", 1), (1, p_shared, "en", "s", 1), (2, "x " * 9 + "x", "en", "s", 1)]
+    b = [(0, a[2][1], "en", "s", 1), (1, p_shared, "en", "s", 1), (2, p_shared, "en", "s", 1)]
+    outs = []
+    for i, rows in enumerate((a, b)):
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        path = tmp_path / f"v{i}"
+        d.write.mode("overwrite").parquet(str(path / "documents.parquet"))
+        got = reg.QUERIES["dedup_line_frequency"](spark, str(path)).collect()
+        outs.append(sorted((r.n_paras, r.n_dropped) for r in got))
+    assert outs[0] == outs[1]
+
+
+def test_simhash_hamming_all_pairs_within_radius(spark, tmp_path):
+    """Soundness: every reported pair is within the radius; and the
+    blocked join finds EVERY identical-fingerprint pair (radius-0
+    completeness is exact, not probabilistic)."""
+    from instructions_mr_spark import registry as reg
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, base, "en", "s", 1) for i in range(5)]  # 5 identical docs
+    rows.append((9, " ".join(f"q{i}" for i in range(30)), "en", "s", 1))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = reg.QUERIES["dedup_simhash_hamming"](spark, str(tmp_path)).collect()
+    assert all(r.hamming <= 3 for r in got)
+    zero_pairs = {(r.doc_a, r.doc_b) for r in got if r.hamming == 0}
+    expect = {(i, j) for i in range(5) for j in range(5) if i < j}
+    assert expect <= zero_pairs
