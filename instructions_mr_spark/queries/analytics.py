@@ -502,3 +502,159 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# -------------------------------------------- last-touch attribution
+
+
+@query(
+    "event_attribution_last_touch",
+    oracle="""
+    WITH touches AS (
+      SELECT user_id, ts, MAX(event_type) AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT p.event_id, t.channel
+      FROM purchases p
+      ASOF LEFT JOIN touches t
+        ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT COALESCE(channel, 'unattributed') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM attributed GROUP BY 1
+    """,
+)
+def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the
+    user's most recent preceding click/view (the as-of-backward join
+    the ads world runs at petabyte scale); purchases with no prior
+    touch fall into 'unattributed'.  Touches are pre-reduced to one
+    row per (user, instant) with a deterministic channel tie-break —
+    the join_asof lesson: 'most recent' is underdetermined on ties
+    and engines tiebreak differently.
+
+    Scale shape: the asof join sorts within user partitions only (the
+    operators/asof.py union-tag trick — one exchange keyed by user,
+    no range join explosion); the rollup is a tiny channel aggregate.
+    A production lookback window ('credit expires after 30 days') is
+    one more filter on the matched pair."""
+    from instructions_mr_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    touches = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+        .select(F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts"), "channel")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, touches,
+        on_time_left="ts", on_time_right="t_ts",
+        by_left=["user_id"], by_right=["t_user"], how="left",
+    )
+    return joined.groupBy(
+        F.coalesce("channel", F.lit("unattributed")).alias("channel")
+    ).agg(F.count("*").alias("n_purchases"))
+
+
+# ------------------------------------------------ session bounce rate
+
+_SESS_GAP_S = 1800
+
+
+@query(
+    "session_bounce_rate",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP))
+                          - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP))
+                          > {_SESS_GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    ),
+    per_sess AS (
+      SELECT user_id, sess_id, COUNT(*) AS n_events,
+             split_part(MIN(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+                 || '_' || lpad(CAST(event_id AS VARCHAR), 12, '0')
+                 || '_' || event_type), '_', 3) AS first_type
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT first_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(n_events) AS BIGINT) AS n_events_total
+    FROM per_sess GROUP BY first_type
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce-rate report by session entry type: sessionize each
+    user's event stream with a {_SESS_GAP_S}s inactivity gap
+    (gaps-and-islands — lag + running sum, the classic), then roll up
+    sessions by their FIRST event's type, counting single-event
+    sessions (bounces).  Entry-type bounce rates tell a product team
+    which entry points lose users immediately; emitted as exact
+    integer triples (sessions, bounces, events), never a rounded
+    rate.
+
+    Scale shape: both windows partition BY USER and order within the
+    partition — one exchange keyed on user_id serves lag, running
+    sum, and the per-session rollup (Catalyst reuses the
+    partitioning); the first-event election is a tie-safe string-pack
+    MIN (timestamp micros + event_id + type), not a second window.
+    NTZ-safe time math (epoch micros through TIMESTAMP cast)."""
+    from instructions_mr_spark.queries._util import ts_epoch_micros
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = ts_epoch_micros("ts")
+    lag_us = F.lag(us).over(w)
+    new_sess = F.when(
+        lag_us.isNull() | ((us - lag_us) > _SESS_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id", "event_id", "event_type", "ts", new_sess.alias("new_sess")
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    pack = F.concat(
+        F.lpad(ts_epoch_micros("ts").cast("string"), 20, "0"),
+        F.lit("_"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lit("_"),
+        F.col("event_type"),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.split_part(F.min(pack), F.lit("_"), F.lit(3)).alias("first_type"),
+    )
+    return per_sess.groupBy("first_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        F.sum("n_events").alias("n_events_total"),
+    )
+
+
+session_bounce_rate.__doc__ = (session_bounce_rate.__doc__ or "").replace(
+    "{_SESS_GAP_S}", str(_SESS_GAP_S)
+)
