@@ -2175,3 +2175,59 @@ dedup_line_frequency.__doc__ = (
     .replace("{_LINE_DF_MIN_DROP}", str(_LINE_DF_MIN_DROP))
     .replace("{_PARA_W}", str(_PARA_W))
 )
+
+
+# ----------------------------------- simhash hamming calibration
+
+
+@query(
+    "simhash_hamming_calibration",
+    oracle=f"""
+    WITH {_duck_simhash60()},
+    wsets AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+           ROUND(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                 / len(list_distinct(wa.ws || wb.ws)), 6) AS true_jaccard
+    FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1
+    JOIN wsets wa ON wa.doc_id = a.doc_id
+    JOIN wsets wb ON wb.doc_id = b.doc_id
+    """,
+)
+def simhash_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash calibration report — the diagnostic that picks
+    dedup_simhash_hamming's radius before trusting it on a new
+    corpus: for adjacent-id doc pairs, the fingerprint hamming
+    distance next to the TRUE word-set Jaccard (simhash is a
+    bag-of-words signature, so word-set similarity is its ground
+    truth).  Plotting hamming vs jaccard shows which radius captures
+    which similarity band — the twin of minhash_estimate_calibration
+    for the hamming family.
+
+    Scale shape: fingerprints come from the SAME staged table the
+    hamming join uses (one digest pass); adjacent-id blocking keeps
+    the comparison linear; word sets are scan projections joined back
+    by doc id."""
+    fp = _simhash60_fp(spark, sf_dir)
+    wsets = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    wa, wb = wsets.alias("wa"), wsets.alias("wb")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .join(wa, F.col("wa.doc_id") == F.col("a.doc_id"))
+        .join(wb, F.col("wb.doc_id") == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.fp ^ b.fp) AS BIGINT)").alias("hamming"),
+            F.round(
+                F.size(F.array_intersect("wa.ws", "wb.ws")).cast("double")
+                / F.size(F.array_union("wa.ws", "wb.ws")),
+                6,
+            ).alias("true_jaccard"),
+        )
+    )

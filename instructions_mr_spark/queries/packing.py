@@ -296,3 +296,87 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cum_start / CAPACITY).cast("bigint").alias("first_chunk"),
         F.floor((cum_end - 1) / CAPACITY).cast("bigint").alias("last_chunk"),
     )
+
+
+# ------------------------------------------ dynamic-batching padding
+
+_PAD_BUCKET_W = 8
+_PAD_BATCH = 32
+
+
+@query(
+    "batch_padding_waste",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR((n_tokens - 1) / {_PAD_BUCKET_W}.0) AS BIGINT) AS bucket,
+             CAST(FLOOR((ROW_NUMBER() OVER (
+               PARTITION BY CAST(FLOOR((n_tokens - 1) / {_PAD_BUCKET_W}.0) AS BIGINT)
+               ORDER BY doc_id) - 1) / {_PAD_BATCH}.0) AS BIGINT) AS batch_idx
+      FROM lens
+    ),
+    per_batch AS (
+      SELECT bucket, batch_idx, COUNT(*) AS n_docs,
+             MAX(n_tokens) AS max_len, SUM(n_tokens) AS sum_len
+      FROM bucketed GROUP BY bucket, batch_idx
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_docs * max_len) AS BIGINT) AS padded_tokens,
+           CAST(SUM(sum_len) AS BIGINT) AS real_tokens,
+           CAST(SUM(n_docs * max_len) - SUM(sum_len) AS BIGINT) AS waste_tokens
+    FROM per_batch GROUP BY bucket
+    """,
+)
+def batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching padding report (the inference-serving twin of
+    the training packers): documents are length-bucketed (width
+    {_PAD_BUCKET_W} tokens), batched {_PAD_BATCH} at a time within
+    each bucket in deterministic doc order, and every batch pads to
+    its own max length.  Output per bucket: batches, docs, padded vs
+    real tokens and the waste — the number that justifies (or kills)
+    a bucketing strategy for vLLM/TGI-style serving.  Narrower
+    buckets cut waste but shrink batches; this table is the
+    trade-off, in exact integers.
+
+    Scale shape: one window partitioned by BUCKET (the ~dozens of
+    length classes — balanced, bounded cardinality), then two narrow
+    aggregates.  No global sort: rank is within-bucket only, exactly
+    the crawl_frontier_politeness shape with bucket as the
+    partitioning domain."""
+    from pyspark.sql import Window
+
+    lens = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    bucket = F.floor((F.col("n_tokens") - 1) / _PAD_BUCKET_W).cast("bigint")
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    bucketed = lens.withColumn("bucket", bucket).withColumn(
+        "batch_idx",
+        F.floor((F.row_number().over(w) - 1) / _PAD_BATCH).cast("bigint"),
+    )
+    per_batch = bucketed.groupBy("bucket", "batch_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("sum_len"),
+    )
+    return per_batch.groupBy("bucket").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(F.col("n_docs") * F.col("max_len")).alias("padded_tokens"),
+        F.sum("sum_len").alias("real_tokens"),
+        (
+            F.sum(F.col("n_docs") * F.col("max_len")) - F.sum("sum_len")
+        ).alias("waste_tokens"),
+    )
+
+
+batch_padding_waste.__doc__ = (
+    (batch_padding_waste.__doc__ or "")
+    .replace("{_PAD_BUCKET_W}", str(_PAD_BUCKET_W))
+    .replace("{_PAD_BATCH}", str(_PAD_BATCH))
+)

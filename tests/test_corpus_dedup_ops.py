@@ -143,3 +143,50 @@ def test_simhash_hamming_all_pairs_within_radius(spark, tmp_path):
     zero_pairs = {(r.doc_a, r.doc_b) for r in got if r.hamming == 0}
     expect = {(i, j) for i in range(5) for j in range(5) if i < j}
     assert expect <= zero_pairs
+
+
+def test_simhash_calibration_endpoints(spark, tmp_path):
+    """Identical adjacent docs: hamming 0 and jaccard 1; disjoint
+    vocab: jaccard 0 and a far fingerprint."""
+    from instructions_mr_spark import registry as reg
+
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    rows = [(0, base, "en", "s", 1), (1, base, "en", "s", 1), (2, other, "en", "s", 1)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in reg.QUERIES["simhash_hamming_calibration"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[(0, 1)].hamming == 0 and got[(0, 1)].true_jaccard == 1.0
+    assert got[(1, 2)].true_jaccard == 0.0 and got[(1, 2)].hamming > 10
+
+
+def test_batch_padding_waste_exact(spark, tmp_path):
+    """Bucket 0 holds lengths 3/5/7 in one batch: padded 3*7=21, real
+    15, waste 6; bucket 1 holds a lone length-10 doc: zero waste."""
+    from instructions_mr_spark import registry as reg
+
+    rows = [
+        (0, "a b c", "en", "s", 1),
+        (1, "a b c d e", "en", "s", 1),
+        (2, "a b c d e f g", "en", "s", 1),
+        (3, " ".join(["t"] * 10), "en", "s", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.bucket: r
+        for r in reg.QUERIES["batch_padding_waste"](spark, str(tmp_path)).collect()
+    }
+    b0 = got[0]
+    assert (b0.n_batches, b0.n_docs, b0.padded_tokens, b0.real_tokens, b0.waste_tokens) == (1, 3, 21, 15, 6)
+    b1 = got[1]
+    assert (b1.n_docs, b1.waste_tokens) == (1, 0)
