@@ -801,3 +801,83 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 l_diversity_audit.__doc__ = (l_diversity_audit.__doc__ or "").replace(
     "{_LDIV_L}", str(_LDIV_L)
 )
+
+
+# ---------------------------------------------- distribution drift
+
+
+@query(
+    "dataset_drift_kl",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source,
+             SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT COUNT(*) AS k, SUM(a) AS na, SUM(b) AS nb FROM cells
+    ),
+    terms AS (
+      SELECT
+        CAST(ROUND(
+          (CAST(b + 1 AS DOUBLE) / (nb + k))
+          * ln((CAST(b + 1 AS DOUBLE) / (nb + k))
+               / (CAST(a + 1 AS DOUBLE) / (na + k))), 10)
+          AS DECIMAL(38,10)) AS kl_term,
+        abs((b + 1) * (na + k) - (a + 1) * (nb + k)) AS tv_num,
+        k, na, nb
+      FROM cells, tot
+    )
+    SELECT CAST(MAX(k) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(kl_term) AS DOUBLE), 6) AS kl_new_vs_old,
+           CAST(SUM(tv_num) AS DOUBLE)
+             / (2.0 * (MAX(na) + MAX(k)) * (MAX(nb) + MAX(k))) AS tv_distance
+    FROM terms
+    """,
+)
+def dataset_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots (here
+    the deterministic even/odd doc_id halves; in production,
+    yesterday's ingest vs today's): KL(new || old) and total
+    variation over the (lang, source) cell distribution, with add-one
+    (Laplace) smoothing so a cell appearing in only one snapshot
+    stays finite.  The alarm that catches a source silently changing
+    mix before it skews a training run.
+
+    Exactness: KL terms are 10-decimal-rounded doubles summed as
+    DECIMAL (the column_entropy libm-absorbing convention); total
+    variation never divides per-cell — the numerator is the exact
+    integer |cross-multiply| summed as BIGINT, divided ONCE by the
+    common denominator (emitted unrounded from identical integers).
+
+    Scale shape: one (lang, source) aggregate with conditional sums
+    (a single corpus pass for both snapshots), a 1-row total
+    broadcast back, and a scalar rollup."""
+    d = t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("b"),
+    )
+    tot = cells.agg(
+        F.count("*").alias("k"), F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CAST(ROUND((CAST(b + 1 AS DOUBLE) / (nb + k))"
+            " * ln((CAST(b + 1 AS DOUBLE) / (nb + k))"
+            " / (CAST(a + 1 AS DOUBLE) / (na + k))), 10) AS DECIMAL(38,10))"
+        ).alias("kl_term"),
+        F.expr("abs((b + 1) * (na + k) - (a + 1) * (nb + k))").alias("tv_num"),
+        "k",
+        "na",
+        "nb",
+    )
+    return terms.agg(
+        F.expr("CAST(MAX(k) AS BIGINT)").alias("n_cells"),
+        F.expr("ROUND(CAST(SUM(kl_term) AS DOUBLE), 6)").alias("kl_new_vs_old"),
+        F.expr(
+            "CAST(SUM(tv_num) AS DOUBLE)"
+            " / (2.0 * (MAX(na) + MAX(k)) * (MAX(nb) + MAX(k)))"
+        ).alias("tv_distance"),
+    )

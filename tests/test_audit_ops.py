@@ -108,3 +108,26 @@ def test_zipf_fit_exact_power_law(spark, tmp_path):
     assert got.n_vocab == 6
     assert abs(got.slope - (-1.0)) < 1e-4
     assert abs(got.r2 - 1.0) < 1e-6
+
+
+def test_dataset_drift_zero_and_planted(spark, tmp_path):
+    """Identical even/odd halves -> KL 0, TV 0; a half that shifts
+    lang mix -> both strictly positive."""
+    base = [
+        (0, "w", "en", "s", 10), (1, "w", "en", "s", 10),
+        (2, "w", "fr", "s", 10), (3, "w", "fr", "s", 10),
+    ]
+    drift = [
+        (0, "w", "en", "s", 10), (2, "w", "en", "s", 10),
+        (1, "w", "en", "s", 10), (3, "w", "fr", "s", 10),
+    ]
+    for i, rows in enumerate((base, drift)):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        p = tmp_path / f"v{i}"
+        df.write.mode("overwrite").parquet(str(p / "documents.parquet"))
+    zero = registry.QUERIES["dataset_drift_kl"](spark, str(tmp_path / "v0")).collect()[0]
+    assert zero.kl_new_vs_old == 0.0 and zero.tv_distance == 0.0
+    moved = registry.QUERIES["dataset_drift_kl"](spark, str(tmp_path / "v1")).collect()[0]
+    assert moved.kl_new_vs_old > 0 and 0 < moved.tv_distance < 1
