@@ -658,3 +658,266 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 session_bounce_rate.__doc__ = (session_bounce_rate.__doc__ or "").replace(
     "{_SESS_GAP_S}", str(_SESS_GAP_S)
 )
+
+
+# ------------------------------------------- event transition matrix
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+             AS p
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: LEAD within (user, time) gives the successor event, the
+    (from, to) rollup gives counts, and each row's probability is its
+    share of the from-type's outgoing mass.  The input to
+    next-event-prediction baselines and to funnel-drop diagnostics
+    (a high p(click -> error) row IS the bug report).
+
+    Scale shape: the lead window partitions by user (one exchange —
+    the same user-keyed partitioning every sessionization op here
+    reuses); the rollup lands on the tiny (from, to) key space, and
+    the share window runs over that already-small aggregate, not the
+    event stream.  Deterministic: event_id breaks timestamp ties, and
+    the final division is one DOUBLE op on identical integers."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = nxt.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    share_w = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(share_w).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------- RFM customer scoring
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS refdate FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT refdate FROM ref)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary_dec
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT custkey, recency_days, frequency,
+             ROUND(CAST(monetary_dec AS DOUBLE), 2) AS monetary,
+             NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary_dec ASC, custkey) AS m_score
+      FROM base
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm_code
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring — the
+    classic marketing segmentation: per customer, days since last
+    order relative to the corpus max date, order count, and exact
+    DECIMAL revenue, each quintile-scored with NTILE(5) and packed
+    into a 3-digit RFM code (555 = best).  Ties are broken by
+    custkey so every quintile boundary is deterministic.
+
+    Scale shape: one group-by on custkey produces the per-customer
+    triple; the three NTILE windows then run over the AGGREGATE (one
+    row per customer), not the orders stream.  These are global-order
+    windows — fine up to ~1e9 customers on one sort each; the 100 TB
+    path replaces exact NTILE with approx-percentile quintile cutoffs
+    broadcast to a map-side score join, trading exact bucket
+    boundaries for no global sort.  Monetary sums are DECIMAL-exact
+    (order-free), rounded once for display."""
+    o = t(spark, sf_dir, "orders")
+    refdate = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("r")
+    ).collect()[0]["r"]
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(refdate), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(12,2))")).alias("monetary_dec"),
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), "custkey")
+    f_w = Window.orderBy(F.col("frequency").asc(), "custkey")
+    m_w = Window.orderBy(F.col("monetary_dec").asc(), "custkey")
+    scored = base.select(
+        "custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        "frequency",
+        F.round(F.col("monetary_dec").cast("double"), 2).alias("monetary"),
+        F.ntile(5).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(5).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(5).over(m_w).cast("bigint").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )
+
+
+# --------------------------------------------- market-basket pairs
+
+_COP_MIN_SUPPORT = 2
+
+
+@query(
+    "copurchase_pairs",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM p a JOIN p b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_COP_MIN_SUPPORT}
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the support-counting core of
+    frequent-itemset / association-rule mining): parts co-occurring
+    in the same order, deduped to one row per (order, part), paired
+    within each order with part_a < part_b, and kept when the pair's
+    order support reaches {_COP_MIN_SUPPORT}.  The output is the
+    edge list 'customers who bought X also bought Y' ranks from.
+
+    Scale shape: the distinct and the self-join both key on
+    l_orderkey — one exchange, reused (Catalyst co-partitions the
+    self-join on the distinct's partitioning).  Per-order pair
+    generation is quadratic only in ORDER SIZE, which TPC-H (and any
+    real basket) bounds by a small constant, so candidate volume is
+    linear in lineitems.  The support rollup shuffles bare integer
+    pairs; hot pairs (promo bundles) are a salting candidate but the
+    key space is wide enough that AQE's skew split covers it."""
+    li = t(spark, sf_dir, "lineitem")
+    p = li.select("l_orderkey", "l_partkey").distinct()
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= _COP_MIN_SUPPORT)
+    )
+
+
+copurchase_pairs.__doc__ = (copurchase_pairs.__doc__ or "").replace(
+    "{_COP_MIN_SUPPORT}", str(_COP_MIN_SUPPORT)
+)
+
+
+# ------------------------------------- assortment overlap (Jaccard)
+
+
+@query(
+    "supplier_assortment_overlap",
+    oracle="""
+    WITH m AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    sz AS (SELECT l_suppkey, COUNT(*) AS n FROM m GROUP BY 1),
+    inter AS (
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+             COUNT(*) AS n_common
+      FROM m a JOIN m b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT supp_a, supp_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.l_suppkey = supp_a
+    JOIN sz sb ON sb.l_suppkey = supp_b
+    """,
+)
+def supplier_assortment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard overlap between supplier part-assortments —
+    the set-similarity matrix behind 'competing supplier' and
+    audience-overlap analyses: |A intersect B| via a self-join on the
+    shared element, |A union B| by inclusion-exclusion from the two
+    set sizes, never materializing a union.
+
+    Scale shape: the distinct keys on (supplier, part); the
+    intersection self-join keys on PART (elements), so candidate
+    pairs appear only where sets actually share an element — the
+    sparse-dot-product identity that makes all-pairs Jaccard
+    tractable (pair space touched is sum of per-element deg^2, not
+    n^2 sets).  Set sizes are a tiny aggregate, broadcast back onto
+    the pair rows.  A hot element (a part every supplier carries)
+    quadratically inflates its candidate block — the standard fix at
+    scale is dropping ubiquitous elements (df-cap), exactly the stop-
+    word rule minhash pipelines use."""
+    li = t(spark, sf_dir, "lineitem")
+    m = li.select("l_suppkey", "l_partkey").distinct()
+    sz = m.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    a = m.alias("a")
+    b = m.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("supp_a"),
+            F.col("b.l_suppkey").alias("supp_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("l_suppkey").alias("supp_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("l_suppkey").alias("supp_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "supp_a")
+        .join(F.broadcast(sb), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
