@@ -443,3 +443,65 @@ def dpp_filtered_dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ------------------------------------------ range-partition planning
+
+_RANGE_BUCKETS = 32
+
+
+@query(
+    "range_partition_bounds",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_orderkey,
+             NTILE({_RANGE_BUCKETS}) OVER (ORDER BY l_orderkey, l_linenumber)
+               AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(l_orderkey) AS BIGINT) AS upper_bound
+    FROM r GROUP BY bucket
+    """,
+)
+def range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth range-partition boundaries for a sort key —
+    the planning table behind repartitionByRange / sorted-file
+    layout: split lineitem's l_orderkey domain into
+    {_RANGE_BUCKETS} buckets of equal ROW count and report each
+    bucket's row count and inclusive upper bound.  Writers feed the
+    bounds to range-partitioned layouts (Z-order cousins, Iceberg
+    sort orders); Spark's own RangePartitioner estimates this same
+    table from a sample rather than computing it exactly.
+
+    Determinism with duplicate keys: NTILE runs over the unique
+    (l_orderkey, l_linenumber) composite, and bucket CONTENTS as
+    multisets are fixed by the sorted order even when equal keys
+    straddle a boundary — so MAX per bucket is stable on both
+    engines.
+
+    Scale shape: one global sort (the honest cost of exact bounds —
+    same as any total-order write); at 100 TB the drop-in
+    replacement is a reservoir/percentile sample of the key column,
+    which is exactly what repartitionByRange does internally.  The
+    rollup reuses the sort's range partitioning (no second
+    exchange)."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    r = li.select(
+        "l_orderkey",
+        F.ntile(_RANGE_BUCKETS)
+        .over(Window.orderBy("l_orderkey", "l_linenumber"))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    return r.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("l_orderkey").alias("upper_bound"),
+    )
+
+
+range_partition_bounds.__doc__ = (range_partition_bounds.__doc__ or "").replace(
+    "{_RANGE_BUCKETS}", str(_RANGE_BUCKETS)
+)

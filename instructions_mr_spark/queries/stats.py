@@ -881,3 +881,230 @@ def dataset_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (2.0 * (MAX(na) + MAX(k)) * (MAX(nb) + MAX(k)))"
         ).alias("tv_distance"),
     )
+
+
+# ---------------------------------------------- t-closeness audit
+
+_TCLOSE_BUCKET = 50   # same sensitive bucketing as k_anonymity_audit
+_TCLOSE_T = "0.2"     # flag threshold (literal shared by both engines)
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(FLOOR(n_chars / {_TCLOSE_BUCKET}.0) AS BIGINT) AS bucket,
+             COUNT(*) AS gc
+      FROM documents GROUP BY 1
+    ),
+    gcum AS (
+      SELECT bucket, SUM(gc) OVER (ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS cum_g,
+             (SELECT SUM(gc) FROM g) AS n_total,
+             (SELECT COUNT(*) FROM g) AS m
+      FROM g
+    ),
+    cls AS (
+      SELECT lang, source, COUNT(*) AS n_class FROM documents GROUP BY 1, 2
+    ),
+    cc AS (
+      SELECT lang, source,
+             CAST(FLOOR(n_chars / {_TCLOSE_BUCKET}.0) AS BIGINT) AS bucket,
+             COUNT(*) AS c
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT cls.lang, cls.source, cls.n_class, gcum.bucket,
+             gcum.cum_g, gcum.n_total, gcum.m, COALESCE(cc.c, 0) AS c
+      FROM cls CROSS JOIN gcum
+      LEFT JOIN cc ON cc.lang = cls.lang AND cc.source = cls.source
+                  AND cc.bucket = gcum.bucket
+    ),
+    cum AS (
+      SELECT lang, source, n_class, n_total, m, cum_g,
+             SUM(c) OVER (PARTITION BY lang, source ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum_c
+      FROM grid
+    )
+    SELECT lang, source, CAST(MAX(n_class) AS BIGINT) AS class_size,
+           ROUND(CAST(SUM(ABS(CAST(n_total AS BIGINT) * cum_c
+                               - CAST(n_class AS BIGINT) * cum_g)) AS DOUBLE)
+                 / (CAST(MAX(n_class) AS DOUBLE) * MAX(n_total)
+                    * (MAX(m) - 1)), 6) AS t_value,
+           SUM(ABS(CAST(n_total AS BIGINT) * cum_c
+                   - CAST(n_class AS BIGINT) * cum_g))
+             > CAST({_TCLOSE_T} * MAX(n_class) * MAX(n_total) * (MAX(m) - 1)
+                    AS DOUBLE) AS above_t
+    FROM cum GROUP BY lang, source
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the privacy ladder after k_anonymity_audit and
+    l_diversity_audit: an equivalence class leaks even with l diverse
+    sensitive values if its sensitive DISTRIBUTION differs from the
+    corpus-wide one.  For the ordered sensitive attribute (bucketed
+    n_chars, same {_TCLOSE_BUCKET}-wide buckets as the k-anon audit)
+    the distance is the 1-D earth-mover's distance: mean absolute
+    CUMULATIVE gap between class and global distributions.  Classes
+    with t above {_TCLOSE_T} get flagged.
+
+    Exactness: EMD is computed on the common-denominator integer
+    lattice — |N*cumc_i - n_g*cumC_i| summed as BIGINTs, one final
+    division by n_g*N*(m-1) — so both engines agree bit-for-bit, and
+    the above_t flag compares the INTEGER numerator against the
+    threshold-scaled denominator (no rounded-value comparison).
+
+    Scale shape: two corpus-sized aggregates (global buckets, class x
+    bucket counts); the class-x-bucket grid is |classes| * m rows —
+    metadata-sized, never corpus-sized — and the cumulative windows
+    run on that grid partitioned by class.  At 100 TB the only wide
+    exchanges are the two leading group-bys."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / _TCLOSE_BUCKET).cast("bigint")
+    g = d.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("gc"))
+    from pyspark.sql import Window
+
+    gcum = (
+        g.withColumn(
+            "cum_g",
+            F.sum("gc").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .crossJoin(
+            g.agg(
+                F.sum("gc").alias("n_total"), F.count(F.lit(1)).alias("m")
+            )
+        )
+        .select("bucket", "cum_g", "n_total", "m")
+    )
+    cls = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_class"))
+    cc = d.groupBy("lang", "source", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gcum))
+        .join(F.broadcast(cc), ["lang", "source", "bucket"], "left")
+        .select(
+            "lang", "source", "n_class", "bucket", "cum_g", "n_total", "m",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    cum = grid.withColumn(
+        "cum_c",
+        F.sum("c").over(
+            Window.partitionBy("lang", "source")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    gap = F.abs(
+        F.col("n_total").cast("bigint") * F.col("cum_c")
+        - F.col("n_class").cast("bigint") * F.col("cum_g")
+    )
+    return cum.groupBy("lang", "source").agg(
+        F.max("n_class").alias("class_size"),
+        F.round(
+            F.sum(gap).cast("double")
+            / (
+                F.max("n_class").cast("double")
+                * F.max("n_total")
+                * (F.max("m") - 1)
+            ),
+            6,
+        ).alias("t_value"),
+        (
+            F.sum(gap)
+            > (
+                F.expr(_TCLOSE_T)
+                * F.max("n_class")
+                * F.max("n_total")
+                * (F.max("m") - 1)
+            ).cast("double")
+        ).alias("above_t"),
+    )
+
+
+t_closeness_audit.__doc__ = (
+    (t_closeness_audit.__doc__ or "")
+    .replace("{_TCLOSE_BUCKET}", str(_TCLOSE_BUCKET))
+    .replace("{_TCLOSE_T}", _TCLOSE_T)
+)
+
+
+# ------------------------------------------- join-key skew profiler
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+    r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, k) AS rnk FROM c),
+    s AS (SELECT COUNT(*) AS d, SUM(n) AS tot, MAX(n) AS mx FROM c)
+    SELECT CAST(s.d AS BIGINT) AS distinct_keys,
+           CAST(s.tot AS BIGINT) AS total_rows,
+           CAST(s.mx AS BIGINT) AS max_count,
+           ROUND(CAST(s.mx AS DOUBLE) / CAST(s.tot AS DOUBLE), 6)
+             AS top1_share,
+           CAST((SELECT n FROM r, s
+                 WHERE rnk = GREATEST(1, CAST(CEIL(0.01 * s.d) AS BIGINT)))
+                AS BIGINT) AS p99_count,
+           ROUND(CAST(s.mx AS DOUBLE) * CAST(s.d AS DOUBLE)
+                 / CAST(s.tot AS DOUBLE), 6) AS skew_ratio
+    FROM s
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the profile a planner (or an
+    engineer sizing a salted join) reads before shuffling on a key:
+    distinct keys, max per-key count, the hottest key's share of all
+    rows, the 99th-percentile per-key count, and max/mean skew ratio
+    for orders.o_custkey.  skew_ratio >> 1 is the 'salt this join'
+    signal; p99 vs max separates one pathological key from a heavy
+    tail.
+
+    Scale shape: the per-key count is the one corpus-sized exchange;
+    every later step runs over the key-count table (distinct-key-
+    sized).  The p99 rank is an exact ROW_NUMBER over that table —
+    at extreme key cardinality swap in approx_percentile over the
+    counts; the summary row's shape is unchanged."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = c.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n").alias("tot"),
+        F.max("n").alias("mx"),
+    )
+    r = c.select(
+        "n", F.row_number().over(Window.orderBy(F.col("n").desc(), "k")).alias("rnk")
+    )
+    p99 = (
+        r.crossJoin(F.broadcast(s.select("d")))
+        .filter(
+            F.col("rnk")
+            == F.greatest(F.lit(1), F.ceil(F.lit(0.01) * F.col("d")).cast("bigint"))
+        )
+        .select(F.col("n").alias("p99_count"))
+    )
+    return s.crossJoin(F.broadcast(p99)).select(
+        F.col("d").alias("distinct_keys"),
+        F.col("tot").alias("total_rows"),
+        F.col("mx").alias("max_count"),
+        F.round(F.col("mx").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "top1_share"
+        ),
+        "p99_count",
+        F.round(
+            F.col("mx").cast("double")
+            * F.col("d").cast("double")
+            / F.col("tot").cast("double"),
+            6,
+        ).alias("skew_ratio"),
+    )

@@ -154,3 +154,87 @@ def test_supplier_assortment_overlap(spark, tmp_path):
     r = got[0]
     assert (r.supp_a, r.supp_b, r.n_common, r.n_a, r.n_b) == (1, 2, 1, 2, 2)
     assert abs(r.jaccard - 1 / 3) < 1e-6
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_triangle_count_square_with_diagonal(spark, tmp_path):
+    """Co-purchase graph = square 1-2-3-4 plus diagonal 1-3 (every
+    edge backed by 2 orders): exactly 2 triangles (1,2,3) and
+    (1,3,4); wedges = sum d(d-1)/2 = 3+1+3+1 = 8; clustering
+    3*2/8 = 0.75."""
+    rows = []
+    ok = 0
+    for a, b in [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)]:
+        for _ in range(2):  # each edge needs support >= 2
+            ok += 1
+            rows.append((ok, 100 + a, 1, 1))
+            rows.append((ok, 100 + b, 1, 2))
+    _write_lineitem(spark, tmp_path, rows)
+    r = registry.QUERIES["graph_triangle_count"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_vertices, r.n_edges, r.n_triangles, r.n_wedges) == (4, 5, 2, 8)
+    assert r.global_clustering == 0.75
+
+
+def test_t_closeness_skewed_class_flagged(spark, tmp_path):
+    """Global corpus: half short docs (bucket 0), half long (bucket
+    2).  Class ('en','balanced') mirrors the global distribution ->
+    t = 0; class ('en','short') is all-short -> t = 0.5 (EMD of a
+    point mass vs the 50/50 global over 3-bucket support), above the
+    0.2 flag."""
+    rows = []
+    did = 0
+    for _ in range(10):
+        rows.append((did, "x", "en", "balanced", 10)); did += 1
+        rows.append((did, "x", "en", "balanced", 110)); did += 1
+        rows.append((did, "x", "en", "short", 10)); did += 1
+        rows.append((did, "x", "en", "long", 110)); did += 1
+    # one doc in a middle bucket so m=3 and the EMD normalizer is m-1=2
+    rows.append((did, "x", "en", "balanced", 60)); did += 1
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        (r.lang, r.source): r
+        for r in registry.QUERIES["t_closeness_audit"](spark, str(tmp_path)).collect()
+    }
+    assert not got[("en", "balanced")].above_t
+    assert got[("en", "short")].above_t
+    assert got[("en", "long")].above_t
+    assert got[("en", "short")].t_value > got[("en", "balanced")].t_value
+
+
+def test_join_key_skew_profile(spark, tmp_path):
+    """99 singleton keys + 1 key with 101 rows: max=101, total=200,
+    top1_share=0.505, skew_ratio=101*100/200=50.5."""
+    rows = []
+    ok = 0
+    for k in range(1, 100):
+        ok += 1
+        rows.append((ok, k, 10.0, datetime(2024, 1, 1)))
+    for _ in range(101):
+        ok += 1
+        rows.append((ok, 1000, 10.0, datetime(2024, 1, 1)))
+    _write_orders(spark, tmp_path, rows)
+    r = registry.QUERIES["join_key_skew_profile"](spark, str(tmp_path)).collect()[0]
+    assert (r.distinct_keys, r.total_rows, r.max_count) == (100, 200, 101)
+    assert r.top1_share == 0.505
+    assert r.skew_ratio == 50.5
+    assert r.p99_count == 101  # rank ceil(0.01*100)=1 from the top
+
+
+def test_range_partition_bounds_tile_the_key_space(spark, tmp_path):
+    """64 rows over keys 1..64 into 32 buckets -> every bucket gets
+    exactly 2 rows and upper bounds 2,4,...,64."""
+    rows = [(k, k, 1, 1) for k in range(1, 65)]
+    _write_lineitem(spark, tmp_path, rows)
+    got = sorted(
+        registry.QUERIES["range_partition_bounds"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert len(got) == 32
+    assert all(r.n_rows == 2 for r in got)
+    assert [r.upper_bound for r in got] == [2 * i for i in range(1, 33)]
