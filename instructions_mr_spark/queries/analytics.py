@@ -821,8 +821,15 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in lineitems.  The support rollup shuffles bare integer
     pairs; hot pairs (promo bundles) are a salting candidate but the
     key space is wide enough that AQE's skew split covers it."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
     li = t(spark, sf_dir, "lineitem")
-    p = li.select("l_orderkey", "l_partkey").distinct()
+    # stage the distinct once — a raw self-join re-plans the scan +
+    # distinct exchange per side (2x the corpus cost at 100 TB)
+    p = supersede_checkpoint(
+        "copurchase_parts",
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(),
+    )
     a = p.alias("a")
     b = p.alias("b")
     return (
@@ -886,8 +893,14 @@ def supplier_assortment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically inflates its candidate block — the standard fix at
     scale is dropping ubiquitous elements (df-cap), exactly the stop-
     word rule minhash pipelines use."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
     li = t(spark, sf_dir, "lineitem")
-    m = li.select("l_suppkey", "l_partkey").distinct()
+    # staged once: sizes, and both self-join sides, read this table
+    m = supersede_checkpoint(
+        "assortment_members",
+        li.select("l_suppkey", "l_partkey").distinct().localCheckpoint(),
+    )
     sz = m.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
     a = m.alias("a")
     b = m.alias("b")

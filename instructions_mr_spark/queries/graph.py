@@ -460,10 +460,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, so wedge generation joins on the bare source key; the
     closing semi-join keys on the (dst1, dst2) pair.  All rows are
     integer pairs/triples — no strings, no arrays on the shuffle."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
     from instructions_mr_spark.queries.analytics import copurchase_pairs
 
-    e = copurchase_pairs(spark, sf_dir).select(
-        F.col("part_a").alias("a"), F.col("part_b").alias("b")
+    # stage the edge set: three consumers (degrees, edge count, wedge
+    # join) would otherwise each re-run the support-counting subplan
+    e = supersede_checkpoint(
+        "triangle_edges",
+        copurchase_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .localCheckpoint(),
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -477,10 +483,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ka = kv.select(F.col("v").alias("a"), F.col("k").alias("ka"))
     kb = kv.select(F.col("v").alias("b"), F.col("k").alias("kb"))
     keyed = e.join(ka, "a").join(kb, "b")
-    oriented = keyed.select(
+    oriented_plan = keyed.select(
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
+    )
+    # staged: wedge sides o1/o2 and the closing build side are three
+    # consumers of the same oriented-edge table
+    oriented = supersede_checkpoint(
+        "triangle_oriented", oriented_plan.localCheckpoint()
     )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")

@@ -229,6 +229,39 @@ NOTES = {
     "rule gates are scan projections; the LM bottom-decile threshold "
     "is TakeOrderedAndProject(k) + a broadcast 1-row tuple compare — "
     "no global-order window anywhere.",
+    "event_transition_matrix": "Lead window shares the user-keyed "
+    "exchange every sessionization op uses; the (from, to) rollup and "
+    "its share window run on the tiny transition table, and the share "
+    "division is one DOUBLE op on identical integers.",
+    "customer_rfm_segments": "Per-customer triple from ONE custkey "
+    "group-by; the three NTILE windows sort the aggregate (one row "
+    "per customer), not the orders stream — the SinglePartition "
+    "exchange carries customers, and the 100 TB swap is approx-"
+    "percentile cutoffs broadcast to a map-side score join.",
+    "copurchase_pairs": "Distinct (order, part) staged ONCE "
+    "(localCheckpoint — a raw self-join re-plans scan + distinct per "
+    "side); pair generation joins on the shared orderkey, quadratic "
+    "only in bounded basket size; the support rollup shuffles bare "
+    "integer pairs.",
+    "supplier_assortment_overlap": "Member table staged once, read by "
+    "sizes + both self-join sides; the intersection joins on the "
+    "ELEMENT key (sparse-dot-product identity — candidates only where "
+    "sets share a part); sizes broadcast onto the pair rows.",
+    "graph_triangle_count": "Edge set and oriented-edge table each "
+    "staged once (three consumers each); degree-ordered orientation "
+    "packs (degree, id) into one BIGINT so wedge join + closing "
+    "semi-join shuffle integer pairs only — out-degree bounded by "
+    "O(sqrt(m)) regardless of hubs (node-iterator++).",
+    "t_closeness_audit": "Two corpus-sized group-bys (global buckets, "
+    "class x bucket); the EMD grid is |classes| x m rows with "
+    "broadcast joins, cumulative windows partitioned per class, and "
+    "an all-integer numerator — one division at the end.",
+    "join_key_skew_profile": "Per-key count is the only corpus-sized "
+    "exchange; summary + exact p99 rank run over the key-count table; "
+    "the p99 row and stats cross-join as broadcast singles.",
+    "range_partition_bounds": "One global sort (NTILE over the unique "
+    "composite) — the honest cost of exact bounds; the bucket rollup "
+    "reuses the sort's range partitioning, no second exchange.",
 }
 
 
