@@ -114,6 +114,169 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_linear_interpolate",
+    oracle="""
+    WITH e2 AS (
+      SELECT event_type, event_id,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tsm,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), obs AS (
+      SELECT event_type, hour_start,
+             CAST(split_part(MAX(
+               lpad(CAST(tsm AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0')
+               || ':' || CAST(cents AS VARCHAR)), ':', 2) AS BIGINT) AS obs_cents
+      FROM e2 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), g AS (
+      SELECT ty.event_type, gr.hour_start,
+             CAST(epoch(gr.hour_start) AS BIGINT) // 3600 AS hidx,
+             o.obs_cents
+      FROM grid gr CROSS JOIN types ty
+      LEFT JOIN obs o
+        ON o.event_type = ty.event_type AND o.hour_start = gr.hour_start
+    ), w AS (
+      SELECT *,
+        LAST_VALUE(obs_cents IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hidx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+        LAST_VALUE(CASE WHEN obs_cents IS NOT NULL THEN hidx END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hidx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+        FIRST_VALUE(obs_cents IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hidx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+        FIRST_VALUE(CASE WHEN obs_cents IS NOT NULL THEN hidx END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hidx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+      FROM g
+    )
+    SELECT event_type, hour_start,
+      CASE WHEN obs_cents IS NOT NULL THEN 'obs'
+           WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN 'interp'
+           ELSE 'edge' END AS src,
+      CASE WHEN obs_cents IS NOT NULL THEN obs_cents * 10000
+           WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+             ((prev_c * (next_h - hidx) + next_c * (hidx - prev_h)) * 10000)
+               // (next_h - prev_h)
+           ELSE NULL END AS value_e6
+    FROM w
+    """,
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation: hourly per-type series where
+    observed hours carry the LAST reading of the hour and interior
+    gaps are linearly interpolated between the bracketing
+    observations; hours outside a series' observed range stay NULL
+    ('edge').  The whole computation is INTEGER-EXACT cross-engine:
+    readings become cents via FLOOR(v*100+0.5) (IEEE-identical on
+    both engines), last-of-hour election is the zero-padded
+    string-pack MAX (portable argmax — no max_by tuple keys), and the
+    interpolated value is the all-integer lerp numerator under ONE
+    truncating division (Spark ``div`` == DuckDB ``//``), emitted as
+    value_e6 = value * 1e6 units — never a ROUND(double) final.
+
+    Scale shape: the only corpus-sized operation is the (type, hour)
+    group-by; the grid (hours x types) is broadcast-tiny, and the
+    prev/next gap-bridging windows run over the GRID, not the corpus
+    — per-series ordered scans whose length is the time range, the
+    gaps-and-islands idiom that holds when the series key is
+    high-cardinality (sensors) because each partition is one
+    device-month, not the lake."""
+    from pyspark.sql import Window
+
+    from instructions_mr_spark.queries._util import ts_epoch_micros, ts_epoch_seconds
+
+    e = t(spark, sf_dir, "events")
+    e2 = e.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.concat(
+            F.lpad(ts_epoch_micros(F.col("ts")).cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.lit(":"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        ).alias("pack"),
+    )
+    obs = (
+        e2.groupBy("event_type", "hour_start")
+        .agg(F.split(F.max("pack"), ":").getItem(1).cast("long").alias("obs_cents"))
+    )
+    grid = (
+        e.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour_start"
+            )
+        )
+    )
+    types = e.select("event_type").distinct()
+    g = (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(types))
+        .join(obs, ["hour_start", "event_type"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.floor(ts_epoch_seconds(F.col("hour_start")) / F.lit(3600))
+            .cast("long")
+            .alias("hidx"),
+            "obs_cents",
+        )
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    marked = F.when(F.col("obs_cents").isNotNull(), F.col("hidx"))
+    w = g.select(
+        "event_type",
+        "hour_start",
+        "hidx",
+        "obs_cents",
+        F.last("obs_cents", ignorenulls=True).over(wprev).alias("prev_c"),
+        F.last(marked, ignorenulls=True).over(wprev).alias("prev_h"),
+        F.first("obs_cents", ignorenulls=True).over(wnext).alias("next_c"),
+        F.first(marked, ignorenulls=True).over(wnext).alias("next_h"),
+    )
+    return w.select(
+        "event_type",
+        "hour_start",
+        F.expr(
+            "CASE WHEN obs_cents IS NOT NULL THEN 'obs' "
+            "WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN 'interp' "
+            "ELSE 'edge' END"
+        ).alias("src"),
+        F.expr(
+            "CASE WHEN obs_cents IS NOT NULL THEN obs_cents * CAST(10000 AS BIGINT) "
+            "WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN "
+            "((prev_c * (next_h - hidx) + next_c * (hidx - prev_h)) "
+            " * CAST(10000 AS BIGINT)) div (next_h - prev_h) "
+            "ELSE NULL END"
+        ).alias("value_e6"),
+    )
+
+
+@query(
     "cdc_latest_version",
     oracle="""
     SELECT user_id, event_type, event_id AS latest_event, value AS latest_value

@@ -882,6 +882,157 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN evaluation dials: 16 fixed probe queries (constant regardless of
+# corpus size -> the eval stays LINEAR in n), recall measured at k=10
+# against the exact scan, candidates from the sign-bucket IVF above.
+_ANN_EVAL_Q = 16
+_ANN_EVAL_K = 10
+
+# Cosine between q.qemb and e.embedding (the _DOT fragment generalized
+# to the eval CTE's aliases).
+_EVAL_DOT = """
+    ROUND(
+      list_reduce(list_transform(range(1, len(q.qemb) + 1),
+                  i -> CAST(q.qemb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                  (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(q.qemb, x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))
+         * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))),
+    6)
+"""
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(range(1, 5),
+               i -> CASE WHEN embedding[i] > 0 THEN (1 << (i-1)) ELSE 0 END), 'sum') AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qemb, bucket AS qbucket
+      FROM b WHERE vec_id < {_ANN_EVAL_Q}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.bucket = q.qbucket AS same_bucket,
+             {_EVAL_DOT} AS cosine
+      FROM b e, q
+      WHERE e.vec_id <> q.qid
+    ),
+    exact AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS r
+      FROM scored
+    ),
+    ivf AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS r
+      FROM scored WHERE same_bucket
+    ),
+    cands AS (
+      SELECT qid, COUNT(*) AS n_candidates FROM scored WHERE same_bucket GROUP BY qid
+    ),
+    hits AS (
+      SELECT x.qid, COUNT(*) AS n_hits
+      FROM (SELECT qid, vec_id FROM exact WHERE r <= {_ANN_EVAL_K}) x
+      JOIN (SELECT qid, vec_id FROM ivf WHERE r <= {_ANN_EVAL_K}) y
+        ON x.qid = y.qid AND x.vec_id = y.vec_id
+      GROUP BY x.qid
+    )
+    SELECT q.qid,
+           CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST({_ANN_EVAL_K} AS BIGINT) AS k
+    FROM q
+    LEFT JOIN cands c ON c.qid = q.qid
+    LEFT JOIN hits h ON h.qid = q.qid
+    ORDER BY q.qid
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@10 of the sign-bucket IVF
+    (sim_search_ivf's geometry) against the exact cosine scan, per
+    probe query — the evaluation harness every production ANN deploy
+    runs before trusting the index.  Emits all-integer rows
+    (qid, n_candidates, n_hits, k) so recall = n_hits/k is computed by
+    the reader, never a ROUND(double) final (cross-engine tie-safety
+    convention).
+
+    Scale shape: the probe set is FIXED (16 queries) so the scored
+    table is 16n narrow rows — (qid, vec_id, bool, double), embeddings
+    projected away before any exchange; probes broadcast.  Scored is
+    staged once (three consumers: exact ranking, IVF ranking,
+    candidate counts).  Per-query top-k is a window over 16 qid
+    partitions — at a 10k-probe eval, swap to per-probe
+    TakeOrderedAndProject or a bounded top-k aggregate; the candidate
+    side prunes ~16x exactly as sim_search_ivf documents."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    bucket = F.aggregate(
+        F.zip_with(
+            F.slice("embedding", 1, 4),
+            F.array([F.lit(1), F.lit(2), F.lit(4), F.lit(8)]),
+            lambda x, p: F.when(x > 0, p).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    b = e.withColumn("bucket", bucket)
+    qs = b.filter(F.col("vec_id") < _ANN_EVAL_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = supersede_checkpoint(
+        "ann_eval_scored",
+        b.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("bucket") == F.col("qbucket")).alias("same_bucket"),
+            _cosine_col(F.col("qemb"), F.col("embedding")).alias("cosine"),
+        )
+        .localCheckpoint(),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    exact10 = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ANN_EVAL_K)
+        .select("qid", "vec_id")
+    )
+    ivf10 = (
+        scored.filter("same_bucket")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ANN_EVAL_K)
+        .select("qid", "vec_id")
+    )
+    cands = (
+        scored.filter("same_bucket")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    hits = (
+        exact10.join(ivf10, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        qs.select("qid")
+        .join(cands, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(_ANN_EVAL_K).cast("long").alias("k"),
+        )
+        .orderBy("qid")
+    )
+
+
 @query(
     "embedding_pair_cosine",
     oracle=f"""

@@ -1108,3 +1108,90 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "label_agreement_kappa",
+    oracle="""
+    WITH p AS (
+      SELECT label,
+             CAST(list_aggregate(list_transform(range(1, 5),
+               i -> CASE WHEN embedding[i] > 0 THEN (1 << (i-1)) ELSE 0 END), 'sum')
+               % 10 AS INTEGER) AS pred
+      FROM embeddings
+    ), c AS (
+      SELECT label, pred, COUNT(*) AS cnt FROM p GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(cnt) AS n,
+             SUM(CASE WHEN label = pred THEN cnt ELSE 0 END) AS diag_agree
+      FROM c
+    ), rows_m AS (
+      SELECT label AS k, SUM(cnt) AS rk FROM c GROUP BY 1
+    ), cols_m AS (
+      SELECT pred AS k, SUM(cnt) AS ck FROM c GROUP BY 1
+    ), pe AS (
+      SELECT COALESCE(SUM(rk * ck), 0) AS pe_num
+      FROM rows_m JOIN cols_m USING (k)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(diag_agree AS BIGINT) AS diag_agree,
+           CAST(pe_num AS BIGINT) AS pe_num,
+           CAST(((n * diag_agree - pe_num) * 1000000)
+                // (n * n - pe_num) AS BIGINT) AS kappa_e6
+    FROM tot, pe
+    """,
+)
+def label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotator-agreement QA: Cohen's kappa between the gold ``label``
+    column and a deterministic weak labeler (the 4-bit sign bucket of
+    the embedding, mod the 10 classes) — the chance-corrected
+    agreement score labeling pipelines gate on before trusting
+    model-assigned labels.  Everything is INTEGER-EXACT: po and pe
+    stay as raw numerators over n and n^2 (diag_agree, pe_num), and
+    kappa lands as kappa_e6 = (n*diag - pe) * 1e6 under one truncating
+    division by (n^2 - pe) — Spark ``div`` == DuckDB ``//``, no
+    ROUND(double) final.  BIGINT holds to ~3e9 rows; past that, swap
+    the products to DECIMAL(38,0) (the HUGEINT pattern the logprob
+    family uses).
+
+    Scale shape: one corpus-sized (label, pred) group-by produces the
+    confusion matrix (|classes|^2 rows); margins, diagonal, and the
+    kappa algebra all run on that tiny table — broadcast-joined, one
+    output row."""
+    e = t(spark, sf_dir, "embeddings")
+    bucket = F.aggregate(
+        F.zip_with(
+            F.slice("embedding", 1, 4),
+            F.array([F.lit(1), F.lit(2), F.lit(4), F.lit(8)]),
+            lambda x, p: F.when(x > 0, p).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    c = (
+        e.select("label", (bucket % 10).cast("int").alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = c.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.when(F.col("label") == F.col("pred"), F.col("cnt")).otherwise(0)).alias(
+            "diag_agree"
+        ),
+    )
+    rows_m = c.groupBy(F.col("label").alias("k")).agg(F.sum("cnt").alias("rk"))
+    cols_m = c.groupBy(F.col("pred").alias("k")).agg(F.sum("cnt").alias("ck"))
+    pe = (
+        rows_m.join(cols_m, "k")
+        .agg(F.coalesce(F.sum(F.col("rk") * F.col("ck")), F.lit(0)).alias("pe_num"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n",
+            "CAST(diag_agree AS BIGINT) AS diag_agree",
+            "CAST(pe_num AS BIGINT) AS pe_num",
+            "CAST(((n * diag_agree - pe_num) * CAST(1000000 AS BIGINT)) "
+            "div (n * n - pe_num) AS BIGINT) AS kappa_e6",
+        )
+    )

@@ -135,7 +135,11 @@ DRIVER_WINDOW: list[str] = [
 #   embedding_label_centroid, langid_confusion, robots_txt_gate,
 #   dedup_cascade_attribution, embedding_top_pc, zipf_vocab_fit,
 #   l_diversity_audit, event_attribution_last_touch, session_bounce_rate,
-#   simhash_hamming_calibration, batch_padding_waste, dataset_drift_kl
+#   simhash_hamming_calibration, batch_padding_waste, dataset_drift_kl,
+#   event_transition_matrix, customer_rfm_segments, copurchase_pairs,
+#   supplier_assortment_overlap, graph_triangle_count, t_closeness_audit,
+#   join_key_skew_profile, range_partition_bounds, ann_recall_at_k,
+#   ts_linear_interpolate, label_agreement_kappa
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -1,0 +1,123 @@
+"""Semantic pins for the round-7d additions: ANN recall evaluation,
+time-series linear interpolation, and Cohen's-kappa label agreement —
+each on a handcrafted input with a hand-computed answer."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from instructions_mr_spark import registry
+
+registry.load_all()
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_ann_recall_perfect_when_one_bucket(spark, tmp_path):
+    """All 20 vectors share sign-bucket 15 -> the IVF candidate set is
+    the whole corpus, so IVF top-10 == exact top-10 for every probe:
+    n_hits = k = 10 and n_candidates = 19 (self excluded)."""
+    rows = [
+        (i, [float(i + 1), float(i + 1), float(i + 1), float(i + 1)], 0)
+        for i in range(20)
+    ]
+    _write_embeddings(spark, tmp_path, rows)
+    got = registry.QUERIES["ann_recall_at_k"](spark, str(tmp_path)).collect()
+    assert len(got) == 16
+    for r in got:
+        assert r.k == 10
+        assert r.n_candidates == 19
+        assert r.n_hits == 10
+
+
+def test_ann_recall_drops_when_neighbor_crosses_bucket(spark, tmp_path):
+    """16 near-orthogonal probes in bucket 15 plus one vector (id 16)
+    that is probe 0's nearest neighbor but lives in bucket 0: probe
+    0's exact top-10 contains id 16, the IVF candidates cannot, so
+    n_hits drops to 9 for probe 0 and stays 10 for the rest."""
+    eps = 0.001
+    rows = []
+    for i in range(16):
+        v = [eps, eps, eps, eps] + [0.0] * 16
+        v[4 + i] = 1.0
+        rows.append((i, v, 0))
+    plant = [-eps, -eps, -eps, -eps] + [0.0] * 16
+    plant[4] = 1.0  # same direction as probe 0
+    rows.append((16, plant, 0))
+    _write_embeddings(spark, tmp_path, rows)
+    got = {r.qid: r for r in registry.QUERIES["ann_recall_at_k"](spark, str(tmp_path)).collect()}
+    assert got[0].n_candidates == 15 and got[0].n_hits == 9
+    for q in range(1, 16):
+        assert got[q].n_hits == 10
+
+
+def test_ts_linear_interpolate_bridges_interior_gap(spark, tmp_path):
+    """Type A observes 1.00 at hour 0 and 4.00 at hour 3 -> hours 1, 2
+    interpolate to exactly 2.00 and 3.00 (value_e6 2e6 / 3e6).  Two
+    readings inside hour 0 elect the LATER one (ts-ordered argmax)."""
+    h = lambda hr, m=0: datetime(2024, 1, 1, hr, m)
+    rows = [
+        (1, h(0, 5), 1, "A", 9.99, "{}"),  # superseded within hour 0
+        (2, h(0, 50), 1, "A", 1.00, "{}"),  # last of hour 0 wins
+        (3, h(3), 1, "A", 4.00, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r.event_type, r.hour_start.hour): r
+        for r in registry.QUERIES["ts_linear_interpolate"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 4
+    assert got[("A", 0)].src == "obs" and got[("A", 0)].value_e6 == 1_000_000
+    assert got[("A", 1)].src == "interp" and got[("A", 1)].value_e6 == 2_000_000
+    assert got[("A", 2)].src == "interp" and got[("A", 2)].value_e6 == 3_000_000
+    assert got[("A", 3)].src == "obs" and got[("A", 3)].value_e6 == 4_000_000
+
+
+def test_ts_linear_interpolate_edges_stay_null(spark, tmp_path):
+    """A series observed only at hour 2 of a 0..3 grid has no bracketing
+    pair anywhere else: hours 0, 1, 3 are 'edge' with NULL value."""
+    h = lambda hr: datetime(2024, 1, 1, hr)
+    rows = [
+        (1, h(0), 1, "A", 1.00, "{}"),
+        (2, h(3), 1, "A", 1.00, "{}"),  # A spans the grid
+        (3, h(2), 1, "B", 7.50, "{}"),  # B observed once
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r.event_type, r.hour_start.hour): r
+        for r in registry.QUERIES["ts_linear_interpolate"](spark, str(tmp_path)).collect()
+    }
+    assert got[("B", 2)].src == "obs" and got[("B", 2)].value_e6 == 7_500_000
+    for hr in (0, 1, 3):
+        assert got[("B", hr)].src == "edge" and got[("B", hr)].value_e6 is None
+
+
+def test_label_agreement_kappa_half(spark, tmp_path):
+    """Sign-bucket labeler: all-negative dims -> bucket 0 -> pred 0,
+    [+,-,-,-] -> bucket 1 -> pred 1.  Gold labels agree on 3 of 4 rows
+    with margins rows=(2,2), cols=(3,1): pe_num = 2*3 + 2*1 = 8, so
+    kappa = (4*3 - 8) / (16 - 8) = 0.5 -> kappa_e6 = 500000."""
+    neg = [-1.0, -1.0, -1.0, -1.0]
+    pos1 = [1.0, -1.0, -1.0, -1.0]
+    rows = [
+        (0, neg, 0),   # pred 0, label 0: agree
+        (1, pos1, 1),  # pred 1, label 1: agree
+        (2, pos1, 1),  # pred 1, label 1: agree
+        (3, neg, 1),   # pred 0, label 1: disagree
+    ]
+    _write_embeddings(spark, tmp_path, rows)
+    r = registry.QUERIES["label_agreement_kappa"](spark, str(tmp_path)).collect()[0]
+    assert r.n == 4 and r.diag_agree == 3 and r.pe_num == 8
+    assert r.kappa_e6 == 500_000

@@ -262,6 +262,18 @@ NOTES = {
     "range_partition_bounds": "One global sort (NTILE over the unique "
     "composite) — the honest cost of exact bounds; the bucket rollup "
     "reuses the sort's range partitioning, no second exchange.",
+    "ann_recall_at_k": "Fixed 16-probe set broadcasts; the scored table "
+    "is 16n NARROW rows (embeddings projected away before any "
+    "exchange), staged once for its three consumers (exact rank, IVF "
+    "rank, candidate counts); recall lands as integer n_hits/k, no "
+    "double final.",
+    "ts_linear_interpolate": "One corpus-sized (type, hour) group-by "
+    "with the string-pack argmax; the gap-bridging prev/next windows "
+    "run over the broadcast-tiny GRID, and the lerp is one integer "
+    "div — no double rounding anywhere.",
+    "label_agreement_kappa": "One corpus-sized (label, pred) group-by "
+    "to the |classes|^2 confusion matrix; margins + kappa algebra on "
+    "that tiny table, single all-integer output row.",
 }
 
 
