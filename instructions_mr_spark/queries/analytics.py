@@ -934,3 +934,81 @@ def supplier_assortment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "fd_candidate_audit",
+    oracle="""
+    WITH f1 AS (
+      SELECT COUNT(DISTINCT o_custkey) AS nd FROM orders GROUP BY o_orderkey
+    ), f2 AS (
+      SELECT COUNT(DISTINCT o_orderpriority) AS nd FROM orders GROUP BY o_custkey
+    ), f3 AS (
+      SELECT COUNT(DISTINCT l_partkey) AS nd FROM lineitem
+      GROUP BY l_orderkey, l_linenumber
+    ), f4 AS (
+      SELECT COUNT(DISTINCT l_suppkey) AS nd FROM lineitem GROUP BY l_partkey
+    )
+    SELECT 'o_orderkey->o_custkey' AS fd,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           CAST(MAX(nd) AS BIGINT) AS max_variants,
+           MAX(nd) = 1 AS holds
+    FROM f1
+    UNION ALL
+    SELECT 'o_custkey->o_orderpriority', COUNT(*),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MAX(nd) AS BIGINT), MAX(nd) = 1
+    FROM f2
+    UNION ALL
+    SELECT 'l_orderkey,l_linenumber->l_partkey', COUNT(*),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MAX(nd) AS BIGINT), MAX(nd) = 1
+    FROM f3
+    UNION ALL
+    SELECT 'l_partkey->l_suppkey', COUNT(*),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MAX(nd) AS BIGINT), MAX(nd) = 1
+    FROM f4
+    """,
+)
+def fd_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD X -> Y,
+    count LHS groups, groups where Y is not single-valued
+    (violations), and the worst fan-out — the schema-discovery /
+    key-validation check a profiling pass runs before trusting merge
+    keys or SCD grains (a fixed candidate list, not exponential
+    TANE-style lattice search).
+
+    Scale shape: one keyed aggregate per FD (countDistinct(Y) per X
+    group — two-phase partial aggregation keeps the shuffle at
+    distinct (X, Y) pairs), then a 1-row rollup per FD; FDs sharing an
+    LHS prefix would batch into one grouping-sets pass."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def audit(name: str, df: DataFrame, lhs: list, rhs: str) -> DataFrame:
+        per = df.groupBy(*lhs).agg(F.countDistinct(rhs).alias("nd"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.max("nd").cast("bigint").alias("max_variants"),
+            (F.max("nd") == 1).alias("holds"),
+        ).select("fd", "n_groups", "n_violations", "max_variants", "holds")
+
+    return (
+        audit("o_orderkey->o_custkey", o, ["o_orderkey"], "o_custkey")
+        .unionAll(audit("o_custkey->o_orderpriority", o, ["o_custkey"], "o_orderpriority"))
+        .unionAll(
+            audit(
+                "l_orderkey,l_linenumber->l_partkey",
+                li,
+                ["l_orderkey", "l_linenumber"],
+                "l_partkey",
+            )
+        )
+        .unionAll(audit("l_partkey->l_suppkey", li, ["l_partkey"], "l_suppkey"))
+    )

@@ -410,6 +410,47 @@ def cluster_rep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- triangle counting
 
 
+def _copurchase_oriented(spark: SparkSession, sf_dir: str):
+    """Shared triangle-machinery build: the co-purchase edge set, its
+    degree table, and the degree-ordered oriented edges — staged once
+    each (localCheckpoint) because degrees, wedge sides, and closing
+    builds are all multi-consumers.  Returns (edges, deg, oriented)."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+    from instructions_mr_spark.queries.analytics import copurchase_pairs
+
+    # stage the edge set: three consumers (degrees, edge count, wedge
+    # join) would otherwise each re-run the support-counting subplan
+    e = supersede_checkpoint(
+        "triangle_edges",
+        copurchase_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .localCheckpoint(),
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # total-order key: degree-major, id-minor, packed into one BIGINT
+    k = (F.col("d") * F.lit(10**12) + F.col("v")).alias("k")
+    kv = deg.select("v", k)
+    ka = kv.select(F.col("v").alias("a"), F.col("k").alias("ka"))
+    kb = kv.select(F.col("v").alias("b"), F.col("k").alias("kb"))
+    keyed = e.join(ka, "a").join(kb, "b")
+    oriented_plan = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
+    )
+    # staged: wedge sides o1/o2 and the closing build side are three
+    # consumers of the same oriented-edge table
+    oriented = supersede_checkpoint(
+        "triangle_oriented", oriented_plan.localCheckpoint()
+    )
+    return e, deg, oriented
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -460,39 +501,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, so wedge generation joins on the bare source key; the
     closing semi-join keys on the (dst1, dst2) pair.  All rows are
     integer pairs/triples — no strings, no arrays on the shuffle."""
-    from instructions_mr_spark.queries._util import supersede_checkpoint
-    from instructions_mr_spark.queries.analytics import copurchase_pairs
-
-    # stage the edge set: three consumers (degrees, edge count, wedge
-    # join) would otherwise each re-run the support-counting subplan
-    e = supersede_checkpoint(
-        "triangle_edges",
-        copurchase_pairs(spark, sf_dir)
-        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
-        .localCheckpoint(),
-    )
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    # total-order key: degree-major, id-minor, packed into one BIGINT
-    k = (F.col("d") * F.lit(10**12) + F.col("v")).alias("k")
-    kv = deg.select("v", k)
-    ka = kv.select(F.col("v").alias("a"), F.col("k").alias("ka"))
-    kb = kv.select(F.col("v").alias("b"), F.col("k").alias("kb"))
-    keyed = e.join(ka, "a").join(kb, "b")
-    oriented_plan = keyed.select(
-        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
-    )
-    # staged: wedge sides o1/o2 and the closing build side are three
-    # consumers of the same oriented-edge table
-    oriented = supersede_checkpoint(
-        "triangle_oriented", oriented_plan.localCheckpoint()
-    )
+    e, deg, oriented = _copurchase_oriented(spark, sf_dir)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedges = o1.join(
@@ -524,5 +533,88 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.lit(3.0) * F.col("t") / F.col("n_wedges").cast("double"), 6
             ).alias("global_clustering"),
+        )
+    )
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY 1
+    ),
+    tris AS (
+      SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      FROM e ab JOIN e bc ON ab.b = bc.a
+                JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    tcount AS (
+      SELECT v, COUNT(*) AS n_tri
+      FROM (SELECT unnest([x, y, z]) AS v FROM tris)
+      GROUP BY 1
+    )
+    SELECT d.v, CAST(d.d AS BIGINT) AS deg,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST((2 * COALESCE(t.n_tri, 0) * 1000000)
+                // (d.d * (d.d - 1)) AS BIGINT) AS lcc_e6
+    FROM deg d LEFT JOIN tcount t ON t.v = d.v
+    WHERE d.d >= 2
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase
+    graph: lcc(v) = 2 * triangles(v) / (deg(v) * (deg(v)-1)) for
+    deg >= 2, emitted as lcc_e6 integer units under one truncating
+    division (never a ROUND(double) final).  The community-density
+    signal recommendation and fraud pipelines compute next to the
+    global triangle count.
+
+    Spark enumerates each triangle exactly once via the same
+    degree-ordered orientation as graph_triangle_count (wedge join on
+    the shared source + closing semi... except the closing edge must
+    be an INNER join here, not a semi, because the wedge row keeps its
+    src vertex), then explodes the 3 vertices per triangle and counts
+    per node.  The oracle is the naive id-ordered triple join.
+
+    Scale shape: identical to graph_triangle_count — out-degree
+    bounded O(sqrt(m)) by orientation, integer pairs/triples on every
+    exchange; the per-vertex rollup adds one (v)-keyed aggregate of
+    3x#triangles rows."""
+    e, deg, oriented = _copurchase_oriented(spark, sf_dir)
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.kdst") < F.col("o2.kdst")),
+    ).select(
+        F.col("o1.src").alias("w_s"),
+        F.col("o1.dst").alias("w_a"),
+        F.col("o2.dst").alias("w_b"),
+    )
+    closing = oriented.select(F.col("src").alias("w_a"), F.col("dst").alias("w_b"))
+    tri3 = wedges.join(closing, ["w_a", "w_b"], "left_semi")
+    pertri = tri3.select(
+        F.explode(F.array(F.col("w_s"), F.col("w_a"), F.col("w_b"))).alias("v")
+    )
+    tcount = pertri.groupBy("v").agg(F.count(F.lit(1)).alias("n_tri"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tcount, "v", "left")
+        .selectExpr(
+            "v",
+            "CAST(d AS BIGINT) AS deg",
+            "CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri",
+            "CAST((2 * COALESCE(n_tri, 0) * CAST(1000000 AS BIGINT))"
+            " div (d * (d - 1)) AS BIGINT) AS lcc_e6",
         )
     )

@@ -139,7 +139,8 @@ DRIVER_WINDOW: list[str] = [
 #   event_transition_matrix, customer_rfm_segments, copurchase_pairs,
 #   supplier_assortment_overlap, graph_triangle_count, t_closeness_audit,
 #   join_key_skew_profile, range_partition_bounds, ann_recall_at_k,
-#   ts_linear_interpolate, label_agreement_kappa
+#   ts_linear_interpolate, label_agreement_kappa, graph_clustering_coeff,
+#   fd_candidate_audit
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -121,3 +121,85 @@ def test_label_agreement_kappa_half(spark, tmp_path):
     r = registry.QUERIES["label_agreement_kappa"](spark, str(tmp_path)).collect()[0]
     assert r.n == 4 and r.diag_agree == 3 and r.pe_num == 8
     assert r.kappa_e6 == 500_000
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    """rows: (orderkey, partkey, suppkey, linenumber)"""
+    full = [
+        (ok, pk, sk, ln, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+        for ok, pk, sk, ln in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def _write_orders(spark, tmp_path, rows):
+    """rows: (orderkey, custkey, priority)"""
+    full = [
+        (ok, ck, "O", 1.0, datetime(2024, 1, 1), pr) for ok, ck, pr in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_clustering_coeff_square_with_diagonal(spark, tmp_path):
+    """Square 1-2-3-4 plus diagonal 1-3: triangles (1,2,3) and
+    (1,3,4).  Hub vertices 1 and 3 (deg 3, 2 triangles) get
+    lcc = 4/6 -> 666666 truncated; corner vertices 2 and 4 (deg 2,
+    1 triangle) are fully closed: lcc_e6 = 1000000."""
+    rows = []
+    ok = 0
+    for a, b in [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)]:
+        for _ in range(2):  # each edge needs support >= 2
+            ok += 1
+            rows.append((ok, 100 + a, 1, 1))
+            rows.append((ok, 100 + b, 1, 2))
+    _write_lineitem(spark, tmp_path, rows)
+    got = {
+        r.v: r
+        for r in registry.QUERIES["graph_clustering_coeff"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 4
+    assert (got[101].deg, got[101].n_tri, got[101].lcc_e6) == (3, 2, 666_666)
+    assert (got[103].deg, got[103].n_tri, got[103].lcc_e6) == (3, 2, 666_666)
+    assert (got[102].deg, got[102].n_tri, got[102].lcc_e6) == (2, 1, 1_000_000)
+    assert (got[104].deg, got[104].n_tri, got[104].lcc_e6) == (2, 1, 1_000_000)
+
+
+def test_fd_candidate_audit_detects_violations(spark, tmp_path):
+    """Orders: unique orderkeys make o_orderkey->o_custkey hold;
+    customer 1 uses two priorities so o_custkey->o_orderpriority
+    breaks with max fan-out 2.  Lineitem: (orderkey, linenumber) is
+    unique so the composite FD holds; part 101 ships from two
+    suppliers so l_partkey->l_suppkey breaks in exactly one group."""
+    _write_orders(
+        spark,
+        tmp_path,
+        [(1, 1, "1-URGENT"), (2, 1, "2-HIGH"), (3, 2, "1-URGENT")],
+    )
+    _write_lineitem(
+        spark,
+        tmp_path,
+        [(1, 101, 1, 1), (1, 101, 2, 2), (2, 102, 1, 1)],
+    )
+    got = {
+        r.fd: r
+        for r in registry.QUERIES["fd_candidate_audit"](spark, str(tmp_path)).collect()
+    }
+    assert got["o_orderkey->o_custkey"].holds
+    assert got["o_orderkey->o_custkey"].n_groups == 3
+    r2 = got["o_custkey->o_orderpriority"]
+    assert (r2.n_groups, r2.n_violations, r2.max_variants, r2.holds) == (2, 1, 2, False)
+    assert got["l_orderkey,l_linenumber->l_partkey"].holds
+    r4 = got["l_partkey->l_suppkey"]
+    assert (r4.n_groups, r4.n_violations, r4.max_variants, r4.holds) == (2, 1, 2, False)

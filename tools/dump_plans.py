@@ -274,6 +274,13 @@ NOTES = {
     "label_agreement_kappa": "One corpus-sized (label, pred) group-by "
     "to the |classes|^2 confusion matrix; margins + kappa algebra on "
     "that tiny table, single all-integer output row.",
+    "graph_clustering_coeff": "Shares the staged edge/degree/oriented "
+    "tables with graph_triangle_count; closed wedges keep their src "
+    "vertex, explode to 3 integer rows per triangle, one (v)-keyed "
+    "rollup — orientation still bounds out-degree O(sqrt(m)).",
+    "fd_candidate_audit": "One countDistinct aggregate per candidate "
+    "FD (shuffle = distinct (X, Y) pairs via two-phase expand), each "
+    "collapsing to a 1-row verdict; the union is 4 tiny rows.",
 }
 
 
