@@ -677,9 +677,8 @@ session_bounce_rate.__doc__ = (session_bounce_rate.__doc__ or "").replace(
       FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
     )
     SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
-           ROUND(CAST(n AS DOUBLE)
-                 / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
-             AS p
+           CAST((n * 1000000) // SUM(n) OVER (PARTITION BY event_type)
+                AS BIGINT) AS p_e6
     FROM c
     """,
 )
@@ -696,7 +695,9 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses); the rollup lands on the tiny (from, to) key space, and
     the share window runs over that already-small aggregate, not the
     event stream.  Deterministic: event_id breaks timestamp ties, and
-    the final division is one DOUBLE op on identical integers."""
+    the probability is emitted as p_e6 integer units under one
+    truncating division (the cross-engine tie-safety convention —
+    never a ROUND(double) final)."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = e.select(
@@ -708,9 +709,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_type",
         "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(share_w).cast("double"), 6
-        ).alias("p"),
+        F.sum("n").over(share_w).alias("_den"),
+    ).selectExpr(
+        "event_type",
+        "next_type",
+        "n",
+        "CAST((n * CAST(1000000 AS BIGINT)) div _den AS BIGINT) AS p_e6",
     )
 
 
@@ -869,8 +873,8 @@ copurchase_pairs.__doc__ = (copurchase_pairs.__doc__ or "").replace(
     )
     SELECT supp_a, supp_b, CAST(n_common AS BIGINT) AS n_common,
            CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
-           ROUND(CAST(n_common AS DOUBLE)
-                 / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+           CAST((n_common * 1000000) // (sa.n + sb.n - n_common)
+                AS BIGINT) AS jaccard_e6
     FROM inter
     JOIN sz sa ON sa.l_suppkey = supp_a
     JOIN sz sb ON sb.l_suppkey = supp_b
@@ -927,11 +931,15 @@ def supplier_assortment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             "n_a",
             "n_b",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
+        )
+        .selectExpr(
+            "supp_a",
+            "supp_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            "CAST((n_common * CAST(1000000 AS BIGINT))"
+            " div (n_a + n_b - n_common) AS BIGINT) AS jaccard_e6",
         )
     )
 

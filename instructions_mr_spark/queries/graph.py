@@ -476,9 +476,9 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
            CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
            CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)
              AS n_wedges,
-           ROUND(3.0 * (SELECT t FROM tri)
-                 / CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS DOUBLE), 6)
-             AS global_clustering
+           CAST((3 * (SELECT t FROM tri) * 1000000)
+                // (SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)
+             AS clustering_e6
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,9 +530,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             F.col("t").alias("n_triangles"),
             "n_wedges",
-            F.round(
-                F.lit(3.0) * F.col("t") / F.col("n_wedges").cast("double"), 6
-            ).alias("global_clustering"),
+            F.expr(
+                "CAST((3 * t * CAST(1000000 AS BIGINT)) div n_wedges AS BIGINT)"
+            ).alias("clustering_e6"),
         )
     )
 

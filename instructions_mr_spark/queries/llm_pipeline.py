@@ -2340,8 +2340,9 @@ dedup_line_frequency.__doc__ = (
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
-           ROUND(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
-                 / len(list_distinct(wa.ws || wb.ws)), 6) AS true_jaccard
+           CAST((len(list_intersect(wa.ws, wb.ws)) * 1000000)
+                // len(list_distinct(wa.ws || wb.ws)) AS BIGINT)
+             AS true_jaccard_e6
     FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1
     JOIN wsets wa ON wa.doc_id = a.doc_id
     JOIN wsets wb ON wb.doc_id = b.doc_id
@@ -2353,9 +2354,10 @@ def simhash_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: for adjacent-id doc pairs, the fingerprint hamming
     distance next to the TRUE word-set Jaccard (simhash is a
     bag-of-words signature, so word-set similarity is its ground
-    truth).  Plotting hamming vs jaccard shows which radius captures
-    which similarity band — the twin of minhash_estimate_calibration
-    for the hamming family.
+    truth, emitted as true_jaccard_e6 integer units — tie-safety
+    convention).  Plotting hamming vs jaccard shows which radius
+    captures which similarity band — the twin of
+    minhash_estimate_calibration for the hamming family.
 
     Scale shape: fingerprints come from the SAME staged table the
     hamming join uses (one digest pass); adjacent-id blocking keeps
@@ -2375,10 +2377,9 @@ def simhash_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.expr("CAST(bit_count(a.fp ^ b.fp) AS BIGINT)").alias("hamming"),
-            F.round(
-                F.size(F.array_intersect("wa.ws", "wb.ws")).cast("double")
-                / F.size(F.array_union("wa.ws", "wb.ws")),
-                6,
-            ).alias("true_jaccard"),
+            F.expr(
+                "CAST((CAST(size(array_intersect(wa.ws, wb.ws)) AS BIGINT)"
+                " * 1000000) div size(array_union(wa.ws, wb.ws)) AS BIGINT)"
+            ).alias("true_jaccard_e6"),
         )
     )

@@ -927,10 +927,10 @@ _TCLOSE_T = "0.2"     # flag threshold (literal shared by both engines)
       FROM grid
     )
     SELECT lang, source, CAST(MAX(n_class) AS BIGINT) AS class_size,
-           ROUND(CAST(SUM(ABS(CAST(n_total AS BIGINT) * cum_c
-                               - CAST(n_class AS BIGINT) * cum_g)) AS DOUBLE)
-                 / (CAST(MAX(n_class) AS DOUBLE) * MAX(n_total)
-                    * (MAX(m) - 1)), 6) AS t_value,
+           CAST((SUM(ABS(CAST(n_total AS BIGINT) * cum_c
+                         - CAST(n_class AS BIGINT) * cum_g)) * 1000000)
+                // (MAX(n_class) * MAX(n_total) * (MAX(m) - 1))
+                AS BIGINT) AS t_e6,
            SUM(ABS(CAST(n_total AS BIGINT) * cum_c
                    - CAST(n_class AS BIGINT) * cum_g))
              > CAST({_TCLOSE_T} * MAX(n_class) * MAX(n_total) * (MAX(m) - 1)
@@ -946,8 +946,9 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide one.  For the ordered sensitive attribute (bucketed
     n_chars, same {_TCLOSE_BUCKET}-wide buckets as the k-anon audit)
     the distance is the 1-D earth-mover's distance: mean absolute
-    CUMULATIVE gap between class and global distributions.  Classes
-    with t above {_TCLOSE_T} get flagged.
+    CUMULATIVE gap between class and global distributions, emitted
+    as t_e6 integer units (one truncating division — the tie-safety
+    convention).  Classes with t above {_TCLOSE_T} get flagged.
 
     Exactness: EMD is computed on the common-denominator integer
     lattice — |N*cumc_i - n_g*cumC_i| summed as BIGINTs, one final
@@ -1007,15 +1008,11 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cum.groupBy("lang", "source").agg(
         F.max("n_class").alias("class_size"),
-        F.round(
-            F.sum(gap).cast("double")
-            / (
-                F.max("n_class").cast("double")
-                * F.max("n_total")
-                * (F.max("m") - 1)
-            ),
-            6,
-        ).alias("t_value"),
+        F.expr(
+            "CAST((SUM(ABS(CAST(n_total AS BIGINT) * cum_c"
+            " - CAST(n_class AS BIGINT) * cum_g)) * CAST(1000000 AS BIGINT))"
+            " div (MAX(n_class) * MAX(n_total) * (MAX(m) - 1)) AS BIGINT)"
+        ).alias("t_e6"),
         (
             F.sum(gap)
             > (
@@ -1047,13 +1044,11 @@ t_closeness_audit.__doc__ = (
     SELECT CAST(s.d AS BIGINT) AS distinct_keys,
            CAST(s.tot AS BIGINT) AS total_rows,
            CAST(s.mx AS BIGINT) AS max_count,
-           ROUND(CAST(s.mx AS DOUBLE) / CAST(s.tot AS DOUBLE), 6)
-             AS top1_share,
+           CAST((s.mx * 1000000) // s.tot AS BIGINT) AS top1_share_e6,
            CAST((SELECT n FROM r, s
                  WHERE rnk = GREATEST(1, CAST(CEIL(0.01 * s.d) AS BIGINT)))
                 AS BIGINT) AS p99_count,
-           ROUND(CAST(s.mx AS DOUBLE) * CAST(s.d AS DOUBLE)
-                 / CAST(s.tot AS DOUBLE), 6) AS skew_ratio
+           CAST((s.mx * s.d * 1000000) // s.tot AS BIGINT) AS skew_ratio_e6
     FROM s
     """,
 )
@@ -1062,9 +1057,10 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engineer sizing a salted join) reads before shuffling on a key:
     distinct keys, max per-key count, the hottest key's share of all
     rows, the 99th-percentile per-key count, and max/mean skew ratio
-    for orders.o_custkey.  skew_ratio >> 1 is the 'salt this join'
-    signal; p99 vs max separates one pathological key from a heavy
-    tail.
+    for orders.o_custkey — share and ratio in e6 integer units under
+    truncating division (tie-safety convention).  skew_ratio_e6 >>
+    1e6 is the 'salt this join' signal; p99 vs max separates one
+    pathological key from a heavy tail.
 
     Scale shape: the per-key count is the one corpus-sized exchange;
     every later step runs over the key-count table (distinct-key-
@@ -1097,16 +1093,13 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("distinct_keys"),
         F.col("tot").alias("total_rows"),
         F.col("mx").alias("max_count"),
-        F.round(F.col("mx").cast("double") / F.col("tot").cast("double"), 6).alias(
-            "top1_share"
-        ),
+        F.expr(
+            "CAST((mx * CAST(1000000 AS BIGINT)) div tot AS BIGINT)"
+        ).alias("top1_share_e6"),
         "p99_count",
-        F.round(
-            F.col("mx").cast("double")
-            * F.col("d").cast("double")
-            / F.col("tot").cast("double"),
-            6,
-        ).alias("skew_ratio"),
+        F.expr(
+            "CAST((mx * d * CAST(1000000 AS BIGINT)) div tot AS BIGINT)"
+        ).alias("skew_ratio_e6"),
     )
 
 

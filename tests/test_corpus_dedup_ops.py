@@ -163,8 +163,8 @@ def test_simhash_calibration_endpoints(spark, tmp_path):
             spark, str(tmp_path)
         ).collect()
     }
-    assert got[(0, 1)].hamming == 0 and got[(0, 1)].true_jaccard == 1.0
-    assert got[(1, 2)].true_jaccard == 0.0 and got[(1, 2)].hamming > 10
+    assert got[(0, 1)].hamming == 0 and got[(0, 1)].true_jaccard_e6 == 1_000_000
+    assert got[(1, 2)].true_jaccard_e6 == 0 and got[(1, 2)].hamming > 10
 
 
 def test_batch_padding_waste_exact(spark, tmp_path):

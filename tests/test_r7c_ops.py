@@ -70,9 +70,9 @@ def test_event_transition_matrix(spark, tmp_path):
         ).collect()
     }
     assert set(got) == {("A", "B"), ("B", "A"), ("A", "C")}
-    assert got[("A", "B")].n == 1 and got[("A", "B")].p == 0.5
-    assert got[("A", "C")].p == 0.5
-    assert got[("B", "A")].p == 1.0
+    assert got[("A", "B")].n == 1 and got[("A", "B")].p_e6 == 500_000
+    assert got[("A", "C")].p_e6 == 500_000
+    assert got[("B", "A")].p_e6 == 1_000_000
 
 
 def test_event_transition_tie_breaks_on_event_id(spark, tmp_path):
@@ -153,7 +153,7 @@ def test_supplier_assortment_overlap(spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert (r.supp_a, r.supp_b, r.n_common, r.n_a, r.n_b) == (1, 2, 1, 2, 2)
-    assert abs(r.jaccard - 1 / 3) < 1e-6
+    assert r.jaccard_e6 == 333_333
 
 
 def _write_docs(spark, tmp_path, rows):
@@ -178,7 +178,7 @@ def test_triangle_count_square_with_diagonal(spark, tmp_path):
     _write_lineitem(spark, tmp_path, rows)
     r = registry.QUERIES["graph_triangle_count"](spark, str(tmp_path)).collect()[0]
     assert (r.n_vertices, r.n_edges, r.n_triangles, r.n_wedges) == (4, 5, 2, 8)
-    assert r.global_clustering == 0.75
+    assert r.clustering_e6 == 750_000
 
 
 def test_t_closeness_skewed_class_flagged(spark, tmp_path):
@@ -204,12 +204,12 @@ def test_t_closeness_skewed_class_flagged(spark, tmp_path):
     assert not got[("en", "balanced")].above_t
     assert got[("en", "short")].above_t
     assert got[("en", "long")].above_t
-    assert got[("en", "short")].t_value > got[("en", "balanced")].t_value
+    assert got[("en", "short")].t_e6 > got[("en", "balanced")].t_e6
 
 
 def test_join_key_skew_profile(spark, tmp_path):
     """99 singleton keys + 1 key with 101 rows: max=101, total=200,
-    top1_share=0.505, skew_ratio=101*100/200=50.5."""
+    top1_share_e6=505000, skew_ratio_e6=101*100*1e6//200=50.5e6."""
     rows = []
     ok = 0
     for k in range(1, 100):
@@ -221,8 +221,8 @@ def test_join_key_skew_profile(spark, tmp_path):
     _write_orders(spark, tmp_path, rows)
     r = registry.QUERIES["join_key_skew_profile"](spark, str(tmp_path)).collect()[0]
     assert (r.distinct_keys, r.total_rows, r.max_count) == (100, 200, 101)
-    assert r.top1_share == 0.505
-    assert r.skew_ratio == 50.5
+    assert r.top1_share_e6 == 505_000
+    assert r.skew_ratio_e6 == 50_500_000
     assert r.p99_count == 101  # rank ceil(0.01*100)=1 from the top
 
 

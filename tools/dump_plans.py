@@ -231,8 +231,8 @@ NOTES = {
     "no global-order window anywhere.",
     "event_transition_matrix": "Lead window shares the user-keyed "
     "exchange every sessionization op uses; the (from, to) rollup and "
-    "its share window run on the tiny transition table, and the share "
-    "division is one DOUBLE op on identical integers.",
+    "its share window run on the tiny transition table; p_e6 is one "
+    "integer div on the aggregate.",
     "customer_rfm_segments": "Per-customer triple from ONE custkey "
     "group-by; the three NTILE windows sort the aggregate (one row "
     "per customer), not the orders stream — the SinglePartition "
