@@ -1020,3 +1020,279 @@ def fd_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(audit("l_partkey->l_suppkey", li, ["l_partkey"], "l_suppkey"))
     )
+
+
+# ------------------------------------------- revenue concentration
+
+
+@query(
+    "pareto_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    tiled AS (
+      SELECT rev_cents,
+             NTILE(10) OVER (ORDER BY rev_cents DESC, o_custkey) AS decile
+      FROM rev
+    ),
+    d AS (
+      SELECT decile, COUNT(*) AS n_customers, SUM(rev_cents) AS dec_cents
+      FROM tiled GROUP BY 1
+    ),
+    tot AS (SELECT SUM(dec_cents) AS total_cents FROM d)
+    SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(dec_cents AS BIGINT) AS rev_cents,
+           CAST((dec_cents * 1000000) // total_cents AS BIGINT) AS share_e6,
+           CAST((SUM(dec_cents) OVER (ORDER BY decile
+                                      ROWS UNBOUNDED PRECEDING) * 1000000)
+                // total_cents AS BIGINT) AS cum_share_e6
+    FROM d, tot
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) report: customers ranked by
+    lifetime revenue, tiled into deciles, each decile's share and
+    cumulative share of total revenue — the 80/20 curve account teams
+    and mixture designers both read.  Revenue is DECIMAL-exact cents
+    (never a float sum), shares are e6 integer units under truncating
+    division.
+
+    Scale shape: one custkey group-by is the only corpus-sized
+    exchange; the NTILE sorts the per-customer AGGREGATE (customers,
+    not orders) — the same single-partition caveat as
+    customer_rfm_segments, with the same 100 TB swap (approx-
+    percentile revenue cutoffs broadcast to a map-side bucket join);
+    decile rollup and shares run on 10 rows."""
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+        ).alias("rev_cents")
+    )
+    tiled = rev.select(
+        "rev_cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("rev_cents").desc(), "o_custkey"))
+        .alias("decile"),
+    )
+    d = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").alias("dec_cents"),
+    )
+    tot = d.agg(F.sum("dec_cents").alias("total_cents"))
+    cum = F.sum("dec_cents").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("dec_cents").alias("rev_cents"),
+            F.expr(
+                "CAST((dec_cents * CAST(1000000 AS BIGINT)) div total_cents"
+                " AS BIGINT)"
+            ).alias("share_e6"),
+            cum.alias("_cum"),
+            "total_cents",
+        )
+        .selectExpr(
+            "decile",
+            "n_customers",
+            "rev_cents",
+            "share_e6",
+            "CAST((_cum * CAST(1000000 AS BIGINT)) div total_cents AS BIGINT)"
+            " AS cum_share_e6",
+        )
+    )
+
+
+# ---------------------------------------- funnel time-to-convert
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    conv AS (
+      SELECT fv.user_id, fv.first_view,
+             MIN(CAST(e.ts AS TIMESTAMP)) AS first_purchase
+      FROM fv LEFT JOIN events e
+        ON e.user_id = fv.user_id AND e.event_type = 'purchase'
+       AND CAST(e.ts AS TIMESTAMP) >= fv.first_view
+      GROUP BY 1, 2
+    )
+    SELECT user_id % 8 AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_viewers,
+           CAST(SUM(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           CAST(MIN(epoch_us(first_purchase) - epoch_us(first_view))
+                AS BIGINT) AS min_delta_us,
+           CAST(MAX(epoch_us(first_purchase) - epoch_us(first_view))
+                AS BIGINT) AS max_delta_us,
+           CAST(SUM(epoch_us(first_purchase) - epoch_us(first_view))
+                AS BIGINT) AS sum_delta_us
+    FROM conv GROUP BY 1
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency report: per user, the first 'view' and the
+    first 'purchase' at-or-after it; per user-bucket, viewer/converter
+    counts and exact integer microsecond latency stats (min/max/sum —
+    mean is the reader's one division; swap in approx_percentile for
+    latency quantiles at scale).  The product-funnel timing signal
+    next to funnel_sessions' step counts.
+
+    Scale shape: two user-keyed exchanges (first-view aggregate, the
+    purchase join + re-aggregate) — the join output is at most one row
+    per (user, purchase), pre-filtered by the view-time predicate;
+    the bucket rollup is 8 rows.  NTZ-safe: all time math through
+    TIMESTAMP-cast epoch micros."""
+    from instructions_mr_spark.queries._util import ts_epoch_micros
+
+    e = t(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        fv.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("first_view")),
+            "left",
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    delta = ts_epoch_micros("first_purchase") - ts_epoch_micros("first_view")
+    return conv.groupBy((F.col("user_id") % 8).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.sum(F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_converted"),
+        F.min(delta).cast("bigint").alias("min_delta_us"),
+        F.max(delta).cast("bigint").alias("max_delta_us"),
+        F.sum(delta).cast("bigint").alias("sum_delta_us"),
+    )
+
+
+# ------------------------------- position-based (U-shaped) attribution
+
+
+@query(
+    "attribution_position_based",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_p
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, event_id, event_type AS channel, ts,
+             cum_p + 1 AS conv
+      FROM ordered WHERE event_type IN ('click', 'view')
+    ),
+    convs AS (
+      SELECT DISTINCT user_id, cum_p AS conv FROM ordered
+      WHERE event_type = 'purchase'
+    ),
+    grp AS (
+      SELECT t.user_id, t.conv, t.channel,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY t.user_id, t.conv) AS n
+      FROM touches t JOIN convs c
+        ON c.user_id = t.user_id AND c.conv = t.conv
+      WINDOW w AS (PARTITION BY t.user_id, t.conv ORDER BY t.ts, t.event_id)
+    ),
+    credited AS (
+      SELECT channel,
+             CASE
+               WHEN n = 1 THEN 10000
+               WHEN n = 2 THEN 5000
+               WHEN rn = 1 THEN 4000 + (2000 - (2000 // (n - 2)) * (n - 2))
+               WHEN rn = n THEN 4000
+               ELSE 2000 // (n - 2)
+             END AS bp
+      FROM grp
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(bp) AS BIGINT) AS credit_bp
+    FROM credited GROUP BY 1
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    purchase's credit splits 40% / 20% / 40% across its touch
+    journey's first / middle / last touches (the journey = touches
+    since the user's previous purchase).  All credit is INTEGER basis
+    points per conversion (10000 bp total): middles get the truncated
+    even split and the first touch absorbs the remainder, so per-
+    conversion credit sums to exactly 10000 on both engines — no
+    fractional credit anywhere.  Complements the single-touch
+    event_attribution_last_touch.
+
+    Scale shape: ONE user-keyed exchange serves the running purchase
+    counter, the journey windows (rank + size share the (user, conv)
+    partitioning), and the join that keeps only converted journeys;
+    the channel rollup is tiny.  Touches after a user's final
+    purchase are unconverted journeys and drop at the join."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_p"),
+    )
+    touches = ordered.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("channel"),
+        "ts",
+        (F.col("cum_p") + 1).alias("conv"),
+    )
+    convs = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("cum_p").alias("conv"))
+        .distinct()
+    )
+    gw = Window.partitionBy("user_id", "conv").orderBy("ts", "event_id")
+    grp = (
+        touches.join(convs, ["user_id", "conv"])
+        .select(
+            "channel",
+            F.row_number().over(gw).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id", "conv"))
+            .alias("n"),
+        )
+    )
+    bp = F.expr(
+        "CASE WHEN n = 1 THEN 10000 "
+        "WHEN n = 2 THEN 5000 "
+        "WHEN rn = 1 THEN 4000 + (2000 - (2000 div (n - 2)) * (n - 2)) "
+        "WHEN rn = n THEN 4000 "
+        "ELSE 2000 div (n - 2) END"
+    )
+    return grp.select("channel", bp.alias("bp")).groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("bp").cast("bigint").alias("credit_bp"),
+    )

@@ -140,7 +140,8 @@ DRIVER_WINDOW: list[str] = [
 #   supplier_assortment_overlap, graph_triangle_count, t_closeness_audit,
 #   join_key_skew_profile, range_partition_bounds, ann_recall_at_k,
 #   ts_linear_interpolate, label_agreement_kappa, graph_clustering_coeff,
-#   fd_candidate_audit
+#   fd_candidate_audit, pareto_revenue_share, funnel_time_to_convert,
+#   attribution_position_based
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

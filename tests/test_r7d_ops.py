@@ -203,3 +203,84 @@ def test_fd_candidate_audit_detects_violations(spark, tmp_path):
     assert got["l_orderkey,l_linenumber->l_partkey"].holds
     r4 = got["l_partkey->l_suppkey"]
     assert (r4.n_groups, r4.n_violations, r4.max_variants, r4.holds) == (2, 1, 2, False)
+
+
+def _write_orders_rev(spark, tmp_path, rows):
+    """rows: (orderkey, custkey, totalprice)"""
+    full = [
+        (ok, ck, "O", tp, datetime(2024, 1, 1), "1-URGENT") for ok, ck, tp in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_pareto_revenue_share_deciles(spark, tmp_path):
+    """10 customers with revenues 100..10 -> one per decile in rank
+    order; total 550.00.  Decile 1 holds the 100.00 customer:
+    share_e6 = 10000*1e6 // 55000 = 181818; the last cumulative share
+    is exactly 1e6."""
+    rows = [(i, i, float(110 - 10 * i)) for i in range(1, 11)]
+    _write_orders_rev(spark, tmp_path, rows)
+    got = {
+        r.decile: r
+        for r in registry.QUERIES["pareto_revenue_share"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 10
+    assert got[1].n_customers == 1 and got[1].rev_cents == 10000
+    assert got[1].share_e6 == 181_818 and got[1].cum_share_e6 == 181_818
+    assert got[10].rev_cents == 1000
+    assert got[10].cum_share_e6 == 1_000_000
+
+
+def test_funnel_time_to_convert(spark, tmp_path):
+    """User 1 views at 10:00 and purchases at 10:30 -> 1800s latency.
+    User 2 only views.  User 3's purchase precedes their first view,
+    so they stay unconverted (the at-or-after rule)."""
+    h = lambda hr, m=0: datetime(2024, 1, 1, hr, m)
+    rows = [
+        (1, h(10), 1, "view", 0.0, "{}"),
+        (2, h(10, 30), 1, "purchase", 0.0, "{}"),
+        (3, h(10), 2, "view", 0.0, "{}"),
+        (4, h(9), 3, "purchase", 0.0, "{}"),
+        (5, h(10), 3, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.user_bucket: r
+        for r in registry.QUERIES["funnel_time_to_convert"](spark, str(tmp_path)).collect()
+    }
+    assert got[1].n_viewers == 1 and got[1].n_converted == 1
+    assert got[1].min_delta_us == 1800 * 1_000_000
+    assert got[1].sum_delta_us == 1800 * 1_000_000
+    assert got[2].n_converted == 0 and got[2].min_delta_us is None
+    assert got[3].n_converted == 0
+
+
+def test_attribution_position_based_u_shape(spark, tmp_path):
+    """User 1's first journey click,view,click,view -> purchase:
+    first click 4000 bp, two middles 1000 bp each, last view 4000 bp.
+    Second journey is a single view -> 10000 bp.  User 2's touches
+    never convert and earn nothing.  Totals: click 5000 bp over 2
+    touches, view 15000 bp over 3 touches."""
+    m = lambda mi: datetime(2024, 1, 1, 10, mi)
+    rows = [
+        (1, m(0), 1, "click", 0.0, "{}"),
+        (2, m(1), 1, "view", 0.0, "{}"),
+        (3, m(2), 1, "click", 0.0, "{}"),
+        (4, m(3), 1, "view", 0.0, "{}"),
+        (5, m(4), 1, "purchase", 0.0, "{}"),
+        (6, m(5), 1, "view", 0.0, "{}"),
+        (7, m(6), 1, "purchase", 0.0, "{}"),
+        (8, m(0), 2, "click", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.channel: r
+        for r in registry.QUERIES["attribution_position_based"](spark, str(tmp_path)).collect()
+    }
+    assert (got["click"].n_touches, got["click"].credit_bp) == (2, 5000)
+    assert (got["view"].n_touches, got["view"].credit_bp) == (3, 15000)

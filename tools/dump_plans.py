@@ -281,6 +281,15 @@ NOTES = {
     "fd_candidate_audit": "One countDistinct aggregate per candidate "
     "FD (shuffle = distinct (X, Y) pairs via two-phase expand), each "
     "collapsing to a 1-row verdict; the union is 4 tiny rows.",
+    "pareto_revenue_share": "One custkey group-by is the only corpus "
+    "exchange; NTILE sorts the per-customer aggregate; decile rollup "
+    "and e6 shares run on 10 rows with the total broadcast.",
+    "funnel_time_to_convert": "Two user-keyed exchanges (first-view "
+    "aggregate, purchase join + re-aggregate); integer-microsecond "
+    "latency stats, 8-row rollup.",
+    "attribution_position_based": "ONE user-keyed exchange serves the "
+    "running purchase counter and the journey windows; integer basis "
+    "points sum to exactly 10000 per conversion; channel rollup tiny.",
 }
 
 
