@@ -1059,7 +1059,8 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative share of total revenue — the 80/20 curve account teams
     and mixture designers both read.  Revenue is DECIMAL-exact cents
     (never a float sum), shares are e6 integer units under truncating
-    division.
+    division with DECIMAL(38,0) numerators (cents * 1e6 passes BIGINT
+    at petabyte revenue totals; DuckDB's HUGEINT sum matches).
 
     Scale shape: one custkey group-by is the only corpus-sized
     exchange; the NTILE sorts the per-customer AGGREGATE (customers,
@@ -1094,8 +1095,8 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             F.col("dec_cents").alias("rev_cents"),
             F.expr(
-                "CAST((dec_cents * CAST(1000000 AS BIGINT)) div total_cents"
-                " AS BIGINT)"
+                "CAST((CAST(dec_cents AS DECIMAL(38,0)) * 1000000)"
+                " div total_cents AS BIGINT)"
             ).alias("share_e6"),
             cum.alias("_cum"),
             "total_cents",
@@ -1105,8 +1106,8 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "rev_cents",
             "share_e6",
-            "CAST((_cum * CAST(1000000 AS BIGINT)) div total_cents AS BIGINT)"
-            " AS cum_share_e6",
+            "CAST((CAST(_cum AS DECIMAL(38,0)) * 1000000) div total_cents"
+            " AS BIGINT) AS cum_share_e6",
         )
     )
 
