@@ -1009,8 +1009,8 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("lang", "source").agg(
         F.max("n_class").alias("class_size"),
         F.expr(
-            "CAST((SUM(ABS(CAST(n_total AS BIGINT) * cum_c"
-            " - CAST(n_class AS BIGINT) * cum_g)) * CAST(1000000 AS BIGINT))"
+            "CAST((CAST(SUM(ABS(CAST(n_total AS BIGINT) * cum_c"
+            " - CAST(n_class AS BIGINT) * cum_g)) AS DECIMAL(38,0)) * 1000000)"
             " div (MAX(n_class) * MAX(n_total) * (MAX(m) - 1)) AS BIGINT)"
         ).alias("t_e6"),
         (
@@ -1048,7 +1048,8 @@ t_closeness_audit.__doc__ = (
            CAST((SELECT n FROM r, s
                  WHERE rnk = GREATEST(1, CAST(CEIL(0.01 * s.d) AS BIGINT)))
                 AS BIGINT) AS p99_count,
-           CAST((s.mx * s.d * 1000000) // s.tot AS BIGINT) AS skew_ratio_e6
+           CAST((CAST(s.mx AS HUGEINT) * s.d * 1000000) // s.tot
+                AS BIGINT) AS skew_ratio_e6
     FROM s
     """,
 )
@@ -1098,7 +1099,8 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top1_share_e6"),
         "p99_count",
         F.expr(
-            "CAST((mx * d * CAST(1000000 AS BIGINT)) div tot AS BIGINT)"
+            "CAST((CAST(mx AS DECIMAL(38,0)) * d * 1000000) div tot"
+            " AS BIGINT)"
         ).alias("skew_ratio_e6"),
     )
 
