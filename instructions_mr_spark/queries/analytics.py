@@ -1297,3 +1297,78 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.sum("bp").cast("bigint").alias("credit_bp"),
     )
+
+
+# ---------------------------------------------- hourly trend slope
+
+
+@query(
+    "trend_slope_by_type",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                  AS BIGINT) // 3600 AS hidx,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type,
+             hidx - (SELECT MIN(hidx) FROM h) AS xi, cnt AS yi
+      FROM h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(COUNT(*) * SUM(xi * yi) - SUM(xi) * SUM(yi) AS BIGINT)
+             AS slope_num,
+           CAST(COUNT(*) * SUM(xi * xi) - SUM(xi) * SUM(xi) AS BIGINT)
+             AS slope_den,
+           CAST(((COUNT(*) * SUM(xi * yi) - SUM(xi) * SUM(yi)) * 1000000)
+                // (COUNT(*) * SUM(xi * xi) - SUM(xi) * SUM(xi))
+                AS BIGINT) AS slope_e6
+    FROM x GROUP BY event_type
+    """,
+)
+def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly traffic trend: least-squares slope of events
+    per ACTIVE hour vs hour index — the 'is this metric growing'
+    monitor a pipeline dashboard computes per segment.  The
+    regression runs entirely on integer sums (n*Sxy - Sx*Sy over
+    n*Sxx - Sx^2 — both exact BIGINTs on hour-grid magnitudes), so
+    the raw numerator/denominator are emitted alongside slope_e6
+    under one truncating division; negative slopes truncate toward
+    zero identically on both engines.
+
+    Scale shape: one corpus-sized (type, hour) group-by; the
+    regression sums aggregate the tiny per-type hour grid.  Hours
+    are re-based to the corpus minimum so the integer products stay
+    small; zero-traffic hours are excluded by construction (this is
+    a trend over active hours — compose with ts_gap_fill's grid for
+    the zero-filled variant)."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        F.floor(ts_epoch_seconds(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+        .cast("long")
+        .alias("hidx"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    m = h.agg(F.min("hidx").alias("h0"))
+    x = h.crossJoin(F.broadcast(m)).select(
+        "event_type", (F.col("hidx") - F.col("h0")).alias("xi"), F.col("cnt").alias("yi")
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.expr("CAST(COUNT(*) * SUM(xi * yi) - SUM(xi) * SUM(yi) AS BIGINT)").alias(
+            "slope_num"
+        ),
+        F.expr("CAST(COUNT(*) * SUM(xi * xi) - SUM(xi) * SUM(xi) AS BIGINT)").alias(
+            "slope_den"
+        ),
+        F.expr(
+            "CAST(((COUNT(*) * SUM(xi * yi) - SUM(xi) * SUM(yi))"
+            " * CAST(1000000 AS BIGINT))"
+            " div (COUNT(*) * SUM(xi * xi) - SUM(xi) * SUM(xi)) AS BIGINT)"
+        ).alias("slope_e6"),
+    )

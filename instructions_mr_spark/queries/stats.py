@@ -1190,3 +1190,79 @@ def label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (n * n - pe_num) AS BIGINT) AS kappa_e6",
         )
     )
+
+
+_QSK_WIDTH = 1000  # histogram bin width in cents (10.00 units)
+
+
+@query(
+    "sketch_quantile_merge",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // {_QSK_WIDTH} AS bin,
+             COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, c,
+             SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_c,
+             (SELECT SUM(c) FROM b) AS n
+      FROM b
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 50 * n THEN bin END)
+                * {_QSK_WIDTH} AS BIGINT) AS p50_lo_cents,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 90 * n THEN bin END)
+                * {_QSK_WIDTH} AS BIGINT) AS p90_lo_cents,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 99 * n THEN bin END)
+                * {_QSK_WIDTH} AS BIGINT) AS p99_lo_cents
+    FROM cum
+    """,
+)
+def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch — the fixed-bin histogram family
+    member next to sketch_hll_merge (distincts) and
+    sketch_theta_union (set ops): per-partition bin counts merge by
+    addition (Spark's partial aggregation IS the sketch merge), and
+    p50/p90/p99 read off the cumulative histogram as the first bin
+    whose cumulative count clears p% of n — emitted as the bin's
+    lower bound in cents, max error = one bin width.  This is the
+    scale path token_percentiles' exact per-group sort cannot take at
+    100 TB (t-digest/KLL refine the same merge-then-read shape with
+    adaptive bins).
+
+    Exactness: bins come from FLOOR(value*100+0.5) cents under
+    truncating division, the quantile rule is the all-integer
+    comparison 100*cum >= p*n — no interpolation, no doubles.
+
+    Scale shape: one corpus-sized group-by to the bin histogram
+    (bounded bins); the cumulative window and the quantile reads run
+    on the histogram only."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    b = (
+        e.selectExpr(
+            f"CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div {_QSK_WIDTH} AS bin"
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = b.select(
+        "bin",
+        "c",
+        F.sum("c")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_c"),
+    ).crossJoin(F.broadcast(b.agg(F.sum("c").alias("n"))))
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(100 * F.col("cum_c") >= p * F.col("n"), F.col("bin"))
+    ) * _QSK_WIDTH
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        pick(50).cast("bigint").alias("p50_lo_cents"),
+        pick(90).cast("bigint").alias("p90_lo_cents"),
+        pick(99).cast("bigint").alias("p99_lo_cents"),
+    )

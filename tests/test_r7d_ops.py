@@ -284,3 +284,41 @@ def test_attribution_position_based_u_shape(spark, tmp_path):
     }
     assert (got["click"].n_touches, got["click"].credit_bp) == (2, 5000)
     assert (got["view"].n_touches, got["view"].credit_bp) == (3, 15000)
+
+
+def test_sketch_quantile_merge_uniform(spark, tmp_path):
+    """Ten values 0..90 in steps of 10 land one per 10.00-wide bin:
+    p50 reads bin 4 (cum 5 of 10), p90 bin 8, p99 bin 9 — each
+    reported as the bin's lower bound in cents."""
+    h = datetime(2024, 1, 1, 10)
+    rows = [(i, h, 1, "view", float(10 * i), "{}") for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    r = registry.QUERIES["sketch_quantile_merge"](spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.n_bins) == (10, 10)
+    assert r.p50_lo_cents == 4000
+    assert r.p90_lo_cents == 8000
+    assert r.p99_lo_cents == 9000
+
+
+def test_trend_slope_by_type(spark, tmp_path):
+    """Type A grows 1,2,3 events over hours 0,1,2 -> slope exactly 1
+    (num=den=6); type B is flat at 2 -> slope 0."""
+    h = lambda hr: datetime(2024, 1, 1, hr)
+    rows = []
+    eid = 0
+    for hr, cnt in [(0, 1), (1, 2), (2, 3)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, h(hr), 1, "A", 0.0, "{}"))
+    for hr in (0, 1):
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, h(hr), 2, "B", 0.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in registry.QUERIES["trend_slope_by_type"](spark, str(tmp_path)).collect()
+    }
+    assert (got["A"].n_hours, got["A"].slope_num, got["A"].slope_den) == (3, 6, 6)
+    assert got["A"].slope_e6 == 1_000_000
+    assert got["B"].slope_e6 == 0

@@ -290,6 +290,13 @@ NOTES = {
     "attribution_position_based": "ONE user-keyed exchange serves the "
     "running purchase counter and the journey windows; integer basis "
     "points sum to exactly 10000 per conversion; channel rollup tiny.",
+    "sketch_quantile_merge": "One corpus group-by to the bounded bin "
+    "histogram (partial aggregation IS the sketch merge); cumulative "
+    "window + quantile reads on the histogram only; all-integer "
+    "100*cum >= p*n rule, no interpolation.",
+    "trend_slope_by_type": "One (type, hour) group-by; regression "
+    "sums aggregate the tiny per-type hour grid, re-based hours keep "
+    "integer products small; raw num/den emitted beside slope_e6.",
 }
 
 
