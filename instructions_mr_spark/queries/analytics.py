@@ -1372,3 +1372,70 @@ def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (COUNT(*) * SUM(xi * xi) - SUM(xi) * SUM(xi)) AS BIGINT)"
         ).alias("slope_e6"),
     )
+
+
+# ------------------------------------------ bitmap segment algebra
+
+
+@query(
+    "segment_bitmap_intersect",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM c JOIN p USING (user_id)) AS BIGINT)
+             AS n_both,
+           CAST((SELECT COUNT(*) FROM (SELECT user_id FROM c
+                                       UNION SELECT user_id FROM p))
+                AS BIGINT) AS n_either
+    """,
+)
+def segment_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index segment algebra: the click and purchase audiences
+    as bit-packed membership bitmaps (32 users per BIGINT word — bit
+    = user_id mod 32, word = user_id div 32, kept off the sign bit so
+    both engines agree), intersected and unioned with AND/OR +
+    popcount instead of a distinct-user join.  This is how OLAP
+    engines (Druid/ClickHouse/Pinot, roaring bitmaps) answer audience
+    overlap at interactive speed: segment AND segment is word-aligned
+    bit math on |users|/32 rows, not a shuffle of user ids.
+
+    The ORACLE deliberately computes the same four counts by the
+    naive algorithm (DISTINCT + join + UNION) — two different
+    algorithms must agree exactly, a stronger check than mirroring
+    the bit math.
+
+    Scale shape: one (type, word) group-by builds both bitmaps
+    (shuffle carries (word, bits) pairs — 32x fewer rows than user
+    ids); the intersect is a word-keyed full-outer join of the two
+    word tables; popcount sums are a tiny aggregate.  At 100 TB the
+    word tables partition by word range and the AND never touches the
+    fact table again."""
+    e = t(spark, sf_dir, "events")
+
+    def bitmap(ev: str, alias: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == ev)
+            .select(
+                (F.col("user_id") % 32).cast("int").alias("bit"),
+                F.expr("user_id div 32").alias("word"),
+            )
+            .groupBy("word")
+            .agg(
+                F.bit_or(F.expr("SHIFTLEFT(CAST(1 AS BIGINT), bit)")).alias(alias)
+            )
+        )
+
+    c = bitmap("click", "cb")
+    p = bitmap("purchase", "pb")
+    j = c.join(p, "word", "full").select(
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+        F.coalesce("pb", F.lit(0)).alias("pb"),
+    )
+    return j.agg(
+        F.sum(F.bit_count("cb")).cast("bigint").alias("n_click"),
+        F.sum(F.bit_count("pb")).cast("bigint").alias("n_purchase"),
+        F.sum(F.bit_count(F.expr("cb & pb"))).cast("bigint").alias("n_both"),
+        F.sum(F.bit_count(F.expr("cb | pb"))).cast("bigint").alias("n_either"),
+    )

@@ -901,9 +901,11 @@ _EVAL_DOT = """
 """
 
 
-@query(
-    "ann_recall_at_k",
-    oracle=f"""
+def _ann_recall_oracle(cand_cond: str) -> str:
+    """Oracle template for the ANN recall evals: ``cand_cond`` is the
+    SQL predicate (over e.bucket / q.qbucket) defining the index's
+    candidate set."""
+    return f"""
     WITH b AS (
       SELECT vec_id, embedding,
              list_aggregate(list_transform(range(1, 5),
@@ -915,7 +917,7 @@ _EVAL_DOT = """
       FROM b WHERE vec_id < {_ANN_EVAL_Q}
     ),
     scored AS (
-      SELECT q.qid, e.vec_id, e.bucket = q.qbucket AS same_bucket,
+      SELECT q.qid, e.vec_id, {cand_cond} AS is_cand,
              {_EVAL_DOT} AS cosine
       FROM b e, q
       WHERE e.vec_id <> q.qid
@@ -928,10 +930,10 @@ _EVAL_DOT = """
     ivf AS (
       SELECT qid, vec_id,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS r
-      FROM scored WHERE same_bucket
+      FROM scored WHERE is_cand
     ),
     cands AS (
-      SELECT qid, COUNT(*) AS n_candidates FROM scored WHERE same_bucket GROUP BY qid
+      SELECT qid, COUNT(*) AS n_candidates FROM scored WHERE is_cand GROUP BY qid
     ),
     hits AS (
       SELECT x.qid, COUNT(*) AS n_hits
@@ -948,25 +950,15 @@ _EVAL_DOT = """
     LEFT JOIN cands c ON c.qid = q.qid
     LEFT JOIN hits h ON h.qid = q.qid
     ORDER BY q.qid
-    """,
-)
-def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality gate: recall@10 of the sign-bucket IVF
-    (sim_search_ivf's geometry) against the exact cosine scan, per
-    probe query — the evaluation harness every production ANN deploy
-    runs before trusting the index.  Emits all-integer rows
-    (qid, n_candidates, n_hits, k) so recall = n_hits/k is computed by
-    the reader, never a ROUND(double) final (cross-engine tie-safety
-    convention).
+    """
 
-    Scale shape: the probe set is FIXED (16 queries) so the scored
-    table is 16n narrow rows — (qid, vec_id, bool, double), embeddings
-    projected away before any exchange; probes broadcast.  Scored is
-    staged once (three consumers: exact ranking, IVF ranking,
-    candidate counts).  Per-query top-k is a window over 16 qid
-    partitions — at a 10k-probe eval, swap to per-probe
-    TakeOrderedAndProject or a bounded top-k aggregate; the candidate
-    side prunes ~16x exactly as sim_search_ivf documents."""
+
+def _ann_recall_eval(spark: SparkSession, sf_dir: str, cand_expr: str, key: str) -> DataFrame:
+    """Shared ANN recall harness: score the fixed probe set against
+    the corpus once, rank exact and index-candidate top-k, count
+    overlaps.  ``cand_expr`` is the Spark SQL predicate (over bucket /
+    qbucket) defining the index's candidate set; ``key`` labels the
+    staged scored table."""
     from pyspark.sql import Window
 
     e = t(spark, sf_dir, "embeddings")
@@ -986,13 +978,13 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qbucket"),
     )
     scored = supersede_checkpoint(
-        "ann_eval_scored",
+        key,
         b.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            (F.col("bucket") == F.col("qbucket")).alias("same_bucket"),
+            F.expr(cand_expr).alias("is_cand"),
             _cosine_col(F.col("qemb"), F.col("embedding")).alias("cosine"),
         )
         .localCheckpoint(),
@@ -1004,13 +996,13 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     ivf10 = (
-        scored.filter("same_bucket")
+        scored.filter("is_cand")
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= _ANN_EVAL_K)
         .select("qid", "vec_id")
     )
     cands = (
-        scored.filter("same_bucket")
+        scored.filter("is_cand")
         .groupBy("qid")
         .agg(F.count(F.lit(1)).alias("n_candidates"))
     )
@@ -1030,6 +1022,55 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_ANN_EVAL_K).cast("long").alias("k"),
         )
         .orderBy("qid")
+    )
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=_ann_recall_oracle("e.bucket = q.qbucket"),
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@10 of the sign-bucket IVF
+    (sim_search_ivf's geometry) against the exact cosine scan, per
+    probe query — the evaluation harness every production ANN deploy
+    runs before trusting the index.  Emits all-integer rows
+    (qid, n_candidates, n_hits, k) so recall = n_hits/k is computed by
+    the reader, never a ROUND(double) final (cross-engine tie-safety
+    convention).
+
+    Scale shape: the probe set is FIXED (16 queries) so the scored
+    table is 16n narrow rows — (qid, vec_id, bool, double), embeddings
+    projected away before any exchange; probes broadcast.  Scored is
+    staged once (three consumers: exact ranking, IVF ranking,
+    candidate counts).  Per-query top-k is a window over 16 qid
+    partitions — at a 10k-probe eval, swap to per-probe
+    TakeOrderedAndProject or a bounded top-k aggregate; the candidate
+    side prunes ~16x exactly as sim_search_ivf documents."""
+    return _ann_recall_eval(spark, sf_dir, "bucket = qbucket", "ann_eval_scored")
+
+
+@query(
+    "ann_recall_multiprobe",
+    oracle=_ann_recall_oracle(
+        "bit_count(xor(e.bucket, q.qbucket)) <= 1"
+    ),
+)
+def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe twin of ann_recall_at_k (Lv et al. 2007): candidates
+    come from the query's sign-bucket PLUS every bucket at hamming
+    distance 1 (each of the 4 sign bits flipped) — the standard
+    recall/cost dial for LSH indexes: ~5x the probes of the
+    single-bucket scan, recovering neighbors that fall just across a
+    hyperplane.  Rows are directly comparable to ann_recall_at_k's
+    (same probes, same k), so the two queries together ARE the
+    recall-uplift report.
+
+    Scale shape: identical to ann_recall_at_k (the candidate
+    predicate is one popcount on the packed bucket ints); in a
+    partitioned-by-bucket lake layout multiprobe reads 5 partitions
+    instead of 1 — still pruning 11 of 16."""
+    return _ann_recall_eval(
+        spark, sf_dir, "bit_count(bucket ^ qbucket) <= 1", "ann_eval_scored_mp"
     )
 
 

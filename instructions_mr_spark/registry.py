@@ -141,7 +141,8 @@ DRIVER_WINDOW: list[str] = [
 #   join_key_skew_profile, range_partition_bounds, ann_recall_at_k,
 #   ts_linear_interpolate, label_agreement_kappa, graph_clustering_coeff,
 #   fd_candidate_audit, pareto_revenue_share, funnel_time_to_convert,
-#   attribution_position_based, sketch_quantile_merge, trend_slope_by_type
+#   attribution_position_based, sketch_quantile_merge, trend_slope_by_type,
+#   segment_bitmap_intersect, ann_recall_multiprobe
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

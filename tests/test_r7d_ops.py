@@ -322,3 +322,45 @@ def test_trend_slope_by_type(spark, tmp_path):
     assert (got["A"].n_hours, got["A"].slope_num, got["A"].slope_den) == (3, 6, 6)
     assert got["A"].slope_e6 == 1_000_000
     assert got["B"].slope_e6 == 0
+
+
+def test_ann_multiprobe_recovers_hamming1_neighbor(spark, tmp_path):
+    """Plant probe 0's nearest neighbor in the bucket ONE sign flip
+    away (bucket 14 vs 15): the single-bucket scan misses it
+    (n_hits 9) but multiprobe's hamming<=1 candidate set recovers it
+    (n_hits 10, candidates = 15 same-bucket probes + the plant)."""
+    eps = 0.001
+    rows = []
+    for i in range(16):
+        v = [eps, eps, eps, eps] + [0.0] * 16
+        v[4 + i] = 1.0
+        rows.append((i, v, 0))
+    plant = [-eps, eps, eps, eps] + [0.0] * 16  # bucket 14
+    plant[4] = 1.0  # same direction as probe 0
+    rows.append((16, plant, 0))
+    _write_embeddings(spark, tmp_path, rows)
+    single = {r.qid: r for r in registry.QUERIES["ann_recall_at_k"](spark, str(tmp_path)).collect()}
+    multi = {r.qid: r for r in registry.QUERIES["ann_recall_multiprobe"](spark, str(tmp_path)).collect()}
+    assert single[0].n_hits == 9 and single[0].n_candidates == 15
+    assert multi[0].n_hits == 10 and multi[0].n_candidates == 16
+
+
+def test_segment_bitmap_intersect_counts(spark, tmp_path):
+    """Users 0..41: evens click (21), multiples of 3 purchase (14),
+    multiples of 6 do both (7), either = 21+14-7 = 28.  Users span a
+    32-bit word boundary so multi-word merging is exercised."""
+    h = datetime(2024, 1, 1, 10)
+    rows = []
+    eid = 0
+    for u in range(42):
+        if u % 2 == 0:
+            eid += 1
+            rows.append((eid, h, u, "click", 0.0, "{}"))
+            eid += 1
+            rows.append((eid, h, u, "click", 0.0, "{}"))  # dup event
+        if u % 3 == 0:
+            eid += 1
+            rows.append((eid, h, u, "purchase", 0.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    r = registry.QUERIES["segment_bitmap_intersect"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_click, r.n_purchase, r.n_both, r.n_either) == (21, 14, 7, 28)

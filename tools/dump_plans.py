@@ -297,6 +297,13 @@ NOTES = {
     "trend_slope_by_type": "One (type, hour) group-by; regression "
     "sums aggregate the tiny per-type hour grid, re-based hours keep "
     "integer products small; raw num/den emitted beside slope_e6.",
+    "ann_recall_multiprobe": "Same staged 16n scored table shape as "
+    "ann_recall_at_k; the candidate predicate is one popcount on "
+    "packed bucket ints — 5 of 16 bucket-partitions probed.",
+    "segment_bitmap_intersect": "One (type, word) group-by packs 32 "
+    "users per BIGINT word; audience AND/OR is a word-keyed join + "
+    "popcount — the fact table is never rejoined; oracle recomputes "
+    "via DISTINCT joins (different algorithm, same counts).",
 }
 
 
