@@ -618,3 +618,46 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (d * (d - 1)) AS BIGINT) AS lcc_e6",
         )
     )
+
+
+@query(
+    "dedup_cluster_size_hist",
+    oracle=f"""
+    WITH clusters AS ({ORACLES["dedup_cluster_cc"]}),
+    sz AS (
+      SELECT cluster_id, COUNT(*) AS size
+      FROM clusters GROUP BY cluster_id
+    )
+    SELECT size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(size) AS BIGINT) AS n_docs,
+           CAST(SUM(size - 1) AS BIGINT) AS n_removable
+    FROM sz GROUP BY size ORDER BY size
+    """,
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster size distribution — the dedup diagnostic read
+    before committing a keep-one-per-cluster pass: how many clusters
+    of each size, how many docs they hold, and how many docs a
+    canonical-survivor policy would remove (size - 1 per cluster).  A
+    heavy tail here (one giant component) usually means the LSH
+    threshold is too loose or boilerplate needs stripping BEFORE
+    dedup — this is the query that catches it.
+
+    Scale shape: the LSH/CC subplan is dedup_cluster_cc's; the size
+    rollup keys on cluster_id (one narrow exchange of (doc, cluster)
+    pairs) and the histogram on the tiny size domain."""
+    pairs = _llm.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    sz = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sz.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("size").cast("bigint").alias("n_docs"),
+            F.sum(F.col("size") - 1).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("size")
+    )

@@ -344,3 +344,79 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) >= 2.0).alias("anomalous"),
     )
+
+
+_SQB_WIDTH = 1000  # histogram bin width in cents (matches sketch_quantile_merge)
+
+
+@query(
+    "stream_quantile_bins",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // {_SQB_WIDTH} AS bin,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT window_start, bin, c,
+             SUM(c) OVER (PARTITION BY window_start ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER (PARTITION BY window_start) AS n
+      FROM b
+    )
+    SELECT window_start,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 50 * n THEN bin END)
+                * {_SQB_WIDTH} AS BIGINT) AS p50_lo_cents,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 99 * n THEN bin END)
+                * {_SQB_WIDTH} AS BIGINT) AS p99_lo_cents
+    FROM cum GROUP BY window_start
+    """,
+)
+def stream_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed quantile sketch — the STREAMING-SHAPED twin of
+    sketch_quantile_merge: per 1-hour tumbling window, a fixed-bin
+    cents histogram whose per-bin counts are pure additive state (the
+    one quantile structure Structured Streaming can maintain
+    incrementally — exact per-window percentile sorts cannot), read
+    out as p50/p99 bin lower bounds with the all-integer
+    100*cum >= p*n rule.  Under readStream the (window, bin) aggregate
+    runs with a watermark and the quantile read happens downstream of
+    the sink (tests/test_streaming.py drives the twin).
+
+    Scale shape: one (window, bin) group-by — bounded state per
+    window; cumulative + read windows run on histogram rows only."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    b = (
+        e.select(
+            F.window("ts", "1 hour").alias("w"),
+            F.expr(
+                f"CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div {_SQB_WIDTH}"
+            ).alias("bin"),
+        )
+        .groupBy(F.col("w.start").alias("window_start"), "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = b.select(
+        "window_start",
+        "bin",
+        F.sum("c")
+        .over(
+            Window.partitionBy("window_start")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum_c"),
+        F.sum("c").over(Window.partitionBy("window_start")).alias("n"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(100 * F.col("cum_c") >= p * F.col("n"), F.col("bin"))
+    ) * _SQB_WIDTH
+    return cum.groupBy("window_start").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(50).cast("bigint").alias("p50_lo_cents"),
+        pick(99).cast("bigint").alias("p99_lo_cents"),
+    )

@@ -364,3 +364,33 @@ def test_segment_bitmap_intersect_counts(spark, tmp_path):
     _write_events(spark, tmp_path, rows)
     r = registry.QUERIES["segment_bitmap_intersect"](spark, str(tmp_path)).collect()[0]
     assert (r.n_click, r.n_purchase, r.n_both, r.n_either) == (21, 14, 7, 28)
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_dedup_cluster_size_hist(spark, tmp_path):
+    """Docs 0,1,2 share one near-dup text and 10,11 another: cluster
+    sizes 3 and 2 -> one histogram row each, removable = size-1."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    other = "completely different words describing entirely other topics here " * 3
+    rows = [
+        (0, base, "en", "web", len(base)),
+        (1, base + " tail", "en", "web", len(base) + 5),
+        (2, base + " coda", "en", "web", len(base) + 5),
+        (10, other, "en", "web", len(other)),
+        (11, other + " tail", "en", "web", len(other) + 5),
+        (20, "unrelated tiny snippet of text", "en", "web", 30),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r.size: r
+        for r in registry.QUERIES["dedup_cluster_size_hist"](spark, str(tmp_path)).collect()
+    }
+    assert got[3].n_clusters == 1 and got[3].n_docs == 3 and got[3].n_removable == 2
+    assert got[2].n_clusters == 1 and got[2].n_docs == 2 and got[2].n_removable == 1
+    assert 1 not in got  # singletons are not in the dup graph

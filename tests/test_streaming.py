@@ -805,3 +805,61 @@ def test_stream_topic_assign(spark, sf_dir, tmp_path_factory):
     }
     want = {r.topic: r.n_hits for r in hits(raw).collect()}
     assert got == want and sum(got.values()) > 0
+
+
+def test_stream_quantile_bins_histogram_matches_batch(spark, events_stream, sf_dir):
+    """The windowed quantile sketch's state — per (window, bin)
+    counts — is a plain additive aggregate, so it runs under
+    readStream + watermark unchanged; every emitted (window, bin)
+    count must equal the batch histogram, and the downstream quantile
+    read over the emitted state must match the registered batch twin
+    for those windows."""
+    from instructions_mr_spark.queries.streaming_batch import _SQB_WIDTH
+
+    stream, batch = events_stream
+    bin_expr = F.expr(f"CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div {_SQB_WIDTH}")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), bin_expr.alias("bin"))
+        .agg(F.count("*").alias("c"))
+    )
+    _run_to_completion(agg, "stream_qbins_t", "append")
+    got = {
+        (r["window"]["start"], r["bin"]): r["c"]
+        for r in spark.sql("SELECT * FROM stream_qbins_t").collect()
+    }
+    expected = {
+        (r["window"]["start"], r["bin"]): r["c"]
+        for r in batch.groupBy(F.window("ts", "1 hour"), bin_expr.alias("bin"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+    # downstream quantile read over the emitted state: p50 bin of each
+    # fully-emitted window equals the batch twin's answer
+    from instructions_mr_spark import registry as _reg
+
+    _reg.load_all()
+    emitted_windows = {w for (w, _) in got}
+    full = [
+        w for w in emitted_windows
+        if sum(1 for (w2, _) in expected if w2 == w)
+        == sum(1 for (w2, _) in got if w2 == w)
+    ]
+    twin = {
+        r.window_start: r.p50_lo_cents
+        for r in _reg.QUERIES["stream_quantile_bins"](spark, sf_dir).collect()
+    }
+    assert full, "watermark emitted no complete window"
+    for w in full:
+        rows = sorted((b, c) for (w2, b), c in got.items() if w2 == w)
+        n = sum(c for _, c in rows)
+        cum = 0
+        p50 = None
+        for b, c in rows:
+            cum += c
+            if 100 * cum >= 50 * n and p50 is None:
+                p50 = b * _SQB_WIDTH
+        assert twin[w] == p50

@@ -304,6 +304,11 @@ NOTES = {
     "users per BIGINT word; audience AND/OR is a word-keyed join + "
     "popcount — the fact table is never rejoined; oracle recomputes "
     "via DISTINCT joins (different algorithm, same counts).",
+    "stream_quantile_bins": "Per (window, bin) additive state — the "
+    "one quantile structure streaming can maintain incrementally; "
+    "cumulative + read windows on histogram rows only.",
+    "dedup_cluster_size_hist": "LSH/CC subplan feeds a cluster_id-"
+    "keyed size rollup (narrow pairs) + a tiny size-domain histogram.",
 }
 
 
