@@ -1439,3 +1439,133 @@ def segment_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count(F.expr("cb & pb"))).cast("bigint").alias("n_both"),
         F.sum(F.bit_count(F.expr("cb | pb"))).cast("bigint").alias("n_either"),
     )
+
+
+# ------------------------------- point-in-time (leakage-free) features
+
+
+@query(
+    "features_point_in_time",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS prior_n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 0)
+                * 100 AS BIGINT) AS prior_spend_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+)
+def features_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature computation — the feature-store primitive
+    that keeps training data leakage-free: each order row carries the
+    customer's order count and lifetime spend STRICTLY BEFORE that
+    order (frame ends at 1 PRECEDING, so the label row never sees
+    itself or its future).  Joining 'current' aggregates instead is
+    the classic target-leakage bug this op exists to prevent.  Spend
+    is DECIMAL-exact cents.
+
+    Scale shape: one customer-keyed exchange serves both exclusive-
+    frame windows (count + sum share the frame); deterministic order
+    by (date, orderkey).  At 100 TB this is the same shape as any
+    running aggregate — and the features land on the fact rows
+    without a join."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = F.expr("CAST(o_totalprice AS DECIMAL(12,2))")
+    return o.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("prior_n_orders"),
+        (F.coalesce(F.sum(dec).over(w), F.lit(0)) * 100)
+        .cast("bigint")
+        .alias("prior_spend_cents"),
+    )
+
+
+# ------------------------------------------------ session entry paths
+
+
+@query(
+    "session_path_topk",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP))
+                          - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP))
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    ),
+    stepped AS (
+      SELECT user_id, sess_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY ts, event_id) AS step
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, sess_id,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM stepped WHERE step <= 3 GROUP BY user_id, sess_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session entry paths: sessionize (30-min gap), take each
+    session's first three event types as a '>'-joined path, rank the
+    ten most common — the 'how do users actually start' report that
+    complements event_transition_matrix's pairwise view with real
+    multi-step sequences.
+
+    Scale shape: the sessionize windows, step ranking, and per-session
+    path rollup ALL share the single user-keyed exchange (Catalyst
+    reuses the partitioning); the path frequency table is tiny
+    (|event_types|^3 max) and top-10 is TakeOrderedAndProject.
+    Deterministic: event_id breaks ts ties, path string breaks count
+    ties."""
+    from instructions_mr_spark.queries._util import ts_epoch_micros
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = ts_epoch_micros("ts")
+    lag_us = F.lag(us).over(w)
+    new_sess = F.when(
+        lag_us.isNull() | ((us - lag_us) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id", "event_id", "event_type", "ts", new_sess.alias("new_sess")
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    stepped = sess.withColumn(
+        "step",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("step") <= 3)
+    paths = stepped.groupBy("user_id", "sess_id").agg(
+        F.concat_ws(
+            ">", F.array_sort(F.collect_list(F.struct("step", "event_type"))).getField("event_type")
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )

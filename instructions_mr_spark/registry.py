@@ -143,7 +143,8 @@ DRIVER_WINDOW: list[str] = [
 #   fd_candidate_audit, pareto_revenue_share, funnel_time_to_convert,
 #   attribution_position_based, sketch_quantile_merge, trend_slope_by_type,
 #   segment_bitmap_intersect, ann_recall_multiprobe,
-#   stream_quantile_bins, dedup_cluster_size_hist
+#   stream_quantile_bins, dedup_cluster_size_hist,
+#   features_point_in_time, session_path_topk
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -394,3 +394,53 @@ def test_dedup_cluster_size_hist(spark, tmp_path):
     assert got[3].n_clusters == 1 and got[3].n_docs == 3 and got[3].n_removable == 2
     assert got[2].n_clusters == 1 and got[2].n_docs == 2 and got[2].n_removable == 1
     assert 1 not in got  # singletons are not in the dup graph
+
+
+def test_features_point_in_time_exclusive_frame(spark, tmp_path):
+    """Customer 1 orders 10.00 then 20.00 then 30.00: each row sees
+    only STRICTLY PRIOR history — the third order carries 2 priors and
+    3000 prior cents; the first carries zero (no leakage)."""
+    rows = [(1, 1, 10.0), (2, 1, 20.0), (3, 1, 30.0), (9, 2, 99.0)]
+    full = [
+        (ok, ck, "O", tp, datetime(2024, 1, ok), "1-URGENT") for ok, ck, tp in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.o_orderkey: r
+        for r in registry.QUERIES["features_point_in_time"](spark, str(tmp_path)).collect()
+    }
+    assert (got[1].prior_n_orders, got[1].prior_spend_cents) == (0, 0)
+    assert (got[2].prior_n_orders, got[2].prior_spend_cents) == (1, 1000)
+    assert (got[3].prior_n_orders, got[3].prior_spend_cents) == (2, 3000)
+    assert (got[9].prior_n_orders, got[9].prior_spend_cents) == (0, 0)
+
+
+def test_session_path_topk(spark, tmp_path):
+    """Two users open with view>click>purchase, one with click alone
+    (session of one event), one session is truncated to its first 3
+    steps even though it has 4 events."""
+    m = lambda u, mi: datetime(2024, 1, 1, 10, mi)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i, typ in enumerate(["view", "click", "purchase", "error"]):
+            eid += 1
+            rows.append((eid, m(u, i), u, typ, 0.0, "{}"))
+    eid += 1
+    rows.append((eid, m(3, 0), 3, "click", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.path: r.n_sessions
+        for r in registry.QUERIES["session_path_topk"](spark, str(tmp_path)).collect()
+    }
+    assert got == {"view>click>purchase": 2, "click": 1}

@@ -309,6 +309,13 @@ NOTES = {
     "cumulative + read windows on histogram rows only.",
     "dedup_cluster_size_hist": "LSH/CC subplan feeds a cluster_id-"
     "keyed size rollup (narrow pairs) + a tiny size-domain histogram.",
+    "features_point_in_time": "One customer-keyed exchange serves "
+    "both EXCLUSIVE-frame windows (1 PRECEDING end kills target "
+    "leakage); features land on fact rows without a join.",
+    "session_path_topk": "Sessionize windows, step ranking, and the "
+    "path rollup all share the single user-keyed exchange; path "
+    "frequency table is |types|^3 max, top-10 is "
+    "TakeOrderedAndProject.",
 }
 
 
