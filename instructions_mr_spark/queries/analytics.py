@@ -1569,3 +1569,170 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+# ------------------------------------------- join-size estimation
+
+
+@query(
+    "join_size_estimate",
+    oracle="""
+    WITH actual AS (
+      SELECT COUNT(*) AS n
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ha AS (SELECT o_orderkey AS k, COUNT(*) AS na FROM orders GROUP BY 1),
+    hb AS (SELECT l_orderkey AS k, COUNT(*) AS nb FROM lineitem GROUP BY 1),
+    pred AS (
+      SELECT CAST(SUM(na * nb) AS BIGINT) AS predicted,
+             CAST(MAX(na * nb) AS BIGINT) AS max_key_rows
+      FROM ha JOIN hb USING (k)
+    )
+    SELECT CAST(actual.n AS BIGINT) AS actual_rows,
+           pred.predicted AS predicted_rows,
+           pred.max_key_rows,
+           actual.n = pred.predicted AS exact_match
+    FROM actual, pred
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality prediction from per-key histograms — the
+    planner statistic that decides broadcast vs shuffle vs salt
+    BEFORE paying for the join: |A join B| = sum over shared keys of
+    count_a * count_b, plus the hottest key's contribution (the skew
+    red flag).  The op computes the prediction from the two
+    histograms AND executes the join to count the truth; exact_match
+    certifies the identity (and the oracle recomputes both sides
+    independently).  With approx_count_distinct histograms the same
+    shape becomes a sampled estimator at 100 TB.
+
+    Scale shape: two per-key count aggregates (map-side partial) and
+    one histogram-sized join — the ACTUAL join here is the
+    verification, not the product; a planner would run only the
+    histogram legs."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    actual = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ha = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("na"))
+    hb = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("nb"))
+    pred = ha.join(hb, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("predicted"),
+        F.max(F.col("na") * F.col("nb")).cast("bigint").alias("max_key_rows"),
+    )
+    return actual.crossJoin(F.broadcast(pred)).select(
+        F.col("n").cast("bigint").alias("actual_rows"),
+        F.col("predicted").alias("predicted_rows"),
+        "max_key_rows",
+        (F.col("n") == F.col("predicted")).alias("exact_match"),
+    )
+
+
+# ------------------------------------- deterministic negative sampling
+
+
+@query(
+    "negative_sampling_pairs",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    mx AS (SELECT MAX(l_partkey) AS maxp FROM lineitem),
+    cand AS (
+      SELECT cust, part,
+             (('0x' || substr(md5(CAST(cust AS VARCHAR) || ':'
+                 || CAST(part AS VARCHAR) || ':' || CAST(j AS VARCHAR) || '#17'),
+                 1, 8))::BIGINT % (maxp + 1)) AS neg_part
+      FROM pos, mx, (SELECT unnest([0, 1]) AS j)
+    ),
+    kept AS (
+      SELECT c.cust, c.neg_part
+      FROM cand c LEFT JOIN pos p
+        ON p.cust = c.cust AND p.part = c.neg_part
+      WHERE p.part IS NULL
+    ),
+    posb AS (
+      SELECT cust % 16 AS cust_bucket, COUNT(*) AS n_positives
+      FROM pos GROUP BY 1
+    ),
+    candb AS (
+      SELECT cust % 16 AS cust_bucket, COUNT(*) AS n_candidates
+      FROM cand GROUP BY 1
+    ),
+    keptb AS (
+      SELECT cust % 16 AS cust_bucket, COUNT(*) AS n_negatives_kept
+      FROM kept GROUP BY 1
+    )
+    SELECT p.cust_bucket,
+           CAST(p.n_positives AS BIGINT) AS n_positives,
+           CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(k.n_negatives_kept, 0) AS BIGINT) AS n_negatives_kept
+    FROM posb p
+    LEFT JOIN candb c ON c.cust_bucket = p.cust_bucket
+    LEFT JOIN keptb k ON k.cust_bucket = p.cust_bucket
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training data:
+    each observed (customer, part) positive spawns 2 pseudo-random
+    negative part candidates via the portable md5-derived h32 (seeded
+    per (cust, part, j) — REPRODUCIBLE across runs and engines, the
+    property df.sample never gives), keeping candidates the customer
+    never actually bought (anti join back onto the positives).
+    Reported per customer bucket: positives, candidates drawn,
+    negatives surviving the collision filter.
+
+    Scale shape: positives are one distinct projection of the
+    orders-lineitem join; candidate generation is in-row hash math
+    (explode by 2); the collision filter is a (cust, part)-keyed anti
+    join — the same digest-keyed shape every dedup op here uses.  At
+    100 TB the positives table is bucketed by cust and both the
+    explode and anti join stay co-partitioned."""
+    from instructions_mr_spark.queries.llm_pipeline import _spark_h32
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    mx = li.agg(F.max("l_partkey").alias("maxp"))
+    h = _spark_h32(
+        "CAST(cust AS STRING) || ':' || CAST(part AS STRING) || ':' || CAST(j AS STRING)",
+        17,
+    )
+    cand = (
+        pos.crossJoin(F.broadcast(mx))
+        .select("cust", "part", "maxp", F.explode(F.array(F.lit(0), F.lit(1))).alias("j"))
+        .selectExpr("cust", f"{h} % (maxp + 1) AS neg_part")
+    )
+    kept = cand.join(
+        pos.select("cust", F.col("part").alias("neg_part")),
+        ["cust", "neg_part"],
+        "left_anti",
+    )
+    posb = pos.groupBy((F.col("cust") % 16).alias("cust_bucket")).agg(
+        F.count(F.lit(1)).alias("n_positives")
+    )
+    candb = cand.groupBy((F.col("cust") % 16).alias("cust_bucket")).agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    keptb = kept.groupBy((F.col("cust") % 16).alias("cust_bucket")).agg(
+        F.count(F.lit(1)).alias("n_negatives_kept")
+    )
+    return (
+        posb.join(candb, "cust_bucket", "left")
+        .join(keptb, "cust_bucket", "left")
+        .select(
+            "cust_bucket",
+            F.col("n_positives").cast("bigint").alias("n_positives"),
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("n_negatives_kept", F.lit(0))
+            .cast("bigint")
+            .alias("n_negatives_kept"),
+        )
+    )

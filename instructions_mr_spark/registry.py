@@ -144,7 +144,8 @@ DRIVER_WINDOW: list[str] = [
 #   attribution_position_based, sketch_quantile_merge, trend_slope_by_type,
 #   segment_bitmap_intersect, ann_recall_multiprobe,
 #   stream_quantile_bins, dedup_cluster_size_hist,
-#   features_point_in_time, session_path_topk
+#   features_point_in_time, session_path_topk, join_size_estimate,
+#   negative_sampling_pairs
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

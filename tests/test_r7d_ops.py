@@ -444,3 +444,36 @@ def test_session_path_topk(spark, tmp_path):
         for r in registry.QUERIES["session_path_topk"](spark, str(tmp_path)).collect()
     }
     assert got == {"view>click>purchase": 2, "click": 1}
+
+
+def test_join_size_estimate_identity(spark, tmp_path):
+    """Histogram prediction equals executed join count: 2 orders with
+    3 and 1 lineitems -> 4 rows, max key contribution 3."""
+    _write_orders(spark, tmp_path, [(1, 1, "1-URGENT"), (2, 1, "1-URGENT")])
+    _write_lineitem(
+        spark, tmp_path,
+        [(1, 101, 1, 1), (1, 102, 1, 2), (1, 103, 1, 3), (2, 101, 1, 1)],
+    )
+    r = registry.QUERIES["join_size_estimate"](spark, str(tmp_path)).collect()[0]
+    assert (r.actual_rows, r.predicted_rows, r.max_key_rows) == (4, 4, 3)
+    assert r.exact_match
+
+
+def test_negative_sampling_determinism_and_filter(spark, tmp_path):
+    """Two runs produce identical counts (hash-seeded, not random);
+    every kept negative avoids the customer's own positives, and each
+    positive draws exactly two candidates."""
+    _write_orders(spark, tmp_path, [(1, 1, "1-URGENT"), (2, 2, "1-URGENT")])
+    _write_lineitem(
+        spark, tmp_path,
+        [(1, 101, 1, 1), (1, 102, 1, 2), (2, 103, 1, 1)],
+    )
+    q = registry.QUERIES["negative_sampling_pairs"]
+    a = sorted(map(tuple, q(spark, str(tmp_path)).collect()))
+    b = sorted(map(tuple, q(spark, str(tmp_path)).collect()))
+    assert a == b
+    got = {r[0]: r for r in a}
+    assert got[1][1] == 2 and got[1][2] == 4  # cust 1: 2 positives, 4 candidates
+    assert got[2][1] == 1 and got[2][2] == 2
+    for bucket, npos, ncand, nkept in a:
+        assert 0 <= nkept <= ncand

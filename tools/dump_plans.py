@@ -316,6 +316,12 @@ NOTES = {
     "path rollup all share the single user-keyed exchange; path "
     "frequency table is |types|^3 max, top-10 is "
     "TakeOrderedAndProject.",
+    "join_size_estimate": "Two per-key count aggregates + a "
+    "histogram-sized join produce the prediction; the actual join is "
+    "the verification leg — a planner runs only the histograms.",
+    "negative_sampling_pairs": "Positives are one distinct projection "
+    "of the fact join; candidates are in-row hash math (explode x2); "
+    "the collision filter is a (cust, part)-keyed anti join.",
 }
 
 
