@@ -661,3 +661,77 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size")
     )
+
+
+@query(
+    "dedup_quality_bias",
+    oracle=f"""
+    WITH clusters AS ({ORACLES["dedup_cluster_cc"]}),
+    exact AS (
+      SELECT doc_id, LEAST(n_chars // 100, 5) AS len_bucket,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_rep
+      FROM documents
+    ),
+    flags AS (
+      SELECT e.len_bucket,
+             e.doc_id <> e.exact_rep AS exact_drop,
+             (c.doc_id IS NOT NULL AND c.cluster_id <> e.doc_id) AS near_drop
+      FROM exact e LEFT JOIN clusters c ON c.doc_id = e.doc_id
+    )
+    SELECT len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT exact_drop AND NOT near_drop THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN exact_drop THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_exact,
+           CAST(SUM(CASE WHEN NOT exact_drop AND near_drop THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_near
+    FROM flags GROUP BY len_bucket
+    """,
+)
+def dedup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship bias audit: the corpus_dedup_survivors
+    accounting re-keyed by document LENGTH BUCKET instead of source —
+    the check that a dedup pass isn't preferentially deleting long
+    (usually higher-value) documents, which happens whenever
+    boilerplate inflates near-dup similarity on long docs.  A keep
+    rate that falls with length is the 'strip boilerplate before
+    dedup' signal.
+
+    Scale shape: identical to corpus_dedup_survivors (digest window
+    shuffles digest+id only; the LSH/CC subplan is shared), with the
+    tiny rollup keyed on the bounded bucket domain."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("LEAST(n_chars div 100, 5)").alias("len_bucket"),
+        F.expr("MD5(CAST(text AS BINARY))").alias("text_md5"),
+    )
+    exact = docs.withColumn(
+        "exact_rep", F.min("doc_id").over(W.partitionBy("text_md5"))
+    )
+    pairs = _llm.dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    flags = exact.join(clusters, "doc_id", "left").select(
+        "len_bucket",
+        (F.col("doc_id") != F.col("exact_rep")).alias("exact_drop"),
+        (
+            F.col("cluster_id").isNotNull()
+            & (F.col("cluster_id") != F.col("doc_id"))
+        ).alias("near_drop"),
+    )
+    return flags.groupBy("len_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(~F.col("exact_drop") & ~F.col("near_drop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("exact_drop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_exact"),
+        F.sum(F.when(~F.col("exact_drop") & F.col("near_drop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_near"),
+    )

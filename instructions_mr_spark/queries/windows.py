@@ -257,3 +257,81 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.expr("percentile(o_totalprice, 0.5)").over(w), 4).alias("median5"),
     )
+
+
+_EWMA_LAGS = 8  # trailing observations; alpha = 1/2 -> dyadic weights
+
+
+def _ewma_terms() -> tuple[str, str]:
+    """(num, den) SQL fragments: sum of lag_i * 2^(7-i) over available
+    lags (lag 0 is the current row's cnt, lag i>0 the LAG column li)."""
+    col = lambda i: "cnt" if i == 0 else f"l{i}"  # noqa: E731
+    num = " + ".join(
+        f"COALESCE({col(i)} * {2 ** (_EWMA_LAGS - 1 - i)}, 0)"
+        for i in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {col(i)} IS NOT NULL"
+        f" THEN {2 ** (_EWMA_LAGS - 1 - i)} ELSE 0 END)"
+        for i in range(_EWMA_LAGS)
+    )
+    return num, den
+
+
+@query(
+    "window_ewma_dyadic",
+    oracle=(lambda num_den: f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS hour_start,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, hour_start, cnt,
+             {', '.join(f'LAG(cnt, {i}) OVER w AS l{i}' for i in range(1, 8))}
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start)
+    )
+    SELECT event_type, hour_start,
+           CAST({num_den[0]} AS BIGINT) AS ewma_num,
+           CAST({num_den[1]} AS BIGINT) AS ewma_den,
+           CAST(({num_den[0]}) * 1000000 // ({num_den[1]}) AS BIGINT) AS ewma_e6
+    FROM lagged
+    """)(_ewma_terms()),
+)
+def window_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of hourly event counts
+    with alpha = 1/2, truncated at the trailing 8 OBSERVATIONS — and
+    because halving weights are DYADIC (powers of two), the whole
+    smoothing is exact integer math: ewma = sum(cnt_lag_i * 2^(7-i))
+    over sum(2^(7-i) for available lags), emitted as raw num/den plus
+    ewma_e6 under one truncating division.  Floating EWMA recursions
+    accumulate engine-dependent rounding; the dyadic truncated form
+    is the cross-engine-exact variant of the same smoother.
+
+    Scale shape: one (type, hour) group-by; the 7 LAGs share a single
+    event_type-keyed window exchange over the tiny hour grid (the
+    same grid every trend op here uses)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    lagged = h.select(
+        "event_type",
+        "hour_start",
+        "cnt",
+        *[F.lag("cnt", i).over(w).alias(f"l{i}") for i in range(1, _EWMA_LAGS)],
+    )
+    num, den = _ewma_terms()
+    return lagged.selectExpr(
+        "event_type",
+        "hour_start",
+        f"CAST({num} AS BIGINT) AS ewma_num",
+        f"CAST({den} AS BIGINT) AS ewma_den",
+        f"CAST(({num}) * CAST(1000000 AS BIGINT) div ({den}) AS BIGINT) AS ewma_e6",
+    )

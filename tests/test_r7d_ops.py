@@ -477,3 +477,43 @@ def test_negative_sampling_determinism_and_filter(spark, tmp_path):
     assert got[2][1] == 1 and got[2][2] == 2
     for bucket, npos, ncand, nkept in a:
         assert 0 <= nkept <= ncand
+
+
+def test_dedup_quality_bias_buckets(spark, tmp_path):
+    """Short unique doc (bucket 0) is kept; two long near-dups
+    (bucket 5) lose one to the near-dup drop."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 12
+    rows = [
+        (0, "tiny unique snippet", "en", "web", 19),
+        (1, base, "en", "web", 600),
+        (2, base + " tail", "en", "web", 605),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r.len_bucket: r
+        for r in registry.QUERIES["dedup_quality_bias"](spark, str(tmp_path)).collect()
+    }
+    assert got[0].n_docs == 1 and got[0].n_kept == 1
+    assert got[5].n_docs == 2 and got[5].n_kept == 1 and got[5].n_dropped_near == 1
+
+
+def test_window_ewma_dyadic_halving(spark, tmp_path):
+    """Type A: counts 4 then 8 over two hours.  Hour 0: only itself
+    -> ewma = 4 (num 512 = 4*128, den 128).  Hour 1: (8*128 + 4*64)
+    / (128 + 64) = 1280/192 -> e6 = 6666666 (truncated); the newest
+    observation carries double the weight of the previous one."""
+    h = lambda hr: datetime(2024, 1, 1, hr)
+    rows = []
+    eid = 0
+    for hr, cnt in [(0, 4), (1, 8)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, h(hr), 1, "A", 0.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.hour_start.hour: r
+        for r in registry.QUERIES["window_ewma_dyadic"](spark, str(tmp_path)).collect()
+    }
+    assert (got[0].ewma_num, got[0].ewma_den, got[0].ewma_e6) == (512, 128, 4_000_000)
+    assert (got[1].ewma_num, got[1].ewma_den) == (1280, 192)
+    assert got[1].ewma_e6 == 6_666_666

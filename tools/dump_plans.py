@@ -322,6 +322,11 @@ NOTES = {
     "negative_sampling_pairs": "Positives are one distinct projection "
     "of the fact join; candidates are in-row hash math (explode x2); "
     "the collision filter is a (cust, part)-keyed anti join.",
+    "dedup_quality_bias": "corpus_dedup_survivors' digest window + "
+    "LSH/CC subplan, re-keyed to the bounded length-bucket domain.",
+    "window_ewma_dyadic": "Seven LAGs share one event_type-keyed "
+    "window exchange over the tiny hour grid; dyadic weights make "
+    "the smoother all-integer (raw num/den beside ewma_e6).",
 }
 
 
