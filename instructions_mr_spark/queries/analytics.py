@@ -1736,3 +1736,70 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_negatives_kept"),
         )
     )
+
+
+# ------------------------------------------------- skyline (Pareto)
+
+
+@query(
+    "skyline_price_size",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT p_partkey, price_cents, size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+        AND (b.price_cents < a.price_cents OR b.size > a.size)
+    )
+    ORDER BY price_cents, size DESC, p_partkey
+    """,
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query: parts not dominated on
+    (minimize retail price, maximize size) — the multi-criteria
+    shortlist operator (Borzsony/Kossmann/Stocker 2001) product
+    search and supplier selection run.  Spark computes it with the
+    sort-filter identity instead of the quadratic dominance test: any
+    dominator sorts strictly earlier under (price asc, size desc), so
+    a row survives iff no strictly-cheaper row reaches its size
+    (value-RANGE running max) and no equal-price row exceeds it
+    (price-partition max).  The ORACLE runs the naive NOT EXISTS
+    dominance scan — two different algorithms must agree.
+
+    Scale shape: two windows over one price-ordered exchange
+    (global-order on the SMALL dim table; for a fact-sized skyline,
+    range-partition by price and merge per-partition skylines — the
+    standard distributed-skyline recipe).  All-integer columns."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w_lt = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("price_cents")
+    flagged = p.select(
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.max("size").over(w_lt).alias("m_lt"),
+        F.max("size").over(w_eq).alias("m_eq"),
+    )
+    return (
+        flagged.filter(
+            (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("size")))
+            & (F.col("m_eq") == F.col("size"))
+        )
+        .select("p_partkey", "price_cents", "size")
+        .orderBy("price_cents", F.col("size").desc(), "p_partkey")
+    )

@@ -145,7 +145,8 @@ DRIVER_WINDOW: list[str] = [
 #   segment_bitmap_intersect, ann_recall_multiprobe,
 #   stream_quantile_bins, dedup_cluster_size_hist,
 #   features_point_in_time, session_path_topk, join_size_estimate,
-#   negative_sampling_pairs, dedup_quality_bias, window_ewma_dyadic
+#   negative_sampling_pairs, dedup_quality_bias, window_ewma_dyadic,
+#   skyline_price_size
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

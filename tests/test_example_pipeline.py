@@ -72,3 +72,28 @@ def test_web_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert {"doc_id", "source", "domain", "n_tokens", "n_kept", "boost"} <= set(
         survivors.columns
     )
+
+
+def test_recsys_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """Composition pins: every positive has a label-1 row, negatives
+    never collide with positives, the split is entity-disjoint by
+    customer, and the output parquet round-trips."""
+    from examples.recsys_training_pipeline import run
+
+    out = str(tmp_path / "recsys")
+    stats = run(sf_dir, out)
+    assert stats["positives"] > 0
+    assert 0 < stats["negatives"] <= 2 * stats["positives"]
+    assert stats["rows"] == stats["positives"] + stats["negatives"]
+    assert stats["train"] + stats["valid"] == stats["rows"]
+    df = spark.read.parquet(f"{out}/recsys_training")
+    assert df.count() == stats["rows"]
+    # entity-disjoint: no customer appears in both splits
+    both = (
+        df.select("cust", "split").distinct()
+        .groupBy("cust").count().filter("count > 1").count()
+    )
+    assert both == 0
+    # a labeled pair is never both positive and negative
+    dup = df.groupBy("cust", "part").count().filter("count > 1")
+    assert dup.count() == 0

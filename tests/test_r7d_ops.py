@@ -517,3 +517,27 @@ def test_window_ewma_dyadic_halving(spark, tmp_path):
     assert (got[0].ewma_num, got[0].ewma_den, got[0].ewma_e6) == (512, 128, 4_000_000)
     assert (got[1].ewma_num, got[1].ewma_den) == (1280, 192)
     assert got[1].ewma_e6 == 6_666_666
+
+
+def test_skyline_price_size(spark, tmp_path):
+    """Parts: (100c,5), (200c,10), (150c,10), (100c,5) dup, (300c,8).
+    Skyline = both (100c,5) twins (tie, neither dominates) and
+    (150c,10); (200c,10) loses to (150c,10) and (300c,8) to it too."""
+    rows = [
+        (1, "a", "B", "T", 5, 1.00),
+        (2, "b", "B", "T", 10, 2.00),
+        (3, "c", "B", "T", 10, 1.50),
+        (4, "d", "B", "T", 5, 1.00),
+        (5, "e", "B", "T", 8, 3.00),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    got = [
+        (r.p_partkey, r.price_cents, r.size)
+        for r in registry.QUERIES["skyline_price_size"](spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 100, 5), (4, 100, 5), (3, 150, 10)]

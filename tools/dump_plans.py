@@ -327,6 +327,10 @@ NOTES = {
     "window_ewma_dyadic": "Seven LAGs share one event_type-keyed "
     "window exchange over the tiny hour grid; dyadic weights make "
     "the smoother all-integer (raw num/den beside ewma_e6).",
+    "skyline_price_size": "Sort-filter skyline: two windows on one "
+    "price-ordered exchange (value-RANGE running max + equal-price "
+    "partition max) replace the quadratic dominance scan; oracle IS "
+    "the NOT EXISTS scan — two algorithms, one answer.",
 }
 
 
