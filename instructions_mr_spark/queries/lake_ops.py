@@ -668,3 +668,66 @@ def range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 range_partition_bounds.__doc__ = (range_partition_bounds.__doc__ or "").replace(
     "{_RANGE_BUCKETS}", str(_RANGE_BUCKETS)
 )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH e2 AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    stepped AS (
+      SELECT event_type, cents,
+             LEAD(tsec) OVER (PARTITION BY event_type
+                              ORDER BY tsec, event_id) - tsec AS dur
+      FROM e2
+    )
+    SELECT event_type,
+           CAST(SUM(cents * dur) AS BIGINT) AS twap_num,
+           CAST(SUM(dur) AS BIGINT) AS twap_den,
+           CAST(SUM(cents * dur) // SUM(dur) AS BIGINT) AS twap_cents
+    FROM stepped WHERE dur IS NOT NULL GROUP BY event_type
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per series: each reading holds
+    until the next one, so the average weights every value by its
+    holding DURATION — the financial/sensor standard that a plain
+    AVG gets wrong whenever sampling is irregular (a 1-second spike
+    should not count like an hour-long plateau).  All integer:
+    cents x seconds products summed as BIGINTs, one truncating
+    division to twap_cents, raw num/den emitted beside it.  Same-
+    instant readings get zero duration and drop out — ties cannot
+    skew the engines apart.
+
+    Scale shape: one series-keyed window exchange (LEAD) + the same
+    keyed aggregate; at petabyte telemetry scale the BIGINT products
+    move to DECIMAL(38,0), the shape is unchanged."""
+    from pyspark.sql import Window
+
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    e = t(spark, sf_dir, "events")
+    e2 = e.select(
+        "event_type",
+        "event_id",
+        ts_epoch_seconds(F.col("ts")).alias("tsec"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("tsec", "event_id")
+    stepped = e2.select(
+        "event_type",
+        "cents",
+        (F.lead("tsec").over(w) - F.col("tsec")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return stepped.groupBy("event_type").agg(
+        F.sum(F.col("cents") * F.col("dur")).cast("bigint").alias("twap_num"),
+        F.sum("dur").cast("bigint").alias("twap_den"),
+        F.expr(
+            "CAST(SUM(cents * dur) div SUM(dur) AS BIGINT)"
+        ).alias("twap_cents"),
+    )

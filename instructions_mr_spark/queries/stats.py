@@ -1266,3 +1266,63 @@ def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(90).cast("bigint").alias("p90_lo_cents"),
         pick(99).cast("bigint").alias("p99_lo_cents"),
     )
+
+
+@query(
+    "percentile_exact_twophase",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT cents, c,
+             SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_c,
+             (SELECT SUM(c) FROM v) AS n
+      FROM v
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 50 * n THEN cents END) AS BIGINT)
+             AS p50_cents,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 90 * n THEN cents END) AS BIGINT)
+             AS p90_cents,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 99 * n THEN cents END) AS BIGINT)
+             AS p99_cents
+    FROM cum
+    """,
+)
+def percentile_exact_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete percentiles without sorting rows: aggregate the
+    corpus onto its VALUE DOMAIN (one count per distinct cents value —
+    bounded, unlike the row count), then read p50/p90/p99 off the
+    cumulative value histogram with the all-integer 100*cum >= p*n
+    rule.  This is how exact order statistics survive 100 TB: the
+    shuffle carries (value, count) pairs, the sort is over distinct
+    values, and the answer is exact — sketch_quantile_merge's binned
+    twin trades that exactness for fixed-size state.
+
+    Scale shape: one corpus-sized value group-by (map-side partial),
+    a distinct-value-sized cumulative window, three reads."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.selectExpr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents")
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = v.select(
+        "cents",
+        F.sum("c")
+        .over(Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_c"),
+    ).crossJoin(F.broadcast(v.agg(F.sum("c").alias("n"))))
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(100 * F.col("cum_c") >= p * F.col("n"), F.col("cents"))
+    )
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(50).cast("bigint").alias("p50_cents"),
+        pick(90).cast("bigint").alias("p90_cents"),
+        pick(99).cast("bigint").alias("p99_cents"),
+    )

@@ -541,3 +541,29 @@ def test_skyline_price_size(spark, tmp_path):
         for r in registry.QUERIES["skyline_price_size"](spark, str(tmp_path)).collect()
     ]
     assert got == [(1, 100, 5), (4, 100, 5), (3, 150, 10)]
+
+
+def test_percentile_exact_twophase(spark, tmp_path):
+    """Ten values 0.01..0.10: p50 = 5th value (0.05 -> 5 cents), p90
+    the 9th, p99 the 10th — exact discrete order statistics."""
+    h = datetime(2024, 1, 1, 10)
+    rows = [(i, h, 1, "view", (i + 1) / 100.0, "{}") for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    r = registry.QUERIES["percentile_exact_twophase"](spark, str(tmp_path)).collect()[0]
+    assert (r.n, r.p50_cents, r.p90_cents, r.p99_cents) == (10, 5, 9, 10)
+
+
+def test_time_weighted_avg_step_function(spark, tmp_path):
+    """Value 1.00 held for 30s then 3.00 for 10s (final reading closes
+    the window): TWAP = (100*30 + 300*10)/40 = 150 cents — a plain AVG
+    of the three readings would say 166."""
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    from datetime import timedelta
+    rows = [
+        (1, base, 1, "A", 1.00, "{}"),
+        (2, base + timedelta(seconds=30), 1, "A", 3.00, "{}"),
+        (3, base + timedelta(seconds=40), 1, "A", 1.00, "{}"),  # closes
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = registry.QUERIES["time_weighted_avg"](spark, str(tmp_path)).collect()[0]
+    assert (r.twap_num, r.twap_den, r.twap_cents) == (100 * 30 + 300 * 10, 40, 150)

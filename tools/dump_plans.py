@@ -331,6 +331,13 @@ NOTES = {
     "price-ordered exchange (value-RANGE running max + equal-price "
     "partition max) replace the quadratic dominance scan; oracle IS "
     "the NOT EXISTS scan — two algorithms, one answer.",
+    "percentile_exact_twophase": "Corpus aggregates onto its VALUE "
+    "DOMAIN (one count per distinct cents); sort + cumulative run "
+    "over distinct values, not rows — exact order statistics at "
+    "scale.",
+    "time_weighted_avg": "One series-keyed window exchange (LEAD) + "
+    "the same keyed aggregate; cents x seconds BIGINT products, "
+    "zero-duration ties drop out.",
 }
 
 
