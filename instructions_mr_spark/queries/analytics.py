@@ -1803,3 +1803,81 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price_cents", "size")
         .orderBy("price_cents", F.col("size").desc(), "p_partkey")
     )
+
+
+# ------------------------------------------------ ABC classification
+
+
+@query(
+    "abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             (SELECT SUM(cents) FROM rev) AS total_cents
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN 100 * cum_cents <= 80 * total_cents THEN 'A'
+                  WHEN 100 * cum_cents <= 95 * total_cents THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents
+    FROM classed GROUP BY abc_class
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    until the running share passes 80%, B until 95%, C after — the
+    per-ITEM complement of pareto_revenue_share's decile view, and
+    the rule procurement teams actually stock by.  The class
+    boundaries are integer cross-multiplies (100*cum <= p*total), so
+    no float share is ever compared.
+
+    Scale shape: one partkey group-by (DECIMAL-exact cents); the
+    cumulative ranking sorts the per-part AGGREGATE with the usual
+    single-partition caveat (swap: pre-bucket by revenue range from
+    approx quantiles, cumulative within bucket + bucket offsets —
+    the two-phase prefix-sum pattern pack_concat_chunks uses);
+    class rollup is 3 rows."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    cum = rev.select(
+        "cents",
+        F.sum("cents")
+        .over(
+            W.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .alias("cum_cents"),
+    ).crossJoin(F.broadcast(rev.agg(F.sum("cents").alias("total_cents"))))
+    classed = cum.select(
+        F.expr(
+            "CASE WHEN 100 * cum_cents <= 80 * total_cents THEN 'A' "
+            "WHEN 100 * cum_cents <= 95 * total_cents THEN 'B' "
+            "ELSE 'C' END"
+        ).alias("abc_class"),
+        "cents",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("class_cents"),
+    )

@@ -2424,3 +2424,113 @@ def simhash_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("true_jaccard_e6"),
         )
     )
+
+
+_TRUNC_DIMS = 16  # matryoshka prefix length under evaluation
+
+_EVAL_DOT_TRUNC = f"""
+    ROUND(
+      list_reduce(list_transform(range(1, {_TRUNC_DIMS} + 1),
+                  i -> CAST(q.qemb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                  (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(q.qemb[1:{_TRUNC_DIMS}], x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))
+         * sqrt(list_reduce(list_transform(e.embedding[1:{_TRUNC_DIMS}], x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))),
+    6)
+"""
+
+
+@query(
+    "ann_recall_truncated_dims",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qemb
+      FROM embeddings WHERE vec_id < {_ANN_EVAL_Q}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             {_EVAL_DOT} AS cos_full,
+             {_EVAL_DOT_TRUNC} AS cos_trunc
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.qid
+    ),
+    ftop AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_full DESC, vec_id) AS r
+      FROM scored
+    ),
+    ttop AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_trunc DESC, vec_id) AS r
+      FROM scored
+    ),
+    hits AS (
+      SELECT f.qid, COUNT(*) AS n_hits
+      FROM (SELECT qid, vec_id FROM ftop WHERE r <= {_ANN_EVAL_K}) f
+      JOIN (SELECT qid, vec_id FROM ttop WHERE r <= {_ANN_EVAL_K}) x
+        ON x.qid = f.qid AND x.vec_id = f.vec_id
+      GROUP BY f.qid
+    )
+    SELECT q.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST({_ANN_EVAL_K} AS BIGINT) AS k
+    FROM q LEFT JOIN hits h ON h.qid = q.qid
+    ORDER BY q.qid
+    """,
+)
+def ann_recall_truncated_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval: how much top-10 recall survives
+    ranking by only the FIRST 16 of 64 embedding dims — the
+    measurement behind MRL-style 'store a prefix, rerank with the
+    full vector' deployments (4x memory/bandwidth cut if recall
+    holds).  Same fixed 16-probe, all-integer (qid, n_hits, k)
+    contract as the other ANN recall evals, so the three queries
+    together are the index-design report.
+
+    Scale shape: one 16n narrow scored pass computing both cosines
+    (the truncated dot is a slice of the same zip_with); two
+    WindowGroupLimit rankings; embeddings never ride an exchange."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < _ANN_EVAL_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    scored = supersede_checkpoint(
+        "ann_eval_scored_trunc",
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            _cosine_col(F.col("qemb"), F.col("embedding")).alias("cos_full"),
+            _cosine_col(
+                F.slice(F.col("qemb"), 1, _TRUNC_DIMS),
+                F.slice(F.col("embedding"), 1, _TRUNC_DIMS),
+            ).alias("cos_trunc"),
+        )
+        .localCheckpoint(),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("cos_full").desc(), F.col("vec_id"))
+    wt = Window.partitionBy("qid").orderBy(F.col("cos_trunc").desc(), F.col("vec_id"))
+    ftop = (
+        scored.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= _ANN_EVAL_K)
+        .select("qid", "vec_id")
+    )
+    ttop = (
+        scored.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= _ANN_EVAL_K)
+        .select("qid", "vec_id")
+    )
+    hits = ftop.join(ttop, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(_ANN_EVAL_K).cast("long").alias("k"),
+        )
+        .orderBy("qid")
+    )

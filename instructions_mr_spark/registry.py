@@ -146,7 +146,8 @@ DRIVER_WINDOW: list[str] = [
 #   stream_quantile_bins, dedup_cluster_size_hist,
 #   features_point_in_time, session_path_topk, join_size_estimate,
 #   negative_sampling_pairs, dedup_quality_bias, window_ewma_dyadic,
-#   skyline_price_size, percentile_exact_twophase, time_weighted_avg
+#   skyline_price_size, percentile_exact_twophase, time_weighted_avg,
+#   ann_recall_truncated_dims, abc_classification
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

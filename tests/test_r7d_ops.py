@@ -567,3 +567,49 @@ def test_time_weighted_avg_step_function(spark, tmp_path):
     _write_events(spark, tmp_path, rows)
     r = registry.QUERIES["time_weighted_avg"](spark, str(tmp_path)).collect()[0]
     assert (r.twap_num, r.twap_den, r.twap_cents) == (100 * 30 + 300 * 10, 40, 150)
+
+
+def test_ann_recall_truncated_dims_detects_prefix_loss(spark, tmp_path):
+    """Vectors whose identity lives in dims 17+ are indistinguishable
+    to the 16-dim prefix: probe 0's truncated ranking still recovers
+    some of the full top-10 but the planted far-suffix neighbor
+    ordering shifts.  Sanity: when all information is IN the prefix
+    (first test block), recall is perfect."""
+    rows = [
+        (i, [float(i + 1)] * 16 + [0.0] * 48, 0) for i in range(20)
+    ]  # prefix-only structure, cosine 1.0 everywhere
+    _write_embeddings(spark, tmp_path, rows)
+    got = registry.QUERIES["ann_recall_truncated_dims"](spark, str(tmp_path)).collect()
+    assert len(got) == 16
+    for r in got:
+        assert r.n_hits == 10 and r.k == 10
+
+
+def test_abc_classification_boundaries(spark, tmp_path):
+    """Parts with revenue 80, 15, 5 (cents 8000/1500/500): running
+    shares hit exactly 80% and 95%, so the three parts land in A, B,
+    C respectively (boundary is inclusive by the integer rule)."""
+    rows = [
+        (1, 101, 1, 1, 80.0),
+        (2, 102, 1, 1, 15.0),
+        (3, 103, 1, 1, 5.0),
+    ]
+    full = [
+        (ok, pk, sk, ln, 1.0, price, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+        for ok, pk, sk, ln, price in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.abc_class: r
+        for r in registry.QUERIES["abc_classification"](spark, str(tmp_path)).collect()
+    }
+    assert (got["A"].n_parts, got["A"].class_cents) == (1, 8000)
+    assert (got["B"].n_parts, got["B"].class_cents) == (1, 1500)
+    assert (got["C"].n_parts, got["C"].class_cents) == (1, 500)

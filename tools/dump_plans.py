@@ -338,6 +338,13 @@ NOTES = {
     "time_weighted_avg": "One series-keyed window exchange (LEAD) + "
     "the same keyed aggregate; cents x seconds BIGINT products, "
     "zero-duration ties drop out.",
+    "ann_recall_truncated_dims": "One 16n narrow scored pass computes "
+    "BOTH cosines (truncated dot is a slice of the same zip_with); "
+    "two WindowGroupLimit rankings; embeddings never ride an "
+    "exchange.",
+    "abc_classification": "One partkey group-by (DECIMAL cents); "
+    "cumulative ranking over the per-part aggregate with integer "
+    "cross-multiply class bounds; 3-row rollup.",
 }
 
 
