@@ -1881,3 +1881,69 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.sum("cents").cast("bigint").alias("class_cents"),
     )
+
+
+# ----------------------------------------- experiment assignment + SRM
+
+
+@query(
+    "experiment_assignment_srm",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    assigned AS (
+      SELECT user_id, user_id % 4 AS stratum,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':exp1#29'),
+                        1, 8))::BIGINT % 2 = 0
+                  THEN 'control' ELSE 'treat' END AS arm
+      FROM u
+    ),
+    counts AS (
+      SELECT stratum,
+             SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS n_control,
+             SUM(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END) AS n_treat
+      FROM assigned GROUP BY 1
+    )
+    SELECT stratum,
+           CAST(n_control AS BIGINT) AS n_control,
+           CAST(n_treat AS BIGINT) AS n_treat,
+           ABS(n_control - n_treat) * 10 > (n_control + n_treat) AS srm_flag
+    FROM counts
+    """,
+)
+def experiment_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment bucketing + sample-ratio-mismatch
+    screen: users land in control/treat by the portable h32 of
+    (user, experiment) — sticky across runs, engines, and restarts,
+    which df.sample/rand() assignments are not — and each stratum is
+    flagged when the arm imbalance exceeds 10% of its population
+    (the integer cross-multiply |c - t| * 10 > c + t; a real SRM
+    gate swaps in the chi-square threshold, same shape).  SRM is the
+    first sanity check every experimentation platform runs before
+    reading a metric.
+
+    Scale shape: one distinct-user aggregate, in-row hash
+    assignment, a (stratum)-keyed rollup — nothing else touches the
+    fact table."""
+    from instructions_mr_spark.queries.llm_pipeline import _spark_h32
+
+    e = t(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    h = _spark_h32("CAST(user_id AS STRING) || ':exp1'", 29)
+    assigned = u.selectExpr(
+        "user_id",
+        "user_id % 4 AS stratum",
+        f"CASE WHEN {h} % 2 = 0 THEN 'control' ELSE 'treat' END AS arm",
+    )
+    counts = assigned.groupBy("stratum").agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("arm") == "treat", 1).otherwise(0)).alias("n_treat"),
+    )
+    return counts.select(
+        "stratum",
+        F.col("n_control").cast("bigint").alias("n_control"),
+        F.col("n_treat").cast("bigint").alias("n_treat"),
+        (
+            F.abs(F.col("n_control") - F.col("n_treat")) * 10
+            > (F.col("n_control") + F.col("n_treat"))
+        ).alias("srm_flag"),
+    )

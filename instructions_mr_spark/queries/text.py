@@ -2118,3 +2118,69 @@ def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
         " AS r2",
     )
+
+
+_CDC_MOD = 8  # boundary when h32(word) % 8 == 0 -> ~8-word chunks
+
+
+@query(
+    "cdc_chunk_stats",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             1 + len(list_filter(words[1:len(words)-1],
+                     w -> ('0x' || substr(md5(w || '#5'), 1, 8))::BIGINT
+                          % {_CDC_MOD} = 0)) AS n_chunks
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) > 0
+    )
+    SELECT n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM per_doc GROUP BY n_chunks ORDER BY n_chunks
+    """,
+)
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking profile: split every document at
+    words whose portable h32 hits 0 mod {_CDC_MOD} (the Rabin/gear
+    boundary rule rsync, borg, and storage dedup use — boundaries
+    follow CONTENT, so an insertion only reshuffles its own chunk,
+    unlike fixed-size blocks where one byte shifts every later
+    boundary).  Reports the chunks-per-doc distribution — the dial
+    check before committing a chunk-level dedup pass (expected chunk
+    length = the modulus).  The final word never opens a boundary,
+    so every doc has >= 1 chunk.
+
+    Scale shape: boundary detection is IN-ROW array algebra on the
+    scan (no explode); the histogram groups on the small
+    chunks-per-doc domain."""
+    from instructions_mr_spark.queries.llm_pipeline import _spark_h32
+
+    d = t(spark, sf_dir, "documents")
+    h = _spark_h32("w", 5)
+    per_doc = (
+        d.select(
+            "doc_id", F.split("text", " ").alias("words")
+        )
+        .filter(F.size("words") > 0)
+        .select(
+            F.size("words").alias("n_words"),
+            (
+                F.lit(1)
+                + F.size(
+                    F.expr(
+                        f"FILTER(slice(words, 1, size(words) - 1), w -> {h} % {_CDC_MOD} = 0)"
+                    )
+                )
+            ).alias("n_chunks"),
+        )
+    )
+    return (
+        per_doc.groupBy("n_chunks")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .orderBy("n_chunks")
+    )

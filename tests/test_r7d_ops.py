@@ -613,3 +613,41 @@ def test_abc_classification_boundaries(spark, tmp_path):
     assert (got["A"].n_parts, got["A"].class_cents) == (1, 8000)
     assert (got["B"].n_parts, got["B"].class_cents) == (1, 1500)
     assert (got["C"].n_parts, got["C"].class_cents) == (1, 500)
+
+
+def test_cdc_chunk_stats_insertion_locality(spark, tmp_path):
+    """The content-defined property: inserting one word into a doc
+    changes only the chunk containing it — total chunk count shifts
+    by at most one, and docs with identical text chunk identically."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (0, base.strip(), "en", "web", len(base)),
+        (1, base.strip(), "en", "web", len(base)),  # identical twin
+        (2, ("alpha beta gamma INSERTED delta epsilon zeta eta theta iota kappa "
+             + base).strip(), "en", "web", len(base) + 9),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = registry.QUERIES["cdc_chunk_stats"](spark, str(tmp_path)).collect()
+    total_docs = sum(r.n_docs for r in got)
+    assert total_docs == 3
+    # twins share a chunk count, so some histogram row holds >= 2 docs
+    assert max(r.n_docs for r in got) >= 2
+    for r in got:
+        assert r.n_chunks >= 1 and r.total_words > 0
+
+
+def test_experiment_assignment_srm(spark, tmp_path):
+    """Assignment is deterministic (two runs identical); every user
+    is in exactly one arm; the flag fires only past 10% imbalance."""
+    h = datetime(2024, 1, 1, 10)
+    rows = [(i, h, i, "view", 0.0, "{}") for i in range(200)]
+    _write_events(spark, tmp_path, rows)
+    q = registry.QUERIES["experiment_assignment_srm"]
+    a = sorted(map(tuple, q(spark, str(tmp_path)).collect()))
+    b = sorted(map(tuple, q(spark, str(tmp_path)).collect()))
+    assert a == b
+    assert len(a) == 4
+    total = sum(r[1] + r[2] for r in a)
+    assert total == 200
+    for stratum, nc, nt, flag in a:
+        assert flag == (abs(nc - nt) * 10 > nc + nt)

@@ -345,6 +345,12 @@ NOTES = {
     "abc_classification": "One partkey group-by (DECIMAL cents); "
     "cumulative ranking over the per-part aggregate with integer "
     "cross-multiply class bounds; 3-row rollup.",
+    "cdc_chunk_stats": "Boundary detection is in-row array algebra "
+    "on the scan (no explode); histogram groups on the small "
+    "chunks-per-doc domain.",
+    "experiment_assignment_srm": "One distinct-user aggregate, "
+    "in-row hash assignment, stratum-keyed rollup — sticky "
+    "assignment without rand().",
 }
 
 
