@@ -731,3 +731,137 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(cents * dur) div SUM(dur) AS BIGINT)"
         ).alias("twap_cents"),
     )
+
+
+@query(
+    "schema_merge_scan",
+    oracle="""
+    WITH half AS (
+      SELECT event_id, value,
+             CASE WHEN event_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS batch
+      FROM events
+    )
+    SELECT batch,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN batch = 'v2' THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_null_extra,
+           CAST(SUM(CASE WHEN batch = 'v2'
+                         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * 2
+                         ELSE 0 END) AS BIGINT) AS extra_cents_sum
+    FROM half GROUP BY batch
+    """,
+)
+def schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end to end: batch v1 is written WITHOUT the
+    ``extra_cents`` column, batch v2 WITH it; a single
+    ``mergeSchema`` read unifies them — v1 rows surface NULL for the
+    new column, exactly the additive-column migration every growing
+    lake performs (and the read pattern Delta/Iceberg formalize).
+    The oracle recomputes the expected per-batch counts, the NULL
+    count of the evolved column, and its sum straight from the
+    source table — certifying that evolution loses nothing.
+
+    Scale shape: the double write is the demo fixture; the merged
+    scan itself is one pass with schema reconciliation at the file
+    footer level — no shuffle beyond the final tiny rollup."""
+    path = _tmp("events_schema_evo", sf_dir)
+    e = t(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(path, "_done")):
+        v1 = e.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "value", F.lit("v1").alias("batch")
+        )
+        v2 = e.filter(F.col("event_id") % 2 == 1).select(
+            "event_id",
+            "value",
+            F.lit("v2").alias("batch"),
+            (F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)") * 2).alias(
+                "extra_cents"
+            ),
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(path, "b=1"))
+        v2.write.mode("overwrite").parquet(os.path.join(path, "b=2"))
+        open(os.path.join(path, "_done"), "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "b=1"), os.path.join(path, "b=2")
+    )
+    return merged.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("extra_cents").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_extra"),
+        F.coalesce(F.sum("extra_cents"), F.lit(0))
+        .cast("bigint")
+        .alias("extra_cents_sum"),
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    WITH full_agg AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_full,
+           CAST(n AS BIGINT) AS n_merged,
+           CAST(cents AS BIGINT) AS cents_full,
+           CAST(cents AS BIGINT) AS cents_merged,
+           TRUE AS merge_ok
+    FROM full_agg
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view
+    refresh identity: a base state (events with event_id % 5 != 0,
+    pre-aggregated) merged with a new-batch delta (the other fifth,
+    aggregated alone) by ADDING partials must equal the full
+    recompute.  The op executes BOTH algorithms and emits them side
+    by side with a match flag; the oracle independently computes the
+    full aggregate and asserts the merged columns equal it.  This is
+    why count/sum (and any commutative-monoid sketch: HLL, theta,
+    the bin histogram) refresh in O(delta) instead of O(table).
+
+    Scale shape: the state side would be a stored table in
+    production — here both legs are keyed aggregates whose merge is
+    a (key)-keyed outer join + elementwise add; only aggregate rows
+    ever move."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+
+    def agg_of(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents_sum")
+        )
+
+    state = agg_of(e.filter(F.col("event_id") % 5 != 0)).select(
+        "event_type", F.col("n").alias("n_s"), F.col("cents_sum").alias("c_s")
+    )
+    delta = agg_of(e.filter(F.col("event_id") % 5 == 0)).select(
+        "event_type", F.col("n").alias("n_d"), F.col("cents_sum").alias("c_d")
+    )
+    merged = state.join(delta, "event_type", "full").select(
+        "event_type",
+        (F.coalesce("n_s", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n_merged"),
+        (F.coalesce("c_s", F.lit(0)) + F.coalesce("c_d", F.lit(0))).alias(
+            "cents_merged"
+        ),
+    )
+    full = agg_of(e).select(
+        "event_type", F.col("n").alias("n_full"), F.col("cents_sum").alias("cents_full")
+    )
+    return full.join(merged, "event_type").select(
+        "event_type",
+        F.col("n_full").cast("bigint"),
+        F.col("n_merged").cast("bigint"),
+        F.col("cents_full").cast("bigint"),
+        F.col("cents_merged").cast("bigint"),
+        (
+            (F.col("n_full") == F.col("n_merged"))
+            & (F.col("cents_full") == F.col("cents_merged"))
+        ).alias("merge_ok"),
+    )

@@ -651,3 +651,31 @@ def test_experiment_assignment_srm(spark, tmp_path):
     assert total == 200
     for stratum, nc, nt, flag in a:
         assert flag == (abs(nc - nt) * 10 > nc + nt)
+
+
+def test_schema_merge_scan_evolution(spark, tmp_path):
+    """v1 rows (even ids) surface NULL for the evolved column; v2 rows
+    carry exactly 2x cents; nothing is lost in the merged read."""
+    h = datetime(2024, 1, 1, 10)
+    rows = [(i, h, 1, "view", 1.00, "{}") for i in range(6)]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.batch: r
+        for r in registry.QUERIES["schema_merge_scan"](spark, str(tmp_path)).collect()
+    }
+    assert got["v1"].n == 3 and got["v1"].n_null_extra == 3
+    assert got["v1"].extra_cents_sum == 0
+    assert got["v2"].n == 3 and got["v2"].n_null_extra == 0
+    assert got["v2"].extra_cents_sum == 3 * 200
+
+
+def test_incremental_agg_merge_identity(spark, tmp_path):
+    """Merged state+delta equals the full recompute on every group."""
+    h = datetime(2024, 1, 1, 10)
+    rows = [(i, h, 1, "view" if i % 2 else "click", float(i), "{}") for i in range(20)]
+    _write_events(spark, tmp_path, rows)
+    got = registry.QUERIES["incremental_agg_merge"](spark, str(tmp_path)).collect()
+    assert got
+    for r in got:
+        assert r.merge_ok
+        assert r.n_full == r.n_merged and r.cents_full == r.cents_merged

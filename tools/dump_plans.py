@@ -351,6 +351,12 @@ NOTES = {
     "experiment_assignment_srm": "One distinct-user aggregate, "
     "in-row hash assignment, stratum-keyed rollup — sticky "
     "assignment without rand().",
+    "schema_merge_scan": "mergeSchema read reconciles the evolved "
+    "column at file-footer level — one pass, no shuffle beyond the "
+    "tiny rollup; oracle recomputes expectations from the source.",
+    "incremental_agg_merge": "Both legs are keyed aggregates; the "
+    "merge is a keyed outer join + elementwise add of partials — "
+    "only aggregate rows move (the O(delta) MV-refresh shape).",
 }
 
 
