@@ -420,3 +420,70 @@ def stream_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(50).cast("bigint").alias("p50_lo_cents"),
         pick(99).cast("bigint").alias("p99_lo_cents"),
     )
+
+
+@query(
+    "event_disorder_histogram",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_max
+      FROM events
+    ),
+    lat AS (
+      SELECT event_type,
+             CASE WHEN seen_max IS NULL OR seen_max <= tsu THEN 0
+                  WHEN seen_max - tsu < 1000000 THEN 1
+                  WHEN seen_max - tsu < 10000000 THEN 2
+                  WHEN seen_max - tsu < 60000000 THEN 3
+                  WHEN seen_max - tsu < 600000000 THEN 4
+                  ELSE 5 END AS disorder_bucket
+      FROM arr
+    )
+    SELECT event_type, disorder_bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lat GROUP BY 1, 2
+    """,
+)
+def event_disorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile: for each event (in ARRIVAL order =
+    event_id), how far behind the maximum event-time already seen it
+    arrives — bucketed 0 (in order), <1s, <10s, <1m, <10m, >=10m.
+    This histogram IS the watermark-delay decision: a stream with
+    99.9% of mass in buckets 0-2 can run withWatermark('10 seconds')
+    and drop almost nothing; mass in bucket 5 means late data needs
+    an out-of-band reconciliation path.  All-integer microsecond
+    math through the NTZ-safe cast.
+
+    Scale shape: the running max shares the per-type window exchange
+    (per input partition in a real stream — disorder is a per-source
+    property); the histogram groups on a 6-value domain."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    tsu = ts_epoch_micros("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.select(
+        "event_type",
+        tsu.alias("tsu"),
+        F.max(tsu).over(w).alias("seen_max"),
+    )
+    bucket = F.expr(
+        "CASE WHEN seen_max IS NULL OR seen_max <= tsu THEN 0 "
+        "WHEN seen_max - tsu < 1000000 THEN 1 "
+        "WHEN seen_max - tsu < 10000000 THEN 2 "
+        "WHEN seen_max - tsu < 60000000 THEN 3 "
+        "WHEN seen_max - tsu < 600000000 THEN 4 "
+        "ELSE 5 END"
+    )
+    return (
+        arr.select("event_type", bucket.alias("disorder_bucket"))
+        .groupBy("event_type", "disorder_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

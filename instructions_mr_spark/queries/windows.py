@@ -335,3 +335,64 @@ def window_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({den} AS BIGINT) AS ewma_den",
         f"CAST(({num}) * CAST(1000000 AS BIGINT) div ({den}) AS BIGINT) AS ewma_e6",
     )
+
+
+@query(
+    "rolling_corr_terms",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS hour_start,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    )
+    SELECT hour_start,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           CAST(SUM(x) OVER w AS BIGINT) AS sx,
+           CAST(SUM(y) OVER w AS BIGINT) AS sy,
+           CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+           CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+           CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+           CAST(COUNT(*) OVER w * SUM(x * y) OVER w
+                - SUM(x) OVER w * SUM(y) OVER w AS BIGINT) AS corr_num
+    FROM h
+    WINDOW w AS (ORDER BY hour_start ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_corr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling click-purchase correlation over a trailing 24-hour
+    window, in EXACT integer sufficient statistics: per hour, the six
+    sums (n, Sx, Sy, Sxy, Sxx, Syy) plus the correlation numerator
+    n*Sxy - Sx*Sy — the reader forms r with two square roots, but no
+    float ever crosses the engines (a float rolling corr accumulates
+    engine-dependent rounding; sufficient statistics do not).  The
+    co-movement monitor behind 'did purchases decouple from clicks
+    this day'.
+
+    Scale shape: one (hour) group-by over the corpus; all seven
+    windows share a single ordered pass over the tiny hour grid (per
+    series key at scale — partition the window by it)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    w = Window.orderBy("hour_start").rowsBetween(-23, 0)
+    return h.select(
+        "hour_start",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+        (
+            F.count(F.lit(1)).over(w) * F.sum(F.col("x") * F.col("y")).over(w)
+            - F.sum("x").over(w) * F.sum("y").over(w)
+        )
+        .cast("bigint")
+        .alias("corr_num"),
+    )

@@ -679,3 +679,44 @@ def test_incremental_agg_merge_identity(spark, tmp_path):
     for r in got:
         assert r.merge_ok
         assert r.n_full == r.n_merged and r.cents_full == r.cents_merged
+
+
+def test_rolling_corr_terms_perfect_correlation(spark, tmp_path):
+    """y = x exactly over 3 hours (1,2,3 of each type): at the last
+    hour n=3, Sx=Sy=6, Sxy=Sxx=Syy=14, corr_num = 3*14-36 = 6 > 0 and
+    equals both variance terms (r = 1)."""
+    h = lambda hr: datetime(2024, 1, 1, hr)
+    rows = []
+    eid = 0
+    for hr, cnt in [(0, 1), (1, 2), (2, 3)]:
+        for typ in ("click", "purchase"):
+            for _ in range(cnt):
+                eid += 1
+                rows.append((eid, h(hr), 1, typ, 0.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.hour_start.hour: r
+        for r in registry.QUERIES["rolling_corr_terms"](spark, str(tmp_path)).collect()
+    }
+    r2 = got[2]
+    assert (r2.n, r2.sx, r2.sy, r2.sxy, r2.sxx, r2.syy) == (3, 6, 6, 14, 14, 14)
+    assert r2.corr_num == 6
+    assert r2.corr_num == r2.n * r2.sxx - r2.sx * r2.sx  # r == 1
+
+
+def test_event_disorder_histogram(spark, tmp_path):
+    """Arrival order 10:00, 10:05, then a stale 10:04:30 reading:
+    the third event arrives 30s behind the seen max -> bucket 3
+    (<1m); the first two are in order (bucket 0)."""
+    t0 = datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, t0, 1, "A", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 5), 1, "A", 0.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 4, 30), 1, "A", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.disorder_bucket: r.n
+        for r in registry.QUERIES["event_disorder_histogram"](spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 2, 3: 1}

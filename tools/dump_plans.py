@@ -357,6 +357,12 @@ NOTES = {
     "incremental_agg_merge": "Both legs are keyed aggregates; the "
     "merge is a keyed outer join + elementwise add of partials — "
     "only aggregate rows move (the O(delta) MV-refresh shape).",
+    "rolling_corr_terms": "Seven trailing-24 windows share ONE "
+    "ordered pass over the hour grid; integer sufficient statistics "
+    "— no float crosses engines.",
+    "event_disorder_histogram": "Running max shares the per-type "
+    "window exchange; histogram on a 6-value domain — the "
+    "watermark-delay sizing statistic.",
 }
 
 
