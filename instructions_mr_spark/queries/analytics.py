@@ -1947,3 +1947,105 @@ def experiment_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
             > (F.col("n_control") + F.col("n_treat"))
         ).alias("srm_flag"),
     )
+
+
+# -------------------------------------------- rare-category collapse
+
+
+@query(
+    "rare_category_collapse",
+    oracle="""
+    WITH cat AS (
+      SELECT json_extract_string(props, '$.k') AS k, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM cat),
+    mapped AS (
+      SELECT CASE WHEN n * 100 >= total THEN k ELSE '__other__' END AS category,
+             n
+      FROM cat, tot
+    )
+    SELECT category,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_source_values
+    FROM mapped GROUP BY category
+    """,
+)
+def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail categorical collapse — the feature-encoding standard
+    before one-hot/embedding layers: categories carrying at least
+    1/100th of the rows keep their identity, everything rarer folds
+    into '__other__' (with the count of distinct source values it
+    absorbed, the cardinality-reduction report).  The threshold is an
+    integer cross-multiply (n * 100 >= total), never a float share.
+    Unbounded-cardinality features (user agents, query strings) are
+    exactly where training pipelines blow up without this pass.
+
+    Scale shape: one category group-by is the only corpus-sized
+    exchange; the collapse decision and re-rollup run on the
+    category-count table with the 1-row total broadcast."""
+    e = t(spark, sf_dir, "events")
+    cat = e.select(
+        F.get_json_object("props", "$.k").alias("k")
+    ).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    tot = cat.agg(F.sum("n").alias("total"))
+    mapped = cat.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("n") * 100 >= F.col("total"), F.col("k"))
+        .otherwise(F.lit("__other__"))
+        .alias("category"),
+        "n",
+    )
+    return mapped.groupBy("category").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_source_values"),
+    )
+
+
+# ------------------------------------------------ weekly seasonality
+
+
+@query(
+    "seasonality_profile",
+    oracle="""
+    WITH g AS (
+      SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7 AS dow_idx,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hour_of_day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow_idx, hour_of_day, CAST(n AS BIGINT) AS n,
+           n = MAX(n) OVER (PARTITION BY dow_idx) AS is_peak_hour
+    FROM g
+    """,
+)
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality matrix: traffic per (day-of-week, hour)
+    cell with each day's peak hour flagged — the capacity-planning /
+    anomaly-baseline profile.  Day and hour indices come from PURE
+    INTEGER epoch arithmetic ((epoch_us div day) mod 7, (epoch_us div
+    hour) mod 24) rather than calendar functions, because dayofweek
+    numbering conventions differ across engines (Spark counts 1 =
+    Sunday, DuckDB dow counts 0 = Sunday) — integer math cannot
+    disagree.  dow_idx 0 is the epoch's own weekday (a Thursday),
+    documented rather than renamed.
+
+    Scale shape: one corpus-sized (dow, hour) group-by; the peak
+    window runs over the 168-row matrix."""
+    from pyspark.sql import Window
+
+    from instructions_mr_spark.queries._util import ts_epoch_micros
+
+    e = t(spark, sf_dir, "events")
+    us = ts_epoch_micros("ts")
+    g = e.select(
+        ((us / F.lit(86400000000)).cast("long") % 7).alias("dow_idx"),
+        ((us / F.lit(3600000000)).cast("long") % 24).alias("hour_of_day"),
+    ).groupBy("dow_idx", "hour_of_day").agg(F.count(F.lit(1)).alias("n"))
+    return g.select(
+        "dow_idx",
+        "hour_of_day",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n") == F.max("n").over(Window.partitionBy("dow_idx"))).alias(
+            "is_peak_hour"
+        ),
+    )

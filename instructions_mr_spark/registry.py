@@ -149,7 +149,8 @@ DRIVER_WINDOW: list[str] = [
 #   skyline_price_size, percentile_exact_twophase, time_weighted_avg,
 #   ann_recall_truncated_dims, abc_classification, cdc_chunk_stats,
 #   experiment_assignment_srm, schema_merge_scan, incremental_agg_merge,
-#   rolling_corr_terms, event_disorder_histogram
+#   rolling_corr_terms, event_disorder_histogram, rare_category_collapse,
+#   seasonality_profile
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

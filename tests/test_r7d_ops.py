@@ -720,3 +720,44 @@ def test_event_disorder_histogram(spark, tmp_path):
         for r in registry.QUERIES["event_disorder_histogram"](spark, str(tmp_path)).collect()
     }
     assert got == {0: 2, 3: 1}
+
+
+def test_rare_category_collapse(spark, tmp_path):
+    """200 rows: category 'big' has 150 (kept), 'mid' 48 (kept at
+    exactly-threshold 1/100 boundary needs n*100 >= total -> 48*100
+    >= 200 yes), two singletons fold into __other__ with
+    n_source_values = 2."""
+    h = datetime(2024, 1, 1, 10)
+    rows = []
+    eid = 0
+    for k, cnt in [("big", 150), ("mid", 48), ("r1", 1), ("r2", 1)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, h, 1, "view", 0.0, '{"k": "%s"}' % k))
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.category: r
+        for r in registry.QUERIES["rare_category_collapse"](spark, str(tmp_path)).collect()
+    }
+    assert got["big"].n_rows == 150 and got["big"].n_source_values == 1
+    assert got["mid"].n_rows == 48
+    assert got["__other__"].n_rows == 2 and got["__other__"].n_source_values == 2
+
+
+def test_seasonality_profile_peak_flag(spark, tmp_path):
+    """Two hours on one epoch-day: the busier hour carries the peak
+    flag, integer dow/hour indices match the epoch arithmetic."""
+    rows = []
+    eid = 0
+    for hr, cnt in [(10, 3), (11, 1)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, 1, hr), 1, "view", 0.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.hour_of_day: r
+        for r in registry.QUERIES["seasonality_profile"](spark, str(tmp_path)).collect()
+    }
+    assert got[10].n == 3 and got[10].is_peak_hour
+    assert got[11].n == 1 and not got[11].is_peak_hour
+    assert got[10].dow_idx == got[11].dow_idx  # same day

@@ -363,6 +363,12 @@ NOTES = {
     "event_disorder_histogram": "Running max shares the per-type "
     "window exchange; histogram on a 6-value domain — the "
     "watermark-delay sizing statistic.",
+    "rare_category_collapse": "One category group-by; collapse "
+    "decision + re-rollup on the category-count table with the "
+    "1-row total broadcast; integer cross-multiply threshold.",
+    "seasonality_profile": "One (dow, hour) group-by; pure integer "
+    "epoch arithmetic (calendar dow conventions differ across "
+    "engines); peak window over the 168-row matrix.",
 }
 
 
