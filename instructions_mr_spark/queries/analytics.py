@@ -2049,3 +2049,82 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_peak_hour"
         ),
     )
+
+
+# -------------------------------------- metric change decomposition
+
+
+@query(
+    "metric_change_contribution",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    halves AS (
+      SELECT event_type,
+             CASE WHEN 2 * (epoch_us(CAST(ts AS TIMESTAMP)) - lo)
+                       < hi - lo THEN 1 ELSE 2 END AS half,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events, bounds
+    ),
+    seg AS (
+      SELECT event_type,
+             SUM(CASE WHEN half = 1 THEN cents ELSE 0 END) AS cents_h1,
+             SUM(CASE WHEN half = 2 THEN cents ELSE 0 END) AS cents_h2
+      FROM halves GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(cents_h1 AS BIGINT) AS cents_h1,
+           CAST(cents_h2 AS BIGINT) AS cents_h2,
+           CAST(cents_h2 - cents_h1 AS BIGINT) AS delta_cents,
+           CAST(SUM(cents_h2 - cents_h1) OVER () AS BIGINT) AS total_delta_cents
+    FROM seg
+    """,
+)
+def metric_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change decomposition — the 'why did the
+    metric move' report: total value split into the first and second
+    half of the time range per segment, each segment's delta next to
+    the corpus-wide delta, so contribution = delta/total is one
+    division away and the segments provably SUM to the total (the
+    additivity audit dashboards break when filters drift).  All
+    integer cents; the half boundary is an integer cross-multiply on
+    epoch micros (2*(t - lo) < hi - lo), no float midpoint.
+
+    Scale shape: one corpus-sized (segment, half) conditional
+    aggregate with the 2-value bounds row broadcast; the window runs
+    over the segment table."""
+    from instructions_mr_spark.queries._util import ts_epoch_micros
+
+    e = t(spark, sf_dir, "events")
+    us = ts_epoch_micros("ts")
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    halves = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(2 * (us - F.col("lo")) < F.col("hi") - F.col("lo"), 1)
+        .otherwise(2)
+        .alias("half"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    seg = halves.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 1, F.col("cents")).otherwise(0)).alias(
+            "cents_h1"
+        ),
+        F.sum(F.when(F.col("half") == 2, F.col("cents")).otherwise(0)).alias(
+            "cents_h2"
+        ),
+    )
+    from pyspark.sql import Window
+
+    return seg.select(
+        "event_type",
+        F.col("cents_h1").cast("bigint").alias("cents_h1"),
+        F.col("cents_h2").cast("bigint").alias("cents_h2"),
+        (F.col("cents_h2") - F.col("cents_h1")).cast("bigint").alias("delta_cents"),
+        F.sum(F.col("cents_h2") - F.col("cents_h1"))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("total_delta_cents"),
+    )

@@ -509,3 +509,112 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_matches"),
     )
     return ranked.filter(F.col("rn") == 1).drop("rn")
+
+
+@query(
+    "entity_resolution_clusters",
+    oracle=f"""
+    WITH RECURSIVE dirty AS (
+      SELECT DISTINCT ({_DIRTY_NAME}) AS dn FROM part
+    ),
+    clean AS (
+      SELECT DISTINCT p_name, substr(p_name, 1, 3) AS blk FROM part
+    ),
+    matches AS (
+      SELECT 'c:' || c.p_name AS cnode, 'd:' || d.dn AS dnode
+      FROM dirty d JOIN clean c ON substr(d.dn, 1, 3) = c.blk
+      WHERE levenshtein(d.dn, c.p_name) <= 2
+    ),
+    edges AS (
+      SELECT cnode AS src, dnode AS dst FROM matches
+      UNION ALL
+      SELECT dnode AS src, cnode AS dst FROM matches
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labeled AS (
+      SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node
+    ),
+    per_cluster AS (
+      SELECT cluster_id,
+             CAST(SUM(CASE WHEN substr(node, 1, 2) = 'c:' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clean,
+             CAST(SUM(CASE WHEN substr(node, 1, 2) = 'd:' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dirty
+      FROM labeled GROUP BY cluster_id
+    )
+    SELECT n_clean,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_dirty) AS BIGINT) AS n_dirty_total
+    FROM per_cluster GROUP BY n_clean ORDER BY n_clean
+    """,
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution capstone: the fuzzy match graph (dirty name
+    variants edged to every clean dictionary name within Levenshtein
+    2, join_fuzzy_blocked's blocking) resolved into CONNECTED
+    COMPONENTS — because best-match-only linking silently splits an
+    entity when two clean spellings coexist, while transitive closure
+    over ALL matches conflates them into one cluster.  The report is
+    the ambiguity histogram: clusters by how many clean names they
+    contain (n_clean >= 2 rows are the 'two dictionary entries are
+    the same entity' review queue every MDM pipeline staffs).
+
+    Scale shape: match generation is the blocked equi-join (block
+    collisions only pay Levenshtein); the CC runs min-label
+    propagation over the bipartite match edges (string labels — min
+    is lexicographic on both engines); rollups are cluster-sized."""
+    from instructions_mr_spark.operators.graph import connected_components
+
+    parts = t(spark, sf_dir, "part")
+    dirty = parts.selectExpr(f"({_DIRTY_NAME}) AS dn").distinct()
+    clean = (
+        parts.select("p_name").distinct()
+        .withColumn("blk", F.substring("p_name", 1, 3))
+    )
+    matches = (
+        dirty.withColumn("blk", F.substring("dn", 1, 3))
+        .join(clean, "blk")
+        .filter(F.levenshtein("dn", "p_name") <= 2)
+        .select(
+            F.concat(F.lit("c:"), F.col("p_name")).alias("cnode"),
+            F.concat(F.lit("d:"), F.col("dn")).alias("dnode"),
+        )
+    )
+    # the CC operator's convergence fixpoint sums labels, so node ids
+    # must be numeric — and small enough that the sum stays in BIGINT
+    # under ANSI mode: 32-bit portable hashes (the histogram below is
+    # label-invariant, so relabeling is safe; a hash collision would
+    # merge clusters and diverge from the string-labeled oracle, so
+    # the oracle doubles as the collision check)
+    from instructions_mr_spark.queries.llm_pipeline import _spark_h32
+
+    iedges = matches.selectExpr(
+        f"{_spark_h32('cnode', 3)} AS cid", f"{_spark_h32('dnode', 3)} AS did"
+    )
+    labeled = connected_components(iedges, src="cid", dst="did").select(
+        "node", F.col("component").alias("cluster_id")
+    )
+    sides = (
+        matches.selectExpr(f"{_spark_h32('cnode', 3)} AS node", "1 AS is_clean")
+        .unionAll(
+            matches.selectExpr(f"{_spark_h32('dnode', 3)} AS node", "0 AS is_clean")
+        )
+        .distinct()
+    )
+    per_cluster = labeled.join(sides, "node").groupBy("cluster_id").agg(
+        F.sum("is_clean").alias("n_clean"),
+        F.sum(1 - F.col("is_clean")).alias("n_dirty"),
+    )
+    return (
+        per_cluster.groupBy("n_clean")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_dirty").cast("bigint").alias("n_dirty_total"),
+        )
+        .orderBy("n_clean")
+    )

@@ -150,7 +150,8 @@ DRIVER_WINDOW: list[str] = [
 #   ann_recall_truncated_dims, abc_classification, cdc_chunk_stats,
 #   experiment_assignment_srm, schema_merge_scan, incremental_agg_merge,
 #   rolling_corr_terms, event_disorder_histogram, rare_category_collapse,
-#   seasonality_profile
+#   seasonality_profile, entity_resolution_clusters,
+#   metric_change_contribution
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

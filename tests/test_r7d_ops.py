@@ -761,3 +761,49 @@ def test_seasonality_profile_peak_flag(spark, tmp_path):
     assert got[10].n == 3 and got[10].is_peak_hour
     assert got[11].n == 1 and not got[11].is_peak_hour
     assert got[10].dow_idx == got[11].dow_idx  # same day
+
+
+def _write_part(spark, tmp_path, rows):
+    """rows: (partkey, name)"""
+    full = [(pk, nm, "B", "T", 1, 1.0) for pk, nm in rows]
+    df = spark.createDataFrame(
+        full,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+
+def test_entity_resolution_conflates_via_transitive_match(spark, tmp_path):
+    """Clean names 'alpha gear' and 'alphagear' both sit within
+    Levenshtein 2 of each other's dirty variants, so transitive
+    closure puts BOTH clean names in one cluster (n_clean = 2) — the
+    ambiguity best-match-only linking would hide.  'omega shaft'
+    stays its own cluster (n_clean = 1)."""
+    rows = [(1, "alpha gear"), (2, "alphagear"), (3, "omega shaft")]
+    _write_part(spark, tmp_path, rows)
+    got = {
+        r.n_clean: r
+        for r in registry.QUERIES["entity_resolution_clusters"](spark, str(tmp_path)).collect()
+    }
+    assert 2 in got and got[2].n_clusters == 1
+    assert got[1].n_clusters == 1  # omega's own cluster
+
+
+def test_metric_change_contribution_additivity(spark, tmp_path):
+    """Type A doubles (100 -> 200 cents), type B halves (200 -> 100):
+    deltas +100 and -100, total delta 0 on every row."""
+    rows = [
+        (1, datetime(2024, 1, 1, 0), 1, "A", 1.00, "{}"),
+        (2, datetime(2024, 1, 1, 0), 1, "B", 2.00, "{}"),
+        (3, datetime(2024, 1, 2, 0), 1, "A", 2.00, "{}"),
+        (4, datetime(2024, 1, 2, 0), 1, "B", 1.00, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in registry.QUERIES["metric_change_contribution"](spark, str(tmp_path)).collect()
+    }
+    assert (got["A"].cents_h1, got["A"].cents_h2, got["A"].delta_cents) == (100, 200, 100)
+    assert (got["B"].cents_h1, got["B"].cents_h2, got["B"].delta_cents) == (200, 100, -100)
+    assert got["A"].total_delta_cents == 0 and got["B"].total_delta_cents == 0

@@ -369,6 +369,14 @@ NOTES = {
     "seasonality_profile": "One (dow, hour) group-by; pure integer "
     "epoch arithmetic (calendar dow conventions differ across "
     "engines); peak window over the 168-row matrix.",
+    "entity_resolution_clusters": "Blocked fuzzy equi-join generates "
+    "the match graph; CC over 32-bit hashed node ids (label-"
+    "invariant histogram; string-labeled oracle doubles as the "
+    "collision check); cluster-sized rollups.",
+    "metric_change_contribution": "One (segment, half) conditional "
+    "aggregate with the 2-value bounds broadcast; integer cross-"
+    "multiply half boundary; additivity certified by the window "
+    "total.",
 }
 
 
