@@ -1326,3 +1326,162 @@ def percentile_exact_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(90).cast("bigint").alias("p90_cents"),
         pick(99).cast("bigint").alias("p99_cents"),
     )
+
+
+@query(
+    "percentile_group_twophase",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM v
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 50 * n THEN cents END) AS BIGINT)
+             AS p50_cents,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 99 * n THEN cents END) AS BIGINT)
+             AS p99_cents
+    FROM cum GROUP BY event_type
+    """,
+)
+def percentile_group_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact discrete percentiles by the value-domain
+    identity (the grouped twin of percentile_exact_twophase): one
+    (group, value) count aggregate, per-group cumulative reads — no
+    per-group row sort, which is what makes token_percentiles-style
+    exact sorts the thing that dies first at scale.
+
+    Scale shape: shuffle carries (group, value, count); the
+    cumulative window partitions by group over distinct values."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.selectExpr(
+            "event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents"
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = v.select(
+        "event_type",
+        "cents",
+        F.sum("c")
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum_c"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(100 * F.col("cum_c") >= p * F.col("n"), F.col("cents"))
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(50).cast("bigint").alias("p50_cents"),
+        pick(99).cast("bigint").alias("p99_cents"),
+    )
+
+
+_BLOOM_M = 4096  # bit-array size
+_BLOOM_K = 3  # hash functions
+
+
+@query(
+    "bloom_fpr_calibration",
+    oracle=f"""
+    WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    b AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+    bits AS (
+      SELECT DISTINCT
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+               1, 8))::BIGINT % {_BLOOM_M}) AS bit
+      FROM a, (SELECT unnest([1, 2, 3]) AS j)
+    ),
+    probes AS (
+      SELECT b.doc_id,
+             (('0x' || substr(md5(CAST(b.doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)),
+               1, 8))::BIGINT % {_BLOOM_M}) AS bit
+      FROM b, (SELECT unnest([1, 2, 3]) AS j)
+    ),
+    hits AS (
+      SELECT p.doc_id, COUNT(*) AS set_bits
+      FROM probes p JOIN bits ON bits.bit = p.bit
+      GROUP BY p.doc_id
+    )
+    SELECT CAST({_BLOOM_M} AS BIGINT) AS m,
+           CAST({_BLOOM_K} AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_inserted,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_probes,
+           CAST((SELECT COUNT(*) FROM hits WHERE set_bits = {_BLOOM_K})
+                AS BIGINT) AS n_false_positives
+    """,
+)
+def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive calibration, expressed ENTIRELY in
+    relational algebra: even doc_ids insert into an m={_BLOOM_M},
+    k={_BLOOM_K} filter (bit set = distinct portable-hash buckets),
+    odd doc_ids probe it, and a probe whose {_BLOOM_K} bits are all
+    set is a measured false positive (probes are disjoint from the
+    inserted set by construction).  Comparing n_false_positives /
+    n_probes against (n_bits_set/m)^k is the calibration every bloom
+    prefilter (dedup_incremental's, runtime filter joins) should run
+    before trusting its sizing on a new key distribution.
+
+    Scale shape: the bit table is at most m rows (broadcast); probes
+    explode k in-row hashes and join the tiny bit set — the measured
+    FPR costs one scan of each side."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    j = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    # hash-function index j folds into the hashed string ('id#j'),
+    # mirroring the oracle's suffix — one md5 kernel, k logical hashes
+    h = "CAST(CONV(SUBSTRING(MD5(CAST(CAST(doc_id AS STRING) || '#' || CAST(j AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    bits = (
+        a.select("doc_id", j)
+        .selectExpr(f"{h} % {_BLOOM_M} AS bit")
+        .distinct()
+    )
+    probes = b.select("doc_id", j).selectExpr("doc_id", f"{h} % {_BLOOM_M} AS bit")
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("set_bits"))
+    )
+    return (
+        a.agg(F.count(F.lit(1)).alias("n_inserted"))
+        .crossJoin(F.broadcast(bits.agg(F.count(F.lit(1)).alias("n_bits_set"))))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("n_probes"))))
+        .crossJoin(
+            F.broadcast(
+                hits.filter(F.col("set_bits") == _BLOOM_K).agg(
+                    F.count(F.lit(1)).alias("n_false_positives")
+                )
+            )
+        )
+        .selectExpr(
+            f"CAST({_BLOOM_M} AS BIGINT) AS m",
+            f"CAST({_BLOOM_K} AS BIGINT) AS k",
+            "CAST(n_inserted AS BIGINT) AS n_inserted",
+            "CAST(n_bits_set AS BIGINT) AS n_bits_set",
+            "CAST(n_probes AS BIGINT) AS n_probes",
+            "CAST(n_false_positives AS BIGINT) AS n_false_positives",
+        )
+    )
+
+
+bloom_fpr_calibration.__doc__ = (bloom_fpr_calibration.__doc__ or "").replace(
+    "{_BLOOM_M}", str(_BLOOM_M)
+).replace("{_BLOOM_K}", str(_BLOOM_K))

@@ -807,3 +807,32 @@ def test_metric_change_contribution_additivity(spark, tmp_path):
     assert (got["A"].cents_h1, got["A"].cents_h2, got["A"].delta_cents) == (100, 200, 100)
     assert (got["B"].cents_h1, got["B"].cents_h2, got["B"].delta_cents) == (200, 100, -100)
     assert got["A"].total_delta_cents == 0 and got["B"].total_delta_cents == 0
+
+
+def test_percentile_group_twophase(spark, tmp_path):
+    """Group A holds 1..10 cents values, group B a constant: exact
+    per-group order statistics."""
+    h = datetime(2024, 1, 1, 10)
+    rows = [(i, h, 1, "A", (i + 1) / 100.0, "{}") for i in range(10)]
+    rows += [(100 + i, h, 1, "B", 0.42, "{}") for i in range(4)]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in registry.QUERIES["percentile_group_twophase"](spark, str(tmp_path)).collect()
+    }
+    assert (got["A"].n, got["A"].p50_cents, got["A"].p99_cents) == (10, 5, 10)
+    assert (got["B"].n, got["B"].p50_cents, got["B"].p99_cents) == (4, 42, 42)
+
+
+def test_bloom_fpr_measured_vs_theory(spark, tmp_path):
+    """Inserted and probe sets are disjoint, so every full-bit match
+    is a false positive; with m=4096 and few insertions the measured
+    FPR must stay far below 100% and the bit count below k*n."""
+    rows = [(i, "w%d" % i, "en", "web", 3) for i in range(200)]
+    _write_docs(spark, tmp_path, rows)
+    r = registry.QUERIES["bloom_fpr_calibration"](spark, str(tmp_path)).collect()[0]
+    assert r.m == 4096 and r.k == 3
+    assert r.n_inserted == 100 and r.n_probes == 100
+    assert 0 < r.n_bits_set <= 3 * r.n_inserted
+    # theory: fpr ~ (bits/m)^3 ~ (300/4096)^3 ~ 4e-4 -> expect ~0 FPs
+    assert r.n_false_positives <= 2

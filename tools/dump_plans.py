@@ -377,6 +377,12 @@ NOTES = {
     "aggregate with the 2-value bounds broadcast; integer cross-"
     "multiply half boundary; additivity certified by the window "
     "total.",
+    "percentile_group_twophase": "Shuffle carries (group, value, "
+    "count); per-group cumulative over distinct values — no "
+    "per-group row sort.",
+    "bloom_fpr_calibration": "Bit table <= m rows, broadcast; probes "
+    "explode k in-row hashes and join it — measured FPR for one "
+    "scan of each side.",
 }
 
 
