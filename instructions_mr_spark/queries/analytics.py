@@ -2128,3 +2128,76 @@ def metric_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_delta_cents"),
     )
+
+
+# ------------------------------------------------ churn label table
+
+
+@query(
+    "churn_label_table",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id,
+             CASE WHEN 2 * (epoch_us(CAST(ts AS TIMESTAMP)) - lo)
+                       < hi - lo THEN 1 ELSE 2 END AS half
+      FROM events, bounds
+    ),
+    activity AS (
+      SELECT user_id,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_h1,
+             SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n_h2
+      FROM marked GROUP BY user_id
+    )
+    SELECT user_id % 8 AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_active_h1,
+           CAST(SUM(CASE WHEN n_h2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned,
+           CAST(SUM(n_h1) AS BIGINT) AS events_h1
+    FROM activity WHERE n_h1 > 0 GROUP BY 1
+    """,
+)
+def churn_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn label generation — the supervised-learning target the
+    retention model trains on: users active in the observation window
+    (first half of the range) labeled churned iff silent in the
+    outcome window (second half).  The period boundary is the same
+    integer cross-multiply as metric_change_contribution (no float
+    midpoint), and the label definition is PIT-safe by construction:
+    features may only come from the observation window
+    (features_point_in_time is the companion), the label only from
+    the outcome window.
+
+    Scale shape: one user-keyed conditional aggregate; the bucket
+    rollup is 8 rows.  In production the two windows slide — the
+    query shape is identical per snapshot date."""
+    from instructions_mr_spark.queries._util import ts_epoch_micros
+
+    e = t(spark, sf_dir, "events")
+    us = ts_epoch_micros("ts")
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    marked = e.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(2 * (us - F.col("lo")) < F.col("hi") - F.col("lo"), 1)
+        .otherwise(2)
+        .alias("half"),
+    )
+    activity = marked.groupBy("user_id").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_h1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("n_h2"),
+    )
+    return (
+        activity.filter(F.col("n_h1") > 0)
+        .groupBy((F.col("user_id") % 8).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active_h1"),
+            F.sum(F.when(F.col("n_h2") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_churned"),
+            F.sum("n_h1").cast("bigint").alias("events_h1"),
+        )
+    )

@@ -836,3 +836,22 @@ def test_bloom_fpr_measured_vs_theory(spark, tmp_path):
     assert 0 < r.n_bits_set <= 3 * r.n_inserted
     # theory: fpr ~ (bits/m)^3 ~ (300/4096)^3 ~ 4e-4 -> expect ~0 FPs
     assert r.n_false_positives <= 2
+
+
+def test_churn_label_table(spark, tmp_path):
+    """User 1 active in both halves (retained), user 2 only in H1
+    (churned), user 3 only in H2 (not in the cohort at all)."""
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 3), 1, "view", 0.0, "{}"),
+        (3, datetime(2024, 1, 1), 2, "view", 0.0, "{}"),
+        (4, datetime(2024, 1, 3), 3, "view", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.user_bucket: r
+        for r in registry.QUERIES["churn_label_table"](spark, str(tmp_path)).collect()
+    }
+    assert got[1].n_active_h1 == 1 and got[1].n_churned == 0
+    assert got[2].n_active_h1 == 1 and got[2].n_churned == 1
+    assert 3 not in got  # never active in H1 -> not in the cohort

@@ -383,6 +383,9 @@ NOTES = {
     "bloom_fpr_calibration": "Bit table <= m rows, broadcast; probes "
     "explode k in-row hashes and join it — measured FPR for one "
     "scan of each side.",
+    "churn_label_table": "One user-keyed conditional aggregate; "
+    "integer cross-multiply period boundary; PIT-safe label "
+    "definition (features from H1 only, label from H2 only).",
 }
 
 
