@@ -2534,3 +2534,91 @@ def ann_recall_truncated_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+_SSJ_T_E6 = 600000  # Jaccard threshold 0.6 in e6 integer units
+
+
+@query(
+    "set_sim_join_prefix",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST((len(list_intersect(a.ws, b.ws)) * 1000000)
+                // len(list_distinct(a.ws || b.ws)) AS BIGINT) AS jaccard_e6
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE (len(list_intersect(a.ws, b.ws)) * 1000000)
+          // len(list_distinct(a.ws || b.ws)) >= {_SSJ_T_E6}
+    """,
+)
+def set_sim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join by PREFIX FILTERING (Chaudhuri et
+    al.'s SSJoin / Bayardo's All-Pairs / PPJoin family) — the
+    deterministic sibling of MinHash-LSH: order every document's
+    tokens by ascending global frequency (rarest first); two sets
+    with Jaccard >= t MUST share a token among each one's first
+    n - ceil(t*n) + 1 tokens, so the candidate join keys on PREFIX
+    tokens only and provably misses nothing (LSH trades exactly this
+    guarantee for constant signature size).  Candidates verify with
+    the exact intersection; output is jaccard_e6 integer units.  Runs
+    on the doc_id % 10 slice so the brute-force oracle stays
+    tractable at sweep scale.
+
+    Scale shape: token frequencies are one aggregate broadcast back;
+    the prefix table carries (token, doc_id) pairs whose volume the
+    rarest-first ordering SKEWS AWAY from hot tokens (the whole
+    point: stopwords never land in a short prefix); candidate pairs
+    dedupe as bare id pairs; word sets join back by id for the one
+    verify — the narrow-exchange convention end to end."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    )
+    d = supersede_checkpoint("ssj_wordsets", d.localCheckpoint())
+    tok = d.select("doc_id", F.explode("ws").alias("w"), F.size("ws").alias("n"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    ranked = (
+        tok.join(freq, "w")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("f", "w")
+            ),
+        )
+        # prefix length n - floor(0.6n) + 1: one token LONGER than the
+        # tight n - ceil(0.6n) + 1 bound whenever 3n/5 isn't integral
+        # — conservative (extra candidates, zero missed pairs), and
+        # floor(3n/5) is one truncating div on both engines
+        .filter(F.col("rn") <= F.col("n") - F.expr("(3 * n) div 5") + 1)
+        .select("w", "doc_id")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = d.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    wb = d.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST((CAST(size(array_intersect(ws_a, ws_b)) AS BIGINT) * 1000000)"
+            " div size(array_union(ws_a, ws_b)) AS BIGINT) AS jaccard_e6",
+        )
+        .filter(F.col("jaccard_e6") >= _SSJ_T_E6)
+    )

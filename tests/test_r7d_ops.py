@@ -855,3 +855,22 @@ def test_churn_label_table(spark, tmp_path):
     assert got[1].n_active_h1 == 1 and got[1].n_churned == 0
     assert got[2].n_active_h1 == 1 and got[2].n_churned == 1
     assert 3 not in got  # never active in H1 -> not in the cohort
+
+
+def test_set_sim_join_prefix_exactness(spark, tmp_path):
+    """Prefix filtering misses NOTHING: the near-identical pair (9/10
+    shared words -> jaccard ~0.82) is found; the disjoint doc pairs
+    with nothing.  doc_ids are multiples of 10 (the op's sample)."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a.replace("kappa", "lambda")  # 9 shared, union 11
+    rows = [
+        (0, a, "en", "web", len(a)),
+        (10, b, "en", "web", len(b)),
+        (20, "utterly different words entirely elsewhere", "en", "web", 40),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = [
+        (r.doc_a, r.doc_b, r.jaccard_e6)
+        for r in registry.QUERIES["set_sim_join_prefix"](spark, str(tmp_path)).collect()
+    ]
+    assert got == [(0, 10, 9 * 1_000_000 // 11)]

@@ -386,6 +386,10 @@ NOTES = {
     "churn_label_table": "One user-keyed conditional aggregate; "
     "integer cross-multiply period boundary; PIT-safe label "
     "definition (features from H1 only, label from H2 only).",
+    "set_sim_join_prefix": "Rarest-first prefix tokens key the "
+    "candidate join (hot tokens never enter short prefixes); bare "
+    "id-pair dedupe; word sets join back for ONE exact verify — "
+    "zero false negatives, unlike LSH.",
 }
 
 
