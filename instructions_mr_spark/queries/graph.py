@@ -735,3 +735,77 @@ def dedup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dropped_near"),
     )
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e
+    ),
+    deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+    common AS (
+      SELECT x.n AS a, y.n AS b, COUNT(*) AS n_common
+      FROM adj x JOIN adj y ON x.v = y.v AND x.n < y.n
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    cand AS (
+      SELECT c.a, c.b, c.n_common
+      FROM common c LEFT JOIN e ON e.a = c.a AND e.b = c.b
+      WHERE e.a IS NULL
+    )
+    SELECT c.a AS part_a, c.b AS part_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST((c.n_common * 1000000) // (da.d + db.d - c.n_common)
+                AS BIGINT) AS jaccard_e6
+    FROM cand c
+    JOIN deg da ON da.v = c.a
+    JOIN deg db ON db.v = c.b
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: NON-adjacent part
+    pairs scored by neighbor-set Jaccard (common neighbors over union
+    of neighborhoods, >= 2 common required) — the classic
+    candidate-generation heuristic behind 'customers who bought X
+    also considered Y' when no direct co-purchase exists yet.
+    jaccard_e6 integer units via |N(a)|+|N(b)|-common
+    inclusion-exclusion; the existing-edge anti join keeps only
+    genuinely novel links.
+
+    Scale shape: common-neighbor counting is the wedge join (volume
+    sum of deg^2 — at hub-heavy scale, degree-cap or orient exactly
+    as graph_triangle_count does); pairs aggregate as bare integer
+    ids; degrees broadcast back onto the scored pairs."""
+    e, deg, _ = _copurchase_oriented(spark, sf_dir)
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    common = (
+        x.join(y, (F.col("x.v") == F.col("y.v")) & (F.col("x.n") < F.col("y.n")))
+        .groupBy(F.col("x.n").alias("a"), F.col("y.n").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    cand = common.join(e, ["a", "b"], "left_anti")
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .selectExpr(
+            "a AS part_a",
+            "b AS part_b",
+            "CAST(n_common AS BIGINT) AS n_common",
+            "CAST((n_common * CAST(1000000 AS BIGINT))"
+            " div (da + db - n_common) AS BIGINT) AS jaccard_e6",
+        )
+    )

@@ -874,3 +874,24 @@ def test_set_sim_join_prefix_exactness(spark, tmp_path):
         for r in registry.QUERIES["set_sim_join_prefix"](spark, str(tmp_path)).collect()
     ]
     assert got == [(0, 10, 9 * 1_000_000 // 11)]
+
+
+def test_graph_link_prediction_square(spark, tmp_path):
+    """Square 1-2-3-4 (no diagonals): the two diagonal pairs (1,3)
+    and (2,4) each share BOTH their neighbors -> n_common 2, jaccard
+    = 2/(2+2-2) = 1.0; adjacent pairs are excluded."""
+    rows = []
+    ok = 0
+    for a, b in [(1, 2), (2, 3), (3, 4), (1, 4)]:
+        for _ in range(2):
+            ok += 1
+            rows.append((ok, 100 + a, 1, 1))
+            rows.append((ok, 100 + b, 1, 2))
+    _write_lineitem(spark, tmp_path, rows)
+    got = {
+        (r.part_a, r.part_b): r
+        for r in registry.QUERIES["graph_link_prediction"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(101, 103), (102, 104)}
+    for r in got.values():
+        assert r.n_common == 2 and r.jaccard_e6 == 1_000_000

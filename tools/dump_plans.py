@@ -390,6 +390,9 @@ NOTES = {
     "candidate join (hot tokens never enter short prefixes); bare "
     "id-pair dedupe; word sets join back for ONE exact verify — "
     "zero false negatives, unlike LSH.",
+    "graph_link_prediction": "Common-neighbor wedge join on bare "
+    "integer pairs; existing-edge anti join; degrees broadcast onto "
+    "scored candidates; jaccard via inclusion-exclusion, e6 units.",
 }
 
 
