@@ -2201,3 +2201,153 @@ def churn_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_h1").cast("bigint").alias("events_h1"),
         )
     )
+
+
+@query(
+    "experiment_uplift_report",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    assigned AS (
+      SELECT user_id, user_id % 4 AS stratum,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':exp1#29'),
+                        1, 8))::BIGINT % 2 = 0
+                  THEN 'control' ELSE 'treat' END AS arm
+      FROM u
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.stratum, a.arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
+    FROM assigned a LEFT JOIN conv c ON c.user_id = a.user_id
+    GROUP BY a.stratum, a.arm
+    """,
+)
+def experiment_uplift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm conversion report — the readout that follows
+    experiment_assignment_srm's sanity gate: users per (stratum, arm)
+    with how many converted (>= 1 purchase), as raw integer counts so
+    uplift (and its confidence interval) is computed downstream from
+    exact numerators, never from pre-rounded rates.  Shares the
+    sticky hash assignment verbatim, so the two queries always
+    describe the same experiment population.
+
+    Scale shape: distinct-user and distinct-converter aggregates, a
+    user-keyed left join, an 8-row rollup."""
+    from instructions_mr_spark.queries.llm_pipeline import _spark_h32
+
+    e = t(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    h = _spark_h32("CAST(user_id AS STRING) || ':exp1'", 29)
+    assigned = u.selectExpr(
+        "user_id",
+        "user_id % 4 AS stratum",
+        f"CASE WHEN {h} % 2 = 0 THEN 'control' ELSE 'treat' END AS arm",
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        assigned.join(conv, "user_id", "left")
+        .groupBy("stratum", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).cast("bigint").alias(
+                "n_converted"
+            ),
+        )
+    )
+
+
+# --------------------------------------- time-decay attribution
+
+
+@query(
+    "attribution_time_decay",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_p
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, event_id, event_type AS channel, tsu,
+             cum_p + 1 AS conv
+      FROM ordered WHERE event_type IN ('click', 'view')
+    ),
+    convs AS (
+      SELECT user_id, cum_p AS conv, MIN(tsu) AS p_tsu
+      FROM ordered WHERE event_type = 'purchase'
+      GROUP BY user_id, cum_p
+    ),
+    weighted AS (
+      SELECT t.channel,
+             CASE WHEN (c.p_tsu - t.tsu) // 3600000000 >= 8 THEN 1
+                  ELSE 1 << CAST(8 - (c.p_tsu - t.tsu) // 3600000000
+                                 AS INTEGER) END AS w
+      FROM touches t JOIN convs c
+        ON c.user_id = t.user_id AND c.conv = t.conv
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(w) AS BIGINT) AS weight_total
+    FROM weighted GROUP BY channel
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution — the third member of the attribution
+    family (after last-touch and U-shaped): each touch in a journey
+    earns weight 2^(8 - hours-before-purchase), floored at 1 past 8
+    hours — halving per hour of staleness.  Because the decay base is
+    2 and the exponent an INTEGER hour gap, every weight is an exact
+    integer (the dyadic trick window_ewma_dyadic uses) — no float
+    exponentials, no engine drift; per-channel totals are raw weight
+    sums a reader normalizes.
+
+    Scale shape: one user-keyed exchange for the running purchase
+    counter and journey join (same skeleton as
+    attribution_position_based); the weight is in-row bit math."""
+    from instructions_mr_spark.queries._util import ts_epoch_micros
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = ts_epoch_micros("ts")
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        us.alias("tsu"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_p"),
+    )
+    touches = ordered.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        "tsu",
+        (F.col("cum_p") + 1).alias("conv"),
+    )
+    convs = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("cum_p").alias("conv"))
+        .agg(F.min("tsu").alias("p_tsu"))
+    )
+    weighted = touches.join(convs, ["user_id", "conv"]).selectExpr(
+        "channel",
+        "CASE WHEN (p_tsu - tsu) div 3600000000 >= 8 THEN CAST(1 AS BIGINT) "
+        "ELSE SHIFTLEFT(CAST(1 AS BIGINT), "
+        "CAST(8 - (p_tsu - tsu) div 3600000000 AS INT)) END AS w",
+    )
+    return weighted.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("w").cast("bigint").alias("weight_total"),
+    )

@@ -895,3 +895,47 @@ def test_graph_link_prediction_square(spark, tmp_path):
     assert set(got) == {(101, 103), (102, 104)}
     for r in got.values():
         assert r.n_common == 2 and r.jaccard_e6 == 1_000_000
+
+
+def test_experiment_uplift_report_consistency(spark, tmp_path):
+    """Arm populations must match the SRM query's, and converters
+    count once no matter how many purchases they make."""
+    h = datetime(2024, 1, 1, 10)
+    rows = []
+    eid = 0
+    for u in range(40):
+        eid += 1
+        rows.append((eid, h, u, "view", 0.0, "{}"))
+        if u % 4 == 0:
+            for _ in range(2):  # double purchase, single converter
+                eid += 1
+                rows.append((eid, h, u, "purchase", 0.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    uplift = registry.QUERIES["experiment_uplift_report"](spark, str(tmp_path)).collect()
+    srm = registry.QUERIES["experiment_assignment_srm"](spark, str(tmp_path)).collect()
+    pop_u = {(r.stratum): 0 for r in srm}
+    for r in uplift:
+        pop_u[r.stratum] = pop_u.get(r.stratum, 0) + r.n_users
+        assert 0 <= r.n_converted <= r.n_users
+    pop_s = {r.stratum: r.n_control + r.n_treat for r in srm}
+    assert pop_u == pop_s
+    assert sum(r.n_converted for r in uplift) == 10  # one per converting user
+
+
+def test_attribution_time_decay_halving(spark, tmp_path):
+    """Click 1h before purchase earns 2^7 = 128; view 3h before earns
+    2^5 = 32; a stale click 20h before floors at 1."""
+    p = datetime(2024, 1, 2, 12)
+    rows = [
+        (1, datetime(2024, 1, 2, 11), 1, "click", 0.0, "{}"),   # 1h -> 128
+        (2, datetime(2024, 1, 2, 9), 1, "view", 0.0, "{}"),     # 3h -> 32
+        (3, datetime(2024, 1, 1, 16), 1, "click", 0.0, "{}"),   # 20h -> 1
+        (4, p, 1, "purchase", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.channel: r
+        for r in registry.QUERIES["attribution_time_decay"](spark, str(tmp_path)).collect()
+    }
+    assert (got["click"].n_touches, got["click"].weight_total) == (2, 129)
+    assert (got["view"].n_touches, got["view"].weight_total) == (1, 32)

@@ -393,6 +393,12 @@ NOTES = {
     "graph_link_prediction": "Common-neighbor wedge join on bare "
     "integer pairs; existing-edge anti join; degrees broadcast onto "
     "scored candidates; jaccard via inclusion-exclusion, e6 units.",
+    "experiment_uplift_report": "Distinct-user + distinct-converter "
+    "aggregates, one user-keyed left join, 8-row rollup; raw integer "
+    "numerators, uplift computed downstream.",
+    "attribution_time_decay": "Same user-keyed journey skeleton as "
+    "position-based; weight 2^(8-hour-gap) is in-row bit math — "
+    "dyadic decay, zero float exponentials.",
 }
 
 
