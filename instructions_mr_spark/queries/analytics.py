@@ -2351,3 +2351,105 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
         F.sum("w").cast("bigint").alias("weight_total"),
     )
+
+
+# ------------------------------------- sequential pattern support
+
+
+@query(
+    "sequence_pattern_support",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP))
+                          - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP))
+                          > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    ),
+    firsts AS (
+      SELECT user_id, sess_id, event_type,
+             MIN(lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_key
+      FROM sess GROUP BY user_id, sess_id, event_type
+    ),
+    n_sess AS (SELECT COUNT(DISTINCT (user_id, sess_id)) AS total FROM sess)
+    SELECT a.event_type AS first_type, b.event_type AS then_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST((SELECT total FROM n_sess) AS BIGINT) AS total_sessions
+    FROM firsts a JOIN firsts b
+      ON a.user_id = b.user_id AND a.sess_id = b.sess_id
+     AND a.event_type <> b.event_type AND a.first_key < b.first_key
+    GROUP BY 1, 2
+    """,
+)
+def sequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support (the 2-item case of GSP/PrefixSpan
+    counting): for every ordered type pair (A then B), how many
+    30-min sessions contain A's FIRST occurrence before B's — the
+    sequence-containment statistic the adjacent-only transition
+    matrix cannot express (A ... X ... B still counts here).  Each
+    session contributes at most once per pattern (first-occurrence
+    semantics), with the string-packed (ts, event_id) key as the
+    tie-safe ordering.
+
+    Scale shape: sessionization shares the user-keyed exchange;
+    firsts is one (session, type) aggregate; the pattern join is
+    per-session over at most |types| rows each side; output is
+    |types|^2 with the session total attached for support ratios."""
+    from instructions_mr_spark.queries._util import ts_epoch_micros
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = ts_epoch_micros("ts")
+    lag_us = F.lag(us).over(w)
+    new_sess = F.when(
+        lag_us.isNull() | ((us - lag_us) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id", "event_id", "event_type", "ts", new_sess.alias("new_sess")
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    firsts = sess.groupBy("user_id", "sess_id", "event_type").agg(
+        F.min(
+            F.concat(
+                F.lpad(ts_epoch_micros("ts").cast("string"), 20, "0"),
+                F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            )
+        ).alias("first_key")
+    )
+    total = sess.select("user_id", "sess_id").distinct().agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    a, b = firsts.alias("a"), firsts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sess_id") == F.col("b.sess_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.first_key") < F.col("b.first_key")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("first_type"),
+            F.col("b.event_type").alias("then_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "first_type",
+            "then_type",
+            "n_sessions",
+            "CAST(total AS BIGINT) AS total_sessions",
+        )
+    )

@@ -865,3 +865,98 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cents_full") == F.col("cents_merged"))
         ).alias("merge_ok"),
     )
+
+
+@query(
+    "ts_gap_report",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    have AS (
+      SELECT DISTINCT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start
+      FROM events
+    ),
+    missing AS (
+      SELECT ty.event_type, g.hour_start,
+             epoch_us(CAST(g.hour_start AS TIMESTAMP)) // 3600000000 AS hidx
+      FROM grid g CROSS JOIN types ty
+      LEFT JOIN have h
+        ON h.event_type = ty.event_type AND h.hour_start = g.hour_start
+      WHERE h.hour_start IS NULL
+    ),
+    runs AS (
+      SELECT event_type, hour_start, hidx,
+             hidx - ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY hidx) AS grp
+      FROM missing
+    )
+    SELECT event_type,
+           CAST(MIN(hour_start) AS TIMESTAMP) AS gap_start,
+           CAST(MAX(hour_start) AS TIMESTAMP) AS gap_end,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM runs GROUP BY event_type, grp
+    """,
+)
+def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-interval report — the monitoring complement of
+    ts_gap_fill: instead of zero-filling, LIST each contiguous run of
+    silent hours per series (start, end, length) — the alert payload
+    an ingestion monitor pages on ('clicks went dark 03:00-07:00').
+    Contiguity detection is the gaps-and-islands identity (hour index
+    minus row number is constant within a run) on integer hour
+    indices.
+
+    Scale shape: one distinct (type, hour) projection of the corpus;
+    the grid anti-join and the island window run on grid-sized data
+    (hours x types), partitioned per series."""
+    from pyspark.sql import Window
+
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    e = t(spark, sf_dir, "events")
+    grid = (
+        e.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour_start"
+            )
+        )
+    )
+    types = e.select("event_type").distinct()
+    have = e.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).distinct()
+    missing = (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(types))
+        .join(have, ["event_type", "hour_start"], "left_anti")
+        .select(
+            "event_type",
+            "hour_start",
+            F.floor(ts_epoch_seconds(F.col("hour_start")) / F.lit(3600))
+            .cast("long")
+            .alias("hidx"),
+        )
+    )
+    runs = missing.withColumn(
+        "grp",
+        F.col("hidx")
+        - F.row_number().over(
+            Window.partitionBy("event_type").orderBy("hidx")
+        ),
+    )
+    return runs.groupBy("event_type", "grp").agg(
+        F.min("hour_start").alias("gap_start"),
+        F.max("hour_start").alias("gap_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    ).drop("grp")

@@ -153,7 +153,8 @@ DRIVER_WINDOW: list[str] = [
 #   seasonality_profile, entity_resolution_clusters,
 #   metric_change_contribution, percentile_group_twophase,
 #   bloom_fpr_calibration, churn_label_table, set_sim_join_prefix,
-#   graph_link_prediction, experiment_uplift_report, attribution_time_decay
+#   graph_link_prediction, experiment_uplift_report, attribution_time_decay,
+#   ts_gap_report, sequence_pattern_support
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

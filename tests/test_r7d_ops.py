@@ -939,3 +939,40 @@ def test_attribution_time_decay_halving(spark, tmp_path):
     }
     assert (got["click"].n_touches, got["click"].weight_total) == (2, 129)
     assert (got["view"].n_touches, got["view"].weight_total) == (1, 32)
+
+
+def test_ts_gap_report_contiguous_runs(spark, tmp_path):
+    """Type A observed at hours 0, 1, 4, 5: one gap run covering
+    hours 2-3 (length 2); a fully-covered type reports nothing."""
+    h = lambda hr: datetime(2024, 1, 1, hr)
+    rows = [(i + 1, h(hr), 1, "A", 0.0, "{}") for i, hr in enumerate([0, 1, 4, 5])]
+    rows += [(10 + i, h(hr), 1, "B", 0.0, "{}") for i, hr in enumerate(range(6))]
+    _write_events(spark, tmp_path, rows)
+    got = registry.QUERIES["ts_gap_report"](spark, str(tmp_path)).collect()
+    a_gaps = [r for r in got if r.event_type == "A"]
+    assert len(a_gaps) == 1
+    g = a_gaps[0]
+    assert (g.gap_start.hour, g.gap_end.hour, g.n_hours) == (2, 3, 2)
+    assert not [r for r in got if r.event_type == "B"]
+
+
+def test_sequence_pattern_support_nonadjacent(spark, tmp_path):
+    """Session view -> error -> purchase: (view, purchase) counts even
+    though they are NOT adjacent — the containment semantics the
+    transition matrix misses; reversed pair does not count."""
+    m = lambda mi: datetime(2024, 1, 1, 10, mi)
+    rows = [
+        (1, m(0), 1, "view", 0.0, "{}"),
+        (2, m(1), 1, "error", 0.0, "{}"),
+        (3, m(2), 1, "purchase", 0.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r.first_type, r.then_type): r
+        for r in registry.QUERIES["sequence_pattern_support"](spark, str(tmp_path)).collect()
+    }
+    assert got[("view", "purchase")].n_sessions == 1
+    assert got[("view", "error")].n_sessions == 1
+    assert got[("error", "purchase")].n_sessions == 1
+    assert ("purchase", "view") not in got
+    assert got[("view", "purchase")].total_sessions == 1

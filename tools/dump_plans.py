@@ -399,6 +399,12 @@ NOTES = {
     "attribution_time_decay": "Same user-keyed journey skeleton as "
     "position-based; weight 2^(8-hour-gap) is in-row bit math — "
     "dyadic decay, zero float exponentials.",
+    "ts_gap_report": "Distinct (type, hour) projection + grid "
+    "anti-join; gaps-and-islands window on grid-sized data per "
+    "series.",
+    "sequence_pattern_support": "Sessionize + firsts share the "
+    "user-keyed exchange; the pattern join is per-session over at "
+    "most |types| rows each side; |types|^2 output.",
 }
 
 
