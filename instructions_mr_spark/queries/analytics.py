@@ -2453,3 +2453,151 @@ def sequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(total AS BIGINT) AS total_sessions",
         )
     )
+
+
+# --------------------------------- leave-one-out target encoding
+
+
+@query(
+    "target_encoding_loo",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    enc AS (
+      SELECT event_type,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM base GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type,
+           CAST(e.sum_cents - b.cents AS BIGINT) AS loo_num_cents,
+           CAST(NULLIF(e.n_rows - 1, 0) AS BIGINT) AS loo_den
+    FROM base b JOIN enc e USING (event_type)
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against the
+    monetary target — the feature-engineering transform that replaces
+    a categorical with the mean target of its OTHER members, the
+    standard guard against the self-leakage a plain group-mean join
+    would inject into training rows.  Emitted as exact integer
+    sufficient statistics (numerator cents, denominator count) per
+    the repo convention — the consumer divides; a singleton category
+    yields NULL denominator (no peers, honest missing).
+
+    Scale shape: the encoding table is one |types|-row aggregate,
+    broadcast back onto the fact scan — the LOO subtraction is then
+    per-row arithmetic inside the scan stage, so the whole transform
+    costs one map-side aggregate plus zero fact-table shuffles."""
+    base = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    enc = base.groupBy("event_type").agg(
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return base.join(F.broadcast(enc), "event_type").select(
+        "event_id",
+        "event_type",
+        (F.col("sum_cents") - F.col("cents"))
+        .cast("bigint")
+        .alias("loo_num_cents"),
+        F.nullif(F.col("n_rows") - 1, F.lit(0))
+        .cast("bigint")
+        .alias("loo_den"),
+    )
+
+
+# ------------------------------------ CUSUM changepoint detection
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, hour_start, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY hour_start
+                          ROWS UNBOUNDED PRECEDING) AS pre,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hour_start) AS k,
+             SUM(c) OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+    ),
+    scored AS (
+      SELECT event_type, hour_start,
+             ABS(n * pre - k * total) AS s,
+             n, total,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(n * pre - k * total) DESC,
+                                         hour_start ASC) AS rn
+      FROM series
+    )
+    SELECT event_type,
+           CAST(hour_start AS TIMESTAMP) AS change_hour,
+           CAST(s AS BIGINT) AS max_scaled_cusum,
+           CAST(n AS BIGINT) AS n_buckets,
+           CAST(total AS BIGINT) AS total_events
+    FROM scored WHERE rn = 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint candidate per event series: bucket events
+    hourly, accumulate deviations from the series mean, and report
+    the hour where |CUSUM| peaks — the classic single-changepoint
+    location statistic (Page 1954; peak of S_k = sum_{i<=k}(c_i -
+    mean)).  Scaled by n so everything stays integer: n * S_k =
+    n * prefix_k - k * total — zero float drift, and the earliest
+    hour wins exact ties deterministically.
+
+    Scale shape: the hourly rollup is the only corpus-sized
+    aggregate; the prefix/ranking windows run per-series on
+    bucket-count rows sharing one event_type hash partitioning.  A
+    flat series scores low, a level shift scores ~ n * shift * k —
+    the monitor thresholds downstream."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    wp = Window.partitionBy("event_type")
+    series = hourly.select(
+        "event_type",
+        "hour_start",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pre"),
+        F.row_number().over(w).alias("k"),
+        F.sum("c").over(wp).alias("total"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    s = F.abs(F.col("n") * F.col("pre") - F.col("k") * F.col("total"))
+    scored = series.select(
+        "event_type",
+        "hour_start",
+        s.alias("s"),
+        "n",
+        "total",
+        F.row_number()
+        .over(w.orderBy(s.desc(), F.col("hour_start").asc()))
+        .alias("rn"),
+    )
+    return scored.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("hour_start").alias("change_hour"),
+        F.col("s").cast("bigint").alias("max_scaled_cusum"),
+        F.col("n").cast("bigint").alias("n_buckets"),
+        F.col("total").cast("bigint").alias("total_events"),
+    )

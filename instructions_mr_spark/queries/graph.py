@@ -809,3 +809,64 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (da + db - n_common) AS BIGINT) AS jaccard_e6",
         )
     )
+
+
+# -------------------------------------- degree assortativity terms
+
+
+@query(
+    "degree_assortativity_terms",
+    oracle="""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(da.d + db.d) AS BIGINT) AS s_sum,
+           CAST(SUM(da.d * db.d) AS BIGINT) AS s_prod,
+           CAST(SUM(da.d * da.d + db.d * db.d) AS BIGINT) AS s_sq
+    FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+    """,
+)
+def degree_assortativity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity sufficient statistics over the
+    co-purchase graph (Newman 2002's r coefficient): per-edge degree
+    sums Σ(da+db), products Σ(da·db), and squares Σ(da²+db²), plus
+    the edge count — exactly the four integer terms from which
+    r = (4m·Σprod − S²) / (2m·Σsq − S²) follows by one driver-side
+    division.  Answers 'do hub products co-occur with other hubs or
+    with niche items?' — disassortative co-purchase graphs (hubs
+    paired with leaves) need different partitioning strategies than
+    assortative ones, so this statistic feeds the skew planner.
+
+    Scale shape: reuses the staged triangle-machinery edge/degree
+    tables (one build per session); attaching degrees is two joins
+    keyed on single int columns — at 100 TB the degree table is
+    orders-of-magnitude smaller than the edge set and broadcasts.
+    All four moments reduce in one map-side-combinable aggregate;
+    BIGINT holds Σd² up to ~10^9-edge, ~10^4-degree graphs."""
+    from instructions_mr_spark.queries.graph import _copurchase_oriented
+
+    e, deg, _ = _copurchase_oriented(spark, sf_dir)
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    return (
+        e.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(F.col("da") + F.col("db")).cast("bigint").alias("s_sum"),
+            F.sum(F.col("da") * F.col("db")).cast("bigint").alias("s_prod"),
+            F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+            .cast("bigint")
+            .alias("s_sq"),
+        )
+    )

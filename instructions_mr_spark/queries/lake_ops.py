@@ -960,3 +960,82 @@ def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("hour_start").alias("gap_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_hours"),
     ).drop("grp")
+
+
+# ------------------------------------------ Benford digit audit
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed so both
+# engines compare against identical integer literals (no cross-engine
+# log10 float parity to defend).
+_BENFORD_E6 = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+@query(
+    "benford_digit_audit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents
+    ),
+    counted AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM digits
+      GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n_orders) AS total FROM counted)
+    SELECT digit, n_orders,
+           CAST(n_orders * 1000000 // (SELECT total FROM tot) AS BIGINT)
+             AS observed_e6,
+           CAST(CASE digit
+             {' '.join(f'WHEN {d} THEN {v}' for d, v in _BENFORD_E6.items())}
+           END AS BIGINT) AS benford_e6
+    FROM counted
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    forensic data-quality screen for fabricated or truncated monetary
+    columns: natural multi-scale amounts follow P(d) = log10(1+1/d),
+    so a digit histogram far from it flags synthetic injection,
+    capped fields, or unit bugs.  Digits come from exact integer
+    cents (the repo's FLOOR-cents convention) via string head — no
+    float log in either engine; the expected shares are precomputed
+    e6 literals so the comparison is pure integer.
+
+    Scale shape: one map-side projection to a single digit column
+    and a 9-group aggregate — the cheapest full-corpus audit
+    possible; the observed-share division happens on the 9-row
+    result.  (The sf testdata's uniform prices will FAIL the
+    audit — that is the audit working: uniform amounts are exactly
+    the non-Benford shape it exists to flag.)"""
+    cents = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("c")
+        )
+    )
+    counted = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    total = counted.agg(F.sum("n_orders").alias("total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_E6.items() for x in kv]
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("CAST(n_orders * 1000000 DIV total AS BIGINT)").alias(
+                "observed_e6"
+            ),
+            expected[F.col("digit")].cast("bigint").alias("benford_e6"),
+        )
+    )

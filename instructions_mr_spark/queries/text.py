@@ -2184,3 +2184,154 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_chunks")
     )
+
+
+# ------------------------------------- positional phrase search
+
+_PHRASE = ("slow", "hash", "batch")
+
+
+@query(
+    "phrase_match_positions",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    p AS (SELECT doc_id, word, pos FROM toks
+          WHERE word IN {str(_PHRASE)})
+    SELECT p0.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM p p0
+    JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+    JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+    WHERE p0.word = '{_PHRASE[0]}' AND p1.word = '{_PHRASE[1]}'
+      AND p2.word = '{_PHRASE[2]}'
+    GROUP BY p0.doc_id
+    """,
+)
+def phrase_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search {_PHRASE} by POSITIONAL posting-list
+    intersection — the retrieval primitive the conjunctive AND query
+    (posting_list_intersect) cannot express: the terms must appear
+    consecutively, so each posting carries its token position and the
+    intersection joins on (doc_id, pos + offset).  This is how every
+    inverted-index engine runs quoted queries; counting adjacent
+    bigrams (bpe_pair_counts) cannot generalize to length-3+ phrases
+    with repeated tokens, position arithmetic does.
+
+    Scale shape: the IN-list prunes the token stream to the phrase's
+    terms inside the scan stage (postings for 3 words, not the
+    corpus); both positional joins key on doc_id so one exchange
+    hash-partitions all three sides together; output is one narrow
+    row per matching doc.  At 100 TB the positional postings table is
+    materialized once, doc_id-bucketed, and phrase queries never
+    rescan text."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    p = toks.filter(F.col("word").isin(*_PHRASE))
+    p0 = p.filter(F.col("word") == _PHRASE[0]).select("doc_id", "pos")
+    p1 = p.filter(F.col("word") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    p2 = p.filter(F.col("word") == _PHRASE[2]).select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    return (
+        p0.join(p1, ["doc_id", "pos"])
+        .join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+
+
+# ------------------------------------------- Borda rank fusion
+
+_FUSE_TERMS = ("join", "merge", "sort")
+
+
+@query(
+    "rank_fusion_borda",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    cand AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf_total,
+             ANY_VALUE(d.n_chars) AS n_chars
+      FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+      WHERE t.word IN {str(_FUSE_TERMS)}
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, tf_total, n_chars,
+             ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id) AS r_tf,
+             ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id) AS r_len,
+             COUNT(*) OVER () AS n_cand
+      FROM cand
+    )
+    SELECT doc_id, tf_total, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(2 * n_cand - r_tf - r_len AS BIGINT) AS borda_score
+    FROM ranked
+    ORDER BY r_tf + r_len ASC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def rank_fusion_borda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda-count rank fusion of two retrieval signals — term
+    frequency for {_FUSE_TERMS} (relevance) and document brevity
+    (n_chars ascending, a quality prior) — the integer-exact sibling
+    of reciprocal-rank fusion: each candidate scores (N - rank) per
+    list and the sums are fused, so no float reciprocals and no
+    cross-engine tie hazards.  Every ranking breaks ties by doc_id,
+    making the full fused order deterministic.
+
+    Scale shape: candidate generation prunes to docs matching >= 1
+    term inside the scan; the two rankings are windows over the
+    pruned candidate set only.  The single-partition window is the
+    honest small-candidate-set plan; at 100 TB candidates are ranked
+    per-partition top-k first (topk_per_group's pattern) and only
+    k * n_partitions rows reach the global fuse."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    cand = (
+        toks.filter(F.col("word").isin(*_FUSE_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf_total"))
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+    )
+    from pyspark.sql import Window
+
+    w_tf = Window.orderBy(F.col("tf_total").desc(), "doc_id")
+    w_len = Window.orderBy(F.col("n_chars").asc(), "doc_id")
+    ranked = (
+        cand.withColumn("r_tf", F.row_number().over(w_tf))
+        .withColumn("r_len", F.row_number().over(w_len))
+        .withColumn("n_cand", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "tf_total",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            (2 * F.col("n_cand") - F.col("r_tf") - F.col("r_len"))
+            .cast("bigint")
+            .alias("borda_score"),
+            (F.col("r_tf") + F.col("r_len")).alias("_rsum"),
+        )
+        .orderBy(F.col("_rsum").asc(), F.col("doc_id").asc())
+        .limit(20)
+        .drop("_rsum")
+    )
+
+
+phrase_match_positions.__doc__ = (phrase_match_positions.__doc__ or "").replace(
+    "{_PHRASE}", str(_PHRASE)
+)
+rank_fusion_borda.__doc__ = (rank_fusion_borda.__doc__ or "").replace(
+    "{_FUSE_TERMS}", str(_FUSE_TERMS)
+)

@@ -154,7 +154,9 @@ DRIVER_WINDOW: list[str] = [
 #   metric_change_contribution, percentile_group_twophase,
 #   bloom_fpr_calibration, churn_label_table, set_sim_join_prefix,
 #   graph_link_prediction, experiment_uplift_report, attribution_time_decay,
-#   ts_gap_report, sequence_pattern_support
+#   ts_gap_report, sequence_pattern_support, phrase_match_positions,
+#   rank_fusion_borda, target_encoding_loo, cusum_changepoint,
+#   benford_digit_audit, degree_assortativity_terms
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -405,6 +405,24 @@ NOTES = {
     "sequence_pattern_support": "Sessionize + firsts share the "
     "user-keyed exchange; the pattern join is per-session over at "
     "most |types| rows each side; |types|^2 output.",
+    "phrase_match_positions": "IN-list prunes the token stream to 3 "
+    "terms inside the scan; both positional joins share the doc_id "
+    "hash partitioning; output one row per matching doc.",
+    "rank_fusion_borda": "Candidate pruning in the scan; two "
+    "rankings as windows over the pruned set only; integer Borda — "
+    "no float reciprocals.",
+    "target_encoding_loo": "|types|-row encoding table broadcast "
+    "back onto the fact scan; LOO subtraction is per-row arithmetic "
+    "— zero fact shuffles.",
+    "cusum_changepoint": "Hourly rollup is the only corpus-sized "
+    "aggregate; prefix + argmax windows per-series on bucket-count "
+    "rows; all-integer scaled CUSUM.",
+    "benford_digit_audit": "Projection to one digit column, 9-group "
+    "aggregate; expected shares are integer literals — no float "
+    "log10 in the plan.",
+    "degree_assortativity_terms": "Reuses staged co-purchase "
+    "edges/degrees; two single-int-key joins; four moments in one "
+    "map-side-combinable aggregate.",
 }
 
 
