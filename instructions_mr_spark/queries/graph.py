@@ -870,3 +870,75 @@ def degree_assortativity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s_sq"),
         )
     )
+
+
+# ------------------------------------------ bounded BFS hop profile
+
+_BFS_MAX_HOPS = 4
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    seed AS (SELECT MIN(a) AS v FROM e),
+    walk(v, hop) AS (
+      SELECT v, 0 FROM seed
+      UNION
+      SELECT s.b, w.hop + 1
+      FROM walk w JOIN sym s ON s.a = w.v
+      WHERE w.hop < {_BFS_MAX_HOPS}
+    ),
+    md AS (SELECT v, MIN(hop) AS hop FROM walk GROUP BY v)
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM md GROUP BY hop
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first reach profile from a deterministic seed
+    (the lowest vertex id) over the co-purchase graph: how many
+    vertices sit at min-hop 0, 1, ... {_BFS_MAX_HOPS} — the
+    neighborhood-growth curve behind 'how local is this graph?',
+    recommendation fan-out sizing, and small-world checks.  Spark
+    runs {_BFS_MAX_HOPS} rounds of frontier-join + min-distance
+    fold (the classic BSP/Pregel BFS as DataFrame algebra); the
+    oracle is DuckDB's recursive CTE with UNION-dedup on (vertex,
+    hop), whose MIN-hop regroup must agree exactly.
+
+    Scale shape: each round is one join keyed on the frontier
+    vertex id plus a min-aggregate — the same exchange key
+    throughout, so AQE reuses the partitioning; the distance table
+    never exceeds |V| rows and the hop bound caps the rounds
+    statically (no driver-side convergence loop).  Hub explosion is
+    bounded because the frontier carries bare integer ids."""
+    e, _, _ = _copurchase_oriented(spark, sf_dir)
+    sym = e.select("a", "b").unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    dist = e.agg(F.min("a").alias("v")).withColumn("hop", F.lit(0))
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        frontier = dist.filter(F.col("hop") == h - 1).select("v")
+        nxt = frontier.join(sym, frontier.v == sym.a).select(
+            F.col("b").alias("v"), F.lit(h).alias("hop")
+        )
+        dist = (
+            dist.unionAll(nxt).groupBy("v").agg(F.min("hop").alias("hop"))
+        )
+    return dist.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices")
+    ).select(F.col("hop").cast("bigint").alias("hop"), "n_vertices")
+
+
+graph_bfs_hops.__doc__ = (graph_bfs_hops.__doc__ or "").replace(
+    "{_BFS_MAX_HOPS}", str(_BFS_MAX_HOPS)
+)

@@ -1039,3 +1039,105 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             expected[F.col("digit")].cast("bigint").alias("benford_e6"),
         )
     )
+
+
+# --------------------------------------------- zone-map skip audit
+
+_ZM_CHUNK = 1000
+_ZM_LO = "1998-01-01"
+_ZM_HI = "1998-07-01"
+
+
+@query(
+    "zone_map_skip_audit",
+    oracle=f"""
+    WITH natural_chunks AS (
+      SELECT o_orderkey // {_ZM_CHUNK} AS chunk,
+             MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx,
+             COUNT(*) AS rows_in_chunk
+      FROM orders GROUP BY 1
+    ),
+    clustered AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+               // {_ZM_CHUNK} AS chunk,
+             o_orderdate
+      FROM orders
+    ),
+    clustered_chunks AS (
+      SELECT chunk, MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx,
+             COUNT(*) AS rows_in_chunk
+      FROM clustered GROUP BY 1
+    ),
+    both_layouts AS (
+      SELECT 'natural' AS layout, * FROM natural_chunks
+      UNION ALL
+      SELECT 'clustered' AS layout, * FROM clustered_chunks
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN mx < TIMESTAMP '{_ZM_LO}'
+                           OR mn >= TIMESTAMP '{_ZM_HI}'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+           CAST(SUM(rows_in_chunk) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN mx < TIMESTAMP '{_ZM_LO}'
+                           OR mn >= TIMESTAMP '{_ZM_HI}'
+                    THEN rows_in_chunk ELSE 0 END) AS BIGINT)
+             AS rows_skippable
+    FROM both_layouts GROUP BY layout
+    """,
+)
+def zone_map_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) skipping effectiveness audit for
+    a date-range predicate, under two physical layouts: the NATURAL
+    key order ({_ZM_CHUNK}-row chunks by o_orderkey) vs a
+    date-CLUSTERED rewrite — the measurement behind every 'should we
+    re-cluster this table?' decision.  A chunk is skippable iff its
+    [min, max] date envelope misses [{_ZM_LO}, {_ZM_HI}); the
+    natural layout's envelopes straddle the predicate (dates are
+    uncorrelated with orderkey) while clustering makes all but the
+    boundary chunks skippable — the audit quantifies exactly how
+    many rows each layout's zone maps would prune.
+
+    Scale shape: per-chunk min/max/count is one map-side-combinable
+    aggregate per layout; the audit itself runs on chunk-count rows.
+    The clustered layout's global ROW_NUMBER is the honest
+    small-table plan — at 100 TB the rewrite uses a range
+    partitioner (range_partition_bounds) and per-partition offsets
+    instead of one sort."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    natural = o.groupBy(
+        (F.col("o_orderkey") / _ZM_CHUNK).cast("long").alias("chunk")
+    ).agg(
+        F.min("o_orderdate").alias("mn"),
+        F.max("o_orderdate").alias("mx"),
+        F.count(F.lit(1)).alias("rows_in_chunk"),
+    )
+    rn = F.row_number().over(Window.orderBy("o_orderdate", "o_orderkey"))
+    clustered = o.select(
+        ((rn - 1) / _ZM_CHUNK).cast("long").alias("chunk"), "o_orderdate"
+    ).groupBy("chunk").agg(
+        F.min("o_orderdate").alias("mn"),
+        F.max("o_orderdate").alias("mx"),
+        F.count(F.lit(1)).alias("rows_in_chunk"),
+    )
+    both = natural.withColumn("layout", F.lit("natural")).unionByName(
+        clustered.withColumn("layout", F.lit("clustered"))
+    )
+    skippable = (F.col("mx") < F.lit(_ZM_LO).cast("timestamp")) | (
+        F.col("mn") >= F.lit(_ZM_HI).cast("timestamp")
+    )
+    return both.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(skippable.cast("int")).cast("bigint").alias("n_skippable"),
+        F.sum("rows_in_chunk").cast("bigint").alias("rows_total"),
+        F.sum(F.when(skippable, F.col("rows_in_chunk")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_skippable"),
+    )
+
+
+zone_map_skip_audit.__doc__ = (zone_map_skip_audit.__doc__ or "").replace(
+    "{_ZM_CHUNK}", str(_ZM_CHUNK)
+).replace("{_ZM_LO}", _ZM_LO).replace("{_ZM_HI}", _ZM_HI)

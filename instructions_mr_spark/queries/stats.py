@@ -1485,3 +1485,223 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 bloom_fpr_calibration.__doc__ = (bloom_fpr_calibration.__doc__ or "").replace(
     "{_BLOOM_M}", str(_BLOOM_M)
 ).replace("{_BLOOM_K}", str(_BLOOM_K))
+
+
+# ----------------------------------------- MAD robust outliers
+
+
+@query(
+    "mad_robust_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    v1 AS (
+      SELECT event_type, cents, COUNT(*) AS c FROM base GROUP BY 1, 2
+    ),
+    cum1 AS (
+      SELECT event_type, cents, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM v1
+    ),
+    med AS (
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN 2 * cum_c >= n THEN cents END) AS med_cents
+      FROM cum1 GROUP BY event_type
+    ),
+    dev AS (
+      SELECT b.event_type, ABS(b.cents - m.med_cents) AS d
+      FROM base b JOIN med m USING (event_type)
+    ),
+    v2 AS (SELECT event_type, d, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+    cum2 AS (
+      SELECT event_type, d, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM v2
+    ),
+    mad AS (
+      SELECT event_type,
+             MIN(CASE WHEN 2 * cum_c >= n THEN d END) AS mad_cents
+      FROM cum2 GROUP BY event_type
+    )
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           CAST(m.med_cents AS BIGINT) AS med_cents,
+           CAST(a.mad_cents AS BIGINT) AS mad_cents,
+           CAST((SELECT COALESCE(SUM(c), 0) FROM v2
+                 WHERE v2.event_type = m.event_type
+                   AND v2.d > 3 * a.mad_cents) AS BIGINT) AS n_outliers
+    FROM med m JOIN mad a USING (event_type)
+    """,
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event series via the median absolute
+    deviation — the breakdown-point-0.5 alternative to z-scores
+    (stream_anomaly_zscore) and IQR fences (outlier_iqr): med and
+    MAD ignore up to half the data being garbage, which is the
+    property that matters when the outliers ARE the contamination
+    being hunted.  Both order statistics use the repo's discrete
+    value-domain identity (smallest value whose doubled cumulative
+    count reaches n), so everything — median, deviations, MAD, the
+    3-MAD fence — is exact integer cents with zero float drift.
+
+    Scale shape: two rounds of the percentile_group_twophase plan
+    (value-count aggregate + per-group cumulative over DISTINCT
+    values — never a per-row sort); the |types|-row median table
+    broadcasts back onto the fact scan for the deviation pass, and
+    the outlier count reduces from the deviation-count table, not
+    the raw rows."""
+    from pyspark.sql import Window
+
+    base = t(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents"
+    )
+
+    def _lower_median(df, col):
+        v = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("event_type").orderBy(col)
+        cum = v.select(
+            "event_type",
+            col,
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+                "cum_c"
+            ),
+            F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.max("n").alias("n"),
+            F.min(
+                F.when(2 * F.col("cum_c") >= F.col("n"), F.col(col))
+            ).alias(f"med_{col}"),
+        )
+
+    med = _lower_median(base, "cents").withColumnRenamed("med_cents", "med")
+    dev = base.join(F.broadcast(med.select("event_type", "med")), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med")).alias("d")
+    )
+    v2 = dev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    cum2 = v2.select(
+        "event_type",
+        "d",
+        "c",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    mad = cum2.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("cum_c") >= F.col("n"), F.col("d"))).alias(
+            "mad"
+        )
+    )
+    out = (
+        v2.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("d") > 3 * F.col("mad"), F.col("c"))),
+                F.lit(0),
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(out, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("med").cast("bigint").alias("med_cents"),
+            F.col("mad").cast("bigint").alias("mad_cents"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+# ------------------------------------- KS two-sample split drift
+
+
+@query(
+    "ks_split_drift",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN event_id % 100 < 80 THEN 0 ELSE 1 END AS side
+      FROM events
+    ),
+    v AS (
+      SELECT event_type, cents,
+             SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c2
+      FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents,
+             SUM(c1) OVER (PARTITION BY event_type ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(c2) OVER (PARTITION BY event_type ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS cum2,
+             SUM(c1) OVER (PARTITION BY event_type) AS n1,
+             SUM(c2) OVER (PARTITION BY event_type) AS n2
+      FROM v
+    )
+    SELECT event_type,
+           CAST(MAX(n1) AS BIGINT) AS n_train,
+           CAST(MAX(n2) AS BIGINT) AS n_test,
+           CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_scaled,
+           CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) * 1000000
+                // (MAX(n1) * MAX(n2)) AS BIGINT) AS d_e6
+    FROM cum GROUP BY event_type
+    """,
+)
+def ks_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    80/20 hash-mod split halves, per event series — the
+    distribution-shift gate that catches a bad split before
+    training: D = max_v |F_train(v) - F_test(v)|, computed in the
+    value domain with both ECDFs cross-multiplied to the common
+    n1*n2 denominator so the max and the comparison are pure
+    integers (the exact-order-statistic sibling of the binned
+    dataset_drift_kl).  A healthy hash split reads near 0; a
+    leaky/time-correlated split reads large.
+
+    Scale shape: one (type, value) aggregate carrying both sides'
+    counts, then per-series cumulative windows over DISTINCT values
+    and a max — the percentile_group_twophase shuffle shape, never a
+    row sort.  BIGINT holds n2*cum1 up to ~3e9 rows per series; past
+    that the cross-multiply lifts to DECIMAL on both engines."""
+    from pyspark.sql import Window
+
+    base = t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+        "CASE WHEN event_id % 100 < 80 THEN 0 ELSE 1 END AS side",
+    )
+    v = base.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("event_type")
+    cum = v.select(
+        "event_type",
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+        F.sum("c1").over(wp).alias("n1"),
+        F.sum("c2").over(wp).alias("n2"),
+    )
+    d = F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
+    return cum.groupBy("event_type").agg(
+        F.max("n1").cast("bigint").alias("n_train"),
+        F.max("n2").cast("bigint").alias("n_test"),
+        F.max(d).cast("bigint").alias("d_scaled"),
+        F.expr(
+            "CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) * 1000000"
+            " DIV (MAX(n1) * MAX(n2)) AS BIGINT)"
+        ).alias("d_e6"),
+    )

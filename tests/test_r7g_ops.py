@@ -172,3 +172,80 @@ def test_degree_assortativity_path_graph(spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert (r.n_edges, r.s_sum, r.s_prod, r.s_sq) == (2, 6, 4, 10)
+
+
+def test_mad_robust_outliers_fence(spark, tmp_path):
+    """Cents 100,200,200,300,10000: lower median 200, deviations
+    100,0,0,100,9800 -> MAD 100, fence 300 -> exactly the 10000
+    point is flagged."""
+    h = datetime(2024, 1, 1, 0)
+    vals = [1.00, 2.00, 2.00, 3.00, 100.00]
+    _write_events(
+        spark,
+        tmp_path,
+        [(i, h, i, "A", v, "{}") for i, v in enumerate(vals)],
+    )
+    got = registry.QUERIES["mad_robust_outliers"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.med_cents, r.mad_cents, r.n_outliers) == (5, 200, 100, 1)
+
+
+def test_ks_split_drift_disjoint_supports(spark, tmp_path):
+    """Train (ids 0-3, 80%-bucket) all at 1.00; test (ids 180-181)
+    all at 2.00: ECDFs separate fully at v=100 -> D = 1 exactly
+    (d_scaled = n1*n2 = 8, d_e6 = 1000000)."""
+    h = datetime(2024, 1, 1, 0)
+    rows = [(i, h, i, "A", 1.00, "{}") for i in range(4)]
+    rows += [(i, h, i, "A", 2.00, "{}") for i in (180, 181)]
+    _write_events(spark, tmp_path, rows)
+    got = registry.QUERIES["ks_split_drift"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_train, r.n_test, r.d_scaled, r.d_e6) == (4, 2, 8, 1000000)
+
+
+def test_graph_bfs_hops_cap(spark, tmp_path):
+    """Path 1-2-3-4-5-6 (each edge 2 shared orders): seed is vertex
+    1, hops 0..4 each hold one vertex, vertex 6 (hop 5) is beyond
+    the bound and absent."""
+    rows = []
+    ok = 100
+    for pa, pb in [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]:
+        for _ in range(2):
+            rows += [(ok, pa), (ok, pb)]
+            ok += 1
+    _write_lineitem(spark, tmp_path, rows)
+    got = {
+        r.hop: r.n_vertices
+        for r in registry.QUERIES["graph_bfs_hops"](spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_zone_map_skip_audit_layouts(spark, tmp_path):
+    """Three 1-row chunks under natural orderkey layout (two fall
+    wholly outside [1998-01-01, 1998-07-01) -> skippable); clustering
+    collapses them into one straddling chunk -> zero skippable."""
+    _write_orders_dated = [
+        (500, datetime(1997, 6, 1)),
+        (1500, datetime(1998, 3, 1)),
+        (2500, datetime(1998, 9, 1)),
+    ]
+    full = [
+        (ok, 1, "O", 1.0, dt, "1-URGENT") for ok, dt in _write_orders_dated
+    ]
+    df = spark.createDataFrame(
+        full,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.layout: r
+        for r in registry.QUERIES["zone_map_skip_audit"](spark, str(tmp_path)).collect()
+    }
+    nat, clu = got["natural"], got["clustered"]
+    assert (nat.n_chunks, nat.n_skippable, nat.rows_skippable) == (3, 2, 2)
+    assert (clu.n_chunks, clu.n_skippable, clu.rows_skippable) == (1, 0, 0)
+    assert nat.rows_total == clu.rows_total == 3

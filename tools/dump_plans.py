@@ -423,6 +423,18 @@ NOTES = {
     "degree_assortativity_terms": "Reuses staged co-purchase "
     "edges/degrees; two single-int-key joins; four moments in one "
     "map-side-combinable aggregate.",
+    "mad_robust_outliers": "Two rounds of the value-domain "
+    "percentile plan (distinct-value cumulative, no row sort); "
+    "median table broadcasts onto the deviation pass.",
+    "ks_split_drift": "One (type, value) aggregate carrying both "
+    "sides' counts; per-series cumulative windows; integer "
+    "cross-multiplied ECDF max.",
+    "graph_bfs_hops": "Four static frontier-join + min-fold rounds "
+    "on the same vertex-id exchange key; distance table bounded by "
+    "|V|.",
+    "zone_map_skip_audit": "Per-chunk min/max/count map-side "
+    "aggregates per layout; the skip audit runs on chunk-count "
+    "rows.",
 }
 
 
