@@ -2601,3 +2601,80 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_buckets"),
         F.col("total").cast("bigint").alias("total_events"),
     )
+
+
+# ---------------------------------------- DAU/WAU stickiness
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             user_id
+      FROM events
+    ),
+    daily AS (
+      SELECT day_idx // 7 AS week_idx, day_idx, COUNT(*) AS dau
+      FROM d GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT day_idx // 7 AS week_idx, COUNT(DISTINCT user_id) AS wau
+      FROM d GROUP BY 1
+    )
+    SELECT w.week_idx,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(dau) AS BIGINT) AS sum_dau,
+           CAST(SUM(dau) * 1000000 // (COUNT(*) * w.wau) AS BIGINT)
+             AS stickiness_e6
+    FROM daily dd JOIN weekly w USING (week_idx)
+    GROUP BY w.week_idx, w.wau
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly stickiness (avg DAU / WAU) — the engagement ratio product
+    teams track: of the users active at all in a week, what share
+    shows up on an average day.  Day and week indices are pure
+    integer arithmetic on epoch microseconds (NTZ-safe cast through
+    TIMESTAMP; no date-type or locale drift across engines), and the
+    ratio is e6 integer units under truncating division.
+
+    Scale shape: one DISTINCT (day, user) aggregate is the corpus
+    exchange (map-side partial distinct); DAU reduces it by day, WAU
+    re-aggregates the SAME distinct table by (week, user) — both
+    downstream shuffles move (day|week, user) pairs, never raw
+    events; the final join is on a handful of week rows."""
+    d = (
+        t(spark, sf_dir, "events")
+        .selectExpr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS day_idx",
+            "user_id",
+        )
+        .distinct()
+    )
+    daily = d.groupBy(
+        F.expr("day_idx DIV 7").alias("week_idx"), "day_idx"
+    ).agg(F.count(F.lit(1)).alias("dau"))
+    weekly = d.groupBy(F.expr("day_idx DIV 7").alias("week_idx")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        daily.join(F.broadcast(weekly), "week_idx")
+        .groupBy("week_idx", "wau")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("dau").cast("bigint").alias("sum_dau"),
+            F.expr(
+                "CAST(SUM(dau) * 1000000 DIV (COUNT(*) * MAX(wau)) AS BIGINT)"
+            ).alias("stickiness_e6"),
+        )
+        .select(
+            "week_idx",
+            F.col("wau").cast("bigint").alias("wau"),
+            "n_days",
+            "sum_dau",
+            "stickiness_e6",
+        )
+    )

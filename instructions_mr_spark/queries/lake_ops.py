@@ -1141,3 +1141,94 @@ def zone_map_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 zone_map_skip_audit.__doc__ = (zone_map_skip_audit.__doc__ or "").replace(
     "{_ZM_CHUNK}", str(_ZM_CHUNK)
 ).replace("{_ZM_LO}", _ZM_LO).replace("{_ZM_HI}", _ZM_HI)
+
+
+# ------------------------------------ order-total reconciliation
+
+
+@query(
+    "recon_order_totals",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                            * (1 + CAST(l_tax AS DECIMAL(8,4)))) * 100)
+                  AS BIGINT) AS charge_cents
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderstatus,
+             CAST(FLOOR(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100)
+                  AS BIGINT) AS o_cents,
+             COALESCE(li.charge_cents, 0) AS charge_cents
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_cents = charge_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN ABS(o_cents - charge_cents) * 100 <= o_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(MAX(ABS(o_cents - charge_cents)) AS BIGINT)
+             AS max_abs_diff_cents
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def recon_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit — does the order header's
+    total agree with the sum of its line charges (price * (1-disc) *
+    (1+tax))?  The ingest-integrity check every lakehouse runs
+    between a header feed and a detail feed before either is trusted
+    downstream: per order status, exact-match count, within-1%% count
+    (integer cross-multiplied tolerance — never a float ratio), and
+    the worst absolute gap.  Both sides reduce to DECIMAL-exact
+    cents; headerless details and detail-less headers surface via
+    the LEFT join's COALESCE(0) rather than vanishing.
+
+    Scale shape: the lineitem group-by is map-side combinable and
+    shuffles only (orderkey, cents) pairs; the header join is
+    orderkey-to-orderkey (co-partitionable / bucketable at 100 TB);
+    the audit itself reduces to |statuses| rows."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(8,4)))"
+                " * (1 + CAST(l_tax AS DECIMAL(8,4)))) * 100) AS BIGINT)"
+            ).alias("charge_cents")
+        )
+    )
+    o = t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)"
+        " AS o_cents",
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderstatus",
+        "o_cents",
+        F.coalesce("charge_cents", F.lit(0)).alias("charge_cents"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.when(F.col("o_cents") == F.col("charge_cents"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(
+            F.when(
+                F.abs(F.col("o_cents") - F.col("charge_cents")) * 100
+                <= F.col("o_cents"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_within_1pct"),
+        F.max(F.abs(F.col("o_cents") - F.col("charge_cents")))
+        .cast("bigint")
+        .alias("max_abs_diff_cents"),
+    )

@@ -14,7 +14,7 @@ shapes are otherwise identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from instructions_mr_spark.queries._util import DEC_PRICE, supersede_checkpoint, t
@@ -1704,4 +1704,234 @@ def ks_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) * 1000000"
             " DIV (MAX(n1) * MAX(n2)) AS BIGINT)"
         ).alias("d_e6"),
+    )
+
+
+# --------------------------------------- Gini revenue inequality
+
+
+@query(
+    "gini_revenue_inequality",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, rev_cents,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY rev_cents, o_custkey) AS i
+      FROM rev
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+           CAST((2 * SUM(CAST(i AS HUGEINT) * rev_cents)
+                 - (COUNT(*) + 1) * SUM(CAST(rev_cents AS HUGEINT)))
+                * 1000000
+                // (CAST(COUNT(*) AS HUGEINT) * SUM(rev_cents))
+                AS BIGINT) AS gini_e6
+    FROM ranked GROUP BY segment
+    """,
+)
+def gini_revenue_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime revenue per market
+    segment — the inequality readout mixture designers use to decide
+    whether a segment's revenue (or a corpus slice's token mass) is
+    concentrated enough to need head/tail treatment.  Uses the exact
+    rank identity G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i))
+    on ascending-sorted integer cents: ties contribute identically
+    under any tie order (equal x across consecutive ranks), so the
+    ROW_NUMBER is deterministic-safe, and the whole statistic is
+    integer e6 under truncating division — DECIMAL(38,0) moments on
+    the Spark side, HUGEINT on DuckDB (i*x_i sums pass BIGINT at
+    ~1e9 customers; same overflow class the sf1 bench caught in
+    pareto_revenue_share).
+
+    Scale shape: the custkey group-by is the only corpus-sized
+    exchange; ROW_NUMBER sorts the per-customer AGGREGATE within
+    each of 5 bounded segments, and the moment rollup is map-side
+    combinable.  At 100 TB the per-segment sort swaps to the
+    two-phase range-partitioned rank (range_partition_bounds)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+            ).alias("rev_cents")
+        )
+    )
+    ranked = rev.select(
+        "segment",
+        "rev_cents",
+        F.row_number()
+        .over(Window.partitionBy("segment").orderBy("rev_cents", "o_custkey"))
+        .alias("i"),
+    )
+    return ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_cents").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST((2 * SUM(CAST(i AS DECIMAL(38,0)) * rev_cents)"
+            " - (COUNT(*) + 1) * SUM(CAST(rev_cents AS DECIMAL(38,0))))"
+            " * 1000000"
+            " DIV (CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(rev_cents))"
+            " AS BIGINT)"
+        ).alias("gini_e6"),
+    )
+
+
+# ------------------------------------- HHI revenue concentration
+
+
+@query(
+    "hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(rev_cents AS HUGEINT) * rev_cents) * 1000000
+                // (SUM(CAST(rev_cents AS HUGEINT))
+                    * SUM(CAST(rev_cents AS HUGEINT)))
+                AS BIGINT) AS hhi_e6,
+           CAST(MAX(rev_cents) * 1000000 // SUM(rev_cents) AS BIGINT)
+             AS top1_share_e6
+    FROM rev GROUP BY segment
+    """,
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of customer revenue
+    per market segment — sum of squared revenue shares, the
+    regulator's market-concentration metric and the mixture
+    designer's "is one source dominating this slice" gate (its
+    reciprocal is the effective number of contributors).  Computed
+    as integer e6 under truncating division with the numerator and
+    the squared-total denominator both in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB): rev_cents^2 passes BIGINT per TERM at ~$100M
+    customers and the squared total passes it immediately, so the
+    whole statistic lives in wide integers until the final e6 cast.
+
+    Scale shape: one custkey group-by (the corpus exchange), then a
+    map-side-combinable moment aggregate per bounded segment — no
+    sort, no window, no second shuffle."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+            ).alias("rev_cents")
+        )
+    )
+    return rev.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev_cents").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST(SUM(CAST(rev_cents AS DECIMAL(38,0)) * rev_cents) * 1000000"
+            " DIV (SUM(CAST(rev_cents AS DECIMAL(38,0)))"
+            "      * SUM(CAST(rev_cents AS DECIMAL(38,0))))"
+            " AS BIGINT)"
+        ).alias("hhi_e6"),
+        F.expr(
+            "CAST(MAX(rev_cents) * 1000000 DIV SUM(rev_cents) AS BIGINT)"
+        ).alias("top1_share_e6"),
+    )
+
+
+# ----------------------------------- rank-sum AUC (Mann-Whitney)
+
+
+@query(
+    "auc_mann_whitney",
+    oracle="""
+    WITH base AS (
+      SELECT n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    v AS (
+      SELECT n_chars,
+             SUM(pos) AS pos_c,
+             SUM(1 - pos) AS neg_c
+      FROM base GROUP BY 1
+    ),
+    cum AS (
+      SELECT pos_c, neg_c,
+             SUM(neg_c) OVER (ORDER BY n_chars
+                              ROWS UNBOUNDED PRECEDING) - neg_c
+               AS neg_below
+      FROM v
+    )
+    SELECT CAST(SUM(pos_c) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_c) AS BIGINT) AS n_neg,
+           CAST(SUM(pos_c * (2 * neg_below + neg_c)) AS BIGINT) AS u2,
+           CAST(SUM(CAST(pos_c AS HUGEINT) * (2 * neg_below + neg_c))
+                * 1000000
+                // (2 * SUM(CAST(pos_c AS HUGEINT)) * SUM(neg_c))
+                AS BIGINT) AS auc_e6
+    FROM cum
+    """,
+)
+def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of document length as a classifier for lang='en',
+    via the Mann-Whitney rank-sum identity AUC = U / (n_pos * n_neg)
+    — the model-eval primitive every quality-classifier gate needs,
+    computed without materializing a single rank: in the value
+    domain, U doubles to u2 = sum over distinct scores of
+    pos_c * (2 * negatives_below + tied_negatives), which handles
+    ties at half-credit while keeping every term integer.  auc_e6 is
+    the truncating-division e6 readout with the u2 * 1e6 numerator
+    widened to DECIMAL(38,0) / HUGEINT (u2 itself approaches
+    2 * n_pos * n_neg, past BIGINT at ~2e9 balanced rows).
+
+    Scale shape: one (score-value) aggregate carrying both class
+    counts, a cumulative window over DISTINCT values, one final
+    moment reduce — the percentile_group_twophase shuffle shape;
+    AUC = 0.5 reads "length carries no signal"."""
+    base = t(spark, sf_dir, "documents").selectExpr(
+        "n_chars", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos"
+    )
+    v = base.groupBy("n_chars").agg(
+        F.sum("pos").alias("pos_c"),
+        F.sum(1 - F.col("pos")).alias("neg_c"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = v.select(
+        "pos_c",
+        "neg_c",
+        (F.sum("neg_c").over(w) - F.col("neg_c")).alias("neg_below"),
+    )
+    return cum.agg(
+        F.sum("pos_c").cast("bigint").alias("n_pos"),
+        F.sum("neg_c").cast("bigint").alias("n_neg"),
+        F.expr(
+            "CAST(SUM(pos_c * (2 * neg_below + neg_c)) AS BIGINT)"
+        ).alias("u2"),
+        F.expr(
+            "CAST(SUM(CAST(pos_c AS DECIMAL(38,0)) * (2 * neg_below + neg_c))"
+            " * 1000000"
+            " DIV (2 * SUM(CAST(pos_c AS DECIMAL(38,0))) * SUM(neg_c))"
+            " AS BIGINT)"
+        ).alias("auc_e6"),
     )

@@ -157,7 +157,9 @@ DRIVER_WINDOW: list[str] = [
 #   ts_gap_report, sequence_pattern_support, phrase_match_positions,
 #   rank_fusion_borda, target_encoding_loo, cusum_changepoint,
 #   benford_digit_audit, degree_assortativity_terms, mad_robust_outliers,
-#   ks_split_drift, graph_bfs_hops, zone_map_skip_audit
+#   ks_split_drift, graph_bfs_hops, zone_map_skip_audit,
+#   gini_revenue_inequality, hhi_concentration, auc_mann_whitney,
+#   dau_wau_stickiness, recon_order_totals
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -1,0 +1,165 @@
+"""Semantic pins for the round-7h additions: Gini revenue
+inequality, HHI concentration, rank-sum AUC, weekly DAU/WAU
+stickiness, and the order-total reconciliation audit — each on a
+handcrafted input with a hand-computed answer."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from instructions_mr_spark import registry
+
+registry.load_all()
+
+
+def _write_customers(spark, tmp_path, rows):
+    """rows: (custkey, segment)"""
+    full = [(ck, f"Customer#{ck}", 1, 0.0, seg) for ck, seg in rows]
+    df = spark.createDataFrame(
+        full,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+
+def _write_orders(spark, tmp_path, rows):
+    """rows: (orderkey, custkey, totalprice)"""
+    full = [
+        (ok, ck, "O", tp, datetime(2024, 1, 1), "1-URGENT")
+        for ok, ck, tp in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    """rows: (orderkey, extendedprice)  — discount/tax zero so the
+    line charge IS the extended price."""
+    full = [
+        (ok, 1, 1, 1, 1.0, ep, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+        for ok, ep in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts, user_id)"""
+    full = [(eid, ts, uid, "view", 1.0, "{}") for eid, ts, uid in rows]
+    df = spark.createDataFrame(
+        full,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: (doc_id, lang, n_chars)"""
+    full = [(did, "x", lang, "s", nc) for did, lang, nc in rows]
+    df = spark.createDataFrame(
+        full, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_gini_hand_value(spark, tmp_path):
+    """Revenues 10/20/30/40 in one segment: G = (2*30000 - 5*10000)
+    / (4*10000) = 0.25; a second all-equal segment reads 0."""
+    _write_customers(
+        spark, tmp_path, [(1, "A"), (2, "A"), (3, "A"), (4, "A"), (5, "B"), (6, "B")]
+    )
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 10.0),
+            (2, 2, 20.0),
+            (3, 3, 30.0),
+            (4, 4, 40.0),
+            (5, 5, 7.0),
+            (6, 6, 7.0),
+        ],
+    )
+    got = {
+        r.segment: r
+        for r in registry.QUERIES["gini_revenue_inequality"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["A"].gini_e6 == 250000
+    assert got["A"].n_customers == 4 and got["A"].total_cents == 10000
+    assert got["B"].gini_e6 == 0
+
+
+def test_hhi_hand_value(spark, tmp_path):
+    """Shares 1/4, 1/4, 1/2: HHI = 2*(1/16) + 1/4 = 0.375; top-1
+    share = 0.5."""
+    _write_customers(spark, tmp_path, [(1, "A"), (2, "A"), (3, "A")])
+    _write_orders(spark, tmp_path, [(1, 1, 10.0), (2, 2, 10.0), (3, 3, 20.0)])
+    row = registry.QUERIES["hhi_concentration"](spark, str(tmp_path)).collect()[0]
+    assert row.hhi_e6 == 375000
+    assert row.top1_share_e6 == 500000
+    assert row.n_customers == 3 and row.total_cents == 4000
+
+
+def test_auc_ties_half_credit(spark, tmp_path):
+    """pos lengths {3, 5}, neg lengths {1, 3}: U = 3.5 of 4 pairs
+    (the 3-3 tie pays half) -> AUC 0.875."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, "en", 3), (2, "en", 5), (3, "fr", 1), (4, "de", 3)],
+    )
+    row = registry.QUERIES["auc_mann_whitney"](spark, str(tmp_path)).collect()[0]
+    assert (row.n_pos, row.n_neg, row.u2, row.auc_e6) == (2, 2, 7, 875000)
+
+
+def test_dau_wau_hand_value(spark, tmp_path):
+    """u1 active two days, u2 one day, same week: sum_dau = 3 over
+    2 active days, WAU = 2 -> stickiness 3/(2*2) = 0.75."""
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 10), 1),
+            (2, datetime(2024, 1, 1, 11), 1),
+            (3, datetime(2024, 1, 2, 10), 1),
+            (4, datetime(2024, 1, 1, 12), 2),
+        ],
+    )
+    row = registry.QUERIES["dau_wau_stickiness"](spark, str(tmp_path)).collect()[0]
+    assert (row.wau, row.n_days, row.sum_dau, row.stickiness_e6) == (
+        2,
+        2,
+        3,
+        750000,
+    )
+
+
+def test_recon_exact_tolerance_and_orphan_header(spark, tmp_path):
+    """Order 1 reconciles exactly, order 2 is off by 50 cents
+    (within 1%% of $100), order 3 has no lines at all (off by its
+    full $50)."""
+    _write_orders(
+        spark, tmp_path, [(1, 1, 20.0), (2, 1, 100.0), (3, 1, 50.0)]
+    )
+    _write_lineitem(spark, tmp_path, [(1, 20.0), (2, 99.5)])
+    row = registry.QUERIES["recon_order_totals"](spark, str(tmp_path)).collect()[0]
+    assert (
+        row.n_orders,
+        row.n_exact,
+        row.n_within_1pct,
+        row.max_abs_diff_cents,
+    ) == (3, 1, 2, 5000)

@@ -435,6 +435,19 @@ NOTES = {
     "zone_map_skip_audit": "Per-chunk min/max/count map-side "
     "aggregates per layout; the skip audit runs on chunk-count "
     "rows.",
+    "gini_revenue_inequality": "One custkey group-by (corpus "
+    "exchange); rank + moments run on the per-customer aggregate "
+    "within 5 bounded segments; DECIMAL(38,0) sums.",
+    "hhi_concentration": "Custkey group-by then a single map-side-"
+    "combinable moment aggregate — no sort, no window.",
+    "auc_mann_whitney": "Distinct-value aggregate carries both class "
+    "counts; one cumulative window over distinct values; one final "
+    "reduce.",
+    "dau_wau_stickiness": "One DISTINCT (day,user) exchange; DAU and "
+    "WAU both reduce from that distinct table, never raw events.",
+    "recon_order_totals": "Detail rollup is map-side combinable and "
+    "shuffles (orderkey, cents); header join co-partitionable on "
+    "orderkey; audit reduces to |statuses| rows.",
 }
 
 
