@@ -2678,3 +2678,145 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness_e6",
         )
     )
+
+
+# ---------------------------------------- frequent 3-itemsets
+
+
+@query(
+    "itemset3_support",
+    oracle="""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    t AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             c.l_partkey AS part_c, COUNT(*) AS support
+      FROM p a
+      JOIN p b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+      JOIN p c ON a.l_orderkey = c.l_orderkey
+              AND b.l_partkey < c.l_partkey
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, part_c, CAST(support AS BIGINT) AS support
+    FROM t
+    """,
+)
+def itemset3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemset mining — the next Apriori level above
+    copurchase_pairs: part triples co-occurring in >= 2 distinct
+    orders, the candidate set association-rule mining lifts
+    'bought X and Y, also bought Z' rules from.
+
+    Scale shape: the staged per-order distinct is the one corpus
+    exchange; both self-joins key on l_orderkey (co-partitioned with
+    the distinct's partitioning, no re-shuffle), and candidate volume
+    is cubic only in ORDER SIZE — bounded by a small basket constant,
+    so linear in lineitems overall.  The support rollup shuffles bare
+    integer triples; the >= 2 filter keeps the output to genuinely
+    repeated bundles (key-offset scale copies keep supports sparse,
+    so output grows linearly with SF)."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    li = t(spark, sf_dir, "lineitem")
+    p = supersede_checkpoint(
+        "itemset3_parts",
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(),
+    )
+    a, b, c = p.alias("a"), p.alias("b"), p.alias("c")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+            F.col("c.l_partkey").alias("part_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select(
+            "part_a", "part_b", "part_c", F.col("support").cast("bigint").alias("support")
+        )
+    )
+
+
+# ------------------------------------ inventory running balance
+
+
+@query(
+    "inventory_stockout_scan",
+    oracle="""
+    WITH moves AS (
+      SELECT l_partkey,
+             CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS BIGINT)
+                  ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    bal AS (
+      SELECT l_partkey,
+             SUM(delta) OVER (PARTITION BY l_partkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber
+                              ROWS UNBOUNDED PRECEDING) AS balance
+      FROM moves
+    )
+    SELECT l_partkey AS part,
+           CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(MIN(balance) AS BIGINT) AS min_balance,
+           CAST(SUM(CASE WHEN balance < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_zero,
+           CAST(SUM(balance) AS BIGINT) AS balance_mass
+    FROM bal GROUP BY 1
+    ORDER BY min_balance, part LIMIT 10
+    """,
+)
+def inventory_stockout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running inventory balance per part — returns ('R') restock,
+    everything else draws down — scanned for stock-out exposure: the
+    deepest dip, how many movements sat below zero, and the total
+    integral of the balance curve.  The 10 most-exposed parts
+    (deepest min balance, part-id tiebreak) are the reorder-policy
+    worklist.  Quantities are integral by construction, so balances
+    are exact BIGINTs.
+
+    Scale shape: ONE hash exchange on l_partkey feeds the running-sum
+    window (full deterministic tie-break: shipdate, orderkey,
+    linenumber) and the per-part rollup reuses the same partitioning;
+    TakeOrderedAndProject keeps the top-10 without a global sort."""
+    moves = t(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)"
+        " ELSE -CAST(l_quantity AS BIGINT) END AS delta",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bal = moves.select(
+        "l_partkey", F.sum("delta").over(w).alias("balance")
+    )
+    return (
+        bal.groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+            F.min("balance").cast("bigint").alias("min_balance"),
+            F.sum(F.when(F.col("balance") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below_zero"),
+            F.sum("balance").cast("bigint").alias("balance_mass"),
+        )
+        .orderBy("min_balance", "part")
+        .limit(10)
+    )

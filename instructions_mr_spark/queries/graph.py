@@ -942,3 +942,95 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_bfs_hops.__doc__ = (graph_bfs_hops.__doc__ or "").replace(
     "{_BFS_MAX_HOPS}", str(_BFS_MAX_HOPS)
 )
+
+
+# ------------------------------------ unnormalized integer HITS
+
+
+@query(
+    "graph_hits_unnormalized",
+    oracle="""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    a1 AS (SELECT b AS v, COUNT(*) AS s FROM e GROUP BY 1),
+    h1 AS (
+      SELECT e.a AS v, SUM(a1.s) AS s FROM e JOIN a1 ON e.b = a1.v
+      GROUP BY 1
+    ),
+    a2 AS (
+      SELECT e.b AS v, SUM(h1.s) AS s FROM e JOIN h1 ON e.a = h1.v
+      GROUP BY 1
+    ),
+    h2 AS (
+      SELECT e.a AS v, SUM(a2.s) AS s FROM e JOIN a2 ON e.b = a2.v
+      GROUP BY 1
+    ),
+    nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e)
+    SELECT n.v AS part, CAST(COALESCE(a2.s, 0) AS BIGINT) AS authority2,
+           CAST(COALESCE(h2.s, 0) AS BIGINT) AS hub2
+    FROM nodes n LEFT JOIN a2 ON n.v = a2.v LEFT JOIN h2 ON n.v = h2.v
+    ORDER BY authority2 DESC, hub2 DESC, part LIMIT 10
+    """,
+)
+def graph_hits_unnormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unnormalized HITS iterations (Kleinberg hubs/authorities)
+    over the co-purchase graph oriented low-id -> high-id: with
+    all-ones init, every score stays a pure INTEGER (a1 = indegree,
+    h1 = sum of successor indegrees, a2/h2 the next mutual
+    reinforcement) — the normalization that makes textbook HITS
+    float-fragile is a per-iteration scalar, so rankings are
+    identical and the cross-engine check is exact.  Top-10
+    authorities = the parts baskets converge ON; their hub twins =
+    the parts that anchor broad baskets.
+
+    Scale shape: the staged edge table is consumed by all four
+    propagation rounds; each round is one equi-join on a single int
+    key plus a map-side-combinable sum — the Pregel message pattern
+    as plain DataFrame ops, co-partitionable end to end at 100 TB
+    (scores bounded by deg^4 ~ 1e12 at web-scale degrees, inside
+    BIGINT).  TakeOrderedAndProject for the top-10, no global sort."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+    from instructions_mr_spark.queries.analytics import copurchase_pairs
+
+    e = supersede_checkpoint(
+        "hits_edges",
+        copurchase_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .localCheckpoint(),
+    )
+    a1 = e.groupBy(F.col("b").alias("v")).agg(F.count(F.lit(1)).alias("s"))
+    h1 = (
+        e.join(a1, e.b == a1.v)
+        .groupBy(F.col("a").alias("v2"))
+        .agg(F.sum("s").alias("s2"))
+        .select(F.col("v2").alias("v"), F.col("s2").alias("s"))
+    )
+    a2 = (
+        e.join(h1, e.a == h1.v)
+        .groupBy(F.col("b").alias("v2"))
+        .agg(F.sum("s").alias("s2"))
+        .select(F.col("v2").alias("v"), F.col("s2").alias("s"))
+    )
+    h2 = (
+        e.join(a2, e.b == a2.v)
+        .groupBy(F.col("a").alias("v2"))
+        .agg(F.sum("s").alias("s2"))
+        .select(F.col("v2").alias("v"), F.col("s2").alias("s"))
+    )
+    nodes = e.select(F.col("a").alias("v")).union(e.select("b")).distinct()
+    return (
+        nodes.join(a2.withColumnRenamed("s", "sa"), "v", "left")
+        .join(h2.withColumnRenamed("s", "sh"), "v", "left")
+        .select(
+            F.col("v").alias("part"),
+            F.coalesce("sa", F.lit(0)).cast("bigint").alias("authority2"),
+            F.coalesce("sh", F.lit(0)).cast("bigint").alias("hub2"),
+        )
+        .orderBy(F.desc("authority2"), F.desc("hub2"), "part")
+        .limit(10)
+    )

@@ -1935,3 +1935,154 @@ def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("auc_e6"),
     )
+
+
+# ------------------------------- Kendall concordance (trend terms)
+
+
+@query(
+    "kendall_tau_terms",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(COUNT(DISTINCT a.day_idx) + 1 AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN (a.cents < b.cents) THEN 1 ELSE 0 END)
+                AS BIGINT) AS concordant,
+           CAST(SUM(CASE WHEN (a.cents > b.cents) THEN 1 ELSE 0 END)
+                AS BIGINT) AS discordant,
+           CAST(SUM(CASE WHEN a.cents = b.cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS tied
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.day_idx < b.day_idx
+    GROUP BY 1
+    """,
+)
+def kendall_tau_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall trend concordance of daily revenue per event series —
+    the sufficient statistics of the Mann-Kendall monotone-trend
+    test: over all day pairs i < j, how many later days are higher
+    (concordant), lower (discordant), or equal (tied).  tau_a =
+    (C - D) / (C + D + T); emitted as raw integer terms per the
+    repo's no-ROUND convention (the caller picks tau_a / tau_b /
+    Mann-Kendall S from the same three numbers).  n_days counts
+    distinct LEFT endpoints + 1 = the series length.
+
+    Scale shape: the corpus-sized exchange is the (type, day)
+    aggregate; the pair join runs on the AGGREGATE (calendar-bounded
+    — days don't grow with corpus size, so the quadratic is over a
+    fixed-size table) and reduces map-side to |types| rows."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day_idx"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day_idx") < F.col("b.day_idx")),
+    )
+    return pairs.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        (F.countDistinct("a.day_idx") + 1).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("a.cents") < F.col("b.cents"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when(F.col("a.cents") > F.col("b.cents"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum(F.when(F.col("a.cents") == F.col("b.cents"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tied"),
+    )
+
+
+# --------------------------------- ordinal patterns (perm entropy)
+
+
+@query(
+    "ordinal_pattern_counts",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT event_type, cents AS x1,
+             LEAD(cents, 1) OVER (PARTITION BY event_type
+                                  ORDER BY day_idx) AS x2,
+             LEAD(cents, 2) OVER (PARTITION BY event_type
+                                  ORDER BY day_idx) AS x3
+      FROM daily
+    )
+    SELECT event_type,
+           CAST((CASE WHEN x2 > x1 THEN 2 WHEN x2 = x1 THEN 1 ELSE 0 END) * 9
+              + (CASE WHEN x3 > x2 THEN 2 WHEN x3 = x2 THEN 1 ELSE 0 END) * 3
+              + (CASE WHEN x3 > x1 THEN 2 WHEN x3 = x1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS pattern,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri WHERE x3 IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ordinal_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-pattern histogram of daily revenue per event series —
+    the counting core of permutation entropy (Bandt-Pompe):
+    every 3-day sliding window classifies into the relative order of
+    its values, encoded base-3 from the three pairwise signs
+    (down/tie/up -> 0/1/2; strict permutations land on the six codes
+    {2,6,8,18,20,24}, ties on the rest).  A series whose mass sits
+    on one code is predictable; uniform mass over all six is
+    noise-like — the regime classifier for the forecasting stack.
+
+    Scale shape: the (type, day) aggregate is the only corpus
+    exchange; LEAD windows run per series over the calendar-bounded
+    aggregate and the histogram reduce is map-side combinable.
+    Integer cents all the way — the sign classification never sees
+    a float."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day_idx"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    tri = daily.select(
+        "event_type",
+        F.col("cents").alias("x1"),
+        F.lead("cents", 1).over(w).alias("x2"),
+        F.lead("cents", 2).over(w).alias("x3"),
+    ).filter(F.col("x3").isNotNull())
+    code = F.expr(
+        "(CASE WHEN x2 > x1 THEN 2 WHEN x2 = x1 THEN 1 ELSE 0 END) * 9"
+        " + (CASE WHEN x3 > x2 THEN 2 WHEN x3 = x2 THEN 1 ELSE 0 END) * 3"
+        " + (CASE WHEN x3 > x1 THEN 2 WHEN x3 = x1 THEN 1 ELSE 0 END)"
+    )
+    return tri.groupBy(
+        "event_type", code.cast("bigint").alias("pattern")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -159,7 +159,9 @@ DRIVER_WINDOW: list[str] = [
 #   benford_digit_audit, degree_assortativity_terms, mad_robust_outliers,
 #   ks_split_drift, graph_bfs_hops, zone_map_skip_audit,
 #   gini_revenue_inequality, hhi_concentration, auc_mann_whitney,
-#   dau_wau_stickiness, recon_order_totals
+#   dau_wau_stickiness, recon_order_totals, graph_hits_unnormalized,
+#   itemset3_support, inventory_stockout_scan, kendall_tau_terms,
+#   ordinal_pattern_counts
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -163,3 +163,129 @@ def test_recon_exact_tolerance_and_orphan_header(spark, tmp_path):
         row.n_within_1pct,
         row.max_abs_diff_cents,
     ) == (3, 1, 2, 5000)
+
+
+def _write_lineitem_full(spark, tmp_path, rows):
+    """rows: (orderkey, partkey, linenumber, qty, returnflag, shipdate)"""
+    full = [
+        (ok, pk, 1, ln, float(q), 10.0, 0.0, 0.0, rf, "O", sd)
+        for ok, pk, ln, q, rf, sd in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def _write_valued_events(spark, tmp_path, rows):
+    """rows: (event_id, ts, value)"""
+    full = [(eid, ts, 1, "view", v, "{}") for eid, ts, v in rows]
+    df = spark.createDataFrame(
+        full,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_hits_two_iterations_hand_values(spark, tmp_path):
+    """Edges 1->2, 1->3, 2->3 (each pair in two orders): a1 = indeg
+    (2:1, 3:2); h1(1)=3, h1(2)=2; a2(2)=3, a2(3)=5; h2(1)=8,
+    h2(2)=5."""
+    _write_lineitem_full(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 1, 1, "N", datetime(2024, 1, 1)),
+            (1, 2, 2, 1, "N", datetime(2024, 1, 1)),
+            (1, 3, 3, 1, "N", datetime(2024, 1, 1)),
+            (2, 1, 1, 1, "N", datetime(2024, 1, 2)),
+            (2, 2, 2, 1, "N", datetime(2024, 1, 2)),
+            (2, 3, 3, 1, "N", datetime(2024, 1, 2)),
+        ],
+    )
+    got = registry.QUERIES["graph_hits_unnormalized"](
+        spark, str(tmp_path)
+    ).collect()
+    rows = [(r.part, r.authority2, r.hub2) for r in got]
+    assert rows == [(3, 5, 0), (2, 3, 5), (1, 0, 8)]
+
+
+def test_itemset3_counts_only_repeated_triples(spark, tmp_path):
+    """Orders 1 and 2 share basket {1,2,3}; order 3's {1,2,4} triple
+    appears once -> only (1,2,3) with support 2 survives."""
+    _write_lineitem_full(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 1, 1, "N", datetime(2024, 1, 1)),
+            (1, 2, 2, 1, "N", datetime(2024, 1, 1)),
+            (1, 3, 3, 1, "N", datetime(2024, 1, 1)),
+            (2, 1, 1, 1, "N", datetime(2024, 1, 1)),
+            (2, 2, 2, 1, "N", datetime(2024, 1, 1)),
+            (2, 3, 3, 1, "N", datetime(2024, 1, 1)),
+            (3, 1, 1, 1, "N", datetime(2024, 1, 1)),
+            (3, 2, 2, 1, "N", datetime(2024, 1, 1)),
+            (3, 4, 3, 1, "N", datetime(2024, 1, 1)),
+        ],
+    )
+    got = registry.QUERIES["itemset3_support"](spark, str(tmp_path)).collect()
+    assert [(r.part_a, r.part_b, r.part_c, r.support) for r in got] == [
+        (1, 2, 3, 2)
+    ]
+
+
+def test_inventory_running_balance(spark, tmp_path):
+    """Draw 5, restock 10, draw 3 -> balances -5, +5, +2: min -5,
+    one below-zero move, mass 2."""
+    _write_lineitem_full(
+        spark,
+        tmp_path,
+        [
+            (1, 7, 1, 5, "N", datetime(2024, 1, 1)),
+            (2, 7, 1, 10, "R", datetime(2024, 1, 2)),
+            (3, 7, 1, 3, "N", datetime(2024, 1, 3)),
+        ],
+    )
+    row = registry.QUERIES["inventory_stockout_scan"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (row.part, row.n_moves, row.min_balance, row.n_below_zero,
+            row.balance_mass) == (7, 3, -5, 1, 2)
+
+
+def test_kendall_terms_hand_values(spark, tmp_path):
+    """Daily cents 1, 3, 2 -> pairs (1,3) and (1,2) concordant,
+    (3,2) discordant."""
+    _write_valued_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 10), 0.01),
+            (2, datetime(2024, 1, 2, 10), 0.03),
+            (3, datetime(2024, 1, 3, 10), 0.02),
+        ],
+    )
+    row = registry.QUERIES["kendall_tau_terms"](spark, str(tmp_path)).collect()[0]
+    assert (row.n_days, row.concordant, row.discordant, row.tied) == (3, 2, 1, 0)
+
+
+def test_ordinal_pattern_code(spark, tmp_path):
+    """Window (1, 3, 2): up, down, up -> code 2*9 + 0*3 + 2 = 20."""
+    _write_valued_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 10), 0.01),
+            (2, datetime(2024, 1, 2, 10), 0.03),
+            (3, datetime(2024, 1, 3, 10), 0.02),
+        ],
+    )
+    got = registry.QUERIES["ordinal_pattern_counts"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [(r.pattern, r.n) for r in got] == [(20, 1)]

@@ -448,6 +448,20 @@ NOTES = {
     "recon_order_totals": "Detail rollup is map-side combinable and "
     "shuffles (orderkey, cents); header join co-partitionable on "
     "orderkey; audit reduces to |statuses| rows.",
+    "graph_hits_unnormalized": "Staged edge table consumed by all "
+    "four propagation rounds; each round one single-int-key join + "
+    "map-side sum; TakeOrderedAndProject top-10.",
+    "itemset3_support": "Staged per-order distinct; both self-joins "
+    "co-partitioned on l_orderkey; support rollup shuffles bare "
+    "integer triples.",
+    "inventory_stockout_scan": "One l_partkey exchange feeds the "
+    "running-sum window and the rollup; TakeOrderedAndProject "
+    "top-10.",
+    "kendall_tau_terms": "Pair join runs on the calendar-bounded "
+    "(type, day) aggregate, never raw events; reduces to |types| "
+    "rows.",
+    "ordinal_pattern_counts": "Daily aggregate + per-series LEAD "
+    "windows; histogram reduce is map-side combinable.",
 }
 
 
