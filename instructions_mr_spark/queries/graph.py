@@ -1034,3 +1034,77 @@ def graph_hits_unnormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority2"), F.desc("hub2"), "part")
         .limit(10)
     )
+
+
+# ------------------------------- bounded weighted shortest paths
+
+_BF_ROUNDS = 3
+
+
+@query(
+    "bellman_ford_bounded",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+      SELECT a, b, 1 + (a + b) % 5 AS w FROM e
+      UNION ALL
+      SELECT b, a, 1 + (a + b) % 5 FROM e
+    ),
+    seed AS (SELECT MIN(a) AS v FROM e),
+    walk(v, cost, hop) AS (
+      SELECT v, 0, 0 FROM seed
+      UNION
+      SELECT s.b, w.cost + s.w, w.hop + 1
+      FROM walk w JOIN sym s ON s.a = w.v
+      WHERE w.hop < {_BF_ROUNDS}
+    ),
+    md AS (SELECT v, MIN(cost) AS cost FROM walk GROUP BY v)
+    SELECT CAST(cost AS BIGINT) AS cost,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM md GROUP BY cost
+    """,
+)
+def bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted single-source shortest paths — {_BF_ROUNDS}
+    Bellman-Ford relaxation rounds from the lowest vertex id over the
+    co-purchase graph with deterministic integer edge weights
+    (1 + (a+b) % 5, the synthetic stand-in for a real cost column):
+    the min-PLUS sibling of graph_bfs_hops, reported as the
+    cost-histogram of best-known distances.  The oracle walks the
+    same {_BF_ROUNDS}-edge paths via a recursive CTE and must agree
+    on every (cost, count) row — a cross-ALGORITHM check (path
+    enumeration vs iterated relaxation).
+
+    Scale shape: each round is ONE equi-join of the full best-cost
+    table against the weighted edge list on the same int key plus a
+    min-fold — the Pregel message round as DataFrame algebra; the
+    cost table never exceeds |V| rows, rounds are statically bounded
+    (no driver convergence loop), and weights ride the staged edge
+    table so no recompute per round."""
+    e, _, _ = _copurchase_oriented(spark, sf_dir)
+    w_expr = (1 + (F.col("a") + F.col("b")) % 5).alias("w")
+    sym = e.select("a", "b", w_expr).unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"), w_expr)
+    )
+    dist = e.agg(F.min("a").alias("v")).withColumn("cost", F.lit(0))
+    for _ in range(_BF_ROUNDS):
+        nxt = dist.join(sym, dist.v == sym.a).select(
+            F.col("b").alias("v"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        dist = dist.unionAll(nxt).groupBy("v").agg(F.min("cost").alias("cost"))
+    return dist.groupBy("cost").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices")
+    ).select(F.col("cost").cast("bigint").alias("cost"), "n_vertices")
+
+
+bellman_ford_bounded.__doc__ = (bellman_ford_bounded.__doc__ or "").replace(
+    "{_BF_ROUNDS}", str(_BF_ROUNDS)
+)

@@ -2086,3 +2086,270 @@ def ordinal_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.groupBy(
         "event_type", code.cast("bigint").alias("pattern")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# ----------------------------------------- decile lift table
+
+
+@query(
+    "decile_lift_table",
+    oracle="""
+    WITH ranked AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             (ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1) * 10
+               // COUNT(*) OVER () + 1 AS decile
+      FROM documents
+    ),
+    d AS (
+      SELECT decile, COUNT(*) AS n_docs, SUM(pos) AS n_pos
+      FROM ranked GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_docs) AS tn, SUM(n_pos) AS tp FROM d)
+    SELECT decile,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_rate_e6,
+           CAST(SUM(CAST(n_pos AS HUGEINT))
+                  OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                * tn * 1000000
+                // (SUM(CAST(n_docs AS HUGEINT))
+                      OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                    * tp) AS BIGINT) AS cum_lift_e6
+    FROM d, tot
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table of document length as a ranker for
+    lang='en' — the standard model-eval readout for any scoring
+    gate: rank by score descending, cut into 10 equal-population
+    buckets (explicit (rank-1)*10 DIV n arithmetic, NOT NTILE, so
+    boundary ties resolve identically on both engines via the
+    doc_id tiebreak), and report each decile's positive rate plus
+    the cumulative lift over the base rate.  Lift > 1e6 in early
+    deciles = the score concentrates positives; the e6 ratio keeps
+    the whole readout integer with DECIMAL(38,0)/HUGEINT numerators
+    (cum_pos * total_n * 1e6 passes BIGINT near ~1e9 docs).
+
+    Scale shape: the global rank is the one total-order operation —
+    at 100 TB it swaps to the range-partitioned two-phase rank
+    (range_partition_bounds); everything after runs on 10 rows."""
+    docs = t(spark, sf_dir, "documents").selectExpr(
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos",
+        "n_chars",
+        "doc_id",
+    )
+    n_total = Window.partitionBy()
+    ranked = docs.select(
+        "pos",
+        F.expr(
+            "(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1) * 10"
+        ).alias("rm"),
+        F.count(F.lit(1)).over(n_total).alias("n"),
+    ).select("pos", (F.expr("rm DIV n") + 1).alias("decile"))
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("pos").alias("n_pos")
+    )
+    tot = d.agg(
+        F.sum("n_docs").alias("tn"), F.sum("n_pos").alias("tp")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.expr("CAST(n_pos * 1000000 DIV n_docs AS BIGINT)").alias(
+                "pos_rate_e6"
+            ),
+            F.sum("n_pos").over(wc).alias("_cp"),
+            F.sum("n_docs").over(wc).alias("_cn"),
+            "tn",
+            "tp",
+        )
+        .selectExpr(
+            "decile",
+            "n_docs",
+            "n_pos",
+            "pos_rate_e6",
+            "CAST(CAST(_cp AS DECIMAL(38,0)) * tn * 1000000"
+            " DIV (CAST(_cn AS DECIMAL(38,0)) * tp) AS BIGINT)"
+            " AS cum_lift_e6",
+        )
+    )
+
+
+# ------------------------------------------ winsorized sums
+
+
+@query(
+    "winsorize_clip_stats",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    v AS (
+      SELECT event_type, cents, COUNT(*) AS c FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    fence AS (
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN 20 * cum_c >= n THEN cents END) AS lo,
+             MIN(CASE WHEN 20 * cum_c >= 19 * n THEN cents END) AS hi
+      FROM cum GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(f.n AS BIGINT) AS n,
+           CAST(f.lo AS BIGINT) AS lo_cents,
+           CAST(f.hi AS BIGINT) AS hi_cents,
+           CAST(SUM(v.cents * v.c) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN v.cents < f.lo THEN f.lo
+                         WHEN v.cents > f.hi THEN f.hi
+                         ELSE v.cents END * v.c) AS BIGINT)
+             AS sum_winsorized,
+           CAST(SUM(CASE WHEN v.cents < f.lo THEN v.c ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN v.cents > f.hi THEN v.c ELSE 0 END)
+                AS BIGINT) AS n_clipped_high
+    FROM v JOIN fence f USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def winsorize_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5th/95th-percentile-clipped) series totals — the
+    outlier-robust preprocessing every metrics pipeline applies
+    before averaging heavy-tailed values, reported with the exact
+    integer fences and how much mass moved: both percentiles come
+    from the value-domain identity (smallest cents whose scaled
+    cumulative count clears the threshold — the lower-percentile
+    twin of mad_robust_outliers' median), so fences, clipped sums,
+    and clip counts are all exact integers.
+
+    Scale shape: one (type, value) count aggregate, one cumulative
+    window over DISTINCT values, and the clip pass runs on the
+    COUNT table (|distinct values| rows) with the 5-row fence table
+    broadcast — raw events are touched exactly once."""
+    base = t(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents"
+    )
+    v = base.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    cum = v.select(
+        "event_type",
+        "cents",
+        "c",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    fence = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(20 * F.col("cum_c") >= F.col("n"), F.col("cents"))).alias("lo"),
+        F.min(
+            F.when(20 * F.col("cum_c") >= 19 * F.col("n"), F.col("cents"))
+        ).alias("hi"),
+    )
+    j = v.join(F.broadcast(fence), "event_type")
+    clipped = (
+        F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("cents"))
+    )
+    return j.groupBy(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("lo").cast("bigint").alias("lo_cents"),
+        F.col("hi").cast("bigint").alias("hi_cents"),
+    ).agg(
+        F.sum(F.col("cents") * F.col("c")).cast("bigint").alias("sum_cents"),
+        F.sum(clipped * F.col("c")).cast("bigint").alias("sum_winsorized"),
+        F.sum(F.when(F.col("cents") < F.col("lo"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("cents") > F.col("hi"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+    )
+
+
+# --------------------------------- autocorrelation lag terms
+
+
+@query(
+    "acf_lag_terms",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // 100 AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT 1 AS lag UNION ALL SELECT 7)
+    SELECT a.event_type, l.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(a.x * b.x) AS BIGINT) AS s_xy,
+           CAST(SUM(a.x) AS BIGINT) AS s_x,
+           CAST(SUM(b.x) AS BIGINT) AS s_y,
+           CAST(SUM(a.x * a.x) AS BIGINT) AS s_xx,
+           CAST(SUM(b.x * b.x) AS BIGINT) AS s_yy
+    FROM lags l, daily a
+    JOIN daily b ON a.event_type = b.event_type
+    WHERE b.day_idx = a.day_idx + l.lag
+    GROUP BY 1, 2
+    """,
+)
+def acf_lag_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation sufficient statistics at lags 1 and 7 for the
+    daily-revenue series of each event type — the exact integer
+    moments (pair count, cross product, both marginal sums and
+    squares) from which Pearson r at each lag assembles: lag-1 reads
+    momentum, lag-7 reads weekly seasonality, and emitting the
+    moments instead of the ratio keeps the repo's no-float-finals
+    convention (the same technique as rolling_corr_terms).  Daily
+    totals are floored to whole dollars so the squared terms hold in
+    BIGINT through ~1e9x scale-up.
+
+    Scale shape: the (type, day) aggregate is the only corpus-sized
+    exchange; the lag joins run on the calendar-bounded aggregate
+    (equi-join on shifted day index, broadcastable) and the moment
+    rollup is map-side combinable."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day_idx"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) DIV 100"
+            ).alias("x")
+        )
+    )
+    lags = daily.sparkSession.createDataFrame([(1,), (7,)], "lag int")
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day_idx") == F.col("a.day_idx") + F.col("lag")),
+    )
+    return pairs.groupBy(
+        F.col("a.event_type").alias("event_type"),
+        F.col("lag").cast("bigint").alias("lag"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("a.x") * F.col("b.x")).cast("bigint").alias("s_xy"),
+        F.sum("a.x").cast("bigint").alias("s_x"),
+        F.sum("b.x").cast("bigint").alias("s_y"),
+        F.sum(F.col("a.x") * F.col("a.x")).cast("bigint").alias("s_xx"),
+        F.sum(F.col("b.x") * F.col("b.x")).cast("bigint").alias("s_yy"),
+    )

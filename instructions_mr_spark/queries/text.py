@@ -2335,3 +2335,87 @@ phrase_match_positions.__doc__ = (phrase_match_positions.__doc__ or "").replace(
 rank_fusion_borda.__doc__ = (rank_fusion_borda.__doc__ or "").replace(
     "{_FUSE_TERMS}", str(_FUSE_TERMS)
 )
+
+
+# --------------------------------------- n-gram novelty over time
+
+
+@query(
+    "ngram_novelty_rate",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, source,
+             {duck_h60('gram', 41)} AS gk
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+                 AS gram
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+              FROM documents)
+        WHERE len(words) >= 3
+      )
+    ),
+    first AS (SELECT gk, MIN(doc_id) AS first_doc FROM grams GROUP BY 1)
+    SELECT g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_e6
+    FROM grams g JOIN first f USING (gk)
+    GROUP BY 1
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty rate of word 3-grams under doc-id
+    (= ingestion) order: the share of a source's distinct
+    (doc, gram) occurrences where that doc is the gram's FIRST
+    appearance in the whole corpus — the 'is this feed still
+    teaching the model anything new' curve that drives crawl
+    re-visit budgets; boilerplate-heavy feeds decay toward zero.
+
+    Scale shape: grams never shuffle as strings — each gram maps to
+    the portable 60-bit digest (spark_h60/duck_h60, the r7 digest-key
+    convention) at the scan, so the first-seen aggregate and the
+    join back both exchange bare BIGINTs; the per-source rollup is
+    map-side combinable.  Gram explosion is linear in corpus tokens
+    and pipelined inside the scan stage."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 3)
+    )
+    grams = (
+        words.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("words") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("words", i),
+                            F.element_at("words", i + 1),
+                            F.element_at("words", i + 2),
+                        ),
+                    )
+                )
+            ).alias("gram"),
+        )
+        .selectExpr("doc_id", "source", f"{spark_h60('gram', 41)} AS gk")
+        .distinct()
+    )
+    first = grams.groupBy("gk").agg(F.min("doc_id").alias("first_doc"))
+    j = grams.join(first, "gk")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.expr(
+            "CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("novelty_e6"),
+    )

@@ -161,7 +161,8 @@ DRIVER_WINDOW: list[str] = [
 #   gini_revenue_inequality, hhi_concentration, auc_mann_whitney,
 #   dau_wau_stickiness, recon_order_totals, graph_hits_unnormalized,
 #   itemset3_support, inventory_stockout_scan, kendall_tau_terms,
-#   ordinal_pattern_counts
+#   ordinal_pattern_counts, bellman_ford_bounded, ngram_novelty_rate,
+#   decile_lift_table, winsorize_clip_stats, acf_lag_terms
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -289,3 +289,112 @@ def test_ordinal_pattern_code(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert [(r.pattern, r.n) for r in got] == [(20, 1)]
+
+
+def test_bellman_ford_weighted_costs(spark, tmp_path):
+    """Edges (1,2) w=4 and (2,3) w=1 (weights 1+(a+b)%%5), seed 1:
+    best costs 0, 4, 5 -> one vertex at each."""
+    _write_lineitem_full(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 1, 1, "N", datetime(2024, 1, 1)),
+            (1, 2, 2, 1, "N", datetime(2024, 1, 1)),
+            (2, 1, 1, 1, "N", datetime(2024, 1, 1)),
+            (2, 2, 2, 1, "N", datetime(2024, 1, 1)),
+            (3, 2, 1, 1, "N", datetime(2024, 1, 1)),
+            (3, 3, 2, 1, "N", datetime(2024, 1, 1)),
+            (4, 2, 1, 1, "N", datetime(2024, 1, 1)),
+            (4, 3, 2, 1, "N", datetime(2024, 1, 1)),
+        ],
+    )
+    got = sorted(
+        (r.cost, r.n_vertices)
+        for r in registry.QUERIES["bellman_ford_bounded"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [(0, 1), (4, 1), (5, 1)]
+
+
+def test_ngram_novelty_first_seen(spark, tmp_path):
+    """Doc 1 introduces both its grams; doc 2 repeats one of them;
+    doc 3 (other source) only repeats -> A 3/4 novel, B 0/1."""
+    _write_docs_src = [
+        (1, "a b c d", "en", "A", 7),
+        (2, "a b c x", "en", "A", 7),
+        (3, "a b c", "en", "B", 5),
+    ]
+    df = spark.createDataFrame(
+        _write_docs_src,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: r
+        for r in registry.QUERIES["ngram_novelty_rate"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got["A"].n_grams, got["A"].n_novel, got["A"].novelty_e6) == (
+        4,
+        3,
+        750000,
+    )
+    assert (got["B"].n_grams, got["B"].n_novel, got["B"].novelty_e6) == (1, 0, 0)
+
+
+def test_decile_lift_hand_values(spark, tmp_path):
+    """10 docs, length-descending ids, the two longest are 'en':
+    decile 1 and 2 each hold one positive -> cumulative lift 5x
+    through decile 2, then decaying."""
+    rows = [
+        (i, "x", ("en" if i <= 2 else "fr"), "s", 11 - i) for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.decile: r
+        for r in registry.QUERIES["decile_lift_table"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(got) == 10 and all(got[d].n_docs == 1 for d in got)
+    assert got[1].pos_rate_e6 == 1000000 and got[1].cum_lift_e6 == 5000000
+    assert got[2].cum_lift_e6 == 5000000
+    assert got[3].cum_lift_e6 == 3333333
+    assert got[10].cum_lift_e6 == 1000000
+
+
+def test_winsorize_fences_and_sums(spark, tmp_path):
+    """Cents 1..20: lo fence 1, hi fence 19 -> only the 20 clips,
+    sum drops from 210 to 209."""
+    _write_valued_events(
+        spark,
+        tmp_path,
+        [(i, datetime(2024, 1, 1, 10, i), i / 100.0) for i in range(1, 21)],
+    )
+    row = registry.QUERIES["winsorize_clip_stats"](spark, str(tmp_path)).collect()[0]
+    assert (row.n, row.lo_cents, row.hi_cents) == (20, 1, 19)
+    assert (row.sum_cents, row.sum_winsorized) == (210, 209)
+    assert (row.n_clipped_low, row.n_clipped_high) == (0, 1)
+
+
+def test_acf_lag1_moments(spark, tmp_path):
+    """Daily dollars 1, 2, 3: lag-1 pairs (1,2),(2,3) -> s_xy 8,
+    s_x 3, s_y 5, s_xx 5, s_yy 13; no lag-7 pairs exist."""
+    _write_valued_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 10), 1.0),
+            (2, datetime(2024, 1, 2, 10), 2.0),
+            (3, datetime(2024, 1, 3, 10), 3.0),
+        ],
+    )
+    got = registry.QUERIES["acf_lag_terms"](spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0].lag == 1
+    r = got[0]
+    assert (r.n_pairs, r.s_xy, r.s_x, r.s_y, r.s_xx, r.s_yy) == (2, 8, 3, 5, 5, 13)

@@ -462,6 +462,20 @@ NOTES = {
     "rows.",
     "ordinal_pattern_counts": "Daily aggregate + per-series LEAD "
     "windows; histogram reduce is map-side combinable.",
+    "bellman_ford_bounded": "Three static min-plus rounds, each one "
+    "equi-join of the best-cost table against staged weighted edges "
+    "on the same int key; cost table bounded by |V|.",
+    "ngram_novelty_rate": "Gram digests (60-bit) computed in the "
+    "scan stage; first-seen aggregate and join-back exchange bare "
+    "BIGINTs; per-source rollup map-side combinable.",
+    "decile_lift_table": "One global rank over (score, id); decile "
+    "rollup and lift math run on 10 rows; swap to two-phase "
+    "range-partitioned rank at 100 TB.",
+    "winsorize_clip_stats": "One (type, value) count aggregate + "
+    "cumulative window over distinct values; clip pass on the count "
+    "table with the 5-row fence broadcast.",
+    "acf_lag_terms": "Lag equi-joins run on the calendar-bounded "
+    "(type, day) aggregate; moment rollup map-side combinable.",
 }
 
 
