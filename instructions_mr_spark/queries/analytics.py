@@ -2820,3 +2820,157 @@ def inventory_stockout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("min_balance", "part")
         .limit(10)
     )
+
+
+# ---------------------------------------- brand share shift
+
+
+@query(
+    "brand_share_shift",
+    oracle="""
+    WITH li AS (
+      SELECT p.p_brand AS brand,
+             epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000
+               AS day_idx,
+             CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                        * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    mid AS (SELECT (MIN(day_idx) + MAX(day_idx)) // 2 AS m FROM li),
+    halves AS (
+      SELECT brand,
+             SUM(CASE WHEN day_idx <= m THEN cents ELSE 0 END) AS early_cents,
+             SUM(CASE WHEN day_idx > m THEN cents ELSE 0 END) AS late_cents
+      FROM li, mid GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(early_cents) AS te, SUM(late_cents) AS tl FROM halves
+    )
+    SELECT brand,
+           CAST(early_cents AS BIGINT) AS early_cents,
+           CAST(late_cents AS BIGINT) AS late_cents,
+           CAST(early_cents * 1000000 // te AS BIGINT) AS early_share_e6,
+           CAST(late_cents * 1000000 // tl AS BIGINT) AS late_share_e6,
+           CAST(late_cents * 1000000 // tl
+                - early_cents * 1000000 // te AS BIGINT) AS delta_e6
+    FROM halves, tot
+    """,
+)
+def brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-share drift per part brand between the early and late
+    halves of the shipping calendar (split at the integer midpoint
+    day) — the assortment-drift readout category managers and
+    mixture re-balancers both read: delta_e6 > 0 means the brand is
+    gaining share.  Revenue is DECIMAL-exact discounted cents; both
+    halves' shares are e6 integers and the delta is a pure integer
+    subtraction (negatives fine — no division of signed values).
+
+    Scale shape: part joins broadcast onto the fact scan; the brand
+    half-sums are ONE map-side-combinable aggregate over bounded
+    (brand) keys; the calendar midpoint is a 1-row broadcast scalar;
+    shares run on the |brands| aggregate."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .selectExpr(
+            "p_brand AS brand",
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000"
+            " AS day_idx",
+            "CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(8,4))) * 100) AS BIGINT)"
+            " AS cents",
+        )
+    )
+    li = supersede_checkpoint("brand_shift_li", li.localCheckpoint())
+    mid = li.agg(
+        F.expr("(MIN(day_idx) + MAX(day_idx)) DIV 2").alias("m")
+    )
+    halves = (
+        li.crossJoin(F.broadcast(mid))
+        .groupBy("brand")
+        .agg(
+            F.sum(
+                F.when(F.col("day_idx") <= F.col("m"), F.col("cents")).otherwise(0)
+            ).alias("early_cents"),
+            F.sum(
+                F.when(F.col("day_idx") > F.col("m"), F.col("cents")).otherwise(0)
+            ).alias("late_cents"),
+        )
+    )
+    tot = halves.agg(
+        F.sum("early_cents").alias("te"), F.sum("late_cents").alias("tl")
+    )
+    return halves.crossJoin(F.broadcast(tot)).selectExpr(
+        "brand",
+        "CAST(early_cents AS BIGINT) AS early_cents",
+        "CAST(late_cents AS BIGINT) AS late_cents",
+        "CAST(early_cents * 1000000 DIV te AS BIGINT) AS early_share_e6",
+        "CAST(late_cents * 1000000 DIV tl AS BIGINT) AS late_share_e6",
+        "CAST(late_cents * 1000000 DIV tl"
+        " - early_cents * 1000000 DIV te AS BIGINT) AS delta_e6",
+    )
+
+
+# ---------------------------------------- open-order backlog aging
+
+
+@query(
+    "backlog_aging_buckets",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               AS day_idx,
+             CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    mx AS (SELECT MAX(day_idx) AS m FROM o)
+    SELECT o_orderpriority,
+           CAST(LEAST((m - day_idx) // 180, 6) AS BIGINT) AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM o, mx GROUP BY 1, 2
+    """,
+)
+def backlog_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging — every still-open ('O') order binned
+    by how many 180-day periods it has been waiting (capped at
+    bucket 6 = '3+ years stale'), per priority class, with the cents
+    at stake: the receivables-aging report every ops dashboard
+    carries, and the data-freshness audit shape for any
+    status-driven table.  Ages are integer day arithmetic against
+    the newest open order (NTZ-safe epoch-day indices).
+
+    Scale shape: status filter pushes into the scan; the max-day
+    scalar broadcasts; one map-side-combinable aggregate over
+    (priority, bucket) — at most 5 x 7 output rows."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .selectExpr(
+            "o_orderpriority",
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+            " AS day_idx",
+            "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)"
+            " AS cents",
+        )
+    )
+    mx = o.agg(F.max("day_idx").alias("m"))
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(
+            "o_orderpriority",
+            F.expr("CAST(LEAST((m - day_idx) DIV 180, 6) AS BIGINT)").alias(
+                "age_bucket"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("value_cents"),
+        )
+    )

@@ -2353,3 +2353,69 @@ def acf_lag_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("a.x") * F.col("a.x")).cast("bigint").alias("s_xx"),
         F.sum(F.col("b.x") * F.col("b.x")).cast("bigint").alias("s_yy"),
     )
+
+
+# -------------------------------- chi-square contingency terms
+
+
+@query(
+    "chi2_lang_source_terms",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+    ),
+    r AS (SELECT lang, SUM(obs) AS rn FROM o GROUP BY 1),
+    c AS (SELECT source, SUM(obs) AS cn FROM o GROUP BY 1),
+    n AS (SELECT SUM(obs) AS nn FROM o)
+    SELECT o.lang, o.source,
+           CAST(o.obs AS BIGINT) AS observed,
+           CAST(r.rn * c.cn * 1000000 // n.nn AS BIGINT) AS expected_e6,
+           CAST((o.obs * n.nn - r.rn * c.cn)
+                * CAST(o.obs * n.nn - r.rn * c.cn AS HUGEINT)
+                * 1000000
+                // (n.nn * r.rn * c.cn) AS BIGINT) AS contrib_e6
+    FROM o JOIN r USING (lang) JOIN c USING (source), n
+    """,
+)
+def chi2_lang_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence terms for the (lang, source)
+    contingency table — the 'is language mix independent of feed'
+    audit behind corpus-composition dashboards: per observed cell,
+    the count, its independence expectation R*C/N, and its chi-square
+    contribution (O*N - R*C)^2 / (N*R*C), both as e6 integers under
+    truncating division so the whole table is cross-engine exact
+    (sum contrib_e6/1e6 ~ the chi-square statistic).  The squared
+    numerator is widened to DECIMAL(38,0)/HUGEINT — exact through
+    ~1e8 docs; past that the e6 readout wants a split-scale rescale
+    (documented bound, same class as pareto's BIGINT note).
+
+    Scale shape: one (lang, source) count aggregate is the corpus
+    exchange; margins derive from that aggregate (never re-scan) and
+    broadcast back onto the bounded cell table."""
+    o = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint()
+    )
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    o = supersede_checkpoint("chi2_cells", o)
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("cn"))
+    n = o.agg(F.sum("obs").alias("nn"))
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "lang",
+            "source",
+            "CAST(obs AS BIGINT) AS observed",
+            "CAST(rn * cn * 1000000 DIV nn AS BIGINT) AS expected_e6",
+            "CAST(CAST(obs * nn - rn * cn AS DECIMAL(38,0))"
+            " * (obs * nn - rn * cn) * 1000000"
+            " DIV (CAST(nn AS DECIMAL(38,0)) * rn * cn) AS BIGINT)"
+            " AS contrib_e6",
+        )
+    )

@@ -487,3 +487,65 @@ def event_disorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "disorder_bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ------------------------------------- windowed top-k event types
+
+
+@query(
+    "stream_topk_types",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT window_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM c
+    )
+    SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour top-3 event types — the trending-now panel: the
+    STREAMING-SHAPED leaderboard whose state is one additive count
+    per (window, type) pair (exactly what Structured Streaming
+    maintains incrementally under a watermark); the rank-and-cut
+    readout runs downstream of the state store on the tiny per-window
+    aggregate, never on raw events.  Ties break deterministically by
+    (count DESC, type ASC) on both engines.
+
+    Scale shape: one (window, type) group-by with map-side partial
+    counts; WindowGroupLimit prunes the per-window rank before the
+    sort materializes more than k rows per group."""
+    from pyspark.sql import Window
+
+    c = (
+        t(spark, sf_dir, "events")
+        .select(F.window("ts", "1 hour").alias("w"), "event_type")
+        .groupBy(F.col("w.start").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = c.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.row_number()
+        .over(
+            Window.partitionBy("window_start").orderBy(
+                F.desc("n"), "event_type"
+            )
+        )
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 3)
+    return r.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )

@@ -2419,3 +2419,86 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV COUNT(*) AS BIGINT)"
         ).alias("novelty_e6"),
     )
+
+
+# -------------------------------------- curation gate waterfall
+
+
+@query(
+    "filter_waterfall_attrition",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             COUNT(*) AS n0,
+             SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN n_chars >= 100 AND lang = 'en'
+                      THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN n_chars >= 100 AND lang = 'en'
+                       AND len(string_split(text, ' ')) >= 20
+                      THEN 1 ELSE 0 END) AS n3
+      FROM documents GROUP BY 1
+    )
+    SELECT source, 0 AS stage, 'all' AS gate,
+           CAST(n0 AS BIGINT) AS n_surviving,
+           CAST(1000000 AS BIGINT) AS survival_e6 FROM f
+    UNION ALL
+    SELECT source, 1, 'min_chars', CAST(n1 AS BIGINT),
+           CAST(n1 * 1000000 // n0 AS BIGINT) FROM f
+    UNION ALL
+    SELECT source, 2, 'lang_en', CAST(n2 AS BIGINT),
+           CAST(n2 * 1000000 // n0 AS BIGINT) FROM f
+    UNION ALL
+    SELECT source, 3, 'min_words', CAST(n3 AS BIGINT),
+           CAST(n3 * 1000000 // n0 AS BIGINT) FROM f
+    """,
+)
+def filter_waterfall_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-gate waterfall — per source, how many documents
+    survive each successive quality gate (length floor, then
+    language, then word-count floor) and the cumulative survival
+    rate: the attrition report every data-curation pipeline publishes
+    so a feed that suddenly loses 90%% at one gate is caught before
+    training.  Gates here are the cheap deterministic stand-ins for
+    the production classifiers (quality_filter_gopher et al.); the
+    SHAPE — nested conditional counts in one pass, then a bounded
+    unpivot — is the production plan.
+
+    Scale shape: ONE scan with nested conditional aggregates (each
+    doc evaluated once, map-side combinable); the 4-stage unpivot
+    (stack) runs on |sources| rows, never on the corpus."""
+    f = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(F.when(F.col("n_chars") >= 100, 1).otherwise(0)).alias("n1"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") >= 100) & (F.col("lang") == "en"), 1
+                ).otherwise(0)
+            ).alias("n2"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") >= 100)
+                    & (F.col("lang") == "en")
+                    & (F.size(F.split("text", " ")) >= 20),
+                    1,
+                ).otherwise(0)
+            ).alias("n3"),
+        )
+    )
+    return f.selectExpr(
+        "source",
+        "stack(4,"
+        " 0, 'all', CAST(n0 AS BIGINT), CAST(1000000 AS BIGINT),"
+        " 1, 'min_chars', CAST(n1 AS BIGINT), CAST(n1 * 1000000 DIV n0 AS BIGINT),"
+        " 2, 'lang_en', CAST(n2 AS BIGINT), CAST(n2 * 1000000 DIV n0 AS BIGINT),"
+        " 3, 'min_words', CAST(n3 AS BIGINT), CAST(n3 * 1000000 DIV n0 AS BIGINT)"
+        ") AS (stage, gate, n_surviving, survival_e6)",
+    ).selectExpr(
+        "source",
+        "CAST(stage AS INT) AS stage",
+        "gate",
+        "n_surviving",
+        "survival_e6",
+    )

@@ -162,7 +162,9 @@ DRIVER_WINDOW: list[str] = [
 #   dau_wau_stickiness, recon_order_totals, graph_hits_unnormalized,
 #   itemset3_support, inventory_stockout_scan, kendall_tau_terms,
 #   ordinal_pattern_counts, bellman_ford_bounded, ngram_novelty_rate,
-#   decile_lift_table, winsorize_clip_stats, acf_lag_terms
+#   decile_lift_table, winsorize_clip_stats, acf_lag_terms,
+#   chi2_lang_source_terms, brand_share_shift, backlog_aging_buckets,
+#   filter_waterfall_attrition, stream_topk_types
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -398,3 +398,170 @@ def test_acf_lag1_moments(spark, tmp_path):
     assert len(got) == 1 and got[0].lag == 1
     r = got[0]
     assert (r.n_pairs, r.s_xy, r.s_x, r.s_y, r.s_xx, r.s_yy) == (2, 8, 3, 5, 5, 13)
+
+
+def test_chi2_terms_hand_values(spark, tmp_path):
+    """Cells (en,A)=2, (en,B)=1, (fr,A)=1: expected shares 2.25 /
+    0.75 / 0.75; contributions 1/36, 1/12, 1/12."""
+    rows = [
+        (1, "x", "en", "A", 5),
+        (2, "x", "en", "A", 5),
+        (3, "x", "en", "B", 5),
+        (4, "x", "fr", "A", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.lang, r.source): r
+        for r in registry.QUERIES["chi2_lang_source_terms"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[("en", "A")].observed == 2
+    assert got[("en", "A")].expected_e6 == 2250000
+    assert got[("en", "A")].contrib_e6 == 27777
+    assert got[("en", "B")].expected_e6 == 750000
+    assert got[("en", "B")].contrib_e6 == 83333
+    assert got[("fr", "A")].contrib_e6 == 83333
+
+
+def _write_parts(spark, tmp_path, rows):
+    """rows: (partkey, brand)"""
+    full = [(pk, f"part{pk}", br, "TYPE", 1, 1.0) for pk, br in rows]
+    df = spark.createDataFrame(
+        full,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+
+def _write_lineitem_priced(spark, tmp_path, rows):
+    """rows: (orderkey, partkey, extendedprice, shipdate)"""
+    full = [
+        (ok, pk, 1, 1, 1.0, ep, 0.0, 0.0, "N", "O", sd)
+        for ok, pk, ep, sd in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def test_brand_share_shift_hand_values(spark, tmp_path):
+    """Early half: both brands $100 (50/50).  Late half: only B1
+    ($300) -> B1 gains 50 points, B2 loses 50."""
+    _write_parts(spark, tmp_path, [(1, "B1"), (2, "B2")])
+    _write_lineitem_priced(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 100.0, datetime(2024, 1, 1)),
+            (2, 2, 100.0, datetime(2024, 1, 1)),
+            (3, 1, 300.0, datetime(2024, 1, 11)),
+        ],
+    )
+    got = {
+        r.brand: r
+        for r in registry.QUERIES["brand_share_shift"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got["B1"].early_share_e6, got["B1"].late_share_e6,
+            got["B1"].delta_e6) == (500000, 1000000, 500000)
+    assert (got["B2"].early_share_e6, got["B2"].late_share_e6,
+            got["B2"].delta_e6) == (500000, 0, -500000)
+
+
+def test_backlog_aging_buckets(spark, tmp_path):
+    """Ages 0, 200, 400, 1200 days vs the newest open order land in
+    buckets 0, 1, 2 and the capped 6."""
+    base = datetime(2024, 12, 31)
+    from datetime import timedelta
+
+    _write_orders(
+        spark,
+        tmp_path,
+        [(1, 1, 10.0)],
+    )
+    rows = [
+        (1, 1, "O", 10.0, base, "1-URGENT"),
+        (2, 1, "O", 10.0, base - timedelta(days=200), "1-URGENT"),
+        (3, 1, "O", 10.0, base - timedelta(days=400), "1-URGENT"),
+        (4, 1, "O", 10.0, base - timedelta(days=1200), "1-URGENT"),
+        (5, 1, "F", 10.0, base - timedelta(days=900), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = sorted(
+        (r.age_bucket, r.n_orders)
+        for r in registry.QUERIES["backlog_aging_buckets"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [(0, 1), (1, 1), (2, 1), (6, 1)]
+
+
+def test_filter_waterfall_stages(spark, tmp_path):
+    """4 docs: one passes everything, one fails words, one fails
+    length, one fails language -> 4, 3, 2, 1 down the gates."""
+    long_text = " ".join(f"w{i}" for i in range(25))
+    rows = [
+        (1, long_text, "en", "A", 150),
+        (2, "short text", "en", "A", 150),
+        (3, long_text, "en", "A", 50),
+        (4, long_text, "fr", "A", 150),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.stage: r
+        for r in registry.QUERIES["filter_waterfall_attrition"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert [(got[s].n_surviving, got[s].survival_e6) for s in range(4)] == [
+        (4, 1000000),
+        (3, 750000),
+        (2, 500000),
+        (1, 250000),
+    ]
+
+
+def test_stream_topk_types_batch_twin(spark, tmp_path):
+    """One hour with counts a=3, b=2, c=1, d=1 -> top-3 is a, b, c
+    (alphabetical tie-break keeps d out)."""
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 1), 1, "a", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 2), 1, "a", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 3), 1, "a", 1.0, "{}"),
+        (4, datetime(2024, 1, 1, 10, 4), 1, "b", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 10, 5), 1, "b", 1.0, "{}"),
+        (6, datetime(2024, 1, 1, 10, 6), 1, "c", 1.0, "{}"),
+        (7, datetime(2024, 1, 1, 10, 7), 1, "d", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        (r.rnk, r.event_type, r.n)
+        for r in registry.QUERIES["stream_topk_types"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [(1, "a", 3), (2, "b", 2), (3, "c", 1)]

@@ -863,3 +863,52 @@ def test_stream_quantile_bins_histogram_matches_batch(spark, events_stream, sf_d
             if 100 * cum >= 50 * n and p50 is None:
                 p50 = b * _SQB_WIDTH
         assert twin[w] == p50
+
+
+def test_stream_topk_types_matches_batch(spark, events_stream, sf_dir):
+    """The windowed leaderboard's state — per (window, type) counts —
+    is a plain additive aggregate, so it runs under readStream +
+    watermark unchanged; the top-3 cut over the emitted state must
+    match the registered batch twin for every fully-emitted window."""
+    stream, batch = events_stream
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    _run_to_completion(agg, "stream_topk_t", "append")
+    got = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM stream_topk_t").collect()
+    }
+    expected = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+    from instructions_mr_spark import registry as _reg
+
+    _reg.load_all()
+    emitted_windows = {w for (w, _) in got}
+    full = [
+        w for w in emitted_windows
+        if sum(1 for (w2, _) in expected if w2 == w)
+        == sum(1 for (w2, _) in got if w2 == w)
+    ]
+    assert full, "watermark emitted no complete window"
+    twin = {}
+    for r in _reg.QUERIES["stream_topk_types"](spark, sf_dir).collect():
+        twin.setdefault(r.window_start, []).append((r.rnk, r.event_type, r.n))
+    for w in full:
+        rows = sorted(
+            ((w2, t2), c) for (w2, t2), c in got.items() if w2 == w
+        )
+        ranked = sorted(
+            ((c, t2) for (_, t2), c in rows), key=lambda x: (-x[0], x[1])
+        )[:3]
+        want = [(i + 1, t2, c) for i, (c, t2) in enumerate(ranked)]
+        assert sorted(twin[w]) == sorted(want)

@@ -476,6 +476,19 @@ NOTES = {
     "table with the 5-row fence broadcast.",
     "acf_lag_terms": "Lag equi-joins run on the calendar-bounded "
     "(type, day) aggregate; moment rollup map-side combinable.",
+    "chi2_lang_source_terms": "One (lang, source) aggregate staged; "
+    "margins derive from it (no re-scan) and broadcast back onto "
+    "the bounded cell table.",
+    "brand_share_shift": "Part dim broadcast onto the fact scan; "
+    "one map-side-combinable half-sum aggregate per bounded brand "
+    "key; 1-row midpoint scalar broadcast.",
+    "backlog_aging_buckets": "Status filter pushed to the scan; "
+    "max-day scalar broadcast; one bounded-key aggregate.",
+    "filter_waterfall_attrition": "Single scan, nested conditional "
+    "aggregates (each doc once); stack unpivot on |sources| rows.",
+    "stream_topk_types": "(window, type) counts with map-side "
+    "partials; WindowGroupLimit prunes per-window rank to k before "
+    "the sort.",
 }
 
 
