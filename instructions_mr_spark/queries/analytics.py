@@ -2974,3 +2974,161 @@ def backlog_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("value_cents"),
         )
     )
+
+
+# ------------------------------------ inter-purchase gap profile
+
+
+@query(
+    "interpurchase_gap_profile",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+               AS day_idx,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    gaps AS (
+      SELECT segment,
+             day_idx - LAG(day_idx) OVER (PARTITION BY o_custkey
+                                          ORDER BY day_idx, o_orderkey)
+               AS gap
+      FROM o
+    ),
+    g AS (SELECT segment, gap FROM gaps WHERE gap IS NOT NULL),
+    v AS (SELECT segment, gap, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    cum AS (
+      SELECT segment, gap, c,
+             SUM(c) OVER (PARTITION BY segment ORDER BY gap
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER (PARTITION BY segment) AS n
+      FROM v
+    )
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN 2 * cum_c >= n THEN gap END) AS BIGINT)
+             AS median_gap_days,
+           CAST(MIN(CASE WHEN 10 * cum_c >= 9 * n THEN gap END) AS BIGINT)
+             AS p90_gap_days
+    FROM cum GROUP BY segment
+    """,
+)
+def interpurchase_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap profile per market segment — the repeat-
+    purchase cadence (median and p90 days between a customer's
+    consecutive orders) that drives churn-window and re-engagement
+    timing; both order statistics are value-domain exact integers
+    over day gaps (the percentile_group_twophase identity), with the
+    LAG tie-break pinned by (day, orderkey) so same-day orders are
+    deterministic.
+
+    Scale shape: one custkey-partitioned LAG window over (customer,
+    day) rows — the corpus exchange — then the gap histogram and
+    cumulative picks run on DISTINCT (segment, gap) rows only;
+    segment table broadcasts onto the order scan."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .selectExpr(
+            "c_mktsegment AS segment",
+            "o_custkey",
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+            " AS day_idx",
+            "o_orderkey",
+        )
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("day_idx", "o_orderkey")
+    gaps = o.select(
+        "segment", (F.col("day_idx") - F.lag("day_idx").over(wl)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    v = gaps.groupBy("segment", "gap").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("segment").orderBy("gap")
+    cum = v.select(
+        "segment",
+        "gap",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy("segment")).alias("n"),
+    )
+    return cum.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min(F.when(2 * F.col("cum_c") >= F.col("n"), F.col("gap")))
+        .cast("bigint")
+        .alias("median_gap_days"),
+        F.min(F.when(10 * F.col("cum_c") >= 9 * F.col("n"), F.col("gap")))
+        .cast("bigint")
+        .alias("p90_gap_days"),
+    )
+
+
+# ------------------------------------ week-over-week revenue delta
+
+
+@query(
+    "wow_revenue_delta",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week_idx,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, week_idx, cents,
+             LAG(cents) OVER (PARTITION BY event_type
+                              ORDER BY week_idx) AS prev_cents
+      FROM weekly
+    )
+    SELECT event_type, week_idx,
+           CAST(prev_cents AS BIGINT) AS prev_cents,
+           CAST(cents AS BIGINT) AS cur_cents,
+           CAST(cents - prev_cents AS BIGINT) AS delta_cents,
+           CAST(cents * 1000000 // prev_cents AS BIGINT) AS ratio_e6
+    FROM lagged WHERE prev_cents IS NOT NULL
+    """,
+)
+def wow_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue movement per event series — the
+    headline growth panel: each week's total against the previous
+    week as a signed integer delta plus an e6 ratio (1e6 = flat;
+    division only of positive totals, so truncation is
+    deterministic).  Week indices are integer epoch arithmetic —
+    no calendar/locale drift between engines.
+
+    Scale shape: the weekly aggregate is the corpus exchange
+    (map-side combinable); LAG and the readout run per series over
+    the calendar-bounded weekly rows."""
+    weekly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000"
+            ).alias("week_idx"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week_idx")
+    lagged = weekly.select(
+        "event_type",
+        "week_idx",
+        "cents",
+        F.lag("cents").over(w).alias("prev_cents"),
+    ).filter(F.col("prev_cents").isNotNull())
+    return lagged.selectExpr(
+        "event_type",
+        "week_idx",
+        "CAST(prev_cents AS BIGINT) AS prev_cents",
+        "CAST(cents AS BIGINT) AS cur_cents",
+        "CAST(cents - prev_cents AS BIGINT) AS delta_cents",
+        "CAST(cents * 1000000 DIV prev_cents AS BIGINT) AS ratio_e6",
+    )

@@ -1232,3 +1232,109 @@ def recon_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_abs_diff_cents"),
     )
+
+
+# ------------------------------------ shipment latency audit
+
+
+@query(
+    "shipment_latency_audit",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority,
+             epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+             - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+               AS gap_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(SUM(CASE WHEN gap_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_90,
+           CAST(SUM(CASE WHEN gap_days > 90 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS late_share_e6
+    FROM j GROUP BY o_orderpriority
+    """,
+)
+def shipment_latency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency audit per priority class — how long
+    lines actually take to ship after the order is placed, with the
+    share blowing the 90-day SLA: the fulfillment-health readout (and
+    the generic header-timestamp vs detail-timestamp lag audit for
+    any two-feed lakehouse).  Gaps are integer epoch-day differences;
+    the SLA share is e6 under truncating division.
+
+    Scale shape: the one fact-fact join keys on l_orderkey /
+    o_orderkey (co-partitionable / bucketable at 100 TB — the
+    join_bucketed strategy); the audit aggregate is map-side
+    combinable onto 5 priority rows."""
+    li = t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000"
+        " AS ship_day",
+    )
+    o = t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        " AS order_day",
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", (F.col("ship_day") - F.col("order_day")).alias("gap_days")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("gap_days").cast("bigint").alias("sum_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        F.sum(F.when(F.col("gap_days") > 90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_90"),
+        F.expr(
+            "CAST(SUM(CASE WHEN gap_days > 90 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("late_share_e6"),
+    )
+
+
+# ------------------------------------ hash-shard balance audit
+
+
+@query(
+    "hash_shard_balance",
+    oracle="""
+    WITH s AS (
+      SELECT ('0x' || substr(md5(o_orderkey::VARCHAR || '#13'), 1, 15))::BIGINT % 32 AS shard FROM orders
+    ),
+    c AS (SELECT shard, COUNT(*) AS n FROM s GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM c)
+    SELECT shard, CAST(n AS BIGINT) AS n,
+           CAST(n * 32 * 1000000 // total AS BIGINT) AS load_e6
+    FROM c, tot
+""",
+)
+def hash_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit for hash partitioning — assign every order
+    to one of 32 shards by the portable 60-bit digest of its key and
+    report each shard's row count and load factor (e6 units; 1e6 =
+    perfectly even).  This is the pre-flight check before committing
+    a partitioning/bucketing key at 100 TB: a key whose load_e6
+    spread is wide (skewed or low-cardinality) will hotspot every
+    downstream shuffle, and the SAME digest (spark_h60/duck_h60) is
+    what the repo's digest-keyed dedup ops shuffle on — so this
+    audits the actual production key function, cross-engine exact.
+
+    Scale shape: the digest is a scan projection; one
+    map-side-combinable count per 32 bounded keys; the total is a
+    1-row broadcast."""
+    s = t(spark, sf_dir, "orders").selectExpr(
+        "CAST(CONV(SUBSTRING(MD5(CAST(CAST(o_orderkey AS STRING) || '#13' AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 32 AS shard"
+    )
+    c = s.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(tot)).selectExpr(
+        "shard",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(n * 32 * 1000000 DIV total AS BIGINT) AS load_e6",
+    )

@@ -2419,3 +2419,112 @@ def chi2_lang_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS contrib_e6",
         )
     )
+
+
+# ------------------------------------ Wald-Wolfowitz runs counts
+
+
+@query(
+    "runs_test_counts",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT event_type, cents, COUNT(*) AS c FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT event_type,
+             MIN(CASE WHEN 2 * cum_c >= n THEN cents END) AS med
+      FROM cum GROUP BY event_type
+    ),
+    signed AS (
+      SELECT d.event_type, d.day_idx,
+             CASE WHEN d.cents > m.med THEN 1 ELSE 0 END AS up
+      FROM daily d JOIN med m USING (event_type)
+    ),
+    runs AS (
+      SELECT event_type, up,
+             CASE WHEN LAG(up) OVER (PARTITION BY event_type
+                                     ORDER BY day_idx) IS DISTINCT FROM up
+                  THEN 1 ELSE 0 END AS run_start
+      FROM signed
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(up) AS BIGINT) AS n_above,
+           CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_below,
+           CAST(SUM(run_start) AS BIGINT) AS n_runs
+    FROM runs GROUP BY event_type
+    """,
+)
+def runs_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs-test counts on each series' daily revenue
+    vs its exact median — the randomness screen forecasting pipelines
+    run before trusting residuals: too FEW runs means the series is
+    trending/sticky, too many means oscillation.  The median is the
+    value-domain lower median (integer cents), above/below is a
+    strict comparison (ties fold into 'below', stated policy), and
+    the run count is a LAG-transition sum — every emitted number is
+    an exact integer.
+
+    Scale shape: the (type, day) aggregate is the corpus exchange;
+    the median pass and the run scan both operate on the
+    calendar-bounded aggregate with the |types|-row median table
+    broadcast back."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day_idx"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+            ).alias("cents")
+        )
+    )
+    v = daily.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    cum = v.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("cum_c") >= F.col("n"), F.col("cents"))).alias(
+            "med"
+        )
+    )
+    signed = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day_idx",
+        F.when(F.col("cents") > F.col("med"), 1).otherwise(0).alias("up"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day_idx")
+    runs = signed.select(
+        "event_type",
+        "up",
+        F.when(
+            ~F.lag("up").over(wd).eqNullSafe(F.col("up")), 1
+        ).otherwise(0).alias("run_start"),
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("up").cast("bigint").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("bigint").alias("n_below"),
+        F.sum("run_start").cast("bigint").alias("n_runs"),
+    )

@@ -164,7 +164,9 @@ DRIVER_WINDOW: list[str] = [
 #   ordinal_pattern_counts, bellman_ford_bounded, ngram_novelty_rate,
 #   decile_lift_table, winsorize_clip_stats, acf_lag_terms,
 #   chi2_lang_source_terms, brand_share_shift, backlog_aging_buckets,
-#   filter_waterfall_attrition, stream_topk_types
+#   filter_waterfall_attrition, stream_topk_types, runs_test_counts,
+#   interpurchase_gap_profile, wow_revenue_delta, shipment_latency_audit,
+#   hash_shard_balance
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -565,3 +565,100 @@ def test_stream_topk_types_batch_twin(spark, tmp_path):
         ).collect()
     )
     assert got == [(1, "a", 3), (2, "b", 2), (3, "c", 1)]
+
+
+def test_runs_test_hand_values(spark, tmp_path):
+    """Daily cents 1, 5, 5, 1 with median 1: signs 0,1,1,0 -> 3 runs,
+    two days above, two at-or-below."""
+    _write_valued_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 10), 0.01),
+            (2, datetime(2024, 1, 2, 10), 0.05),
+            (3, datetime(2024, 1, 3, 10), 0.05),
+            (4, datetime(2024, 1, 4, 10), 0.01),
+        ],
+    )
+    row = registry.QUERIES["runs_test_counts"](spark, str(tmp_path)).collect()[0]
+    assert (row.n_days, row.n_above, row.n_below, row.n_runs) == (4, 2, 2, 3)
+
+
+def test_interpurchase_gaps(spark, tmp_path):
+    """One customer ordering on days 0, 10, 40 -> gaps 10 and 30:
+    median 10, p90 30."""
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1)
+    _write_customers(spark, tmp_path, [(1, "A")])
+    rows = [
+        (1, 1, "O", 10.0, base, "1-URGENT"),
+        (2, 1, "O", 10.0, base + timedelta(days=10), "1-URGENT"),
+        (3, 1, "O", 10.0, base + timedelta(days=40), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    row = registry.QUERIES["interpurchase_gap_profile"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (row.n_gaps, row.median_gap_days, row.p90_gap_days) == (2, 10, 30)
+
+
+def test_wow_revenue_delta(spark, tmp_path):
+    """Week totals 100 then 150 cents -> delta +50, ratio 1.5e6."""
+    _write_valued_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 10), 1.00),
+            (2, datetime(2024, 1, 15, 10), 1.50),
+        ],
+    )
+    got = registry.QUERIES["wow_revenue_delta"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.prev_cents, r.cur_cents, r.delta_cents, r.ratio_e6) == (
+        100,
+        150,
+        50,
+        1500000,
+    )
+
+
+def test_shipment_latency_audit(spark, tmp_path):
+    """Gaps 10 and 100 days: one SLA breach of two lines."""
+    _write_orders(spark, tmp_path, [(1, 1, 10.0)])
+    _write_lineitem_priced(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 10.0, datetime(2024, 1, 11)),
+            (1, 1, 10.0, datetime(2024, 4, 10)),
+        ],
+    )
+    row = registry.QUERIES["shipment_latency_audit"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (row.n_lines, row.sum_gap_days, row.max_gap_days, row.n_over_90,
+            row.late_share_e6) == (2, 110, 100, 1, 500000)
+
+
+def test_hash_shard_balance_matches_reference_digest(spark, tmp_path):
+    """The shard assignment IS the portable md5-60 digest mod 32 —
+    pin one key against a pure-python recompute, and the load factor
+    of a single-row table is 32e6 on its shard."""
+    import hashlib
+
+    _write_orders(spark, tmp_path, [(1, 1, 10.0)])
+    expected_shard = int(hashlib.md5(b"1#13").hexdigest()[:15], 16) % 32
+    got = registry.QUERIES["hash_shard_balance"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert (got[0].shard, got[0].n, got[0].load_e6) == (
+        expected_shard,
+        1,
+        32000000,
+    )

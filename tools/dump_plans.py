@@ -489,6 +489,19 @@ NOTES = {
     "stream_topk_types": "(window, type) counts with map-side "
     "partials; WindowGroupLimit prunes per-window rank to k before "
     "the sort.",
+    "runs_test_counts": "Value-domain median on the daily aggregate "
+    "(broadcast back); run transitions via one LAG window per "
+    "series.",
+    "interpurchase_gap_profile": "One custkey-partitioned LAG "
+    "window; histogram + cumulative picks on DISTINCT (segment, "
+    "gap) rows; segment dim broadcast.",
+    "wow_revenue_delta": "Weekly aggregate map-side combinable; LAG "
+    "over calendar-bounded weekly rows.",
+    "shipment_latency_audit": "Fact-fact join on orderkey "
+    "(co-partitionable/bucketable); map-side audit aggregate to 5 "
+    "rows.",
+    "hash_shard_balance": "Digest computed as a scan projection; "
+    "32-key map-side count; 1-row total broadcast.",
 }
 
 
