@@ -3132,3 +3132,212 @@ def wow_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(cents - prev_cents AS BIGINT) AS delta_cents",
         "CAST(cents * 1000000 DIV prev_cents AS BIGINT) AS ratio_e6",
     )
+
+
+# -------------------------------------- linear (even-split) attribution
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_p
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, event_id, event_type AS channel, ts,
+             cum_p + 1 AS conv
+      FROM ordered WHERE event_type IN ('click', 'view')
+    ),
+    convs AS (
+      SELECT DISTINCT user_id, cum_p AS conv FROM ordered
+      WHERE event_type = 'purchase'
+    ),
+    grp AS (
+      SELECT t.channel,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY t.user_id, t.conv) AS n
+      FROM touches t JOIN convs c
+        ON c.user_id = t.user_id AND c.conv = t.conv
+      WINDOW w AS (PARTITION BY t.user_id, t.conv ORDER BY t.ts, t.event_id)
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(10000 // n
+                    + CASE WHEN rn = n THEN 10000 % n ELSE 0 END)
+                AS BIGINT) AS credit_bp
+    FROM grp GROUP BY 1
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (even-split) multi-touch attribution — every touch in a
+    converted journey gets an equal share of the purchase's 10000
+    basis points, completing the attribution family (last-touch /
+    U-shaped / time-decay / linear).  The split is the truncated
+    integer share with the remainder absorbed by the LAST touch
+    (stated policy), so per-conversion credit sums to exactly 10000
+    on both engines with no fractional credit anywhere.
+
+    Scale shape: identical to attribution_position_based — ONE
+    user-keyed exchange serves the running purchase counter, the
+    journey rank/size windows, and the converted-journey join; the
+    channel rollup is tiny."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_p"),
+    )
+    touches = ordered.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("channel"),
+        "ts",
+        (F.col("cum_p") + 1).alias("conv"),
+    )
+    convs = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("cum_p").alias("conv"))
+        .distinct()
+    )
+    wj = Window.partitionBy("user_id", "conv").orderBy("ts", "event_id")
+    grp = (
+        touches.join(convs, ["user_id", "conv"])
+        .select(
+            "channel",
+            F.row_number().over(wj).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id", "conv"))
+            .alias("n"),
+        )
+    )
+    return grp.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum(
+            F.expr("10000 DIV n + CASE WHEN rn = n THEN 10000 % n ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("credit_bp"),
+    )
+
+
+# ------------------------------------------ user acquisition curve
+
+
+@query(
+    "user_acquisition_curve",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             user_id
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(day_idx) AS first_day FROM d GROUP BY 1),
+    daily AS (
+      SELECT d.day_idx,
+             COUNT(*) AS n_active,
+             SUM(CASE WHEN f.first_day = d.day_idx THEN 1 ELSE 0 END)
+               AS n_new
+      FROM d JOIN firsts f USING (user_id)
+      GROUP BY 1
+    )
+    SELECT day_idx,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day_idx
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+)
+def user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily acquisition curve — active users, first-ever-seen users,
+    and the cumulative registered base per day: the growth chart
+    every product review opens with, and the user-id twin of
+    ngram_novelty_rate's first-seen logic.  Day indices are integer
+    epoch arithmetic (NTZ-safe).
+
+    Scale shape: one DISTINCT (day, user) aggregate is the corpus
+    exchange; first-seen derives from it by user (same key space),
+    joins back on user_id, and the cumulative window runs over
+    calendar-bounded daily rows."""
+    d = (
+        t(spark, sf_dir, "events")
+        .selectExpr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS day_idx",
+            "user_id",
+        )
+        .distinct()
+    )
+    firsts = d.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    daily = (
+        d.join(firsts, "user_id")
+        .groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day_idx"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    wc = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day_idx",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.sum("n_new").over(wc).cast("bigint").alias("cum_users"),
+    )
+
+
+# ------------------------------------------ discount-volume curve
+
+
+@query(
+    "discount_volume_curve",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(CAST(l_discount AS DECIMAL(8,4)) * 100)
+                  AS BIGINT) AS discount_pct,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty,
+           CAST(SUM(qty) * 1000000 // COUNT(*) AS BIGINT)
+             AS qty_per_line_e6
+    FROM b GROUP BY 1
+    """,
+)
+def discount_volume_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-response curve — line volume and average quantity per
+    whole-percent discount band: the demand-elasticity readout
+    pricing teams eyeball before fitting anything fancier (does a
+    deeper discount actually move units?).  The discount bands come
+    from DECIMAL-exact flooring (never a float bucket boundary) and
+    the per-line average is e6 integer units.
+
+    Scale shape: pure scan projection + one map-side-combinable
+    aggregate over ~11 bounded discount keys — the cheapest possible
+    plan at any scale."""
+    b = t(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(FLOOR(CAST(l_discount AS DECIMAL(8,4)) * 100) AS BIGINT)"
+        " AS discount_pct",
+        "CAST(l_quantity AS BIGINT) AS qty",
+    )
+    return b.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("qty").cast("bigint").alias("sum_qty"),
+        F.expr("CAST(SUM(qty) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+            "qty_per_line_e6"
+        ),
+    )

@@ -1338,3 +1338,101 @@ def hash_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n",
         "CAST(n * 32 * 1000000 DIV total AS BIGINT) AS load_e6",
     )
+
+
+# ------------------------------------ dimension coverage audit
+
+
+@query(
+    "dim_coverage_audit",
+    oracle="""
+    WITH c AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             )) AS used
+      FROM customer c
+    ),
+    p AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE EXISTS (
+               SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+             )) AS used
+      FROM part p
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE EXISTS (
+               SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+             )) AS used
+      FROM supplier s
+    )
+    SELECT 'customer' AS dim, CAST(n AS BIGINT) AS n_rows,
+           CAST(used AS BIGINT) AS n_referenced,
+           CAST(used * 1000000 // n AS BIGINT) AS coverage_e6 FROM c
+    UNION ALL
+    SELECT 'part', CAST(n AS BIGINT), CAST(used AS BIGINT),
+           CAST(used * 1000000 // n AS BIGINT) FROM p
+    UNION ALL
+    SELECT 'supplier', CAST(n AS BIGINT), CAST(used AS BIGINT),
+           CAST(used * 1000000 // n AS BIGINT) FROM s
+    """,
+)
+def dim_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-utilization audit — what share of each dimension
+    table is actually referenced by fact rows (customers with at
+    least one order, parts and suppliers with at least one line):
+    the complement of fk_orphan_audit (facts pointing nowhere) —
+    here it's dimensions nothing points AT, the signal for stale
+    dim rows, over-provisioned SCD history, and broadcast-size
+    estimates.
+
+    Scale shape: each coverage is the dimension LEFT-joined to the
+    DISTINCT fact keys (existence as a null-check — no fact-side
+    duplication reaches the aggregate) and reduced map-side to ONE
+    row; the whole query is a single action over a 3-row union, no
+    driver-side counting loop."""
+
+    def cov(dim_df, key, fact_df, fkey, name):
+        used_keys = fact_df.select(fkey).distinct()
+        return (
+            dim_df.select(key)
+            .join(used_keys, F.col(key) == F.col(fkey), "left")
+            .agg(
+                F.lit(name).alias("dim"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count(fkey).cast("bigint").alias("n_referenced"),
+                F.expr(
+                    f"CAST(COUNT({fkey}) * 1000000 DIV COUNT(*) AS BIGINT)"
+                ).alias("coverage_e6"),
+            )
+            .select("dim", "n_rows", "n_referenced", "coverage_e6")
+        )
+
+    return (
+        cov(
+            t(spark, sf_dir, "customer"),
+            "c_custkey",
+            t(spark, sf_dir, "orders"),
+            "o_custkey",
+            "customer",
+        )
+        .unionAll(
+            cov(
+                t(spark, sf_dir, "part"),
+                "p_partkey",
+                t(spark, sf_dir, "lineitem"),
+                "l_partkey",
+                "part",
+            )
+        )
+        .unionAll(
+            cov(
+                t(spark, sf_dir, "supplier"),
+                "s_suppkey",
+                t(spark, sf_dir, "lineitem"),
+                "l_suppkey",
+                "supplier",
+            )
+        )
+    )

@@ -2502,3 +2502,87 @@ def filter_waterfall_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_surviving",
         "survival_e6",
     )
+
+
+# --------------------------------------- cross-source vocab overlap
+
+
+@query(
+    "source_vocab_overlap",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT source, {duck_h60('tok', 43)} AS gk
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM v a JOIN v b ON a.gk = b.gk AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(sa.n AS BIGINT) AS n_vocab_a,
+           CAST(sb.n AS BIGINT) AS n_vocab_b,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST(i.n_shared * 1000000 // (sa.n + sb.n - i.n_shared)
+                AS BIGINT) AS jaccard_e6
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — which feeds
+    speak the same language (literally): the corpus-composition
+    signal behind mixture design (near-duplicate feeds waste budget)
+    and domain-shift alarms (a feed whose vocabulary overlap
+    collapses changed its content).  Vocabulary items are word
+    digests (the portable 60-bit key — strings never shuffle), the
+    intersection comes from a digest-keyed self-join, and the union
+    is inclusion-exclusion over exact integer sizes.
+
+    Scale shape: one DISTINCT (source, digest) aggregate is the
+    corpus exchange; the self-join keys on the digest (bare BIGINT,
+    co-partitioned with the distinct), intersections roll up
+    map-side to |sources|^2/2 rows, and the tiny size table joins
+    broadcast."""
+    v = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .selectExpr("source", f"{spark_h60('tok', 43)} AS gk")
+        .distinct()
+    )
+    v = supersede_checkpoint("vocab_overlap_v", v.localCheckpoint())
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gk") == F.col("b.gk"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "CAST(na AS BIGINT) AS n_vocab_a",
+            "CAST(nb AS BIGINT) AS n_vocab_b",
+            "CAST(n_shared AS BIGINT) AS n_shared",
+            "CAST(n_shared * 1000000 DIV (na + nb - n_shared) AS BIGINT)"
+            " AS jaccard_e6",
+        )
+    )

@@ -166,7 +166,8 @@ DRIVER_WINDOW: list[str] = [
 #   chi2_lang_source_terms, brand_share_shift, backlog_aging_buckets,
 #   filter_waterfall_attrition, stream_topk_types, runs_test_counts,
 #   interpurchase_gap_profile, wow_revenue_delta, shipment_latency_audit,
-#   hash_shard_balance
+#   hash_shard_balance, attribution_linear, user_acquisition_curve,
+#   discount_volume_curve, source_vocab_overlap, dim_coverage_audit
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

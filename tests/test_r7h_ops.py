@@ -662,3 +662,124 @@ def test_hash_shard_balance_matches_reference_digest(spark, tmp_path):
         1,
         32000000,
     )
+
+
+def test_attribution_linear_even_split(spark, tmp_path):
+    """Journey view, click, view -> purchase: 3333 bp each with the
+    remainder (1 bp) on the last touch -> view 6667, click 3333."""
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 1), 1, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 10, 2), 1, "view", 1.0, "{}"),
+        (4, datetime(2024, 1, 1, 10, 3), 1, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.channel: r
+        for r in registry.QUERIES["attribution_linear"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got["view"].n_touches, got["view"].credit_bp) == (2, 6667)
+    assert (got["click"].n_touches, got["click"].credit_bp) == (1, 3333)
+
+
+def test_user_acquisition_curve(spark, tmp_path):
+    """u1 appears day 1; u1 and u2 day 2 -> new 1/1, cumulative 1/2."""
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 10), 1),
+            (2, datetime(2024, 1, 2, 10), 1),
+            (3, datetime(2024, 1, 2, 11), 2),
+        ],
+    )
+    got = sorted(
+        (r.n_active, r.n_new, r.cum_users)
+        for r in registry.QUERIES["user_acquisition_curve"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [(1, 1, 1), (2, 1, 2)]
+
+
+def test_discount_volume_curve(spark, tmp_path):
+    """Band 5%% holds qty 3+5 (avg 4), band 0%% holds qty 1."""
+    rows = [
+        (1, 1, 1, 1, 3.0, 10.0, 0.05, 0.0, "N", "O", datetime(2024, 1, 1)),
+        (2, 1, 1, 1, 5.0, 10.0, 0.05, 0.0, "N", "O", datetime(2024, 1, 1)),
+        (3, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.discount_pct: r
+        for r in registry.QUERIES["discount_volume_curve"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got[5].n_lines, got[5].sum_qty, got[5].qty_per_line_e6) == (
+        2,
+        8,
+        4000000,
+    )
+    assert (got[0].n_lines, got[0].sum_qty, got[0].qty_per_line_e6) == (
+        1,
+        1,
+        1000000,
+    )
+
+
+def test_source_vocab_overlap_jaccard(spark, tmp_path):
+    """Vocab A = {a,b,c}, B = {b,c,d}: 2 shared of 4 union = 0.5."""
+    rows = [
+        (1, "a b c", "en", "A", 5),
+        (2, "b c d", "en", "B", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = registry.QUERIES["source_vocab_overlap"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.source_a, r.source_b, r.n_vocab_a, r.n_vocab_b, r.n_shared,
+            r.jaccard_e6) == ("A", "B", 3, 3, 2, 500000)
+
+
+def test_dim_coverage_audit(spark, tmp_path):
+    """Customer 2 of 2 never ordered -> 50%%; the single part and
+    supplier are both referenced -> 100%%."""
+    _write_customers(spark, tmp_path, [(1, "A"), (2, "A")])
+    _write_orders(spark, tmp_path, [(1, 1, 10.0)])
+    _write_parts(spark, tmp_path, [(1, "B1")])
+    _write_lineitem_priced(
+        spark, tmp_path, [(1, 1, 10.0, datetime(2024, 1, 1))]
+    )
+    sup = spark.createDataFrame(
+        [(1, "Supplier#1", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    sup.write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    got = {
+        r.dim: r
+        for r in registry.QUERIES["dim_coverage_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got["customer"].n_rows, got["customer"].n_referenced,
+            got["customer"].coverage_e6) == (2, 1, 500000)
+    assert got["part"].coverage_e6 == 1000000
+    assert got["supplier"].coverage_e6 == 1000000

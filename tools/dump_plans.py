@@ -502,6 +502,17 @@ NOTES = {
     "rows.",
     "hash_shard_balance": "Digest computed as a scan projection; "
     "32-key map-side count; 1-row total broadcast.",
+    "attribution_linear": "Same plan family as "
+    "attribution_position_based: one user-keyed exchange for "
+    "counter + journey windows + converted-journey join.",
+    "user_acquisition_curve": "One DISTINCT (day, user) exchange; "
+    "first-seen derives by user; cumulative window on daily rows.",
+    "discount_volume_curve": "Scan projection + one "
+    "map-side-combinable aggregate over ~11 bounded keys.",
+    "source_vocab_overlap": "Staged DISTINCT (source, digest); "
+    "self-join keyed on the bare-BIGINT digest; sizes broadcast.",
+    "dim_coverage_audit": "Three LEFT joins dim->DISTINCT fact keys "
+    "each reduced to one row; single action, no driver loop.",
 }
 
 
