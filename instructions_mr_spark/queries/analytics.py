@@ -3341,3 +3341,215 @@ def discount_volume_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_per_line_e6"
         ),
     )
+
+
+# ------------------------------------------ cart abandonment
+
+
+@query(
+    "cart_abandonment_daily",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS clicked,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS bought
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day_idx,
+           CAST(SUM(clicked) AS BIGINT) AS n_clickers,
+           CAST(SUM(CASE WHEN clicked = 1 AND bought = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN clicked = 1 AND bought = 0
+                         THEN 1 ELSE 0 END) * 1000000
+                // SUM(clicked) AS BIGINT) AS abandonment_e6
+    FROM d GROUP BY 1 HAVING SUM(clicked) > 0
+    """,
+)
+def cart_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cart abandonment — of the users who clicked that day,
+    the share who never purchased the SAME day: the conversion-leak
+    panel merchandising teams watch hourly; a spike localizes a
+    checkout regression to the day it shipped.  Same-day scoping
+    makes the flags pure per-(day, user) aggregates (no cross-day
+    state), and the rate is e6 integer units.
+
+    Scale shape: ONE (day, user) aggregate with two conditional
+    MAX flags is the corpus exchange; the daily rollup reduces it
+    map-side to calendar-bounded rows."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day_idx"),
+            "user_id",
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicked"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("bought"),
+        )
+    )
+    return (
+        d.groupBy("day_idx")
+        .agg(
+            F.sum("clicked").cast("bigint").alias("n_clickers"),
+            F.sum(
+                F.when((F.col("clicked") == 1) & (F.col("bought") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_converted"),
+            F.expr(
+                "CAST(SUM(CASE WHEN clicked = 1 AND bought = 0 THEN 1 ELSE 0"
+                " END) * 1000000 DIV SUM(clicked) AS BIGINT)"
+            ).alias("abandonment_e6"),
+        )
+        .filter(F.col("n_clickers") > 0)
+    )
+
+
+# ------------------------------------- price-band x segment mix
+
+
+@query(
+    "priceband_segment_mix",
+    oracle="""
+    WITH f AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(FLOOR(CAST(p.p_retailprice AS DECIMAL(12,2)) / 10)
+                  AS BIGINT) AS price_band,
+             CAST(FLOOR(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(8,4)))
+                        * 100) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    m AS (
+      SELECT segment, price_band,
+             COUNT(*) AS n_lines, SUM(cents) AS rev_cents
+      FROM f GROUP BY 1, 2
+    )
+    SELECT segment, price_band,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(rev_cents * 1000000
+                // SUM(rev_cents) OVER (PARTITION BY segment)
+                AS BIGINT) AS seg_share_e6
+    FROM m
+    """,
+)
+def priceband_segment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue mix by part price band within each customer segment —
+    the assortment cross-tab ('do BUILDING customers buy premium
+    parts?') merchandisers and mixture designers read side by side:
+    $10-wide retail-price bands from DECIMAL-exact flooring,
+    revenue in exact cents, and each cell's share of its segment in
+    e6 units.
+
+    Scale shape: the q9 join family — part and customer broadcast,
+    the only wide exchange is lineitem-orders on orderkey
+    (co-partitionable/bucketable); the mix rollup reduces to
+    |segments| x |bands| rows and the share window runs there."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .selectExpr(
+            "c_mktsegment AS segment",
+            "CAST(FLOOR(CAST(p_retailprice AS DECIMAL(12,2)) / 10)"
+            " AS BIGINT) AS price_band",
+            "CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(8,4))) * 100) AS BIGINT)"
+            " AS cents",
+        )
+    )
+    m = f.groupBy("segment", "price_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    wseg = Window.partitionBy("segment")
+    return m.select(
+        "segment",
+        "price_band",
+        "n_lines",
+        "rev_cents",
+        F.expr("rev_cents * 1000000").alias("_num"),
+        F.sum("rev_cents").over(wseg).alias("_den"),
+    ).selectExpr(
+        "segment",
+        "price_band",
+        "n_lines",
+        "rev_cents",
+        "CAST(_num DIV _den AS BIGINT) AS seg_share_e6",
+    )
+
+
+# ------------------------------------------ returns rate by brand
+
+
+@query(
+    "brand_return_rates",
+    oracle="""
+    WITH f AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+             CAST(FLOOR(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(8,4)))
+                        * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(ret) AS BIGINT) AS n_returned,
+           CAST(SUM(ret) * 1000000 // COUNT(*) AS BIGINT)
+             AS return_rate_e6,
+           CAST(SUM(CASE WHEN ret = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS returned_cents
+    FROM f GROUP BY 1
+    """,
+)
+def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rates per part brand — line share flagged 'R' and the
+    exact cents that came back: the product-quality league table
+    that catches a bad batch (or a bad listing) by brand before
+    reviews do.  Rates are e6 integers; returned revenue is
+    DECIMAL-exact cents.
+
+    Scale shape: part broadcasts onto the fact scan; one
+    map-side-combinable aggregate over 25 bounded brand keys — scan
+    + broadcast-join + partial-agg, nothing else."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    f = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .selectExpr(
+            "p_brand AS brand",
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret",
+            "CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(8,4))) * 100) AS BIGINT)"
+            " AS cents",
+        )
+    )
+    return f.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("ret").cast("bigint").alias("n_returned"),
+        F.expr("CAST(SUM(ret) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+            "return_rate_e6"
+        ),
+        F.sum(F.when(F.col("ret") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("returned_cents"),
+    )

@@ -402,3 +402,56 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ------------------------------------------ bag-semantics set ops
+
+
+@query(
+    "set_ops_bag_semantics",
+    oracle="""
+    WITH a AS (SELECT c_nationkey AS nk FROM customer),
+    b AS (SELECT s_nationkey AS nk FROM supplier),
+    ia AS (SELECT nk FROM a INTERSECT ALL SELECT nk FROM b),
+    ea AS (SELECT nk FROM a EXCEPT ALL SELECT nk FROM b)
+    SELECT 'intersect_all' AS op, CAST(nk AS BIGINT) AS nk,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ia GROUP BY 2
+    UNION ALL
+    SELECT 'except_all', CAST(nk AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM ea GROUP BY 2
+    """,
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the bag-semantics (multiplicity-
+    preserving) set operators, which the DISTINCT variants
+    (set_intersect / set_except) silently are not: per nation key,
+    INTERSECT ALL keeps min(multiplicity) copies and EXCEPT ALL
+    keeps the count difference — the semantics audits rely on when
+    reconciling row batches, not key sets.  Reported as per-key
+    multiplicities so the check pins the exact bag, not just
+    membership.
+
+    Scale shape: Spark plans both as count-aggregated joins on the
+    key (intersectAll/exceptAll) — one exchange each, map-side
+    partial counts; the rollup output is bounded by key
+    cardinality."""
+    a = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("nk")
+    )
+    b = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("bigint").alias("nk")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nk", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("except_all").alias("op"), "nk", "n")
+    )
+    return ia.unionAll(ea)

@@ -9,7 +9,7 @@ scan-projection pipelines with full WholeStageCodegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from instructions_mr_spark.queries._util import (
@@ -2585,4 +2585,86 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_shared * 1000000 DIV (na + nb - n_shared) AS BIGINT)"
             " AS jaccard_e6",
         )
+    )
+
+
+# --------------------------------------- sentence length profile
+
+
+@query(
+    "sentence_length_profile",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             len(list_filter(string_split(trim(sent), ' '),
+                             w -> w <> '')) AS n_words
+      FROM (SELECT lang, unnest(string_split(text, '.')) AS sent
+            FROM documents)
+      WHERE trim(sent) <> ''
+    ),
+    v AS (SELECT lang, n_words, COUNT(*) AS c FROM s GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, n_words, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_words
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM v
+    )
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_sentences,
+           CAST(SUM(n_words * c) AS BIGINT) AS sum_words,
+           CAST(MIN(CASE WHEN 2 * cum_c >= n THEN n_words END) AS BIGINT)
+             AS median_words,
+           CAST(MIN(CASE WHEN 10 * cum_c >= 9 * n THEN n_words END)
+                AS BIGINT) AS p90_words
+    FROM cum GROUP BY lang
+    """,
+)
+def sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-length profile per language — sentence count, total
+    words, and the exact median/p90 words-per-sentence: the
+    readability/segmentation signal quality classifiers and chunkers
+    both key on (machine-generated text and OCR garbage sit far off
+    a language's natural profile).  Sentences split on '.', lengths
+    count non-empty whitespace tokens, and both order statistics are
+    value-domain exact integers.
+
+    Scale shape: sentence explosion is linear and pipelined in the
+    scan stage; the (lang, length) count table is the only exchange
+    and the cumulative picks run on DISTINCT lengths — never a
+    per-sentence sort."""
+    s = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", "[.]")).alias("sent"))
+        .filter(F.trim(F.col("sent")) != "")
+        .select(
+            "lang",
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("sent")), " "),
+                    lambda w: w != "",
+                )
+            ).alias("n_words"),
+        )
+    )
+    v = s.groupBy("lang", "n_words").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("n_words")
+    cum = v.select(
+        "lang",
+        "n_words",
+        "c",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    return cum.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_sentences"),
+        F.sum(F.col("n_words") * F.col("c")).cast("bigint").alias("sum_words"),
+        F.min(F.when(2 * F.col("cum_c") >= F.col("n"), F.col("n_words")))
+        .cast("bigint")
+        .alias("median_words"),
+        F.min(
+            F.when(10 * F.col("cum_c") >= 9 * F.col("n"), F.col("n_words"))
+        )
+        .cast("bigint")
+        .alias("p90_words"),
     )

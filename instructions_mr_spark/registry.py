@@ -167,7 +167,9 @@ DRIVER_WINDOW: list[str] = [
 #   filter_waterfall_attrition, stream_topk_types, runs_test_counts,
 #   interpurchase_gap_profile, wow_revenue_delta, shipment_latency_audit,
 #   hash_shard_balance, attribution_linear, user_acquisition_curve,
-#   discount_volume_curve, source_vocab_overlap, dim_coverage_audit
+#   discount_volume_curve, source_vocab_overlap, dim_coverage_audit,
+#   set_ops_bag_semantics, cart_abandonment_daily, priceband_segment_mix,
+#   brand_return_rates, sentence_length_profile
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

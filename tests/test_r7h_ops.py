@@ -783,3 +783,137 @@ def test_dim_coverage_audit(spark, tmp_path):
             got["customer"].coverage_e6) == (2, 1, 500000)
     assert got["part"].coverage_e6 == 1000000
     assert got["supplier"].coverage_e6 == 1000000
+
+
+def test_set_ops_bag_multiplicities(spark, tmp_path):
+    """Customer nks {1,1,2}, supplier nks {1,3}: INTERSECT ALL keeps
+    one copy of 1; EXCEPT ALL keeps the surplus 1 and the 2."""
+    _write_customers(spark, tmp_path, [(1, "A"), (2, "A"), (3, "A")])
+    cust = spark.createDataFrame(
+        [
+            (1, "c1", 1, 0.0, "A"),
+            (2, "c2", 1, 0.0, "A"),
+            (3, "c3", 2, 0.0, "A"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    cust.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    sup = spark.createDataFrame(
+        [(1, "s1", 1, 0.0), (2, "s2", 3, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    sup.write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    got = sorted(
+        (r.op, r.nk, r.n)
+        for r in registry.QUERIES["set_ops_bag_semantics"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [
+        ("except_all", 1, 1),
+        ("except_all", 2, 1),
+        ("intersect_all", 1, 1),
+    ]
+
+
+def test_cart_abandonment_daily(spark, tmp_path):
+    """Day 1: u1 clicks and buys, u2 clicks only, u3 only views ->
+    2 clickers, 1 converted, 50%% abandonment."""
+    rows = [
+        (1, datetime(2024, 1, 1, 10), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 11), 1, "purchase", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 10), 2, "click", 1.0, "{}"),
+        (4, datetime(2024, 1, 1, 10), 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = registry.QUERIES["cart_abandonment_daily"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_clickers, r.n_converted, r.abandonment_e6) == (2, 1, 500000)
+
+
+def test_brand_return_rates(spark, tmp_path):
+    """Brand B1: one returned line of two (rate 0.5, 1000 cents
+    back); B2 clean."""
+    _write_parts(spark, tmp_path, [(1, "B1"), (2, "B2")])
+    rows = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "R", "O", datetime(2024, 1, 1)),
+        (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+        (3, 2, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.brand: r
+        for r in registry.QUERIES["brand_return_rates"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got["B1"].n_lines, got["B1"].n_returned, got["B1"].return_rate_e6,
+            got["B1"].returned_cents) == (2, 1, 500000, 1000)
+    assert (got["B2"].n_returned, got["B2"].return_rate_e6) == (0, 0)
+
+
+def test_priceband_segment_mix_shares(spark, tmp_path):
+    """Segment A buys $30 in band 90 and $10 in band 91 -> shares
+    750000 / 250000 within the segment."""
+    _write_customers(spark, tmp_path, [(1, "A")])
+    _write_orders(spark, tmp_path, [(1, 1, 40.0)])
+    parts = spark.createDataFrame(
+        [
+            (1, "p1", "B1", "T", 1, 905.0),
+            (2, "p2", "B1", "T", 1, 915.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    parts.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    _write_lineitem_priced(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 30.0, datetime(2024, 1, 1)),
+            (1, 2, 10.0, datetime(2024, 1, 1)),
+        ],
+    )
+    got = {
+        r.price_band: r
+        for r in registry.QUERIES["priceband_segment_mix"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got[90].rev_cents, got[90].seg_share_e6) == (3000, 750000)
+    assert (got[91].rev_cents, got[91].seg_share_e6) == (1000, 250000)
+
+
+def test_sentence_length_profile(spark, tmp_path):
+    """Sentences of 2, 2 and 4 words: median 2, p90 4, 8 words
+    total."""
+    rows = [(1, "a b. c d. e f g h.", "en", "s", 18)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = registry.QUERIES["sentence_length_profile"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (row.n_sentences, row.sum_words, row.median_words, row.p90_words) == (
+        3,
+        8,
+        2,
+        4,
+    )

@@ -513,6 +513,18 @@ NOTES = {
     "self-join keyed on the bare-BIGINT digest; sizes broadcast.",
     "dim_coverage_audit": "Three LEFT joins dim->DISTINCT fact keys "
     "each reduced to one row; single action, no driver loop.",
+    "set_ops_bag_semantics": "intersectAll/exceptAll plan as "
+    "count-aggregated joins on the key; one exchange each.",
+    "cart_abandonment_daily": "One (day, user) aggregate with "
+    "conditional MAX flags; daily rollup map-side combinable.",
+    "priceband_segment_mix": "Customer and part broadcast; the only "
+    "wide exchange is lineitem-orders on orderkey; share window on "
+    "the bounded mix table.",
+    "brand_return_rates": "Broadcast part join onto the scan; one "
+    "25-key map-side aggregate.",
+    "sentence_length_profile": "Sentence explode pipelined in the "
+    "scan; (lang, length) counts are the one exchange; picks on "
+    "distinct lengths.",
 }
 
 
