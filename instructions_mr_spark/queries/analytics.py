@@ -2693,7 +2693,8 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p a
       JOIN p b ON a.l_orderkey = b.l_orderkey
               AND a.l_partkey < b.l_partkey
-      JOIN p c ON a.l_orderkey = c.l_orderkey
+      JOIN p c ON c.l_orderkey = a.l_orderkey
+              AND c.l_orderkey = b.l_orderkey
               AND b.l_partkey < c.l_partkey
       GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
     )
@@ -2731,7 +2732,8 @@ def itemset3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(
             c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("b.l_partkey") < F.col("c.l_partkey")),
         )
         .groupBy(
