@@ -3555,3 +3555,265 @@ def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("returned_cents"),
     )
+
+
+# ------------------------------------- association rules (lift)
+
+
+@query(
+    "copurchase_lift",
+    oracle="""
+    WITH p AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS MATERIALIZED (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM p
+    ),
+    item AS MATERIALIZED (
+      SELECT l_partkey, COUNT(*) AS cnt FROM p GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT pr.part_a, pr.part_b,
+           CAST(pr.support AS BIGINT) AS support,
+           CAST(pr.support * 1000000 // ia.cnt AS BIGINT) AS conf_ab_e6,
+           CAST(pr.support * 1000000 // ib.cnt AS BIGINT) AS conf_ba_e6,
+           CAST(pr.support * n.n_orders * 1000000
+                // (ia.cnt * ib.cnt) AS BIGINT) AS lift_e6
+    FROM pair pr
+    JOIN item ia ON ia.l_partkey = pr.part_a
+    JOIN item ib ON ib.l_partkey = pr.part_b, n
+    """,
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase pairs — confidence in
+    both directions (support(ab)/support(a), /support(b)) and lift
+    (observed co-rate over the independence baseline), the three
+    numbers that turn raw pair supports into 'customers who bought X
+    also buy Y' rankings; lift > 1e6 means genuinely associated, not
+    just both popular.  All three are e6 integers (the numerator
+    support * n_orders * 1e6 stays in BIGINT to ~1e5 basket overlap
+    x 1e9 orders; wider scales lift to DECIMAL as elsewhere).
+
+    Scale shape: the per-order distinct is staged once; pair mining
+    is the copurchase_pairs plan; per-item counts come from the SAME
+    distinct table and broadcast onto the bounded pair table — no
+    second corpus exchange."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    li = t(spark, sf_dir, "lineitem")
+    p = supersede_checkpoint(
+        "lift_parts",
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(),
+    )
+    n = p.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = p.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = p.alias("a"), p.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "part_a",
+            "part_b",
+            "CAST(support AS BIGINT) AS support",
+            "CAST(support * 1000000 DIV cnt_a AS BIGINT) AS conf_ab_e6",
+            "CAST(support * 1000000 DIV cnt_b AS BIGINT) AS conf_ba_e6",
+            "CAST(support * n_orders * 1000000 DIV (cnt_a * cnt_b)"
+            " AS BIGINT) AS lift_e6",
+        )
+    )
+
+
+# ------------------------------------- segment migration matrix
+
+
+@query(
+    "segment_migration_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               AS day_idx,
+             CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders
+    ),
+    mid AS (SELECT (MIN(day_idx) + MAX(day_idx)) // 2 AS m FROM o),
+    halves AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN day_idx <= m THEN cents ELSE 0 END) AS early,
+             SUM(CASE WHEN day_idx > m THEN cents ELSE 0 END) AS late
+      FROM o, mid GROUP BY 1
+    ),
+    ranked AS (
+      SELECT o_custkey,
+             (ROW_NUMBER() OVER (ORDER BY early DESC, o_custkey) - 1) * 3
+               // COUNT(*) OVER () AS tier_early,
+             (ROW_NUMBER() OVER (ORDER BY late DESC, o_custkey) - 1) * 3
+               // COUNT(*) OVER () AS tier_late
+      FROM halves
+    )
+    SELECT CAST(tier_early AS BIGINT) AS tier_early,
+           CAST(tier_late AS BIGINT) AS tier_late,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier migration matrix — every customer ranked
+    into revenue terciles (0 = top) separately for the early and
+    late halves of the order calendar, then cross-tabbed: the
+    upgrade/downgrade flow chart behind retention planning (mass on
+    the diagonal = stable base; below it = churn risk).  Tiers use
+    explicit (rank-1)*3 DIV n arithmetic with customer-id tiebreaks
+    (never NTILE), so the cut is identical on both engines; revenue
+    is DECIMAL-exact cents.
+
+    Scale shape: one custkey aggregate (corpus exchange) with the
+    1-row midpoint broadcast; the two global ranks run on the
+    per-customer AGGREGATE (swap to two-phase range-partitioned rank
+    at 100 TB) and the matrix rollup is 9 rows."""
+    o = t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        " AS day_idx",
+        "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)"
+        " AS cents",
+    )
+    mid = o.agg(F.expr("(MIN(day_idx) + MAX(day_idx)) DIV 2").alias("m"))
+    halves = (
+        o.crossJoin(F.broadcast(mid))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("day_idx") <= F.col("m"), F.col("cents")).otherwise(0)
+            ).alias("early"),
+            F.sum(
+                F.when(F.col("day_idx") > F.col("m"), F.col("cents")).otherwise(0)
+            ).alias("late"),
+        )
+    )
+    ranked = halves.selectExpr(
+        "o_custkey",
+        "(ROW_NUMBER() OVER (ORDER BY early DESC, o_custkey) - 1) * 3"
+        " DIV COUNT(*) OVER () AS tier_early",
+        "(ROW_NUMBER() OVER (ORDER BY late DESC, o_custkey) - 1) * 3"
+        " DIV COUNT(*) OVER () AS tier_late",
+    )
+    return ranked.groupBy(
+        F.col("tier_early").cast("bigint").alias("tier_early"),
+        F.col("tier_late").cast("bigint").alias("tier_late"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+# ------------------------------------------ user activity depth
+
+
+@query(
+    "user_activity_depth",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx
+      FROM events
+    ),
+    per_user AS (SELECT user_id, COUNT(*) AS n_days FROM d GROUP BY 1)
+    SELECT CAST(n_days AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY 1
+    """,
+)
+def user_activity_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-depth histogram — how many users were active on
+    exactly N distinct days: the power-user curve (its right mass is
+    the habit cohort, its left spike the drive-by crowd) that
+    complements rate-style metrics like dau_wau_stickiness with the
+    full distribution.
+
+    Scale shape: one DISTINCT (user, day) aggregate is the corpus
+    exchange; per-user day counts reduce on the same user key, and
+    the histogram rollup is bounded by the calendar length."""
+    d = (
+        t(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS day_idx",
+        )
+        .distinct()
+    )
+    per_user = d.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_days"))
+    return per_user.groupBy(
+        F.col("n_days").cast("bigint").alias("n_active_days")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+# ------------------------------------------ basket value curve
+
+
+@query(
+    "basket_value_curve",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(8,4))))
+                        * 100) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_lines AS BIGINT) AS basket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents,
+           CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT)
+             AS avg_order_cents_e6
+    FROM b GROUP BY 1
+    """,
+)
+def basket_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size value curve — order count and average order value
+    per number of lines in the order: the upsell readout (does a
+    5-line basket spend 5x a 1-line basket, or more?) and the
+    denominator sanity check for every per-order metric.  Revenue is
+    DECIMAL-exact cents; the average is e6 integer units.
+
+    Scale shape: one orderkey aggregate (map-side combinable — count
+    and sum together) then a bounded rollup over ~15 basket sizes."""
+    b = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(
+                "CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(8,4)))) * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    return b.groupBy(F.col("n_lines").cast("bigint").alias("basket_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+        F.expr(
+            "CAST(SUM(cents) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("avg_order_cents_e6"),
+    )

@@ -169,7 +169,8 @@ DRIVER_WINDOW: list[str] = [
 #   hash_shard_balance, attribution_linear, user_acquisition_curve,
 #   discount_volume_curve, source_vocab_overlap, dim_coverage_audit,
 #   set_ops_bag_semantics, cart_abandonment_daily, priceband_segment_mix,
-#   brand_return_rates, sentence_length_profile
+#   brand_return_rates, sentence_length_profile, copurchase_lift,
+#   segment_migration_matrix, user_activity_depth, basket_value_curve
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

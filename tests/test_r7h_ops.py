@@ -917,3 +917,100 @@ def test_sentence_length_profile(spark, tmp_path):
         2,
         4,
     )
+
+
+def test_copurchase_lift_hand_values(spark, tmp_path):
+    """Pair (1,2) in 2 of 4 baskets; item counts 3 and 2:
+    conf 2/3 and 1, lift 2*4/(3*2) = 4/3."""
+    _write_lineitem_full(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 1, 1, "N", datetime(2024, 1, 1)),
+            (1, 2, 2, 1, "N", datetime(2024, 1, 1)),
+            (2, 1, 1, 1, "N", datetime(2024, 1, 1)),
+            (2, 2, 2, 1, "N", datetime(2024, 1, 1)),
+            (3, 1, 1, 1, "N", datetime(2024, 1, 1)),
+            (4, 3, 1, 1, "N", datetime(2024, 1, 1)),
+        ],
+    )
+    got = registry.QUERIES["copurchase_lift"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.part_a, r.part_b, r.support) == (1, 2, 2)
+    assert (r.conf_ab_e6, r.conf_ba_e6, r.lift_e6) == (666666, 1000000, 1333333)
+
+
+def test_segment_migration_antidiagonal(spark, tmp_path):
+    """Early ranks c1>c2>c3 reverse to c3>c2>c1 late: pure
+    anti-diagonal migration matrix."""
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "O", 3.0, base, "1-URGENT"),
+        (2, 2, "O", 2.0, base, "1-URGENT"),
+        (3, 3, "O", 1.0, base, "1-URGENT"),
+        (4, 1, "O", 1.0, base + timedelta(days=10), "1-URGENT"),
+        (5, 2, "O", 2.0, base + timedelta(days=10), "1-URGENT"),
+        (6, 3, "O", 3.0, base + timedelta(days=10), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = sorted(
+        (r.tier_early, r.tier_late, r.n_customers)
+        for r in registry.QUERIES["segment_migration_matrix"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [(0, 2, 1), (1, 1, 1), (2, 0, 1)]
+
+
+def test_user_activity_depth(spark, tmp_path):
+    """u1 on 2 days, u2 on 1 day -> histogram {2: 1 user, 1: 1
+    user}."""
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 10), 1),
+            (2, datetime(2024, 1, 2, 10), 1),
+            (3, datetime(2024, 1, 1, 10), 2),
+        ],
+    )
+    got = sorted(
+        (r.n_active_days, r.n_users)
+        for r in registry.QUERIES["user_activity_depth"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [(1, 1), (2, 1)]
+
+
+def test_basket_value_curve(spark, tmp_path):
+    """Two 1-line baskets ($10, $30) and one 2-line basket ($50)."""
+    _write_lineitem(
+        spark,
+        tmp_path,
+        [(1, 10.0), (2, 20.0), (2, 30.0), (3, 30.0)],
+    )
+    got = {
+        r.basket_size: r
+        for r in registry.QUERIES["basket_value_curve"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got[1].n_orders, got[1].rev_cents, got[1].avg_order_cents_e6) == (
+        2,
+        4000,
+        2000000000,
+    )
+    assert (got[2].n_orders, got[2].rev_cents, got[2].avg_order_cents_e6) == (
+        1,
+        5000,
+        5000000000,
+    )

@@ -525,6 +525,15 @@ NOTES = {
     "sentence_length_profile": "Sentence explode pipelined in the "
     "scan; (lang, length) counts are the one exchange; picks on "
     "distinct lengths.",
+    "copurchase_lift": "Staged per-order distinct reused for pairs "
+    "AND item counts; counts broadcast onto the bounded pair table.",
+    "segment_migration_matrix": "One custkey aggregate + 1-row "
+    "midpoint broadcast; both global ranks on the aggregate; 9-row "
+    "matrix.",
+    "user_activity_depth": "DISTINCT (user, day) exchange; per-user "
+    "reduce on the same key; calendar-bounded histogram.",
+    "basket_value_curve": "One orderkey aggregate (count+sum "
+    "together, map-side combinable); bounded basket-size rollup.",
 }
 
 
