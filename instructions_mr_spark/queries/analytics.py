@@ -3817,3 +3817,306 @@ def basket_value_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(cents) * 1000000 DIV COUNT(*) AS BIGINT)"
         ).alias("avg_order_cents_e6"),
     )
+
+
+# ------------------------------------- session duration profile
+
+
+@query(
+    "session_duration_profile",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, sec,
+             CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id
+                                            ORDER BY sec) <= 1800
+                  THEN 0 ELSE 1 END AS new_session
+      FROM e
+    ),
+    numbered AS (
+      SELECT user_id, sec,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             MAX(sec) - MIN(sec) AS dur_s,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY 1, 2
+    ),
+    v AS (SELECT dur_s, COUNT(*) AS c FROM sess GROUP BY 1),
+    cum AS (
+      SELECT dur_s, c,
+             SUM(c) OVER (ORDER BY dur_s ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER () AS n
+      FROM v
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+           CAST((SELECT SUM(n_events) FROM sess) AS BIGINT)
+             AS n_events,
+           CAST(MIN(CASE WHEN 2 * cum_c >= n THEN dur_s END) AS BIGINT)
+             AS median_dur_s,
+           CAST(MIN(CASE WHEN 10 * cum_c >= 9 * n THEN dur_s END)
+                AS BIGINT) AS p90_dur_s
+    FROM cum
+    """,
+)
+def session_duration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration order statistics — sessionize by the repo's
+    30-minute inactivity convention (stream_session), then report
+    the session count and the exact median/p90 duration in seconds:
+    the engagement-length readout that pairs with
+    session_bounce_rate's count view.  Durations are integer epoch
+    seconds; both percentiles are value-domain exact.
+
+    Scale shape: one user-keyed exchange serves the LAG flag, the
+    running session id, and the per-session rollup (all share the
+    partitioning); the percentile picks run on DISTINCT duration
+    values only."""
+    e = t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 AS sec",
+    )
+    wu = Window.partitionBy("user_id").orderBy("sec")
+    flagged = e.select(
+        "user_id",
+        "sec",
+        F.when(
+            F.col("sec") - F.lag("sec").over(wu) <= 1800, 0
+        ).otherwise(1).alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "sec",
+        F.sum("new_session")
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    sess = numbered.groupBy("user_id", "sid").agg(
+        (F.max("sec") - F.min("sec")).alias("dur_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    tot_events = sess.agg(F.sum("n_events").alias("te"))
+    v = sess.groupBy("dur_s").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("dur_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = v.select(
+        "dur_s",
+        F.sum("c").over(wc).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        cum.agg(
+            F.max("n").cast("bigint").alias("n_sessions"),
+            F.min(F.when(2 * F.col("cum_c") >= F.col("n"), F.col("dur_s")))
+            .cast("bigint")
+            .alias("median_dur_s"),
+            F.min(
+                F.when(10 * F.col("cum_c") >= 9 * F.col("n"), F.col("dur_s"))
+            )
+            .cast("bigint")
+            .alias("p90_dur_s"),
+        )
+        .crossJoin(F.broadcast(tot_events))
+        .select(
+            "n_sessions",
+            F.col("te").cast("bigint").alias("n_events"),
+            "median_dur_s",
+            "p90_dur_s",
+        )
+    )
+
+
+# ------------------------------------- supplier redundancy profile
+
+
+@query(
+    "part_supplier_redundancy",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey,
+             COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(8,4))))
+                        * 100) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents,
+           CAST(SUM(cents) * 1000000
+                // (SELECT SUM(cents) FROM ps) AS BIGINT)
+             AS rev_share_e6
+    FROM ps GROUP BY 1
+    """,
+)
+def part_supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-redundancy profile — parts bucketed by how many
+    distinct suppliers actually shipped them, with each bucket's
+    revenue share: the single-source-risk report (revenue sitting in
+    the n_suppliers = 1 bucket has no fallback vendor).  Revenue is
+    DECIMAL-exact discounted cents; shares are e6 integers.
+
+    Scale shape: one partkey aggregate carrying the distinct-supplier
+    count and the cents sum together (partial distinct + partial sum
+    in the same exchange); the redundancy histogram is a bounded
+    rollup and the total is a 1-row broadcast."""
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.expr(
+                "CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(8,4)))) * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    h = ps.groupBy(
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    tot = h.agg(F.sum("rev_cents").alias("total"))
+    return h.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_suppliers",
+        "n_parts",
+        "rev_cents",
+        "CAST(rev_cents * 1000000 DIV total AS BIGINT) AS rev_share_e6",
+    )
+
+
+# ------------------------------------- 7-day moving revenue (RANGE)
+
+
+@query(
+    "moving_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day_idx,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day_idx
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_7d_cents
+    FROM daily
+    """,
+)
+def moving_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per series via a true RANGE frame on
+    the integer day index — the time-based sibling of the ROWS-frame
+    window_moving_avg: RANGE counts CALENDAR days (missing days
+    still age out of the window), which a ROWS frame silently gets
+    wrong on gappy series.  All integer cents.
+
+    Scale shape: the daily aggregate is the corpus exchange; the
+    RANGE window runs per series over calendar-bounded rows with the
+    same partitioning."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day_idx"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+            ).alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day_idx",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.sum("cents").over(w).cast("bigint").alias("trailing_7d_cents"),
+    )
+
+
+# --------------------------------------------- weekend lift
+
+
+@query(
+    "weekend_lift",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CASE WHEN (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4)
+                       % 7 IN (5, 6) THEN 1 ELSE 0 END AS weekend,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             SUM(CASE WHEN weekend = 1 THEN cents ELSE 0 END) AS we_cents,
+             SUM(CASE WHEN weekend = 0 THEN cents ELSE 0 END) AS wd_cents,
+             SUM(CASE WHEN weekend = 1 THEN 1 ELSE 0 END) AS we_n,
+             SUM(CASE WHEN weekend = 0 THEN 1 ELSE 0 END) AS wd_n
+      FROM d GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(we_cents AS BIGINT) AS weekend_cents,
+           CAST(wd_cents AS BIGINT) AS weekday_cents,
+           CAST(we_n AS BIGINT) AS weekend_events,
+           CAST(wd_n AS BIGINT) AS weekday_events,
+           CAST(CAST(we_cents AS HUGEINT) * wd_n * 1000000
+                // (CAST(wd_cents AS HUGEINT) * we_n) AS BIGINT)
+             AS per_event_lift_e6
+    FROM g
+    """,
+)
+def weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday per-event value lift per series — do
+    weekend events carry more value each?  The day-of-week split
+    uses pure integer epoch-day arithmetic ((day + 4) % 7 maps
+    1970-01-01 Thursday so 5/6 = Sat/Sun — no locale-dependent
+    DAYOFWEEK), and the lift cross-multiplies the two means into one
+    integer ratio (we_cents/we_n over wd_cents/wd_n) with
+    DECIMAL(38,0)/HUGEINT numerators (cents * events * 1e6 passes
+    BIGINT below ~1e6 events per series) — no float division
+    anywhere.
+
+    Scale shape: single scan, one map-side-combinable conditional
+    aggregate per bounded series key; the lift math runs on |types|
+    rows."""
+    d = t(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CASE WHEN (unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 + 4)"
+        " % 7 IN (5, 6) THEN 1 ELSE 0 END AS weekend",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    g = d.groupBy("event_type").agg(
+        F.sum(F.when(F.col("weekend") == 1, F.col("cents")).otherwise(0)).alias(
+            "we_cents"
+        ),
+        F.sum(F.when(F.col("weekend") == 0, F.col("cents")).otherwise(0)).alias(
+            "wd_cents"
+        ),
+        F.sum(F.when(F.col("weekend") == 1, 1).otherwise(0)).alias("we_n"),
+        F.sum(F.when(F.col("weekend") == 0, 1).otherwise(0)).alias("wd_n"),
+    )
+    return g.selectExpr(
+        "event_type",
+        "CAST(we_cents AS BIGINT) AS weekend_cents",
+        "CAST(wd_cents AS BIGINT) AS weekday_cents",
+        "CAST(we_n AS BIGINT) AS weekend_events",
+        "CAST(wd_n AS BIGINT) AS weekday_events",
+        "CAST(CAST(we_cents AS DECIMAL(38,0)) * wd_n * 1000000"
+        " DIV (CAST(wd_cents AS DECIMAL(38,0)) * we_n) AS BIGINT)"
+        " AS per_event_lift_e6",
+    )

@@ -170,7 +170,9 @@ DRIVER_WINDOW: list[str] = [
 #   discount_volume_curve, source_vocab_overlap, dim_coverage_audit,
 #   set_ops_bag_semantics, cart_abandonment_daily, priceband_segment_mix,
 #   brand_return_rates, sentence_length_profile, copurchase_lift,
-#   segment_migration_matrix, user_activity_depth, basket_value_curve
+#   segment_migration_matrix, user_activity_depth, basket_value_curve,
+#   session_duration_profile, part_supplier_redundancy, moving_7d_revenue,
+#   weekend_lift
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -1014,3 +1014,99 @@ def test_basket_value_curve(spark, tmp_path):
         5000,
         5000000000,
     )
+
+
+def test_session_duration_profile(spark, tmp_path):
+    """Sessions of 600s, 0s, 0s: median 0, p90 600, 4 events in 3
+    sessions."""
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 1),
+            (2, datetime(2024, 1, 1, 10, 10), 1),
+            (3, datetime(2024, 1, 1, 11, 30), 1),
+            (4, datetime(2024, 1, 1, 9, 0), 2),
+        ],
+    )
+    row = registry.QUERIES["session_duration_profile"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (row.n_sessions, row.n_events, row.median_dur_s, row.p90_dur_s) == (
+        3,
+        4,
+        0,
+        600,
+    )
+
+
+def test_part_supplier_redundancy(spark, tmp_path):
+    """Part 1 dual-sourced ($30), part 2 single-sourced ($10):
+    redundancy buckets split revenue 75/25."""
+    rows = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+        (2, 1, 2, 1, 1.0, 20.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+        (3, 2, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.n_suppliers: r
+        for r in registry.QUERIES["part_supplier_redundancy"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got[2].n_parts, got[2].rev_cents, got[2].rev_share_e6) == (
+        1,
+        3000,
+        750000,
+    )
+    assert (got[1].n_parts, got[1].rev_cents, got[1].rev_share_e6) == (
+        1,
+        1000,
+        250000,
+    )
+
+
+def test_moving_7d_range_frame_ages_out(spark, tmp_path):
+    """Cents 100/200/300 on days 1, 3, 10: the day-10 trailing sum
+    is 300 alone — a ROWS frame would wrongly carry 600."""
+    _write_valued_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 10), 1.00),
+            (2, datetime(2024, 1, 3, 10), 2.00),
+            (3, datetime(2024, 1, 10, 10), 3.00),
+        ],
+    )
+    got = sorted(
+        (r.day_idx, r.cents, r.trailing_7d_cents)
+        for r in registry.QUERIES["moving_7d_revenue"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert [g[1:] for g in got] == [(100, 100), (200, 300), (300, 300)]
+
+
+def test_weekend_lift(spark, tmp_path):
+    """Sat event worth 200 vs two weekday events worth 100 total:
+    per-event lift 4x."""
+    _write_valued_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 6, 10), 2.00),
+            (2, datetime(2024, 1, 8, 10), 0.40),
+            (3, datetime(2024, 1, 8, 11), 0.60),
+        ],
+    )
+    row = registry.QUERIES["weekend_lift"](spark, str(tmp_path)).collect()[0]
+    assert (row.weekend_cents, row.weekday_cents, row.weekend_events,
+            row.weekday_events, row.per_event_lift_e6) == (200, 100, 1, 2, 4000000)

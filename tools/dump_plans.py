@@ -534,6 +534,16 @@ NOTES = {
     "reduce on the same key; calendar-bounded histogram.",
     "basket_value_curve": "One orderkey aggregate (count+sum "
     "together, map-side combinable); bounded basket-size rollup.",
+    "session_duration_profile": "One user-keyed exchange shared by "
+    "the LAG flag, running session id, and per-session rollup; "
+    "percentile picks on distinct durations.",
+    "part_supplier_redundancy": "One partkey aggregate carrying "
+    "distinct-supplier count and cents sum together; bounded "
+    "histogram + 1-row total broadcast.",
+    "moving_7d_revenue": "Daily aggregate then a per-series RANGE "
+    "frame on the integer day index.",
+    "weekend_lift": "Single scan, conditional aggregate per bounded "
+    "series key; lift math on |types| rows.",
 }
 
 
