@@ -4120,3 +4120,80 @@ def weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         " DIV (CAST(wd_cents AS DECIMAL(38,0)) * we_n) AS BIGINT)"
         " AS per_event_lift_e6",
     )
+
+
+# ------------------------------------------ rolling 7-day retention
+
+
+@query(
+    "rolling_retention_7d",
+    oracle="""
+    WITH d AS MATERIALIZED (
+      SELECT DISTINCT
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             user_id
+      FROM events
+    ),
+    ret AS (
+      SELECT a.day_idx, a.user_id,
+             MAX(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS retained
+      FROM d a LEFT JOIN d b
+        ON b.user_id = a.user_id
+       AND b.day_idx > a.day_idx AND b.day_idx <= a.day_idx + 7
+      GROUP BY 1, 2
+    )
+    SELECT day_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(retained) AS BIGINT) AS n_retained,
+           CAST(SUM(retained) * 1000000 // COUNT(*) AS BIGINT)
+             AS retention_e6
+    FROM ret GROUP BY 1
+    """,
+)
+def rolling_retention_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day retention — for every day, the share of that
+    day's active users who return within the next 7 days: the
+    standard product-health curve (cohort_retention's weekly matrix
+    collapsed to one rolling line, readable daily).  Day arithmetic
+    is integer epoch days; the rate is e6 integer units.  The last
+    7 days read artificially low (right-censored) — the curve's
+    consumers know to trim them.
+
+    Scale shape: the DISTINCT (day, user) table stages once; the
+    return lookup is a user-keyed self-join banded to a 7-day window
+    (the join_range_banded shape — at 100 TB, bucket both sides on
+    user_id), and the daily rollup is map-side combinable."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    d = (
+        t(spark, sf_dir, "events")
+        .selectExpr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS day_idx",
+            "user_id",
+        )
+        .distinct()
+    )
+    d = supersede_checkpoint("rolling_ret_d", d.localCheckpoint())
+    a, b = d.alias("a"), d.alias("b")
+    ret = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.day_idx") > F.col("a.day_idx"))
+            & (F.col("b.day_idx") <= F.col("a.day_idx") + 7),
+            "left",
+        )
+        .groupBy(F.col("a.day_idx").alias("day_idx"), F.col("a.user_id"))
+        .agg(
+            F.max(
+                F.when(F.col("b.user_id").isNull(), 0).otherwise(1)
+            ).alias("retained")
+        )
+    )
+    return ret.groupBy("day_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("retained").cast("bigint").alias("n_retained"),
+        F.expr(
+            "CAST(SUM(retained) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("retention_e6"),
+    )

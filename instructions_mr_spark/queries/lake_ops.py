@@ -1436,3 +1436,73 @@ def dim_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ------------------------------ Hamilton budget apportionment
+
+
+@query(
+    "budget_apportion_hamilton",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(n_docs) AS nn FROM c),
+    q AS (
+      SELECT source, n_docs,
+             10000 * n_docs // nn AS base,
+             10000 * n_docs % nn AS rem
+      FROM c, tot
+    ),
+    ranked AS (
+      SELECT source, n_docs, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+             10000 - SUM(base) OVER () AS leftover
+      FROM q
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(base AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN rr <= leftover THEN base + 1 ELSE base END
+                AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def budget_apportion_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a fixed
+    10000-unit sampling budget across sources, proportional to their
+    document counts — the exact integer answer to 'split the eval
+    budget fairly' that naive rounding gets wrong: floor quotas
+    first, then the leftover units go to the largest remainders
+    (source-name tiebreak), so the allocations sum to EXACTLY 10000
+    with no fractional unit anywhere — the same mechanism as
+    attribution_position_based's basis points, promoted to a
+    standalone allocator.
+
+    Scale shape: one source count aggregate (map-side combinable),
+    a 1-row total broadcast, and the remainder rank runs on
+    |sources| rows."""
+    c = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = c.agg(F.sum("n_docs").alias("nn"))
+    q = c.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "10000 * n_docs DIV nn AS base",
+        "10000 * n_docs % nn AS rem",
+    )
+    ranked = q.selectExpr(
+        "source",
+        "n_docs",
+        "base",
+        "ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr",
+        "10000 - SUM(base) OVER () AS leftover",
+    )
+    return ranked.selectExpr(
+        "source",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(base AS BIGINT) AS base_alloc",
+        "CAST(CASE WHEN rr <= leftover THEN base + 1 ELSE base END AS BIGINT)"
+        " AS alloc",
+    )

@@ -2668,3 +2668,122 @@ def sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_words"),
     )
+
+
+# ------------------------------- greedy set-cover source selection
+
+
+@query(
+    "greedy_set_cover_sources",
+    oracle=f"""
+    WITH v AS MATERIALIZED (
+      SELECT DISTINCT source, {duck_h60('big', 47)} AS gk
+      FROM (
+        SELECT source,
+               unnest(list_transform(range(1, len(words)),
+                 i -> words[i] || ' ' || words[i+1])) AS big
+        FROM (SELECT source, string_split(text, ' ') AS words
+              FROM documents)
+        WHERE len(words) >= 2
+      )
+    ),
+    c1 AS (SELECT source, COUNT(*) AS gain FROM v GROUP BY 1),
+    p1 AS (SELECT source, gain FROM c1 ORDER BY gain DESC, source LIMIT 1),
+    cov1 AS (SELECT DISTINCT gk FROM v WHERE source = (SELECT source FROM p1)),
+    c2 AS (
+      SELECT v.source, COUNT(*) AS gain FROM v
+      WHERE v.source <> (SELECT source FROM p1)
+        AND NOT EXISTS (SELECT 1 FROM cov1 WHERE cov1.gk = v.gk)
+      GROUP BY 1
+    ),
+    p2 AS (SELECT source, gain FROM c2 ORDER BY gain DESC, source LIMIT 1),
+    cov2 AS (
+      SELECT gk FROM cov1
+      UNION
+      SELECT gk FROM v WHERE source = (SELECT source FROM p2)
+    ),
+    c3 AS (
+      SELECT v.source, COUNT(*) AS gain FROM v
+      WHERE v.source NOT IN ((SELECT source FROM p1), (SELECT source FROM p2))
+        AND NOT EXISTS (SELECT 1 FROM cov2 WHERE cov2.gk = v.gk)
+      GROUP BY 1
+    ),
+    p3 AS (SELECT source, gain FROM c3 ORDER BY gain DESC, source LIMIT 1)
+    SELECT 1 AS round, source, CAST(gain AS BIGINT) AS gain FROM p1
+    UNION ALL
+    SELECT 2, source, CAST(gain AS BIGINT) FROM p2
+    UNION ALL
+    SELECT 3, source, CAST(gain AS BIGINT) FROM p3
+    """,
+)
+def greedy_set_cover_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage source selection — which 3 feeds
+    together cover the most distinct word-bigram vocabulary (bigrams,
+    not unigrams — the synthetic corpus' unigram vocab collapses
+    into one source): round 1 picks the source with the largest
+    bigram set, each later round the source
+    adding the most NOT-yet-covered word digests (the classic (1-1/e)
+    greedy set-cover heuristic, the algorithm behind 'which corpora
+    do we actually need' budget decisions).  Ties break by source
+    name; gains are exact distinct-digest counts.
+
+    Scale shape: the DISTINCT (source, digest) table stages once and
+    every round is one anti-join against the covered-digest set
+    (bare-BIGINT keys) plus a bounded argmax — 3 static rounds, no
+    driver-side loop over data; the covered set is itself a digest
+    column, never strings."""
+    words = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+    )
+    v = (
+        words.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("words", i), F.element_at("words", i + 1)
+                    ),
+                )
+            ).alias("big"),
+        )
+        .selectExpr("source", f"{spark_h60('big', 47)} AS gk")
+        .distinct()
+    )
+    v = supersede_checkpoint("setcover_v", v.localCheckpoint())
+
+    def argmax(counts):
+        return counts.orderBy(F.desc("gain"), "source").limit(1)
+
+    c1 = v.groupBy("source").agg(F.count(F.lit(1)).alias("gain"))
+    p1 = argmax(c1).localCheckpoint()
+    cov1 = v.join(F.broadcast(p1.select("source")), "source").select("gk").distinct()
+    rest2 = v.join(F.broadcast(p1.select("source")), "source", "left_anti")
+    c2 = (
+        rest2.join(cov1, "gk", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("gain"))
+    )
+    p2 = argmax(c2).localCheckpoint()
+    cov2 = cov1.unionByName(
+        v.join(F.broadcast(p2.select("source")), "source").select("gk")
+    ).distinct()
+    picked = p1.select("source").unionByName(p2.select("source"))
+    c3 = (
+        v.join(F.broadcast(picked), "source", "left_anti")
+        .join(cov2, "gk", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("gain"))
+    )
+    p3 = argmax(c3)
+    return (
+        p1.select(F.lit(1).alias("round"), "source", F.col("gain").cast("bigint"))
+        .unionByName(
+            p2.select(F.lit(2).alias("round"), "source", F.col("gain").cast("bigint"))
+        )
+        .unionByName(
+            p3.select(F.lit(3).alias("round"), "source", F.col("gain").cast("bigint"))
+        )
+    )

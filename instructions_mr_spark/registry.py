@@ -172,7 +172,8 @@ DRIVER_WINDOW: list[str] = [
 #   brand_return_rates, sentence_length_profile, copurchase_lift,
 #   segment_migration_matrix, user_activity_depth, basket_value_curve,
 #   session_duration_profile, part_supplier_redundancy, moving_7d_revenue,
-#   weekend_lift
+#   weekend_lift, greedy_set_cover_sources, budget_apportion_hamilton,
+#   rolling_retention_7d
 
 # Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -1110,3 +1110,68 @@ def test_weekend_lift(spark, tmp_path):
     row = registry.QUERIES["weekend_lift"](spark, str(tmp_path)).collect()[0]
     assert (row.weekend_cents, row.weekday_cents, row.weekend_events,
             row.weekday_events, row.per_event_lift_e6) == (200, 100, 1, 2, 4000000)
+
+
+def test_greedy_set_cover_rounds(spark, tmp_path):
+    """A {ab,bc} ties C {xy,yz} (A wins alphabetically), C adds 2
+    new, B adds nothing -> round 3 has no productive pick."""
+    rows = [
+        (1, "a b c", "en", "A", 5),
+        (2, "a b", "en", "B", 3),
+        (3, "x y z", "en", "C", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r.round, r.source, r.gain)
+        for r in registry.QUERIES["greedy_set_cover_sources"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [(1, "A", 2), (2, "C", 2)]
+
+
+def test_hamilton_allocations_sum_exactly(spark, tmp_path):
+    """Three equal sources: base 3333 each, the single leftover unit
+    goes to the alphabetically-first remainder -> 3334+3333+3333."""
+    rows = [
+        (1, "x", "en", "A", 1),
+        (2, "x", "en", "B", 1),
+        (3, "x", "en", "C", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: r
+        for r in registry.QUERIES["budget_apportion_hamilton"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["A"].alloc == 3334
+    assert got["B"].alloc == 3333 and got["C"].alloc == 3333
+    assert sum(r.alloc for r in got.values()) == 10000
+
+
+def test_rolling_retention_7d(spark, tmp_path):
+    """u1 returns on day 5 of 7-day window; u2 never; day-5 cohort
+    is right-censored."""
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, datetime(2024, 1, 1, 10), 1),
+            (2, datetime(2024, 1, 5, 10), 1),
+            (3, datetime(2024, 1, 1, 11), 2),
+        ],
+    )
+    got = sorted(
+        (r.n_users, r.n_retained, r.retention_e6)
+        for r in registry.QUERIES["rolling_retention_7d"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == [(1, 0, 0), (2, 1, 500000)]

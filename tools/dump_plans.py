@@ -544,6 +544,15 @@ NOTES = {
     "frame on the integer day index.",
     "weekend_lift": "Single scan, conditional aggregate per bounded "
     "series key; lift math on |types| rows.",
+    "greedy_set_cover_sources": "Staged DISTINCT (source, bigram "
+    "digest); each round one left-anti join vs the covered set + "
+    "bounded argmax; 3 static rounds, no driver loop over data.",
+    "budget_apportion_hamilton": "Source count aggregate + 1-row "
+    "total broadcast; remainder rank on |sources| rows; allocations "
+    "sum exactly.",
+    "rolling_retention_7d": "Staged distinct (day, user); "
+    "user-keyed self-join banded to 7 days (range-banded shape); "
+    "map-side daily rollup.",
 }
 
 
