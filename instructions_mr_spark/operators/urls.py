@@ -42,16 +42,22 @@ def _stripped(url: Column | str) -> Column:
 
     Userinfo is everything up to an ``@`` inside the authority (the
     char class cannot cross ``/``/``?``/``#``, so a path ``@`` is
-    untouched); the port is a trailing ``:digits`` run on the first
-    segment (no lookahead — RE2 on the DuckDB twin has none — so a
-    malformed ``:80ab`` loses only the digit run).
+    untouched); the port is a ``:digits`` run on the first segment
+    that ends AT a delimiter or end-of-string (captured group ``$2``
+    re-appends the delimiter — no lookahead, so the RE2-based DuckDB
+    twin matches byte-for-byte).  A malformed port like ``host:80ab/x``
+    therefore keeps its ``:80ab`` verbatim (it is not a valid port, so
+    nothing is stripped) instead of merging residue into the host.
+    Bracketed IPv6 authorities (``[::1]:8080``) are out of scope: the
+    host char class excludes nothing bracket-specific, so their port
+    survives — documented limitation, same on both engines.
     """
     u = F.col(url) if isinstance(url, str) else url
     u = F.regexp_replace(u, "#.*$", "")
     u = F.lower(u)
     u = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")
     u = F.regexp_replace(u, "^[^/?#]*@", "")
-    u = F.regexp_replace(u, "^([^/:?#]*):[0-9]+", "$1")
+    u = F.regexp_replace(u, "^([^/:?#]*):[0-9]+([/?#]|$)", "$1$2")
     return F.regexp_replace(u, r"^www\.", "")
 
 

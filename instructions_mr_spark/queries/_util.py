@@ -115,3 +115,122 @@ def ts_epoch_micros(col):
 
     c = F.col(col) if not isinstance(col, Column) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+def two_phase_rank(
+    df: DataFrame,
+    bucket,
+    order_cols,
+    rn_name: str = "rn",
+    n_name: str | None = None,
+) -> DataFrame:
+    """Exact global ROW_NUMBER without a partitionless window — the
+    shared form of the pack_concat_chunks / zipf_vocab_fit two-phase
+    prefix-sum rank (packing.py, text.py), extracted so the global-
+    NTILE family (RFM / Pareto / lift / migration / quality buckets)
+    runs bucket-parallel instead of collapsing to one sort task.
+
+    ``bucket`` must be an order-preserving coarse Column: for rows a
+    before b in the global order, bucket(a) <= bucket(b), and the
+    bucket DOMAIN must be bounded (value-domain derived — a date
+    range, a small-int measure, FLOOR(value / step) of a fixed-range
+    measure), never data-cardinality derived.  ``order_cols`` is the
+    global order restricted to a bucket (include the full tie-break).
+
+    Phase 1: per-bucket ROW_NUMBER under a bucket-keyed window (K-way
+    parallel).  Phase 2: per-bucket counts (same exchange, reused)
+    roll into starting offsets via a broadcast range self-join on the
+    K-row count table — deliberately NOT a window, so callers compile
+    with ZERO partitionless WindowExec nodes (pinned by
+    tests/test_plans.py::test_no_global_window_outside_allowlist).
+    Global rank = offset + in-bucket row number, exact BIGINT.
+
+    Skew caveat: rows tied on ``bucket`` land in one task; a value so
+    hot it dominates the table degenerates that bucket toward the
+    global sort this replaces.  Callers pick steps that keep bucket
+    populations balanced at the target scale.
+
+    ``n_name``: optionally broadcast the total row count as a column
+    (for rank -> quantile arithmetic, see :func:`exact_ntile_sql`).
+    """
+    from pyspark.sql import Window, functions as F
+
+    b, ir, off, c = (
+        f"_{rn_name}_b", f"_{rn_name}_ir", f"_{rn_name}_off", f"_{rn_name}_c",
+    )
+    d0 = df.withColumn(b, bucket.cast("bigint"))
+    w_in = Window.partitionBy(b).orderBy(*order_cols)
+    ranked = d0.withColumn(ir, F.row_number().over(w_in))
+    counts = d0.groupBy(b).agg(F.count(F.lit(1)).alias(c))
+    lesser = counts.select(F.col(b).alias("_lb"), F.col(c).alias("_lc"))
+    off_t = (
+        counts.join(F.broadcast(lesser), F.col("_lb") < F.col(b), "left")
+        .groupBy(b)
+        .agg(F.coalesce(F.sum("_lc"), F.lit(0)).alias(off))
+    )
+    out = ranked.join(F.broadcast(off_t), b).withColumn(
+        rn_name, (F.col(off) + F.col(ir)).cast("bigint")
+    )
+    if n_name is not None:
+        tot = counts.agg(F.sum(c).cast("bigint").alias(n_name))
+        out = out.crossJoin(F.broadcast(tot))
+    return out.drop(b, ir, off)
+
+
+def two_phase_cumsum(
+    df: DataFrame,
+    bucket,
+    order_cols,
+    value: str,
+    out: str = "cum",
+    total_name: str | None = None,
+) -> DataFrame:
+    """Exact global running SUM of ``value`` under the global order —
+    the prefix-sum twin of :func:`two_phase_rank` (same bucket
+    contract: order-preserving, bounded domain).  Per-bucket running
+    sums under a bucket-keyed window, per-bucket totals rolled into
+    starting offsets via the broadcast range self-join (no
+    partitionless window), global cum = offset + in-bucket running
+    sum.  ``total_name`` optionally broadcasts the grand total."""
+    from pyspark.sql import Window, functions as F
+
+    b, ic, off, tt = (f"_{out}_b", f"_{out}_ic", f"_{out}_off", f"_{out}_t")
+    d0 = df.withColumn(b, bucket.cast("bigint"))
+    w_in = (
+        Window.partitionBy(b)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d0.withColumn(ic, F.sum(value).over(w_in))
+    totals = d0.groupBy(b).agg(F.sum(value).alias(tt))
+    lesser = totals.select(F.col(b).alias("_lb"), F.col(tt).alias("_lt"))
+    off_t = (
+        totals.join(F.broadcast(lesser), F.col("_lb") < F.col(b), "left")
+        .groupBy(b)
+        .agg(F.coalesce(F.sum("_lt"), F.lit(0)).alias(off))
+    )
+    out_df = ranked.join(F.broadcast(off_t), b).withColumn(
+        out, F.col(off) + F.col(ic)
+    )
+    if total_name is not None:
+        tot = totals.agg(F.sum(tt).alias(total_name))
+        out_df = out_df.crossJoin(F.broadcast(tot))
+    return out_df.drop(b, ic, off)
+
+
+def exact_ntile_sql(rn: str, n: str, k: int) -> str:
+    """SQL fragment computing ANSI NTILE(k) from a 1-based global rank
+    column ``rn`` and total-count column ``n`` — the first ``n % k``
+    tiles get ``n DIV k + 1`` rows, the rest ``n DIV k`` (exactly the
+    NTILE distribution both Spark and DuckDB implement), so a
+    two-phase rank (:func:`two_phase_rank`) reproduces a global-order
+    NTILE bit-for-bit without the single-partition sort.  All-integer;
+    the GREATEST guards the n < k case (where tile = rn)."""
+    q = f"({n} DIV {k})"
+    r = f"({n} % {k})"
+    return (
+        f"CAST(CASE WHEN {rn} <= {r} * ({q} + 1) "
+        f"THEN ({rn} - 1) DIV ({q} + 1) + 1 "
+        f"ELSE {r} + 1 + ({rn} - 1 - {r} * ({q} + 1)) DIV GREATEST({q}, 1) "
+        f"END AS BIGINT)"
+    )

@@ -757,35 +757,58 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey so every quintile boundary is deterministic.
 
     Scale shape: one group-by on custkey produces the per-customer
-    triple; the three NTILE windows then run over the AGGREGATE (one
-    row per customer), not the orders stream.  These are global-order
-    windows — fine up to ~1e9 customers on one sort each; the 100 TB
-    path replaces exact NTILE with approx-percentile quintile cutoffs
-    broadcast to a map-side score join, trading exact bucket
-    boundaries for no global sort.  Monetary sums are DECIMAL-exact
-    (order-free), rounded once for display."""
+    triple; the reference date is a 1-row broadcast aggregate (no
+    separate collect job — the whole report is one action).  The
+    three quintile scores are exact NTILE(5) but NEVER a global-order
+    window: each runs the two-phase bucketed rank (two_phase_rank),
+    with value-domain buckets — recency day (date-range bounded),
+    frequency (basket-count bounded), monetary cents DIV 2^21 (~$21k
+    steps over the bounded lifetime-revenue range) — then
+    exact_ntile_sql converts rank -> quintile with the same tile
+    sizes NTILE emits.  Monetary sums are DECIMAL-exact (order-free),
+    rounded once for display."""
+    from instructions_mr_spark.queries._util import exact_ntile_sql, two_phase_rank
+
     o = t(spark, sf_dir, "orders")
-    refdate = o.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("r")
-    ).collect()[0]["r"]
-    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.datediff(
-            F.lit(refdate), F.max(F.col("o_orderdate").cast("date"))
-        ).alias("recency_days"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(12,2))")).alias("monetary_dec"),
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("_refdate"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("_lastd"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(12,2))")).alias(
+                "monetary_dec"
+            ),
+        )
+        .crossJoin(F.broadcast(ref))
+        .withColumn("recency_days", F.datediff("_refdate", "_lastd"))
+        .drop("_refdate", "_lastd")
     )
-    r_w = Window.orderBy(F.col("recency_days").desc(), "custkey")
-    f_w = Window.orderBy(F.col("frequency").asc(), "custkey")
-    m_w = Window.orderBy(F.col("monetary_dec").asc(), "custkey")
-    scored = base.select(
+    s = two_phase_rank(
+        base,
+        -F.col("recency_days"),
+        [F.col("recency_days").desc(), F.col("custkey")],
+        rn_name="_rrn",
+        n_name="_n",
+    )
+    s = two_phase_rank(
+        s, F.col("frequency"), [F.col("frequency").asc(), F.col("custkey")],
+        rn_name="_frn",
+    )
+    s = two_phase_rank(
+        s,
+        F.expr("CAST(monetary_dec * 100 AS BIGINT) DIV 2097152"),
+        [F.col("monetary_dec").asc(), F.col("custkey")],
+        rn_name="_mrn",
+    )
+    scored = s.select(
         "custkey",
         F.col("recency_days").cast("bigint").alias("recency_days"),
         "frequency",
         F.round(F.col("monetary_dec").cast("double"), 2).alias("monetary"),
-        F.ntile(5).over(r_w).cast("bigint").alias("r_score"),
-        F.ntile(5).over(f_w).cast("bigint").alias("f_score"),
-        F.ntile(5).over(m_w).cast("bigint").alias("m_score"),
+        F.expr(exact_ntile_sql("_rrn", "_n", 5)).alias("r_score"),
+        F.expr(exact_ntile_sql("_frn", "_n", 5)).alias("f_score"),
+        F.expr(exact_ntile_sql("_mrn", "_n", 5)).alias("m_score"),
     )
     return scored.withColumn(
         "rfm_code",
@@ -1063,22 +1086,29 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     at petabyte revenue totals; DuckDB's HUGEINT sum matches).
 
     Scale shape: one custkey group-by is the only corpus-sized
-    exchange; the NTILE sorts the per-customer AGGREGATE (customers,
-    not orders) — the same single-partition caveat as
-    customer_rfm_segments, with the same 100 TB swap (approx-
-    percentile revenue cutoffs broadcast to a map-side bucket join);
-    decile rollup and shares run on 10 rows."""
+    exchange; the decile cut is exact NTILE(10) but never a
+    global-order window — two_phase_rank over value-domain buckets
+    (rev_cents DIV 2^21, ~$21k steps over the bounded lifetime-
+    revenue range) + exact_ntile_sql rank arithmetic, so the rank
+    runs bucket-parallel; decile rollup and shares run on 10 rows
+    (the one remaining unpartitioned window — decile-domain
+    bounded)."""
+    from instructions_mr_spark.queries._util import exact_ntile_sql, two_phase_rank
+
     o = t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.expr(
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
         ).alias("rev_cents")
     )
-    tiled = rev.select(
-        "rev_cents",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("rev_cents").desc(), "o_custkey"))
-        .alias("decile"),
+    tiled = two_phase_rank(
+        rev,
+        -F.expr("rev_cents DIV 2097152"),
+        [F.col("rev_cents").desc(), F.col("o_custkey")],
+        rn_name="_rn",
+        n_name="_n",
+    ).select(
+        "rev_cents", F.expr(exact_ntile_sql("_rn", "_n", 10)).alias("decile")
     )
     d = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1846,12 +1876,12 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float share is ever compared.
 
     Scale shape: one partkey group-by (DECIMAL-exact cents); the
-    cumulative ranking sorts the per-part AGGREGATE with the usual
-    single-partition caveat (swap: pre-bucket by revenue range from
-    approx quantiles, cumulative within bucket + bucket offsets —
-    the two-phase prefix-sum pattern pack_concat_chunks uses);
-    class rollup is 3 rows."""
-    from pyspark.sql import Window as W
+    cumulative ranking is the two-phase prefix sum (two_phase_cumsum:
+    per-revenue-range-bucket running sums + broadcast bucket offsets
+    — value-domain cents DIV 2^22 buckets, bounded because per-part
+    lineitem fan-in is basket-bounded), never a single global-order
+    window; class rollup is 3 rows."""
+    from instructions_mr_spark.queries._util import two_phase_cumsum
 
     li = t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -1859,16 +1889,14 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
         ).alias("cents")
     )
-    cum = rev.select(
+    cum = two_phase_cumsum(
+        rev,
+        -F.expr("cents DIV 4194304"),
+        [F.col("cents").desc(), F.col("l_partkey")],
         "cents",
-        F.sum("cents")
-        .over(
-            W.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
-                W.unboundedPreceding, 0
-            )
-        )
-        .alias("cum_cents"),
-    ).crossJoin(F.broadcast(rev.agg(F.sum("cents").alias("total_cents"))))
+        out="cum_cents",
+        total_name="total_cents",
+    )
     classed = cum.select(
         F.expr(
             "CASE WHEN 100 * cum_cents <= 80 * total_cents THEN 'A' "
@@ -3691,9 +3719,15 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is DECIMAL-exact cents.
 
     Scale shape: one custkey aggregate (corpus exchange) with the
-    1-row midpoint broadcast; the two global ranks run on the
-    per-customer AGGREGATE (swap to two-phase range-partitioned rank
-    at 100 TB) and the matrix rollup is 9 rows."""
+    1-row midpoint broadcast; the two tercile ranks are two-phase
+    bucketed ranks (two_phase_rank, value-domain cents DIV 2^21
+    buckets over the bounded half-lifetime-revenue range) — never a
+    global-order window — and the matrix rollup is 9 rows.  Skew
+    note: customers with zero revenue in a half all tie in the 0
+    bucket; the midpoint split keeps both halves populated for
+    almost every active customer, so that bucket stays a small
+    minority."""
+    from instructions_mr_spark.queries._util import two_phase_rank
     o = t(spark, sf_dir, "orders").selectExpr(
         "o_custkey",
         "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
@@ -3714,12 +3748,23 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    ranked = halves.selectExpr(
+    r1 = two_phase_rank(
+        halves,
+        -F.expr("early DIV 2097152"),
+        [F.col("early").desc(), F.col("o_custkey")],
+        rn_name="_ern",
+        n_name="_n",
+    )
+    r2 = two_phase_rank(
+        r1,
+        -F.expr("late DIV 2097152"),
+        [F.col("late").desc(), F.col("o_custkey")],
+        rn_name="_lrn",
+    )
+    ranked = r2.selectExpr(
         "o_custkey",
-        "(ROW_NUMBER() OVER (ORDER BY early DESC, o_custkey) - 1) * 3"
-        " DIV COUNT(*) OVER () AS tier_early",
-        "(ROW_NUMBER() OVER (ORDER BY late DESC, o_custkey) - 1) * 3"
-        " DIV COUNT(*) OVER () AS tier_late",
+        "(_ern - 1) * 3 DIV _n AS tier_early",
+        "(_lrn - 1) * 3 DIV _n AS tier_late",
     )
     return ranked.groupBy(
         F.col("tier_early").cast("bigint").alias("tier_early"),

@@ -432,7 +432,12 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # total-order key: degree-major, id-minor, packed into one BIGINT
+    # total-order key: degree-major, id-minor, packed into one BIGINT.
+    # Packing bound (r7 advice): valid only while vertex ids < 1e12 and
+    # degrees < ~9.2e6 (BIGINT headroom) — partkeys and basket-bounded
+    # degrees sit orders of magnitude below both at any sf; violating
+    # either collides keys / overflows silently, so swap to a struct
+    # sort key (d, v) if ids ever leave that envelope
     k = (F.col("d") * F.lit(10**12) + F.col("v")).alias("k")
     kv = deg.select("v", k)
     ka = kv.select(F.col("v").alias("a"), F.col("k").alias("ka"))

@@ -1063,11 +1063,15 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e6 is the 'salt this join' signal; p99 vs max separates one
     pathological key from a heavy tail.
 
-    Scale shape: the per-key count is the one corpus-sized exchange;
-    every later step runs over the key-count table (distinct-key-
-    sized).  The p99 rank is an exact ROW_NUMBER over that table —
-    at extreme key cardinality swap in approx_percentile over the
-    counts; the summary row's shape is unchanged."""
+    Scale shape: the per-key count is the one corpus-sized exchange.
+    The p99 count is a value-domain order statistic: the key-count
+    HISTOGRAM (distinct count values — Zipf-bounded, NOT key-
+    cardinality-sized) gets a cumulative key tally in one tiny
+    window, and p99_count = the largest count value whose
+    keys-at-or-above tally reaches rank ceil(0.01 * d) — exactly the
+    value ROW_NUMBER over the full key table would pick (the n at a
+    rank depends only on n, so ranking individual keys is never
+    needed).  The summary row's shape is unchanged."""
     from pyspark.sql import Window
 
     o = t(spark, sf_dir, "orders")
@@ -1079,16 +1083,19 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("tot"),
         F.max("n").alias("mx"),
     )
-    r = c.select(
-        "n", F.row_number().over(Window.orderBy(F.col("n").desc(), "k")).alias("rnk")
+    hist = c.groupBy("n").agg(F.count(F.lit(1)).alias("_keys"))
+    w_desc = (
+        Window.orderBy(F.col("n").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    cum = hist.withColumn("_cumk", F.sum("_keys").over(w_desc))
     p99 = (
-        r.crossJoin(F.broadcast(s.select("d")))
+        cum.crossJoin(F.broadcast(s.select("d")))
         .filter(
-            F.col("rnk")
-            == F.greatest(F.lit(1), F.ceil(F.lit(0.01) * F.col("d")).cast("bigint"))
+            F.col("_cumk")
+            >= F.greatest(F.lit(1), F.ceil(F.lit(0.01) * F.col("d")).cast("bigint"))
         )
-        .select(F.col("n").alias("p99_count"))
+        .agg(F.max("n").alias("p99_count"))
     )
     return s.crossJoin(F.broadcast(p99)).select(
         F.col("d").alias("distinct_keys"),
@@ -2130,22 +2137,25 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole readout integer with DECIMAL(38,0)/HUGEINT numerators
     (cum_pos * total_n * 1e6 passes BIGINT near ~1e9 docs).
 
-    Scale shape: the global rank is the one total-order operation —
-    at 100 TB it swaps to the range-partitioned two-phase rank
-    (range_partition_bounds); everything after runs on 10 rows."""
+    Scale shape: the global rank runs as the two-phase bucketed rank
+    (two_phase_rank, buckets = -n_chars — the length domain is
+    bounded by the max document size, not the corpus) — never a
+    partitionless window; everything after runs on 10 rows (the
+    remaining unpartitioned cum window is decile-domain bounded)."""
+    from instructions_mr_spark.queries._util import two_phase_rank
+
     docs = t(spark, sf_dir, "documents").selectExpr(
         "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos",
         "n_chars",
         "doc_id",
     )
-    n_total = Window.partitionBy()
-    ranked = docs.select(
-        "pos",
-        F.expr(
-            "(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1) * 10"
-        ).alias("rm"),
-        F.count(F.lit(1)).over(n_total).alias("n"),
-    ).select("pos", (F.expr("rm DIV n") + 1).alias("decile"))
+    ranked = two_phase_rank(
+        docs,
+        -F.col("n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        rn_name="_rn",
+        n_name="_n",
+    ).select("pos", F.expr("(_rn - 1) * 10 DIV _n + 1").alias("decile"))
     d = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("pos").alias("n_pos")
     )

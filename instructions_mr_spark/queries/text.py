@@ -1639,22 +1639,27 @@ def quality_bucket_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     training mixture takes.
 
     Scale shape: reuses quality_unigram_logprob's plan (one word
-    aggregate, vocab broadcast back); the global NTILE is a rank over
-    the doc-level score table — corpus-COUNT-sized but tiny rows
-    (id + score); at extreme scale the same two-phase rank replacement
-    as vocab_coverage applies.  Ties broken by doc_id so the cut is
-    deterministic on both engines."""
+    aggregate, vocab broadcast back); the tertile cut is exact
+    NTILE(3) but never a global-order window — two_phase_rank over
+    score-domain buckets (-FLOOR(mean_logp * 64): per-token log-
+    probs live in a fixed few-unit range, so the bucket count is
+    bounded regardless of corpus size) + exact_ntile_sql rank
+    arithmetic.  Ties broken by doc_id so the cut is deterministic
+    on both engines."""
+    from instructions_mr_spark.queries._util import exact_ntile_sql, two_phase_rank
+
     scored = quality_unigram_logprob(spark, sf_dir)
-    from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
-    bucketed = (
-        scored.select("doc_id", "mean_logp")
-        .join(docs, "doc_id")
-        .withColumn(
-            "bucket",
-            F.ntile(3).over(W.orderBy(F.col("mean_logp").desc(), F.col("doc_id"))),
-        )
+    joined = scored.select("doc_id", "mean_logp").join(docs, "doc_id")
+    bucketed = two_phase_rank(
+        joined,
+        -F.floor(F.col("mean_logp") * 64),
+        [F.col("mean_logp").desc(), F.col("doc_id")],
+        rn_name="_rn",
+        n_name="_n",
+    ).select(
+        "source", F.expr(exact_ntile_sql("_rn", "_n", 3)).alias("bucket")
     )
     return bucketed.groupBy("bucket", "source").agg(
         F.count(F.lit(1)).alias("n_docs")

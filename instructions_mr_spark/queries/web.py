@@ -56,7 +56,7 @@ _DUCK_NORM_CTES = f"""
                lower(regexp_replace(url, '#.*$', '')),
                '^[a-z][a-z0-9+.-]*://', ''),
                '^[^/?#]*@', ''),
-               '^([^/:?#]*):[0-9]+', '\\1'), '^www\\.', '') AS u
+               '^([^/:?#]*):[0-9]+([/?#]|$)', '\\1\\2'), '^www\\.', '') AS u
       FROM urls
     ),
     parts AS (
@@ -437,7 +437,7 @@ _ROBOTS_VALUES = ", ".join(
                            || CAST(r.allow AS VARCHAR) END) AS win
       FROM pages p
       LEFT JOIN rules r
-        ON p.host = r.rhost AND p.path LIKE r.prefix || '%'
+        ON p.host = r.rhost AND starts_with(p.path, r.prefix)
       GROUP BY p.doc_id, p.host
     )
     SELECT host,

@@ -361,8 +361,13 @@ def window_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rolling_corr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling click-purchase correlation over a trailing 24-hour
-    window, in EXACT integer sufficient statistics: per hour, the six
+    """Rolling click-purchase correlation over a trailing window of
+    the 24 most recent OBSERVED hours (a ROWS BETWEEN 23 PRECEDING
+    frame over the hour grid — on data with missing hours the window
+    silently stretches in wall-clock time; use a RANGE frame over
+    epoch-hour integers, as moving_7d_revenue does, when gaps must
+    not widen the window), in EXACT integer sufficient statistics:
+    per hour, the six
     sums (n, Sx, Sy, Sxy, Sxx, Syy) plus the correlation numerator
     n*Sxy - Sx*Sy — the reader forms r with two square roots, but no
     float ever crosses the engines (a float rolling corr accumulates

@@ -37,147 +37,150 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Driver-visibility window: the correctness driver oracle-checks exactly the
-# FIRST 50 entries of ``queries()`` in registration order (r5/r6 confirmed
-# all 50 window names landed in CORRECTNESS_r0{5,6}.json).  The window
+# FIRST 50 entries of ``queries()`` in registration order (r5/r6/r7 confirmed
+# all 50 window names landed in CORRECTNESS_r0{5,6,7}.json).  The window
 # rotates each round onto never-driver-checked names; everything else keeps
 # registration order after it, with the still-never-checked names ahead of
 # the already-green ones so future rounds can rotate coverage simply by
-# editing this list.  Round-7 rotation (the r6 verdict's list): the four
-# r7-fixed web/leakage/span queries, the two r6-contract-upgraded ANN
-# entries, the 12 remaining TPC-H shapes, the UDF/UDTF surface, lake ops,
-# skew-handling joins/aggs, streaming interval/sliding, multimodal
-# meta/fake/frame, and the riskiest never-checked singles.
+# editing this list.  Round-8 rotation (the r7 verdict's priorities): the
+# 7 queries whose implementation changed this round (the global-NTILE ->
+# two-phase-rank swap family MUST land fresh driver rows), the sql_* and
+# agg_* surfaces, the window family, sampling, packing, privacy audits,
+# and the graph/ANN evaluators — all never driver-checked before.
 DRIVER_WINDOW: list[str] = [
-    # continuity rows (driver-green r1-r6, anchor the comparison)
+    # continuity rows (driver-green r1-r7, anchor the comparison)
     "q1_pricing_summary",
     "scope_project",
-    # r7: contract changed this round (digest keys / de-ROUNDed finals /
-    # narrow-pair restructure) — must land fresh driver rows
-    "dedup_span_cut",
-    "url_dedup",
-    "domain_stats",
-    "split_leakage_audit",
-    # r6 contract-upgraded ANN oracles (value-bearing since 41e162a)
-    "sim_search_pq",
-    "sim_search_ivf_kmeans",
-    # the 12 never-checked TPC-H shapes (completes driver TPC-H coverage)
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q18_large_volume",
-    "q19_disjunctive_filter",
-    "q21_waiting_supplier",
-    # UDF / UDAF / UDTF surface
-    "udf_pandas_scalar",
-    "udf_arrow_scalar",
-    "udaf_grouped_pandas",
-    "udaf_grouped_arrow",
-    "udtf_tokenize",
-    "udtf_dynamic_topn",
-    # lake ops
-    "scd2_history",
-    "cdc_latest_version",
-    "ts_gap_fill",
-    "fk_orphan_audit",
-    "partition_pruned_scan",
-    # quality gates
-    "quality_filter_gopher",
-    "quality_blocklist_hits",
-    # skew-handling joins / aggs + banded joins
-    "join_salted_skew",
-    "agg_salted_twophase",
-    "join_asof_tolerance",
-    "join_range_banded",
-    # streaming twins
-    "stream_join_interval",
-    "stream_sliding",
-    # multimodal plumbing
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "multimodal_decode_fake",
-    # riskiest never-checked singles
-    "recursive_cte_hierarchy",
-    "variant_extract",
-    "zorder_cluster_key",
-    "python_datasource_scan",
-    "funnel_sessions",
-    "heavy_hitters",
-    "text_redact_pii",
-    "merge_upsert_balances",
+    # r8: implementation changed this round (global-order NTILE/rank ->
+    # two_phase_rank/two_phase_cumsum bucketed swap; RFM also lost its
+    # refdate collect) — must land fresh driver rows
+    "customer_rfm_segments",
+    "pareto_revenue_share",
+    "decile_lift_table",
+    "segment_migration_matrix",
+    "quality_bucket_shares",
+    "abc_classification",
+    "join_key_skew_profile",
+    # SQL surface
+    "sql_api_revenue",
+    "sql_exists_subquery",
+    "sql_lateral_topk",
+    "sql_scripting_param",
+    # aggregate surface
+    "agg_bool",
+    "agg_corr_covar",
+    "agg_grouping_sets",
+    "agg_mode_deterministic",
+    "agg_percentile",
+    "agg_percentile_approx",
+    # window family
+    "window_range_frame",
+    "window_ewma_dyadic",
+    "rolling_corr_terms",
+    # sampling
+    "sample_hash_mod",
+    "sample_reservoir_topup",
+    "sample_stratified",
+    "shuffle_epoch_order",
+    # packing
+    "pack_concat_chunks",
+    "batch_padding_waste",
+    # privacy audits
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "t_closeness_audit",
+    # graph / ANN evaluators
+    "ann_recall_at_k",
+    "ann_recall_multiprobe",
+    "ann_recall_truncated_dims",
+    "graph_clustering_coeff",
+    "graph_link_prediction",
+    "graph_triangle_count",
+    # scalar surface remainder
+    "collation_ci_group",
+    "scalar_try_cast",
+    # document / text primitives
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_rolling_hash",
+    "text_clean",
+    "text_ngram_freq",
+    "token_count",
+    # reshaping / profiling singles
+    "cohort_retention",
+    "pivot_segments",
+    "unpivot_part",
+    "table_profile",
+    "value_histogram",
 ]
 
-# Round-8 rotation plan (the remaining never-driver-checked backlog after
-# r7's window lands — rotate ALL of these in next round; with the anchors
-# that still leaves slots for any r7-new queries):
-#   agg_bool, agg_corr_covar, agg_grouping_sets, agg_mode_deterministic,
-#   agg_percentile, agg_percentile_approx, cohort_retention,
-#   collation_ci_group, doc_chunks, doc_fingerprint, doc_rolling_hash,
+# Round-9 rotation plan (the remaining never-driver-checked backlog after
+# r8's window lands — rotate from these next round, plus any r8-new
+# queries and anything whose contract changes):
 #   dpp_filtered_dim_scan, embedding_pair_cosine, funnel_by_segment,
-#   json_from_schema, json_map_ops, lsh_bucket_stats,
-#   multimodal_decode_real (re-green under any contract drift),
-#   nested_roundtrip, pivot_segments, rollup_time_hierarchy,
-#   sample_hash_mod, sample_reservoir_topup, sample_stratified,
-#   scalar_try_cast, shuffle_epoch_order, sql_api_revenue,
-#   sql_exists_subquery, sql_lateral_topk, sql_scripting_param,
-#   table_profile, text_clean, text_ngram_freq, token_count,
-#   unpivot_part, value_histogram, vector_avg_by_label, window_range_frame,
-#   plus the r7-new ops: dedup_span_cut_keepfirst, domain_stats_psl,
-#   mixture_temperature_shares, pack_concat_chunks, join_fuzzy_blocked,
+#   json_from_schema, json_map_ops, lsh_bucket_stats, nested_roundtrip,
+#   rollup_time_hierarchy, vector_avg_by_label, dedup_span_cut_keepfirst,
+#   domain_stats_psl, mixture_temperature_shares, join_fuzzy_blocked,
 #   quality_ensemble_keep, dedup_simhash_hamming, dedup_line_frequency,
 #   bpe_pair_counts, topic_seed_assign, posting_list_intersect,
-#   url_param_mining, crawl_frontier_politeness, k_anonymity_audit,
-#   embedding_label_centroid, langid_confusion, robots_txt_gate,
-#   dedup_cascade_attribution, embedding_top_pc, zipf_vocab_fit,
-#   l_diversity_audit, event_attribution_last_touch, session_bounce_rate,
-#   simhash_hamming_calibration, batch_padding_waste, dataset_drift_kl,
-#   event_transition_matrix, customer_rfm_segments, copurchase_pairs,
-#   supplier_assortment_overlap, graph_triangle_count, t_closeness_audit,
-#   join_key_skew_profile, range_partition_bounds, ann_recall_at_k,
-#   ts_linear_interpolate, label_agreement_kappa, graph_clustering_coeff,
-#   fd_candidate_audit, pareto_revenue_share, funnel_time_to_convert,
-#   attribution_position_based, sketch_quantile_merge, trend_slope_by_type,
-#   segment_bitmap_intersect, ann_recall_multiprobe,
-#   stream_quantile_bins, dedup_cluster_size_hist,
-#   features_point_in_time, session_path_topk, join_size_estimate,
-#   negative_sampling_pairs, dedup_quality_bias, window_ewma_dyadic,
-#   skyline_price_size, percentile_exact_twophase, time_weighted_avg,
-#   ann_recall_truncated_dims, abc_classification, cdc_chunk_stats,
-#   experiment_assignment_srm, schema_merge_scan, incremental_agg_merge,
-#   rolling_corr_terms, event_disorder_histogram, rare_category_collapse,
-#   seasonality_profile, entity_resolution_clusters,
+#   url_param_mining, crawl_frontier_politeness, embedding_label_centroid,
+#   langid_confusion, robots_txt_gate, dedup_cascade_attribution,
+#   embedding_top_pc, zipf_vocab_fit, event_attribution_last_touch,
+#   session_bounce_rate, simhash_hamming_calibration, dataset_drift_kl,
+#   event_transition_matrix, copurchase_pairs, supplier_assortment_overlap,
+#   range_partition_bounds, ts_linear_interpolate, label_agreement_kappa,
+#   fd_candidate_audit, funnel_time_to_convert, attribution_position_based,
+#   sketch_quantile_merge, trend_slope_by_type, segment_bitmap_intersect,
+#   stream_quantile_bins, dedup_cluster_size_hist, features_point_in_time,
+#   session_path_topk, join_size_estimate, negative_sampling_pairs,
+#   dedup_quality_bias, skyline_price_size, percentile_exact_twophase,
+#   time_weighted_avg, cdc_chunk_stats, experiment_assignment_srm,
+#   schema_merge_scan, incremental_agg_merge, event_disorder_histogram,
+#   rare_category_collapse, seasonality_profile, entity_resolution_clusters,
 #   metric_change_contribution, percentile_group_twophase,
 #   bloom_fpr_calibration, churn_label_table, set_sim_join_prefix,
-#   graph_link_prediction, experiment_uplift_report, attribution_time_decay,
-#   ts_gap_report, sequence_pattern_support, phrase_match_positions,
-#   rank_fusion_borda, target_encoding_loo, cusum_changepoint,
-#   benford_digit_audit, degree_assortativity_terms, mad_robust_outliers,
-#   ks_split_drift, graph_bfs_hops, zone_map_skip_audit,
-#   gini_revenue_inequality, hhi_concentration, auc_mann_whitney,
-#   dau_wau_stickiness, recon_order_totals, graph_hits_unnormalized,
-#   itemset3_support, inventory_stockout_scan, kendall_tau_terms,
-#   ordinal_pattern_counts, bellman_ford_bounded, ngram_novelty_rate,
-#   decile_lift_table, winsorize_clip_stats, acf_lag_terms,
-#   chi2_lang_source_terms, brand_share_shift, backlog_aging_buckets,
-#   filter_waterfall_attrition, stream_topk_types, runs_test_counts,
-#   interpurchase_gap_profile, wow_revenue_delta, shipment_latency_audit,
-#   hash_shard_balance, attribution_linear, user_acquisition_curve,
-#   discount_volume_curve, source_vocab_overlap, dim_coverage_audit,
-#   set_ops_bag_semantics, cart_abandonment_daily, priceband_segment_mix,
-#   brand_return_rates, sentence_length_profile, copurchase_lift,
-#   segment_migration_matrix, user_activity_depth, basket_value_curve,
+#   experiment_uplift_report, attribution_time_decay, ts_gap_report,
+#   sequence_pattern_support, phrase_match_positions, rank_fusion_borda,
+#   target_encoding_loo, cusum_changepoint, benford_digit_audit,
+#   degree_assortativity_terms, mad_robust_outliers, ks_split_drift,
+#   graph_bfs_hops, zone_map_skip_audit, gini_revenue_inequality,
+#   hhi_concentration, auc_mann_whitney, dau_wau_stickiness,
+#   recon_order_totals, graph_hits_unnormalized, itemset3_support,
+#   inventory_stockout_scan, kendall_tau_terms, ordinal_pattern_counts,
+#   bellman_ford_bounded, ngram_novelty_rate, winsorize_clip_stats,
+#   acf_lag_terms, chi2_lang_source_terms, brand_share_shift,
+#   backlog_aging_buckets, filter_waterfall_attrition, stream_topk_types,
+#   runs_test_counts, interpurchase_gap_profile, wow_revenue_delta,
+#   shipment_latency_audit, hash_shard_balance, attribution_linear,
+#   user_acquisition_curve, discount_volume_curve, source_vocab_overlap,
+#   dim_coverage_audit, set_ops_bag_semantics, cart_abandonment_daily,
+#   priceband_segment_mix, brand_return_rates, sentence_length_profile,
+#   copurchase_lift, user_activity_depth, basket_value_curve,
 #   session_duration_profile, part_supplier_redundancy, moving_7d_revenue,
 #   weekend_lift, greedy_set_cover_sources, budget_apportion_hamilton,
-#   rolling_retention_7d
+#   rolling_retention_7d, multimodal_decode_real (re-green under any
+#   contract drift)
 
-# Names hash-green in some CORRECTNESS_r0{1..5}.json — kept at the back of
+# Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
 _DRIVER_GREEN_PAST = frozenset({
+    # r7 window — all 50 green in CORRECTNESS_r07.json
+    "dedup_span_cut", "url_dedup", "domain_stats", "split_leakage_audit",
+    "q4_order_priority", "q6_forecast_revenue", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_stock",
+    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
+    "q18_large_volume", "q19_disjunctive_filter", "q21_waiting_supplier",
+    "udf_pandas_scalar", "udf_arrow_scalar", "udaf_grouped_pandas",
+    "udaf_grouped_arrow", "udtf_tokenize", "udtf_dynamic_topn",
+    "scd2_history", "cdc_latest_version", "ts_gap_fill", "fk_orphan_audit",
+    "partition_pruned_scan", "quality_filter_gopher",
+    "quality_blocklist_hits", "join_salted_skew", "agg_salted_twophase",
+    "join_asof_tolerance", "join_range_banded", "stream_join_interval",
+    "stream_sliding", "multimodal_frame_sample", "multimodal_meta",
+    "multimodal_decode_fake", "recursive_cte_hierarchy", "variant_extract",
+    "zorder_cluster_key", "python_datasource_scan", "funnel_sessions",
+    "heavy_hitters", "text_redact_pii", "merge_upsert_balances",
+    # r1-r6 windows
     "agg_approx_distinct", "agg_collect", "agg_cube", "agg_distinct",
     "agg_hash", "agg_rollup", "agg_stats", "any_to_str", "binaryfile_scan",
     "bm25_topk", "boilerplate_ngrams", "chatml_init",

@@ -43,6 +43,12 @@ CASES = [
      "example.com", "example.com"),
     ("https://example.com/docs/@v2/page", "example.com/docs/@v2/page",
      "example.com", "example.com"),
+    # malformed port (r7 advice): ':80ab' is not a valid port, so it
+    # is kept VERBATIM — the digit run must not merge residue into
+    # the host ('hostab/x' was the old failure shape)
+    ("http://host:80ab/x", "host:80ab/x", "host:80ab", "host:80ab"),
+    # port at end-of-string still strips (the $2 alternative)
+    ("http://example.com:8080", "example.com", "example.com", "example.com"),
 ]
 
 # Must stay byte-identical to queries/web.py:_DUCK_NORM_CTES (minus
@@ -54,7 +60,7 @@ _DUCK_NORM = """
                lower(regexp_replace(raw, '#.*$', '')),
                '^[a-z][a-z0-9+.-]*://', ''),
                '^[^/?#]*@', ''),
-               '^([^/:?#]*):[0-9]+', '\\1'), '^www\\.', '') AS u
+               '^([^/:?#]*):[0-9]+([/?#]|$)', '\\1\\2'), '^www\\.', '') AS u
       FROM urls
     ),
     parts AS (
