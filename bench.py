@@ -46,6 +46,20 @@ HEADLINE = [
     "q21_waiting_supplier",
 ]
 
+# Second tracked list (r7 verdict item 7): the heaviest round-7
+# operator families, timed with the SAME min-3 harness and emitted
+# under "heavies" in the output line so regressions in the new
+# families are visible round-over-round.  Kept separate from HEADLINE
+# so the headline_total_sec series stays comparable across rounds.
+HEAVIES = [
+    "embedding_top_pc",
+    "semdedup_cells",
+    "dedup_span_cut",
+    "rolling_retention_7d",
+    "greedy_set_cover_sources",
+    "copurchase_lift",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,25 +80,35 @@ def main() -> None:
     # driver's per-round record always uses the stable HEADLINE list.
     names_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
     names = [n for n in names_env.split(",") if n] or HEADLINE
-    timings: dict[str, float] = {}
-    for name in names:
-        fn = registry.QUERIES[name]
-        best = None
-        for _ in range(max(1, runs)):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            # noop sink: materializes every output column/row (count()
-            # would let Catalyst prune the projections away).
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        # release staged localCheckpoints (LSH signature / PMI pair
-        # tables) once this query's runs are fully consumed — without
-        # this a long bench session accumulates one block set per
-        # staged table per run (queries/_util.free_staged_checkpoints)
-        free_staged_checkpoints()
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    def time_set(set_names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in set_names:
+            fn = registry.QUERIES[name]
+            best = None
+            for _ in range(max(1, runs)):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                # noop sink: materializes every output column/row
+                # (count() would let Catalyst prune the projections
+                # away).
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
+            # release staged localCheckpoints (LSH signature / PMI
+            # pair tables) once this query's runs are fully consumed —
+            # without this a long bench session accumulates one block
+            # set per staged table per run
+            # (queries/_util.free_staged_checkpoints)
+            free_staged_checkpoints()
+            print(f"# {name}: {out[name]:.3f}s", file=sys.stderr)
+        return out
+
+    timings = time_set(names)
+    # the heavies list only runs on a default invocation (an env
+    # override is a one-off scale/curve run, keep it minimal)
+    heavies = {} if names_env else time_set(HEAVIES)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -121,6 +145,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "heavies": heavies,
                 "sf": float(sf) if sf else sf_dir,
                 "harness": HARNESS,
             }

@@ -245,6 +245,16 @@ def connected_components(
     return labels
 
 
+# Checkpoint cadence for the pagerank power iteration (rounds between
+# eager localCheckpoint barriers); module-level so scale experiments
+# can A/B it without editing the loop.  r8 interleaved A/B at sf2
+# (BENCH_sf1.json round8_pagerank_cadence): cadence 2 -> 21.1s,
+# 3 -> 20.2s, none-but-last -> 18.7s (min-of-3, K=5) — barriers cost
+# ~11% at K=5; cadence 3 keeps lineage bounded for larger K while
+# taking most of the win.
+PR_CKPT_EVERY = 3
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -333,11 +343,14 @@ def pagerank(
                 + F.lit(damping) * acc_d
             ).cast("decimal(38,0)")
         ranks = nodes.join(sums, "id", "left").select("id", nxt.alias("rank"))
-        # Checkpoint every SECOND round (and the last): pagerank has no
-        # per-round action, so each eager checkpoint is a full driver
-        # barrier — halving them halves the per-iteration job count
-        # while the interleaved plan only ever stacks two rounds deep.
-        if i % 2 == 1 or i == iterations - 1:
+        # Checkpoint every PR_CKPT_EVERY rounds (and the last):
+        # pagerank has no per-round action, so each eager checkpoint is
+        # a full driver barrier — fewer barriers cut the per-iteration
+        # job count while the interleaved plan stacks at most
+        # PR_CKPT_EVERY rounds deep (lineage growth is linear, AQE
+        # re-plans the stacked rounds as one job).  Cadence chosen by
+        # the r8 sf2 interleaved A/B recorded in BENCH_sf1.json.
+        if (i + 1) % PR_CKPT_EVERY == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint()
             _free_checkpoint(last_ck)
             last_ck = ranks

@@ -215,7 +215,7 @@ def pq_adc_search(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     top_k: int = 10,
-    rerank: int = 20,
+    rerank: int = 100,
 ) -> DataFrame:
     """Asymmetric-distance top-k with exact re-rank: per subspace a
     k-entry lookup table of L2(query_sub, codeword) is burned into the
@@ -225,7 +225,14 @@ def pq_adc_search(
     scan shortlists ``rerank * top_k`` rows (TakeOrderedAndProject, no
     global sort), then ONLY the shortlist pays an exact L2 against the
     full vector — the standard production shape: quantized scan over
-    everything, full-precision fetch for a few dozen candidates."""
+    everything, full-precision fetch for a bounded candidate set.
+
+    ``rerank`` default 100 (shortlist 1000 at top_k=10): measured on
+    the r8 decorrelated sf1 fixture (20k vectors, 10 rotated
+    sub-universes — a hard mixture for 8x16 codebooks), recall@10 was
+    0.3 / 0.5 / 0.7 / 0.8 at rerank 20 / 50 / 100 / 200; 100 holds the
+    >= 0.5 ANN contract with headroom while the exact re-rank still
+    touches only a constant ~1000 rows regardless of corpus size."""
     m = len(codebooks)
     k = len(codebooks[0])
     ds = len(codebooks[0][0])
@@ -258,32 +265,52 @@ def pq_adc_search(
     )
 
 
-def assign_top2_cells(
-    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+def assign_topm_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    m: int = 2,
 ) -> DataFrame:
-    """Top-2 nearest-centroid multi-assignment (SemDeDup-style cell
-    blocking): each vector lands in its two best cells so near-dup
-    pairs straddling a k-means boundary still share a block (measured:
-    single-cell recall ~0.4 on uniform embeddings, top-2 ~0.8).  Pure
-    Column algebra: argmax, mask the winner to -inf, argmax again —
-    then explode to (cell, rest...) rows (2x replication, the blocking
-    cost)."""
+    """Top-m nearest-centroid multi-assignment (SemDeDup-style cell
+    blocking): each vector lands in its m best cells so near-dup pairs
+    straddling a k-means boundary still share a block (measured on
+    uniform embeddings: single-cell recall ~0.4, top-2 ~0.8; on the r8
+    decorrelated sf1 mixture at cos>=0.4, top-2 0.44 -> top-3 clears
+    the 0.5 contract).  Pure Column algebra: repeat (argmax, mask the
+    winner to -inf) m times, then explode to (cell, rest...) rows
+    (m x replication — the blocking cost, linear in m)."""
     dots = F.array(
         *[
             dot_product(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
             for c in centroids
         ]
     )
-    df = df.withColumn("__dots", dots)
-    c1 = F.expr("array_position(__dots, array_max(__dots))").cast("int")
-    df = df.withColumn("__c1", c1)
-    masked = F.expr(
-        "transform(__dots, (x, i) -> IF(i = __c1 - 1, CAST(-1e300 AS DOUBLE), x))"
+    df = df.withColumn("__d0", dots)
+    picks = []
+    for j in range(m):
+        cj = f"__c{j}"
+        df = df.withColumn(
+            cj, F.expr(f"array_position(__d{j}, array_max(__d{j}))").cast("int")
+        )
+        picks.append(cj)
+        if j + 1 < m:
+            df = df.withColumn(
+                f"__d{j + 1}",
+                F.expr(
+                    f"transform(__d{j}, (x, i) ->"
+                    f" IF(i = {cj} - 1, CAST(-1e300 AS DOUBLE), x))"
+                ),
+            )
+    out = df.withColumn(
+        "cell", F.explode(F.array(*[F.col(c) - 1 for c in picks]))
     )
-    df = df.withColumn("__masked", masked)
-    c2 = F.expr("array_position(__masked, array_max(__masked))").cast("int")
-    return (
-        df.withColumn("__c2", c2)
-        .withColumn("cell", F.explode(F.array(F.col("__c1") - 1, F.col("__c2") - 1)))
-        .drop("__dots", "__c1", "__masked", "__c2")
-    )
+    drop = [f"__d{j}" for j in range(m)] + picks
+    return out.drop(*drop)
+
+
+def assign_top2_cells(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Back-compat wrapper: top-2 multi-assignment (see
+    :func:`assign_topm_cells`)."""
+    return assign_topm_cells(df, centroids, vec_col=vec_col, m=2)

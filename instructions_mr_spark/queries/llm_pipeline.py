@@ -1149,7 +1149,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join shuffles on (band, bucket) — candidate volume is sum of
     bucket^2, not n^2, so the band/bit counts are the recall/cost dial
     (see _EMB_BANDS note).  Pairs are deduped across bands before the
-    exact-cosine verify so each pair pays the O(d) dot product once."""
+    exact-cosine verify so each pair pays the O(d) dot product once.
+
+    Scale dial (r8 curve, decorrelated fixture): with the bucket count
+    FIXED (8 bands x 2^8 buckets), occupancy grows with n and
+    candidates grow ~n^2/256 — measured sf1->sf2 3.6x per 2x data
+    (output itself now scales linearly; the r7 4.03x was the verbatim-
+    replication clique artifact, retired by gen_sf.py's per-copy
+    signed rotation).  At 100 TB, grow _EMB_BITS with log2(n) to hold
+    occupancy constant (more bands*bits than dims -> hash random dim
+    SUBSETS per band instead of disjoint slices); the oracled contract
+    pins the 8x8 configuration."""
     e = t(spark, sf_dir, "embeddings")
     pows = F.array(*[F.lit(p) for p in _EMB_POWS])
     bands = F.array(
@@ -1570,12 +1580,17 @@ def _cell_blocked_pairs(e, k: int, threshold: float):
     the candidate set; at billion-vector scale drop the hint for an
     id-keyed shuffle join — the plan is otherwise identical."""
     from instructions_mr_spark.operators.simsearch import (
-        assign_top2_cells,
+        assign_topm_cells,
         train_ivf_centroids,
     )
 
     cents = train_ivf_centroids(e, k=k, seed=42)
-    cells = assign_top2_cells(e, cents).select("cell", "vec_id")
+    # top-3 multi-assignment (was top-2): the r8 decorrelated sf1
+    # fixture removed the trivial cross-copy twin pairs, and top-2
+    # blocking recalled only 0.44 of the genuine cos>=0.4 audit pairs
+    # there; top-3 measures 0.63 (top-4 0.81 at +50% candidates) —
+    # 1.5x candidate volume, still linear in n
+    cells = assign_topm_cells(e, cents, m=3).select("cell", "vec_id")
     a, b = cells.alias("a"), cells.alias("b")
     cand = (
         a.join(
@@ -1753,7 +1768,11 @@ def semdedup_planted_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF — the r6 sf0.01/sf1 sweeps verified blocked == brute force
     exactly — and structurally the probability is ~d^(-1/2)-tailed;
     the exactness of the check on planted pairs is worth that known
-    residual."""
+    residual.  (r8, closing the r7 advice explicitly: the documented
+    data-dependence is the DECISION — restricting the oracle to the
+    planted set would stop certifying that blocking finds nothing
+    spurious, which is half the contract's value; re-verified green
+    on the r8 decorrelated sf1 fixture.)"""
     e = t(spark, sf_dir, "embeddings")
     s = e.filter(F.col("vec_id") % 17 == 0).select("vec_id", "embedding")
     corpus = s.unionByName(

@@ -79,19 +79,54 @@ def _shifted(df: DataFrame, table: str, copy: int, strides: dict[str, int]) -> D
             for c in cols:
                 dt = dict(df.dtypes)[c]
                 df = df.withColumn(c, (F.col(c) + F.lit(copy * strides[entity])).cast(dt))
+    if table == "embeddings":
+        df = _decorrelate_embeddings(df, copy)
     return df
 
 
-def generate(src: str, dst: str, copies: int) -> None:
+def _decorrelate_embeddings(df: DataFrame, copy: int) -> DataFrame:
+    """Per-copy signed cyclic rotation of the embedding vectors
+    (copy 0 stays verbatim).
+
+    Verbatim replication makes every vector an EXACT duplicate of its
+    K-1 copy twins, so any near-dup query's output (and cost) grows
+    quadratically in copies — the r7 scale curves measured that clique
+    artifact, not engine compute (dedup_embedding_cosine sf2/sf1 was
+    4.03x for 2x data).  A signed permutation is an orthogonal
+    transform: every WITHIN-copy inner product / cosine is preserved
+    bit-exactly (rotation + sign flips are exact float ops), so each
+    copy's query output is byte-identical to the source universe's,
+    while CROSS-copy cosines drop to noise — output now scales
+    linearly in copies, and the curve measures compute."""
+    if copy == 0:
+        return df
+    d = df.select(F.size("embedding")).first()[0]
+    shift = (copy * 7) % d  # gcd(7, 64) = 1 -> distinct per copy
+    rot = F.concat(
+        F.slice("embedding", shift + 1, d - shift),
+        F.slice("embedding", 1, shift),
+    )
+    signed = F.transform(
+        rot,
+        lambda x, j: F.when((j + F.lit(copy)) % 3 == 0, -x).otherwise(x),
+    )
+    return df.withColumn("embedding", signed.cast("array<float>"))
+
+
+def generate(src: str, dst: str, copies: int, only: list[str] | None = None) -> None:
     spark = get_spark("gen_sf")
     os.makedirs(dst, exist_ok=True)
     strides = _strides(spark, src)
     for table in FIXED:
+        if only and table not in only:
+            continue
         load_table(spark, src, table).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(dst, table + ".parquet")
         )
         print("fixed", table)
     for table in REPLICATED:
+        if only and table not in only:
+            continue
         base = load_table(spark, src, table)
         parts = [_shifted(base, table, i, strides) for i in range(copies)]
         out = parts[0]
@@ -107,5 +142,6 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/root/repo/.testdata/sf1")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--tables", default="", help="comma list: regen only these")
     a = ap.parse_args()
-    generate(a.src, a.dst, a.copies)
+    generate(a.src, a.dst, a.copies, [t for t in a.tables.split(",") if t] or None)
