@@ -2538,3 +2538,386 @@ def runs_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("up")).cast("bigint").alias("n_below"),
         F.sum("run_start").cast("bigint").alias("n_runs"),
     )
+
+
+# ------------------------------------------ Spearman rank correlation
+
+_SPEAR_DUCK = """
+    WITH base AS (
+      SELECT o_custkey,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS rx,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS ry
+      FROM base
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST((rx - ry) * (rx - ry) AS HUGEINT)) AS sum_d2
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sum_d2 AS BIGINT) AS sum_d2,
+           CAST(1000000 - (6 * sum_d2 * 1000000)
+                          // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
+             AS rho_e6
+    FROM s
+"""
+
+
+@query("spearman_rho_terms", oracle=_SPEAR_DUCK)
+def spearman_rho_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order frequency and lifetime
+    revenue across customers — the monotonic-association twin of
+    kendall_tau_terms (which pays O(pairs); Spearman is two ranks and
+    one sum).  Ties are broken by custkey on BOTH rank axes
+    (ROW_NUMBER, not average ranks), so the statistic is the
+    deterministic tie-broken variant and both engines compute the
+    identical integer.  rho_e6 = 1e6 - (6e6 * sum d^2) DIV (n^3 - n),
+    truncating division on non-negative operands (tie-safe); the
+    DECIMAL(38,0)/HUGEINT numerator passes BIGINT at any n, and the
+    emitted sum_d2 column fits BIGINT up to n ~ 2e6 entities
+    (documented envelope; the internal sum is exact DECIMAL(38,0)
+    regardless).
+
+    Scale shape: one custkey aggregate; the two global ranks are
+    two-phase bucketed ranks (two_phase_rank — value-domain buckets:
+    order count, cents DIV 2^21), never a partitionless window; the
+    final reduce is one row."""
+    from instructions_mr_spark.queries._util import two_phase_rank
+
+    o = t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    r1 = two_phase_rank(
+        base, F.col("freq"), [F.col("freq").asc(), F.col("o_custkey")],
+        rn_name="rx",
+    )
+    r2 = two_phase_rank(
+        r1,
+        F.expr("cents DIV 2097152"),
+        [F.col("cents").asc(), F.col("o_custkey")],
+        rn_name="ry",
+    )
+    s = r2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "SUM(CAST((rx - ry) * (rx - ry) AS DECIMAL(38,0)))"
+        ).alias("sum_d2"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(sum_d2 AS BIGINT) AS sum_d2",
+        "CAST(1000000 - (6 * sum_d2 * 1000000)"
+        " DIV (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT) AS rho_e6",
+    )
+
+
+# ------------------------------------------------------- Theil index
+
+_THEIL_DUCK = """
+    WITH base AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(cents) AS total_cents,
+             SUM(CAST(cents AS DECIMAL(9,0))
+                 * CAST(ROUND(LN(CAST(cents AS DOUBLE)), 10)
+                        AS DECIMAL(28,10))) AS sum_xlnx
+      FROM base
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(total_cents AS BIGINT) AS total_cents,
+           CAST(sum_xlnx AS DECIMAL(38,10)) AS sum_xlnx,
+           CAST(ROUND(LN(CAST(total_cents AS DOUBLE)), 10)
+                AS DECIMAL(28,10)) AS ln_total_r10,
+           CAST(ROUND(LN(CAST(n AS DOUBLE)), 10)
+                AS DECIMAL(28,10)) AS ln_n_r10
+    FROM s
+"""
+
+
+@query("theil_index_terms", oracle=_THEIL_DUCK)
+def theil_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer lifetime revenue, as exact
+    sufficient statistics (the entropy-based complement of
+    gini_revenue_inequality and hhi_concentration): T = sum(x ln x) /
+    total - (ln total - ln n), where the reader forms the final float
+    and the engines exchange only exact values.  Per-row logs follow
+    the column_entropy convention — ROUND(ln, 10) into DECIMAL so
+    sub-ulp libm differences between engines cannot reach the sum;
+    cents (< 2^31 per customer, DECIMAL(9,0)) times the 10-dp log
+    stays inside DECIMAL(38,10) exactly.
+
+    Scale shape: one custkey aggregate (map-side partial), one 1-row
+    moment reduce — no window, no join."""
+    o = t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    s = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.expr(
+            "SUM(CAST(cents AS DECIMAL(9,0))"
+            " * CAST(ROUND(LN(CAST(cents AS DOUBLE)), 10)"
+            " AS DECIMAL(28,10)))"
+        ).alias("sum_xlnx"),
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(total_cents AS BIGINT) AS total_cents",
+        "CAST(sum_xlnx AS DECIMAL(38,10)) AS sum_xlnx",
+        "CAST(ROUND(LN(CAST(total_cents AS DOUBLE)), 10) AS DECIMAL(28,10))"
+        " AS ln_total_r10",
+        "CAST(ROUND(LN(CAST(n AS DOUBLE)), 10) AS DECIMAL(28,10)) AS ln_n_r10",
+    )
+
+
+# --------------------------------------------- Mann-Kendall trend test
+
+_MK_DUCK = """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               AS day_idx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                         WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                AS BIGINT) AS s_stat,
+           CAST(SUM(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_concordant,
+           CAST(SUM(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_discordant,
+           CAST(SUM(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ties
+    FROM daily a JOIN daily b ON b.day_idx > a.day_idx
+"""
+
+
+@query("mann_kendall_trend", oracle=_MK_DUCK)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily revenue series:
+    S = sum over day pairs i<j of sign(x_j - x_i) — the standard
+    nonparametric 'is this KPI drifting' statistic (S >> 0 = rising,
+    << 0 = falling; the reader forms the z from S and n).  All-integer
+    (cents, counts, signs) so both engines agree exactly.
+
+    Scale shape: the corpus-sized work is ONE day group-by; the
+    pairwise self-join runs on the daily AGGREGATE — calendar-bounded
+    (K days -> K^2/2 pairs of narrow int rows, broadcast join), never
+    on raw orders.  Epoch-day integer arithmetic (no date functions —
+    locale drift)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.selectExpr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        " AS day_idx",
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS p",
+    ).groupBy("day_idx").agg(
+        F.expr("CAST(SUM(p) * 100 AS BIGINT)").alias("cents")
+    )
+    a = daily.select(
+        F.col("day_idx").alias("da"), F.col("cents").alias("xa")
+    )
+    b = daily.select(
+        F.col("day_idx").alias("db"), F.col("cents").alias("xb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da"))
+    # n_days as a broadcast 1-row aggregate — no separate count() job
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    agg = pairs.agg(
+        F.sum(
+            F.when(F.col("xb") > F.col("xa"), 1)
+            .when(F.col("xb") < F.col("xa"), -1)
+            .otherwise(0)
+        ).cast("bigint").alias("s_stat"),
+        F.sum(F.when(F.col("xb") > F.col("xa"), 1).otherwise(0))
+        .cast("bigint").alias("n_concordant"),
+        F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0))
+        .cast("bigint").alias("n_discordant"),
+        F.sum(F.when(F.col("xb") == F.col("xa"), 1).otherwise(0))
+        .cast("bigint").alias("n_ties"),
+    )
+    return agg.crossJoin(F.broadcast(nd)).select(
+        "n_days", "s_stat", "n_concordant", "n_discordant", "n_ties"
+    )
+
+
+# ------------------------------------------- count-min sketch audit
+
+_CM_SEEDS = 4
+_CM_WIDTH = 512
+_CM_TOPK = 10
+
+
+def _cm_duck() -> str:
+    from instructions_mr_spark.queries._util import duck_h60
+
+    h = duck_h60("CAST(l_partkey AS VARCHAR)", "' || s.seed || '")
+    return f"""
+    WITH kc AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    seeds AS (SELECT unnest(range(0, {_CM_SEEDS})) AS seed),
+    sk AS (
+      SELECT s.seed, {h} % {_CM_WIDTH} AS bucket, SUM(kc.cnt) AS bcnt
+      FROM kc, seeds s GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT l_partkey, cnt FROM kc
+      ORDER BY cnt DESC, l_partkey LIMIT {_CM_TOPK}
+    )
+    SELECT t.l_partkey,
+           CAST(t.cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(sk.bcnt) AS BIGINT) AS cm_estimate,
+           CAST(MIN(sk.bcnt) - t.cnt AS BIGINT) AS overestimate
+    FROM top t
+    JOIN seeds s ON TRUE
+    JOIN sk ON sk.seed = s.seed
+           AND sk.bucket = {h.replace('l_partkey', 't.l_partkey')} % {_CM_WIDTH}
+    GROUP BY t.l_partkey, t.cnt
+    """
+
+
+@query("sketch_countmin_heavy", oracle=_cm_duck())
+def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit over the part-key frequency stream: a
+    {_CM_SEEDS} x {_CM_WIDTH} CM sketch (portable h60 row hashes, so
+    both engines build the identical sketch), read back for the exact
+    top-{_CM_TOPK} heaviest parts — per key the estimate (min over
+    seed rows) next to the exact count and the overestimate, which is
+    provably >= 0 (CM never undercounts).  The sketch a streaming
+    heavy-hitter gate would keep in O(seeds x width) memory instead
+    of a per-key table.
+
+    Scale shape: ONE partkey group-by is the corpus exchange; the
+    sketch is built from the per-key count table (key-cardinality-
+    sized, seeds x 1 narrow rows per key) — never by re-scanning rows
+    per seed — and the {_CM_TOPK}-row top list joins the width-bounded
+    sketch by broadcast."""
+    from instructions_mr_spark.queries._util import spark_h60
+
+    li = t(spark, sf_dir, "lineitem")
+    kc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    kc = supersede_checkpoint("cm_key_counts", kc.localCheckpoint())
+    seeds = spark.range(_CM_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    h = spark_h60("CAST(l_partkey AS STRING)", "' || seed || '")
+    keyed = kc.crossJoin(F.broadcast(seeds)).selectExpr(
+        "l_partkey", "cnt", "seed", f"{h} % {_CM_WIDTH} AS bucket"
+    )
+    sk = keyed.groupBy("seed", "bucket").agg(F.sum("cnt").alias("bcnt"))
+    top = (
+        kc.orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(_CM_TOPK)
+        .withColumnRenamed("cnt", "exact_cnt")
+    )
+    top_buckets = top.crossJoin(F.broadcast(seeds)).selectExpr(
+        "l_partkey", "exact_cnt", "seed", f"{h} % {_CM_WIDTH} AS bucket"
+    )
+    return (
+        top_buckets.join(F.broadcast(sk), ["seed", "bucket"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("bcnt").alias("cm_estimate"))
+        .selectExpr(
+            "l_partkey",
+            "CAST(exact_cnt AS BIGINT) AS exact_cnt",
+            "CAST(cm_estimate AS BIGINT) AS cm_estimate",
+            "CAST(cm_estimate - exact_cnt AS BIGINT) AS overestimate",
+        )
+    )
+
+
+sketch_countmin_heavy.__doc__ = (sketch_countmin_heavy.__doc__ or "").replace(
+    "{_CM_SEEDS}", str(_CM_SEEDS)
+).replace("{_CM_WIDTH}", str(_CM_WIDTH)).replace("{_CM_TOPK}", str(_CM_TOPK))
+
+
+# -------------------------------------- feature-hashing collision audit
+
+_FH_BUCKETS = 4096
+
+
+def _fh_duck() -> str:
+    from instructions_mr_spark.queries._util import duck_h60
+
+    h = duck_h60("w", 91)
+    return f"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    b AS (
+      SELECT {h} % {_FH_BUCKETS} AS bucket, COUNT(*) AS n_feat
+      FROM vocab WHERE w != '' GROUP BY 1
+    )
+    SELECT CAST(SUM(n_feat) AS BIGINT) AS n_features,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(SUM(CASE WHEN n_feat >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_collided_buckets,
+           CAST(MAX(n_feat) AS BIGINT) AS max_bucket_load,
+           CAST(SUM(CASE WHEN n_feat >= 2 THEN n_feat ELSE 0 END) AS BIGINT)
+             AS n_features_collided,
+           CAST(SUM(CASE WHEN n_feat >= 2 THEN n_feat ELSE 0 END) * 1000000
+                // SUM(n_feat) AS BIGINT) AS collision_rate_e6
+    FROM b
+    """
+
+
+@query("feature_hash_collision_audit", oracle=_fh_duck())
+def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit: map the corpus vocabulary into
+    {_FH_BUCKETS} feature-hash buckets (portable h60, identical on
+    both engines) and report how much signal collides — total
+    features, buckets used, collided buckets, the hottest bucket, and
+    the share of features sharing a bucket (e6 integer units under
+    truncating division).  The readout that sizes the hash dimension
+    before training a hashed-feature model.
+
+    Scale shape: one word-distinct aggregate is the corpus exchange;
+    the bucket rollup and the summary run over bucket-bounded
+    ({_FH_BUCKETS}-row) state."""
+    from instructions_mr_spark.queries._util import spark_h60
+
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    b = vocab.selectExpr(f"{spark_h60('w', 91)} % {_FH_BUCKETS} AS bucket").groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("n_feat"))
+    return b.agg(
+        F.sum("n_feat").cast("bigint").alias("n_features"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.sum(F.when(F.col("n_feat") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_collided_buckets"),
+        F.max("n_feat").cast("bigint").alias("max_bucket_load"),
+        F.sum(F.when(F.col("n_feat") >= 2, F.col("n_feat")).otherwise(0))
+        .cast("bigint")
+        .alias("n_features_collided"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_feat >= 2 THEN n_feat ELSE 0 END) * 1000000"
+            " DIV SUM(n_feat) AS BIGINT)"
+        ).alias("collision_rate_e6"),
+    )
+
+
+feature_hash_collision_audit.__doc__ = (
+    feature_hash_collision_audit.__doc__ or ""
+).replace("{_FH_BUCKETS}", str(_FH_BUCKETS))

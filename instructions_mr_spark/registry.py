@@ -159,7 +159,10 @@ DRIVER_WINDOW: list[str] = [
 #   session_duration_profile, part_supplier_redundancy, moving_7d_revenue,
 #   weekend_lift, greedy_set_cover_sources, budget_apportion_hamilton,
 #   rolling_retention_7d, multimodal_decode_real (re-green under any
-#   contract drift)
+#   contract drift),
+#   plus the r8-new ops: spearman_rho_terms, theil_index_terms,
+#   mann_kendall_trend, sketch_countmin_heavy,
+#   feature_hash_collision_audit
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
