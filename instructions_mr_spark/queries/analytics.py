@@ -4242,3 +4242,285 @@ def rolling_retention_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(retained) * 1000000 DIV COUNT(*) AS BIGINT)"
         ).alias("retention_e6"),
     )
+
+
+# --------------------------------------- association-rule confidence
+
+_RULE_MIN_SUPPORT = 2
+
+
+@query(
+    "assoc_rules_confidence",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM p GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_RULE_MIN_SUPPORT}
+    ),
+    rules AS (
+      SELECT part_a AS antecedent, part_b AS consequent, support FROM pair
+      UNION ALL
+      SELECT part_b, part_a, support FROM pair
+    )
+    SELECT r.antecedent, r.consequent,
+           CAST(r.support AS BIGINT) AS support,
+           CAST(r.support * 1000000 // i.n_item AS BIGINT) AS conf_e6
+    FROM rules r JOIN item i ON i.l_partkey = r.antecedent
+    """,
+)
+def assoc_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules with DIRECTIONAL confidence — the step after
+    copurchase_pairs/copurchase_lift in the classic market-basket
+    stack: every supported pair emits both rules A=>B and B=>A with
+    conf(A=>B) = support(AB) / support(A) in e6 integer units
+    (truncating division; 'customers who bought A also bought B 37%
+    of the time' is what ranks recommendations, and lift alone cannot
+    give the direction).
+
+    Scale shape: the distinct and the pair self-join key on
+    l_orderkey (one exchange, reused); per-order pair generation is
+    basket-bounded so candidates are linear; the item-support join
+    back is a narrow int table joined on the antecedent key."""
+    li = t(spark, sf_dir, "lineitem")
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    p = supersede_checkpoint(
+        "rules_distinct",
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(),
+    )
+    item = p.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = p.alias("a"), p.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _RULE_MIN_SUPPORT)
+    )
+    rules = pair.selectExpr(
+        "part_a AS antecedent", "part_b AS consequent", "support"
+    ).unionByName(
+        pair.selectExpr("part_b AS antecedent", "part_a AS consequent", "support")
+    )
+    return rules.join(
+        item.withColumnRenamed("l_partkey", "antecedent"), "antecedent"
+    ).selectExpr(
+        "antecedent",
+        "consequent",
+        "CAST(support AS BIGINT) AS support",
+        "CAST(support * 1000000 DIV n_item AS BIGINT) AS conf_e6",
+    )
+
+
+# ----------------------------------------------- cohort LTV curve
+
+_LTV_PERIOD_DAYS = 30
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               // {_LTV_PERIOD_DAYS} AS period,
+             CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    first_p AS (SELECT o_custkey, MIN(period) AS cohort FROM o GROUP BY 1),
+    rev AS (
+      SELECT f.cohort, o.period - f.cohort AS age, SUM(o.cents) AS cents
+      FROM o JOIN first_p f USING (o_custkey)
+      GROUP BY 1, 2
+    ),
+    sized AS (SELECT cohort, COUNT(*) AS n_customers FROM first_p GROUP BY 1)
+    SELECT r.cohort, r.age,
+           CAST(s.n_customers AS BIGINT) AS n_customers,
+           CAST(SUM(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cents,
+           CAST(SUM(r.cents) OVER (PARTITION BY r.cohort ORDER BY r.age
+                                   ROWS UNBOUNDED PRECEDING)
+                // s.n_customers AS BIGINT) AS ltv_per_customer_cents
+    FROM rev r JOIN sized s USING (cohort)
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    period ({_LTV_PERIOD_DAYS}-day epoch buckets — integer day
+    arithmetic, no locale-dependent month functions), each cohort's
+    CUMULATIVE revenue by age, absolute and per acquired customer —
+    the payback table growth teams read next to cohort_retention's
+    activity view.  DECIMAL-exact cents, truncating per-customer
+    division.
+
+    Scale shape: one custkey aggregate (first period) joined back on
+    the same key, one (cohort, age) rollup; the cumulative window
+    partitions BY COHORT over ages — both axes calendar-bounded, so
+    the window state is metadata-sized at any corpus size."""
+    o = t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        f" DIV {_LTV_PERIOD_DAYS} AS period",
+        "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)"
+        " AS cents",
+    )
+    first_p = o.groupBy("o_custkey").agg(F.min("period").alias("cohort"))
+    rev = (
+        o.join(first_p, "o_custkey")
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    sized = first_p.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "age",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.sum("cents").over(w).cast("bigint").alias("cum_cents"),
+            F.expr("n_customers").alias("_n"),
+        )
+        .selectExpr(
+            "cohort",
+            "age",
+            "n_customers",
+            "cum_cents",
+            "CAST(cum_cents DIV _n AS BIGINT) AS ltv_per_customer_cents",
+        )
+    )
+
+
+cohort_ltv_curve.__doc__ = (cohort_ltv_curve.__doc__ or "").replace(
+    "{_LTV_PERIOD_DAYS}", str(_LTV_PERIOD_DAYS)
+)
+
+
+# ------------------------------------- new vs returning revenue split
+
+
+@query(
+    "new_vs_returning_split",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               // {_LTV_PERIOD_DAYS} AS period,
+             CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    first_p AS (SELECT o_custkey, MIN(period) AS first_period FROM o GROUP BY 1)
+    SELECT o.period,
+           CAST(SUM(CASE WHEN o.period = f.first_period THEN o.cents
+                         ELSE 0 END) AS BIGINT) AS new_cents,
+           CAST(SUM(CASE WHEN o.period > f.first_period THEN o.cents
+                         ELSE 0 END) AS BIGINT) AS returning_cents,
+           CAST(SUM(CASE WHEN o.period = f.first_period THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_new_orders,
+           CAST(SUM(CASE WHEN o.period > f.first_period THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_returning_orders
+    FROM o JOIN first_p f USING (o_custkey)
+    GROUP BY 1
+    """,
+)
+def new_vs_returning_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue split per {_LTV_PERIOD_DAYS}-day
+    period: each period's revenue and order count divided between
+    customers in their FIRST period and everyone after it — the
+    growth-accounting readout that separates acquisition from
+    retention revenue.  Integer day/period arithmetic, DECIMAL-exact
+    cents.
+
+    Scale shape: one custkey aggregate for first periods, joined back
+    on the same key (co-partitioned), one period rollup — no window,
+    no driver state."""
+    o = t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        f" DIV {_LTV_PERIOD_DAYS} AS period",
+        "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)"
+        " AS cents",
+    )
+    first_p = o.groupBy("o_custkey").agg(F.min("period").alias("first_period"))
+    j = o.join(first_p, "o_custkey")
+    is_new = F.col("period") == F.col("first_period")
+    is_ret = F.col("period") > F.col("first_period")
+    return j.groupBy("period").agg(
+        F.sum(F.when(is_new, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("new_cents"),
+        F.sum(F.when(is_ret, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("returning_cents"),
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("n_new_orders"),
+        F.sum(F.when(is_ret, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returning_orders"),
+    )
+
+
+new_vs_returning_split.__doc__ = (new_vs_returning_split.__doc__ or "").replace(
+    "{_LTV_PERIOD_DAYS}", str(_LTV_PERIOD_DAYS)
+)
+
+
+# --------------------------------------------- duplicate-order audit
+
+
+@query(
+    "duplicate_line_audit",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS cents_total,
+           CAST(MIN(l_linenumber) AS BIGINT) AS first_line,
+           CAST(MAX(l_linenumber) AS BIGINT) AS last_line
+    FROM lineitem
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def duplicate_line_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate line-entry screen: the same part entered on MULTIPLE
+    line numbers of one order — the double-entry / double-charge audit
+    a finance pipeline runs before close (and the data-quality gate
+    before any per-(order, part) join assumes uniqueness).  Emits each
+    suspicious group with its multiplicity, the total exposed cents,
+    and the first/last line numbers for triage.
+
+    Scale shape: ONE hash aggregate on the natural (orderkey, partkey)
+    key — map-side partial combine does nearly all the work since
+    duplicate groups are rare; no join, no window, no sort."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100"
+                " AS BIGINT)"
+            ).alias("cents_total"),
+            F.min("l_linenumber").cast("bigint").alias("first_line"),
+            F.max("l_linenumber").cast("bigint").alias("last_line"),
+        )
+        .filter(F.col("n_lines") >= 2)
+    )

@@ -549,3 +549,65 @@ def stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("rnk").cast("bigint").alias("rnk"),
     )
+
+
+# --------------------------------------------------- OHLC resample
+
+
+@query(
+    "ts_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id,
+             CAST(value AS DECIMAL(12,4)) AS v
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT hour_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((MIN(struct_pack(t := ts_us, e := event_id, v := v))).v
+                AS DECIMAL(12,4)) AS open,
+           CAST(MAX(v) AS DECIMAL(12,4)) AS high,
+           CAST(MIN(v) AS DECIMAL(12,4)) AS low,
+           CAST((MAX(struct_pack(t := ts_us, e := event_id, v := v))).v
+                AS DECIMAL(12,4)) AS close,
+           CAST(SUM(v) AS DECIMAL(38,4)) AS volume
+    FROM e GROUP BY 1
+    """,
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close/volume) resample of purchase
+    values — the canonical time-series downsample every metrics store
+    ships (candlesticks, rate rollups).  Open/close pick the value at
+    the lexicographically smallest/largest (ts, event_id) via MIN/MAX
+    over a STRUCT — a deterministic argmin even when two events share
+    a timestamp, identical on both engines (never min_by, whose tie
+    choice is unspecified).  Values are DECIMAL(12,4)-exact; the
+    volume sum is order-free DECIMAL.
+
+    Scale shape: ONE hour-keyed hash aggregate with full map-side
+    partial combine (min/max/sum of narrow structs) — no window, no
+    join, no sort; epoch-hour integer keys (NTZ-safe cast, no date
+    functions)."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (ts_epoch_micros("ts") / F.lit(3600000000)).cast("long").alias(
+                "hour_idx"
+            ),
+            ts_epoch_micros("ts").alias("ts_us"),
+            "event_id",
+            F.expr("CAST(value AS DECIMAL(12,4))").alias("v"),
+        )
+    )
+    s = F.struct("ts_us", "event_id", "v")
+    return e.groupBy("hour_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min(s).getField("v").cast("decimal(12,4)").alias("open"),
+        F.max("v").cast("decimal(12,4)").alias("high"),
+        F.min("v").cast("decimal(12,4)").alias("low"),
+        F.max(s).getField("v").cast("decimal(12,4)").alias("close"),
+        F.sum("v").cast("decimal(38,4)").alias("volume"),
+    )

@@ -162,7 +162,9 @@ DRIVER_WINDOW: list[str] = [
 #   contract drift),
 #   plus the r8-new ops: spearman_rho_terms, theil_index_terms,
 #   mann_kendall_trend, sketch_countmin_heavy,
-#   feature_hash_collision_audit
+#   feature_hash_collision_audit, assoc_rules_confidence,
+#   cohort_ltv_curve, new_vs_returning_split, duplicate_line_audit,
+#   ts_ohlc_hourly
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

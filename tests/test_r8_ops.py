@@ -138,3 +138,121 @@ def test_feature_hash_bucket_identity(spark, tmp_path):
     )
     assert r.max_bucket_load >= 1
     assert r.collision_rate_e6 == r.n_features_collided * 1000000 // r.n_features
+
+
+def _write_lineitem_lines(spark, tmp_path, rows):
+    """rows: (orderkey, partkey, linenumber, extendedprice)"""
+    full = [
+        (ok, pk, 1, ln, 1.0, ep, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+        for ok, pk, ln, ep in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def _write_purchases(spark, tmp_path, rows):
+    """rows: (event_id, ts, value)"""
+    full = [(eid, ts, 1, "purchase", v, "{}") for eid, ts, v in rows]
+    df = spark.createDataFrame(
+        full,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_assoc_rules_directional_confidence(spark, tmp_path):
+    """Orders {A,B}, {A,B}, {A}: support(AB)=2, conf(A=>B)=2/3,
+    conf(B=>A)=1 — the direction matters."""
+    _write_lineitem_lines(
+        spark,
+        tmp_path,
+        [(1, 10, 1, 1.0), (1, 20, 2, 1.0),
+         (2, 10, 1, 1.0), (2, 20, 2, 1.0),
+         (3, 10, 1, 1.0)],
+    )
+    rows = registry.QUERIES["assoc_rules_confidence"](
+        spark, str(tmp_path)
+    ).collect()
+    got = {(r.antecedent, r.consequent): r for r in rows}
+    assert set(got) == {(10, 20), (20, 10)}
+    assert got[(10, 20)].support == 2 and got[(10, 20)].conf_e6 == 666666
+    assert got[(20, 10)].support == 2 and got[(20, 10)].conf_e6 == 1000000
+
+
+def test_cohort_ltv_cumulative(spark, tmp_path):
+    """One customer, $1.00 in period 0 and $2.00 one 30-day period
+    later: cum curve 100 -> 300 cents at ages 0 and 1."""
+    _write_orders(
+        spark,
+        tmp_path,
+        [(1, 1, 1.0, datetime(2024, 1, 1)), (2, 1, 2.0, datetime(2024, 2, 5))],
+    )
+    rows = sorted(
+        registry.QUERIES["cohort_ltv_curve"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.age,
+    )
+    assert [r.age for r in rows] == [0, 1]
+    assert [r.cum_cents for r in rows] == [100, 300]
+    assert all(r.n_customers == 1 for r in rows)
+    assert [r.ltv_per_customer_cents for r in rows] == [100, 300]
+
+
+def test_new_vs_returning_split(spark, tmp_path):
+    """First period is all-new revenue; the next period's order from
+    the same customer counts as returning."""
+    _write_orders(
+        spark,
+        tmp_path,
+        [(1, 1, 1.0, datetime(2024, 1, 1)), (2, 1, 2.0, datetime(2024, 2, 5))],
+    )
+    rows = sorted(
+        registry.QUERIES["new_vs_returning_split"](
+            spark, str(tmp_path)
+        ).collect(),
+        key=lambda r: r.period,
+    )
+    assert rows[0].new_cents == 100 and rows[0].returning_cents == 0
+    assert rows[1].new_cents == 0 and rows[1].returning_cents == 200
+    assert rows[1].n_returning_orders == 1
+
+
+def test_duplicate_line_audit(spark, tmp_path):
+    """Part 5 entered on lines 1 and 3 of order 1: one flagged group;
+    the clean order 2 stays silent."""
+    _write_lineitem_lines(
+        spark,
+        tmp_path,
+        [(1, 5, 1, 1.0), (1, 5, 3, 1.0), (1, 6, 2, 9.0), (2, 5, 1, 4.0)],
+    )
+    rows = registry.QUERIES["duplicate_line_audit"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.l_orderkey, r.l_partkey) == (1, 5)
+    assert r.n_lines == 2 and r.cents_total == 200
+    assert (r.first_line, r.last_line) == (1, 3)
+
+
+def test_ohlc_tie_broken_open_close(spark, tmp_path):
+    """Two purchases share the opening timestamp: the lower event_id
+    wins open (struct argmin, not min_by); close is the latest row."""
+    h = datetime(2024, 1, 1, 10, 0, 1)
+    _write_purchases(
+        spark,
+        tmp_path,
+        [(1, h, 5.0), (2, h, 7.0), (3, datetime(2024, 1, 1, 10, 30), 3.0)],
+    )
+    rows = registry.QUERIES["ts_ohlc_hourly"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert float(r.open) == 5.0 and float(r.close) == 3.0
+    assert float(r.high) == 7.0 and float(r.low) == 3.0
+    assert float(r.volume) == 15.0 and r.n_events == 3
