@@ -191,7 +191,14 @@ def two_phase_cumsum(
     sums under a bucket-keyed window, per-bucket totals rolled into
     starting offsets via the broadcast range self-join (no
     partitionless window), global cum = offset + in-bucket running
-    sum.  ``total_name`` optionally broadcasts the grand total."""
+    sum.  ``total_name`` optionally broadcasts the grand total.
+
+    DECIMAL caveat: Spark's SUM widens precision by 10 and the offset
+    addition by 1 more — a DECIMAL(p,s) ``value`` with p + 11 > 38
+    silently LOSES scale digits (Spark reduces scale to fit 38,
+    rounding HALF_UP) instead of erroring.  Keep p <= 27 for 10-dp
+    values (kaplan_meier_retention shipped a (28,10) ln term and lost
+    its last digit to exactly this before narrowing to (16,10))."""
     from pyspark.sql import Window, functions as F
 
     b, ic, off, tt = (f"_{out}_b", f"_{out}_ic", f"_{out}_off", f"_{out}_t")

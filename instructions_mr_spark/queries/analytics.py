@@ -4524,3 +4524,183 @@ def duplicate_line_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_lines") >= 2)
     )
+
+
+# ----------------------------------- Markov stationary distribution
+
+_MARKOV_DUCK = """
+    WITH nxt AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+      FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    states AS (SELECT DISTINCT event_type AS state FROM events),
+    p AS (
+      SELECT src, dst,
+             (n * 1000000) // SUM(n) OVER (PARTITION BY src) AS p_e6
+      FROM c
+      UNION ALL
+      SELECT state, state, 1000000
+      FROM states WHERE state NOT IN (SELECT src FROM c)
+    ),
+    v0 AS (
+      SELECT state, 1000000 // (SELECT COUNT(*) FROM states) AS v_e6
+      FROM states
+    ),
+    v1 AS (
+      SELECT p.dst AS state, SUM(v0.v_e6 * p.p_e6) // 1000000 AS v_e6
+      FROM v0 JOIN p ON v0.state = p.src GROUP BY 1
+    ),
+    v2 AS (
+      SELECT p.dst AS state, SUM(v1.v_e6 * p.p_e6) // 1000000 AS v_e6
+      FROM v1 JOIN p ON v1.state = p.src GROUP BY 1
+    ),
+    v3 AS (
+      SELECT p.dst AS state, SUM(v2.v_e6 * p.p_e6) // 1000000 AS v_e6
+      FROM v2 JOIN p ON v2.state = p.src GROUP BY 1
+    )
+    SELECT s.state, CAST(COALESCE(v3.v_e6, 0) AS BIGINT) AS v_e6
+    FROM states s LEFT JOIN v3 ON v3.state = s.state
+    ORDER BY s.state
+"""
+
+
+@query("markov_stationary_power", oracle=_MARKOV_DUCK)
+def markov_stationary_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary-distribution estimate of the user event chain: the
+    event_transition_matrix probabilities (integer e6 units, dangling
+    states closed with a self-loop) advanced three synchronous power-
+    iteration steps from the uniform vector — 'where does a user's
+    session settle' as one number per event type.  Every step is
+    all-integer (SUM(v_e6 * p_e6) DIV 1e6, truncating), so both
+    engines run the identical fixed-point arithmetic and agree
+    exactly; mass lost to truncation stays lost identically.
+
+    Scale shape: the event stream is touched once (the same user-keyed
+    lead window event_transition_matrix exchanges on); after that
+    rollup everything is K x K for K = distinct event types (a
+    handful), broadcast through all three steps — iteration depth
+    adds NO shuffle of the big table.  Cites the power-iteration
+    pattern of operators/graph.py:258 (pagerank) at matrix scale."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = nxt.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    states = e.select(F.col("event_type").alias("state")).distinct()
+    share_w = Window.partitionBy("src")
+    p_trans = c.select(
+        "src",
+        "dst",
+        F.expr("(n * CAST(1000000 AS BIGINT)) ").alias("_num"),
+        F.sum("n").over(share_w).alias("_den"),
+    ).selectExpr("src", "dst", "_num DIV _den AS p_e6")
+    dangling = states.join(
+        c.select("src").distinct(), states.state == F.col("src"), "left_anti"
+    ).select(
+        F.col("state").alias("src"),
+        F.col("state").alias("dst"),
+        F.lit(1000000).cast("bigint").alias("p_e6"),
+    )
+    p_full = p_trans.unionByName(dangling)
+    k = states.agg(F.count(F.lit(1)).alias("_k"))
+    v = states.join(F.broadcast(k)).selectExpr(
+        "state", "CAST(1000000 AS BIGINT) DIV _k AS v_e6"
+    )
+    for _ in range(3):
+        v = (
+            p_full.join(
+                F.broadcast(v), p_full.src == v.state
+            )
+            .groupBy("dst")
+            .agg(F.expr("SUM(v_e6 * p_e6) DIV 1000000 AS v_e6"))
+            .select(F.col("dst").alias("state"), "v_e6")
+        )
+    return (
+        states.join(v.withColumnRenamed("state", "_vs"),
+                    states.state == F.col("_vs"), "left")
+        .select(
+            "state",
+            F.coalesce(F.col("v_e6"), F.lit(0)).cast("bigint").alias("v_e6"),
+        )
+        .orderBy("state")
+    )
+
+
+# ------------------------------------ log-log elasticity regression
+
+_ELAST_DUCK = """
+    WITH per_part AS (
+      SELECT p.p_brand, p.p_partkey,
+             CAST(ROUND(LN(p.p_retailprice), 10) AS DECIMAL(12,10)) AS x,
+             CAST(ROUND(LN(1.0 + SUM(CAST(l.l_quantity AS DECIMAL(12,2)))),
+                        10) AS DECIMAL(12,10)) AS y
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2, p.p_retailprice
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(x) AS DECIMAL(38,10)) AS sx,
+           CAST(SUM(y) AS DECIMAL(38,10)) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,20))) AS DECIMAL(38,20)) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DECIMAL(38,20)) AS sxx
+    FROM per_part
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("elasticity_loglog_terms", oracle=_ELAST_DUCK)
+def elasticity_loglog_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand log-log demand-curve sufficient statistics: x =
+    ln(retail price), y = ln(1 + total quantity sold) per part, and
+    the brand-level OLS moments (n, Sx, Sy, Sxy, Sxx) from which the
+    reader forms slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) — the price
+    elasticity a pricing team fits per brand.  Logs follow the 10-dp
+    decimal convention (theil_index_terms) and the cross moments are
+    exact DECIMAL(38,20) products, so the emitted statistics are
+    bit-identical across engines (the final float division happens in
+    the reader, not the exchange).
+
+    Scale shape: lineitem aggregates to per-part quantity first
+    (map-side partial on l_partkey), the part join is dim-sized, and
+    the brand rollup is a handful of rows."""
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(12,2))) AS _qty"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_brand",
+            F.expr(
+                "CAST(ROUND(LN(p_retailprice), 10) AS DECIMAL(12,10))"
+            ).alias("x"),
+            F.expr(
+                "CAST(ROUND(LN(1.0 + _qty), 10) AS DECIMAL(12,10))"
+            ).alias("y"),
+        )
+    )
+    return (
+        per_part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.expr("CAST(SUM(x) AS DECIMAL(38,10)) AS sx"),
+            F.expr("CAST(SUM(y) AS DECIMAL(38,10)) AS sy"),
+            F.expr(
+                "CAST(SUM(CAST(x * y AS DECIMAL(38,20))) AS DECIMAL(38,20))"
+                " AS sxy"
+            ),
+            F.expr(
+                "CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DECIMAL(38,20))"
+                " AS sxx"
+            ),
+        )
+        .orderBy("p_brand")
+    )

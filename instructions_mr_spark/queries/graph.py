@@ -1113,3 +1113,104 @@ def bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 bellman_ford_bounded.__doc__ = (bellman_ford_bounded.__doc__ or "").replace(
     "{_BF_ROUNDS}", str(_BF_ROUNDS)
 )
+
+
+# ------------------------------------ label propagation communities
+
+_LP_DUCK = """
+    WITH li AS (
+      SELECT DISTINCT l_partkey AS p, 1000000000 + l_suppkey AS s
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT p AS src, s AS dst FROM li
+      UNION ALL
+      SELECT s AS src, p AS dst FROM li
+    ),
+    lbl0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+    nbr1 AS (
+      SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN lbl0 l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    lbl1 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl ASC) AS rn
+        FROM nbr1
+      ) WHERE rn = 1
+    ),
+    nbr2 AS (
+      SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN lbl1 l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    lbl2 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl ASC) AS rn
+        FROM nbr2
+      ) WHERE rn = 1
+    )
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lbl2 GROUP BY 1
+    ORDER BY n_members DESC, community ASC
+    LIMIT 50
+"""
+
+
+@query("label_propagation_2round", oracle=_LP_DUCK)
+def label_propagation_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (2 rounds) over the part<->
+    supplier supply graph (graph_pagerank's edge set): every node
+    starts as its own label, each round adopts the MODE of its
+    neighbors' labels with ties broken to the smallest label — the
+    classic near-linear community-detection baseline (Raghavan et
+    al.), bounded to two deterministic synchronous rounds so the
+    result is a pure function of the graph (async/random-order LPA is
+    not).  Returns the 50 largest communities.
+
+    Scale shape: each round is one edges-to-labels equi-join (labels
+    shuffle on node id — the SAME hash partitioning both rounds, so
+    AQE reuses the exchange) plus a (node, label)-keyed count with
+    map-side partials; the mode argmin runs per node via max(struct)
+    — no global window anywhere.  Round depth is fixed at 2, so the
+    lineage stays shallow (no checkpoint needed, unlike pagerank's
+    K=5 loop)."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("p"),
+            (F.lit(1_000_000_000) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(2):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            nbr.groupBy("node2")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select(
+                F.col("node2").alias("node"),
+                (-F.col("m.neg")).cast("bigint").alias("lbl"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(50)
+    )

@@ -260,3 +260,24 @@ def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("bigint").alias("n_bytes"),
         F.md5("content").alias("digest"),
     )
+
+
+@query(
+    "orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> scan round trip over supplier: Spark's second
+    columnar lake format (zlib-compressed, predicate-pushdown-capable
+    like parquet), written and re-read with the declared schema —
+    certifying the engine can hand data to an ORC-based warehouse and
+    read it back bit-exact (DECIMAL/DOUBLE/VARCHAR all survive).
+
+    Scale shape: a straight distributed write + scan; at 100 TB the
+    write parallelism is the input partitioning and the re-scan gets
+    the same pushdown/pruning treatment as parquet (ORC carries
+    min/max stripes)."""
+    supplier = t(spark, sf_dir, "supplier")
+    path = _rt_path("orc_roundtrip", sf_dir)
+    supplier.write.mode("overwrite").format("orc").save(path)
+    return spark.read.schema(supplier.schema).orc(path)

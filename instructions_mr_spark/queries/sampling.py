@@ -375,3 +375,61 @@ def mixture_temperature_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         temp.alias("temp_share"),
         (temp / actual).alias("boost"),
     )
+
+
+# ------------------------------- weighted reservoir sampling (A-Res)
+
+_ARES_DUCK = """
+    WITH keyed AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS weight_cents,
+             CAST(CAST(ROUND(-LN(
+                   CAST((('0x' || substr(md5(o_orderkey || '#71'), 1, 15))::BIGINT
+                         + 1) AS DOUBLE) / 1152921504606846976.0
+                 ), 10) AS DECIMAL(12,10)) * 10000000000000000 AS BIGINT)
+               // CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS ares_key
+      FROM orders
+    )
+    SELECT o_orderkey, weight_cents, ares_key
+    FROM keyed
+    ORDER BY ares_key, o_orderkey
+    LIMIT 20
+"""
+
+
+@query("sample_weighted_ares", oracle=_ARES_DUCK)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-Res): each order draws u = hash-uniform(0,1], scores
+    -ln(u) / weight, and the 20 SMALLEST scores are the sample —
+    equivalent to sequential weighted draws, but embarrassingly
+    parallel and fully deterministic (the 'random' u is the portable
+    60-bit key digest, so any engine, any partitioning, any day picks
+    the same 20 orders).  The score is integerized as
+    ROUND(-ln u, 10) * 1e16 DIV cents — one truncating division, no
+    float comparisons at the selection boundary.
+
+    Scale shape: per-row expressions ride the scan (no shuffle), and
+    the global smallest-20 is TakeOrderedAndProject (per-partition
+    top-k, then a 20-row driver merge) — the same plan shape as
+    topk_global, good at any corpus size."""
+    o = t(spark, sf_dir, "orders")
+    h60 = (
+        "CAST(CONV(SUBSTRING(MD5(CAST(o_orderkey || '#71' AS BINARY)), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+    keyed = o.select(
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("weight_cents"),
+        F.expr(
+            f"CAST(CAST(ROUND(-LN(CAST(({h60} + 1) AS DOUBLE)"
+            " / 1152921504606846976.0), 10) AS DECIMAL(12,10))"
+            " * 10000000000000000 AS BIGINT)"
+            " DIV CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("ares_key"),
+    )
+    return keyed.orderBy("ares_key", "o_orderkey").limit(20)

@@ -2921,3 +2921,258 @@ def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 feature_hash_collision_audit.__doc__ = (
     feature_hash_collision_audit.__doc__ or ""
 ).replace("{_FH_BUCKETS}", str(_FH_BUCKETS))
+
+
+# ------------------------------------- Kaplan-Meier retention curve
+
+_KM_CHURN_GAP_DAYS = 90
+
+_KM_DUCK = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+               AS first_day,
+             MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+               AS last_day
+      FROM orders GROUP BY 1
+    ),
+    censored AS (
+      SELECT o_custkey,
+             last_day - first_day AS tenure_days,
+             CASE WHEN last_day <= (SELECT MAX(last_day) FROM per_cust) - 90
+                  THEN 1 ELSE 0 END AS is_event
+      FROM per_cust
+    ),
+    by_t AS (
+      SELECT tenure_days,
+             COUNT(*) AS n_leaving,
+             SUM(is_event) AS n_events
+      FROM censored GROUP BY 1
+    ),
+    risk AS (
+      SELECT tenure_days, n_leaving, n_events,
+             (SELECT COUNT(*) FROM censored)
+               - (SUM(n_leaving) OVER (ORDER BY tenure_days) - n_leaving)
+               AS n_risk
+      FROM by_t
+    ),
+    factors AS (
+      SELECT tenure_days, n_risk, n_events,
+             CASE WHEN n_events < n_risk THEN
+               CAST(ROUND(LN(1.0 - CAST(n_events AS DOUBLE) / n_risk), 10)
+                    AS DECIMAL(16,10))
+             ELSE CAST(0 AS DECIMAL(16,10)) END AS ln1f,
+             CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS hit_zero
+      FROM risk
+    )
+    SELECT CAST(tenure_days AS BIGINT) AS tenure_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CASE WHEN SUM(hit_zero) OVER (ORDER BY tenure_days) > 0 THEN NULL
+                ELSE CAST(SUM(ln1f) OVER (ORDER BY tenure_days)
+                          AS DECIMAL(38,10)) END AS ln_surv_r10
+    FROM factors
+    WHERE n_events > 0
+    ORDER BY tenure_days
+"""
+
+
+@query("kaplan_meier_retention", oracle=_KM_DUCK)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer tenure (days between
+    first and last order), with right-censoring: a customer still
+    ordering within {_KM_CHURN_GAP_DAYS} days of the dataset horizon is
+    censored (contributes to the risk set through their observed
+    tenure but is not a churn event).  Emitted as exact terms — per
+    event-time: n_risk, n_events, and the running sum of
+    ROUND(ln(1 - d/n), 10) (the reader exponentiates for S(t)); the
+    10-dp decimal log convention (theil_index_terms) keeps sub-ulp
+    libm differences out of the cumulative sum, and ln_surv goes NULL
+    from the first time the risk set is exhausted (S(t) = 0, where the
+    log diverges).
+
+    Scale shape: one custkey aggregate, one tenure-histogram aggregate
+    (value-domain bounded: tenure <= calendar span, so the table is a
+    few thousand rows at ANY corpus size); the two cumulative sums run
+    as two_phase_cumsum over tenure-range buckets — no partitionless
+    window, no join wider than the histogram.  The censor horizon is a
+    broadcast 1-row aggregate."""
+    from instructions_mr_spark.queries._util import two_phase_cumsum
+
+    o = t(spark, sf_dir, "orders")
+    day = F.expr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    horizon = per_cust.agg(F.max("last_day").alias("_horizon"))
+    censored = per_cust.join(F.broadcast(horizon)).select(
+        (F.col("last_day") - F.col("first_day")).alias("tenure_days"),
+        F.when(
+            F.col("last_day") <= F.col("_horizon") - _KM_CHURN_GAP_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("is_event"),
+    )
+    by_t = censored.groupBy("tenure_days").agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum("is_event").alias("n_events"),
+    )
+    total = censored.agg(F.count(F.lit(1)).alias("_n_total"))
+    cum1 = two_phase_cumsum(
+        by_t.join(F.broadcast(total)),
+        F.expr("tenure_days DIV 128"),
+        [F.col("tenure_days").asc()],
+        "n_leaving",
+        out="_cum_leave",
+    )
+    risk = cum1.select(
+        "tenure_days",
+        "n_events",
+        (F.col("_n_total") - F.col("_cum_leave") + F.col("n_leaving")).alias(
+            "n_risk"
+        ),
+    )
+    factors = risk.select(
+        "tenure_days",
+        "n_risk",
+        "n_events",
+        F.expr(
+            "CASE WHEN n_events < n_risk THEN"
+            " CAST(ROUND(LN(1.0 - CAST(n_events AS DOUBLE) / n_risk), 10)"
+            " AS DECIMAL(16,10))"
+            " ELSE CAST(0 AS DECIMAL(16,10)) END"
+        ).alias("ln1f"),
+        F.expr(
+            "CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END"
+        ).alias("hit_zero"),
+    )
+    cum2 = two_phase_cumsum(
+        factors,
+        F.expr("tenure_days DIV 128"),
+        [F.col("tenure_days").asc()],
+        "ln1f",
+        out="_cum_ln",
+    )
+    cum3 = two_phase_cumsum(
+        cum2,
+        F.expr("tenure_days DIV 128"),
+        [F.col("tenure_days").asc()],
+        "hit_zero",
+        out="_cum_zero",
+    )
+    return (
+        cum3.filter(F.col("n_events") > 0)
+        .select(
+            F.col("tenure_days").cast("bigint").alias("tenure_days"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr(
+                "CASE WHEN _cum_zero > 0 THEN NULL"
+                " ELSE CAST(_cum_ln AS DECIMAL(38,10)) END"
+            ).alias("ln_surv_r10"),
+        )
+        .orderBy("tenure_days")
+    )
+
+
+kaplan_meier_retention.__doc__ = (kaplan_meier_retention.__doc__ or "").replace(
+    "{_KM_CHURN_GAP_DAYS}", str(_KM_CHURN_GAP_DAYS)
+)
+
+
+# --------------------------------- STL-style daily residual decompose
+
+_STL_DUCK = """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               AS day_idx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    trend AS (
+      SELECT day_idx, cents,
+             SUM(cents) OVER w // COUNT(*) OVER w AS trend_c
+      FROM daily
+      WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT day_idx, cents, trend_c, cents - trend_c AS detr_c,
+             day_idx % 7 AS dow
+      FROM trend
+    ),
+    seas AS (
+      SELECT dow, SUM(detr_c) // COUNT(*) AS seasonal_c
+      FROM detr GROUP BY 1
+    )
+    SELECT CAST(d.day_idx AS BIGINT) AS day_idx,
+           CAST(d.cents AS BIGINT) AS cents,
+           CAST(d.trend_c AS BIGINT) AS trend_c,
+           CAST(s.seasonal_c AS BIGINT) AS seasonal_c,
+           CAST(d.detr_c - s.seasonal_c AS BIGINT) AS resid_c
+    FROM detr d JOIN seas s ON d.dow = s.dow
+    ORDER BY abs(d.detr_c - s.seasonal_c) DESC, d.day_idx
+    LIMIT 25
+"""
+
+
+@query("stl_residual_daily", oracle=_STL_DUCK)
+def stl_residual_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the daily revenue series —
+    trend = centered 7-day RANGE mean (gap-safe: missing days shrink
+    the window in rows, not in time), seasonal = day-of-week mean of
+    the detrended series, residual = the rest — returning the 25
+    largest |residual| days (the anomaly shortlist a KPI monitor
+    pages on).  All-integer: cents, floor-divided means (// on both
+    engines), epoch-day % 7 for the weekday, so the engines agree
+    exactly.
+
+    Scale shape: the day grid is calendar-bounded (a few thousand rows
+    at ANY corpus size — the one-partition RANGE window is over THAT,
+    not the data; cf. mann_kendall_trend), the DOW table is 7 rows
+    broadcast, and the top-25 is TakeOrderedAndProject."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+        .alias("day_idx")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    trend = daily.select(
+        "day_idx",
+        "cents",
+        F.expr(
+            "SUM(cents) OVER (ORDER BY day_idx"
+            " RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+            " DIV COUNT(*) OVER (ORDER BY day_idx"
+            " RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+        ).alias("trend_c"),
+    )
+    detr = trend.select(
+        "day_idx",
+        "cents",
+        "trend_c",
+        (F.col("cents") - F.col("trend_c")).alias("detr_c"),
+        F.expr("day_idx % 7").alias("dow"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.expr("SUM(detr_c) DIV COUNT(*)").alias("seasonal_c")
+    )
+    return (
+        detr.join(F.broadcast(seas), "dow")
+        .select(
+            F.col("day_idx").cast("bigint").alias("day_idx"),
+            F.col("cents").cast("bigint").alias("cents"),
+            F.col("trend_c").cast("bigint").alias("trend_c"),
+            F.col("seasonal_c").cast("bigint").alias("seasonal_c"),
+            (F.col("detr_c") - F.col("seasonal_c"))
+            .cast("bigint")
+            .alias("resid_c"),
+        )
+        .orderBy(F.abs(F.col("resid_c")).desc(), "day_idx")
+        .limit(25)
+    )

@@ -2792,3 +2792,83 @@ def greedy_set_cover_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             p3.select(F.lit(3).alias("round"), "source", F.col("gain").cast("bigint"))
         )
     )
+
+
+# ------------------------------------- reciprocal-rank fusion (RRF)
+
+_RRF_K = 60
+
+_RRF_DUCK = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    cand AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf_total,
+             ANY_VALUE(d.n_chars) AS n_chars
+      FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+      WHERE t.word IN {str(_FUSE_TERMS)}
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, tf_total, n_chars,
+             ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id) AS r_tf,
+             ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id) AS r_len
+      FROM cand
+    )
+    SELECT doc_id, tf_total, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(1000000000 // ({_RRF_K} + r_tf)
+                + 1000000000 // ({_RRF_K} + r_len) AS BIGINT) AS rrf_e9
+    FROM ranked
+    ORDER BY rrf_e9 DESC, doc_id ASC
+    LIMIT 20
+"""
+
+
+@query("rank_fusion_rrf", oracle=_RRF_DUCK)
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the same two retrieval signals as
+    rank_fusion_borda (term frequency for {_FUSE_TERMS}, document
+    brevity) — the industry-default fusion for hybrid lexical+vector
+    retrieval, with the 1/(k + rank) reciprocals integerized as
+    1e9 DIV (k + rank), k = {_RRF_K}, so the fused scores (and
+    therefore the output order) are exact integers on both engines —
+    no float summation at the cut boundary.
+
+    Scale shape: identical to rank_fusion_borda — candidates are
+    pruned to term-matching docs inside the scan, both rankings are
+    windows over the pruned candidate set only, and the top-20 is
+    TakeOrderedAndProject.  At 100 TB candidates rank per-partition
+    top-k first (topk_per_group's pattern) before the global fuse."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    cand = (
+        toks.filter(F.col("word").isin(*_FUSE_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf_total"))
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+    )
+    from pyspark.sql import Window
+
+    w_tf = Window.orderBy(F.col("tf_total").desc(), "doc_id")
+    w_len = Window.orderBy(F.col("n_chars").asc(), "doc_id")
+    ranked = cand.withColumn("r_tf", F.row_number().over(w_tf)).withColumn(
+        "r_len", F.row_number().over(w_len)
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "tf_total",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.expr(
+                f"CAST(1000000000 DIV ({_RRF_K} + r_tf)"
+                f" + 1000000000 DIV ({_RRF_K} + r_len) AS BIGINT)"
+            ).alias("rrf_e9"),
+        )
+        .orderBy(F.col("rrf_e9").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+rank_fusion_rrf.__doc__ = (rank_fusion_rrf.__doc__ or "").replace(
+    "{_FUSE_TERMS}", str(_FUSE_TERMS)
+).replace("{_RRF_K}", str(_RRF_K))

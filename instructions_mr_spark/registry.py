@@ -164,7 +164,10 @@ DRIVER_WINDOW: list[str] = [
 #   mann_kendall_trend, sketch_countmin_heavy,
 #   feature_hash_collision_audit, assoc_rules_confidence,
 #   cohort_ltv_curve, new_vs_returning_split, duplicate_line_audit,
-#   ts_ohlc_hourly
+#   ts_ohlc_hourly, kaplan_meier_retention, stl_residual_daily,
+#   markov_stationary_power, elasticity_loglog_terms,
+#   sample_weighted_ares, rank_fusion_rrf, orc_roundtrip,
+#   label_propagation_2round
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

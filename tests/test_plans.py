@@ -333,6 +333,7 @@ def test_no_global_window_outside_allowlist(spark, sf_dir):
         "zone_map_skip_audit",       # one row per parquet row-group/file
         # calendar-bounded grids
         "rolling_corr_terms",        # hour grid of a fixed date range
+        "stl_residual_daily",        # day grid of a fixed date range
         "user_acquisition_curve",    # one row per calendar day
         # language-/vocabulary-sized tables (Zipf: vocab << corpus)
         "zipf_vocab_fit",            # frequency histogram
@@ -343,6 +344,7 @@ def test_no_global_window_outside_allowlist(spark, sf_dir):
         "skyline_price_size",          # dim-table skyline (documented swap)
         # bounded candidate sets / contract-bounded inputs
         "rank_fusion_borda",         # term-pruned candidate set
+        "rank_fusion_rrf",           # term-pruned candidate set
         "window_ntile_cume",         # operator demo on a bounded slice
         # the global sort IS the semantics
         "range_partition_bounds",
