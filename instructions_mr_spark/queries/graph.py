@@ -1214,3 +1214,103 @@ def label_propagation_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), F.col("community").asc())
         .limit(50)
     )
+
+
+# ---------------------------------------------- k-core peeling
+
+_KCORE_DUCK = """
+    WITH li AS (
+      SELECT DISTINCT l_partkey AS p, 1000000000 + l_suppkey AS s
+      FROM lineitem
+    ),
+    e0 AS (
+      SELECT p AS src, s AS dst FROM li
+      UNION ALL
+      SELECT s AS src, p AS dst FROM li
+    ),
+    d1 AS (SELECT src, COUNT(*) AS d FROM e0 GROUP BY 1),
+    k1 AS (SELECT src AS node FROM d1 WHERE d >= 2),
+    e1 AS (
+      SELECT e.src, e.dst FROM e0 e
+      JOIN k1 a ON a.node = e.src JOIN k1 b ON b.node = e.dst
+    ),
+    d2 AS (SELECT src, COUNT(*) AS d FROM e1 GROUP BY 1),
+    k2 AS (SELECT src AS node FROM d2 WHERE d >= 2),
+    e2 AS (
+      SELECT e.src, e.dst FROM e1 e
+      JOIN k2 a ON a.node = e.src JOIN k2 b ON b.node = e.dst
+    ),
+    d3 AS (SELECT src, COUNT(*) AS d FROM e2 GROUP BY 1),
+    k3 AS (SELECT src AS node FROM d3 WHERE d >= 2),
+    e3 AS (
+      SELECT e.src, e.dst FROM e2 e
+      JOIN k3 a ON a.node = e.src JOIN k3 b ON b.node = e.dst
+    )
+    SELECT * FROM (
+      SELECT 1 AS round, (SELECT COUNT(*) FROM k1) AS n_nodes,
+             (SELECT COUNT(*) / 2 FROM e1) AS n_edges
+      UNION ALL
+      SELECT 2, (SELECT COUNT(*) FROM k2), (SELECT COUNT(*) / 2 FROM e2)
+      UNION ALL
+      SELECT 3, (SELECT COUNT(*) FROM k3), (SELECT COUNT(*) / 2 FROM e3)
+    ) ORDER BY round
+"""
+
+
+@query("k_core_peel3", oracle=_KCORE_DUCK)
+def k_core_peel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of 2-core peeling on the part<->supplier supply
+    graph: each round drops nodes with degree < 2 and every edge
+    touching them, emitting the shrinking (n_nodes, n_edges) trace —
+    the convergence diagnostic for core decomposition (when the trace
+    flatlines, the 2-core is exact; a still-falling trace says
+    schedule more rounds).  Undirected edges are stored both ways and
+    reported once (count/2 — exact: both directions always survive
+    or die together).
+
+    Scale shape: each round is one degree aggregate plus two
+    node-keyed semi-joins of the edge list (narrow int pairs, the
+    dedup_cluster_cc exchange shape); round depth is fixed at 3 so
+    the lineage stays shallow.  Cites the iterative-peel pattern of
+    operators/graph.py:80 (star CC) with a degree filter instead of
+    label exchange."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("p"),
+            (F.lit(1_000_000_000) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    traces = []
+    for rnd in (1, 2, 3):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= 2).select(F.col("src").alias("node"))
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "_ka"),
+                       edges.src == F.col("_ka"), "left_semi")
+        )
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "_kb"),
+                       edges.dst == F.col("_kb"), "left_semi")
+        )
+        n_nodes = keep.agg(F.count(F.lit(1)).alias("n")).withColumn(
+            "round", F.lit(rnd)
+        )
+        n_edges = edges.agg((F.count(F.lit(1)) / 2).alias("m")).withColumn(
+            "round", F.lit(rnd)
+        )
+        traces.append(
+            n_nodes.join(n_edges, "round").select(
+                F.col("round").cast("int").alias("round"),
+                F.col("n").cast("bigint").alias("n_nodes"),
+                F.col("m").cast("double").alias("n_edges"),
+            )
+        )
+    out = traces[0]
+    for t_df in traces[1:]:
+        out = out.unionByName(t_df)
+    return out.orderBy("round")

@@ -618,3 +618,71 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_clean")
     )
+
+
+# ------------------------------------- reciprocal best match (RBM)
+
+_RBM_DUCK = """
+    WITH cand AS (
+      SELECT s.s_suppkey, c.c_custkey,
+             abs(CAST(s.s_acctbal AS DECIMAL(12,2)) * 100
+                 - CAST(c.c_acctbal AS DECIMAL(12,2)) * 100) AS dist_cents
+      FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+    ),
+    ranked AS (
+      SELECT s_suppkey, c_custkey, dist_cents,
+             ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                                ORDER BY dist_cents, c_custkey) AS rs,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist_cents, s_suppkey) AS rc
+      FROM cand
+    )
+    SELECT s_suppkey, c_custkey, CAST(dist_cents AS BIGINT) AS dist_cents
+    FROM ranked WHERE rs = 1 AND rc = 1
+    ORDER BY s_suppkey
+"""
+
+
+@query("reciprocal_best_match", oracle=_RBM_DUCK)
+def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor matching between suppliers and
+    customers blocked by nation: a pair survives only if the customer
+    is the supplier's single closest account balance AND vice versa —
+    the one-round stable-matching filter entity resolution uses to
+    promote candidate pairs to links without a global assignment
+    solve.  Distance is exact integer cents; both best-of rankings
+    tie-break on the partner key, so the match set is deterministic.
+
+    Scale shape: candidates come from the nation-blocked equi-join
+    (the join_fuzzy_blocked discipline — never a cross join), and the
+    two best-of-entity ranks are windows PARTITIONED by supplier /
+    customer key respectively (WindowGroupLimit prunes to rank 1
+    before the filter).  At 100 TB the block key graduates from
+    nation to a finer blocking digest; the mutual-filter shape is
+    unchanged."""
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    cand = s.join(c, s.s_nationkey == c.c_nationkey).select(
+        "s_suppkey",
+        "c_custkey",
+        F.expr(
+            "abs(CAST(s_acctbal AS DECIMAL(12,2)) * 100"
+            " - CAST(c_acctbal AS DECIMAL(12,2)) * 100)"
+        ).alias("dist_cents"),
+    )
+    from pyspark.sql import Window
+
+    w_s = Window.partitionBy("s_suppkey").orderBy("dist_cents", "c_custkey")
+    w_c = Window.partitionBy("c_custkey").orderBy("dist_cents", "s_suppkey")
+    ranked = cand.withColumn("rs", F.row_number().over(w_s)).withColumn(
+        "rc", F.row_number().over(w_c)
+    )
+    return (
+        ranked.filter((F.col("rs") == 1) & (F.col("rc") == 1))
+        .select(
+            "s_suppkey",
+            "c_custkey",
+            F.col("dist_cents").cast("bigint").alias("dist_cents"),
+        )
+        .orderBy("s_suppkey")
+    )

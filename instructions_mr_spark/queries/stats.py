@@ -3176,3 +3176,156 @@ def stl_residual_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("resid_c")).desc(), "day_idx")
         .limit(25)
     )
+
+
+# ---------------------------------------------- Theil-Sen slope
+
+_TSEN_DUCK = """
+    WITH daily AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               AS day_idx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT ((b.cents - a.cents) * 1000000) // (b.day_idx - a.day_idx)
+               AS slope_e6
+      FROM daily a JOIN daily b ON b.day_idx > a.day_idx
+    ),
+    hist AS (
+      SELECT slope_e6, COUNT(*) AS cnt FROM slopes GROUP BY 1
+    ),
+    cum AS (
+      SELECT slope_e6, cnt,
+             SUM(cnt) OVER (ORDER BY slope_e6) AS c,
+             (SELECT COUNT(*) FROM slopes) AS n
+      FROM hist
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(MIN(CASE WHEN c >= (n + 1) // 2 THEN slope_e6 END)
+                AS BIGINT) AS slope_lo_e6,
+           CAST(MIN(CASE WHEN c >= (n + 2) // 2 THEN slope_e6 END)
+                AS BIGINT) AS slope_hi_e6
+    FROM cum
+"""
+
+
+@query("theil_sen_slope", oracle=_TSEN_DUCK)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of daily revenue: the median of
+    all pairwise slopes (cents/day, e6 units) — the estimator that
+    shrugs off the outlier days that wreck OLS, and the magnitude
+    companion to mann_kendall_trend's direction test.  Slopes are
+    integerized under one truncating division (negative-safe: Spark
+    DIV and DuckDB // both truncate toward zero), and the median is
+    emitted as the two middle order statistics (slope_lo/slope_hi —
+    the reader averages; no float midpoint crosses the exchange).
+
+    Scale shape: the pairwise join and the slope histogram are
+    calendar-bounded (days^2 / 2 pairs at ANY corpus size — the data
+    only changes the cents, not the row count), same envelope as
+    mann_kendall_trend; the order-statistic pick is a cumulative sum
+    over the bounded histogram."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+        .alias("day_idx")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    a = daily.select(F.col("day_idx").alias("da"), F.col("cents").alias("xa"))
+    b = daily.select(F.col("day_idx").alias("db"), F.col("cents").alias("xb"))
+    slopes = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        F.expr("((xb - xa) * 1000000) DIV (db - da)").alias("slope_e6")
+    )
+    hist = slopes.groupBy("slope_e6").agg(F.count(F.lit(1)).alias("cnt"))
+    n_tot = slopes.agg(F.count(F.lit(1)).alias("n"))
+    cum = (
+        hist.join(F.broadcast(n_tot))
+        .withColumn(
+            "c",
+            F.expr("SUM(cnt) OVER (ORDER BY slope_e6)"),
+        )
+    )
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "CAST(MIN(CASE WHEN c >= (n + 1) DIV 2 THEN slope_e6 END)"
+            " AS BIGINT) AS slope_lo_e6"
+        ),
+        F.expr(
+            "CAST(MIN(CASE WHEN c >= (n + 2) DIV 2 THEN slope_e6 END)"
+            " AS BIGINT) AS slope_hi_e6"
+        ),
+    )
+
+
+# ----------------------------------------------- AMS F2 sketch
+
+_AMS_SEEDS = (31, 37, 41, 43)
+
+_AMS_DUCK = f"""
+    WITH kc AS (
+      SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ),
+    seeds AS (SELECT unnest(ARRAY{list(_AMS_SEEDS)}) AS seed),
+    signed AS (
+      SELECT s.seed,
+             CASE WHEN ('0x' || substr(md5(kc.l_partkey || '#' || s.seed),
+                                       1, 15))::BIGINT % 2 = 0
+                  THEN kc.c ELSE -kc.c END AS sc,
+             kc.c
+      FROM kc CROSS JOIN seeds s
+    )
+    SELECT seed,
+           CAST(SUM(sc) AS BIGINT) AS s_value,
+           CAST(SUM(sc) * SUM(sc) AS BIGINT) AS f2_estimate,
+           CAST(SUM(c * c) AS BIGINT) AS f2_exact
+    FROM signed GROUP BY seed ORDER BY seed
+"""
+
+
+@query("sketch_ams_f2", oracle=_AMS_DUCK)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch audit
+    over part demand: each of {_AMS_SEEDS} seeds assigns every key a
+    portable +/-1 hash sign, S = sum(sign * count) is one number per
+    seed, and S^2 is an unbiased F2 estimate — the join-size /
+    self-join-cardinality estimator (F2 = sum c^2 IS the equi-self-
+    join size).  The exact F2 rides along so the audit shows the
+    per-seed estimator spread.  All-integer.
+
+    Scale shape: one partkey count (map-side partial), a 4x seed
+    fan-out of the KEY table only (never the fact table), and a 4-row
+    reduce; the sign is the h60 digest parity, so any engine
+    reproduces the same sketch — mergeable across shards by adding
+    S values.  Companion to sketch_countmin_heavy (point estimates)
+    and sketch_hll_merge (F0)."""
+    li = t(spark, sf_dir, "lineitem")
+    kc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    seeds = ", ".join(str(s) for s in _AMS_SEEDS)
+    fan = kc.selectExpr("l_partkey", "c", f"explode(array({seeds})) AS seed")
+    signed = fan.selectExpr(
+        "seed",
+        "c",
+        "CASE WHEN CAST(CONV(SUBSTRING(MD5(CAST(l_partkey || '#' || seed"
+        " AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2 = 0"
+        " THEN c ELSE -c END AS sc",
+    )
+    return (
+        signed.groupBy("seed")
+        .agg(
+            F.sum("sc").cast("bigint").alias("s_value"),
+            F.expr("CAST(SUM(sc) * SUM(sc) AS BIGINT)").alias("f2_estimate"),
+            F.expr("CAST(SUM(c * c) AS BIGINT)").alias("f2_exact"),
+        )
+        .orderBy("seed")
+    )
+
+
+sketch_ams_f2.__doc__ = (sketch_ams_f2.__doc__ or "").replace(
+    "{_AMS_SEEDS}", str(_AMS_SEEDS)
+)

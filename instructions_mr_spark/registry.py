@@ -167,7 +167,8 @@ DRIVER_WINDOW: list[str] = [
 #   ts_ohlc_hourly, kaplan_meier_retention, stl_residual_daily,
 #   markov_stationary_power, elasticity_loglog_terms,
 #   sample_weighted_ares, rank_fusion_rrf, orc_roundtrip,
-#   label_propagation_2round
+#   label_propagation_2round, theil_sen_slope, sketch_ams_f2,
+#   k_core_peel3, reciprocal_best_match
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

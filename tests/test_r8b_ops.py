@@ -236,3 +236,88 @@ def test_label_propagation_star(spark, tmp_path):
         (1, 2),
         (1000000001, 1),
     ]
+
+
+def test_theil_sen_hand_slopes(spark, tmp_path):
+    """Days 0/1/2 at 100/200/400 cents: pairwise slopes 1e8, 1.5e8,
+    2e8 — the median straddle is (1.5e8, 1.5e8)."""
+    d0 = datetime(2024, 1, 1)
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 1.0, d0),
+            (2, 1, 2.0, d0 + timedelta(days=1)),
+            (3, 1, 4.0, d0 + timedelta(days=2)),
+        ],
+    )
+    r = registry.QUERIES["theil_sen_slope"](spark, str(tmp_path)).collect()[0]
+    assert r.n_pairs == 3
+    assert r.slope_lo_e6 == 150000000 and r.slope_hi_e6 == 150000000
+
+
+def test_ams_f2_matches_python_replay(spark, tmp_path):
+    """Counts {101: 2, 202: 1}: exact F2 = 5 on every seed row, the
+    estimate is S^2, and S replays from the portable md5 parity."""
+    _write_lineitem(
+        spark, tmp_path, [(1, 101, 1, 1.0), (2, 101, 1, 1.0), (3, 202, 1, 1.0)]
+    )
+    rows = registry.QUERIES["sketch_ams_f2"](spark, str(tmp_path)).collect()
+    assert [r.seed for r in rows] == [31, 37, 41, 43]
+    for r in rows:
+        s = 0
+        for key, cnt in ((101, 2), (202, 1)):
+            h = int(hashlib.md5(f"{key}#{r.seed}".encode()).hexdigest()[:15], 16)
+            s += cnt if h % 2 == 0 else -cnt
+        assert r.s_value == s
+        assert r.f2_estimate == s * s and r.f2_exact == 5
+
+
+def test_k_core_complete_bipartite_stable(spark, tmp_path):
+    """K_{2,2} is its own 2-core: every node has degree 2, so the
+    trace is flat at (4 nodes, 4 edges) for all three rounds."""
+    _write_lineitem(
+        spark,
+        tmp_path,
+        [(1, 1, 1, 1.0), (2, 1, 2, 1.0), (3, 2, 1, 1.0), (4, 2, 2, 1.0)],
+    )
+    rows = registry.QUERIES["k_core_peel3"](spark, str(tmp_path)).collect()
+    assert [(r.round, r.n_nodes, r.n_edges) for r in rows] == [
+        (1, 4, 4.0),
+        (2, 4, 4.0),
+        (3, 4, 4.0),
+    ]
+
+
+def test_k_core_star_collapses(spark, tmp_path):
+    """A star (supplier serving parts 1 and 2) has leaf degrees 1:
+    round 1 keeps only the hub but no edges survive; rounds 2-3 are
+    empty."""
+    _write_lineitem(spark, tmp_path, [(1, 1, 1, 1.0), (2, 2, 1, 1.0)])
+    rows = registry.QUERIES["k_core_peel3"](spark, str(tmp_path)).collect()
+    assert [(r.round, r.n_nodes, r.n_edges) for r in rows] == [
+        (1, 1, 0.0),
+        (2, 0, 0.0),
+        (3, 0, 0.0),
+    ]
+
+
+def test_reciprocal_best_match_mutual_only(spark, tmp_path):
+    """s1(10.00)-c1(10.50) are mutual nearest (50 cents); s2's best
+    is also c1, so s2 matches nothing."""
+    _write_supplier(
+        spark, tmp_path, [(1, "s1", 1, 10.0), (2, "s2", 1, 20.0)]
+    )
+    cust = [(1, "c1", 1, 10.5, "A"), (2, "c2", 1, 30.0, "A")]
+    df = spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    rows = registry.QUERIES["reciprocal_best_match"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [(r.s_suppkey, r.c_custkey, r.dist_cents) for r in rows] == [
+        (1, 1, 50)
+    ]
