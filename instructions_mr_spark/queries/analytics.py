@@ -4704,3 +4704,282 @@ def elasticity_loglog_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ------------------------------ Markov removal-effect attribution
+
+_MRK_STEPS = 8
+
+
+def _markov_removal_oracle() -> str:
+    """Unrolled DuckDB twin of attribution_markov_removal (the Spark
+    side loops {_MRK_STEPS} tiny broadcast joins; SQL unrolls them)."""
+    steps = []
+    prev = "v0"
+    for i in range(1, _MRK_STEPS + 1):
+        steps.append(
+            f"""v{i} AS (
+      SELECT p.r, p.dst AS state, SUM({prev}.m * p.p_e6) // 1000000 AS m
+      FROM {prev} JOIN p ON p.r = {prev}.r AND p.src = {prev}.state
+      GROUP BY 1, 2
+    )"""
+        )
+        prev = f"v{i}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH firstbuy AS (
+      SELECT user_id,
+             MIN(ROW(ts, event_id)) AS fb
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    journey AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type,
+             fb.fb IS NOT NULL AS converted
+      FROM events e LEFT JOIN firstbuy fb ON fb.user_id = e.user_id
+      WHERE fb.fb IS NULL OR ROW(e.ts, e.event_id) <= fb.fb
+    ),
+    seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt,
+             converted
+      FROM journey
+    ),
+    trans AS (
+      SELECT event_type AS src,
+             CASE WHEN nxt = 'purchase' THEN 'CONV'
+                  WHEN nxt IS NULL THEN 'NULL'
+                  ELSE nxt END AS dst
+      FROM seq WHERE event_type <> 'purchase'
+      UNION ALL
+      SELECT 'START',
+             CASE WHEN first_type = 'purchase' THEN 'CONV'
+                  ELSE first_type END
+      FROM (
+        SELECT user_id, event_type AS first_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM journey
+      ) WHERE rn = 1
+    ),
+    cnt AS (SELECT src, dst, COUNT(*) AS n FROM trans GROUP BY 1, 2),
+    prob AS (
+      SELECT src, dst,
+             (n * 1000000) // SUM(n) OVER (PARTITION BY src) AS p_e6
+      FROM cnt
+    ),
+    chan AS (
+      SELECT DISTINCT src AS c FROM prob WHERE src <> 'START'
+    ),
+    rkeys AS (SELECT c AS r FROM chan UNION ALL SELECT '(none)'),
+    p_adj AS (
+      SELECT rk.r, pr.src,
+             CASE WHEN pr.dst = rk.r THEN 'NULL' ELSE pr.dst END AS dst,
+             pr.p_e6
+      FROM prob pr CROSS JOIN rkeys rk
+      WHERE pr.src <> rk.r
+    ),
+    p AS (
+      SELECT r, src, dst, SUM(p_e6) AS p_e6
+      FROM (
+        SELECT r, src, dst, p_e6 FROM p_adj
+        UNION ALL
+        SELECT c, c, 'NULL', 1000000 FROM chan
+        UNION ALL
+        SELECT r, s, s, 1000000
+        FROM rkeys CROSS JOIN (VALUES ('CONV'), ('NULL')) AS a(s)
+      ) GROUP BY 1, 2, 3
+    ),
+    v0 AS (SELECT r, 'START' AS state, CAST(1000000 AS BIGINT) AS m
+           FROM rkeys),
+    {steps_sql},
+    conv AS (
+      SELECT rk.r, COALESCE(vf.m, 0) AS conv_e6
+      FROM rkeys rk
+      LEFT JOIN (SELECT r, m FROM v{_MRK_STEPS} WHERE state = 'CONV') vf
+        ON vf.r = rk.r
+    ),
+    eff AS (
+      SELECT c.r AS channel, b.conv_e6 AS conv_base_e6,
+             c.conv_e6 AS conv_removed_e6,
+             1000000 - (c.conv_e6 * 1000000) // b.conv_e6
+               AS removal_effect_e6
+      FROM conv c CROSS JOIN (SELECT conv_e6 FROM conv
+                              WHERE r = '(none)') b
+      WHERE c.r <> '(none)'
+    )
+    SELECT channel,
+           CAST(conv_base_e6 AS BIGINT) AS conv_base_e6,
+           CAST(conv_removed_e6 AS BIGINT) AS conv_removed_e6,
+           CAST(removal_effect_e6 AS BIGINT) AS removal_effect_e6,
+           CAST((removal_effect_e6 * 1000000)
+                // (SELECT SUM(removal_effect_e6) FROM eff)
+                AS BIGINT) AS attribution_e6
+    FROM eff
+    ORDER BY attribution_e6 DESC, channel
+"""
+
+
+@query("attribution_markov_removal", oracle=_markov_removal_oracle())
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) multi-touch attribution — the
+    data-driven model that replaces positional heuristics: journeys
+    are each user's events up to their FIRST purchase, a first-order
+    chain START -> channels -> CONV/NULL is fit as e6 integer
+    probabilities, and each channel's credit is its removal effect
+    1 - P(conv | channel's transitions redirected to NULL), computed
+    by {_MRK_STEPS} synchronous power-iteration steps with absorbing
+    CONV/NULL self-loops (markov_stationary_power's arithmetic:
+    SUM(m * p) DIV 1e6, truncating — both engines identical).
+    Completes the attribution family (last-touch / linear /
+    position / time-decay) with the removal-effect member.
+
+    Scale shape: the event stream is touched once (the user-keyed
+    lead window every sessionization op shares + one user-keyed
+    first-event argmin); everything after lives on the K x K
+    transition matrix crossed with |channels|+1 removal variants — a
+    few hundred rows broadcast through all {_MRK_STEPS} steps, so
+    iteration depth never reshuffles the corpus.  The removal
+    variants are built by crossJoin against the DISTINCT channel
+    table (no driver collect, no data-dependent loop)."""
+    e = t(spark, sf_dir, "events")
+    buys = e.filter(F.col("event_type") == "purchase")
+    firstbuy = buys.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id")).alias("fb")
+    )
+    journey = (
+        e.join(F.broadcast(firstbuy), "user_id", "left")
+        .filter(
+            F.col("fb").isNull()
+            | (F.struct("ts", "event_id") <= F.col("fb"))
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = journey.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    )
+    trans_mid = seq.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("src"),
+        F.expr(
+            "CASE WHEN nxt = 'purchase' THEN 'CONV'"
+            " WHEN nxt IS NULL THEN 'NULL' ELSE nxt END"
+        ).alias("dst"),
+    )
+    trans_start = (
+        journey.groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type")).alias("fe")
+        )
+        .select(
+            F.lit("START").alias("src"),
+            F.expr(
+                "CASE WHEN fe.event_type = 'purchase' THEN 'CONV'"
+                " ELSE fe.event_type END"
+            ).alias("dst"),
+        )
+    )
+    cnt = (
+        trans_mid.unionByName(trans_start)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    share_w = Window.partitionBy("src")
+    prob = cnt.select(
+        "src",
+        "dst",
+        F.expr("(n * CAST(1000000 AS BIGINT))").alias("_num"),
+        F.sum("n").over(share_w).alias("_den"),
+    ).selectExpr("src", "dst", "_num DIV _den AS p_e6")
+    chan = prob.filter(F.col("src") != "START").select(
+        F.col("src").alias("c")
+    ).distinct()
+    rkeys = chan.select(F.col("c").alias("r")).unionByName(
+        spark.createDataFrame([("(none)",)], "r string")
+    )
+    p_adj = (
+        prob.crossJoin(F.broadcast(rkeys))
+        .filter(F.col("src") != F.col("r"))
+        .select(
+            "r",
+            "src",
+            F.expr("CASE WHEN dst = r THEN 'NULL' ELSE dst END").alias("dst"),
+            "p_e6",
+        )
+    )
+    self_null = chan.select(
+        F.col("c").alias("r"),
+        F.col("c").alias("src"),
+        F.lit("NULL").alias("dst"),
+        F.lit(1000000).cast("bigint").alias("p_e6"),
+    )
+    absorb = rkeys.crossJoin(
+        spark.createDataFrame([("CONV",), ("NULL",)], "s string")
+    ).select(
+        "r",
+        F.col("s").alias("src"),
+        F.col("s").alias("dst"),
+        F.lit(1000000).cast("bigint").alias("p_e6"),
+    )
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    p_full = supersede_checkpoint(
+        "markov_removal_matrix",
+        p_adj.unionByName(self_null)
+        .unionByName(absorb)
+        .groupBy("r", "src", "dst")
+        .agg(F.sum("p_e6").alias("p_e6"))
+        .coalesce(1)
+        .localCheckpoint(),
+    )
+    v = rkeys.select(
+        F.col("r").alias("vr"),
+        F.lit("START").alias("state"),
+        F.lit(1000000).cast("bigint").alias("m"),
+    )
+    for _ in range(_MRK_STEPS):
+        v = (
+            p_full.join(
+                F.broadcast(v),
+                (F.col("r") == F.col("vr")) & (F.col("src") == F.col("state")),
+            )
+            .groupBy("r", "dst")
+            .agg(F.expr("SUM(m * p_e6) DIV 1000000 AS m"))
+            .select(F.col("r").alias("vr"), F.col("dst").alias("state"), "m")
+        )
+    conv = rkeys.join(
+        v.filter(F.col("state") == "CONV").select("vr", "m"),
+        F.col("r") == F.col("vr"),
+        "left",
+    ).select("r", F.coalesce("m", F.lit(0)).alias("conv_e6"))
+    base = conv.filter(F.col("r") == "(none)").select(
+        F.col("conv_e6").alias("_base")
+    )
+    eff = (
+        conv.filter(F.col("r") != "(none)")
+        .crossJoin(F.broadcast(base))
+        .selectExpr(
+            "r AS channel",
+            "_base AS conv_base_e6",
+            "conv_e6 AS conv_removed_e6",
+            "1000000 - (conv_e6 * 1000000) DIV _base AS removal_effect_e6",
+        )
+    )
+    tot = eff.agg(F.sum("removal_effect_e6").alias("_tot"))
+    return (
+        eff.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "channel",
+            "CAST(conv_base_e6 AS BIGINT) AS conv_base_e6",
+            "CAST(conv_removed_e6 AS BIGINT) AS conv_removed_e6",
+            "CAST(removal_effect_e6 AS BIGINT) AS removal_effect_e6",
+            "CAST((removal_effect_e6 * 1000000) DIV _tot AS BIGINT)"
+            " AS attribution_e6",
+        )
+        .orderBy(F.col("attribution_e6").desc(), "channel")
+    )
+
+
+attribution_markov_removal.__doc__ = (
+    attribution_markov_removal.__doc__ or ""
+).replace("{_MRK_STEPS}", str(_MRK_STEPS))

@@ -1314,3 +1314,121 @@ def k_core_peel3(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t_df in traces[1:]:
         out = out.unionByName(t_df)
     return out.orderBy("round")
+
+
+# ------------------------------- personalized PageRank (seeded walk)
+
+_PPR_STEPS = 4
+
+
+def _ppr_oracle() -> str:
+    """Unrolled DuckDB twin of ppr_recommend_parts ({_PPR_STEPS}
+    damped steps, all-integer e9 mass)."""
+    steps = []
+    prev = "v0"
+    for i in range(1, _PPR_STEPS + 1):
+        steps.append(
+            f"""v{i} AS (
+      SELECT node, SUM(m) AS m FROM (
+        SELECT dst AS node, SUM((v.m * 85) // (100 * d.deg)) AS m
+        FROM edges e
+        JOIN {prev} v ON v.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY dst
+        UNION ALL
+        SELECT sp, 150000000 FROM seed
+      ) GROUP BY node
+    )"""
+        )
+        prev = f"v{i}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH li AS (
+      SELECT DISTINCT l_partkey AS p, 1000000000 + l_suppkey AS s
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT p AS src, s AS dst FROM li
+      UNION ALL
+      SELECT s AS src, p AS dst FROM li
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    seed AS (SELECT MIN(p) AS sp FROM li),
+    v0 AS (SELECT sp AS node, CAST(1000000000 AS BIGINT) AS m FROM seed),
+    {steps_sql}
+    SELECT CAST(node AS BIGINT) AS part, CAST(m AS BIGINT) AS ppr_e9
+    FROM v{_PPR_STEPS}
+    WHERE node < 1000000000 AND m > 0
+    ORDER BY ppr_e9 DESC, part
+    LIMIT 20
+"""
+
+
+@query("ppr_recommend_parts", oracle=_ppr_oracle())
+def ppr_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed part (the minimum partkey)
+    over the part<->supplier supply graph: {_PPR_STEPS} damped steps
+    (d = 0.85, restart mass re-injected at the seed each step) and
+    the top-20 part nodes by visiting mass — 'parts related to this
+    part through shared suppliers', the graph-proximity
+    recommendation primitive.  All-integer e9 mass with one
+    truncating division per edge per step ((m * 85) DIV (100 * deg)),
+    so both engines walk the identical quantized chain; mass that
+    truncates to zero stops walking identically on both.
+
+    Scale shape: each step is one labels-to-edges equi-join on src
+    (the label_propagation_2round exchange) plus a dst rollup; the
+    frontier v starts at 1 node and stays sparse (only reached nodes
+    carry rows), so early steps touch a tiny fraction of the edge
+    list via the join.  Step count fixed at {_PPR_STEPS}; no
+    checkpoint needed at this depth."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("p"),
+            (F.lit(1_000_000_000) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    edges = supersede_checkpoint("ppr_edges", edges.localCheckpoint())
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = edges.join(deg, "src")
+    seed = li.agg(F.min("p").alias("sp"))
+    v = seed.select(
+        F.col("sp").alias("node"), F.lit(1_000_000_000).cast("bigint").alias("m")
+    )
+    restart = seed.select(
+        F.col("sp").alias("node"),
+        F.lit(150_000_000).cast("bigint").alias("m"),
+    )
+    for _ in range(_PPR_STEPS):
+        inflow = (
+            e_deg.join(F.broadcast(v), e_deg.src == v.node)
+            .groupBy("dst")
+            .agg(F.expr("SUM((m * 85) DIV (100 * deg))").alias("m"))
+            .select(F.col("dst").alias("node"), "m")
+        )
+        v = (
+            inflow.unionByName(restart)
+            .groupBy("node")
+            .agg(F.sum("m").alias("m"))
+        )
+    return (
+        v.filter((F.col("node") < 1_000_000_000) & (F.col("m") > 0))
+        .select(
+            F.col("node").cast("bigint").alias("part"),
+            F.col("m").cast("bigint").alias("ppr_e9"),
+        )
+        .orderBy(F.col("ppr_e9").desc(), "part")
+        .limit(20)
+    )
+
+
+ppr_recommend_parts.__doc__ = (ppr_recommend_parts.__doc__ or "").replace(
+    "{_PPR_STEPS}", str(_PPR_STEPS)
+)

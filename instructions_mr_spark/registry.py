@@ -168,7 +168,8 @@ DRIVER_WINDOW: list[str] = [
 #   markov_stationary_power, elasticity_loglog_terms,
 #   sample_weighted_ares, rank_fusion_rrf, orc_roundtrip,
 #   label_propagation_2round, theil_sen_slope, sketch_ams_f2,
-#   k_core_peel3, reciprocal_best_match
+#   k_core_peel3, reciprocal_best_match,
+#   attribution_markov_removal, ppr_recommend_parts
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -321,3 +321,49 @@ def test_reciprocal_best_match_mutual_only(spark, tmp_path):
     assert [(r.s_suppkey, r.c_custkey, r.dist_cents) for r in rows] == [
         (1, 1, 50)
     ]
+
+
+def test_markov_removal_symmetric_channels(spark, tmp_path):
+    """u1 click->purchase, u2 view->purchase, u3 click->(nothing):
+    base P(conv) = 2/3 (e6: 666666); removing either channel leaves
+    exactly half the conversion mass, so both get removal effect
+    500000 and a 50/50 attribution split."""
+    t0 = datetime(2024, 1, 1)
+
+    def ev(i, uid, minutes, typ):
+        return (i, t0 + timedelta(minutes=minutes), uid, typ)
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            ev(1, 1, 0, "click"), ev(2, 1, 1, "purchase"),
+            ev(3, 2, 0, "view"), ev(4, 2, 1, "purchase"),
+            ev(5, 3, 0, "click"),
+        ],
+    )
+    rows = registry.QUERIES["attribution_markov_removal"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [
+        (r.channel, r.conv_base_e6, r.conv_removed_e6,
+         r.removal_effect_e6, r.attribution_e6)
+        for r in rows
+    ] == [
+        ("click", 666666, 333333, 500000, 500000),
+        ("view", 666666, 333333, 500000, 500000),
+    ]
+
+
+def test_ppr_star_hand_walk(spark, tmp_path):
+    """Parts {1,2} under one supplier, seed part 1: four quantized
+    damped steps give p1 = 465190625 e9-units and p2 = 315190625
+    (hand-traced, including the per-step restart re-injection)."""
+    _write_lineitem(spark, tmp_path, [(1, 1, 1, 1.0), (2, 2, 1, 1.0)])
+    rows = registry.QUERIES["ppr_recommend_parts"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [(r.part, r.ppr_e9) for r in rows] == [
+        (1, 465190625),
+        (2, 315190625),
+    ]
