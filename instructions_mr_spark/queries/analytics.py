@@ -4841,7 +4841,12 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     few hundred rows broadcast through all {_MRK_STEPS} steps, so
     iteration depth never reshuffles the corpus.  The removal
     variants are built by crossJoin against the DISTINCT channel
-    table (no driver collect, no data-dependent loop)."""
+    table (no driver collect, no data-dependent loop).  The prob /
+    matrix / removal-key / final-vector tables are localCheckpointed
+    (supersede_checkpoint) so no broadcast subtree ever replays the
+    event-stream lineage or the step chain — the post-rollup cost is
+    a few seconds of fixed tiny-stage scheduling, CONSTANT in corpus
+    size (only the one event-stream pass scales)."""
     e = t(spark, sf_dir, "events")
     buys = e.filter(F.col("event_type") == "purchase")
     firstbuy = buys.groupBy("user_id").agg(
@@ -4884,18 +4889,30 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
     share_w = Window.partitionBy("src")
-    prob = cnt.select(
-        "src",
-        "dst",
-        F.expr("(n * CAST(1000000 AS BIGINT))").alias("_num"),
-        F.sum("n").over(share_w).alias("_den"),
-    ).selectExpr("src", "dst", "_num DIV _den AS p_e6")
+    prob = supersede_checkpoint(
+        "markov_removal_prob",
+        cnt.select(
+            "src",
+            "dst",
+            F.expr("(n * CAST(1000000 AS BIGINT))").alias("_num"),
+            F.sum("n").over(share_w).alias("_den"),
+        )
+        .selectExpr("src", "dst", "_num DIV _den AS p_e6")
+        .coalesce(1)
+        .localCheckpoint(),
+    )
     chan = prob.filter(F.col("src") != "START").select(
         F.col("src").alias("c")
     ).distinct()
-    rkeys = chan.select(F.col("c").alias("r")).unionByName(
-        spark.createDataFrame([("(none)",)], "r string")
+    rkeys = supersede_checkpoint(
+        "markov_removal_rkeys",
+        chan.select(F.col("c").alias("r"))
+        .unionByName(spark.createDataFrame([("(none)",)], "r string"))
+        .coalesce(1)
+        .localCheckpoint(),
     )
     p_adj = (
         prob.crossJoin(F.broadcast(rkeys))
@@ -4914,15 +4931,13 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000000).cast("bigint").alias("p_e6"),
     )
     absorb = rkeys.crossJoin(
-        spark.createDataFrame([("CONV",), ("NULL",)], "s string")
+        F.broadcast(spark.createDataFrame([("CONV",), ("NULL",)], "s string"))
     ).select(
         "r",
         F.col("s").alias("src"),
         F.col("s").alias("dst"),
         F.lit(1000000).cast("bigint").alias("p_e6"),
     )
-    from instructions_mr_spark.queries._util import supersede_checkpoint
-
     p_full = supersede_checkpoint(
         "markov_removal_matrix",
         p_adj.unionByName(self_null)
@@ -4938,6 +4953,9 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000000).cast("bigint").alias("m"),
     )
     for _ in range(_MRK_STEPS):
+        # p_full and prob are checkpointed, so each nested broadcast
+        # subtree here replays only tiny single-partition joins — the
+        # depth-8 chain materializes in a couple hundred ms total.
         v = (
             p_full.join(
                 F.broadcast(v),
@@ -4946,7 +4964,11 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("r", "dst")
             .agg(F.expr("SUM(m * p_e6) DIV 1000000 AS m"))
             .select(F.col("r").alias("vr"), F.col("dst").alias("state"), "m")
+            .coalesce(1)
         )
+    v = supersede_checkpoint(
+        "markov_removal_vfinal", v.localCheckpoint()
+    )
     conv = rkeys.join(
         v.filter(F.col("state") == "CONV").select("vr", "m"),
         F.col("r") == F.col("vr"),

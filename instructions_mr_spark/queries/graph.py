@@ -1285,6 +1285,9 @@ def k_core_peel3(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
         li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    edges = supersede_checkpoint("kcore_edges", edges.localCheckpoint())
     traces = []
     for rnd in (1, 2, 3):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
