@@ -169,7 +169,9 @@ DRIVER_WINDOW: list[str] = [
 #   sample_weighted_ares, rank_fusion_rrf, orc_roundtrip,
 #   label_propagation_2round, theil_sen_slope, sketch_ams_f2,
 #   k_core_peel3, reciprocal_best_match,
-#   attribution_markov_removal, ppr_recommend_parts
+#   attribution_markov_removal, ppr_recommend_parts,
+#   ccf_lag_terms, rsi_cutler_daily, bollinger_breach_daily,
+#   vwap_anchored_daily, forecast_dow_naive_terms
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
@@ -275,5 +277,6 @@ def load_all() -> None:
     import instructions_mr_spark.queries.io_roundtrip  # noqa: F401
     import instructions_mr_spark.queries.lake_ops  # noqa: F401
     import instructions_mr_spark.queries.web  # noqa: F401
+    import instructions_mr_spark.queries.timeseries  # noqa: F401
 
     _reorder_for_driver()
