@@ -1,0 +1,366 @@
+"""SQL-semantics contract operators.
+
+The round-8 fourth batch: the NULL-handling and tie-handling edge
+cases every warehouse migration trips over, pinned as first-class
+oracled queries so the engine's semantics are CONTRACTS, not
+accidents — null-safe join equality, the NOT IN vs NOT EXISTS null
+trap, RANK-with-ties top-k, the higher-order array-function surface,
+and overlapping-interval merging (gaps-and-islands).
+
+Reference parity note: the reference engine (instructions-mr,
+/root/reference — a sequential LLM prompt-pipeline, ~1.1k LoC) has no
+relational operators at all; this family is part of the extended SQL
+surface (SURVEY.md §2.7) a warehouse user expects.
+
+Scale shapes: every query aggregates or windows on partitioned keys;
+the one deliberately scary plan (``not_in_null_semantics``' null-aware
+anti join) is the POINT of that audit and is documented in place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from instructions_mr_spark.queries._util import t
+from instructions_mr_spark.registry import query
+
+# ------------------------------------------------ null-safe join
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS nkey,
+             COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    s AS (
+      SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS nkey,
+             COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT c.nkey, CAST(c.n_cust AS BIGINT) AS n_cust,
+           CAST(s.n_supp AS BIGINT) AS n_supp
+    FROM c JOIN s ON c.nkey IS NOT DISTINCT FROM s.nkey
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): both
+    sides bucket entities by a NULLABLE nation key (negative account
+    balance -> key unknown), then join so the NULL buckets MATCH each
+    other — the semantics plain ``=`` silently drops and the single
+    most common source of row-count surprises when porting warehouse
+    SQL.  Emits the per-key pair of bucket sizes, NULL row included.
+
+    Scale shape: both inputs collapse to (key)-cardinality aggregates
+    (<= nations + 1 rows) before the join, so the null-safe join —
+    which Spark compiles to an equi-join on coalesced key structs, not
+    a nested loop — moves almost nothing."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            F.when(F.col("c_acctbal") < 0, F.lit(None))
+            .otherwise(F.col("c_nationkey"))
+            .alias("nkey")
+        )
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(
+            F.when(F.col("s_acctbal") < 0, F.lit(None))
+            .otherwise(F.col("s_nationkey"))
+            .alias("nkey")
+        )
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c["nkey"].eqNullSafe(s["nkey"])).select(
+        c["nkey"].alias("nkey"),
+        F.col("n_cust").cast("bigint").alias("n_cust"),
+        F.col("n_supp").cast("bigint").alias("n_supp"),
+    )
+
+
+# --------------------------------------- NOT IN vs NOT EXISTS
+
+
+@query(
+    "not_in_null_semantics",
+    oracle="""
+    WITH sub AS (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL SELECT CAST(NULL AS BIGINT)
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM sub)) AS BIGINT)
+        AS n_not_in,
+      CAST((SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM sub s
+                              WHERE s.k = c.c_custkey)) AS BIGINT)
+        AS n_not_exists,
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_custkey IN (SELECT k FROM sub)) AS BIGINT)
+        AS n_in
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-valued-logic trap as an executable contract: customers
+    ``NOT IN`` a subquery that CONTAINS a NULL is empty by the SQL
+    standard (x <> NULL is unknown for every x), while the NOT EXISTS
+    rewrite returns the intended anti-set — this query pins the engine
+    to the standard on both counts plus the IN control.  The injected
+    NULL stands in for the nullable FK every real schema has.
+
+    Scale shape: deliberately instructive — Spark compiles the NOT IN
+    branch to a null-aware anti join (broadcast, build side = the
+    subquery), which is exactly why production pipelines should write
+    NOT EXISTS (a plain shuffled anti join); the docstring IS the
+    audit's verdict.  The two correct branches are semi/anti
+    equi-joins on c_custkey."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH sub AS (
+          SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL SELECT CAST(NULL AS BIGINT)
+        )
+        SELECT
+          CAST((SELECT COUNT(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT k FROM sub)) AS BIGINT)
+            AS n_not_in,
+          CAST((SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM sub s
+                                  WHERE s.k = c.c_custkey)) AS BIGINT)
+            AS n_not_exists,
+          CAST((SELECT COUNT(*) FROM customer
+                WHERE c_custkey IN (SELECT k FROM sub)) AS BIGINT)
+            AS n_in
+        """
+    )
+
+
+# ------------------------------------------------ top-k with ties
+
+
+@query(
+    "topk_with_ties",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_brand, p_size,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC)
+    )
+    SELECT p_brand,
+           CAST(SUM(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rank_le3,
+           CAST(SUM(CASE WHEN drnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dense_le3,
+           CAST(LEAST(3, COUNT(*)) AS BIGINT) AS n_rowno_le3,
+           CAST(MAX(p_size) AS BIGINT) AS top_size
+    FROM ranked GROUP BY p_brand
+    """,
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3-per-group under the three tie disciplines at once: RANK
+    (WITH TIES — every peer of the 3rd row survives), DENSE_RANK (top
+    3 VALUES — all rows at the 3 largest sizes), and the ROW_NUMBER
+    cutoff (exactly 3 rows; computed as LEAST(3, n) rather than a
+    ROW_NUMBER over unordered peers, which would be nondeterministic).
+    Sizes tie heavily by construction, so the three counts genuinely
+    diverge — the 'WITH TIES' semantics gap made executable.
+
+    Scale shape: one window partitioned by brand (the natural key),
+    then a map-side-combinable rollup on the same key — no global
+    sort, no second exchange."""
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    ranked = t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_size",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+    return ranked.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("rnk") <= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rank_le3"),
+        F.sum(F.when(F.col("drnk") <= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dense_le3"),
+        F.least(F.lit(3), F.count(F.lit(1))).cast("bigint").alias("n_rowno_le3"),
+        F.max("p_size").cast("bigint").alias("top_size"),
+    )
+
+
+# --------------------------------------- higher-order functions
+
+
+@query(
+    "hof_lambda_suite",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qe,
+             len(embedding) AS n_dims,
+             len(list_filter(embedding, x -> x > 0)) AS n_pos
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(n_dims AS BIGINT) AS n_dims,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT)
+             AS sumsq_e6,
+           CAST(list_sort(qe)[1] AS BIGINT) AS min_e3,
+           CAST(list_sort(qe)[-1] AS BIGINT) AS max_e3
+    FROM q
+    """,
+)
+def hof_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array-function surface in one pass —
+    ``transform`` (1e3 fixed-point quantization), ``filter`` (positive
+    dimension count), ``aggregate`` (exact integer sum of squares) and
+    ``array_sort`` (min/max via the sorted ends) — over the embedding
+    column.  These lambdas run INSIDE codegen on the JVM (no Python
+    worker), which is the entire argument for expressing per-element
+    vector math this way instead of a UDF; quantize-then-square keeps
+    both engines bit-identical where a float dot product would drift.
+
+    Scale shape: a pure per-row map over the scan — zero exchanges,
+    trivially parallel at any scale."""
+    q = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+        ).alias("qe"),
+        F.expr("size(embedding)").cast("bigint").alias("n_dims"),
+        F.expr("size(filter(embedding, x -> x > 0))")
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    return q.select(
+        "vec_id",
+        "n_dims",
+        "n_pos",
+        F.expr(
+            "aggregate(qe, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+        ).alias("sumsq_e6"),
+        F.expr("element_at(array_sort(qe), 1)").alias("min_e3"),
+        F.expr("element_at(array_sort(qe), -1)").alias("max_e3"),
+    )
+
+
+# --------------------------------- interval merge (gaps & islands)
+
+_SHIP_DAY = "unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000"
+_DUCK_SHIP_DAY = "epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000"
+
+
+@query(
+    "interval_merge_overlaps",
+    oracle=f"""
+    WITH iv AS (
+      SELECT l_suppkey,
+             {_DUCK_SHIP_DAY} AS d0,
+             {_DUCK_SHIP_DAY} + 1
+               + CAST(FLOOR(l_quantity) AS BIGINT) % 14 AS d1,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    flagged AS (
+      SELECT l_suppkey, d0, d1, l_orderkey, l_linenumber,
+             CASE WHEN MAX(d1) OVER w1 IS NULL
+                    OR d0 > MAX(d1) OVER w1 THEN 1 ELSE 0 END AS new_isl
+      FROM iv
+      WINDOW w1 AS (PARTITION BY l_suppkey
+                    ORDER BY d0, d1, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+      SELECT l_suppkey, d0, d1,
+             SUM(new_isl) OVER w2 AS isl
+      FROM flagged
+      WINDOW w2 AS (PARTITION BY l_suppkey
+                    ORDER BY d0, d1, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    merged AS (
+      SELECT l_suppkey, isl,
+             MIN(d0) AS s, MAX(d1) AS e
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(e - s + 1) AS BIGINT) AS covered_days,
+           CAST(MAX(e - s + 1) AS BIGINT) AS max_span_days
+    FROM merged GROUP BY 1
+    """,
+)
+def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping busy intervals per supplier (gaps-and-islands):
+    each line item occupies [ship day, ship day + 1 + qty % 14]; an
+    interval starts a NEW island iff it begins after the running max
+    end of everything before it (ROWS ... 1 PRECEDING), islands are
+    numbered by the running sum of those flags, and merged spans roll
+    up to count / coverage / max span per supplier — the canonical
+    resource-utilization merge that naive self-joins get quadratically
+    wrong.  Ordering is total (d0, d1, orderkey, linenumber), so the
+    running max is deterministic on both engines.
+
+    Scale shape: both windows and both rollups are PARTITIONED by
+    l_suppkey — one exchange on the natural key, islands never cross
+    partitions, no global sort anywhere."""
+    day = F.expr(_SHIP_DAY)
+    iv = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        day.alias("d0"),
+        (
+            day
+            + 1
+            + F.expr("CAST(FLOOR(l_quantity) AS BIGINT) % 14")
+        ).alias("d1"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w1 = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d0", "d1", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "l_suppkey",
+        "d0",
+        "d1",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.max("d1").over(w1).isNull()
+            | (F.col("d0") > F.max("d1").over(w1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_isl"),
+    )
+    w2 = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d0", "d1", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "l_suppkey", "d0", "d1", F.sum("new_isl").over(w2).alias("isl")
+    )
+    merged = islands.groupBy("l_suppkey", "isl").agg(
+        F.min("d0").alias("s"), F.max("d1").alias("e")
+    )
+    return merged.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("covered_days"),
+        F.max(F.col("e") - F.col("s") + 1).cast("bigint").alias("max_span_days"),
+    )

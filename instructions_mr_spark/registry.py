@@ -171,7 +171,9 @@ DRIVER_WINDOW: list[str] = [
 #   k_core_peel3, reciprocal_best_match,
 #   attribution_markov_removal, ppr_recommend_parts,
 #   ccf_lag_terms, rsi_cutler_daily, bollinger_breach_daily,
-#   vwap_anchored_daily, forecast_dow_naive_terms
+#   vwap_anchored_daily, forecast_dow_naive_terms,
+#   join_null_safe, not_in_null_semantics, topk_with_ties,
+#   hof_lambda_suite, interval_merge_overlaps
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
@@ -278,5 +280,6 @@ def load_all() -> None:
     import instructions_mr_spark.queries.lake_ops  # noqa: F401
     import instructions_mr_spark.queries.web  # noqa: F401
     import instructions_mr_spark.queries.timeseries  # noqa: F401
+    import instructions_mr_spark.queries.semantics  # noqa: F401
 
     _reorder_for_driver()
