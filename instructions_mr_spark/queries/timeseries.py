@@ -425,3 +425,332 @@ def forecast_dow_naive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(ABS(n - fn)) * 1000000 DIV SUM(n) AS BIGINT)"
         ).alias("wape_e6"),
     )
+
+
+# ------------------------------------------------ drawdown
+
+
+@query(
+    "drawdown_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DUCK_DAY_ORD} AS day_idx, {_DUCK_REV} AS x
+      FROM orders GROUP BY 1
+    ),
+    pk AS (
+      SELECT day_idx, x,
+             MAX(x) OVER (ORDER BY day_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS peak
+      FROM daily
+    )
+    SELECT day_idx,
+           CAST(x AS BIGINT) AS x,
+           CAST(peak AS BIGINT) AS peak,
+           CAST((peak - x) * 1000000 // peak AS BIGINT) AS dd_e6
+    FROM pk
+    """,
+)
+def drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown of the daily orders-revenue series: per
+    day, the all-time-high so far and the drawdown fraction
+    (peak - x) / peak as a 1e6 fixed-point truncating division — the
+    'how far below the best day are we' curve behind every revenue
+    health dashboard and the max-drawdown risk metric.  Whole-dollar
+    daily revenue is strictly positive, so the division is total.
+
+    Scale shape: the day-keyed aggregate is the only corpus-sized
+    exchange; the running max is a partitionless ROWS window over the
+    calendar-bounded day grid (rows = date range, never data
+    cardinality — allow-listed in tests/test_plans.py)."""
+    daily = _orders_daily(spark, sf_dir)
+    w = (
+        Window.orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pk = daily.select(
+        "day_idx", "x", F.max("x").over(w).alias("peak")
+    )
+    return pk.select(
+        "day_idx",
+        F.col("x").cast("bigint").alias("x"),
+        F.col("peak").cast("bigint").alias("peak"),
+        F.expr("CAST((peak - x) * 1000000 DIV peak AS BIGINT)").alias(
+            "dd_e6"
+        ),
+    )
+
+
+# ------------------------------------------- up/down streaks
+
+
+@query(
+    "updown_streaks",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DUCK_DAY_ORD} AS day_idx, {_DUCK_REV} AS x
+      FROM orders GROUP BY 1
+    ),
+    delta AS (
+      SELECT day_idx,
+             CAST(SIGN(x - LAG(x) OVER w) AS BIGINT) AS dir,
+             day_idx - LAG(day_idx) OVER w AS gap
+      FROM daily
+      WINDOW w AS (ORDER BY day_idx)
+    ),
+    moves AS (SELECT * FROM delta WHERE dir IS NOT NULL),
+    flagged AS (
+      SELECT day_idx, dir,
+             CASE WHEN LAG(dir) OVER w IS NULL
+                    OR LAG(dir) OVER w <> dir
+                    OR gap > 1 THEN 1 ELSE 0 END AS brk
+      FROM moves
+      WINDOW w AS (ORDER BY day_idx)
+    ),
+    streaks AS (
+      SELECT dir,
+             SUM(brk) OVER (ORDER BY day_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    runs AS (
+      SELECT dir, sid, COUNT(*) AS len FROM streaks GROUP BY 1, 2
+    )
+    SELECT dir, CAST(len AS BIGINT) AS len,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY 1, 2
+    """,
+)
+def updown_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length distribution of consecutive up / down / flat days in
+    the daily orders-revenue series (gaps-and-islands on the delta
+    sign): a streak breaks on a sign change OR a missing calendar day,
+    and the output histograms streak length by direction — the 'n
+    straight down days' alerting primitive and a randomness check
+    (geometric lengths) in one.  The island flag uses LAG over the
+    unique day index, so numbering is fully deterministic.
+
+    Scale shape: the day-keyed aggregate is the only corpus-sized
+    exchange; the LAG / running-sum windows run over the
+    calendar-bounded day grid (allow-listed in tests/test_plans.py)
+    and the two rollups are map-side combinable."""
+    daily = _orders_daily(spark, sf_dir)
+    wo = Window.orderBy("day_idx")
+    delta = daily.select(
+        "day_idx",
+        F.signum(F.col("x") - F.lag("x").over(wo)).cast("bigint").alias("dir"),
+        (F.col("day_idx") - F.lag("day_idx").over(wo)).alias("gap"),
+    ).filter(F.col("dir").isNotNull())
+    flagged = delta.select(
+        "day_idx",
+        "dir",
+        F.when(
+            F.lag("dir").over(wo).isNull()
+            | (F.lag("dir").over(wo) != F.col("dir"))
+            | (F.col("gap") > 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wsum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    streaks = flagged.select(
+        "dir", F.sum("brk").over(wsum).alias("sid")
+    )
+    runs = streaks.groupBy("dir", "sid").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("dir", F.col("len").cast("bigint").alias("len")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks")
+    )
+
+
+# ------------------------------------- Poisson overdispersion
+
+
+@query(
+    "poisson_dispersion_audit",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS s_n,
+           CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS s_nn,
+           CAST((COUNT(*) * SUM(CAST(n AS DECIMAL(38,0)) * n)
+                 - CAST(SUM(n) AS DECIMAL(38,0)) * SUM(n)) * 1000000
+                // ((COUNT(*) - 1) * CAST(SUM(n) AS DECIMAL(38,0)))
+                AS BIGINT) AS dispersion_e6
+    FROM daily GROUP BY 1
+    """,
+)
+def poisson_dispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion audit of daily event arrivals per type: the
+    variance-to-mean ratio (Fisher dispersion index) as a 1e6
+    fixed-point integer — 1e6 means Poisson-consistent traffic, far
+    above means bursty / bot-like arrivals, the standard first screen
+    before fitting any count model.  Assembled from exact integer
+    moments as n*(n*s_nn - s_n^2) / (n*(n-1)*s_n) reduced to
+    (n*s_nn - s_n^2)*1e6 / ((n-1)*s_n); all intermediates are
+    DECIMAL(38,0), so daily counts up to ~1e9 at 100 TB cannot
+    overflow where BIGINT squares would.
+
+    Scale shape: one (type, day) aggregate is the corpus exchange;
+    the per-type rollup is map-side combinable with no window at
+    all."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("s_n"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n"))
+        .cast("decimal(38,0)")
+        .alias("s_nn"),
+        F.expr(
+            "CAST((COUNT(1) * SUM(CAST(n AS DECIMAL(38,0)) * n)"
+            "      - CAST(SUM(n) AS DECIMAL(38,0)) * SUM(n)) * 1000000"
+            "     DIV ((COUNT(1) - 1) * CAST(SUM(n) AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("dispersion_e6"),
+    )
+
+
+# -------------------------------------- monthly brand momentum
+
+
+@query(
+    "momentum_rank_monthly",
+    oracle="""
+    WITH monthly AS (
+      SELECT p.p_brand,
+             CAST(date_part('year', l.l_shipdate) * 12
+                  + date_part('month', l.l_shipdate) AS BIGINT) AS month_idx,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS rev_c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, month_idx,
+           CAST(rev_c AS BIGINT) AS rev_c,
+           CAST(rev_c - LAG(rev_c) OVER (PARTITION BY p_brand
+                                         ORDER BY month_idx) AS BIGINT)
+             AS mom_delta_c,
+           CAST(RANK() OVER (PARTITION BY month_idx
+                             ORDER BY rev_c DESC, p_brand) AS BIGINT)
+             AS rnk
+    FROM monthly
+    """,
+)
+def momentum_rank_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand leaderboard with momentum: monthly revenue per brand
+    (exact cents), the month-over-month delta (LAG within the brand's
+    own series; NULL on its first month), and the brand's rank within
+    each month (total order: revenue desc, brand) — the 'who moved up
+    the leaderboard and how fast' slide of every category review.
+
+    Scale shape: part joins broadcast (dimension table); the corpus
+    collapses to a (brand, month) grid in one exchange; both windows
+    partition on natural keys (brand for LAG, month for RANK — each
+    partition is brand- or month-sized, never corpus-sized)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            "p_brand",
+            F.expr(
+                "CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)"
+            ).alias("month_idx"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            ).alias("rev_c")
+        )
+    )
+    wb = Window.partitionBy("p_brand").orderBy("month_idx")
+    wm = Window.partitionBy("month_idx").orderBy(
+        F.col("rev_c").desc(), "p_brand"
+    )
+    return monthly.select(
+        "p_brand",
+        "month_idx",
+        F.col("rev_c").cast("bigint").alias("rev_c"),
+        (F.col("rev_c") - F.lag("rev_c").over(wb))
+        .cast("bigint")
+        .alias("mom_delta_c"),
+        F.rank().over(wm).cast("bigint").alias("rnk"),
+    )
+
+
+# --------------------------------- promo difference-in-differences
+
+
+@query(
+    "promo_uplift_did",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                     AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+               THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS post_treat_c,
+      CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                     AND l.l_shipdate < TIMESTAMP '1996-01-01'
+               THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS pre_treat_c,
+      CAST(SUM(CASE WHEN p.p_type NOT LIKE 'PROMO%'
+                     AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+               THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS post_ctrl_c,
+      CAST(SUM(CASE WHEN p.p_type NOT LIKE 'PROMO%'
+                     AND l.l_shipdate < TIMESTAMP '1996-01-01'
+               THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS pre_ctrl_c,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+)
+def promo_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences input sheet for the PROMO assortment:
+    exact-cents revenue in the four (treated x period) cells around
+    the 1996-01-01 cutoff — DiD = (post_t - pre_t) - (post_c - pre_c)
+    assembles from the emitted cells at any normalization the analyst
+    picks (per-day, per-part), which is why the query ships the exact
+    cells rather than one opinionated ratio.  The standard causal
+    read-out for 'did the promo line outgrow the rest of the catalog'.
+
+    Scale shape: part broadcasts; the whole corpus folds into ONE
+    map-side-combinable conditional aggregate — a single row out, no
+    window, no second exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    cents = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    cut = "TIMESTAMP '1996-01-01'"
+
+    def cell(treat: bool, post: bool, alias: str):
+        tcond = "p_type LIKE 'PROMO%'" if treat else "p_type NOT LIKE 'PROMO%'"
+        pcond = f"l_shipdate >= {cut}" if post else f"l_shipdate < {cut}"
+        return F.expr(
+            f"CAST(SUM(CASE WHEN {tcond} AND {pcond} THEN {cents}"
+            f" ELSE 0 END) AS BIGINT)"
+        ).alias(alias)
+
+    return j.agg(
+        cell(True, True, "post_treat_c"),
+        cell(True, False, "pre_treat_c"),
+        cell(False, True, "post_ctrl_c"),
+        cell(False, False, "pre_ctrl_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )

@@ -173,7 +173,9 @@ DRIVER_WINDOW: list[str] = [
 #   ccf_lag_terms, rsi_cutler_daily, bollinger_breach_daily,
 #   vwap_anchored_daily, forecast_dow_naive_terms,
 #   join_null_safe, not_in_null_semantics, topk_with_ties,
-#   hof_lambda_suite, interval_merge_overlaps
+#   hof_lambda_suite, interval_merge_overlaps,
+#   drawdown_daily, updown_streaks, poisson_dispersion_audit,
+#   momentum_rank_monthly, promo_uplift_did
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
