@@ -5005,3 +5005,94 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 attribution_markov_removal.__doc__ = (
     attribution_markov_removal.__doc__ or ""
 ).replace("{_MRK_STEPS}", str(_MRK_STEPS))
+
+
+@query(
+    "simpsons_paradox_audit",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN GROUPING(CAST((p.p_size - 1) // 10 AS BIGINT)) = 1
+                  THEN -1
+                  ELSE CAST((p.p_size - 1) // 10 AS BIGINT) END AS stratum,
+             CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                  THEN CAST(FLOOR(li.l_discount * 10000 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s_t,
+             CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_c,
+             CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN 0
+                  ELSE CAST(FLOOR(li.l_discount * 10000 + 0.5) AS BIGINT)
+                  END) AS BIGINT) AS s_c
+      FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey
+      GROUP BY ROLLUP (CAST((p.p_size - 1) // 10 AS BIGINT))
+    )
+    SELECT stratum, n_t, s_t, n_c, s_c,
+           CAST(CAST(s_t AS DECIMAL(38,0)) * n_c
+                > CAST(s_c AS DECIMAL(38,0)) * n_t AS BOOLEAN)
+             AS treat_higher
+    FROM l WHERE n_t > 0 AND n_c > 0
+    """,
+)
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen for the PROMO discount story: mean
+    discount of PROMO vs non-PROMO lines, overall (stratum -1) AND
+    within each part-size class — if ``treat_higher`` flips sign
+    between the ALL row and the strata, the aggregate comparison is
+    confounded by size mix and any 'promos get deeper discounts'
+    conclusion must condition on it.  The comparison is the exact
+    cross-multiplication s_t·n_c > s_c·n_t in DECIMAL(38,0) (means
+    never materialize, so nothing floats); strata with an empty arm
+    are dropped on both engines.
+
+    Scale shape: part broadcasts; ONE map-side-combinable ROLLUP
+    aggregate produces all strata and the ALL row in a single
+    exchange — output is bounded by the size-class domain."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).withColumn(
+        "size_cls", F.expr("CAST((p_size - 1) DIV 10 AS BIGINT)")
+    )
+    disc = "CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)"
+    rolled = (
+        j.rollup("size_cls")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_t"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {disc}"
+                f" ELSE 0 END) AS BIGINT)"
+            ).alias("s_t"),
+            F.expr(
+                "CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 0 ELSE 1 END)"
+                " AS BIGINT)"
+            ).alias("n_c"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN 0"
+                f" ELSE {disc} END) AS BIGINT)"
+            ).alias("s_c"),
+            F.grouping(F.col("size_cls")).alias("g"),
+        )
+        .select(
+            F.expr(
+                "CAST(CASE WHEN g = 1 THEN -1 ELSE size_cls END AS BIGINT)"
+            ).alias("stratum"),
+            "n_t",
+            "s_t",
+            "n_c",
+            "s_c",
+        )
+    )
+    return rolled.filter((F.col("n_t") > 0) & (F.col("n_c") > 0)).select(
+        "stratum",
+        "n_t",
+        "s_t",
+        "n_c",
+        "s_c",
+        F.expr(
+            "CAST(CAST(s_t AS DECIMAL(38,0)) * n_c"
+            " > CAST(s_c AS DECIMAL(38,0)) * n_t AS BOOLEAN)"
+        ).alias("treat_higher"),
+    )

@@ -1435,3 +1435,73 @@ def ppr_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ppr_recommend_parts.__doc__ = (ppr_recommend_parts.__doc__ or "").replace(
     "{_PPR_STEPS}", str(_PPR_STEPS)
 )
+
+
+@query(
+    "graph_resource_allocation",
+    oracle="""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e
+    ),
+    deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+    adjd AS (SELECT adj.v, adj.n, deg.d FROM adj JOIN deg USING (v)),
+    scored AS (
+      SELECT x.n AS a, y.n AS b,
+             COUNT(*) AS n_common,
+             SUM(1000000000 // x.d) AS ra_e9
+      FROM adjd x JOIN adjd y ON x.v = y.v AND x.n < y.n
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT s.a AS part_a, s.b AS part_b,
+           CAST(s.n_common AS BIGINT) AS n_common,
+           CAST(s.ra_e9 AS BIGINT) AS ra_e9
+    FROM scored s LEFT JOIN e ON e.a = s.a AND e.b = s.b
+    WHERE e.a IS NULL
+    """,
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction over the co-purchase graph
+    (Zhou/Lü/Zhang 2009): non-adjacent part pairs scored by
+    RA(a,b) = Σ_{z∈CN} 1/deg(z) — common neighbors weighted INVERSELY
+    by their degree, so a niche connector says more than a hub that
+    co-occurs with everything (the known fix for Jaccard's hub bias,
+    complementing graph_link_prediction).  Each wedge contributes the
+    exact integer 1e9 DIV deg(z), so the score is a truncating
+    fixed-point sum both engines compute bit-identically; >= 2 common
+    neighbors required, existing edges anti-joined away.
+
+    Scale shape: the wedge join carries the center's degree ON the
+    adjacency row (one broadcast-ish deg join before the wedge, not
+    after), so scoring needs no extra pass; pairs aggregate as bare
+    int ids — same deg^2 wedge volume and degree-cap guidance as
+    graph_triangle_count."""
+    e, deg, _ = _copurchase_oriented(spark, sf_dir)
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    adjd = adj.join(deg, "v").select(
+        "v", "n", F.expr("CAST(1000000000 DIV d AS BIGINT)").alias("ra_term")
+    )
+    x, y = adjd.alias("x"), adjd.alias("y")
+    scored = (
+        x.join(y, (F.col("x.v") == F.col("y.v")) & (F.col("x.n") < F.col("y.n")))
+        .groupBy(F.col("x.n").alias("a"), F.col("y.n").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.col("x.ra_term")).alias("ra_e9"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+    return scored.join(e, ["a", "b"], "left_anti").select(
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("ra_e9").cast("bigint").alias("ra_e9"),
+    )

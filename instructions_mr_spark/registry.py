@@ -175,7 +175,10 @@ DRIVER_WINDOW: list[str] = [
 #   join_null_safe, not_in_null_semantics, topk_with_ties,
 #   hof_lambda_suite, interval_merge_overlaps,
 #   drawdown_daily, updown_streaks, poisson_dispersion_audit,
-#   momentum_rank_monthly, promo_uplift_did
+#   momentum_rank_monthly, promo_uplift_did,
+#   graph_resource_allocation, embedding_covariance_terms,
+#   centroid_affinity_terms, embedding_norm_histogram,
+#   simpsons_paradox_audit
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
@@ -283,5 +286,6 @@ def load_all() -> None:
     import instructions_mr_spark.queries.web  # noqa: F401
     import instructions_mr_spark.queries.timeseries  # noqa: F401
     import instructions_mr_spark.queries.semantics  # noqa: F401
+    import instructions_mr_spark.queries.vectors  # noqa: F401
 
     _reorder_for_driver()
