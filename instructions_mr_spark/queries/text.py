@@ -2872,3 +2872,282 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 rank_fusion_rrf.__doc__ = (rank_fusion_rrf.__doc__ or "").replace(
     "{_FUSE_TERMS}", str(_FUSE_TERMS)
 ).replace("{_RRF_K}", str(_RRF_K))
+
+
+# ----------------------------------------- round-8 corpus batch
+
+_BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+_CTX_LEN = 512
+
+
+@query(
+    "doc_truncation_loss",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_BPEISH}')) AS tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tok,
+           CAST(SUM(GREATEST(tok - {_CTX_LEN}, 0)) AS BIGINT) AS lost_tok,
+           CAST(SUM(CASE WHEN tok > {_CTX_LEN} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_trunc_docs,
+           CAST(CASE WHEN SUM(tok) = 0 THEN 0
+                ELSE SUM(GREATEST(tok - {_CTX_LEN}, 0)) * 1000000 // SUM(tok)
+                END AS BIGINT) AS loss_e6
+    FROM toks GROUP BY source
+    """,
+)
+def doc_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation loss per source: with documents cut
+    at {_CTX_LEN} BPE-ish tokens (the token_count lexer), how many
+    tokens per source fall off the end, how many documents are
+    affected, and the lost share as a 1e6 fixed-point ratio — the
+    number that decides between truncating, chunking, or dropping a
+    source when packing sequences for training.
+
+    Scale shape: per-row regex token count on the scan, then ONE
+    map-side-combinable per-source rollup — no window, output bounded
+    by the source domain."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPEISH), 0)
+        ).alias("tok"),
+    )
+    L = _CTX_LEN
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tok"),
+        F.sum(F.greatest(F.col("tok") - L, F.lit(0)))
+        .cast("bigint")
+        .alias("lost_tok"),
+        F.sum(F.when(F.col("tok") > L, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_trunc_docs"),
+        F.expr(
+            f"CAST(CASE WHEN SUM(tok) = 0 THEN 0"
+            f" ELSE SUM(GREATEST(tok - {L}, 0)) * 1000000 DIV SUM(tok)"
+            f" END AS BIGINT)"
+        ).alias("loss_e6"),
+    )
+
+
+doc_truncation_loss.__doc__ = (doc_truncation_loss.__doc__ or "").replace(
+    "{_CTX_LEN}", str(_CTX_LEN)
+)
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPEISH}'))) AS BIGINT)
+             AS s_bpeish,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s_ws,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPEISH}'))) * 1000000
+                // SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS fertility_e6
+    FROM documents GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word as a 1e6 fixed-point ratio — the standard 'how many subwords
+    does this language cost' metric that drives per-language token
+    budgets and flags scripts the lexer fragments badly (fertility
+    far above ~1.3e6).  Shares the token_count lexer so the two
+    token-counting surfaces cannot drift apart.
+
+    Scale shape: per-row regex counts on the scan, one per-lang
+    rollup — map-side combinable, output bounded by the language
+    domain."""
+    d = t(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(_BPEISH), 0)).alias("nb"),
+        F.size(F.split("text", " ")).alias("nw"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nb").cast("bigint").alias("s_bpeish"),
+        F.sum("nw").cast("bigint").alias("s_ws"),
+        F.expr("CAST(SUM(nb) * 1000000 DIV SUM(nw) AS BIGINT)").alias(
+            "fertility_e6"
+        ),
+    )
+
+
+@query(
+    "charclass_token_profile",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+             len(regexp_extract_all(text, '[0-9]+')) AS n_digit,
+             len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_sym
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n_alpha) AS BIGINT) AS alpha_tok,
+           CAST(SUM(n_digit) AS BIGINT) AS digit_tok,
+           CAST(SUM(n_sym) AS BIGINT) AS sym_tok,
+           CAST(CASE WHEN SUM(n_alpha + n_digit + n_sym) = 0 THEN 0
+                ELSE SUM(n_alpha) * 1000000
+                     // SUM(n_alpha + n_digit + n_sym) END AS BIGINT)
+             AS alpha_share_e6,
+           CAST(CASE WHEN SUM(n_alpha + n_digit + n_sym) = 0 THEN 0
+                ELSE SUM(n_sym) * 1000000
+                     // SUM(n_alpha + n_digit + n_sym) END AS BIGINT)
+             AS sym_share_e6
+    FROM c GROUP BY source
+    """,
+)
+def charclass_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-class composition per source — letter runs, digit runs
+    and symbol tokens under the shared BPE-ish lexer, with the alpha
+    and symbol shares as 1e6 fixed-point ratios.  Sources dominated
+    by digits or symbols (tables, logs, minified markup) are exactly
+    the ones that poison a language-model mix, and this is the
+    cheapest screen that catches them.
+
+    Scale shape: three per-row regex counts on the scan, one
+    per-source map-side-combinable rollup — no window, no join."""
+    d = t(spark, sf_dir, "documents")
+    c = d.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+"), 0)).alias(
+            "n_alpha"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias(
+            "n_digit"
+        ),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9 ]"), 0)
+        ).alias("n_sym"),
+    )
+    tot = "SUM(n_alpha + n_digit + n_sym)"
+    return c.groupBy("source").agg(
+        F.sum("n_alpha").cast("bigint").alias("alpha_tok"),
+        F.sum("n_digit").cast("bigint").alias("digit_tok"),
+        F.sum("n_sym").cast("bigint").alias("sym_tok"),
+        F.expr(
+            f"CAST(CASE WHEN {tot} = 0 THEN 0"
+            f" ELSE SUM(n_alpha) * 1000000 DIV {tot} END AS BIGINT)"
+        ).alias("alpha_share_e6"),
+        F.expr(
+            f"CAST(CASE WHEN {tot} = 0 THEN 0"
+            f" ELSE SUM(n_sym) * 1000000 DIV {tot} END AS BIGINT)"
+        ).alias("sym_share_e6"),
+    )
+
+
+@query(
+    "good_turing_spectrum",
+    oracle=f"""
+    WITH w AS (
+      SELECT string_split(text, ' ') AS words FROM documents
+    ),
+    grams AS (
+      SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+                    k -> words[k] || ' ' || words[k + 1])) AS gram
+      FROM w WHERE len(words) >= 2
+    ),
+    counts AS (
+      SELECT {duck_h60("gram", 8)} AS g, COUNT(*) AS c
+      FROM grams GROUP BY 1
+    )
+    SELECT CAST(LEAST(c, 11) AS BIGINT) AS c_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(c) AS BIGINT) AS occurrences
+    FROM counts GROUP BY 1
+    """,
+)
+def good_turing_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts spectrum of corpus bigrams (the Good-Turing
+    input sheet): how many distinct bigrams occur exactly c times for
+    c = 1..10 (11 = everything rarer than rank-10 pooled), with the
+    token mass at each count — N_1/N gives the Good-Turing unseen-
+    bigram mass estimate, and the spectrum's shape is the standard
+    smoothing diagnostic for any n-gram LM built on the corpus.
+
+    Scale shape: one explode (bigrams) and one aggregate keyed on the
+    60-bit gram digest (bodies never shuffle — the house digest-only
+    convention), then a second rollup onto the 11-bucket count domain
+    — map-side combinable both times, output bounded at 11 rows."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 2
+    )
+    grams = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1),"
+                " k -> element_at(words, k) || ' ' || element_at(words, k + 1))"
+            )
+        ).alias("gram")
+    )
+    counts = grams.groupBy(
+        F.expr(spark_h60("gram", 8)).alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(
+        F.least(F.col("c"), F.lit(11)).cast("bigint").alias("c_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("c").cast("bigint").alias("occurrences"),
+    )
+
+
+@query(
+    "hapax_ratio_by_source",
+    oracle=f"""
+    WITH words AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    freqs AS (
+      SELECT source, {duck_h60("w", 9)} AS wd, COUNT(*) AS c
+      FROM words WHERE w <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(c) AS BIGINT) AS tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hapax_e6
+    FROM freqs GROUP BY source
+    """,
+)
+def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomenon share per source: the fraction of each source's
+    vocabulary that occurs exactly once (1e6 fixed point) plus vocab
+    and token totals — the classic lexical-richness statistic: low
+    hapax share means templated / boilerplate text, implausibly high
+    means OCR noise or gibberish, and the number directly forecasts
+    vocabulary growth under Heaps' law when the source is scaled up.
+
+    Scale shape: one explode and one (source x word-digest)-keyed
+    aggregate (digest-only shuffle), then a per-source rollup —
+    map-side combinable, output bounded by the source domain."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    freqs = words.groupBy(
+        "source", F.expr(spark_h60("w", 9)).alias("wd")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return freqs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        F.sum("c").cast("bigint").alias("tokens"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(1) AS BIGINT)"
+        ).alias("hapax_e6"),
+    )

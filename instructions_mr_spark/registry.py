@@ -178,7 +178,9 @@ DRIVER_WINDOW: list[str] = [
 #   momentum_rank_monthly, promo_uplift_did,
 #   graph_resource_allocation, embedding_covariance_terms,
 #   centroid_affinity_terms, embedding_norm_histogram,
-#   simpsons_paradox_audit
+#   simpsons_paradox_audit,
+#   doc_truncation_loss, tokenizer_fertility, charclass_token_profile,
+#   good_turing_spectrum, hapax_ratio_by_source
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
