@@ -5096,3 +5096,146 @@ def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > CAST(s_c AS DECIMAL(38,0)) * n_t AS BOOLEAN)"
         ).alias("treat_higher"),
     )
+
+
+@query(
+    "session_gap_sensitivity",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      FROM events
+    ),
+    d AS (
+      SELECT sec - LAG(sec) OVER (PARTITION BY user_id
+                                  ORDER BY sec, user_id) AS delta
+      FROM ev
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_events,
+             SUM(CASE WHEN delta IS NULL THEN 1 ELSE 0 END) AS n_users,
+             SUM(CASE WHEN delta > 600 THEN 1 ELSE 0 END) AS b600,
+             SUM(CASE WHEN delta > 1800 THEN 1 ELSE 0 END) AS b1800,
+             SUM(CASE WHEN delta > 3600 THEN 1 ELSE 0 END) AS b3600
+      FROM d
+    )
+    SELECT g.gap_s,
+           CAST(agg.n_users + CASE g.gap_s WHEN 600 THEN b600
+                WHEN 1800 THEN b1800 ELSE b3600 END AS BIGINT) AS n_sessions,
+           CAST(agg.n_users AS BIGINT) AS n_users,
+           CAST(agg.n_events AS BIGINT) AS n_events
+    FROM agg, (SELECT 600 AS gap_s UNION ALL SELECT 1800
+               UNION ALL SELECT 3600) g
+    """,
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization sensitivity analysis: how many sessions the
+    corpus splits into at inactivity gaps of 10 / 30 / 60 minutes,
+    computed in ONE pass — per user, each inter-event delta above a
+    threshold starts a session, so n_sessions(g) = n_users + breaks(g)
+    and all three thresholds fall out of the same delta table.  The
+    standard calibration before committing a session definition
+    (pick the knee of this curve, not a folklore 30).
+
+    Scale shape: one LAG window partitioned by user (the natural
+    sessionization exchange), one global conditional aggregate, and
+    a 3-row unpivot of that single row — the threshold sweep costs
+    nothing extra."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", ts_epoch_seconds(F.col("ts")).alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "user_id")
+    d = ev.select((F.col("sec") - F.lag("sec").over(w)).alias("delta"))
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("delta").isNull(), 1).otherwise(0)).alias(
+            "n_users"
+        ),
+        F.sum(F.when(F.col("delta") > 600, 1).otherwise(0)).alias("b600"),
+        F.sum(F.when(F.col("delta") > 1800, 1).otherwise(0)).alias("b1800"),
+        F.sum(F.when(F.col("delta") > 3600, 1).otherwise(0)).alias("b3600"),
+    )
+    return agg.selectExpr(
+        "stack(3, 600, b600, 1800, b1800, 3600, b3600)"
+        " AS (gap_s, breaks)",
+        "n_users",
+        "n_events",
+    ).select(
+        F.col("gap_s").cast("int").alias("gap_s"),
+        (F.col("n_users") + F.col("breaks")).cast("bigint").alias(
+            "n_sessions"
+        ),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    n AS (SELECT event_type, COUNT(*) AS n_u FROM tu GROUP BY 1),
+    boths AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(na.n_u AS BIGINT) AS n_a,
+           CAST(nb.n_u AS BIGINT) AS n_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_both * 1000000 // (na.n_u + nb.n_u - n_both) AS BIGINT)
+             AS jaccard_e6
+    FROM boths
+    JOIN n na ON na.event_type = type_a
+    JOIN n nb ON nb.event_type = type_b
+    """,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every pair of event types: distinct
+    user counts per type, the co-audience size, and its Jaccard as a
+    1e6 fixed-point truncating ratio — 'do purchasers also click?' as
+    a full pairwise matrix, the segmentation readout behind channel
+    dedup and lookalike seeding.
+
+    Scale shape: the corpus collapses to distinct (type, user) pairs
+    in one exchange; the pair join is co-located on user_id (types
+    per user are few, so the wedge volume is bounded by
+    types-per-user squared, not corpus size); per-type counts
+    broadcast back onto the pair rows."""
+    tu = t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    n = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_u"))
+    a, b = tu.alias("a"), tu.alias("b")
+    boths = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("n_u").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n_u").alias("n_b"))
+    return (
+        boths.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.expr(
+                "CAST(n_both * CAST(1000000 AS BIGINT)"
+                " DIV (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+    )

@@ -2641,3 +2641,59 @@ def set_sim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard_e6") >= _SSJ_T_E6)
     )
+
+
+@query(
+    "dedup_prefix_suffix_block",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(left(text, 32) || '#21'), 1, 15))::BIGINT
+               AS pre_d,
+             ('0x' || substr(md5(right(text, 32) || '#22'), 1, 15))::BIGINT
+               AS suf_d
+      FROM documents
+    ),
+    pre AS (SELECT pre_d, MIN(doc_id) AS pre_grp FROM d GROUP BY 1),
+    suf AS (SELECT suf_d, MIN(doc_id) AS suf_grp FROM d GROUP BY 1)
+    SELECT d.doc_id, pre.pre_grp, suf.suf_grp,
+           CAST(pre.pre_grp < d.doc_id AS BOOLEAN) AS pre_dup,
+           CAST(suf.suf_grp < d.doc_id AS BOOLEAN) AS suf_dup
+    FROM d JOIN pre USING (pre_d) JOIN suf USING (suf_d)
+    """,
+)
+def dedup_prefix_suffix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix/suffix blocking for near-duplicate candidate generation:
+    every document keyed by the 60-bit digest of its first and last
+    32 characters, with each block electing its minimum doc_id as
+    representative — two boilerplate-heavy documents that share an
+    opening banner or a closing footer land in the same block even
+    when their middles differ, which is the cheap O(n) screen run
+    BEFORE MinHash when a corpus is known to be template-polluted.
+    Emits both group representatives and the 'I am not my block's
+    first occurrence' flags per document.
+
+    Scale shape: two digest-keyed aggregates and two joins back, all
+    keyed on 60-bit integers — document bodies never shuffle (the
+    house digest-only convention); block election is the same keyed
+    argmin as dedup_exact."""
+    from instructions_mr_spark.queries._util import spark_h60
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(spark_h60("left(text, 32)", 21)).alias("pre_d"),
+        F.expr(spark_h60("right(text, 32)", 22)).alias("suf_d"),
+    )
+    pre = d.groupBy("pre_d").agg(F.min("doc_id").alias("pre_grp"))
+    suf = d.groupBy("suf_d").agg(F.min("doc_id").alias("suf_grp"))
+    return (
+        d.join(pre, "pre_d")
+        .join(suf, "suf_d")
+        .select(
+            "doc_id",
+            "pre_grp",
+            "suf_grp",
+            (F.col("pre_grp") < F.col("doc_id")).alias("pre_dup"),
+            (F.col("suf_grp") < F.col("doc_id")).alias("suf_dup"),
+        )
+    )

@@ -364,3 +364,93 @@ def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("covered_days"),
         F.max(F.col("e") - F.col("s") + 1).cast("bigint").alias("max_span_days"),
     )
+
+
+# ------------------------------------------- array set relations
+
+_STOPLIST = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on",
+)
+
+
+@query(
+    "array_set_relations",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                w -> w <> ''))) AS BIGINT) AS n_distinct,
+           CAST(len(list_intersect(
+                  list_distinct(list_filter(string_split(text, ' '),
+                    w -> w <> '')),
+                  {list(_STOPLIST)!r})) AS BIGINT) AS n_stop,
+           CAST(len(list_filter(
+                  list_distinct(list_filter(string_split(text, ' '),
+                    w -> w <> '')),
+                  w -> NOT list_contains({list(_STOPLIST)!r}, w)))
+                AS BIGINT) AS n_nonstop
+    FROM documents
+    """,
+)
+def array_set_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array set-algebra surface as one contract query: per
+    document, the distinct-token count, its intersection size with a
+    broadcast stopword list (array_intersect) and the complement size
+    (array_except) — n_stop + n_nonstop must equal n_distinct, so the
+    three operators are checked against EACH OTHER as well as the
+    oracle.  Sizes only (element order differs between engines by
+    design, cardinalities cannot).
+
+    Scale shape: pure per-row JVM array lambdas on the scan — zero
+    exchanges; the stopword list is a literal, not a join."""
+    stop = ", ".join(f"'{w}'" for w in _STOPLIST)
+    d = t(spark, sf_dir, "documents")
+    toks = f"array_distinct(array_remove(split(text, ' '), ''))"
+    return d.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_distinct"),
+        F.expr(
+            f"CAST(size(array_intersect({toks}, array({stop})))"
+            f" AS BIGINT)"
+        ).alias("n_stop"),
+        F.expr(
+            f"CAST(size(array_except({toks}, array({stop}))) AS BIGINT)"
+        ).alias("n_nonstop"),
+    )
+
+
+# ------------------------------------------- bitwise aggregates
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(BIT_AND(c_custkey) AS BIGINT) AS band,
+           CAST(BIT_OR(c_custkey) AS BIGINT) AS bor,
+           CAST(BIT_XOR(c_custkey) AS BIGINT) AS bxor
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitwise aggregate surface (BIT_AND / BIT_OR / BIT_XOR of
+    the member keys per nation): BIT_OR is the poor man's membership
+    bitmap, BIT_XOR the order-independent set checksum used to
+    compare replicas without sorting (two row sets with equal XOR +
+    count are almost surely identical), and BIT_AND the common-bit
+    screen — the audit pins all three to exact integer semantics on
+    both engines.
+
+    Scale shape: one map-side-combinable aggregate keyed on the
+    natural dimension key — bitwise aggregates combine
+    associatively, so partial aggregation does all the work."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("BIT_AND(c_custkey)").cast("bigint").alias("band"),
+            F.expr("BIT_OR(c_custkey)").cast("bigint").alias("bor"),
+            F.expr("BIT_XOR(c_custkey)").cast("bigint").alias("bxor"),
+        )
+    )
