@@ -1506,3 +1506,50 @@ def budget_apportion_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN rr <= leftover THEN base + 1 ELSE base END AS BIGINT)"
         " AS alloc",
     )
+
+
+@query(
+    "calendar_dim_generate",
+    oracle="""
+    WITH d AS (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                                    INTERVAL 1 DAY))::DATE AS dt
+    )
+    SELECT CAST(dt - DATE '1970-01-01' AS BIGINT) AS day_idx,
+           CAST(date_part('year', dt) AS BIGINT) AS y,
+           CAST(date_part('month', dt) AS BIGINT) AS m,
+           CAST(date_part('day', dt) AS BIGINT) AS dom,
+           CAST(date_part('isodow', dt) - 1 AS BIGINT) AS dow,
+           CAST(date_part('quarter', dt) AS BIGINT) AS q,
+           CAST(dt = last_day(dt) AS BOOLEAN) AS is_month_end
+    FROM d
+    """,
+)
+def calendar_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension generation from NOTHING — the one table every
+    warehouse needs and no source system ships: a 2024 daily spine
+    with epoch-day key, calendar parts, Monday-based weekday (the ISO
+    convention, pinned explicitly because Spark's dayofweek and
+    DuckDB's dow both count from Sunday but disagree with each other
+    elsewhere), quarter, and month-end flags — the join spine for
+    gap-filling, fiscal rollups and as-of logic.
+
+    Scale shape: sequence + explode of a 366-element array on a
+    single row — no input scan at all; at 100 TB you broadcast this,
+    never shuffle it."""
+    return spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(DATE '2024-01-01', DATE '2024-12-31',"
+                " interval 1 day)"
+            )
+        ).alias("dt")
+    ).select(
+        F.datediff("dt", F.lit("1970-01-01")).cast("bigint").alias("day_idx"),
+        F.year("dt").cast("bigint").alias("y"),
+        F.month("dt").cast("bigint").alias("m"),
+        F.dayofmonth("dt").cast("bigint").alias("dom"),
+        F.weekday("dt").cast("bigint").alias("dow"),
+        F.quarter("dt").cast("bigint").alias("q"),
+        (F.col("dt") == F.last_day("dt")).alias("is_month_end"),
+    )

@@ -305,3 +305,46 @@ def collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lower(F.col("lang_coll")).alias("lang_ci"), "n", "n_case_variants")
     )
+
+
+@query(
+    "try_arithmetic_nulls",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           CAST(SUM(CASE WHEN l_quantity = 25 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_div_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_add_overflow_null
+    FROM lineitem
+    """,
+)
+def try_arithmetic_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* arithmetic contract: TRY_DIVIDE by an expression that
+    hits zero (quantity - 25) returns NULL instead of raising, and
+    TRY_ADD past BIGINT max returns NULL instead of overflowing —
+    counted over the corpus so the NULL-on-error semantics are pinned
+    as totals, not anecdotes.  The oracle states the CONTRACT
+    directly (rows with quantity = 25 are exactly the divide-nulls;
+    every row overflows max+partkey), which is the point: the
+    engine's error-free arithmetic must land exactly on the
+    predictable set.
+
+    Scale shape: one map-side-combinable conditional aggregate over
+    the scan — single row out, no shuffle beyond the final reduce."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CASE WHEN try_divide(l_extendedprice,"
+            " l_quantity - 25) IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_div_null"),
+        F.expr(
+            "CAST(SUM(CASE WHEN try_divide(l_extendedprice,"
+            " l_quantity - 25) IS NULL THEN 0 ELSE 1 END) AS BIGINT)"
+        ).alias("n_div_ok"),
+        F.expr(
+            "CAST(SUM(CASE WHEN try_add(9223372036854775807,"
+            " l_partkey) IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_add_overflow_null"),
+    )

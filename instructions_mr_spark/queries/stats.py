@@ -3329,3 +3329,111 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 sketch_ams_f2.__doc__ = (sketch_ams_f2.__doc__ or "").replace(
     "{_AMS_SEEDS}", str(_AMS_SEEDS)
 )
+
+
+@query(
+    "percentile_disc_vs_cont",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(quantile_disc(l_quantity, 0.5) * 100 + 0.5) AS BIGINT)
+             AS p50_disc_c,
+           CAST(FLOOR(quantile_cont(l_quantity, 0.5) * 100 + 0.5) AS BIGINT)
+             AS p50_cont_c,
+           CAST(FLOOR(quantile_disc(l_quantity, 0.9) * 100 + 0.5) AS BIGINT)
+             AS p90_disc_c,
+           CAST(FLOOR(quantile_cont(l_quantity, 0.9) * 100 + 0.5) AS BIGINT)
+             AS p90_cont_c
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC vs PERCENTILE_CONT side by side (p50 / p90 of
+    line quantity per return flag): DISC returns an actual data value
+    (smallest value whose cumulative distribution reaches p), CONT
+    linearly interpolates between neighbors — analysts swap them
+    interchangeably and then wonder why medians differ between tools,
+    so the engine pins BOTH definitions against the oracle.  Results
+    land as exact cents (quantities are whole-valued, interpolation
+    introduces at most .5 fractions — representable exactly in
+    doubles, so the cents rounding is deterministic).
+
+    Scale shape: exact percentiles imply a per-group sort internally,
+    but grouped BY the natural flag key — for corpus-scale
+    percentiles use percentile_exact_twophase's value-histogram
+    pattern instead; this query pins SEMANTICS on grouped data."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(FLOOR(percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY l_quantity) * 100 + 0.5) AS BIGINT)"
+            ).alias("p50_disc_c"),
+            F.expr(
+                "CAST(FLOOR(percentile_cont(0.5) WITHIN GROUP"
+                " (ORDER BY l_quantity) * 100 + 0.5) AS BIGINT)"
+            ).alias("p50_cont_c"),
+            F.expr(
+                "CAST(FLOOR(percentile_disc(0.9) WITHIN GROUP"
+                " (ORDER BY l_quantity) * 100 + 0.5) AS BIGINT)"
+            ).alias("p90_disc_c"),
+            F.expr(
+                "CAST(FLOOR(percentile_cont(0.9) WITHIN GROUP"
+                " (ORDER BY l_quantity) * 100 + 0.5) AS BIGINT)"
+            ).alias("p90_cont_c"),
+        )
+    )
+
+
+@query(
+    "moments34_terms",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qc) AS BIGINT) AS s1,
+           CAST(SUM(CAST(qc AS DECIMAL(38,0)) * qc) AS DECIMAL(38,0)) AS s2,
+           CAST(SUM(CAST(qc AS DECIMAL(38,0)) * qc * qc) AS DECIMAL(38,0))
+             AS s3,
+           CAST(SUM(CAST(qc AS DECIMAL(38,0)) * qc * qc * qc)
+                AS DECIMAL(38,0)) AS s4
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def moments34_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact raw moments through order 4 of line quantity (cents) per
+    return flag: skewness and kurtosis assemble from n, s1..s4 by the
+    standard central-moment identities at whatever precision the
+    consumer wants — the engine never emits a float, so both engines
+    agree bit-for-bit where Spark's built-in skewness()/kurtosis()
+    (streaming float central moments) and DuckDB's would differ in
+    low bits.  The shape screen behind outlier-heavy-tail detection
+    and normality checks on any metric column.
+
+    Scale shape: ONE map-side-combinable aggregate on the natural
+    flag key; all four power sums accumulate in DECIMAL(38,0) —
+    cents^4 at 5e3 magnitude times 1e12 rows stays inside 38
+    digits."""
+    c = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)").alias("qc"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qc").cast("bigint").alias("s1"),
+        F.sum(F.expr("CAST(qc AS DECIMAL(38,0)) * qc"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(F.expr("CAST(qc AS DECIMAL(38,0)) * qc * qc"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.sum(F.expr("CAST(qc AS DECIMAL(38,0)) * qc * qc * qc"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )

@@ -401,3 +401,47 @@ def rolling_corr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("corr_num"),
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment,
+             NTH_VALUE(c_custkey, 3) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS third_custkey
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(MAX(third_custkey) AS BIGINT) AS third_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM r GROUP BY c_mktsegment
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTH_VALUE over the full partition frame: the 3rd-richest
+    customer key per market segment under a total order (balance
+    desc, key) — the 'bronze medalist' lookup that FIRST/LAST cannot
+    express and that silently returns NULL rows under the DEFAULT
+    frame (unbounded preceding..current row) until the 3rd row is
+    reached, which is why the frame is spelled out; segments with
+    fewer than 3 customers yield NULL on both engines.
+
+    Scale shape: one window partitioned by segment (the natural key)
+    and a rollup on the same key — no global sort."""
+    w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    r = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.nth_value("c_custkey", 3).over(w).alias("third_custkey"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.max("third_custkey").cast("bigint").alias("third_custkey"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )

@@ -182,7 +182,9 @@ DRIVER_WINDOW: list[str] = [
 #   doc_truncation_loss, tokenizer_fertility, charclass_token_profile,
 #   good_turing_spectrum, hapax_ratio_by_source,
 #   session_gap_sensitivity, audience_overlap_matrix,
-#   dedup_prefix_suffix_block, array_set_relations, agg_bitwise
+#   dedup_prefix_suffix_block, array_set_relations, agg_bitwise,
+#   window_nth_value, calendar_dim_generate, percentile_disc_vs_cont,
+#   moments34_terms, try_arithmetic_nulls
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
