@@ -326,7 +326,9 @@ def try_arithmetic_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted over the corpus so the NULL-on-error semantics are pinned
     as totals, not anecdotes.  The oracle states the CONTRACT
     directly (rows with quantity = 25 are exactly the divide-nulls;
-    every row overflows max+partkey), which is the point: the
+    every row overflows max + GREATEST(partkey, 1) — the clamp matters
+    because the synthetic corpus has a few partkey-0 rows where
+    max + 0 would NOT overflow), which is the point: the
     engine's error-free arithmetic must land exactly on the
     predictable set.
 
@@ -345,6 +347,6 @@ def try_arithmetic_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_div_ok"),
         F.expr(
             "CAST(SUM(CASE WHEN try_add(9223372036854775807,"
-            " l_partkey) IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " GREATEST(l_partkey, 1)) IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("n_add_overflow_null"),
     )

@@ -454,3 +454,152 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("BIT_XOR(c_custkey)").cast("bigint").alias("bxor"),
         )
     )
+
+
+# -------------------------------------- explode vs explode_outer
+
+
+@query(
+    "explode_outer_semantics",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> len(w) > 15)
+               AS longw
+      FROM documents
+    ),
+    inner_rows AS (
+      SELECT doc_id FROM d, UNNEST(longw) AS u(w)
+    ),
+    outer_rows AS (
+      SELECT d.doc_id
+      FROM d LEFT JOIN (SELECT doc_id, unnest(longw) AS w FROM d) e
+        ON e.doc_id = d.doc_id
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs,
+      CAST((SELECT COUNT(*) FROM d WHERE len(longw) = 0) AS BIGINT)
+        AS n_empty_docs,
+      CAST((SELECT COUNT(*) FROM inner_rows) AS BIGINT) AS n_explode,
+      CAST((SELECT COUNT(*) FROM outer_rows) AS BIGINT) AS n_explode_outer
+    """,
+)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explode vs explode_outer contract: exploding each document's
+    (often EMPTY) list of >15-char words silently DROPS every empty
+    document, while explode_outer keeps it as one NULL row —
+    n_explode_outer = n_explode + n_empty_docs, pinned as counts so
+    the row-loss bug class (joins and rollups that quietly lose
+    entities with no child rows) is an executable contract rather
+    than reviewer folklore.
+
+    Scale shape: per-row lambda + explode on the scan, four counts in
+    one conditional aggregate per branch — no shuffle beyond the
+    final reduces."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), w -> length(w) > 15)").alias(
+            "longw"
+        ),
+    )
+    n_docs = d.count()
+    n_empty = d.filter(F.size("longw") == 0).count()
+    n_explode = d.select(F.explode("longw")).count()
+    n_outer = d.select(F.explode_outer("longw")).count()
+    return spark.createDataFrame(
+        [(n_docs, n_empty, n_explode, n_outer)],
+        "n_docs bigint, n_empty_docs bigint, n_explode bigint,"
+        " n_explode_outer bigint",
+    )
+
+
+# -------------------------------------------- array index contract
+
+
+@query(
+    "array_index_contract",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_position(words, 'the') AS BIGINT) AS pos_the,
+           words[-1] AS last_word,
+           CAST(len(list_slice(words, 2, 4)) AS BIGINT) AS mid3_len
+    FROM w WHERE len(words) >= 4
+    """,
+)
+def array_index_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array indexing conventions pinned across engines: 1-BASED
+    array_position (0 = absent, matching DuckDB's list_position NULL
+    handled via the absent-0 convention both share), negative
+    element_at for tail access, and the slice length mapping —
+    Spark's slice(arr, start, LENGTH) vs DuckDB's INCLUSIVE-bounds
+    list_slice(arr, start, end), the off-by-one every porting guide
+    warns about, encoded here as slice(w,2,3) == list_slice(w,2,4).
+
+    Scale shape: pure per-row JVM expressions on the scan — zero
+    exchanges."""
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    ).filter(F.size("words") >= 4)
+    return w.select(
+        "doc_id",
+        F.expr("CAST(array_position(words, 'the') AS BIGINT)").alias(
+            "pos_the"
+        ),
+        F.element_at("words", -1).alias("last_word"),
+        F.expr("CAST(size(slice(words, 2, 3)) AS BIGINT)").alias("mid3_len"),
+    )
+
+
+# ------------------------------------------- union by name
+
+
+@query(
+    "union_by_name_contract",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0
+    ),
+    b AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 1
+    ),
+    u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_nation,
+      CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_segment
+    FROM u
+    """,
+)
+def union_by_name_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two projections with DIFFERENT column
+    sets combined by NAME (missing columns null-filled) — Spark's
+    unionByName(allowMissingColumns=True) against DuckDB's UNION ALL
+    BY NAME.  Positional UNION would misalign or reject these; the
+    by-name contract is what lets a pipeline append last year's
+    narrower snapshot to this year's wider one without a manual
+    column map.  Null-fill counts pin exactly which side lost what.
+
+    Scale shape: union is a zero-shuffle plan concatenation; the
+    audit aggregate is one map-side-combinable reduce."""
+    c = t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    b = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_mktsegment"
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("c_nationkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_nation"),
+        F.sum(F.when(F.col("c_mktsegment").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_segment"),
+    )

@@ -580,9 +580,11 @@ def updown_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_days,
            CAST(SUM(n) AS BIGINT) AS s_n,
            CAST(SUM(CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) AS s_nn,
-           CAST((COUNT(*) * SUM(CAST(n AS DECIMAL(38,0)) * n)
-                 - CAST(SUM(n) AS DECIMAL(38,0)) * SUM(n)) * 1000000
-                // ((COUNT(*) - 1) * CAST(SUM(n) AS DECIMAL(38,0)))
+           CAST(CAST((COUNT(*) * SUM(CAST(n AS DECIMAL(38,0)) * n)
+                      - CAST(SUM(n) AS DECIMAL(38,0)) * SUM(n)) * 1000000
+                     AS HUGEINT)
+                // CAST((COUNT(*) - 1) * CAST(SUM(n) AS DECIMAL(38,0))
+                        AS HUGEINT)
                 AS BIGINT) AS dispersion_e6
     FROM daily GROUP BY 1
     """,
@@ -596,7 +598,10 @@ def poisson_dispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments as n*(n*s_nn - s_n^2) / (n*(n-1)*s_n) reduced to
     (n*s_nn - s_n^2)*1e6 / ((n-1)*s_n); all intermediates are
     DECIMAL(38,0), so daily counts up to ~1e9 at 100 TB cannot
-    overflow where BIGINT squares would.
+    overflow where BIGINT squares would.  The final division runs as
+    Spark's exact integral DIV; the oracle casts both operands to
+    HUGEINT first because DuckDB's ``//`` on DECIMAL operands goes
+    through floating point and can lose the last fixed-point digit.
 
     Scale shape: one (type, day) aggregate is the corpus exchange;
     the per-type rollup is map-side combinable with no window at
