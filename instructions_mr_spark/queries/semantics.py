@@ -493,24 +493,29 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     entities with no child rows) is an executable contract rather
     than reviewer folklore.
 
-    Scale shape: per-row lambda + explode on the scan, four counts in
-    one conditional aggregate per branch — no shuffle beyond the
-    final reduces."""
+    Scale shape: per-row lambda + explode on the scan; the three
+    1-row branch aggregates meet in broadcast cross joins (the house
+    1-row-aggregate join idiom), so the whole audit is ONE lazy plan
+    with no driver-side action."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr("filter(split(text, ' '), w -> length(w) > 15)").alias(
             "longw"
         ),
     )
-    n_docs = d.count()
-    n_empty = d.filter(F.size("longw") == 0).count()
-    n_explode = d.select(F.explode("longw")).count()
-    n_outer = d.select(F.explode_outer("longw")).count()
-    return spark.createDataFrame(
-        [(n_docs, n_empty, n_explode, n_outer)],
-        "n_docs bigint, n_empty_docs bigint, n_explode bigint,"
-        " n_explode_outer bigint",
+    base = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.size("longw") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty_docs"),
     )
+    inner = d.select(F.explode("longw").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_explode")
+    )
+    outer = d.select(F.explode_outer("longw").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_explode_outer")
+    )
+    return base.crossJoin(F.broadcast(inner)).crossJoin(F.broadcast(outer))
 
 
 # -------------------------------------------- array index contract

@@ -3437,3 +3437,48 @@ def moments34_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("s4"),
     )
+
+
+@query(
+    "histogram_2d_grid",
+    oracle="""
+    SELECT CAST(FLOOR((l_quantity - 1) / 5) AS BIGINT) AS qty_bin,
+           CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_c
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def histogram_2d_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional histogram of the quantity x discount plane:
+    5-unit quantity bins crossed with 1-point discount bins, each
+    cell carrying its row count and exact-cents revenue — the heatmap
+    feed behind 'where does the volume actually sit' pricing
+    analyses, and the joint-distribution screen that 1-D histograms
+    (value_histogram) cannot give.  Bin edges are exact integer
+    arithmetic on both engines; the whole-point discount floor uses
+    the raw double (discounts are stored at 2 decimals, far from the
+    .0 boundaries where double floor could disagree).
+
+    Scale shape: ONE map-side-combinable aggregate onto the bounded
+    bin grid (10 x ~11 cells) — the smallest possible exchange."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.expr("CAST(FLOOR((l_quantity - 1) / 5) AS BIGINT)").alias(
+                "qty_bin"
+            ),
+            F.expr("CAST(FLOOR(l_discount * 100) AS BIGINT)").alias(
+                "disc_bin"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("rev_c"),
+        )
+    )

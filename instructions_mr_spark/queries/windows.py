@@ -445,3 +445,60 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("third_custkey").cast("bigint").alias("third_custkey"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+
+
+@query(
+    "window_locf_fill",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+             CASE WHEN event_type = 'click' THEN NULL
+                  ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS v
+      FROM events
+    )
+    SELECT event_id,
+           user_id,
+           CAST(last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY sec, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS filled_c
+    FROM ev
+    """,
+)
+def window_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward via IGNORE NULLS: click events
+    carry no monetary value (masked to NULL), and each row fills from
+    the latest non-null value in its user's own history — the
+    forward-fill that turns sparse observations into a dense series
+    without interpolation inventing data.  Rows before a user's first
+    valued event stay NULL on both engines (nothing to carry).
+    Ordering is total (sec, event_id), so the carried value is
+    deterministic through simultaneous events.
+
+    Scale shape: ONE window partitioned by user_id (the natural key)
+    with last(ignorenulls) over a running ROWS frame — the same
+    single exchange plain sessionization costs."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        ts_epoch_seconds(F.col("ts")).alias("sec"),
+        F.expr(
+            "CASE WHEN event_type = 'click' THEN NULL"
+            " ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END"
+        ).alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(w).cast("bigint").alias(
+            "filled_c"
+        ),
+    )

@@ -184,7 +184,9 @@ DRIVER_WINDOW: list[str] = [
 #   session_gap_sensitivity, audience_overlap_matrix,
 #   dedup_prefix_suffix_block, array_set_relations, agg_bitwise,
 #   window_nth_value, calendar_dim_generate, percentile_disc_vs_cont,
-#   moments34_terms, try_arithmetic_nulls
+#   moments34_terms, try_arithmetic_nulls,
+#   explode_outer_semantics, array_index_contract,
+#   union_by_name_contract, window_locf_fill, histogram_2d_grid
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
