@@ -5239,3 +5239,229 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_e6"),
         )
     )
+
+
+@query(
+    "repeat_purchase_rate_by_brand",
+    oracle="""
+    WITH bc AS (
+      SELECT p.p_brand, o.o_custkey,
+             COUNT(DISTINCT l.l_orderkey) AS n_ord
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           CAST(SUM(n_ord) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS repeat_e6
+    FROM bc GROUP BY p_brand
+    """,
+)
+def repeat_purchase_rate_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase rate per brand: of the customers who ever
+    bought the brand, the share that ordered it in two or more
+    DISTINCT orders (1e6 fixed point) — the loyalty KPI that separates
+    habitual brands from one-off trials and the denominator sheet for
+    any retention target.
+
+    Scale shape: lineitem joins orders on the natural l_orderkey key
+    (one corpus-scale shuffle), part broadcasts; the (brand, customer)
+    distinct-order rollup and the per-brand reduce are both map-side
+    combinable."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bc = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "o_custkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_ord"))
+    )
+    return bc.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum(F.when(F.col("n_ord") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat"),
+        F.sum("n_ord").cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(1) AS BIGINT)"
+        ).alias("repeat_e6"),
+    )
+
+
+@query(
+    "single_source_parts_risk",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(LEAST(n_supp, 4) AS BIGINT) AS supp_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS rev_c
+    FROM ps GROUP BY 1
+    """,
+)
+def single_source_parts_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration risk: parts bucketed by how many
+    DISTINCT suppliers ever shipped them (1 / 2 / 3 / 4+), with the
+    exact-cents revenue riding on each bucket — the single-source
+    bucket's revenue is the exposure a procurement team must dual-
+    source first.  The inverse cut of part_supplier_redundancy (which
+    profiles the catalog file); this one weights by actual shipped
+    revenue.
+
+    Scale shape: one (part)-keyed aggregate with a distinct-count
+    (partial aggregation handles the distinct), then a 4-bucket
+    rollup — map-side combinable both stages."""
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.expr(
+                "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            ).alias("rev_c"),
+        )
+    )
+    return ps.groupBy(
+        F.least(F.col("n_supp"), F.lit(4)).cast("bigint").alias("supp_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev_c").cast("bigint").alias("rev_c"),
+    )
+
+
+@query(
+    "nation_trade_balance",
+    oracle="""
+    WITH sell AS (
+      SELECT s.s_nationkey AS nkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS sell_c
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1
+    ),
+    buy AS (
+      SELECT c.c_nationkey AS nkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS buy_c
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT COALESCE(sell.nkey, buy.nkey) AS nkey,
+           CAST(COALESCE(sell_c, 0) AS BIGINT) AS sell_c,
+           CAST(COALESCE(buy_c, 0) AS BIGINT) AS buy_c,
+           CAST(COALESCE(sell_c, 0) - COALESCE(buy_c, 0) AS BIGINT)
+             AS balance_c
+    FROM sell FULL OUTER JOIN buy ON sell.nkey = buy.nkey
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade balance per nation: revenue its suppliers SHIPPED minus
+    revenue its customers SPENT (exact cents, full outer join so a
+    nation active on only one side still reports) — the TPC-H-world
+    import/export sheet, and a nontrivial exercise of two independent
+    corpus aggregations meeting in a coalesced full join.
+
+    Scale shape: the sell side broadcasts supplier; the buy side
+    shuffles lineitem->orders on the natural orderkey then broadcasts
+    customer's (custkey, nationkey) projection; both collapse to
+    nation-domain tables BEFORE the full join, which therefore moves
+    ~25 rows."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sell = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nkey"))
+        .agg(F.expr(cents).alias("sell_c"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    buy = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nkey"))
+        .agg(F.expr(cents).alias("buy_c"))
+    )
+    j = sell.withColumnRenamed("nkey", "snkey").join(
+        buy.withColumnRenamed("nkey", "bnkey"),
+        F.col("snkey") == F.col("bnkey"),
+        "full",
+    )
+    return j.select(
+        F.coalesce("snkey", "bnkey").alias("nkey"),
+        F.coalesce("sell_c", F.lit(0)).cast("bigint").alias("sell_c"),
+        F.coalesce("buy_c", F.lit(0)).cast("bigint").alias("buy_c"),
+        (F.coalesce("sell_c", F.lit(0)) - F.coalesce("buy_c", F.lit(0)))
+        .cast("bigint")
+        .alias("balance_c"),
+    )
+
+
+@query(
+    "bgnbd_input_terms",
+    oracle="""
+    WITH days AS (
+      SELECT o_custkey,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               AS day_idx
+      FROM orders
+    ),
+    per AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_ord,
+             MIN(day_idx) AS first_d,
+             MAX(day_idx) AS last_d
+      FROM days GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(day_idx) AS h FROM days)
+    SELECT o_custkey,
+           CAST(n_ord - 1 AS BIGINT) AS x,
+           CAST(last_d - first_d AS BIGINT) AS t_x_days,
+           CAST(h - first_d AS BIGINT) AS cap_t_days
+    FROM per, horizon
+    """,
+)
+def bgnbd_input_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BG/NBD customer-lifetime inputs: per customer, the repeat count
+    x = orders - 1, recency t_x = days between first and last order,
+    and observation age T = days from first order to the corpus
+    horizon — exactly the (x, t_x, T) triple the Fader/Hardie
+    buy-till-you-die model fits, emitted as exact integer days so the
+    likelihood optimization downstream starts from bit-stable data.
+
+    Scale shape: one customer-keyed aggregate over orders; the corpus
+    horizon is a 1-row aggregate broadcast back via cross join (the
+    house refdate idiom — no second scan, no collect)."""
+    days = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("day_idx"),
+    )
+    per = days.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_ord"),
+        F.min("day_idx").alias("first_d"),
+        F.max("day_idx").alias("last_d"),
+    )
+    horizon = days.agg(F.max("day_idx").alias("h"))
+    return per.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey",
+        (F.col("n_ord") - 1).cast("bigint").alias("x"),
+        (F.col("last_d") - F.col("first_d")).cast("bigint").alias("t_x_days"),
+        (F.col("h") - F.col("first_d")).cast("bigint").alias("cap_t_days"),
+    )

@@ -1553,3 +1553,61 @@ def calendar_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("dt").cast("bigint").alias("q"),
         (F.col("dt") == F.last_day("dt")).alias("is_month_end"),
     )
+
+
+@query(
+    "linenumber_contiguity_audit",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n,
+             COUNT(DISTINCT l_linenumber) AS n_distinct,
+             MIN(l_linenumber) AS mn,
+             MAX(l_linenumber) AS mx
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN mn <> 1 OR mx <> n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_noncontig,
+           CAST(SUM(CASE WHEN n_distinct <> n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_linenum,
+           CAST(MAX(mx) AS BIGINT) AS max_linenumber
+    FROM per
+    """,
+)
+def linenumber_contiguity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-sequence integrity audit: every order's line numbers
+    must be exactly 1..n with no duplicates — the cheapest detector
+    for dropped or double-ingested child rows (a gap means a lost
+    line, a duplicate means a replayed one), reported as corpus
+    totals so the audit is one dashboard number per failure mode.
+    min/max/count beats sorting each group: contiguity over a
+    permutation-free sequence is fully determined by (min, max,
+    distinct count).
+
+    Scale shape: one order-keyed aggregate (map-side combinable,
+    including the distinct), one 1-row reduce — no window, no
+    sort."""
+    per = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_linenumber").alias("n_distinct"),
+            F.min("l_linenumber").alias("mn"),
+            F.max("l_linenumber").alias("mx"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.when((F.col("mn") != 1) | (F.col("mx") != F.col("n")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_noncontig"),
+        F.sum(F.when(F.col("n_distinct") != F.col("n"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_linenum"),
+        F.max("mx").cast("bigint").alias("max_linenumber"),
+    )

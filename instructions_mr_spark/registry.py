@@ -186,7 +186,9 @@ DRIVER_WINDOW: list[str] = [
 #   window_nth_value, calendar_dim_generate, percentile_disc_vs_cont,
 #   moments34_terms, try_arithmetic_nulls,
 #   explode_outer_semantics, array_index_contract,
-#   union_by_name_contract, window_locf_fill, histogram_2d_grid
+#   union_by_name_contract, window_locf_fill, histogram_2d_grid,
+#   repeat_purchase_rate_by_brand, single_source_parts_risk,
+#   nation_trade_balance, bgnbd_input_terms, linenumber_contiguity_audit
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
