@@ -4718,7 +4718,7 @@ def _markov_removal_oracle() -> str:
     prev = "v0"
     for i in range(1, _MRK_STEPS + 1):
         steps.append(
-            f"""v{i} AS (
+            f"""v{i} AS MATERIALIZED (
       SELECT p.r, p.dst AS state, SUM({prev}.m * p.p_e6) // 1000000 AS m
       FROM {prev} JOIN p ON p.r = {prev}.r AND p.src = {prev}.state
       GROUP BY 1, 2
@@ -4727,25 +4727,25 @@ def _markov_removal_oracle() -> str:
         prev = f"v{i}"
     steps_sql = ",\n    ".join(steps)
     return f"""
-    WITH firstbuy AS (
+    WITH firstbuy AS MATERIALIZED (
       SELECT user_id,
              MIN(ROW(ts, event_id)) AS fb
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
-    journey AS (
+    journey AS MATERIALIZED (
       SELECT e.user_id, e.ts, e.event_id, e.event_type,
              fb.fb IS NOT NULL AS converted
       FROM events e LEFT JOIN firstbuy fb ON fb.user_id = e.user_id
       WHERE fb.fb IS NULL OR ROW(e.ts, e.event_id) <= fb.fb
     ),
-    seq AS (
+    seq AS MATERIALIZED (
       SELECT user_id, event_type,
              LEAD(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS nxt,
              converted
       FROM journey
     ),
-    trans AS (
+    trans AS MATERIALIZED (
       SELECT event_type AS src,
              CASE WHEN nxt = 'purchase' THEN 'CONV'
                   WHEN nxt IS NULL THEN 'NULL'
@@ -4762,24 +4762,24 @@ def _markov_removal_oracle() -> str:
         FROM journey
       ) WHERE rn = 1
     ),
-    cnt AS (SELECT src, dst, COUNT(*) AS n FROM trans GROUP BY 1, 2),
-    prob AS (
+    cnt AS MATERIALIZED (SELECT src, dst, COUNT(*) AS n FROM trans GROUP BY 1, 2),
+    prob AS MATERIALIZED (
       SELECT src, dst,
              (n * 1000000) // SUM(n) OVER (PARTITION BY src) AS p_e6
       FROM cnt
     ),
-    chan AS (
+    chan AS MATERIALIZED (
       SELECT DISTINCT src AS c FROM prob WHERE src <> 'START'
     ),
-    rkeys AS (SELECT c AS r FROM chan UNION ALL SELECT '(none)'),
-    p_adj AS (
+    rkeys AS MATERIALIZED (SELECT c AS r FROM chan UNION ALL SELECT '(none)'),
+    p_adj AS MATERIALIZED (
       SELECT rk.r, pr.src,
              CASE WHEN pr.dst = rk.r THEN 'NULL' ELSE pr.dst END AS dst,
              pr.p_e6
       FROM prob pr CROSS JOIN rkeys rk
       WHERE pr.src <> rk.r
     ),
-    p AS (
+    p AS MATERIALIZED (
       SELECT r, src, dst, SUM(p_e6) AS p_e6
       FROM (
         SELECT r, src, dst, p_e6 FROM p_adj
@@ -4790,16 +4790,16 @@ def _markov_removal_oracle() -> str:
         FROM rkeys CROSS JOIN (VALUES ('CONV'), ('NULL')) AS a(s)
       ) GROUP BY 1, 2, 3
     ),
-    v0 AS (SELECT r, 'START' AS state, CAST(1000000 AS BIGINT) AS m
+    v0 AS MATERIALIZED (SELECT r, 'START' AS state, CAST(1000000 AS BIGINT) AS m
            FROM rkeys),
     {steps_sql},
-    conv AS (
+    conv AS MATERIALIZED (
       SELECT rk.r, COALESCE(vf.m, 0) AS conv_e6
       FROM rkeys rk
       LEFT JOIN (SELECT r, m FROM v{_MRK_STEPS} WHERE state = 'CONV') vf
         ON vf.r = rk.r
     ),
-    eff AS (
+    eff AS MATERIALIZED (
       SELECT c.r AS channel, b.conv_e6 AS conv_base_e6,
              c.conv_e6 AS conv_removed_e6,
              1000000 - (c.conv_e6 * 1000000) // b.conv_e6

@@ -1219,30 +1219,30 @@ def label_propagation_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------- k-core peeling
 
 _KCORE_DUCK = """
-    WITH li AS (
+    WITH li AS MATERIALIZED (
       SELECT DISTINCT l_partkey AS p, 1000000000 + l_suppkey AS s
       FROM lineitem
     ),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT p AS src, s AS dst FROM li
       UNION ALL
       SELECT s AS src, p AS dst FROM li
     ),
-    d1 AS (SELECT src, COUNT(*) AS d FROM e0 GROUP BY 1),
-    k1 AS (SELECT src AS node FROM d1 WHERE d >= 2),
-    e1 AS (
+    d1 AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e0 GROUP BY 1),
+    k1 AS MATERIALIZED (SELECT src AS node FROM d1 WHERE d >= 2),
+    e1 AS MATERIALIZED (
       SELECT e.src, e.dst FROM e0 e
       JOIN k1 a ON a.node = e.src JOIN k1 b ON b.node = e.dst
     ),
-    d2 AS (SELECT src, COUNT(*) AS d FROM e1 GROUP BY 1),
-    k2 AS (SELECT src AS node FROM d2 WHERE d >= 2),
-    e2 AS (
+    d2 AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e1 GROUP BY 1),
+    k2 AS MATERIALIZED (SELECT src AS node FROM d2 WHERE d >= 2),
+    e2 AS MATERIALIZED (
       SELECT e.src, e.dst FROM e1 e
       JOIN k2 a ON a.node = e.src JOIN k2 b ON b.node = e.dst
     ),
-    d3 AS (SELECT src, COUNT(*) AS d FROM e2 GROUP BY 1),
-    k3 AS (SELECT src AS node FROM d3 WHERE d >= 2),
-    e3 AS (
+    d3 AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e2 GROUP BY 1),
+    k3 AS MATERIALIZED (SELECT src AS node FROM d3 WHERE d >= 2),
+    e3 AS MATERIALIZED (
       SELECT e.src, e.dst FROM e2 e
       JOIN k3 a ON a.node = e.src JOIN k3 b ON b.node = e.dst
     )
@@ -1331,7 +1331,7 @@ def _ppr_oracle() -> str:
     prev = "v0"
     for i in range(1, _PPR_STEPS + 1):
         steps.append(
-            f"""v{i} AS (
+            f"""v{i} AS MATERIALIZED (
       SELECT node, SUM(m) AS m FROM (
         SELECT dst AS node, SUM((v.m * 85) // (100 * d.deg)) AS m
         FROM edges e
@@ -1346,18 +1346,18 @@ def _ppr_oracle() -> str:
         prev = f"v{i}"
     steps_sql = ",\n    ".join(steps)
     return f"""
-    WITH li AS (
+    WITH li AS MATERIALIZED (
       SELECT DISTINCT l_partkey AS p, 1000000000 + l_suppkey AS s
       FROM lineitem
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT p AS src, s AS dst FROM li
       UNION ALL
       SELECT s AS src, p AS dst FROM li
     ),
-    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
-    seed AS (SELECT MIN(p) AS sp FROM li),
-    v0 AS (SELECT sp AS node, CAST(1000000000 AS BIGINT) AS m FROM seed),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    seed AS MATERIALIZED (SELECT MIN(p) AS sp FROM li),
+    v0 AS MATERIALIZED (SELECT sp AS node, CAST(1000000000 AS BIGINT) AS m FROM seed),
     {steps_sql}
     SELECT CAST(node AS BIGINT) AS part, CAST(m AS BIGINT) AS ppr_e9
     FROM v{_PPR_STEPS}
