@@ -5465,3 +5465,296 @@ def bgnbd_input_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("last_d") - F.col("first_d")).cast("bigint").alias("t_x_days"),
         (F.col("h") - F.col("first_d")).cast("bigint").alias("cap_t_days"),
     )
+
+
+@query(
+    "event_cooccurrence_60s",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM ev a JOIN ev b
+      ON a.user_id = b.user_id
+     AND a.event_type < b.event_type
+     AND b.sec BETWEEN a.sec - 60 AND a.sec + 60
+    GROUP BY 1, 2
+    """,
+)
+def event_cooccurrence_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal co-occurrence matrix: pairs of DIFFERENT event types
+    fired by the same user within 60 seconds of each other, with the
+    distinct-user reach of each pairing — the signal behind 'viewing
+    and carting happen together' session insights and the feature
+    cross-correlation screen before building sequence models.  Type
+    pairs are ordered (a < b) so each co-occurrence counts once.
+
+    Scale shape: a SELF-join co-located on user_id (the equi-key;
+    the +/-60 s band is a residual predicate inside the join, never a
+    cross product) — per-user event counts bound the wedge volume,
+    and the rollup is map-side combinable."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_epoch_seconds(F.col("ts")).alias("sec")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type"))
+        & (F.col("b.sec") >= F.col("a.sec") - 60)
+        & (F.col("b.sec") <= F.col("a.sec") + 60),
+    )
+    return pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct(F.col("a.user_id")).cast("bigint").alias("n_users"),
+    )
+
+
+@query(
+    "agg_argminmax",
+    oracle="""
+    WITH k AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * 1000000000000
+               + c_custkey AS ordkey
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(arg_max(c_custkey, ordkey) AS BIGINT) AS richest_key,
+           CAST(arg_min(c_custkey, ordkey) AS BIGINT) AS poorest_key,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM k GROUP BY c_mktsegment
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAX_BY / MIN_BY aggregate surface with a DETERMINISTIC tie
+    break: the richest and poorest customer per segment, ordered by
+    the packed scalar cents*1e12 + custkey so equal balances resolve
+    by key instead of by partition order — the one-line replacement
+    for the self-join-on-max anti-pattern, pinned with the tie
+    discipline that makes it reproducible (bare max_by on a tied
+    column is engine-order-dependent).  The packing is total while
+    custkey < 1e12 (the graph.py triangle-key bound, same caveat).
+
+    Scale shape: single map-side-combinable aggregate on the segment
+    key — argmin/argmax carry one (value, key) pair per group through
+    the combine."""
+    k = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.expr(
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * 1000000000000"
+            " + c_custkey"
+        ).alias("ordkey"),
+    )
+    return k.groupBy("c_mktsegment").agg(
+        F.expr("max_by(c_custkey, ordkey)").cast("bigint").alias(
+            "richest_key"
+        ),
+        F.expr("min_by(c_custkey, ordkey)").cast("bigint").alias(
+            "poorest_key"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_custkey)
+             AS top_names,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey <= 200
+    GROUP BY c_nationkey
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP): customer
+    names per nation concatenated in (balance desc, key) order — the
+    report-formatting aggregate whose ORDER BY clause is the whole
+    point: an unordered listagg is nondeterministic across partitions
+    and WILL hash-differently on every run, so the engine pins the
+    ordered form only.  Input bounded to the first 200 keys to keep
+    the string payload a report, not a blob.
+
+    Scale shape: one aggregate on the nation key; the ordered concat
+    sorts WITHIN each group only (group-local, never a global
+    sort)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .groupBy("c_nationkey")
+        .agg(
+            F.expr(
+                "listagg(c_name, ',')"
+                " WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey)"
+            ).alias("top_names"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+@query(
+    "order_brand_diversity",
+    oracle="""
+    WITH per AS (
+      SELECT l.l_orderkey,
+             COUNT(DISTINCT p.p_brand) AS n_brands
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    )
+    SELECT CAST(n_brands AS BIGINT) AS n_brands,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per GROUP BY 1
+    """,
+)
+def order_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket diversity histogram: orders bucketed by how many
+    DISTINCT brands they mix — single-brand baskets signal
+    destination shopping, many-brand baskets signal assortment
+    browsing, and the histogram's shape decides whether
+    cross-merchandising is worth shelf space.
+
+    Scale shape: part broadcasts; one order-keyed distinct-count
+    aggregate, then a rollup onto the small diversity domain — both
+    map-side combinable."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("p_brand").alias("n_brands"))
+    )
+    return per.groupBy(
+        F.col("n_brands").cast("bigint").alias("n_brands")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+
+
+@query(
+    "dominant_period_by_type",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+    terms AS (
+      SELECT a.event_type, l.lag,
+             COUNT(*) AS n_pairs,
+             SUM(a.n * b.n) AS s_xy,
+             SUM(a.n) AS s_x, SUM(b.n) AS s_y,
+             SUM(a.n * a.n) AS s_xx, SUM(b.n * b.n) AS s_yy
+      FROM lags l, daily a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day_idx = a.day_idx + l.lag
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, lag, n_pairs,
+             CAST(n_pairs * s_xy - s_x * s_y AS DECIMAL(38,0)) AS cov_num,
+             CAST(n_pairs * s_xx - s_x * s_x AS DECIMAL(38,0)) AS var_x,
+             CAST(n_pairs * s_yy - s_y * s_y AS DECIMAL(38,0)) AS var_y
+      FROM terms WHERE n_pairs >= 8
+    ),
+    r2 AS (
+      SELECT event_type, lag,
+             CASE WHEN var_x = 0 OR var_y = 0 THEN -1
+                  WHEN cov_num < 0 THEN -1
+                  ELSE CAST(CAST(cov_num * cov_num * 1000000
+                                 AS HUGEINT)
+                            // CAST(var_x * var_y AS HUGEINT) AS BIGINT)
+             END AS r2_e6
+      FROM scored
+    )
+    SELECT event_type,
+           CAST(arg_max(lag, r2_e6 * 100 - lag) AS BIGINT) AS best_lag,
+           CAST(arg_max(r2_e6, r2_e6 * 100 - lag) AS BIGINT) AS best_r2_e6
+    FROM r2 GROUP BY event_type
+    """,
+)
+def dominant_period_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant periodicity detector: for each event type, the lag in
+    1..14 days whose positive autocorrelation r^2 (1e6 fixed point,
+    computed as the exact integer (n*cov)^2 / (var_x * var_y), HUGEINT
+    division) is highest — weekly traffic surfaces as best_lag = 7,
+    and a flat series pins -1.  Ties break toward the SHORTER lag via
+    the packed argmax key r2_e6*100 - lag (|lag| < 100, so the
+    packing is a total order), keeping the answer deterministic.
+    The argmax-over-grid composition on top of acf_lag_terms'
+    sufficient-statistics machinery.  Numeric envelope: cov^2 * 1e6
+    must fit DECIMAL(38)/HUGEINT, which holds while per-type daily
+    counts stay under ~4e4 on a ~2400-day grid — pre-scale the daily
+    series (n DIV 2^k) before the lag join beyond that, exactly as
+    the emitted moments allow.
+
+    Scale shape: one (type, day) aggregate is the corpus exchange;
+    the 14-lag grid joins on the calendar-bounded daily grid against
+    a broadcast lag table; the final argmax is a tiny
+    map-side-combinable max_by over type x 14 rows."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias(
+            "day_idx"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lags = ev.sparkSession.createDataFrame(
+        [(i,) for i in range(1, 15)], "lag int"
+    )
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    terms = (
+        a.join(
+            daily.alias("b"),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day_idx") == F.col("a.day_idx") + F.col("lag")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("a.n") * F.col("b.n")).alias("s_xy"),
+            F.sum("a.n").alias("s_x"),
+            F.sum("b.n").alias("s_y"),
+            F.sum(F.col("a.n") * F.col("a.n")).alias("s_xx"),
+            F.sum(F.col("b.n") * F.col("b.n")).alias("s_yy"),
+        )
+        .filter(F.col("n_pairs") >= 8)
+    )
+    r2 = terms.select(
+        "event_type",
+        "lag",
+        F.expr(
+            "CASE WHEN CAST(n_pairs * s_xx - s_x * s_x AS DECIMAL(38,0)) = 0"
+            "       OR CAST(n_pairs * s_yy - s_y * s_y AS DECIMAL(38,0)) = 0"
+            "      THEN -1"
+            "      WHEN CAST(n_pairs * s_xy - s_x * s_y AS DECIMAL(38,0)) < 0"
+            "      THEN -1"
+            "      ELSE CAST(CAST(n_pairs * s_xy - s_x * s_y AS DECIMAL(38,0))"
+            "                * CAST(n_pairs * s_xy - s_x * s_y"
+            "                       AS DECIMAL(38,0)) * 1000000"
+            "           DIV (CAST(n_pairs * s_xx - s_x * s_x AS DECIMAL(38,0))"
+            "                * CAST(n_pairs * s_yy - s_y * s_y"
+            "                       AS DECIMAL(38,0))) AS BIGINT)"
+            " END"
+        ).alias("r2_e6"),
+    )
+    return r2.groupBy("event_type").agg(
+        F.expr("max_by(lag, r2_e6 * 100 - lag)")
+        .cast("bigint")
+        .alias("best_lag"),
+        F.expr("max_by(r2_e6, r2_e6 * 100 - lag)")
+        .cast("bigint")
+        .alias("best_r2_e6"),
+    )

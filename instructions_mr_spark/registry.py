@@ -188,7 +188,9 @@ DRIVER_WINDOW: list[str] = [
 #   explode_outer_semantics, array_index_contract,
 #   union_by_name_contract, window_locf_fill, histogram_2d_grid,
 #   repeat_purchase_rate_by_brand, single_source_parts_risk,
-#   nation_trade_balance, bgnbd_input_terms, linenumber_contiguity_audit
+#   nation_trade_balance, bgnbd_input_terms, linenumber_contiguity_audit,
+#   event_cooccurrence_60s, agg_argminmax, agg_listagg_ordered,
+#   order_brand_diversity, dominant_period_by_type
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
