@@ -394,3 +394,15 @@ def test_pack_concat_chunks_bucketed_prefix_sum(spark, sf_dir):
     df = registry.QUERIES["pack_concat_chunks"](spark, sf_dir)
     plan = _plan(df)
     assert "hashpartitioning(bucket" in plan
+
+
+def test_band_self_joins_extract_equi_keys(spark, sf_dir):
+    """The round-8 banded/inequality self-joins must compile to
+    EQUI-joins on their natural keys (user_id / vec_id) with the band
+    or i<=j predicate as a residual condition — a planner regression
+    to BroadcastNestedLoopJoin/CartesianProduct here is the
+    difference between co-located wedges and an O(n^2) shuffle at
+    100 TB."""
+    for name in ("event_cooccurrence_60s", "embedding_covariance_terms"):
+        plan = _plan(registry.QUERIES[name](spark, sf_dir))
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, name
