@@ -60,6 +60,22 @@ HEAVIES = [
     "copurchase_lift",
 ]
 
+# Third tracked list (round 8): the heaviest round-8 operator families
+# — iterative graph oracles, the wedge/banded self-joins and the
+# corpus-scan regex batch — emitted under "heavies_r8" so their
+# round-over-round movement is visible without disturbing the two
+# existing series.
+HEAVIES_R8 = [
+    "k_core_peel3",
+    "attribution_markov_removal",
+    "graph_resource_allocation",
+    "event_cooccurrence_60s",
+    "embedding_covariance_terms",
+    "interval_merge_overlaps",
+    "doc_truncation_loss",
+    "repeat_purchase_rate_by_brand",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,9 +122,10 @@ def main() -> None:
         return out
 
     timings = time_set(names)
-    # the heavies list only runs on a default invocation (an env
+    # the heavies lists only run on a default invocation (an env
     # override is a one-off scale/curve run, keep it minimal)
     heavies = {} if names_env else time_set(HEAVIES)
+    heavies_r8 = {} if names_env else time_set(HEAVIES_R8)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -146,6 +163,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "heavies": heavies,
+                "heavies_r8": heavies_r8,
                 "sf": float(sf) if sf else sf_dir,
                 "harness": HARNESS,
             }
