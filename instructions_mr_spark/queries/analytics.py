@@ -5758,3 +5758,61 @@ def dominant_period_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("best_r2_e6"),
     )
+
+
+@query(
+    "user_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+               AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2
+    ),
+    longest AS (
+      SELECT user_id, MAX(len) AS max_streak FROM runs GROUP BY 1
+    )
+    SELECT CAST(max_streak AS BIGINT) AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM longest GROUP BY 1
+    """,
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, histogrammed:
+    the classic d - ROW_NUMBER() gaps-and-islands trick (consecutive
+    days share a constant difference against their rank), rolled up
+    to 'how many users have a best streak of exactly k days' — the
+    engagement-habit metric behind every daily-streak product
+    feature.  ROW_NUMBER runs over DISTINCT days, so it is
+    deterministic without a tiebreak.
+
+    Scale shape: distinct (user, day) is the corpus exchange; the
+    rank window and both rollups are PARTITIONED by user_id; the
+    final histogram lands on the small streak-length domain."""
+    days = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", (F.col("d") - F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    longest = runs.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return longest.groupBy(
+        F.col("max_streak").cast("bigint").alias("streak_days")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))

@@ -608,3 +608,186 @@ def union_by_name_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("null_segment"),
     )
+
+
+# ------------------------------------------- FILTER clause
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_f,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS rev_f_c,
+           CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                  AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'X'), 0) AS BIGINT)
+             AS rev_x_c
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard-SQL FILTER (WHERE ...) aggregate clause: per
+    priority, total count, F-status count and F-status exact-cents
+    revenue in ONE pass — the conditional-aggregation surface that
+    replaces N self-joins or CASE pyramids, plus the empty-filter
+    contract (no 'X' orders exist, so that SUM is NULL by the
+    standard; coalesced to 0 on both engines identically).
+
+    Scale shape: one map-side-combinable aggregate on the priority
+    key — the filters are per-row predicates inside the combine."""
+    cents = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "COUNT(*) FILTER (WHERE o_orderstatus = 'F')"
+            )
+            .cast("bigint")
+            .alias("n_f"),
+            F.expr(
+                f"SUM({cents}) FILTER (WHERE o_orderstatus = 'F')"
+            )
+            .cast("bigint")
+            .alias("rev_f_c"),
+            F.expr(
+                f"COALESCE(SUM({cents})"
+                f" FILTER (WHERE o_orderstatus = 'X'), 0)"
+            )
+            .cast("bigint")
+            .alias("rev_x_c"),
+        )
+    )
+
+
+# ----------------------------------------- add_months clamping
+
+
+@query(
+    "month_add_clamp_contract",
+    oracle="""
+    WITH d AS (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                                    INTERVAL 1 DAY))::DATE AS dt
+    )
+    SELECT CAST(dt - DATE '1970-01-01' AS BIGINT) AS day_idx,
+           CAST(last_day(dt + INTERVAL 1 MONTH)
+                  = (dt + INTERVAL 1 MONTH)::DATE AS BOOLEAN)
+             AS lands_month_end,
+           CAST((dt + INTERVAL 1 MONTH)::DATE - DATE '1970-01-01'
+                AS BIGINT) AS plus1m_idx,
+           CAST((dt + INTERVAL 3 MONTH)::DATE - DATE '1970-01-01'
+                AS BIGINT) AS plus3m_idx
+    FROM d
+    WHERE dt = last_day(dt)
+    """,
+)
+def month_add_clamp_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-arithmetic clamping pinned across engines: every 2024
+    month-end shifted by +1 and +3 months, where Jan 31 + 1 month
+    MUST clamp to Feb 29 (not overflow into March) — the billing-date
+    bug class every subscription system hits once.  Both engines
+    clamp (Spark add_months, DuckDB date + INTERVAL), and the
+    lands_month_end flag documents exactly which shifted dates stay
+    month-ends.
+
+    Scale shape: a 12-row calendar-generated contract — no input
+    scan; broadcast-sized by construction."""
+    d = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(DATE '2024-01-01', DATE '2024-12-31',"
+                " interval 1 day)"
+            )
+        ).alias("dt")
+    ).filter(F.expr("dt = last_day(dt)"))
+    return d.select(
+        F.datediff("dt", F.lit("1970-01-01")).cast("bigint").alias("day_idx"),
+        F.expr("last_day(add_months(dt, 1)) = add_months(dt, 1)").alias(
+            "lands_month_end"
+        ),
+        F.datediff(F.expr("add_months(dt, 1)"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("plus1m_idx"),
+        F.datediff(F.expr("add_months(dt, 3)"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("plus3m_idx"),
+    )
+
+
+# --------------------------------------- sorted distinct collect
+
+
+@query(
+    "agg_collect_set_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))),
+                           ',') AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey <= 300
+    GROUP BY c_nationkey
+    """,
+)
+def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic set aggregation: the DISTINCT market segments per
+    nation, SORTED then joined — collect_set alone returns elements
+    in partition-arrival order (different every run, poison for any
+    hash-compared result), so the engine pins the sort as part of the
+    operator.  The group-membership summary every dimension audit
+    starts from.
+
+    Scale shape: one aggregate on the nation key; set semantics make
+    the combine state bounded by segment cardinality, not row
+    count."""
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+# ------------------------------------------- hash functions
+
+
+@query(
+    "hash_functions_contract",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex
+    FROM documents WHERE doc_id <= 50
+    """,
+)
+def hash_functions_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest surface pinned byte-for-byte: md5 and
+    sha256 hex digests of document text must match across engines —
+    the foundation under every digest-keyed shuffle in the repo (the
+    h60 convention truncates exactly this md5), content-addressed
+    dedup, and cache keys.  A quiet encoding difference (UTF-8 vs
+    latin-1, uppercase vs lowercase hex) breaks every one of those;
+    this contract catches it at the source.
+
+    Scale shape: pure per-row JVM hashing on the scan (bounded here
+    to 50 rows — the contract needs coverage, not volume)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 50)
+        .select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("md5_hex"),
+            F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
+        )
+    )

@@ -190,7 +190,9 @@ DRIVER_WINDOW: list[str] = [
 #   repeat_purchase_rate_by_brand, single_source_parts_risk,
 #   nation_trade_balance, bgnbd_input_terms, linenumber_contiguity_audit,
 #   event_cooccurrence_60s, agg_argminmax, agg_listagg_ordered,
-#   order_brand_diversity, dominant_period_by_type
+#   order_brand_diversity, dominant_period_by_type,
+#   agg_filter_clause, month_add_clamp_contract, user_longest_streak,
+#   agg_collect_set_sorted, hash_functions_contract
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
