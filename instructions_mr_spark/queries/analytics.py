@@ -5816,3 +5816,48 @@ def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest.groupBy(
         F.col("max_streak").cast("bigint").alias("streak_days")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@query(
+    "catalog_dead_stock",
+    oracle="""
+    WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem)
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dead,
+           CAST(SUM(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS dead_e6
+    FROM part p LEFT JOIN sold s ON s.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def catalog_dead_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-stock share per brand: catalog parts that never appear on
+    a single line item (left anti against the distinct sold set),
+    as a count and a 1e6 fixed-point share — the assortment-hygiene
+    number behind delisting reviews, and the reason catalogs bloat
+    when nobody measures it.
+
+    Scale shape: the sold set collapses to distinct part keys (one
+    corpus exchange, bare ints); the catalog-side left join then
+    rolls up on brand — at 100 TB the distinct key set is
+    dimension-sized and broadcasts."""
+    sold = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .withColumn("sold", F.lit(1))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = p.join(sold, p["p_partkey"] == sold["l_partkey"], "left")
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.when(F.col("sold").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dead"),
+        F.expr(
+            "CAST(SUM(CASE WHEN sold IS NULL THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(1) AS BIGINT)"
+        ).alias("dead_e6"),
+    )

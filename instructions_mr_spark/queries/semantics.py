@@ -791,3 +791,106 @@ def hash_functions_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
         )
     )
+
+
+# ------------------------------------------- CSV roundtrip
+
+
+@query(
+    "csv_column_roundtrip",
+    oracle="""
+    SELECT event_id,
+           event_id AS parsed_id,
+           event_type AS parsed_type,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS parsed_cents
+    FROM events WHERE event_id <= 100
+    """,
+)
+def csv_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_csv / from_csv embedding roundtrip: each event serialized to
+    a one-line CSV string and parsed straight back with a declared
+    schema — the oracle states the IDENTITY, which is precisely the
+    contract (a quoting, delimiter-escaping or type-coercion bug
+    anywhere in the roundtrip surfaces as a field mismatch).  The
+    payload carries a string column so delimiter handling is actually
+    exercised.
+
+    Scale shape: pure per-row JVM expressions on the scan (bounded to
+    100 rows — a contract, not a volume test)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 100)
+        .select(
+            "event_id",
+            F.expr(
+                "to_csv(struct(event_id, event_type,"
+                " CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents))"
+            ).alias("line"),
+        )
+    )
+    parsed = ev.select(
+        "event_id",
+        F.from_csv(
+            "line", "parsed_id BIGINT, parsed_type STRING, parsed_cents BIGINT"
+        ).alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.parsed_id").alias("parsed_id"),
+        F.col("p.parsed_type").alias("parsed_type"),
+        F.col("p.parsed_cents").alias("parsed_cents"),
+    )
+
+
+# -------------------------------------- nested array flatten
+
+
+@query(
+    "nested_array_flatten",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, words,
+             list_transform(generate_series(0, (len(words) - 1) // 3),
+               i -> list_slice(words, i * 3 + 1, i * 3 + 3)) AS chunks
+      FROM w WHERE len(words) >= 1
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(chunks) AS BIGINT) AS n_chunks,
+           CAST(flatten(chunks) = words AS BOOLEAN) AS flat_equal
+    FROM c
+    """,
+)
+def nested_array_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array surface: words chunked into 3-grams-of-position
+    (an array of arrays via a nested slice lambda), then FLATTENED
+    and compared element-wise against the original — the
+    chunk/flatten identity that pins slice boundary conventions and
+    flatten ordering in one boolean per document (always true; a
+    false anywhere means an off-by-one in the slice mapping between
+    engines).
+
+    Scale shape: pure per-row JVM array lambdas — zero exchanges."""
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("words"),
+    ).filter(F.size("words") >= 1)
+    c = w.select(
+        "doc_id",
+        "words",
+        F.expr(
+            "transform(sequence(0, (size(words) - 1) DIV 3),"
+            " i -> slice(words, i * 3 + 1, 3))"
+        ).alias("chunks"),
+    )
+    return c.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.size("chunks").cast("bigint").alias("n_chunks"),
+        (F.flatten("chunks") == F.col("words")).alias("flat_equal"),
+    )

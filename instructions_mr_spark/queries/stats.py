@@ -3482,3 +3482,73 @@ def histogram_2d_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_c"),
         )
     )
+
+
+@query(
+    "weighted_median_exact",
+    oracle="""
+    WITH hist AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, qty_c, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty_c
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM hist
+    )
+    SELECT l_returnflag,
+           CAST(MIN(tw) AS BIGINT) AS total_w,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN qty_c END) AS BIGINT)
+             AS wmedian_qty_c
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact REVENUE-weighted median quantity per return flag: the
+    smallest quantity where the cumulative revenue weight reaches
+    half the total (lower weighted median, 2*cw >= tw in pure
+    integers) — 'half the money sits at or below this order size',
+    which an unweighted median misstates whenever big-ticket lines
+    cluster at particular quantities.
+
+    Scale shape: the percentile_exact_twophase pattern with weights —
+    the corpus collapses to a (flag x distinct-quantity) histogram
+    first (the only corpus-sized exchange), so the cumulative window
+    runs over the bounded value domain, partitioned by flag."""
+    hist = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            F.expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)").alias(
+                "qty_c"
+            ),
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            ).alias("w")
+        )
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("qty_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "qty_c",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min("tw").cast("bigint").alias("total_w"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("qty_c")))
+        .cast("bigint")
+        .alias("wmedian_qty_c"),
+    )

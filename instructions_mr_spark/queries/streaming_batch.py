@@ -611,3 +611,74 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(s).getField("v").cast("decimal(12,4)").alias("close"),
         F.sum("v").cast("decimal(38,4)").alias("volume"),
     )
+
+
+@query(
+    "session_dynamic_gap",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+             CASE WHEN event_type = 'click' THEN 300 ELSE 1800 END AS gap_s
+      FROM events
+    ),
+    iv AS (SELECT user_id, event_id, sec, sec + gap_s AS fin FROM ev),
+    flagged AS (
+      SELECT user_id, event_id, sec, fin,
+             CASE WHEN MAX(fin) OVER w IS NULL
+                    OR sec > MAX(fin) OVER w THEN 1 ELSE 0 END AS brk
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (
+      SELECT user_id, sec, fin,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(sec) AS BIGINT) AS start_sec,
+           CAST(MAX(fin) AS BIGINT) AS end_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, sid
+    """,
+)
+def session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization via Spark's session_window with a
+    PER-EVENT gap expression — clicks keep a session alive 5 minutes,
+    everything else 30 — the 'engagement-weighted' session definition
+    that one static gap cannot express.  An event landing exactly ON
+    the current session end merges (probed and pinned: the boundary
+    is inclusive), so the DuckDB twin is interval-merging with
+    end = ts + gap(event) and a strict-> break.  Emits one row per
+    (user, session) with its span and event count.
+
+    Scale shape: session_window in batch mode compiles to one
+    exchange partitioned by user_id plus a group-local sort — the
+    same cost as plain sessionization; the dynamic gap is a per-row
+    expression, not a second pass."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("tts"),
+        "event_type",
+    )
+    gap = F.when(F.col("event_type") == "click", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    out = ev.groupBy("user_id", F.session_window("tts", gap)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return out.select(
+        "user_id",
+        ts_epoch_seconds(F.col("session_window.start"))
+        .cast("bigint")
+        .alias("start_sec"),
+        ts_epoch_seconds(F.col("session_window.end"))
+        .cast("bigint")
+        .alias("end_sec"),
+        "n_events",
+    )

@@ -192,7 +192,9 @@ DRIVER_WINDOW: list[str] = [
 #   event_cooccurrence_60s, agg_argminmax, agg_listagg_ordered,
 #   order_brand_diversity, dominant_period_by_type,
 #   agg_filter_clause, month_add_clamp_contract, user_longest_streak,
-#   agg_collect_set_sorted, hash_functions_contract
+#   agg_collect_set_sorted, hash_functions_contract,
+#   session_dynamic_gap, weighted_median_exact, csv_column_roundtrip,
+#   nested_array_flatten, catalog_dead_stock
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
