@@ -1162,24 +1162,11 @@ _LP_DUCK = """
 """
 
 
-@query("label_propagation_2round", oracle=_LP_DUCK)
-def label_propagation_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous label propagation (2 rounds) over the part<->
-    supplier supply graph (graph_pagerank's edge set): every node
-    starts as its own label, each round adopts the MODE of its
-    neighbors' labels with ties broken to the smallest label — the
-    classic near-linear community-detection baseline (Raghavan et
-    al.), bounded to two deterministic synchronous rounds so the
-    result is a pure function of the graph (async/random-order LPA is
-    not).  Returns the 50 largest communities.
-
-    Scale shape: each round is one edges-to-labels equi-join (labels
-    shuffle on node id — the SAME hash partitioning both rounds, so
-    AQE reuses the exchange) plus a (node, label)-keyed count with
-    map-side partials; the mode argmin runs per node via max(struct)
-    — no global window anywhere.  Round depth is fixed at 2, so the
-    lineage stays shallow (no checkpoint needed, unlike pagerank's
-    K=5 loop)."""
+def _lp2_edges_labels(spark: SparkSession, sf_dir: str):
+    """Shared 2-round synchronous LPA build over the part<->supplier
+    graph: returns (directed edge list, final (node, lbl) labels).
+    Consumed by label_propagation_2round and modularity_terms_lp so
+    the community assignment cannot drift between the two."""
     li = (
         t(spark, sf_dir, "lineitem")
         .select(
@@ -1208,6 +1195,28 @@ def label_propagation_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (-F.col("m.neg")).cast("bigint").alias("lbl"),
             )
         )
+    return edges, labels
+
+
+@query("label_propagation_2round", oracle=_LP_DUCK)
+def label_propagation_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (2 rounds) over the part<->
+    supplier supply graph (graph_pagerank's edge set): every node
+    starts as its own label, each round adopts the MODE of its
+    neighbors' labels with ties broken to the smallest label — the
+    classic near-linear community-detection baseline (Raghavan et
+    al.), bounded to two deterministic synchronous rounds so the
+    result is a pure function of the graph (async/random-order LPA is
+    not).  Returns the 50 largest communities.
+
+    Scale shape: each round is one edges-to-labels equi-join (labels
+    shuffle on node id — the SAME hash partitioning both rounds, so
+    AQE reuses the exchange) plus a (node, label)-keyed count with
+    map-side partials; the mode argmin runs per node via max(struct)
+    — no global window anywhere.  Round depth is fixed at 2, so the
+    lineage stays shallow (no checkpoint needed, unlike pagerank's
+    K=5 loop)."""
+    edges, labels = _lp2_edges_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
@@ -1504,4 +1513,140 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("part_b"),
         F.col("n_common").cast("bigint").alias("n_common"),
         F.col("ra_e9").cast("bigint").alias("ra_e9"),
+    )
+
+
+@query(
+    "modularity_terms_lp",
+    oracle="""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS p, 1000000000 + l_suppkey AS s
+      FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT p AS src, s AS dst FROM li
+      UNION ALL
+      SELECT s AS src, p AS dst FROM li
+    ),
+    lbl0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+    nbr1 AS MATERIALIZED (
+      SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN lbl0 l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    lbl1 AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl ASC) AS rn
+        FROM nbr1
+      ) WHERE rn = 1
+    ),
+    nbr2 AS MATERIALIZED (
+      SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN lbl1 l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    lbl2 AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl ASC) AS rn
+        FROM nbr2
+      ) WHERE rn = 1
+    ),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+    m AS (SELECT COUNT(*) AS m FROM li),
+    internal AS (
+      SELECT la.lbl AS community, COUNT(*) AS internal_edges
+      FROM li
+      JOIN lbl2 la ON la.node = li.p
+      JOIN lbl2 lb ON lb.node = li.s
+      WHERE la.lbl = lb.lbl
+      GROUP BY 1
+    ),
+    comm AS (
+      SELECT l.lbl AS community,
+             COUNT(*) AS n_nodes,
+             SUM(d.d) AS deg_sum
+      FROM lbl2 l JOIN deg d ON d.node = l.node
+      GROUP BY 1
+    )
+    SELECT c.community AS community,
+           CAST(c.n_nodes AS BIGINT) AS n_nodes,
+           CAST(c.deg_sum AS BIGINT) AS deg_sum,
+           CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+           CAST(m.m AS BIGINT) AS m_edges
+    FROM comm c LEFT JOIN internal i ON i.community = c.community, m
+    ORDER BY n_nodes DESC, c.community ASC
+    LIMIT 50
+    """,
+)
+def modularity_terms_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity sufficient statistics for the label-
+    propagation communities: per community, node count, TOTAL degree
+    mass and INTERNAL undirected edge count, plus the global edge
+    count m — Q = Σ_c [internal_c/m − (deg_sum_c/2m)²] assembles by
+    one exact division per community downstream, which makes this the
+    quality gate for the LPA partition (is 2-round LPA finding real
+    structure or one giant blob?).  On a strictly bipartite graph the
+    2-round SYNCHRONOUS assignment is anti-phase (parts and suppliers
+    end up carrying each other's labels), so internal mass lands near
+    zero and Q <= 0 — the metric honestly reports that depth-2 sync
+    LPA found no community structure there; that readout is the
+    measurement, not a bug (pinned by tests/test_r8o_ops.py on a
+    two-star fixture).  The community assignment comes from the SAME
+    shared builder as label_propagation_2round, so the two queries
+    can never disagree about what the communities are.
+
+    Scale shape: the LPA rounds are labels-to-edges equi-joins (see
+    label_propagation_2round); internal-edge counting joins the
+    distinct part-supplier pairs against the final labels on BOTH
+    endpoints (two int-keyed joins, no wedge); degree and community
+    rollups are map-side combinable; the 1-row m aggregate broadcasts
+    via cross join."""
+    edges, labels = _lp2_edges_labels(spark, sf_dir)
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("p"),
+            (F.lit(1_000_000_000) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    m = li.agg(F.count(F.lit(1)).alias("m_edges"))
+    la = labels.select(F.col("node").alias("p"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("s"), F.col("lbl").alias("lb"))
+    internal = (
+        li.join(la, "p")
+        .join(lb, "s")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("deg_sum"),
+        )
+    )
+    return (
+        comm.join(internal, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("deg_sum").cast("bigint").alias("deg_sum"),
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("bigint")
+            .alias("internal_edges"),
+            F.col("m_edges").cast("bigint").alias("m_edges"),
+        )
+        .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
+        .limit(50)
     )

@@ -350,3 +350,51 @@ def try_arithmetic_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             " GREATEST(l_partkey, 1)) IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("n_add_overflow_null"),
     )
+
+
+@query(
+    "greatest_least_null_contract",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN greatest(
+             CASE WHEN l_quantity > 25 THEN CAST(FLOOR(l_quantity) AS BIGINT)
+                  END,
+             CAST(FLOOR(l_extendedprice / 1000) AS BIGINT))
+           = CAST(FLOOR(l_extendedprice / 1000) AS BIGINT)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_price_wins,
+      CAST(SUM(CASE WHEN greatest(
+             CASE WHEN l_quantity > 100 THEN 1 END,
+             CASE WHEN l_quantity > 200 THEN 2 END) IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_all_null
+    FROM lineitem
+    """,
+)
+def greatest_least_null_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREATEST/LEAST null semantics pinned: both engines SKIP NULL
+    arguments (greatest(NULL, x) = x — NOT the SQL-standard NULL
+    propagation some databases apply), and only an all-NULL argument
+    list yields NULL.  Counted over real data: how often the price
+    proxy beats a sometimes-NULL quantity band, and that the
+    impossible double-band (quantities never exceed 100) is NULL on
+    every row — port this to a standard-propagating engine and both
+    columns change, which is the audit's point.
+
+    Scale shape: one conditional aggregate over the scan."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CASE WHEN greatest("
+            " CASE WHEN l_quantity > 25 THEN CAST(FLOOR(l_quantity) AS BIGINT)"
+            " END,"
+            " CAST(FLOOR(l_extendedprice / 1000) AS BIGINT))"
+            " = CAST(FLOOR(l_extendedprice / 1000) AS BIGINT)"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_price_wins"),
+        F.expr(
+            "CAST(SUM(CASE WHEN greatest("
+            " CASE WHEN l_quantity > 100 THEN 1 END,"
+            " CASE WHEN l_quantity > 200 THEN 2 END) IS NULL"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_all_null"),
+    )

@@ -894,3 +894,50 @@ def nested_array_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunks").cast("bigint").alias("n_chunks"),
         (F.flatten("chunks") == F.col("words")).alias("flat_equal"),
     )
+
+
+# ------------------------------------------- LIKE ANY / ALL
+
+
+@query(
+    "like_any_all_contract",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_parts,
+      CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                      OR p_type LIKE 'STANDARD%' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_like_any,
+      CAST(SUM(CASE WHEN p_type LIKE '%BRUSHED%'
+                     AND p_type LIKE '%NICKEL%' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_like_all,
+      CAST(SUM(CASE WHEN p_type NOT LIKE 'PROMO%'
+                     AND p_type NOT LIKE 'STANDARD%' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_not_like_all
+    FROM part
+    """,
+)
+def like_any_all_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIKE ANY / LIKE ALL quantified-pattern surface: parts
+    matching ANY of two prefixes, ALL of two substrings, and NONE of
+    the prefixes (NOT LIKE ALL), counted in one pass — Spark's
+    quantified LIKE syntax against the oracle's expanded OR/AND form,
+    pinning that the sugar means exactly the expansion (including on
+    the NOT side, where the quantifier flips people's intuition).
+
+    Scale shape: one map-side-combinable conditional aggregate over
+    the dimension scan."""
+    return t(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.expr(
+            "CAST(SUM(CASE WHEN p_type LIKE ANY ('PROMO%', 'STANDARD%')"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_like_any"),
+        F.expr(
+            "CAST(SUM(CASE WHEN p_type LIKE ALL ('%BRUSHED%', '%NICKEL%')"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_like_all"),
+        F.expr(
+            "CAST(SUM(CASE WHEN p_type NOT LIKE ALL ('PROMO%', 'STANDARD%')"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_not_like_all"),
+    )

@@ -502,3 +502,101 @@ def window_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled_c"
         ),
     )
+
+
+@query(
+    "nulls_ordering_contract",
+    oracle="""
+    WITH k AS (
+      SELECT c_mktsegment, c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL
+                  ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+             END AS nkey
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(arg_min(c_custkey,
+                  COALESCE(nkey, 2000000) * 1000000000000 + c_custkey)
+                AS BIGINT) AS first_nulls_last,
+           CAST(arg_min(c_custkey,
+                  COALESCE(nkey, -2000000) * 1000000000000 + c_custkey)
+                AS BIGINT) AS first_nulls_first,
+           CAST(SUM(CASE WHEN nkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_keys
+    FROM k GROUP BY c_mktsegment
+    """,
+)
+def nulls_ordering_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST / NULLS LAST ordering pinned: per segment, the first
+    customer under an ascending sort of a NULLABLE balance key with
+    each null placement — Spark's ASC default is NULLS FIRST (the
+    opposite of several warehouses), so code that sorts a nullable
+    key without spelling the placement out ports wrong; these two
+    columns are the executable reminder.  The window side uses real
+    ORDER BY ... NULLS LAST/FIRST syntax; the oracle encodes the same
+    order as a sentinel-packed argmin (cents < 2e6, custkey < 1e12,
+    so sentinel*1e12 + custkey is a total order inside BIGINT).
+
+    Scale shape: two windows partitioned by segment (row_number rn=1
+    election), one rollup — all on the natural key."""
+    k = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.expr(
+            "CASE WHEN c_acctbal < 0 THEN NULL"
+            " ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) END"
+        ).alias("nkey"),
+    )
+    w_last = W.partitionBy("c_mktsegment").orderBy(
+        F.col("nkey").asc_nulls_last(), F.col("c_custkey").asc()
+    )
+    w_first = W.partitionBy("c_mktsegment").orderBy(
+        F.col("nkey").asc_nulls_first(), F.col("c_custkey").asc()
+    )
+    r = k.select(
+        "c_mktsegment",
+        "c_custkey",
+        "nkey",
+        F.row_number().over(w_last).alias("rl"),
+        F.row_number().over(w_first).alias("rf"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.max(F.when(F.col("rl") == 1, F.col("c_custkey")))
+        .cast("bigint")
+        .alias("first_nulls_last"),
+        F.max(F.when(F.col("rf") == 1, F.col("c_custkey")))
+        .cast("bigint")
+        .alias("first_nulls_first"),
+        F.sum(F.when(F.col("nkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_keys"),
+    )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(PERCENT_RANK() OVER w, 8) AS pr,
+           ROUND(CUME_DIST() OVER w, 8) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK and CUME_DIST per market segment under a total
+    order: (rank-1)/(n-1) vs rank/n — the two 'relative position'
+    functions analysts conflate, pinned side by side (percent_rank
+    of the first row is 0, cume_dist never is).  Rounded to 8 places
+    on both engines: the inputs are identical small rationals, so the
+    rounding is deterministic.
+
+    Scale shape: one window partitioned by the natural segment key —
+    no global sort."""
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+        F.round(F.cume_dist().over(w), 8).alias("cd"),
+    )

@@ -194,7 +194,9 @@ DRIVER_WINDOW: list[str] = [
 #   agg_filter_clause, month_add_clamp_contract, user_longest_streak,
 #   agg_collect_set_sorted, hash_functions_contract,
 #   session_dynamic_gap, weighted_median_exact, csv_column_roundtrip,
-#   nested_array_flatten, catalog_dead_stock
+#   nested_array_flatten, catalog_dead_stock,
+#   modularity_terms_lp, like_any_all_contract, nulls_ordering_contract,
+#   window_percent_rank, greatest_least_null_contract
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
