@@ -5861,3 +5861,63 @@ def catalog_dead_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV COUNT(1) AS BIGINT)"
         ).alias("dead_e6"),
     )
+
+
+@query(
+    "captive_customer_share",
+    oracle="""
+    WITH spend AS (
+      SELECT o.o_custkey, l.l_suppkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT o_custkey, SUM(c) AS tc FROM spend GROUP BY 1
+    )
+    SELECT s.l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN 2 * s.c > t.tc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_captive,
+           CAST(SUM(s.c) AS BIGINT) AS supplier_rev_c
+    FROM spend s JOIN tot t ON t.o_custkey = s.o_custkey
+    GROUP BY 1
+    """,
+)
+def captive_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Captive-customer count per supplier: customers whose spend with
+    this supplier exceeds HALF their total spend (the strict-majority
+    test 2*c > total in exact integers — no share ever floats) — the
+    B2B account-concentration metric that tells a supplier which
+    relationships are moats and tells the buyer where it has no
+    leverage.
+
+    Scale shape: lineitem->orders on the natural orderkey (the corpus
+    exchange), one (customer, supplier) rollup, customer totals join
+    back on custkey (same partitioning), supplier rollup — every
+    stage map-side combinable on a natural key."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    spend = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            ).alias("c")
+        )
+    )
+    tot = spend.groupBy("o_custkey").agg(F.sum("c").alias("tc"))
+    return (
+        spend.join(tot, "o_custkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.when(2 * F.col("c") > F.col("tc"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_captive"),
+            F.sum("c").cast("bigint").alias("supplier_rev_c"),
+        )
+    )

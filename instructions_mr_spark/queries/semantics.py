@@ -941,3 +941,46 @@ def like_any_all_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("n_not_like_all"),
     )
+
+
+# -------------------------------------- binary encodings
+
+
+@query(
+    "binary_encoding_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           base64(ENCODE(left(text, 24))) AS b64,
+           CAST(decode(from_base64(base64(ENCODE(left(text, 24)))))
+                  = left(text, 24) AS BOOLEAN) AS b64_roundtrip,
+           lower(hex(ENCODE(left(text, 8)))) AS hex8,
+           CAST(decode(unhex(hex(ENCODE(left(text, 8))))) = left(text, 8)
+                AS BOOLEAN) AS hex_roundtrip
+    FROM documents WHERE doc_id <= 50
+    """,
+)
+def binary_encoding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 / hex encoding surface pinned byte-for-byte: the encoded
+    strings themselves must match across engines (same alphabet, same
+    padding, same hex case after normalization) AND decode back to
+    the original bytes — the transport encodings under every binary
+    payload column, checkpoint manifest and webhook signature.
+
+    Scale shape: per-row JVM codecs on the scan (bounded to 50 rows —
+    a contract, not a volume test)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    return d.select(
+        "doc_id",
+        F.base64(F.expr("CAST(left(text, 24) AS BINARY)")).alias("b64"),
+        F.expr(
+            "CAST(unbase64(base64(CAST(left(text, 24) AS BINARY))) AS STRING)"
+            " = left(text, 24)"
+        ).alias("b64_roundtrip"),
+        F.lower(F.hex(F.expr("CAST(left(text, 8) AS BINARY)"))).alias(
+            "hex8"
+        ),
+        F.expr(
+            "CAST(unhex(hex(CAST(left(text, 8) AS BINARY))) AS STRING)"
+            " = left(text, 8)"
+        ).alias("hex_roundtrip"),
+    )

@@ -3552,3 +3552,50 @@ def weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wmedian_qty_c"),
     )
+
+
+@query(
+    "anova_two_way_terms",
+    oracle="""
+    SELECT CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT) AS qty_band,
+           CAST(FLOOR(l_discount * 20) AS BIGINT) AS disc_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS s_rev,
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         AS DECIMAL(38,0))
+                    * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DECIMAL(38,0)) AS ss_rev
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def anova_two_way_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA input sheet: exact count / sum / sum-of-squares
+    of line revenue (cents) in every (quantity band x discount band)
+    cell — main effects, the interaction term and all the F
+    statistics assemble from these cells by exact arithmetic, which
+    is how you test 'does discount response DEPEND on order size'
+    without ever shipping a float between engines.  The cell grid is
+    the histogram_2d_grid bucketing carrying second moments.
+
+    Scale shape: ONE map-side-combinable aggregate onto the bounded
+    ~5x3 cell grid; squares accumulate in DECIMAL(38,0)."""
+    cents = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.expr("CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT)").alias(
+                "qty_band"
+            ),
+            F.expr("CAST(FLOOR(l_discount * 20) AS BIGINT)").alias(
+                "disc_band"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(f"CAST(SUM({cents}) AS BIGINT)").alias("s_rev"),
+            F.sum(F.expr(f"CAST({cents} AS DECIMAL(38,0)) * {cents}"))
+            .cast("decimal(38,0)")
+            .alias("ss_rev"),
+        )
+    )

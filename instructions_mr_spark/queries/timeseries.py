@@ -759,3 +759,97 @@ def promo_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell(False, False, "pre_ctrl_c"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
+
+
+# ---------------------------------------- lagged feature spine
+
+
+@query(
+    "lag_features_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day_idx,
+           CAST(n AS BIGINT) AS n,
+           CAST(LAG(n, 1) OVER w AS BIGINT) AS n_lag1,
+           CAST(LAG(n, 7) OVER w AS BIGINT) AS n_lag7,
+           CAST(n - LAG(n, 1) OVER w AS BIGINT) AS delta1
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+    """,
+)
+def lag_features_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged feature spine for forecasting models: per (type, day),
+    today's count plus the 1-day and 7-day lags and the first
+    difference — the standard autoregressive feature block, emitted
+    as a table a trainer joins targets onto.  LAG(k) is ROW-based
+    over the day grid, so a missing calendar day shifts the lag
+    window (exactly like a pandas shift on a sparse index) — pair
+    with ts_gap_fill first when calendar alignment matters; the
+    docstring states the convention so consumers choose knowingly.
+
+    Scale shape: one (type, day) aggregate (the corpus exchange),
+    then LAG windows partitioned by type over calendar-bounded
+    grids."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    return daily.select(
+        "event_type",
+        "day_idx",
+        F.col("n").cast("bigint").alias("n"),
+        F.lag("n", 1).over(w).cast("bigint").alias("n_lag1"),
+        F.lag("n", 7).over(w).cast("bigint").alias("n_lag7"),
+        (F.col("n") - F.lag("n", 1).over(w)).cast("bigint").alias("delta1"),
+    )
+
+
+# ---------------------------------------- hour-of-week matrix
+
+
+@query(
+    "hour_of_week_matrix",
+    oracle="""
+    SELECT CAST(date_part('isodow', CAST(ts AS TIMESTAMP)) - 1 AS BIGINT)
+             AS dow,
+           CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hour_of_week_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7x24 traffic heatmap: events and distinct users per
+    (Monday-based weekday, hour) cell — the capacity-planning and
+    anomaly-baseline matrix every ops dashboard opens with.  Weekday
+    uses the ISO convention on both engines (Spark weekday() is
+    already Monday=0; DuckDB isodow-1) — the same off-by-one trap
+    calendar_dim_generate pins.
+
+    Scale shape: ONE aggregate onto the bounded 168-cell grid; the
+    distinct-user count partial-aggregates per cell."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("CAST(weekday(CAST(ts AS TIMESTAMP)) AS BIGINT)").alias(
+                "dow"
+            ),
+            F.expr("CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

@@ -196,7 +196,9 @@ DRIVER_WINDOW: list[str] = [
 #   session_dynamic_gap, weighted_median_exact, csv_column_roundtrip,
 #   nested_array_flatten, catalog_dead_stock,
 #   modularity_terms_lp, like_any_all_contract, nulls_ordering_contract,
-#   window_percent_rank, greatest_least_null_contract
+#   window_percent_rank, greatest_least_null_contract,
+#   lag_features_daily, hour_of_week_matrix, anova_two_way_terms,
+#   binary_encoding_roundtrip, captive_customer_share
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
