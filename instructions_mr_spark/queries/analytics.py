@@ -5921,3 +5921,174 @@ def captive_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("supplier_rev_c"),
         )
     )
+
+
+@query(
+    "share_of_parent_two_level",
+    oracle="""
+    WITH leaf AS (
+      SELECT split_part(p.p_type, ' ', 1) AS category, p.p_brand,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    cat AS (SELECT category, SUM(rev) AS crev FROM leaf GROUP BY 1),
+    tot AS (SELECT SUM(rev) AS trev FROM leaf)
+    SELECT l.category, l.p_brand,
+           CAST(l.rev AS BIGINT) AS rev_c,
+           CAST(l.rev * 1000000 // c.crev AS BIGINT) AS share_of_cat_e6,
+           CAST(c.crev * 1000000 // t.trev AS BIGINT) AS cat_share_e6
+    FROM leaf l JOIN cat c USING (category), tot t
+    """,
+)
+def share_of_parent_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level share-of-parent report: each brand's exact-cents
+    revenue share WITHIN its category (first word of the part type)
+    and each category's share of the total — the drill-down
+    percentages every hierarchy report shows side by side, both as
+    1e6 truncating fixed point so the engine never emits a float
+    share.
+
+    Scale shape: part broadcasts; one (category, brand) aggregate is
+    the corpus exchange; category totals and the 1-row grand total
+    join back broadcast (the ratio-to-report pattern without any
+    window)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.expr("split_part(p_type, ' ', 1)").alias("category"),
+    )
+    leaf = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("category", "p_brand")
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            ).alias("rev")
+        )
+    )
+    cat = leaf.groupBy("category").agg(F.sum("rev").alias("crev"))
+    tot = leaf.agg(F.sum("rev").alias("trev"))
+    return (
+        leaf.join(F.broadcast(cat), "category")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "p_brand",
+            F.col("rev").cast("bigint").alias("rev_c"),
+            F.expr("CAST(rev * 1000000 DIV crev AS BIGINT)").alias(
+                "share_of_cat_e6"
+            ),
+            F.expr("CAST(crev * 1000000 DIV trev AS BIGINT)").alias(
+                "cat_share_e6"
+            ),
+        )
+    )
+
+
+@query(
+    "dwell_time_by_type",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      FROM events
+    ),
+    d AS (
+      SELECT event_type,
+             LEAD(sec) OVER (PARTITION BY user_id
+                             ORDER BY sec, event_id) - sec AS dwell
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(COUNT(dwell) AS BIGINT) AS n_dwells,
+           CAST(SUM(dwell) AS BIGINT) AS total_dwell_s,
+           CAST(SUM(CASE WHEN dwell = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_instant,
+           CAST(MAX(dwell) AS BIGINT) AS max_dwell_s
+    FROM d GROUP BY event_type
+    """,
+)
+def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time attributed to the CURRENT event's type: seconds
+    until the same user's next event (LEAD over a total per-user
+    order), rolled up per type — 'how long do users sit on a click
+    vs a view' — with instant transitions (same-second bursts)
+    counted separately because they dominate bot traffic.  Each
+    user's LAST event has no successor and drops out of the counts
+    identically on both engines.
+
+    Scale shape: one LEAD window partitioned by user_id (the
+    sessionization exchange), one map-side-combinable per-type
+    rollup."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_epoch_seconds(F.col("ts")).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    d = ev.select(
+        "event_type", (F.lead("sec").over(w) - F.col("sec")).alias("dwell")
+    )
+    return d.groupBy("event_type").agg(
+        F.count("dwell").cast("bigint").alias("n_dwells"),
+        F.sum("dwell").cast("bigint").alias("total_dwell_s"),
+        F.sum(F.when(F.col("dwell") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_instant"),
+        F.max("dwell").cast("bigint").alias("max_dwell_s"),
+    )
+
+
+@query(
+    "arpu_weekly",
+    oracle="""
+    WITH wk AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // (86400000000 * 7) AS week_idx,
+             user_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END AS rev_c
+      FROM events
+    )
+    SELECT week_idx,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+           CAST(SUM(rev_c) AS BIGINT) AS revenue_c,
+           CAST(SUM(rev_c) * 10000 // COUNT(DISTINCT user_id) AS BIGINT)
+             AS arpu_e4
+    FROM wk GROUP BY week_idx
+    """,
+)
+def arpu_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly ARPU: purchase revenue divided by DISTINCT active users
+    (any event type counts as active — the denominator choice that
+    separates honest ARPU from 'revenue per payer'), emitted as 1e4
+    fixed-point cents-per-user under truncating division.  Weeks are
+    epoch-aligned 7-day blocks, the same convention as the
+    epoch-day grid everywhere else in the engine.
+
+    Scale shape: ONE aggregate keyed on the bounded week grid; the
+    distinct-user count partial-aggregates; no join at all."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds  # noqa: F401
+
+    wk = t(spark, sf_dir, "events").select(
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV (86400000000 * 7)"
+        ).alias("week_idx"),
+        "user_id",
+        F.expr(
+            "CASE WHEN event_type = 'purchase'"
+            " THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END"
+        ).alias("rev_c"),
+    )
+    return wk.groupBy("week_idx").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users"),
+        F.sum("rev_c").cast("bigint").alias("revenue_c"),
+        F.expr(
+            "CAST(SUM(rev_c) * 10000 DIV COUNT(DISTINCT user_id) AS BIGINT)"
+        ).alias("arpu_e4"),
+    )

@@ -2697,3 +2697,124 @@ def dedup_prefix_suffix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("suf_grp") < F.col("doc_id")).alias("suf_dup"),
         )
     )
+
+
+@query(
+    "knn_label_vote_accuracy",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qe
+      FROM embeddings
+    ),
+    probes AS (SELECT * FROM q WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS probe_label,
+             c.vec_id AS cand_id, c.label AS cand_label,
+             list_sum(list_transform(generate_series(1, len(p.qe)),
+               i -> p.qe[i] * c.qe[i])) AS dot
+      FROM probes p JOIN q c ON c.vec_id <> p.vec_id
+    ),
+    top5 AS (
+      SELECT probe_id, probe_label, cand_label
+      FROM (
+        SELECT probe_id, probe_label, cand_label,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY dot DESC, cand_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT probe_id, probe_label, cand_label, COUNT(*) AS c
+      FROM top5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT probe_id, probe_label,
+             arg_max(cand_label, c * 1000 - cand_label) AS pred_label
+      FROM votes GROUP BY 1, 2
+    )
+    SELECT probe_label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN pred_label = probe_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = probe_label THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS acc_e6
+    FROM pred GROUP BY probe_label
+    """,
+)
+def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification accuracy over the embedding
+    space: every 50th vector becomes a probe, its 5 nearest neighbors
+    (exact 1e3-quantized integer dot products, self excluded, ties by
+    candidate id) vote on its label (majority, ties to the smallest
+    label via the packed c*1000 - label argmax), and per-class
+    accuracy is the readout — the standard 'are these embeddings even
+    separable' sanity check run before training anything on them.
+
+    Scale shape: probes broadcast against the corpus scan (the
+    knn_join_batch pattern — the corpus never shuffles); the top-5
+    window partitions by probe id.  Brute force IS the contract here
+    (it is the ground truth the ann_recall_* harnesses compare
+    against); the production path at 100 TB is sim_search_ivf."""
+    from pyspark.sql import Window
+
+    from instructions_mr_spark.queries._util import t as _t
+
+    q = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+        ).alias("qe"),
+    )
+    probes = q.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("qe").alias("pe"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.expr(
+                "aggregate(zip_with(pe, qe, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dot").desc(), F.col("cand_id").asc()
+    )
+    top5 = scored.select(
+        "probe_id",
+        "probe_label",
+        "cand_label",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("probe_id", "probe_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pred = votes.groupBy("probe_id", "probe_label").agg(
+        F.expr("max_by(cand_label, c * 1000 - cand_label)").alias(
+            "pred_label"
+        )
+    )
+    return pred.groupBy("probe_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("probe_label"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(SUM(CASE WHEN pred_label = probe_label THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("acc_e6"),
+    )

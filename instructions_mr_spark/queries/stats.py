@@ -3599,3 +3599,57 @@ def anova_two_way_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ss_rev"),
         )
     )
+
+
+@query(
+    "daily_value_ribbon",
+    oracle="""
+    SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+             AS day_idx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(quantile_disc(o_totalprice, 0.25) * 100 + 0.5)
+                AS BIGINT) AS p25_c,
+           CAST(FLOOR(quantile_disc(o_totalprice, 0.5) * 100 + 0.5)
+                AS BIGINT) AS p50_c,
+           CAST(FLOOR(quantile_disc(o_totalprice, 0.75) * 100 + 0.5)
+                AS BIGINT) AS p75_c
+    FROM orders GROUP BY 1
+    """,
+)
+def daily_value_ribbon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order-value ribbon: exact DISC quartiles of order total
+    per day (cents) — the p25/p50/p75 band every revenue dashboard
+    shades behind the trend line, and the robust alternative to a
+    daily mean that one whale order can yank around.  DISC (an
+    actual observed value, the percentile_disc_vs_cont contract)
+    keeps the cents exact.
+
+    Scale shape: exact per-day percentiles imply a group-local sort,
+    but grouped on the bounded calendar key — day groups are
+    corpus/2400-sized and sort independently in parallel; for
+    percentiles of corpus-sized groups use the two-phase histogram
+    pattern instead."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                " DIV 86400000000"
+            ).alias("day_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(FLOOR(percentile_disc(0.25) WITHIN GROUP"
+                " (ORDER BY o_totalprice) * 100 + 0.5) AS BIGINT)"
+            ).alias("p25_c"),
+            F.expr(
+                "CAST(FLOOR(percentile_disc(0.5) WITHIN GROUP"
+                " (ORDER BY o_totalprice) * 100 + 0.5) AS BIGINT)"
+            ).alias("p50_c"),
+            F.expr(
+                "CAST(FLOOR(percentile_disc(0.75) WITHIN GROUP"
+                " (ORDER BY o_totalprice) * 100 + 0.5) AS BIGINT)"
+            ).alias("p75_c"),
+        )
+    )

@@ -198,7 +198,9 @@ DRIVER_WINDOW: list[str] = [
 #   modularity_terms_lp, like_any_all_contract, nulls_ordering_contract,
 #   window_percent_rank, greatest_least_null_contract,
 #   lag_features_daily, hour_of_week_matrix, anova_two_way_terms,
-#   binary_encoding_roundtrip, captive_customer_share
+#   binary_encoding_roundtrip, captive_customer_share,
+#   share_of_parent_two_level, dwell_time_by_type, arpu_weekly,
+#   daily_value_ribbon, knn_label_vote_accuracy
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
