@@ -6092,3 +6092,53 @@ def arpu_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(rev_c) * 10000 DIV COUNT(DISTINCT user_id) AS BIGINT)"
         ).alias("arpu_e4"),
     )
+
+
+@query(
+    "topn_revenue_share",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(rev) AS trev FROM per)
+    SELECT l_partkey,
+           CAST(rev AS BIGINT) AS rev_c,
+           CAST(rev * 1000000 // t.trev AS BIGINT) AS share_e6
+    FROM per, tot t
+    ORDER BY rev DESC, l_partkey
+    LIMIT 10
+    """,
+)
+def topn_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hero-SKU table: top-10 parts by exact-cents revenue, each
+    with its 1e6 fixed-point share of TOTAL revenue (not of the
+    top-10) — the 'how dependent are we on our best sellers' slide,
+    deterministic through ties by the partkey tiebreak.
+
+    Scale shape: one part-keyed aggregate, the grand total broadcast
+    via cross join, and a TakeOrderedAndProject top-10 — Spark never
+    materializes a full sort for ORDER BY + LIMIT."""
+    per = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            ).alias("rev")
+        )
+    )
+    tot = per.agg(F.sum("rev").alias("trev"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.col("rev").cast("bigint").alias("rev_c"),
+            F.expr("CAST(rev * 1000000 DIV trev AS BIGINT)").alias(
+                "share_e6"
+            ),
+        )
+        .orderBy(F.col("rev_c").desc(), "l_partkey")
+        .limit(10)
+    )

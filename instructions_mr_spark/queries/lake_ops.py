@@ -1611,3 +1611,60 @@ def linenumber_contiguity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dup_linenum"),
         F.max("mx").cast("bigint").alias("max_linenumber"),
     )
+
+
+@query(
+    "id_time_monotonicity_audit",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    d AS (
+      SELECT user_id,
+             CASE WHEN event_id < LAG(event_id)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id)
+                  THEN 1 ELSE 0 END AS inv
+      FROM ev
+    )
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(inv) AS BIGINT) AS n_inversions,
+           CAST(COUNT(DISTINCT CASE WHEN inv = 1 THEN user_id END)
+                AS BIGINT) AS n_users_with_inversions
+    FROM d
+    """,
+)
+def id_time_monotonicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does event_id order agree with event TIME order per user? —
+    counts the inversions (an id smaller than its time-predecessor's)
+    and the users exhibiting any.  A clean result licenses using the
+    cheap monotonic id as the ordering key in downstream
+    sessionization; inversions mean ids were assigned by a different
+    clock (sharded generators, client timestamps) and every
+    id-ordered window downstream is silently wrong — this audit is
+    the cheap gate before anyone makes that assumption.
+
+    Scale shape: one LAG window partitioned by user, one global
+    conditional rollup — the standard sessionization exchange."""
+    from instructions_mr_spark.queries._util import ts_epoch_micros
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_epoch_micros(F.col("ts")).alias("us")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = ev.select(
+        "user_id",
+        F.when(F.col("event_id") < F.lag("event_id").over(w), 1)
+        .otherwise(0)
+        .alias("inv"),
+    )
+    return d.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("inv").cast("bigint").alias("n_inversions"),
+        F.countDistinct(F.when(F.col("inv") == 1, F.col("user_id")))
+        .cast("bigint")
+        .alias("n_users_with_inversions"),
+    )

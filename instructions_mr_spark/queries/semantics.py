@@ -984,3 +984,86 @@ def binary_encoding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " = left(text, 8)"
         ).alias("hex_roundtrip"),
     )
+
+
+# -------------------------------------- empty-input aggregates
+
+
+@query(
+    "empty_agg_contract",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM customer WHERE c_acctbal > 1e12) AS BIGINT)
+        AS global_count,
+      CAST((SELECT SUM(c_acctbal) FROM customer
+            WHERE c_acctbal > 1e12) IS NULL AS BOOLEAN) AS global_sum_null,
+      CAST((SELECT COUNT(*) FROM (
+              SELECT c_nationkey FROM customer WHERE c_acctbal > 1e12
+              GROUP BY c_nationkey)) AS BIGINT) AS n_groups
+    """,
+)
+def empty_agg_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over an EMPTY input pinned: a global (ungrouped)
+    aggregate still returns exactly ONE row — COUNT 0, SUM NULL —
+    while a GROUP BY over the same empty input returns ZERO rows.
+    The asymmetry is standard SQL and the root of the 'my dashboard
+    shows null instead of nothing' class of bugs; pinning it keeps
+    both engines (and every downstream consumer) honest about which
+    shape they get.
+
+    Scale shape: three scalar subqueries over a filter no row passes
+    — pushdown makes each a metadata-fast scan."""
+    c = t(spark, sf_dir, "customer")
+    empty = c.filter(F.col("c_acctbal") > 1e12)
+    g = empty.agg(
+        F.count(F.lit(1)).cast("bigint").alias("global_count"),
+        F.sum("c_acctbal").isNull().alias("global_sum_null"),
+    )
+    n_groups = (
+        empty.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+    )
+    return g.crossJoin(F.broadcast(n_groups)).select(
+        "global_count", "global_sum_null", "n_groups"
+    )
+
+
+# ------------------------------------------- ISO week edges
+
+
+@query(
+    "iso_week_boundary_contract",
+    oracle="""
+    WITH d AS (
+      SELECT unnest([DATE '2020-12-31', DATE '2021-01-01',
+                     DATE '2021-01-04', DATE '2022-01-01',
+                     DATE '2024-12-30', DATE '2025-01-01']) AS dt
+    )
+    SELECT CAST(dt - DATE '1970-01-01' AS BIGINT) AS day_idx,
+           CAST(date_part('isoyear', dt) AS BIGINT) AS iso_year,
+           CAST(date_part('week', dt) AS BIGINT) AS iso_week
+    FROM d
+    """,
+)
+def iso_week_boundary_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 week numbering at the year boundaries where it bites:
+    2021-01-01 is week 53 OF ISO-YEAR 2020, 2024-12-30 is week 1 of
+    2025 — so grouping by (calendar_year, weekofyear) silently merges
+    rows from different weeks across every New Year.  The contract
+    pins (iso_year, iso_week) pairs on the six canonical trap dates;
+    use these two functions together or not at all.
+
+    Scale shape: a six-row literal contract — no input scan."""
+    dates = ["2020-12-31", "2021-01-01", "2021-01-04", "2022-01-01",
+             "2024-12-30", "2025-01-01"]
+    arr = ", ".join(f"DATE '{d}'" for d in dates)
+    return spark.range(1).select(
+        F.explode(F.expr(f"array({arr})")).alias("dt")
+    ).select(
+        F.datediff("dt", F.lit("1970-01-01")).cast("bigint").alias("day_idx"),
+        F.expr("extract(yearofweek FROM dt)").cast("bigint").alias(
+            "iso_year"
+        ),
+        F.weekofyear("dt").cast("bigint").alias("iso_week"),
+    )

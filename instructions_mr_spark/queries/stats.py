@@ -3653,3 +3653,66 @@ def daily_value_ribbon(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p75_c"),
         )
     )
+
+
+@query(
+    "ratio_metric_terms",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(x) AS BIGINT) AS s_x,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS s_xx,
+           CAST(SUM(y) AS BIGINT) AS s_y,
+           CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS s_yy,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS s_xy
+    FROM per_user GROUP BY arm
+    """,
+)
+def ratio_metric_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method input sheet for a RATIO metric (revenue per
+    event): per experiment arm (user_id parity — the
+    experiment_assignment_srm convention), the exact per-user
+    numerator/denominator moments n, Σx, Σx², Σy, Σy², Σxy — the
+    variance of x̄/ȳ by the delta method is one exact formula over
+    these six numbers, which is how A/B readouts on ratio metrics get
+    correct confidence intervals (naive per-event variance is wrong
+    because users, not events, are the randomization unit).
+
+    Scale shape: one user-keyed aggregate (the corpus exchange), one
+    2-row arm rollup — all map-side combinable; squares in
+    DECIMAL(38,0)."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN event_type = 'purchase'"
+                " THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+                " ELSE 0 END)"
+            ).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+    )
+    return per_user.groupBy(F.col("arm").cast("bigint").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("s_x"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("decimal(38,0)")
+        .alias("s_xx"),
+        F.sum("y").cast("bigint").alias("s_y"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("s_yy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("s_xy"),
+    )

@@ -200,7 +200,9 @@ DRIVER_WINDOW: list[str] = [
 #   lag_features_daily, hour_of_week_matrix, anova_two_way_terms,
 #   binary_encoding_roundtrip, captive_customer_share,
 #   share_of_parent_two_level, dwell_time_by_type, arpu_weekly,
-#   daily_value_ribbon, knn_label_vote_accuracy
+#   daily_value_ribbon, knn_label_vote_accuracy,
+#   ratio_metric_terms, id_time_monotonicity_audit, topn_revenue_share,
+#   empty_agg_contract, iso_week_boundary_contract
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
