@@ -6142,3 +6142,42 @@ def topn_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rev_c").desc(), "l_partkey")
         .limit(10)
     )
+
+
+@query(
+    "value_percentile_lookup",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice < 10000 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS below_10k_e6,
+           CAST(SUM(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS below_100k_e6,
+           CAST(SUM(CASE WHEN o_totalprice < 200000 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS below_200k_e6
+    FROM orders
+    """,
+)
+def value_percentile_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-percentile lookup: what FRACTION of orders falls below
+    each business threshold ($10k / $100k / $200k), as 1e6 fixed
+    point — the opposite direction from percentile queries ('what
+    value is p90' vs 'what p is this value'), and the cheap form:
+    thresholds turn the question into one conditional aggregate, no
+    sort, no histogram.
+
+    Scale shape: ONE map-side-combinable pass over the scan."""
+    return t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CASE WHEN o_totalprice < 10000 THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("below_10k_e6"),
+        F.expr(
+            "CAST(SUM(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("below_100k_e6"),
+        F.expr(
+            "CAST(SUM(CASE WHEN o_totalprice < 200000 THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("below_200k_e6"),
+    )

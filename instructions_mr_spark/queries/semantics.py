@@ -1067,3 +1067,102 @@ def iso_week_boundary_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.weekofyear("dt").cast("bigint").alias("iso_week"),
     )
+
+
+# ------------------------------------------- 3-D cube flags
+
+
+@query(
+    "cube3_grouping_flags",
+    oracle="""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN NULL
+                ELSE l_returnflag END AS l_returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN NULL
+                ELSE l_linestatus END AS l_linestatus,
+           CASE WHEN GROUPING(qty_band) = 1 THEN NULL
+                ELSE qty_band END AS qty_band,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(qty_band) AS BIGINT) AS g_band,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(FLOOR((l_quantity - 1) / 25) AS BIGINT) AS qty_band
+      FROM lineitem
+    )
+    GROUP BY CUBE (l_returnflag, l_linestatus, qty_band)
+    """,
+)
+def cube3_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-dimensional CUBE with explicit per-dimension GROUPING
+    flags: all 2^3 aggregation levels of (flag, status, quantity
+    band) in one pass, each row carrying WHICH dimensions are rolled
+    up as separate 0/1 columns — per-flag columns instead of a packed
+    GROUPING_ID because bit order in grouping_id is an engine
+    convention (and has flipped between systems), while GROUPING(col)
+    is unambiguous everywhere.  NULL group values are disambiguated
+    from genuine NULLs by the same flags.
+
+    Scale shape: Spark expands CUBE into a single shuffle with 8
+    grouping sets computed map-side — one exchange for all levels."""
+    src = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("CAST(FLOOR((l_quantity - 1) / 25) AS BIGINT)").alias(
+            "qty_band"
+        ),
+    )
+    cubed = src.cube("l_returnflag", "l_linestatus", "qty_band").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.grouping("qty_band").cast("bigint").alias("g_band"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return cubed.select(
+        F.when(F.col("g_flag") == 1, F.lit(None))
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+        F.when(F.col("g_status") == 1, F.lit(None))
+        .otherwise(F.col("l_linestatus"))
+        .alias("l_linestatus"),
+        F.when(F.col("g_band") == 1, F.lit(None))
+        .otherwise(F.col("qty_band"))
+        .alias("qty_band"),
+        "g_flag",
+        "g_status",
+        "g_band",
+        "n",
+    )
+
+
+# ------------------------------------- multi-column DISTINCT
+
+
+@query(
+    "count_distinct_multi",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d_user,
+           CAST(COUNT(DISTINCT (event_type, user_id)) AS BIGINT) AS d_pair,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    """,
+)
+def count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-argument COUNT(DISTINCT a, b) alongside the single-column
+    distincts and the raw count — the cardinality quartet that decides
+    join strategies (d_pair vs d_type*d_user says how correlated the
+    columns are) and the surface where engines differ on NULL-pair
+    handling (a pair with any NULL is excluded; pinned here by
+    value).
+
+    Scale shape: Spark plans multiple distinct aggregates via expand
+    — one pass, three distinct streams; all partial-aggregated."""
+    return t(spark, sf_dir, "events").agg(
+        F.countDistinct("event_type").cast("bigint").alias("d_type"),
+        F.countDistinct("user_id").cast("bigint").alias("d_user"),
+        F.countDistinct("event_type", "user_id").cast("bigint").alias(
+            "d_pair"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )

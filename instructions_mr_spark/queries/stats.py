@@ -3716,3 +3716,125 @@ def ratio_metric_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("s_xy"),
     )
+
+
+@query(
+    "feature_target_corr_terms",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT) AS f_qty,
+             CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS f_disc,
+             CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT) AS f_tax,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    long AS (
+      SELECT 'quantity' AS feature, f_qty AS x, y FROM base
+      UNION ALL SELECT 'discount', f_disc, y FROM base
+      UNION ALL SELECT 'tax', f_tax, y FROM base
+    )
+    SELECT feature,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s_x,
+           CAST(SUM(y) AS BIGINT) AS s_y,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS s_xx,
+           CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS s_yy,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS s_xy
+    FROM long GROUP BY feature
+    """,
+)
+def feature_target_corr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-vs-target correlation screen: exact Pearson sufficient
+    statistics of every candidate feature (quantity, discount, tax —
+    1e4 fixed point) against the revenue target (cents), via ONE
+    unpivot and one rollup — r assembles per feature downstream, and
+    features whose |r| is suspiciously high get the leakage
+    interrogation before any model sees them.  The stack-then-
+    aggregate shape is the standard way to screen N features in one
+    pass instead of N jobs.
+
+    Scale shape: per-row stack (3 rows out per input row, no
+    shuffle), one 3-key map-side-combinable rollup; squares in
+    DECIMAL(38,0)."""
+    base = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT)").alias(
+            "f_qty"
+        ),
+        F.expr("CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)").alias(
+            "f_disc"
+        ),
+        F.expr("CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT)").alias("f_tax"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    long = base.selectExpr(
+        "stack(3, 'quantity', f_qty, 'discount', f_disc, 'tax', f_tax)"
+        " AS (feature, x)",
+        "y",
+    )
+    return long.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s_x"),
+        F.sum("y").cast("bigint").alias("s_y"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("decimal(38,0)")
+        .alias("s_xx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("s_yy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y"))
+        .cast("decimal(38,0)")
+        .alias("s_xy"),
+    )
+
+
+@query(
+    "monthly_median_daily_rev",
+    oracle="""
+    WITH daily AS (
+      SELECT date_part('year', o_orderdate) * 12
+               + date_part('month', o_orderdate) AS month_idx,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(month_idx AS BIGINT) AS month_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(quantile_disc(rev, 0.5) AS BIGINT) AS median_daily_rev_c
+    FROM daily GROUP BY 1
+    """,
+)
+def monthly_median_daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal subseries summary: the exact (DISC) median DAILY
+    revenue within each calendar month — the robust month-strength
+    readout a mean-of-days version would let one spike distort, and
+    the input to seasonal-subseries plots.  Two-level construction:
+    days first (exact cents), then a per-month median of ~30 values.
+
+    Scale shape: the day grid is the corpus exchange; the per-month
+    exact median sorts <= 31 values per group — bounded by the
+    calendar, trivially parallel."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+            ).alias("month_idx"),
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+            ).alias("d"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))"
+            ).alias("rev")
+        )
+    )
+    return daily.groupBy("month_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY rev)"
+            " AS BIGINT)"
+        ).alias("median_daily_rev_c"),
+    )

@@ -202,7 +202,9 @@ DRIVER_WINDOW: list[str] = [
 #   share_of_parent_two_level, dwell_time_by_type, arpu_weekly,
 #   daily_value_ribbon, knn_label_vote_accuracy,
 #   ratio_metric_terms, id_time_monotonicity_audit, topn_revenue_share,
-#   empty_agg_contract, iso_week_boundary_contract
+#   empty_agg_contract, iso_week_boundary_contract,
+#   feature_target_corr_terms, monthly_median_daily_rev,
+#   cube3_grouping_flags, count_distinct_multi, value_percentile_lookup
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
