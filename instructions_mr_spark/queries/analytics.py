@@ -6181,3 +6181,51 @@ def value_percentile_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV COUNT(1) AS BIGINT)"
         ).alias("below_200k_e6"),
     )
+
+
+@query(
+    "burst_max_rate_per_user",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      FROM events
+    ),
+    rate AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+               AS r60
+      FROM ev
+    ),
+    peak AS (SELECT user_id, MAX(r60) AS peak60 FROM rate GROUP BY 1)
+    SELECT CAST(peak60 AS BIGINT) AS peak_events_60s,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM peak GROUP BY 1
+    """,
+)
+def burst_max_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: each user's PEAK events-per-trailing-60-seconds
+    (a RANGE frame over epoch seconds, so simultaneous events count
+    together as peers), histogrammed across users — humans top out in
+    single digits, scripted clients do not, and this histogram's tail
+    is the rate-limit policy input.
+
+    Scale shape: one RANGE window partitioned by user_id (the
+    sessionization exchange), a per-user max, and a rollup onto the
+    small peak-rate domain — all map-side combinable."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", ts_epoch_seconds(F.col("ts")).alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-59, Window.currentRow)
+    )
+    rate = ev.select("user_id", F.count(F.lit(1)).over(w).alias("r60"))
+    peak = rate.groupBy("user_id").agg(F.max("r60").alias("peak60"))
+    return peak.groupBy(
+        F.col("peak60").cast("bigint").alias("peak_events_60s")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))

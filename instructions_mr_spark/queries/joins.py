@@ -686,3 +686,80 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "join_range_banded_2d",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.p_partkey AS part_a
+      FROM part a JOIN part b
+        ON a.p_partkey <> b.p_partkey
+       AND b.p_retailprice BETWEEN a.p_retailprice - 10
+                               AND a.p_retailprice + 10
+       AND b.p_size BETWEEN a.p_size - 2 AND a.p_size + 2
+    )
+    SELECT part_a, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+    FROM pairs GROUP BY 1
+    """,
+)
+def join_range_banded_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional banded similarity join: for every part, how
+    many OTHER parts sit within +/-10 price AND +/-2 size — the
+    substitute-product neighborhood count.  The scale path bands BOTH
+    dimensions (price DIV 10, size DIV 2), explodes one side to its
+    3x3 adjacent bucket grid, equi-joins on the composite bucket key,
+    and refines with the exact predicates — the join_range_banded
+    construction lifted to 2-D, where a naive double-theta join
+    degenerates to a nested loop (Okcan & Riedewald's bucketed theta
+    joins generalize dimension-wise).
+
+    Scale shape: the candidate join is an equi-join on (price_bucket,
+    size_bucket) — 9x replication of one side, hash-joinable; the
+    exact band predicates are residual filters inside the join."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_retailprice").alias("a_price"),
+        F.col("p_size").alias("a_size"),
+        F.explode(
+            F.expr(
+                "array(-1, 0, 1)"
+            )
+        ).alias("dbp"),
+    ).select(
+        "a_key",
+        "a_price",
+        "a_size",
+        (F.expr("CAST(FLOOR(a_price / 10) AS BIGINT)") + F.col("dbp")).alias(
+            "bp"
+        ),
+        F.explode(F.expr("array(-1, 0, 1)")).alias("dbs"),
+    ).select(
+        "a_key",
+        "a_price",
+        "a_size",
+        "bp",
+        (F.expr("CAST(FLOOR(a_size / 2) AS BIGINT)") + F.col("dbs")).alias(
+            "bs"
+        ),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_retailprice").alias("b_price"),
+        F.col("p_size").alias("b_size"),
+        F.expr("CAST(FLOOR(p_retailprice / 10) AS BIGINT)").alias("bp"),
+        F.expr("CAST(FLOOR(p_size / 2) AS BIGINT)").alias("bs"),
+    )
+    cand = a.join(b, ["bp", "bs"]).filter(
+        (F.col("a_key") != F.col("b_key"))
+        & (F.col("b_price") >= F.col("a_price") - 10)
+        & (F.col("b_price") <= F.col("a_price") + 10)
+        & (F.col("b_size") >= F.col("a_size") - 2)
+        & (F.col("b_size") <= F.col("a_size") + 2)
+    )
+    return cand.groupBy(F.col("a_key").alias("part_a")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors")
+    )

@@ -1668,3 +1668,105 @@ def id_time_monotonicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_users_with_inversions"),
     )
+
+
+@query(
+    "header_detail_integrity",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT)
+        AS n_childless_orders,
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        AS n_orphan_lines,
+      CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+      CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_lines
+    """,
+)
+def header_detail_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail integrity BOTH directions: orders with zero line
+    items (childless parents — the direction fk_orphan_audit's
+    child->parent scans cannot see) and line items whose order header
+    is missing, with the table totals for rates — the paired
+    ingestion check that catches a dropped detail file versus a
+    dropped header file, which have identical symptoms in revenue
+    totals and opposite fixes.
+
+    Scale shape: two anti joins on the natural orderkey (semi/anti
+    equi-joins, no null-aware path) plus two metadata-cheap counts."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    childless = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_childless_orders"))
+    orphan = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan_lines"))
+    totals = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    ).crossJoin(
+        F.broadcast(
+            li.agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        )
+    )
+    return (
+        childless.crossJoin(F.broadcast(orphan))
+        .crossJoin(F.broadcast(totals))
+        .select("n_childless_orders", "n_orphan_lines", "n_orders", "n_lines")
+    )
+
+
+@query(
+    "order_content_fingerprint",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             ('0x' || substr(md5(
+                CAST(l_partkey AS VARCHAR) || '|' ||
+                CAST(l_suppkey AS VARCHAR) || '|' ||
+                CAST(l_linenumber AS VARCHAR) || '|' ||
+                CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                     AS VARCHAR) || '|' ||
+                CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     AS VARCHAR) || '#31'), 1, 15))::BIGINT AS h
+      FROM lineitem
+    )
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(BIT_XOR(h) AS BIGINT) AS content_xor
+    FROM lines GROUP BY 1
+    """,
+)
+def order_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-level content fingerprint: each line item digested to a
+    60-bit hash of its business fields (exact cents, pipe-delimited),
+    XOR-folded per order — XOR is order-INSENSITIVE, so two replicas
+    of an order match regardless of row arrival order, and one
+    changed/missing/duplicated line flips the fingerprint.  Joining
+    two snapshots on (orderkey, n_lines, content_xor) is the
+    cheapest entity-level replication diff there is (the
+    snapshot_diff idea pushed down to entity granularity).
+
+    Scale shape: per-row hashing on the scan, one order-keyed
+    map-side-combinable aggregate — digests shuffle, bodies never
+    do."""
+    h_expr = (
+        "CAST(CONV(SUBSTRING(MD5(CAST("
+        "CAST(l_partkey AS STRING) || '|' ||"
+        " CAST(l_suppkey AS STRING) || '|' ||"
+        " CAST(l_linenumber AS STRING) || '|' ||"
+        " CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS STRING)"
+        " || '|' ||"
+        " CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " AS STRING) || '#31' AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    lines = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr(h_expr).alias("h")
+    )
+    return lines.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.expr("BIT_XOR(h)").cast("bigint").alias("content_xor"),
+    )
