@@ -6229,3 +6229,101 @@ def burst_max_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak.groupBy(
         F.col("peak60").cast("bigint").alias("peak_events_60s")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@query(
+    "user_dominance_share",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dom AS (
+      SELECT user_id,
+             MAX(n) * 1000000 // SUM(n) AS dom_e6
+      FROM per GROUP BY 1
+    )
+    SELECT CAST(dom_e6 // 100000 AS BIGINT) AS dominance_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM dom GROUP BY 1
+    """,
+)
+def user_dominance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-purpose-ness of each user's activity: the share of their
+    events taken by their MOST frequent event type (1e6 fixed point),
+    histogrammed in 10%-wide bands — a spike at 1.0 means bots or
+    one-feature users, a hump near 1/k means broad engagement; the
+    one-number per-user complement to user_activity_depth's distinct
+    counts.
+
+    Scale shape: one (user, type) aggregate, a per-user max/sum
+    reduce, and a 10-band rollup — all map-side combinable on natural
+    keys."""
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dom = per.groupBy("user_id").agg(
+        F.expr("MAX(n) * 1000000 DIV SUM(n)").alias("dom_e6")
+    )
+    return dom.groupBy(
+        F.expr("CAST(dom_e6 DIV 100000 AS BIGINT)").alias("dominance_decile")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@query(
+    "supplier_customer_hhi",
+    oracle="""
+    WITH spend AS (
+      SELECT l.l_suppkey, o.o_custkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(c) AS BIGINT) AS total_c,
+           CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))
+             AS sumsq_c,
+           CAST(CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) * 1000000 AS HUGEINT)
+                // CAST(CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c) AS HUGEINT)
+                AS BIGINT) AS hhi_e6
+    FROM spend GROUP BY 1
+    """,
+)
+def supplier_customer_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-concentration HHI per supplier: Σ share_i² over the
+    supplier's customers, computed as Σc_i² · 1e6 / (Σc_i)² in exact
+    wide-integer arithmetic (HUGEINT/DECIMAL division — shares never
+    float) — 1e6/n for a perfectly even book, ~1e6 when one customer
+    IS the business; the revenue-at-risk twin of
+    captive_customer_share, from the supplier's side of the table.
+
+    Scale shape: lineitem->orders on the natural orderkey, one
+    (supplier, customer) rollup, one supplier reduce — map-side
+    combinable; squares in DECIMAL(38,0)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    spend = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            ).alias("c")
+        )
+    )
+    return spend.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("c").cast("bigint").alias("total_c"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c"))
+        .cast("decimal(38,0)")
+        .alias("sumsq_c"),
+        F.expr(
+            "CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) * 1000000"
+            " DIV (CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c)) AS BIGINT)"
+        ).alias("hhi_e6"),
+    )

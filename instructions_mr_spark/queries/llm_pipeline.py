@@ -2818,3 +2818,97 @@ def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV COUNT(1) AS BIGINT)"
         ).alias("acc_e6"),
     )
+
+
+@query(
+    "triplet_margin_stats",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qe
+      FROM embeddings
+    ),
+    probes AS (SELECT * FROM q WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS probe_label,
+             c.label AS cand_label,
+             list_sum(list_transform(generate_series(1, len(p.qe)),
+               i -> p.qe[i] * c.qe[i])) AS dot
+      FROM probes p JOIN q c ON c.vec_id <> p.vec_id
+    ),
+    margins AS (
+      SELECT probe_id, probe_label,
+             MAX(CASE WHEN cand_label = probe_label THEN dot END)
+               - MAX(CASE WHEN cand_label <> probe_label THEN dot END)
+               AS margin
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT probe_label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(margin) AS BIGINT) AS s_margin,
+           CAST(SUM(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM margins GROUP BY probe_label
+    """,
+)
+def triplet_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-margin health of the embedding space: for every probe
+    (each 50th vector), the hardest-positive similarity (best
+    same-label dot) minus the hardest-negative similarity (best
+    other-label dot), in exact 1e3-quantized integer units — a
+    non-positive margin means the probe's nearest other-class point
+    beats its own class, the exact failure a triplet/contrastive loss
+    trains away, so per-class violation counts are the 'is this space
+    metrically usable' readout (complementing knn_label_vote_accuracy,
+    which only sees the top-5 consensus).
+
+    Scale shape: probes broadcast against the corpus scan; the
+    hardest-positive/negative reduce is ONE conditional MAX per probe
+    — no window, no top-k sort."""
+    from instructions_mr_spark.queries._util import t as _t
+
+    q = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+        ).alias("qe"),
+    )
+    probes = q.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("qe").alias("pe"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            F.col("label").alias("cand_label"),
+            F.expr(
+                "aggregate(zip_with(pe, qe, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+        )
+    )
+    margins = scored.groupBy("probe_id", "probe_label").agg(
+        (
+            F.max(
+                F.when(F.col("cand_label") == F.col("probe_label"), F.col("dot"))
+            )
+            - F.max(
+                F.when(F.col("cand_label") != F.col("probe_label"), F.col("dot"))
+            )
+        ).alias("margin")
+    )
+    return margins.groupBy("probe_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("margin").cast("bigint").alias("s_margin"),
+        F.sum(F.when(F.col("margin") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+    )

@@ -1166,3 +1166,64 @@ def count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+
+
+# ------------------------------------------- timezone / DST
+
+
+@query(
+    "tz_conversion_contract",
+    oracle="""
+    WITH u AS (
+      SELECT unnest([TIMESTAMPTZ '2024-03-10 06:30:00+00',
+                     TIMESTAMPTZ '2024-03-10 07:30:00+00',
+                     TIMESTAMPTZ '2024-11-03 05:30:00+00',
+                     TIMESTAMPTZ '2024-11-03 06:30:00+00',
+                     TIMESTAMPTZ '2024-06-15 12:00:00+00',
+                     TIMESTAMPTZ '2024-01-15 12:00:00+00']) AS ts,
+             unnest([1, 2, 3, 4, 5, 6]) AS utc_idx
+    )
+    SELECT CAST(utc_idx AS BIGINT) AS utc_idx,
+           strftime(timezone('America/New_York', ts), '%Y-%m-%d %H:%M')
+             AS ny_local,
+           strftime(timezone('Asia/Kolkata', ts), '%Y-%m-%d %H:%M')
+             AS kolkata_local
+    FROM u
+    """,
+)
+def tz_conversion_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA timezone conversion pinned at the DST boundaries: UTC
+    instants straddling the US spring-forward (01:30 EST exists,
+    02:30 does not — 07:30Z lands on 03:30 EDT) and fall-back (05:30Z
+    and 06:30Z BOTH render as 01:30 local — the ambiguous hour), plus
+    a half-hour-offset zone (Asia/Kolkata, +05:30) that catches
+    engines rounding offsets to whole hours.  Wall-clock strings must
+    match byte-for-byte, which pins the tz database semantics, not
+    just the arithmetic.
+
+    Scale shape: a six-row literal contract — no input scan."""
+    instants = [
+        "2024-03-10 06:30:00", "2024-03-10 07:30:00",
+        "2024-11-03 05:30:00", "2024-11-03 06:30:00",
+        "2024-06-15 12:00:00", "2024-01-15 12:00:00",
+    ]
+    arr = ", ".join(
+        f"named_struct('utc_idx', {i + 1}, 'ts', TIMESTAMP '{s}')"
+        for i, s in enumerate(instants)
+    )
+    u = spark.range(1).select(
+        F.explode(F.expr(f"array({arr})")).alias("r")
+    ).select(
+        F.col("r.utc_idx").cast("bigint").alias("utc_idx"),
+        F.col("r.ts").alias("ts"),
+    )
+    return u.select(
+        "utc_idx",
+        F.date_format(
+            F.from_utc_timestamp("ts", "America/New_York"),
+            "yyyy-MM-dd HH:mm",
+        ).alias("ny_local"),
+        F.date_format(
+            F.from_utc_timestamp("ts", "Asia/Kolkata"), "yyyy-MM-dd HH:mm"
+        ).alias("kolkata_local"),
+    )

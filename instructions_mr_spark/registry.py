@@ -206,7 +206,9 @@ DRIVER_WINDOW: list[str] = [
 #   feature_target_corr_terms, monthly_median_daily_rev,
 #   cube3_grouping_flags, count_distinct_multi, value_percentile_lookup,
 #   header_detail_integrity, order_content_fingerprint,
-#   burst_max_rate_per_user, join_range_banded_2d
+#   burst_max_rate_per_user, join_range_banded_2d,
+#   tz_conversion_contract, triplet_margin_stats,
+#   user_dominance_share, supplier_customer_hhi
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
