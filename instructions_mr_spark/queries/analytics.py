@@ -6327,3 +6327,175 @@ def supplier_customer_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c)) AS BIGINT)"
         ).alias("hhi_e6"),
     )
+
+
+@query(
+    "events_to_first_purchase",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    firstbuy AS (
+      SELECT user_id, MIN(ROW(us, event_id)) AS fb
+      FROM ev WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pre AS (
+      SELECT e.user_id, COUNT(*) AS n_before
+      FROM ev e JOIN firstbuy f ON f.user_id = e.user_id
+      WHERE ROW(e.us, e.event_id) < f.fb
+      GROUP BY 1
+    ),
+    buyers AS (
+      SELECT f.user_id, COALESCE(p.n_before, 0) AS n_before
+      FROM firstbuy f LEFT JOIN pre p ON p.user_id = f.user_id
+    )
+    SELECT CAST(n_before AS BIGINT) AS events_before_purchase,
+           CAST(COUNT(*) AS BIGINT) AS n_buyers
+    FROM buyers GROUP BY 1
+    """,
+)
+def events_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion effort histogram: how many events each buyer fired
+    BEFORE their first purchase (strictly before, under the total
+    (time, event_id) order), bucketed by that count — the event-count
+    twin of funnel_time_to_convert's duration view; zero-touch buyers
+    (purchase as first act) land in bucket 0 instead of vanishing,
+    which is exactly the cohort attribution models misplace.
+
+    Scale shape: first-purchase election is a keyed argmin; the
+    before-count is one equi-join on user_id with the tuple
+    comparison as a residual; both rollups map-side combinable."""
+    from instructions_mr_spark.queries._util import ts_epoch_micros
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_epoch_micros(F.col("ts")).alias("us"),
+    )
+    firstbuy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("us", "event_id")).alias("fb"))
+    )
+    pre = (
+        ev.join(F.broadcast(firstbuy), "user_id")
+        .filter(F.struct("us", "event_id") < F.col("fb"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    buyers = firstbuy.join(pre, "user_id", "left").select(
+        F.coalesce("n_before", F.lit(0)).alias("n_before")
+    )
+    return buyers.groupBy(
+        F.col("n_before").cast("bigint").alias("events_before_purchase")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_buyers"))
+
+
+@query(
+    "zero_day_share_by_type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS active_days,
+           CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS span_days,
+           CAST((MAX(d) - MIN(d) + 1 - COUNT(*)) * 1000000
+                // (MAX(d) - MIN(d) + 1) AS BIGINT) AS zero_share_e6
+    FROM daily GROUP BY event_type
+    """,
+)
+def zero_day_share_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-inflation screen per event type: the share of calendar
+    days inside each type's own [first, last] span with NO events —
+    near zero for steady traffic, large for bursty/seasonal types,
+    and the decision input between Poisson and zero-inflated count
+    models (pairs with poisson_dispersion_audit, which conditions on
+    active days only).
+
+    Scale shape: one (type, day) distinct aggregate, one per-type
+    reduce — the span needs only min/max, never a calendar join."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_days"),
+        (F.max("d") - F.min("d") + 1).cast("bigint").alias("span_days"),
+        F.expr(
+            "CAST((MAX(d) - MIN(d) + 1 - COUNT(1)) * 1000000"
+            " DIV (MAX(d) - MIN(d) + 1) AS BIGINT)"
+        ).alias("zero_share_e6"),
+    )
+
+
+@query(
+    "double_charge_candidates",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.o_custkey
+      FROM o a JOIN o b
+        ON a.o_custkey = b.o_custkey
+       AND a.total_c = b.total_c
+       AND a.o_orderkey < b.o_orderkey
+       AND b.d BETWEEN a.d - 7 AND a.d + 7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM pairs
+    """,
+)
+def double_charge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge screen: pairs of DISTINCT orders by the same
+    customer for the IDENTICAL total (exact cents) within 7 calendar
+    days — the classic duplicate-payment signature that exact-dup
+    detection misses (different order keys) and that fuzzy matching
+    overfires on (same customer reordering a different basket at a
+    different price is fine).  Counts pairs and affected customers.
+
+    Scale shape: a self-join EQUI-keyed on (custkey, total cents) —
+    the two high-selectivity keys — with the date band as a residual
+    predicate; the wedge volume is bounded by per-(customer, amount)
+    multiplicity, which is ~1 for honest data."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "total_c"
+        ),
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.total_c") == F.col("b.total_c"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("b.d") >= F.col("a.d") - 7)
+        & (F.col("b.d") <= F.col("a.d") + 7),
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.countDistinct(F.col("a.o_custkey")).cast("bigint").alias(
+            "n_customers"
+        ),
+    )

@@ -1770,3 +1770,51 @@ def order_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.expr("BIT_XOR(h)").cast("bigint").alias("content_xor"),
     )
+
+
+@query(
+    "value_range_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           CAST(SUM(CASE WHEN value > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_huge,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null
+    FROM events GROUP BY event_type
+    """,
+)
+def value_range_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-column range audit per event type: zero / negative /
+    implausibly-huge / NULL counts in one pass — the four buckets
+    that each indicate a DIFFERENT upstream bug (zeros: default-
+    initialized payloads; negatives: refund records mixed into the
+    wrong stream; huge: unit confusion, cents-vs-dollars; NULLs:
+    schema drift) — which is why they are reported separately rather
+    than as one 'bad rows' number.
+
+    Scale shape: one map-side-combinable conditional aggregate on the
+    type key."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("value") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+            F.sum(F.when(F.col("value") > 1000000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_huge"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+        )
+    )

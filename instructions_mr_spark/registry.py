@@ -208,7 +208,9 @@ DRIVER_WINDOW: list[str] = [
 #   header_detail_integrity, order_content_fingerprint,
 #   burst_max_rate_per_user, join_range_banded_2d,
 #   tz_conversion_contract, triplet_margin_stats,
-#   user_dominance_share, supplier_customer_hhi
+#   user_dominance_share, supplier_customer_hhi,
+#   events_to_first_purchase, zero_day_share_by_type,
+#   double_charge_candidates, value_range_audit
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
