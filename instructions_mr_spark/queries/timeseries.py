@@ -853,3 +853,132 @@ def hour_of_week_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+# ------------------------------------- trend acceleration 7v28
+
+
+@query(
+    "trend_accel_7v28",
+    oracle=f"""
+    WITH daily AS (
+      SELECT {_DUCK_DAY_ORD} AS day_idx, {_DUCK_REV} AS x
+      FROM orders GROUP BY 1
+    ),
+    win AS (
+      SELECT day_idx,
+             SUM(x) OVER (ORDER BY day_idx
+                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+             SUM(x) OVER (ORDER BY day_idx
+                          RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS s28
+      FROM daily
+    )
+    SELECT day_idx,
+           CAST(s7 AS BIGINT) AS s7,
+           CAST(s28 AS BIGINT) AS s28,
+           CAST(s7 * 4000000 // s28 AS BIGINT) AS accel_e6
+    FROM win
+    """,
+)
+def trend_accel_7v28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend acceleration: trailing-7-day revenue against trailing-28,
+    normalized so a flat series reads 1e6 (s7 * 4 / s28 in truncating
+    fixed point) — above 1e6 the last week outran the last month
+    (accelerating), below it the trend is rolling over; the momentum
+    oscillator product teams watch daily.  Both frames are RANGE over
+    the integer day index, so missing days age out in wall-clock
+    time.
+
+    Scale shape: the day-keyed aggregate is the only corpus-sized
+    exchange; both RANGE windows share one partitionless pass over
+    the calendar-bounded day grid (allow-listed in
+    tests/test_plans.py)."""
+    daily = _orders_daily(spark, sf_dir)
+    w7 = Window.orderBy("day_idx").rangeBetween(-6, Window.currentRow)
+    w28 = Window.orderBy("day_idx").rangeBetween(-27, Window.currentRow)
+    win = daily.select(
+        "day_idx",
+        F.sum("x").over(w7).alias("s7"),
+        F.sum("x").over(w28).alias("s28"),
+    )
+    return win.select(
+        "day_idx",
+        F.col("s7").cast("bigint").alias("s7"),
+        F.col("s28").cast("bigint").alias("s28"),
+        F.expr("CAST(s7 * 4000000 DIV s28 AS BIGINT)").alias("accel_e6"),
+    )
+
+
+# --------------------------------------- top weekly movers
+
+
+@query(
+    "top_movers_wow_parts",
+    oracle="""
+    WITH wk AS (
+      SELECT l_partkey,
+             epoch_us(CAST(l_shipdate AS TIMESTAMP))
+               // (86400000000 * 7) AS week_idx,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT l_partkey, week_idx, rev,
+             rev - LAG(rev) OVER (PARTITION BY l_partkey
+                                  ORDER BY week_idx) AS delta
+      FROM wk
+    )
+    SELECT l_partkey, week_idx,
+           CAST(rev AS BIGINT) AS rev_c,
+           CAST(delta AS BIGINT) AS delta_c
+    FROM d WHERE delta IS NOT NULL
+    ORDER BY ABS(delta) DESC, l_partkey, week_idx
+    LIMIT 15
+    """,
+)
+def top_movers_wow_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly movers board: the 15 largest absolute week-over-week
+    revenue swings across all (part, week) cells — the 'what changed
+    and when' triage list that turns a wiggly total into named
+    suspects.  LAG runs within each part's own weekly series
+    (ROW-based, so a part skipping a week compares against its last
+    ACTIVE week — stated convention); ordering is total via the
+    (|delta|, part, week) tiebreak.
+
+    Scale shape: one (part, week) aggregate, a LAG window partitioned
+    by part, and a TakeOrderedAndProject top-15 — no global sort
+    materializes."""
+    wk = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey",
+            F.expr(
+                "unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                " DIV (86400000000 * 7)"
+            ).alias("week_idx"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("week_idx")
+    d = wk.select(
+        "l_partkey",
+        "week_idx",
+        "rev",
+        (F.col("rev") - F.lag("rev").over(w)).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    return (
+        d.select(
+            "l_partkey",
+            "week_idx",
+            F.col("rev").cast("bigint").alias("rev_c"),
+            F.col("delta").cast("bigint").alias("delta_c"),
+        )
+        .orderBy(
+            F.abs(F.col("delta_c")).desc(), "l_partkey", "week_idx"
+        )
+        .limit(15)
+    )

@@ -210,7 +210,8 @@ DRIVER_WINDOW: list[str] = [
 #   tz_conversion_contract, triplet_margin_stats,
 #   user_dominance_share, supplier_customer_hhi,
 #   events_to_first_purchase, zero_day_share_by_type,
-#   double_charge_candidates, value_range_audit
+#   double_charge_candidates, value_range_audit,
+#   trend_accel_7v28, top_movers_wow_parts
 
 # Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.

@@ -338,6 +338,7 @@ def test_no_global_window_outside_allowlist(spark, sf_dir):
         "bollinger_breach_daily",    # day grid of a fixed date range
         "drawdown_daily",            # day grid of a fixed date range
         "updown_streaks",            # day grid of a fixed date range
+        "trend_accel_7v28",          # day grid of a fixed date range
         "theil_sen_slope",           # day-pair-bounded slope histogram
         "user_acquisition_curve",    # one row per calendar day
         # language-/vocabulary-sized tables (Zipf: vocab << corpus)
