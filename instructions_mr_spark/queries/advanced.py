@@ -72,7 +72,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier revenue: the 6-table TPC-H Q5 shape.  Dims
-    broadcast; the orders⋈lineitem fact join shuffles on orderkey."""
+    broadcast (nation⋈region is bounded); supplier joins hint-free;
+    the orders⋈lineitem fact join shuffles on orderkey."""
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = t(spark, sf_dir, "nation")
     c = t(spark, sf_dir, "customer")
@@ -85,7 +86,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("o_custkey") == c.c_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == s.s_suppkey)
             & (s.s_nationkey == F.col("c_nationkey")),
         )

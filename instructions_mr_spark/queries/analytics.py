@@ -84,17 +84,21 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted once per (cohort, week-offset) they were active in.
 
     Plan: first_seen is one aggregate on user_id; the join back to
-    events reuses the user_id partitioning (first_seen is also tiny —
-    one row per user — so AQE broadcasts it); the distinct + final
-    rollup group on the small (cohort, offset) key space.  At 100 TB
-    the only wide exchange is the per-user MIN."""
+    events is a plain shuffled equi-join co-partitioned with that
+    aggregate's user_id exchange — NO broadcast hint, because
+    first_seen has one row per user and grows with the corpus (a
+    forced broadcast would OOM at 100x users; AQE may still choose a
+    broadcast when the table is measured small at runtime, and backs
+    off when it is not).  The distinct + final rollup group on the
+    small (cohort, offset) key space.  At 100 TB the only wide
+    exchanges are the per-user MIN and the co-partitioned join."""
     e = t(spark, sf_dir, "events").select("user_id", "ts")
     first_seen = (
         e.groupBy("user_id")
         .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
     )
     activity = (
-        e.join(F.broadcast(first_seen), "user_id")
+        e.join(first_seen, "user_id")
         .select(
             "user_id",
             "cohort_week",
@@ -915,7 +919,9 @@ def supplier_assortment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs appear only where sets actually share an element — the
     sparse-dot-product identity that makes all-pairs Jaccard
     tractable (pair space touched is sum of per-element deg^2, not
-    n^2 sets).  Set sizes are a tiny aggregate, broadcast back onto
+    n^2 sets).  Set sizes are a per-supplier aggregate joined back
+    hint-free (supplier-cardinality scales with sf; AQE broadcasts
+    it while small) onto
     the pair rows.  A hot element (a part every supplier carries)
     quadratically inflates its candidate block — the standard fix at
     scale is dropping ubiquitous elements (df-cap), exactly the stop-
@@ -946,8 +952,8 @@ def supplier_assortment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sz.select(F.col("l_suppkey").alias("supp_a"), F.col("n").alias("n_a"))
     sb = sz.select(F.col("l_suppkey").alias("supp_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "supp_a")
-        .join(F.broadcast(sb), "supp_b")
+        inter.join(sa, "supp_a")
+        .join(sb, "supp_b")
         .select(
             "supp_a",
             "supp_b",
@@ -3055,14 +3061,14 @@ def interpurchase_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one custkey-partitioned LAG window over (customer,
     day) rows — the corpus exchange — then the gap histogram and
-    cumulative picks run on DISTINCT (segment, gap) rows only;
-    segment table broadcasts onto the order scan."""
+    cumulative picks run on DISTINCT (segment, gap) rows only; the
+    customer segment lookup is a plain equi-join (customer scales
+    with sf — no forced broadcast; AQE picks one when measured
+    small)."""
     o = (
         t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
-                t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-            ),
+            t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .selectExpr(
@@ -3485,7 +3491,8 @@ def priceband_segment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue in exact cents, and each cell's share of its segment in
     e6 units.
 
-    Scale shape: the q9 join family — part and customer broadcast,
+    Scale shape: the q9 join family — part and customer join
+    hint-free (both scale with sf; AQE broadcasts while small),
     the only wide exchange is lineitem-orders on orderkey
     (co-partitionable/bucketable); the mix rollup reduces to
     |segments| x |bands| rows and the share window runs there."""
@@ -3495,8 +3502,8 @@ def priceband_segment_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     f = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .selectExpr(
             "c_mktsegment AS segment",
             "CAST(FLOOR(CAST(p_retailprice AS DECIMAL(12,2)) / 10)"
@@ -3558,13 +3565,14 @@ def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     reviews do.  Rates are e6 integers; returned revenue is
     DECIMAL-exact cents.
 
-    Scale shape: part broadcasts onto the fact scan; one
+    Scale shape: part joins hint-free onto the fact scan (AQE
+    broadcasts it while small); one
     map-side-combinable aggregate over 25 bounded brand keys — scan
-    + broadcast-join + partial-agg, nothing else."""
+    + dim-join + partial-agg, nothing else."""
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     f = (
         t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .selectExpr(
             "p_brand AS brand",
             "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret",
@@ -4853,7 +4861,7 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct("ts", "event_id")).alias("fb")
     )
     journey = (
-        e.join(F.broadcast(firstbuy), "user_id", "left")
+        e.join(firstbuy, "user_id", "left")
         .filter(
             F.col("fb").isNull()
             | (F.struct("ts", "event_id") <= F.col("fb"))
@@ -5045,12 +5053,12 @@ def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materialize, so nothing floats); strata with an empty arm
     are dropped on both engines.
 
-    Scale shape: part broadcasts; ONE map-side-combinable ROLLUP
+    Scale shape: part joins hint-free; ONE map-side-combinable ROLLUP
     aggregate produces all strata and the ALL row in a single
     exchange — output is bounded by the size-class domain."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).withColumn(
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).withColumn(
         "size_cls", F.expr("CAST((p_size - 1) DIV 10 AS BIGINT)")
     )
     disc = "CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)"
@@ -5272,7 +5280,8 @@ def repeat_purchase_rate_by_brand(
     any retention target.
 
     Scale shape: lineitem joins orders on the natural l_orderkey key
-    (one corpus-scale shuffle), part broadcasts; the (brand, customer)
+    (one corpus-scale shuffle), part joins hint-free; the (brand,
+    customer)
     distinct-order rollup and the per-brand reduce are both map-side
     combinable."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -5280,7 +5289,7 @@ def repeat_purchase_rate_by_brand(
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     bc = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "o_custkey")
         .agg(F.countDistinct("l_orderkey").alias("n_ord"))
     )
@@ -5376,8 +5385,8 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import/export sheet, and a nontrivial exercise of two independent
     corpus aggregations meeting in a coalesced full join.
 
-    Scale shape: the sell side broadcasts supplier; the buy side
-    shuffles lineitem->orders on the natural orderkey then broadcasts
+    Scale shape: the sell side joins supplier hint-free; the buy side
+    shuffles lineitem->orders on the natural orderkey then joins
     customer's (custkey, nationkey) projection; both collapse to
     nation-domain tables BEFORE the full join, which therefore moves
     ~25 rows."""
@@ -5385,7 +5394,7 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     sell = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .groupBy(F.col("s_nationkey").alias("nkey"))
         .agg(F.expr(cents).alias("sell_c"))
     )
@@ -5393,7 +5402,7 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     buy = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(F.col("c_nationkey").alias("nkey"))
         .agg(F.expr(cents).alias("buy_c"))
     )
@@ -5626,13 +5635,13 @@ def order_brand_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     browsing, and the histogram's shape decides whether
     cross-merchandising is worth shelf space.
 
-    Scale shape: part broadcasts; one order-keyed distinct-count
+    Scale shape: part joins hint-free; one order-keyed distinct-count
     aggregate, then a rollup onto the small diversity domain — both
     map-side combinable."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     per = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("l_orderkey")
         .agg(F.countDistinct("p_brand").alias("n_brands"))
     )
@@ -5949,7 +5958,7 @@ def share_of_parent_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e6 truncating fixed point so the engine never emits a float
     share.
 
-    Scale shape: part broadcasts; one (category, brand) aggregate is
+    Scale shape: part joins hint-free; one (category, brand) aggregate is
     the corpus exchange; category totals and the 1-row grand total
     join back broadcast (the ratio-to-report pattern without any
     window)."""
@@ -5960,7 +5969,7 @@ def share_of_parent_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("split_part(p_type, ' ', 1)").alias("category"),
     )
     leaf = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("category", "p_brand")
         .agg(
             F.expr(
@@ -6381,7 +6390,7 @@ def events_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("us", "event_id")).alias("fb"))
     )
     pre = (
-        ev.join(F.broadcast(firstbuy), "user_id")
+        ev.join(firstbuy, "user_id")
         .filter(F.struct("us", "event_id") < F.col("fb"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_before"))

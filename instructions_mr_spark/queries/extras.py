@@ -163,7 +163,8 @@ def json_from_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional nation pair, fact-fact join with
-    two broadcast dim lookups, yearly rollup."""
+    two forced nation broadcasts (bounded dims), yearly rollup;
+    supplier/customer join hint-free (they scale with sf)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -180,7 +181,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -230,7 +231,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_limit")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(lim, li.l_partkey == lim.pk)
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
@@ -502,7 +503,8 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
-    share) over a month of shipments, fact->dim broadcast join."""
+    share) over a month of shipments, a hint-free fact->dim join
+    (the planner broadcasts part while it is measured small)."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
@@ -510,7 +512,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))"
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.expr(
                 f"ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {rev} "
@@ -679,7 +681,7 @@ def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominate (>10% of shipped volume) at least one Brand#1 part,
     reached through a correlated-aggregate threshold and surfaced via
     a semi-join.  The per-(supp,part) and per-part aggregates reuse
-    one shuffle keyed by partkey; the final semi-join broadcasts the
+    one shuffle keyed by partkey; the final semi-join keeps the
     small dominant-supplier set.  Decimal sums keep the 10*x > total
     comparison exact on both engines."""
     li = t(spark, sf_dir, "lineitem")
@@ -687,7 +689,7 @@ def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.expr(f"SUM({DEC_QTY})").alias("supp_qty"))
     )
@@ -699,7 +701,7 @@ def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
         .orderBy("s_name")
@@ -790,7 +792,8 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier nation's share of a region's
     purchase volume per year — a conditional-sum ratio over a 7-table
-    join (two roles for nation).  Dims broadcast; facts shuffle once
+    join (two roles for nation).  Nation/region are forced
+    broadcasts; supplier joins hint-free; facts shuffle once
     on orderkey."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
@@ -809,7 +812,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
@@ -857,7 +860,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("p_type").isin("PROMO", "ECONOMY") & (F.col("l_quantity") >= 40))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.count("*").alias("n"),
@@ -922,9 +925,12 @@ def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment funnel breakdown: the sessionized view->click->
     purchase funnel joined to the customer dimension and rolled up by
     market segment.  Sessionization shuffles once on user_id; the
-    segment dim is a broadcast; the three funnel stages reuse the
-    (user, sid) partitioning so only the final small rollup
-    re-shuffles.  Conversion = completed funnels / all sessions."""
+    customer dim joins as a plain equi-join — NOT a forced broadcast,
+    because customer grows with the scale factor (AQE may still pick
+    a broadcast when the measured size allows, and backs off when it
+    doesn't); the three funnel stages reuse the (user, sid)
+    partitioning so only the final small rollup re-shuffles.
+    Conversion = completed funnels / all sessions."""
     e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     cust = t(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
@@ -956,7 +962,7 @@ def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = numbered.select("user_id", "sid").distinct()
     return (
-        sess.join(F.broadcast(cust), sess.user_id == F.col("c_custkey"))
+        sess.join(cust, sess.user_id == F.col("c_custkey"))
         .join(views, ["user_id", "sid"], "left")
         .join(clicks, ["user_id", "sid"], "left")
         .join(buys, ["user_id", "sid"], "left")

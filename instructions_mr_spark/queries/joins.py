@@ -51,14 +51,16 @@ def join_inner_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact scans once, dims broadcast — zero fact shuffles
+    """Star join: fact scans once; nation/region are forced broadcasts
+    (fixed 25/5 rows); supplier joins hint-free (it scales with sf —
+    the planner broadcasts it only while measured small)
     before the aggregate."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")

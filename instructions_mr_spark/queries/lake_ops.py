@@ -400,7 +400,7 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             child.select(F.col(ckey).alias("k"))
             .join(
-                F.broadcast(parent.select(F.col(pkey).alias("k"))),
+                parent.select(F.col(pkey).alias("k")),
                 "k",
                 "left_anti",
             )

@@ -1354,7 +1354,8 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- fuzzy decontamination (LSH)
 
 _DUCK_SHINGLE_BENCH = _DUCK_SHINGLE_DOCS.replace(
-    "FROM documents)", "FROM documents WHERE doc_id % 11 = 0)"
+    "FROM documents)",
+    "FROM documents WHERE doc_id % 11 = 0 AND doc_id < 11264)"
 )
 _DUCK_SHINGLE_CORPUS = _DUCK_SHINGLE_DOCS.replace(
     "FROM documents)", "FROM documents WHERE doc_id % 11 <> 0)"
@@ -1413,7 +1414,9 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_bands = _band_rows_of(
         docs.filter(F.col("doc_id") % 11 != 0)
     )
-    bench_bands = _band_rows_of(docs.filter(F.col("doc_id") % 11 == 0)).select(
+    bench_bands = _band_rows_of(
+        docs.filter((F.col("doc_id") % 11 == 0) & (F.col("doc_id") < 11264))
+    ).select(
         F.col("doc_id").alias("bench_id"),
         F.col("shingles").alias("ws_b"),
         "band",
@@ -1606,8 +1609,8 @@ def _cell_blocked_pairs(e, k: int, threshold: float):
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = (
-        cand.join(F.broadcast(ea), "vec_a")
-        .join(F.broadcast(eb), "vec_b")
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a", "vec_b", _cosine_col(F.col("ea"), F.col("eb")).alias("cos")
         )
@@ -2709,7 +2712,7 @@ def dedup_prefix_suffix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS qe
       FROM embeddings
     ),
-    probes AS (SELECT * FROM q WHERE vec_id % 50 = 0),
+    probes AS (SELECT * FROM q WHERE vec_id % 50 = 0 AND vec_id < 3200),
     scored AS (
       SELECT p.vec_id AS probe_id, p.label AS probe_label,
              c.vec_id AS cand_id, c.label AS cand_label,
@@ -2770,7 +2773,9 @@ def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
         ).alias("qe"),
     )
-    probes = q.filter(F.col("vec_id") % 50 == 0).select(
+    probes = q.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    ).select(
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("probe_label"),
         F.col("qe").alias("pe"),
@@ -2830,7 +2835,7 @@ def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS qe
       FROM embeddings
     ),
-    probes AS (SELECT * FROM q WHERE vec_id % 50 = 0),
+    probes AS (SELECT * FROM q WHERE vec_id % 50 = 0 AND vec_id < 3200),
     scored AS (
       SELECT p.vec_id AS probe_id, p.label AS probe_label,
              c.label AS cand_label,
@@ -2877,7 +2882,9 @@ def triplet_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
         ).alias("qe"),
     )
-    probes = q.filter(F.col("vec_id") % 50 == 0).select(
+    probes = q.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 3200)
+    ).select(
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("probe_label"),
         F.col("qe").alias("pe"),

@@ -1767,7 +1767,7 @@ def gini_revenue_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     rev = (
         o.join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            c.select("c_custkey", "c_mktsegment"),
             o.o_custkey == c.c_custkey,
         )
         .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
@@ -1841,7 +1841,7 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     rev = (
         o.join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            c.select("c_custkey", "c_mktsegment"),
             o.o_custkey == c.c_custkey,
         )
         .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")

@@ -664,14 +664,15 @@ def momentum_rank_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     each month (total order: revenue desc, brand) — the 'who moved up
     the leaderboard and how fast' slide of every category review.
 
-    Scale shape: part joins broadcast (dimension table); the corpus
+    Scale shape: part joins as a plain equi-join (no forced hint —
+    part grows with sf; AQE broadcasts it while small); the corpus
     collapses to a (brand, month) grid in one exchange; both windows
     partition on natural keys (brand for LAG, month for RANK — each
     partition is brand- or month-sized, never corpus-sized)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     monthly = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy(
             "p_brand",
             F.expr(
@@ -735,12 +736,13 @@ def promo_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells rather than one opinionated ratio.  The standard causal
     read-out for 'did the promo line outgrow the rest of the catalog'.
 
-    Scale shape: part broadcasts; the whole corpus folds into ONE
+    Scale shape: part joins hint-free (AQE picks the strategy from
+    measured size); the whole corpus folds into ONE
     map-side-combinable conditional aggregate — a single row out, no
     window, no second exchange."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     cents = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
     cut = "TIMESTAMP '1996-01-01'"
 

@@ -136,7 +136,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, supply cost is modeled as 40% of p_retailprice × quantity
     (decimal-exact on both engines).
 
-    Plan: part (filtered by LIKE) + supplier + nation broadcast; the
+    Plan: nation is a forced broadcast (25 rows at every sf); part
+    (filtered by LIKE) and supplier join hint-free — both scale with
+    sf, so the planner broadcasts them only while measured small; the
     only shuffle is lineitem⋈orders on orderkey, then the final
     group-by — exactly the two exchanges you want at 100 TB.
     """
@@ -146,9 +148,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -229,7 +231,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     v = (
-        li.join(F.broadcast(s.join(n, s.s_nationkey == n.n_nationkey)),
+        li.join(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
                 li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.expr(f"SUM({REVENUE}) AS val"))
@@ -345,7 +347,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -375,7 +377,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct suppliers per part group, excluding
     a blacklist (negative-balance suppliers stand in for the
     complaints predicate; lineitem stands in for partsupp).  NOT IN
-    lowers to a broadcast left-anti join (s_suppkey is non-null, so
+    lowers to a left-anti join (s_suppkey is non-null, so
     anti-join ≡ NOT IN).  COUNT(DISTINCT) expands to a two-level agg —
     partial distinct on (group, suppkey) first, so the wide shuffle
     carries deduped pairs."""
@@ -389,8 +391,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -505,7 +507,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     return (
         sole.join(multi, "l_orderkey")
-        .join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .join(s, sole.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
