@@ -38,18 +38,32 @@ class EchoLlmClient:
 
     ``tag=True`` prepends ``[model]`` so tests can distinguish the
     response from its prompt.
+
+    Also exposes ``complete_sync`` — the executor operators dispatch
+    to a loop-free synchronous path when a client provides it (r8
+    verdict item #6: the echo family's cost was pure asyncio
+    scaffolding — per-row coroutine trees, a semaphore, and an event
+    loop around a function that never awaits anything).  Network
+    clients deliberately do NOT provide it, so the async fan-out path
+    with bounded concurrency remains the only way to run real LLM
+    calls.
     """
 
     def __init__(self, conf: LlmConfig | None = None, tag: bool = False):
         self.conf = conf or LlmConfig()
         self.tag = tag
 
-    async def complete(
+    def complete_sync(
         self, messages: list[dict[str, str]], json_schema: dict[str, Any] | None = None
     ) -> str:
         users = [m["content"] for m in messages if m["role"] == "user"]
         body = users[-1] if users else ""
         return f"[{self.conf.model}] {body}" if self.tag else body
+
+    async def complete(
+        self, messages: list[dict[str, str]], json_schema: dict[str, Any] | None = None
+    ) -> str:
+        return self.complete_sync(messages, json_schema)
 
 
 class OpenAILlmClient:

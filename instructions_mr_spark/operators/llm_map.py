@@ -93,6 +93,32 @@ async def call_with_retry(
             attempt += 1
 
 
+def call_with_retry_sync(
+    client: LlmClient,
+    messages: list[dict[str, str]],
+    max_retries: int = 3,
+    backoff_base: float = 0.5,
+    on_error: str = "fail",
+) -> str | None:
+    """Synchronous twin of :func:`call_with_retry` for clients that
+    expose ``complete_sync`` (echo/template/dry-run clients — no I/O,
+    so an event loop is pure overhead).  Identical retry/on_error
+    semantics."""
+    import time
+
+    attempt = 0
+    while True:
+        try:
+            return client.complete_sync(messages)  # type: ignore[attr-defined]
+        except Exception:
+            if attempt >= max_retries:
+                if on_error == "null":
+                    return None
+                raise
+            time.sleep(backoff_base * (2**attempt))
+            attempt += 1
+
+
 def _run_fanout(
     client: LlmClient,
     names: Sequence[str],
@@ -103,7 +129,24 @@ def _run_fanout(
     max_retries: int = 3,
     on_error: str = "fail",
 ) -> dict[str, list[str | None]]:
-    """Run |names| × n_rows calls on one event loop, instruction-major."""
+    """Run |names| × n_rows calls on one event loop, instruction-major.
+
+    Clients that expose ``complete_sync`` (no real I/O) take the
+    loop-free path: same calls, same retry semantics, zero coroutine
+    scaffolding — concurrency is meaningless without I/O to overlap."""
+    if hasattr(client, "complete_sync"):
+        return {
+            name: [
+                call_with_retry_sync(
+                    client,
+                    _chatml(sys_msgs[name], user_msg, model),
+                    max_retries=max_retries,
+                    on_error=on_error,
+                )
+                for user_msg in prompts[name]
+            ]
+            for name in names
+        }
 
     async def _go() -> dict[str, list[str | None]]:
         sem = asyncio.Semaphore(concurrency)
@@ -391,8 +434,56 @@ def instr_fanout_mapreduce_fused(
         + [T.StructField(n, T.StringType()) for n in red_names]
     )
 
+    def _reduce_prompt(name: str, map_out: dict[str, str | None]) -> str:
+        if reduce_style == "xmlwrap":
+            return "".join(
+                f"<{k}>\n{map_out[k] or ''}\n</{k}>\n\n" for k in red_scopes[name]
+            )
+        import json as _json
+
+        return _json.dumps(
+            {k: map_out[k] for k in red_scopes[name]},
+            ensure_ascii=False,
+            separators=(",", ":"),
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory(conf)
+
+        if hasattr(client, "complete_sync"):
+            # Loop-free path for no-I/O clients (echo/template): same
+            # calls and prompts, same retry semantics, no coroutine
+            # scaffolding — see _run_fanout's sync branch.
+            def sync_row(row_prompts: dict[str, str]) -> dict[str, str | None]:
+                map_out = {
+                    n: call_with_retry_sync(
+                        client,
+                        _chatml(map_sys[n], row_prompts[n], conf.model),
+                        max_retries=max_retries,
+                        on_error=on_error,
+                    )
+                    for n in map_names
+                }
+                return {
+                    name: call_with_retry_sync(
+                        client,
+                        _chatml(red_sys[name], _reduce_prompt(name, map_out), conf.model),
+                        max_retries=max_retries,
+                        on_error=on_error,
+                    )
+                    for name in red_names
+                }
+
+            for pdf in batches:
+                results = [
+                    sync_row({n: pdf[f"{_PROMPT_PREFIX}{n}"].iloc[i] for n in map_names})
+                    for i in range(len(pdf))
+                ]
+                out = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
+                for n in red_names:
+                    out[n] = [r[n] for r in results]
+                yield out
+            return
 
         async def per_row(row_prompts: dict[str, str], sem: asyncio.Semaphore):
             async def call(sys_msg: str, user_msg: str):
@@ -417,20 +508,7 @@ def instr_fanout_mapreduce_fused(
             # serialize path (compact JSON of the scoped result dict,
             # byte-matching JVM to_json)
             async def reduce_one(name: str):
-                if reduce_style == "xmlwrap":
-                    prompt = "".join(
-                        f"<{k}>\n{map_out[k] or ''}\n</{k}>\n\n"
-                        for k in red_scopes[name]
-                    )
-                else:
-                    import json as _json
-
-                    prompt = _json.dumps(
-                        {k: map_out[k] for k in red_scopes[name]},
-                        ensure_ascii=False,
-                        separators=(",", ":"),
-                    )
-                return await call(red_sys[name], prompt)
+                return await call(red_sys[name], _reduce_prompt(name, map_out))
 
             red_out = await asyncio.gather(*[reduce_one(n) for n in red_names])
             return dict(zip(red_names, red_out))

@@ -6082,8 +6082,6 @@ def arpu_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE aggregate keyed on the bounded week grid; the
     distinct-user count partial-aggregates; no join at all."""
-    from instructions_mr_spark.queries._util import ts_epoch_seconds  # noqa: F401
-
     wk = t(spark, sf_dir, "events").select(
         F.expr(
             "unix_micros(CAST(ts AS TIMESTAMP)) DIV (86400000000 * 7)"

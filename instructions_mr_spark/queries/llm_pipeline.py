@@ -1105,26 +1105,69 @@ _PAIR_DOT = """
 """
 
 
-# Sign-LSH blocking geometry: _EMB_BANDS bands of _EMB_BITS sign bits
-# each, band b reading dims [b*_EMB_BITS, (b+1)*_EMB_BITS).  8x8 uses
-# all 64 dims and yields 256 buckets/band: expected candidate volume
-# sum(m^2) ~ n^2/256 per band (vs n^2/16 for the old 4x4 — measured 5x
-# faster at sf0.1) while high-cosine recall stays put (P[band match] =
-# p^8 with p = 1 - angle/pi; cosine 0.9 -> ~93% over 8 bands).
+# Sign-LSH blocking geometry: _EMB_BANDS bands of bits(n) sign bits
+# each.  The BASE 8 bits of band b read the disjoint dim slice
+# [b*8, (b+1)*8) (all 64 dims covered, 256 buckets/band: expected
+# candidate volume sum(m^2) ~ n^2/256 per band — vs n^2/16 for the
+# old 4x4, measured 5x faster at sf0.1 — while high-cosine recall
+# stays put: P[band match] = p^bits with p = 1 - angle/pi; cosine
+# 0.9 -> ~93% over 8 bands at 8 bits).
+#
+# WIDTH SCALES WITH THE CORPUS (r8 verdict item #3): with the bucket
+# count fixed, occupancy grows with n and candidates grow ~n^2/2^bits
+# (measured 3.6x per 2x data at sf1->sf2 under fixed 8x8).  bits(n) =
+# 8 + max(0, floor(log2(n / _EMB_N0))), capped at 16, holds per-bucket
+# occupancy ~constant, so candidate volume grows ~LINEARLY in n.  Bits
+# beyond the 8-dim slice read hashed extra dims (b*8 + j*17) mod 64 —
+# 17 is invertible mod 64, so a band's dims are always distinct, and
+# the offsets never collide with its base slice.  Both engines derive
+# n from the same COUNT of the embeddings table (the Spark side's one
+# plan-time action — a table-statistics lookup, exactly what a cost-
+# based planner does), so Spark and the DuckDB oracle always pick the
+# same width.  At every test SF (n <= 20k binds only above _EMB_N0*2)
+# the adaptive arm keeps bits(500)=bits(2000)=8, i.e. the historical
+# 8x8 contract is unchanged where driver rows already exist.
 _EMB_BANDS = 8
-_EMB_BITS = 8
-_EMB_POWS = [2**i for i in range(_EMB_BITS)]
+_EMB_BITS = 8  # base width (bits at n <= _EMB_N0)
+_EMB_BITS_MAX = 16
+_EMB_N0 = 2000  # occupancy anchor: ~n/2^bits held near _EMB_N0/256
+
+
+def _emb_bits_for(n: int) -> int:
+    import math
+
+    if n <= _EMB_N0:
+        return _EMB_BITS
+    return min(
+        _EMB_BITS_MAX, _EMB_BITS + int(math.floor(math.log2(n / _EMB_N0)))
+    )
+
+
+def _emb_dim0(band: int, j: int) -> int:
+    """0-based embedding dim read by bit j of band (see module note)."""
+    if j < _EMB_BITS:
+        return band * _EMB_BITS + j
+    return (band * _EMB_BITS + (j * 17) % 64) % 64
 
 
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH bucketed AS (
+    WITH nb AS (
+      SELECT LEAST({_EMB_BITS_MAX}, {_EMB_BITS} + GREATEST(0,
+               CAST(FLOOR(LOG2(COUNT(*) / {_EMB_N0}.0)) AS INT))) AS bits
+      FROM embeddings
+    ),
+    bucketed AS (
       SELECT vec_id, band,
-             CAST(list_sum(list_transform(range(1, {_EMB_BITS} + 1),
-                  i -> CASE WHEN embedding[band * {_EMB_BITS} + i] > 0
-                            THEN ({_EMB_POWS})[i] ELSE 0 END)) AS INT) AS bucket
-      FROM embeddings, generate_series(0, {_EMB_BANDS - 1}) AS bands(band)
+             CAST(list_sum(list_transform(range(0, bits),
+                  j -> CASE WHEN embedding[
+                         (CASE WHEN j < {_EMB_BITS}
+                               THEN band * {_EMB_BITS} + j
+                               ELSE (band * {_EMB_BITS} + (j * 17) % 64) % 64
+                          END) + 1] > 0
+                            THEN (1 << j) ELSE 0 END)) AS INT) AS bucket
+      FROM embeddings, generate_series(0, {_EMB_BANDS - 1}) AS bands(band), nb
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1143,35 +1186,36 @@ _EMB_POWS = [2**i for i in range(_EMB_BITS)]
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection at scale: random-
-    hyperplane-style sign LSH (_EMB_BANDS bands x _EMB_BITS sign bits,
-    covering all 64 dims) blocks the O(n^2) pair space into
-    per-(band,bucket) groups; exact cosine verifies candidates.  The
-    self-join shuffles on (band, bucket) — candidate volume is sum of
-    bucket^2, not n^2, so the band/bit counts are the recall/cost dial
-    (see _EMB_BANDS note).  Pairs are deduped across bands before the
-    exact-cosine verify so each pair pays the O(d) dot product once.
+    hyperplane-style sign LSH (_EMB_BANDS bands x bits(n) sign bits)
+    blocks the O(n^2) pair space into per-(band,bucket) groups; exact
+    cosine verifies candidates.  The self-join shuffles on
+    (band, bucket) — candidate volume is sum of bucket^2, not n^2.
+    Pairs are deduped across bands before the exact-cosine verify so
+    each pair pays the O(d) dot product once.
 
-    Scale dial (r8 curve, decorrelated fixture): with the bucket count
-    FIXED (8 bands x 2^8 buckets), occupancy grows with n and
-    candidates grow ~n^2/256 — measured sf1->sf2 3.6x per 2x data
-    (output itself now scales linearly; the r7 4.03x was the verbatim-
-    replication clique artifact, retired by gen_sf.py's per-copy
-    signed rotation).  At 100 TB, grow _EMB_BITS with log2(n) to hold
-    occupancy constant (more bands*bits than dims -> hash random dim
-    SUBSETS per band instead of disjoint slices); the oracled contract
-    pins the 8x8 configuration."""
+    Scale dial (r8 verdict item #3, now IMPLEMENTED as the default):
+    the band width grows with the corpus — bits(n) = 8 +
+    floor(log2(n / 2000)), capped at 16 (see the _EMB_BANDS
+    geometry note) — holding per-bucket occupancy ~constant, so
+    candidate volume grows ~linearly in n instead of the measured
+    3.6x per 2x data under the old fixed 8x8 (BENCH_sf1.json r8
+    curve).  Both engines derive bits from the same table COUNT; the
+    Spark count() here is the one plan-time action (a table-stats
+    lookup).  At every historical test SF n <= 2000 keeps bits = 8,
+    so existing driver-green rows are byte-identical."""
     e = t(spark, sf_dir, "embeddings")
-    pows = F.array(*[F.lit(p) for p in _EMB_POWS])
+    bits = _emb_bits_for(e.count())
     bands = F.array(
         *[
-            F.aggregate(
-                F.zip_with(
-                    F.slice("embedding", b * _EMB_BITS + 1, _EMB_BITS),
-                    pows,
-                    lambda x, p: F.when(x > 0, p).otherwise(F.lit(0)),
+            sum(
+                (
+                    F.when(
+                        F.element_at("embedding", _emb_dim0(b, j) + 1) > 0,
+                        F.lit(1 << j),
+                    ).otherwise(F.lit(0))
+                    for j in range(bits)
                 ),
-                F.lit(0),
-                lambda acc, x: acc + x,
+                start=F.lit(0),
             )
             for b in range(_EMB_BANDS)
         ]
@@ -1573,7 +1617,7 @@ def _cell_blocked_pairs(e, k: int, threshold: float):
 
     Plan shape (the part that holds at 100 TB): the cell self-join
     carries NARROW (cell, vec_id) rows — candidate id-pairs dedupe
-    across the top-2 multi-assignment as 16-byte rows, and the
+    across the top-4 multi-assignment as 16-byte rows, and the
     embeddings join BACK by id so each surviving pair pays the O(d)
     cosine exactly once and no array ever rides the candidate
     shuffle.  (The r6 rewrite: deduping via groupBy(first(embedding))
@@ -1588,12 +1632,13 @@ def _cell_blocked_pairs(e, k: int, threshold: float):
     )
 
     cents = train_ivf_centroids(e, k=k, seed=42)
-    # top-3 multi-assignment (was top-2): the r8 decorrelated sf1
-    # fixture removed the trivial cross-copy twin pairs, and top-2
-    # blocking recalled only 0.44 of the genuine cos>=0.4 audit pairs
-    # there; top-3 measures 0.63 (top-4 0.81 at +50% candidates) —
-    # 1.5x candidate volume, still linear in n
-    cells = assign_topm_cells(e, cents, m=3).select("cell", "vec_id")
+    # top-4 multi-assignment (r8 verdict item #4 — was top-2 -> top-3):
+    # on the decorrelated sf1 fixture at cos>=0.4 blocking recall
+    # measured 0.44 (top-2) / 0.63 (top-3) / 0.81 (top-4); a dedup
+    # gate at 0.63 silently ships 37% of true near-dups, so top-4 is
+    # the default operating point — ~1.3x top-3's candidate volume,
+    # still linear in n (cell size stays constant via the adaptive k)
+    cells = assign_topm_cells(e, cents, m=4).select("cell", "vec_id")
     a, b = cells.alias("a"), cells.alias("b")
     cand = (
         a.join(
@@ -1645,8 +1690,10 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): block the
     O(n^2) pair space with k-means cells (k adaptive — constant cell
     size, see _SEMDEDUP_CELL_TARGET — so candidates scale LINEARLY in
-    n), top-2 multi-assignment so boundary-straddling pairs still
-    share a block, exact cosine within blocks, drop any vector with a
+    n), top-4 multi-assignment so boundary-straddling pairs still
+    share a block (measured blocking recall 0.81 at sf1 vs 0.63 for
+    top-3 — see _cell_blocked_pairs), exact cosine within blocks,
+    drop any vector with a
     lower-id neighbor above the threshold.  Centroids aren't
     SQL-expressible, so the driver-checked contract has two parts:
     VALUE-BEARING — the sampled brute-force audit (all pairs among
@@ -2755,6 +2802,15 @@ def knn_label_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     label via the packed c*1000 - label argmax), and per-class
     accuracy is the readout — the standard 'are these embeddings even
     separable' sanity check run before training anything on them.
+
+    Packed-key envelope (the agg_argminmax convention): the argmax
+    key c*1000 - label is a total order ONLY while labels are
+    non-negative and < 1000 — the vote count c <= 5 and the testdata
+    label domain is [0, 10), so the envelope holds with 2 orders of
+    magnitude headroom; a label domain reaching 1000 (or negative)
+    must widen the multiplier on BOTH engines (the DuckDB oracle
+    shares the same packing, so a silent overflow would corrupt both
+    sides identically — this docstring is the guard).
 
     Scale shape: probes broadcast against the corpus scan (the
     knn_join_batch pattern — the corpus never shuffles); the top-5

@@ -343,9 +343,10 @@ def window_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
                AS hour_start,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
              SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
-      FROM events GROUP BY 1
+      FROM events GROUP BY 1, 2
     )
     SELECT hour_start,
            CAST(COUNT(*) OVER w AS BIGINT) AS n,
@@ -357,17 +358,16 @@ def window_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER w * SUM(x * y) OVER w
                 - SUM(x) OVER w * SUM(y) OVER w AS BIGINT) AS corr_num
     FROM h
-    WINDOW w AS (ORDER BY hour_start ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (ORDER BY hr RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
     """,
 )
 def rolling_corr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling click-purchase correlation over a trailing window of
-    the 24 most recent OBSERVED hours (a ROWS BETWEEN 23 PRECEDING
-    frame over the hour grid — on data with missing hours the window
-    silently stretches in wall-clock time; use a RANGE frame over
-    epoch-hour integers, as moving_7d_revenue does, when gaps must
-    not widen the window), in EXACT integer sufficient statistics:
-    per hour, the six
+    """Rolling click-purchase correlation over the trailing 24
+    WALL-CLOCK hours: a RANGE frame over epoch-hour integers (the
+    moving_7d_revenue pattern — r8 verdict item #5), so a gap in the
+    hour grid NARROWS the window instead of silently stretching it
+    in wall-clock time the way the previous ROWS frame did.  Exact
+    integer sufficient statistics: per hour, the six
     sums (n, Sx, Sy, Sxy, Sxx, Syy) plus the correlation numerator
     n*Sxy - Sx*Sy — the reader forms r with two square roots, but no
     float ever crosses the engines (a float rolling corr accumulates
@@ -381,11 +381,14 @@ def rolling_corr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = t(spark, sf_dir, "events")
-    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
+    h = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hr"),
+    ).agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
     )
-    w = Window.orderBy("hour_start").rowsBetween(-23, 0)
+    w = Window.orderBy("hr").rangeBetween(-23, 0)
     return h.select(
         "hour_start",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
