@@ -1198,11 +1198,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(log2(n / 2000)), capped at 16 (see the _EMB_BANDS
     geometry note) — holding per-bucket occupancy ~constant, so
     candidate volume grows ~linearly in n instead of the measured
-    3.6x per 2x data under the old fixed 8x8 (BENCH_sf1.json r8
-    curve).  Both engines derive bits from the same table COUNT; the
-    Spark count() here is the one plan-time action (a table-stats
-    lookup).  At every historical test SF n <= 2000 keeps bits = 8,
-    so existing driver-green rows are byte-identical."""
+    3.6x per 2x data under the old fixed 8x8: re-curved at r9,
+    candidates sf1 777k -> sf2 1.557M (2.00x per 2x), wall time
+    8.36s -> 3.28s at sf1 and 29.86s -> 4.72s at sf2
+    (BENCH_sf1.json round9_adaptive_lsh_width).  Both engines derive
+    bits from the same table COUNT; the Spark count() here is the one
+    plan-time action (a table-stats lookup).  At every historical
+    test SF n <= 2000 keeps bits = 8, so existing driver-green rows
+    are byte-identical.
+
+    Operating regime (measured, r9): on 200 planted noise-twin
+    near-dups at sf1 — the high-cosine regime sign-LSH is built for —
+    blocking recall is 1.0 at BOTH 8 and 11 bits, i.e. the width
+    growth is free where this operator operates.  At the weak 0.4
+    threshold the recall tradeoff is real (0.174 -> 0.039 at sf1);
+    that regime's tool is the SemDeDup cell blocking
+    (semdedup_cells, top-4 multi-assignment, measured recall 0.818
+    at sf1), not hyperplane LSH."""
     e = t(spark, sf_dir, "embeddings")
     bits = _emb_bits_for(e.count())
     bands = F.array(
