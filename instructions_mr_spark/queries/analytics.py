@@ -6506,3 +6506,525 @@ def double_charge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers"
         ),
     )
+
+
+# ================================================================ round 9
+# Revenue decomposition, demand-variability classes, trade flows,
+# effect sizes, session entry/exit, changepoint-by-SSE, time-split
+# hygiene — the analytics shapes a 100 TB warehouse reports daily.
+
+
+@query(
+    "trade_flow_matrix",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4))) * 100) AS BIGINT))
+               AS BIGINT) AS rev_cents
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supplier-nation x customer-nation trade matrix — TPC-H
+    Q7 generalized from one nation pair to the complete |N| x |N|
+    flow grid (exact cents), the input to any trade-imbalance or
+    gravity-model readout.
+
+    Scale shape: facts shuffle once on orderkey for the
+    lineitem-orders join; the two nation lookups are forced
+    broadcasts (25 rows at every sf — the one legitimately hinted
+    dim); supplier/customer join hint-free (they scale with sf; the
+    planner broadcasts them only while measured small); the final
+    rollup groups on a bounded 25x25 key space, map-side
+    combinable."""
+    li = t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "l_suppkey",
+        "CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(8,4))) * 100) AS BIGINT) AS cents",
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+@query(
+    "price_volume_bridge",
+    oracle="""
+    WITH m AS (
+      SELECT p_brand AS brand,
+             EXTRACT(year FROM l_shipdate) * 12
+               + EXTRACT(month FROM l_shipdate) AS m_idx,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(8,4))) * 100)
+                      AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    last_m AS (SELECT MAX(m_idx) AS m1 FROM m),
+    two AS (
+      SELECT brand,
+             SUM(CASE WHEN m_idx = m1 - 1 THEN q ELSE 0 END) AS q0,
+             SUM(CASE WHEN m_idx = m1 THEN q ELSE 0 END) AS q1,
+             SUM(CASE WHEN m_idx = m1 - 1 THEN rev_c ELSE 0 END) AS rev0,
+             SUM(CASE WHEN m_idx = m1 THEN rev_c ELSE 0 END) AS rev1
+      FROM m, last_m GROUP BY brand
+    )
+    SELECT brand,
+           CAST(q0 AS BIGINT) AS q0, CAST(q1 AS BIGINT) AS q1,
+           CAST(rev0 AS BIGINT) AS rev0_cents,
+           CAST(rev1 AS BIGINT) AS rev1_cents,
+           CAST(rev1 - rev0 AS BIGINT) AS delta_cents,
+           CAST(CASE WHEN q1 >= q0 THEN rev0 * (q1 - q0) // q0
+                     ELSE -(rev0 * (q0 - q1) // q0) END AS BIGINT)
+             AS volume_effect_cents,
+           CAST(rev1 - rev0
+                - (CASE WHEN q1 >= q0 THEN rev0 * (q1 - q0) // q0
+                        ELSE -(rev0 * (q0 - q1) // q0) END) AS BIGINT)
+             AS price_effect_cents
+    FROM two WHERE q0 > 0 AND q1 > 0
+    ORDER BY brand
+    """,
+)
+def price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume bridge per brand between the last two calendar
+    months of shipments: delta revenue split into a volume effect
+    (base-month unit economics applied to the quantity change,
+    truncating integer division on NON-NEGATIVE operands only — the
+    sign is factored out so Spark's DIV and DuckDB's // agree) and
+    the residual price/mix effect.  The standard FP&A 'why did
+    revenue move' decomposition.
+
+    Scale shape: one (brand, month)-keyed aggregate over the fact
+    scan (map-side combinable; part joins hint-free), a 1-row MAX
+    month broadcast, and a 25-brand readout."""
+    li = t(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "year(l_shipdate) * 12 + month(l_shipdate) AS m_idx",
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(8,4))) * 100) AS BIGINT) AS cents",
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("brand"))
+    m = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("brand", "m_idx")
+        .agg(F.sum("qty").alias("q"), F.sum("cents").alias("rev_c"))
+    )
+    m1 = m.agg(F.max("m_idx").alias("m1"))
+    two = (
+        m.crossJoin(F.broadcast(m1))
+        .groupBy("brand")
+        .agg(
+            F.sum(F.when(F.col("m_idx") == F.col("m1") - 1, F.col("q")).otherwise(0)).alias("q0"),
+            F.sum(F.when(F.col("m_idx") == F.col("m1"), F.col("q")).otherwise(0)).alias("q1"),
+            F.sum(F.when(F.col("m_idx") == F.col("m1") - 1, F.col("rev_c")).otherwise(0)).alias("rev0"),
+            F.sum(F.when(F.col("m_idx") == F.col("m1"), F.col("rev_c")).otherwise(0)).alias("rev1"),
+        )
+        .filter((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    vol = (
+        "CASE WHEN q1 >= q0 THEN rev0 * (q1 - q0) DIV q0"
+        " ELSE -(rev0 * (q0 - q1) DIV q0) END"
+    )
+    return two.selectExpr(
+        "brand",
+        "CAST(q0 AS BIGINT) AS q0",
+        "CAST(q1 AS BIGINT) AS q1",
+        "CAST(rev0 AS BIGINT) AS rev0_cents",
+        "CAST(rev1 AS BIGINT) AS rev1_cents",
+        "CAST(rev1 - rev0 AS BIGINT) AS delta_cents",
+        f"CAST({vol} AS BIGINT) AS volume_effect_cents",
+        f"CAST(rev1 - rev0 - ({vol}) AS BIGINT) AS price_effect_cents",
+    ).orderBy("brand")
+
+
+@query(
+    "xyz_demand_variability",
+    oracle="""
+    WITH wk AS (
+      SELECT l_partkey,
+             epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 604800000000 AS w,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey, COUNT(*) AS n_active,
+             SUM(q) AS tot, SUM(q * q) AS ss
+      FROM wk GROUP BY 1
+    ),
+    classed AS (
+      SELECT l_partkey, tot,
+             (n_active * ss - tot * tot) * 1000000 // (tot * tot) AS cv2_e6
+      FROM per_part
+    )
+    SELECT CASE WHEN cv2_e6 < 250000 THEN 'X'
+                WHEN cv2_e6 < 1000000 THEN 'Y' ELSE 'Z' END AS xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(tot) AS BIGINT) AS total_qty
+    FROM classed GROUP BY 1 ORDER BY 1
+    """,
+)
+def xyz_demand_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (the ABC companion):
+    per-part weekly demand coefficient of variation squared over the
+    part's ACTIVE weeks (intermittency — the zero-week share — is its
+    own signal, measured by zero_day_share_by_type /
+    poisson_dispersion_audit; XYZ conditions on weeks with demand),
+    as the exact integer cv2_e6 = (W*SS - T^2)*1e6 DIV T^2; parts
+    class as X (cv < 0.5, steady — forecastable), Y (cv < 1), Z
+    (lumpy).  Envelope: per-part
+    total quantity is bounded by the ~30 lines/part TPC-H ratio
+    (constant in sf), so T^2 * 1e6 stays far inside BIGINT at any sf.
+
+    Scale shape: one (part, week) aggregate, one part aggregate (both
+    map-side combinable, same part-keyed exchange), and a 3-row
+    readout."""
+    wk = (
+        t(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_partkey",
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 604800000000 AS w",
+            "CAST(l_quantity AS BIGINT) AS qty",
+        )
+        .groupBy("l_partkey", "w")
+        .agg(F.sum("qty").alias("q"))
+    )
+    per_part = wk.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum("q").alias("tot"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    classed = per_part.selectExpr(
+        "tot",
+        "(n_active * ss - tot * tot) * 1000000 DIV (tot * tot) AS cv2_e6",
+    )
+    return (
+        classed.selectExpr(
+            "CASE WHEN cv2_e6 < 250000 THEN 'X'"
+            " WHEN cv2_e6 < 1000000 THEN 'Y' ELSE 'Z' END AS xyz_class",
+            "tot",
+        )
+        .groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("tot").cast("bigint").alias("total_qty"),
+        )
+        .orderBy("xyz_class")
+    )
+
+
+@query(
+    "effect_size_cohens_d_terms",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment AS seg,
+             CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) AS d
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    )
+    SELECT
+      CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      CAST(SUM(CASE WHEN seg = 'BUILDING' THEN d ELSE 0 END) AS BIGINT) AS sum_a,
+      CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN d ELSE 0 END) AS BIGINT) AS sum_b,
+      CAST(SUM(CASE WHEN seg = 'BUILDING' THEN d * d ELSE 0 END) AS BIGINT) AS ss_a,
+      CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN d * d ELSE 0 END) AS BIGINT) AS ss_b
+    FROM j
+    """,
+)
+def effect_size_cohens_d_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d sufficient statistics for BUILDING vs MACHINERY order
+    values (whole dollars, floored DECIMAL-exact): counts, sums and
+    sums of squares per arm — the reader forms
+    d = (m_a - m_b) / s_pooled with two divisions and a square root,
+    but no float ever crosses the engines (the house *_terms
+    convention).  The 'is this segment difference material or just
+    big-n significant' readout that p-values alone miss.  Envelope:
+    dollars <= ~6e5, d^2 <= 3.6e11, BIGINT holds past 1e7 orders per
+    arm (sf100).
+
+    Scale shape: one customer-keyed equi-join (dim hint-free) feeding
+    a single global conditional aggregate — map-side combinable, one
+    result row."""
+    j = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .selectExpr(
+            "c_mktsegment AS seg",
+            "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) AS d",
+        )
+    )
+    a = F.col("seg") == "BUILDING"
+    b = F.col("seg") == "MACHINERY"
+    return j.agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(b, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(a, F.col("d")).otherwise(0)).cast("bigint").alias("sum_a"),
+        F.sum(F.when(b, F.col("d")).otherwise(0)).cast("bigint").alias("sum_b"),
+        F.sum(F.when(a, F.col("d") * F.col("d")).otherwise(0)).cast("bigint").alias("ss_a"),
+        F.sum(F.when(b, F.col("d") * F.col("d")).otherwise(0)).cast("bigint").alias("ss_b"),
+    )
+
+
+@query(
+    "session_entry_exit_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      FROM events
+    ),
+    gaps AS (
+      SELECT *, CASE WHEN sec - LAG(sec) OVER w <= 1800 THEN 0 ELSE 1 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ),
+    ends AS (
+      SELECT DISTINCT user_id, sid,
+             FIRST_VALUE(event_type) OVER w2 AS entry_type,
+             LAST_VALUE(event_type) OVER w2 AS exit_type
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY sec, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM ends GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def session_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit matrix: the 30-minute-gap sessionization
+    every funnel op shares, read out as how sessions START x how they
+    END (first and last event type under the total (time, event_id)
+    order) — the landing-page/exit-page table that shows whether
+    sessions opened by a view die there or convert.
+
+    Scale shape: ONE user-keyed exchange drives the LAG
+    sessionization AND both first/last window passes (same
+    partitioning, re-sorted in place); the matrix rollup groups on a
+    bounded |types|^2 key space."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        ts_epoch_seconds(F.col("ts")).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    brk = F.when(
+        F.col("sec") - F.lag("sec").over(w) <= 1800, 0
+    ).otherwise(1)
+    sess = e.withColumn(
+        "sid",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "sid")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ends = sess.select(
+        "user_id",
+        "sid",
+        F.first("event_type").over(w2).alias("entry_type"),
+        F.last("event_type").over(w2).alias("exit_type"),
+    ).distinct()
+    return (
+        ends.groupBy("entry_type", "exit_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+@query(
+    "best_split_sse_terms",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // 100 AS x
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, x,
+             SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cs,
+             COUNT(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cn
+      FROM daily
+    ),
+    tot AS (SELECT SUM(x) AS s, COUNT(*) AS n FROM daily),
+    objs AS (
+      SELECT day,
+             cs * cs * 1000 // cn
+               + (s - cs) * (s - cs) * 1000
+                 // (CASE WHEN n - cn = 0 THEN 1 ELSE n - cn END) AS obj_e3
+      FROM cum, tot WHERE cn < n
+    ),
+    best AS (SELECT MAX(obj_e3) AS bo FROM objs)
+    SELECT CAST(MIN(day) AS BIGINT) AS best_split_day,
+           CAST(bo AS BIGINT) AS best_obj_e3,
+           CAST((SELECT s * s * 1000 // n FROM tot) AS BIGINT) AS base_obj_e3,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_days
+    FROM objs, best WHERE obj_e3 = bo GROUP BY bo
+    """,
+)
+def best_split_sse_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single changepoint by SSE reduction over the daily revenue
+    series (binary segmentation, first split): the day boundary whose
+    two-segment fit maximizes S_l^2/n_l + S_r^2/n_r — exactly the
+    split minimizing total within-segment SSE (the sum-of-squares
+    identity), in e3 integer arithmetic on whole dollars (both
+    engines truncate identically; ties resolve to the EARLIEST day).
+    Complements cusum_changepoint (drift detection) with the
+    variance-reduction view.  Envelope: daily dollars <= ~1e7 at
+    sf100 -> S^2 * 1e3 <= ~1e17, inside BIGINT.
+
+    Scale shape: the corpus collapses to the bounded day grid in one
+    map-side-combinable aggregate; the prefix sums are one ordered
+    pass over that calendar-bounded grid (the documented
+    partitionless-window exemption class), and the argmax is a 1-row
+    broadcast + min-day election."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .selectExpr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS day",
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c",
+        )
+        .groupBy("day")
+        .agg(F.expr("SUM(c) DIV 100").alias("x"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "day",
+        F.sum("x").over(w).alias("cs"),
+        F.count(F.lit(1)).over(w).alias("cn"),
+    )
+    tot = daily.agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    objs = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cn") < F.col("n"))
+        .selectExpr(
+            "day",
+            # the CASE guard keeps ANSI Spark from tripping on the
+            # filtered-out last row (codegen can evaluate the
+            # projection alongside the cn < n filter)
+            "cs * cs * 1000 DIV cn + (s - cs) * (s - cs) * 1000"
+            " DIV (CASE WHEN n - cn = 0 THEN 1 ELSE n - cn END) AS obj_e3",
+        )
+    )
+    best = objs.agg(F.max("obj_e3").alias("bo"))
+    base = tot.selectExpr("s * s * 1000 DIV n AS base_obj_e3", "n")
+    return (
+        objs.crossJoin(F.broadcast(best))
+        .filter(F.col("obj_e3") == F.col("bo"))
+        .crossJoin(F.broadcast(base))
+        .groupBy("bo")
+        .agg(
+            F.min("day").cast("bigint").alias("best_split_day"),
+            F.max("bo").cast("bigint").alias("best_obj_e3"),
+            F.max("base_obj_e3").cast("bigint").alias("base_obj_e3"),
+            F.max("n").cast("bigint").alias("n_days"),
+        )
+        .select("best_split_day", "best_obj_e3", "base_obj_e3", "n_days")
+    )
+
+
+@query(
+    "time_split_boundary_audit",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ),
+    thr AS (SELECT (MIN(day) + MAX(day)) // 2 AS t FROM e),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN day <= t THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN day > t THEN 1 ELSE 0 END) AS in_test,
+             SUM(CASE WHEN day <= t THEN 1 ELSE 0 END) AS n_tr,
+             SUM(CASE WHEN day > t THEN 1 ELSE 0 END) AS n_te
+      FROM e, thr GROUP BY 1
+    )
+    SELECT CAST((SELECT t FROM thr) AS BIGINT) AS split_day,
+           CAST(SUM(n_tr) AS BIGINT) AS n_train_rows,
+           CAST(SUM(n_te) AS BIGINT) AS n_test_rows,
+           CAST(SUM(in_train) AS BIGINT) AS users_train,
+           CAST(SUM(in_test) AS BIGINT) AS users_test,
+           CAST(SUM(in_train * in_test) AS BIGINT) AS users_both,
+           CAST(SUM(in_train * in_test) * 1000000 // SUM(in_test) AS BIGINT)
+             AS straddle_share_e6
+    FROM per_user
+    """,
+)
+def time_split_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split hygiene: split the event stream at
+    the midpoint day and report row/user counts per side plus the
+    users present on BOTH sides — the population whose test-side
+    behavior is entangled with training history (the entity-overlap
+    leak a random split hides and a time split makes visible;
+    complements split_leakage_audit's content-hash view with the
+    entity view).
+
+    Scale shape: a 1-row min/max broadcast fixes the boundary; ONE
+    user-keyed aggregate computes per-user side membership; the
+    readout is a global sum."""
+    e = t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS day",
+    )
+    thr = e.agg(F.expr("(MIN(day) + MAX(day)) DIV 2").alias("t"))
+    per_user = (
+        e.crossJoin(F.broadcast(thr))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("day") <= F.col("t"), 1).otherwise(0)).alias("in_train"),
+            F.max(F.when(F.col("day") > F.col("t"), 1).otherwise(0)).alias("in_test"),
+            F.sum(F.when(F.col("day") <= F.col("t"), 1).otherwise(0)).alias("n_tr"),
+            F.sum(F.when(F.col("day") > F.col("t"), 1).otherwise(0)).alias("n_te"),
+            F.max("t").alias("t"),
+        )
+    )
+    return per_user.agg(
+        F.max("t").cast("bigint").alias("split_day"),
+        F.sum("n_tr").cast("bigint").alias("n_train_rows"),
+        F.sum("n_te").cast("bigint").alias("n_test_rows"),
+        F.sum("in_train").cast("bigint").alias("users_train"),
+        F.sum("in_test").cast("bigint").alias("users_test"),
+        F.sum(F.col("in_train") * F.col("in_test")).cast("bigint").alias("users_both"),
+        F.expr(
+            "CAST(SUM(in_train * in_test) * 1000000 DIV SUM(in_test) AS BIGINT)"
+        ).alias("straddle_share_e6"),
+    )

@@ -2987,3 +2987,226 @@ def triplet_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_violations"),
     )
+
+
+# ================================================================ round 9
+# MMR diversified retrieval + exact-duplicate vector audit.
+
+_MMR_POOL = 20
+_MMR_K = 5
+
+# e6-integer cosine fragments (FLOOR(x*1e6 + 0.5) of the 6-dp-rounded
+# double — identical rounding on both engines, negative-safe).
+_CQ_E6_DUCK = f"CAST(FLOOR(({_DOT}) * 1000000 + 0.5) AS BIGINT)"
+
+
+def _mmr_oracle() -> str:
+    """Unrolled {K}-step MMR selection (the greedy_set_cover_sources
+    oracle pattern): each step scores the remaining pool by
+    rel - max-sim-to-picked (lambda = 1/2) and picks the argmax
+    (ties to the smallest vec_id via ORDER BY ... LIMIT 1)."""
+    pair_dot_e6 = """
+    CAST(FLOOR(ROUND(
+      list_reduce(list_transform(range(1, len(ea.embedding) + 1),
+                  i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+                  (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))
+         * sqrt(list_reduce(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * x), (a,b) -> a+b))),
+    6) * 1000000 + 0.5) AS BIGINT)
+    """
+    steps = []
+    prev = "p1"
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+    s{k} AS (
+      SELECT c.vec_id, c.cq_e6,
+             c.cq_e6 - MAX(s.s_e6) AS score
+      FROM cand c JOIN sim s ON s.va = c.vec_id
+      WHERE s.vb IN (SELECT vec_id FROM {prev})
+        AND c.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY c.vec_id, c.cq_e6
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    ),
+    p{k} AS (
+      SELECT * FROM {prev}
+      UNION ALL SELECT CAST({k} AS BIGINT), vec_id, cq_e6 FROM s{k}
+    )""")
+        prev = f"p{k}"
+    return f"""
+    WITH cand AS (
+      SELECT e.vec_id, {_CQ_E6_DUCK} AS cq_e6
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY cq_e6 DESC, e.vec_id LIMIT {_MMR_POOL}
+    ),
+    sim AS (
+      SELECT ea.vec_id AS va, eb.vec_id AS vb, {pair_dot_e6} AS s_e6
+      FROM embeddings ea JOIN embeddings eb ON ea.vec_id <> eb.vec_id
+      WHERE ea.vec_id IN (SELECT vec_id FROM cand)
+        AND eb.vec_id IN (SELECT vec_id FROM cand)
+    ),
+    p1 AS (
+      SELECT CAST(1 AS BIGINT) AS pick_rank, vec_id, cq_e6
+      FROM cand ORDER BY cq_e6 DESC, vec_id LIMIT 1
+    ),{','.join(steps)}
+    SELECT pick_rank, vec_id, cq_e6 FROM {prev} ORDER BY pick_rank
+    """
+
+
+@query("mmr_diverse_topk", oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k: from the exact
+    top-{pool} cosine candidates for the vec_id=0 query, greedily pick
+    {k} results maximizing relevance - max-similarity-to-already-
+    picked (the classic lambda = 1/2 MMR — equal weights, so an exact
+    duplicate of a picked result always scores below ANY candidate
+    whose distance to the picked set exceeds its relevance deficit;
+    e6-quantized cosines keep both engines selecting identically;
+    ties to the smallest id).  The
+    retrieval-diversification step between ANN search and a RAG
+    context window — near-duplicate hits waste context slots, MMR
+    spends them on coverage.
+
+    Scale shape: the candidate pool is a TakeOrdered top-{pool} off
+    the brute-force scan (sim_search_topk's plan); everything after —
+    the pool self-similarity matrix and {k} unrolled greedy steps —
+    runs on a {pool}-row broadcast-sized table, so selection cost is
+    independent of corpus size."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    cq_e6 = F.expr("CAST(FLOOR(cos6 * 1000000 + 0.5) AS BIGINT)")
+    cand = supersede_checkpoint(
+        "mmr_cand",
+        (
+            e.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                "embedding",
+                _cosine_col(F.col("q"), F.col("embedding")).alias("cos6"),
+            )
+            .select("vec_id", "embedding", cq_e6.alias("cq_e6"))
+            .orderBy(F.col("cq_e6").desc(), F.col("vec_id"))
+            .limit(_MMR_POOL)
+        ).localCheckpoint(),
+    )
+    ca = cand.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    cb = cand.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    sim = (
+        ca.join(cb, F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            _cosine_col(F.col("ea"), F.col("eb")).alias("s6"),
+        )
+        .selectExpr("va", "vb", "CAST(FLOOR(s6 * 1000000 + 0.5) AS BIGINT) AS s_e6")
+    )
+    sim = supersede_checkpoint("mmr_sim", sim.localCheckpoint())
+    pool = cand.select("vec_id", "cq_e6")
+    picked = (
+        pool.agg(
+            F.max(
+                F.struct(
+                    F.col("cq_e6").alias("s"),
+                    (-F.col("vec_id")).alias("ni"),
+                    F.col("vec_id").alias("v"),
+                    F.col("cq_e6").alias("c"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.lit(1).cast("bigint").alias("pick_rank"),
+            F.col("m.v").alias("vec_id"),
+            F.col("m.c").alias("cq_e6"),
+        )
+    )
+    for k in range(2, _MMR_K + 1):
+        pk = picked.select("vec_id")
+        scored = (
+            pool.join(pk, "vec_id", "left_anti")
+            .join(sim.join(pk, sim.vb == pk.vec_id, "left_semi"),
+                  F.col("va") == pool.vec_id)
+            .groupBy(pool.vec_id, "cq_e6")
+            .agg((F.col("cq_e6") - F.max("s_e6")).alias("score"))
+        )
+        nxt = scored.agg(
+            F.max(
+                F.struct(
+                    F.col("score").alias("s"),
+                    (-F.col("vec_id")).alias("ni"),
+                    F.col("vec_id").alias("v"),
+                    F.col("cq_e6").alias("c"),
+                )
+            ).alias("m")
+        ).select(
+            F.lit(k).cast("bigint").alias("pick_rank"),
+            F.col("m.v").alias("vec_id"),
+            F.col("m.c").alias("cq_e6"),
+        )
+        picked = picked.unionByName(nxt)
+    return picked.orderBy("pick_rank")
+
+
+@query(
+    "embedding_exact_dup",
+    oracle="""
+    WITH keyed AS (
+      SELECT vec_id,
+             md5(list_aggregate(list_transform(embedding,
+                   x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                             AS VARCHAR)), 'string_agg', ',')) AS sig
+      FROM embeddings
+    ),
+    grp AS (
+      SELECT sig, COUNT(*) AS sz, MIN(vec_id) AS keeper
+      FROM keyed GROUP BY sig
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signatures,
+           CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS BIGINT)
+             AS n_redundant,
+           CAST(MAX(sz) AS BIGINT) AS max_group,
+           CAST(COALESCE(SUM(CASE WHEN sz > 1 THEN keeper ELSE 0 END), 0)
+               AS BIGINT) AS keeper_checksum
+    FROM grp
+    """,
+)
+def embedding_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact duplicate VECTOR audit — dedup_exact's twin for the
+    embedding table: vectors keyed by the md5 of their e6-quantized
+    coordinate string (quantization makes the key identical across
+    engines and float widths), grouped, and summarized as dup-group /
+    redundant-row counts with a keeper-id checksum.  Run before any
+    ANN build: exact-duplicate vectors waste index space and skew
+    IVF cells.
+
+    Scale shape: in-row signature (one md5 per vector, no shuffle of
+    the float arrays — only the 32-char digest exchanges), one
+    digest-keyed aggregate, a 1-row readout."""
+    e = t(spark, sf_dir, "embeddings")
+    sig = F.md5(
+        F.expr(
+            "array_join(transform(embedding,"
+            " x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+            " AS STRING)), ',')"
+        )
+    )
+    grp = (
+        e.select("vec_id", sig.alias("sig"))
+        .groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("sz"), F.min("vec_id").alias("keeper"))
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signatures"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_groups"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz") - 1).otherwise(0)).cast("bigint").alias("n_redundant"),
+        F.max("sz").cast("bigint").alias("max_group"),
+        F.coalesce(
+            F.sum(F.when(F.col("sz") > 1, F.col("keeper")).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("keeper_checksum"),
+    )

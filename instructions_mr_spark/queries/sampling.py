@@ -433,3 +433,72 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ares_key"),
     )
     return keyed.orderBy("ares_key", "o_orderkey").limit(20)
+
+
+# ================================================================ round 9
+
+
+@query(
+    "curriculum_interleave_order",
+    oracle="""
+    WITH deciled AS (
+      SELECT doc_id, n_chars,
+             NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, decile,
+             ROW_NUMBER() OVER (PARTITION BY decile
+                                ORDER BY n_chars DESC, doc_id) AS rw
+      FROM deciled
+    )
+    SELECT CAST((rw - 1) * 10 + decile AS BIGINT) AS position,
+           CAST(decile AS BIGINT) AS decile,
+           doc_id, n_chars
+    FROM ranked ORDER BY position LIMIT 20
+    """,
+)
+def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum interleave: documents deciled by a quality proxy
+    (n_chars, longest first) and dealt round-robin across deciles —
+    position = (rank_within_decile - 1) * 10 + decile — so every
+    consecutive window of 10 training examples spans the full quality
+    spectrum (the anti-sort that keeps a quality-ordered corpus from
+    front-loading one difficulty band).  The interleave position is
+    CLOSED-FORM from the global rank, so no second shuffle orders the
+    output.
+
+    Scale shape: the global rank is the two-phase bucketed prefix sum
+    (two_phase_rank — no partitionless window); decile and position
+    are in-row arithmetic from (rank, n); the readout is a
+    TakeOrdered top-20."""
+    from instructions_mr_spark.queries._util import exact_ntile_sql, two_phase_rank
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = two_phase_rank(
+        d,
+        bucket=-(F.col("n_chars") / F.lit(64)).cast("bigint"),
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id")],
+        rn_name="rn",
+        n_name="n",
+    )
+    tile = exact_ntile_sql("rn", "n", 10)
+    return (
+        ranked.selectExpr(
+            "doc_id",
+            "n_chars",
+            "rn",
+            "n",
+            f"{tile} AS decile",
+        )
+        .selectExpr(
+            "CAST((rn - ((decile - 1) * (n DIV 10)"
+            " + LEAST(decile - 1, n % 10)) - 1) * 10 + decile AS BIGINT)"
+            " AS position",
+            "CAST(decile AS BIGINT) AS decile",
+            "doc_id",
+            "n_chars",
+        )
+        .orderBy("position")
+        .limit(20)
+    )

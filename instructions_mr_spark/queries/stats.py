@@ -3838,3 +3838,290 @@ def monthly_median_daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("median_daily_rev_c"),
     )
+
+
+# ================================================================ round 9
+
+
+def _boot_sql(engine: str) -> str:
+    """Shared bootstrap-weight fragment: replicate b resamples order r
+    with weight h(r, b) % 3 in {0,1,2} (mean 1 — a deterministic
+    multinomial proxy), from the portable 60-bit md5 digest both
+    engines compute byte-identically."""
+    from instructions_mr_spark.queries._util import duck_h60, spark_h60
+
+    h = (spark_h60 if engine == "spark" else duck_h60)(
+        "CAST(o_orderkey AS STRING) || ':' || CAST(b AS STRING)"
+        if engine == "spark"
+        else "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)",
+        7,
+    )
+    return f"({h}) % 3"
+
+
+@query(
+    "bootstrap_mean_ci_terms",
+    oracle=f"""
+    WITH reps AS (SELECT UNNEST(range(0, 16)) AS b),
+    w AS (
+      SELECT b,
+             ({_boot_sql('duck')}) AS wt,
+             CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS cents
+      FROM orders, reps
+    )
+    SELECT CAST(b AS BIGINT) AS replicate,
+           CAST(SUM(wt) AS BIGINT) AS n_eff,
+           CAST(SUM(wt * cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(wt * cents) // SUM(wt) AS BIGINT) AS mean_cents
+    FROM w GROUP BY b ORDER BY b
+    """,
+)
+def bootstrap_mean_ci_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap of the mean order value: 16 resampling
+    replicates where row r enters replicate b with weight
+    md5(r:b) % 3 (mean-1 multinomial proxy — no RNG state, so both
+    engines and every retry draw the SAME resamples), each emitting
+    its effective n, exact cent sum, and truncated mean.  The reader
+    forms the CI from the 16 replicate means (the house *_terms
+    convention keeps square roots/quantiles out of the hash).
+
+    Scale shape: the 16x replication is a flatMap off the scan (no
+    shuffle added); ONE aggregate keyed by the 16-value replicate id.
+    At 100 TB the per-replicate partials merge map-side; weights cost
+    one md5 per (row, replicate)."""
+    reps = spark.range(0, 16).select(F.col("id").cast("int").alias("b"))
+    w = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .crossJoin(F.broadcast(reps))
+        .selectExpr(
+            "b",
+            f"({_boot_sql('spark')}) AS wt",
+            "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)"
+            " AS cents",
+        )
+    )
+    return (
+        w.groupBy("b")
+        .agg(
+            F.sum("wt").cast("bigint").alias("n_eff"),
+            F.sum(F.col("wt") * F.col("cents")).cast("bigint").alias("sum_cents"),
+            F.expr("CAST(SUM(wt * cents) DIV SUM(wt) AS BIGINT)").alias("mean_cents"),
+        )
+        .selectExpr(
+            "CAST(b AS BIGINT) AS replicate", "n_eff", "sum_cents", "mean_cents"
+        )
+        .orderBy("replicate")
+    )
+
+
+@query(
+    "kanon_generalization_ladder",
+    oracle="""
+    WITH lv AS (SELECT UNNEST([0, 1, 2]) AS level),
+    g AS (
+      SELECT level, c_nationkey,
+             CASE WHEN level = 0 THEN CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2))) AS BIGINT)
+                  WHEN level = 1 THEN CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 100) AS BIGINT)
+                  ELSE CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT)
+             END AS bal_band
+      FROM customer, lv
+    ),
+    cells AS (
+      SELECT level, c_nationkey, bal_band, COUNT(*) AS k
+      FROM g GROUP BY 1, 2, 3
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cells_below_5,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_below_5
+    FROM cells GROUP BY level ORDER BY level
+    """,
+)
+def kanon_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder: the (nation, balance)
+    quasi-identifier coarsened through three bands (dollars -> $100
+    bands -> $1000 bands), reporting per level the cell count, the
+    worst-case k, and how many cells/rows still sit below k=5 — the
+    table you read to pick the CHEAPEST generalization level that
+    clears the re-identification bar (k_anonymity_audit checks one
+    fixed level; this is the dial).
+
+    Scale shape: a 3x level replication off the scan, one
+    (level, nation, band) aggregate (map-side combinable), and a
+    3-row readout."""
+    lv = spark.range(0, 3).select(F.col("id").cast("int").alias("level"))
+    g = (
+        t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_acctbal")
+        .crossJoin(F.broadcast(lv))
+        .selectExpr(
+            "level",
+            "c_nationkey",
+            "CASE WHEN level = 0 THEN CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2))) AS BIGINT)"
+            " WHEN level = 1 THEN CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 100) AS BIGINT)"
+            " ELSE CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT)"
+            " END AS bal_band",
+        )
+    )
+    cells = g.groupBy("level", "c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        cells.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).cast("bigint").alias("cells_below_5"),
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).cast("bigint").alias("rows_below_5"),
+        )
+        .selectExpr(
+            "CAST(level AS BIGINT) AS level",
+            "n_cells", "min_k", "cells_below_5", "rows_below_5",
+        )
+        .orderBy("level")
+    )
+
+
+@query(
+    "sentinel_value_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'events.value' AS col,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN value = 0 THEN 1 ELSE 0 END) AS zeroish,
+             SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS negative,
+             0 AS epoch_zero, 0 AS empty_str
+      FROM events
+      UNION ALL
+      SELECT 'events.ts', COUNT(*),
+             0, 0,
+             SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) = 0 THEN 1 ELSE 0 END),
+             0
+      FROM events
+      UNION ALL
+      SELECT 'documents.text', COUNT(*),
+             0, 0, 0,
+             SUM(CASE WHEN text = '' OR text IS NULL THEN 1 ELSE 0 END)
+      FROM documents
+      UNION ALL
+      SELECT 'customer.c_acctbal', COUNT(*),
+             SUM(CASE WHEN c_acctbal = 0 THEN 1 ELSE 0 END),
+             SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END),
+             0, 0
+      FROM customer
+    )
+    SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(zeroish AS BIGINT) AS zeroish,
+           CAST(negative AS BIGINT) AS negative,
+           CAST(epoch_zero AS BIGINT) AS epoch_zero,
+           CAST(empty_str AS BIGINT) AS empty_str
+    FROM checks ORDER BY col
+    """,
+)
+def sentinel_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel/default-value audit: counts of the suspicious defaults
+    (exact zero, negative, epoch-0 timestamp, empty string) per
+    audited column across four relations — the classic
+    'null-disguised-as-value' screen (0 prices, 1970 timestamps,
+    empty documents) run BEFORE any aggregate trusts the column.
+
+    Scale shape: one conditional aggregate per relation, each a
+    single-pass map-side-combinable scan; the union is 4 rows."""
+    e = t(spark, sf_dir, "events")
+    d = t(spark, sf_dir, "documents")
+    c = t(spark, sf_dir, "customer")
+    r1 = e.agg(
+        F.lit("events.value").alias("col"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("value") == 0, 1).otherwise(0)).cast("bigint").alias("zeroish"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).cast("bigint").alias("negative"),
+        F.lit(0).cast("bigint").alias("epoch_zero"),
+        F.lit(0).cast("bigint").alias("empty_str"),
+    )
+    r2 = e.agg(
+        F.lit("events.ts").alias("col"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.lit(0).cast("bigint").alias("zeroish"),
+        F.lit(0).cast("bigint").alias("negative"),
+        F.sum(
+            F.when(F.expr("unix_micros(CAST(ts AS TIMESTAMP))") == 0, 1).otherwise(0)
+        ).cast("bigint").alias("epoch_zero"),
+        F.lit(0).cast("bigint").alias("empty_str"),
+    )
+    r3 = d.agg(
+        F.lit("documents.text").alias("col"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.lit(0).cast("bigint").alias("zeroish"),
+        F.lit(0).cast("bigint").alias("negative"),
+        F.lit(0).cast("bigint").alias("epoch_zero"),
+        F.sum(
+            F.when((F.col("text") == "") | F.col("text").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("empty_str"),
+    )
+    r4 = c.agg(
+        F.lit("customer.c_acctbal").alias("col"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("c_acctbal") == 0, 1).otherwise(0)).cast("bigint").alias("zeroish"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).cast("bigint").alias("negative"),
+        F.lit(0).cast("bigint").alias("epoch_zero"),
+        F.lit(0).cast("bigint").alias("empty_str"),
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4).orderBy("col")
+
+
+@query(
+    "ivf_cell_imbalance",
+    oracle="""
+    WITH b AS (
+      SELECT list_aggregate(list_transform(range(1, 9),
+               i -> CASE WHEN embedding[i] > 0 THEN (1 << (i-1)) ELSE 0 END),
+               'sum') AS cell
+      FROM embeddings
+    ),
+    occ AS (SELECT cell, COUNT(*) AS sz FROM b GROUP BY cell),
+    tot AS (SELECT COUNT(*) AS n_cells, SUM(sz) AS n_vecs, MAX(sz) AS max_sz
+            FROM occ)
+    SELECT CAST(n_cells AS BIGINT) AS n_cells,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(max_sz AS BIGINT) AS max_cell,
+           CAST(max_sz * n_cells * 1000000 // n_vecs AS BIGINT)
+             AS imbalance_e6,
+           CAST((SELECT SUM(sz * sz) FROM occ) AS BIGINT) AS pair_cost_x2
+    FROM tot
+    """,
+)
+def ivf_cell_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH cell-occupancy imbalance report for the 8-bit sign
+    index (the dedup_embedding_cosine base band): cell count, max
+    occupancy, the max/mean imbalance factor (e6 — 1e6 = perfectly
+    uniform), and sum(sz^2) — the exact candidate-join cost the
+    blocking would pay.  This is the pre-flight check for the
+    adaptive-width dial: when imbalance or pair cost drifts up, grow
+    the bits BEFORE the dedup run quadratics (lsh_bucket_stats is the
+    MinHash twin; this covers the embedding index).
+
+    Scale shape: one projection + a 256-key aggregate + a 1-row
+    readout — no joins, no pair materialization."""
+    e = t(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(8)
+    ]
+    cell = sum(bits[1:], start=bits[0])
+    occ = e.select(cell.alias("cell")).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("sz").cast("bigint").alias("n_vecs"),
+        F.max("sz").cast("bigint").alias("max_cell"),
+        F.expr(
+            "CAST(MAX(sz) * COUNT(*) * 1000000 DIV SUM(sz) AS BIGINT)"
+        ).alias("imbalance_e6"),
+        F.sum(F.col("sz") * F.col("sz")).cast("bigint").alias("pair_cost_x2"),
+    )

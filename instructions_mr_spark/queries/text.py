@@ -3151,3 +3151,60 @@ def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV COUNT(1) AS BIGINT)"
         ).alias("hapax_e6"),
     )
+
+
+# ================================================================ round 9
+
+
+@query(
+    "char_bigram_diversity",
+    oracle="""
+    WITH bi AS (
+      SELECT doc_id, substr(substr(text, 1, 200), i, 2) AS bg
+      FROM documents,
+           LATERAL (SELECT UNNEST(range(1, length(substr(text, 1, 200))))
+                    AS i) g
+      WHERE length(text) >= 2
+    ),
+    counted AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS diversity_e6,
+           CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_share_e6
+    FROM counted GROUP BY doc_id
+    """,
+)
+def char_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram diversity — the log-free compressibility
+    proxy: over each document's first 200 chars, the distinct-bigram
+    ratio (low = repetitive/template text, the cheap zlib-ratio
+    stand-in) and the top-bigram share (high = one pattern dominates),
+    both exact e6 integers.  Complements quality_repetition's
+    word-level fractions with the sub-word view that catches
+    character-level boilerplate (ASCII art, padding runs, base64
+    blobs) that word features miss.
+
+    Scale shape: bigram explosion is linear in clipped text length
+    (<= 199 rows/doc); one (doc, bigram) aggregate and one doc
+    aggregate share the doc-keyed exchange — map-side combinable, no
+    joins."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(substring(text, 1, 200)) - 1),"
+                " i -> substring(substring(text, 1, 200), i, 2))"
+            )
+        ).alias("bg"),
+    )
+    counted = bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return counted.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.expr("CAST(COUNT(*) * 1000000 DIV SUM(c) AS BIGINT)").alias("diversity_e6"),
+        F.expr("CAST(MAX(c) * 1000000 DIV SUM(c) AS BIGINT)").alias("top_share_e6"),
+    )

@@ -37,86 +37,82 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Driver-visibility window: the correctness driver oracle-checks exactly the
-# FIRST 50 entries of ``queries()`` in registration order (r5/r6/r7 confirmed
-# all 50 window names landed in CORRECTNESS_r0{5,6,7}.json).  The window
+# FIRST 50 entries of ``queries()`` in registration order (r5-r8 confirmed
+# all 50 window names landed in CORRECTNESS_r0{5..8}.json).  The window
 # rotates each round onto never-driver-checked names; everything else keeps
 # registration order after it, with the still-never-checked names ahead of
 # the already-green ones so future rounds can rotate coverage simply by
-# editing this list.  Round-8 rotation (the r7 verdict's priorities): the
-# 7 queries whose implementation changed this round (the global-NTILE ->
-# two-phase-rank swap family MUST land fresh driver rows), the sql_* and
-# agg_* surfaces, the window family, sampling, packing, privacy audits,
-# and the graph/ANN evaluators — all never driver-checked before.
+# editing this list.  Round-9 rotation: every query whose CONTRACT or
+# implementation changed this round MUST land a fresh driver row (the
+# RANGE-frame rolling corr, the capped probe/bench sets, the adaptive-width
+# LSH + top-4 SemDeDup, the sync echo path), plus all 15 r9-new queries,
+# plus the verdict-prioritized never-checked families: timeseries
+# (RSI/Bollinger/VWAP/CCF), the graph additions, the SQL semantics
+# contracts, and the lake audits.
 DRIVER_WINDOW: list[str] = [
-    # continuity rows (driver-green r1-r7, anchor the comparison)
+    # continuity rows (driver-green r1-r8, anchor the comparison)
     "q1_pricing_summary",
     "scope_project",
-    # r8: implementation changed this round (global-order NTILE/rank ->
-    # two_phase_rank/two_phase_cumsum bucketed swap; RFM also lost its
-    # refdate collect) — must land fresh driver rows
-    "customer_rfm_segments",
-    "pareto_revenue_share",
-    "decile_lift_table",
-    "segment_migration_matrix",
-    "quality_bucket_shares",
-    "abc_classification",
-    "join_key_skew_profile",
-    # SQL surface
-    "sql_api_revenue",
-    "sql_exists_subquery",
-    "sql_lateral_topk",
-    "sql_scripting_param",
-    # aggregate surface
-    "agg_bool",
-    "agg_corr_covar",
-    "agg_grouping_sets",
-    "agg_mode_deterministic",
-    "agg_percentile",
-    "agg_percentile_approx",
-    # window family
-    "window_range_frame",
-    "window_ewma_dyadic",
-    "rolling_corr_terms",
-    # sampling
-    "sample_hash_mod",
-    "sample_reservoir_topup",
-    "sample_stratified",
-    "shuffle_epoch_order",
-    # packing
-    "pack_concat_chunks",
-    "batch_padding_waste",
-    # privacy audits
-    "k_anonymity_audit",
-    "l_diversity_audit",
-    "t_closeness_audit",
-    # graph / ANN evaluators
-    "ann_recall_at_k",
-    "ann_recall_multiprobe",
-    "ann_recall_truncated_dims",
-    "graph_clustering_coeff",
-    "graph_link_prediction",
-    "graph_triangle_count",
-    # scalar surface remainder
-    "collation_ci_group",
-    "scalar_try_cast",
-    # document / text primitives
-    "doc_chunks",
-    "doc_fingerprint",
-    "doc_rolling_hash",
-    "text_clean",
-    "text_ngram_freq",
-    "token_count",
-    # reshaping / profiling singles
-    "cohort_retention",
-    "pivot_segments",
-    "unpivot_part",
-    "table_profile",
-    "value_histogram",
+    # r9: contract/implementation changed this round
+    "rolling_corr_terms",          # ROWS -> RANGE frame over epoch-hours
+    "contamination_minhash",       # bench side capped at 1024 docs
+    "knn_label_vote_accuracy",     # probes capped at 64
+    "triplet_margin_stats",        # probes capped at 64
+    "dedup_embedding_cosine",      # adaptive bits(n) sign-LSH
+    "semdedup_cells",              # top-4 cell multi-assignment
+    "semdedup_planted_k32",        # shares _cell_blocked_pairs
+    "llm_echo_map",                # sync (loop-free) echo path
+    "llm_echo_mapreduce_fused",    # sync fused kernel
+    # r9-new queries (first driver exposure)
+    "trade_flow_matrix",
+    "price_volume_bridge",
+    "xyz_demand_variability",
+    "effect_size_cohens_d_terms",
+    "session_entry_exit_matrix",
+    "best_split_sse_terms",
+    "time_split_boundary_audit",
+    "bootstrap_mean_ci_terms",
+    "kanon_generalization_ladder",
+    "sentinel_value_audit",
+    "ivf_cell_imbalance",
+    "mmr_diverse_topk",
+    "embedding_exact_dup",
+    "curriculum_interleave_order",
+    "char_bigram_diversity",
+    # timeseries family (never driver-checked)
+    "ccf_lag_terms",
+    "rsi_cutler_daily",
+    "bollinger_breach_daily",
+    "vwap_anchored_daily",
+    "forecast_dow_naive_terms",
+    "drawdown_daily",
+    "updown_streaks",
+    # graph additions (never driver-checked)
+    "k_core_peel3",
+    "bellman_ford_bounded",
+    "label_propagation_2round",
+    "graph_hits_unnormalized",
+    "graph_bfs_hops",
+    "modularity_terms_lp",
+    "graph_resource_allocation",
+    "ppr_recommend_parts",
+    "attribution_markov_removal",
+    # SQL semantics contracts (never driver-checked)
+    "join_null_safe",
+    "not_in_null_semantics",
+    "topk_with_ties",
+    "hof_lambda_suite",
+    "like_any_all_contract",
+    "nulls_ordering_contract",
+    # lake audits (never driver-checked)
+    "benford_digit_audit",
+    "zone_map_skip_audit",
 ]
 
-# Round-9 rotation plan (the remaining never-driver-checked backlog after
-# r8's window lands — rotate from these next round, plus any r8-new
-# queries and anything whose contract changes):
+# Round-10 rotation plan: the remaining never-driver-checked backlog
+# (names below MINUS the round-9 DRIVER_WINDOW above, which lands fresh
+# rows in CORRECTNESS_r09 — cross the landed ones off there), plus any
+# r9-new queries not in the window and anything whose contract changes:
 #   dpp_filtered_dim_scan, embedding_pair_cosine, funnel_by_segment,
 #   json_from_schema, json_map_ops, lsh_bucket_stats, nested_roundtrip,
 #   rollup_time_hierarchy, vector_avg_by_label, dedup_span_cut_keepfirst,
@@ -213,9 +209,26 @@ DRIVER_WINDOW: list[str] = [
 #   double_charge_candidates, value_range_audit,
 #   trend_accel_7v28, top_movers_wow_parts
 
-# Names hash-green in some CORRECTNESS_r0{1..7}.json — kept at the back of
+# Names hash-green in some CORRECTNESS_r0{1..8}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
 _DRIVER_GREEN_PAST = frozenset({
+    # r8 window — all 50 green in CORRECTNESS_r08.json
+    "customer_rfm_segments", "pareto_revenue_share", "decile_lift_table",
+    "segment_migration_matrix", "quality_bucket_shares",
+    "abc_classification", "join_key_skew_profile", "sql_api_revenue",
+    "sql_exists_subquery", "sql_lateral_topk", "sql_scripting_param",
+    "agg_bool", "agg_corr_covar", "agg_grouping_sets",
+    "agg_mode_deterministic", "agg_percentile", "agg_percentile_approx",
+    "window_range_frame", "window_ewma_dyadic", "rolling_corr_terms",
+    "sample_hash_mod", "sample_reservoir_topup", "sample_stratified",
+    "shuffle_epoch_order", "pack_concat_chunks", "batch_padding_waste",
+    "k_anonymity_audit", "l_diversity_audit", "t_closeness_audit",
+    "ann_recall_at_k", "ann_recall_multiprobe", "ann_recall_truncated_dims",
+    "graph_clustering_coeff", "graph_link_prediction",
+    "graph_triangle_count", "collation_ci_group", "scalar_try_cast",
+    "doc_chunks", "doc_fingerprint", "doc_rolling_hash", "text_clean",
+    "text_ngram_freq", "token_count", "cohort_retention",
+    "pivot_segments", "unpivot_part", "table_profile", "value_histogram",
     # r7 window — all 50 green in CORRECTNESS_r07.json
     "dedup_span_cut", "url_dedup", "domain_stats", "split_leakage_audit",
     "q4_order_priority", "q6_forecast_revenue", "q8_market_share",

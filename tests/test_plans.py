@@ -333,6 +333,7 @@ def test_no_global_window_outside_allowlist(spark, sf_dir):
         "zone_map_skip_audit",       # one row per parquet row-group/file
         # calendar-bounded grids
         "rolling_corr_terms",        # hour grid of a fixed date range
+        "best_split_sse_terms",      # day grid of a fixed date range
         "stl_residual_daily",        # day grid of a fixed date range
         "rsi_cutler_daily",          # day grid of a fixed date range
         "bollinger_breach_daily",    # day grid of a fixed date range
