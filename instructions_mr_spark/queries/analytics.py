@@ -7028,3 +7028,64 @@ def time_split_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(in_train * in_test) * 1000000 DIV SUM(in_test) AS BIGINT)"
         ).alias("straddle_share_e6"),
     )
+
+
+@query(
+    "engagement_decay_scores",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ),
+    mx AS (SELECT MAX(day) AS mday FROM e),
+    scored AS (
+      SELECT user_id,
+             SUM(1000000 // (CAST(1 AS BIGINT)
+                 << CAST(LEAST((mday - day) // 7, 19) AS INT))) AS score_e6
+      FROM e, mx GROUP BY user_id
+    )
+    SELECT CAST(score_e6 // 500000 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(score_e6) AS BIGINT) AS sum_score_e6
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def engagement_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user — each
+    event contributes 2^-age_weeks (anchored at the corpus max day,
+    capped at 19 weeks), as EXACT integers: 1e6 DIV (1 << weeks) is a
+    dyadic weight both engines truncate identically (the
+    window_ewma_dyadic trick applied corpus-wide).  The score bands
+    (half-point buckets) are the recency-weighted activity histogram
+    behind 'engaged user' thresholds — a plain event count can't tell
+    a lapsed heavy user from a current light one.
+
+    Scale shape: a 1-row max-day broadcast, ONE user-keyed aggregate
+    (map-side combinable — the weight is in-row arithmetic), and a
+    bounded band rollup."""
+    e = t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS day",
+    )
+    mx = e.agg(F.max("day").alias("mday"))
+    scored = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "SUM(1000000 DIV SHIFTLEFT(CAST(1 AS BIGINT),"
+                " CAST(LEAST((mday - day) DIV 7, 19) AS INT)))"
+            ).alias("score_e6")
+        )
+    )
+    return (
+        scored.selectExpr("score_e6 DIV 500000 AS band", "score_e6")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("score_e6").cast("bigint").alias("sum_score_e6"),
+        )
+        .selectExpr("CAST(band AS BIGINT) AS band", "n_users", "sum_score_e6")
+        .orderBy("band")
+    )

@@ -1609,16 +1609,19 @@ _SEM_COS_T = 0.4  # pair threshold (matches dedup_embedding_cosine)
 
 # SemDeDup cell dial: k_eff = max(_SEMDEDUP_K, n // _SEMDEDUP_CELL_TARGET)
 # holds the EXPECTED CELL SIZE constant (~_SEMDEDUP_CELL_TARGET vectors,
-# 2x that after top-2 multi-assignment), which makes the cell-blocked
+# 4x that after top-4 multi-assignment), which makes the cell-blocked
 # candidate count LINEAR in n — the production SemDeDup scaling (k ~
 # n/10k at 0.95+ thresholds; the demo target is smaller so the tiny
-# driver corpus still exercises multi-cell blocking).  Measured at sf1
-# (20k vectors, 0.4 threshold — the worst case for cell blocking):
-# k=8 recall 0.990 @ 100s, k=40 recall 0.959 @ 45s — the bound in
-# recall_ok (>= 0.5) holds with 2x headroom while the quadratic
-# fixed-k cost path disappears.  The high-threshold/k=32 regime has
-# its own oracled entry below (semdedup_planted_k32) plus the
-# planted-duplicate recall test in tests/test_simsearch.py.
+# driver corpus still exercises multi-cell blocking).  r9 frontier at
+# sf1 (20k vectors, 0.4-threshold audit — the worst case for cell
+# blocking; BENCH_sf1.json round9_semdedup_top4.frontier_sf1): the
+# adopted (target 500, top-4) point measures recall 0.818 @ 148s and
+# is undominated — (500, top-3) 0.700 @ 109s, (300, top-4) 0.790 @
+# 146s, (250, top-4) 0.682 @ 100s.  The recall_ok bound (>= 0.5)
+# holds with wide headroom and candidates stay linear in n at every
+# point.  The high-threshold/k=32 regime has its own oracled entry
+# below (semdedup_planted_k32) plus the planted-duplicate recall test
+# in tests/test_simsearch.py.
 _SEMDEDUP_K = 8
 _SEMDEDUP_CELL_TARGET = 500
 
@@ -3146,7 +3149,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(k).cast("bigint").alias("pick_rank"),
             F.col("m.v").alias("vec_id"),
             F.col("m.c").alias("cq_e6"),
-        )
+        ).filter(F.col("vec_id").isNotNull())  # pool smaller than K
         picked = picked.unionByName(nxt)
     return picked.orderBy("pick_rank")
 

@@ -1227,3 +1227,40 @@ def tz_conversion_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.from_utc_timestamp("ts", "Asia/Kolkata"), "yyyy-MM-dd HH:mm"
         ).alias("kolkata_local"),
     )
+
+
+# ================================================================ round 9
+
+
+@query(
+    "group_by_all_contract",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def group_by_all_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL contract: both engines must resolve ALL to exactly
+    the non-aggregate select expressions (here the two flag columns) —
+    the convenience syntax warehouse users reach for first, and a
+    silent-wrong-answer hazard if an engine resolves ALL differently
+    (the oracle runs GROUP BY ALL on DuckDB too, so the contract is
+    checked syntax-to-syntax, not against a hand-expansion).
+
+    Scale shape: one map-side-combinable aggregate on a bounded flag
+    pair."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_gball")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM v_li_gball
+        GROUP BY ALL
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )

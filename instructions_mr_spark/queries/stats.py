@@ -4125,3 +4125,173 @@ def ivf_cell_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("imbalance_e6"),
         F.sum(F.col("sz") * F.col("sz")).cast("bigint").alias("pair_cost_x2"),
     )
+
+
+@query(
+    "near_zero_variance_audit",
+    oracle="""
+    WITH vals AS (
+      SELECT 'lineitem.l_tax' AS col,
+             CAST(FLOOR(l_tax * 1000000 + 0.5) AS BIGINT) AS v FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_discount',
+             CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'part.p_size', CAST(p_size AS BIGINT) * 1000000 FROM part
+      UNION ALL
+      SELECT 'events.value',
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) FROM events
+    ),
+    counted AS (
+      SELECT col, v, COUNT(*) AS c FROM vals GROUP BY 1, 2
+    ),
+    tops AS (
+      SELECT col, SUM(c) AS n, COUNT(*) AS n_distinct, MAX(c) AS t1
+      FROM counted GROUP BY col
+    ),
+    seconds AS (
+      SELECT c.col,
+             CASE WHEN SUM(CASE WHEN c.c = t.t1 THEN 1 ELSE 0 END) >= 2
+                  THEN MAX(t.t1)
+                  ELSE COALESCE(MAX(CASE WHEN c.c < t.t1 THEN c.c END), 0)
+             END AS t2
+      FROM counted c JOIN tops t USING (col) GROUP BY c.col
+    )
+    SELECT t.col,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(t.n_distinct AS BIGINT) AS n_distinct,
+           CAST(t.t1 * 1000000 // t.n AS BIGINT) AS top_share_e6,
+           CAST(CASE WHEN s.t2 = 0 THEN -1
+                     ELSE t.t1 * 1000000 // s.t2 END AS BIGINT)
+             AS freq_ratio_e6,
+           (t.t1 * 1000000 // t.n > 900000 OR t.n_distinct < 5) AS nzv_flag
+    FROM tops t JOIN seconds s USING (col)
+    ORDER BY t.col
+    """,
+)
+def near_zero_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-zero-variance feature screen (the caret nearZeroVar
+    recipe): per audited numeric column (e6-quantized so both engines
+    key identically), the distinct count, the top-value share, and
+    the top/second frequency ratio — a feature that is one value 90%+
+    of the time (or has almost no distinct values) carries no signal
+    and destabilizes normalization; this is the drop-list generator.
+    Tie rule: if the top count occurs for >= 2 distinct values, the
+    ratio is exactly 1e6 (t2 = t1); a column with a single distinct
+    value reports ratio -1.
+
+    Scale shape: one (column, value) aggregate over the unioned
+    projections (map-side combinable), then two tiny per-column
+    rollups — no joins against facts, no sorting."""
+    def vals(df, colname, expr):
+        return df.selectExpr(f"'{colname}' AS col", f"{expr} AS v")
+
+    li = t(spark, sf_dir, "lineitem")
+    stacked = (
+        vals(li, "lineitem.l_tax", "CAST(FLOOR(l_tax * 1000000 + 0.5) AS BIGINT)")
+        .unionByName(vals(li, "lineitem.l_discount",
+                          "CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT)"))
+        .unionByName(vals(t(spark, sf_dir, "part"), "part.p_size",
+                          "CAST(p_size AS BIGINT) * 1000000"))
+        .unionByName(vals(t(spark, sf_dir, "events"), "events.value",
+                          "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)"))
+    )
+    counted = stacked.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    tops = counted.groupBy("col").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("t1"),
+    )
+    seconds = (
+        counted.join(tops.select("col", "t1"), "col")
+        .groupBy("col")
+        .agg(
+            F.expr(
+                "CASE WHEN SUM(CASE WHEN c = t1 THEN 1 ELSE 0 END) >= 2"
+                " THEN MAX(t1)"
+                " ELSE COALESCE(MAX(CASE WHEN c < t1 THEN c END), 0) END"
+            ).alias("t2")
+        )
+    )
+    return (
+        tops.join(seconds, "col")
+        .selectExpr(
+            "col",
+            "CAST(n AS BIGINT) AS n",
+            "CAST(n_distinct AS BIGINT) AS n_distinct",
+            "CAST(t1 * 1000000 DIV n AS BIGINT) AS top_share_e6",
+            "CAST(CASE WHEN t2 = 0 THEN -1 ELSE t1 * 1000000 DIV t2 END"
+            " AS BIGINT) AS freq_ratio_e6",
+            "(t1 * 1000000 DIV n > 900000 OR n_distinct < 5) AS nzv_flag",
+        )
+        .orderBy("col")
+    )
+
+
+@query(
+    "embedding_clip_calibration",
+    oracle="""
+    WITH dims AS (
+      SELECT g.dim,
+             CAST(FLOOR(CAST(embedding[g.dim] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS v,
+             vec_id
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS dim) g
+    ),
+    ranked AS (
+      SELECT dim, v,
+             ROW_NUMBER() OVER (PARTITION BY dim ORDER BY v, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY dim) AS n
+      FROM dims
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(MAX(CASE WHEN rn = CEIL(0.01 * n) THEN v END) AS BIGINT)
+             AS p01_e6,
+           CAST(MAX(CASE WHEN rn = CEIL(0.99 * n) THEN v END) AS BIGINT)
+             AS p99_e6,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM ranked GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_clip_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension clip thresholds for embedding normalization: the
+    exact rank-ceil(q*n) order statistics at q = 0.01 / 0.99 over
+    each dimension's e6-quantized values (ties broken by vec_id, so
+    both engines elect the same row) — the calibration table an
+    embedding-clipping / int8-quantization step reads before touching
+    100 TB of vectors (outlier dims blow up scale factors;
+    embedding_quantize_int8 is the consumer).
+
+    Scale shape: posexplode is linear (d rows per vector); the rank
+    runs under a DIMENSION-keyed window (64-way parallel, never
+    partitionless); the readout is one row per dimension."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    ).selectExpr(
+        "vec_id",
+        "pos0 + 1 AS dim",
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v",
+    )
+    w = Window.partitionBy("dim").orderBy("v", "vec_id")
+    ranked = dims.select(
+        "dim",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("dim").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return (
+        ranked.groupBy("dim")
+        .agg(
+            F.expr("CAST(MAX(CASE WHEN rn = CEIL(0.01 * n) THEN v END) AS BIGINT)").alias("p01_e6"),
+            F.expr("CAST(MAX(CASE WHEN rn = CEIL(0.99 * n) THEN v END) AS BIGINT)").alias("p99_e6"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+        .selectExpr("CAST(dim AS BIGINT) AS dim", "p01_e6", "p99_e6", "n")
+        .orderBy("dim")
+    )

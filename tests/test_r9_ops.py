@@ -202,3 +202,83 @@ def test_bootstrap_replicates_shape(spark, sf_dir):
         assert 0 < r["n_eff"] <= 2 * stats["n"]
         assert stats["lo"] <= r["mean_cents"] <= stats["hi"]
         assert r["mean_cents"] == r["sum_cents"] // r["n_eff"]
+
+
+def test_engagement_decay_dyadic_weights(spark, tmp_path):
+    """Events 0/1/2 weeks before the anchor weigh 1e6 / 5e5 / 25e4."""
+    mx = datetime(2024, 6, 30, 12)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, mx, 1, "view", 1),                      # age 0w -> 1e6
+            (2, datetime(2024, 6, 23, 12), 1, "view", 1),  # 7d -> 5e5
+            (3, datetime(2024, 6, 16, 12), 2, "view", 1),  # 14d -> 25e4
+        ],
+    )
+    rows = {
+        r["band"]: (r["n_users"], r["sum_score_e6"])
+        for r in registry.QUERIES["engagement_decay_scores"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # user1: 1.5e6 -> band 3; user2: 25e4 -> band 0
+    assert rows == {3: (1, 1_500_000), 0: (1, 250_000)}
+
+
+def test_nzv_tie_rule_and_flag(spark, tmp_path):
+    """A constant-ish column flags nzv; a two-way tie reports
+    freq_ratio exactly 1e6."""
+    rows = []
+    # l_tax: 90x 0.0, 10x 0.1  -> top share 900000, not > 900000 -> but
+    # distinct 2 < 5 -> nzv anyway; l_discount: 50x 0.0, 50x 0.2 -> tie
+    for i in range(100):
+        tax = 0.0 if i < 90 else 0.1
+        disc = 0.0 if i < 50 else 0.2
+        rows.append((i, 1, 1, 1, 1.0, 1.0, disc, tax, "N", "O",
+                     datetime(2024, 1, 1)))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "p", "B", "T", 5, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    _write_events(spark, tmp_path, [(1, datetime(2024, 1, 1), 1, "view", v)
+                                    for v in (1, 2, 3, 4, 5, 6)])
+    out = {
+        r["col"]: r
+        for r in registry.QUERIES["near_zero_variance_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    tax = out["lineitem.l_tax"]
+    assert (tax["n_distinct"], tax["top_share_e6"]) == (2, 900_000)
+    assert tax["freq_ratio_e6"] == 9_000_000
+    assert tax["nzv_flag"]  # distinct < 5
+    disc = out["lineitem.l_discount"]
+    assert disc["freq_ratio_e6"] == 1_000_000  # exact tie
+    psize = out["part.p_size"]
+    assert psize["freq_ratio_e6"] == -1  # single distinct value
+    ev = out["events.value"]
+    assert not ev["nzv_flag"] and ev["n_distinct"] == 6
+
+
+def test_clip_calibration_rank_definition(spark, tmp_path):
+    """With n=100 values 1..100 (e6-scaled), p01 = rank 1 and p99 =
+    rank 99 under the ceil(q*n) convention."""
+    vecs = [(i, [float(i + 1)], 0) for i in range(100)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    [r] = registry.QUERIES["embedding_clip_calibration"](
+        spark, str(tmp_path)
+    ).collect()
+    assert (r["dim"], r["n"]) == (1, 100)
+    assert r["p01_e6"] == 1_000_000
+    assert r["p99_e6"] == 99_000_000
