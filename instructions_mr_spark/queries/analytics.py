@@ -7089,3 +7089,64 @@ def engagement_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("CAST(band AS BIGINT) AS band", "n_users", "sum_score_e6")
         .orderBy("band")
     )
+
+
+@query(
+    "cart_split_gain_terms",
+    oracle="""
+    WITH bands AS (
+      SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS band,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS nt, SUM(pos) AS post FROM bands)
+    SELECT b.band AS threshold_band,
+           CAST(SUM(b2.n) AS BIGINT) AS n_le,
+           CAST(SUM(b2.pos) AS BIGINT) AS pos_le,
+           CAST(MAX(t.nt) - SUM(b2.n) AS BIGINT) AS n_gt,
+           CAST(MAX(t.post) - SUM(b2.pos) AS BIGINT) AS pos_gt
+    FROM bands b JOIN bands b2 ON b2.band <= b.band, tot t
+    GROUP BY b.band
+    ORDER BY threshold_band
+    """,
+)
+def cart_split_gain_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART split-evaluation terms: for every candidate threshold on
+    the discount band (the one in-row ordinal feature), the exact
+    (count, positives) pair on each side of '<= threshold', target =
+    returned line.  The reader forms Gini/entropy gain with two
+    divisions per row — the terms convention keeps impurity floats
+    out of the hash — and the argmax row is the first split of a
+    decision stump/tree over 100 TB, computed in ONE pass.
+
+    Scale shape: the corpus collapses to the bounded discount-band
+    histogram (map-side combinable); the cumulative <= rollup is the
+    bounded broadcast band self-join (11 x 11 rows), never a window
+    over data."""
+    bands = (
+        t(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS band",
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos",
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("pos"))
+    )
+    tot = bands.agg(F.sum("n").alias("nt"), F.sum("pos").alias("post"))
+    b2 = bands.selectExpr("band AS band2", "n AS n2", "pos AS pos2")
+    return (
+        bands.join(F.broadcast(b2), F.col("band2") <= F.col("band"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("band")
+        .agg(
+            F.sum("n2").cast("bigint").alias("n_le"),
+            F.sum("pos2").cast("bigint").alias("pos_le"),
+            (F.max("nt") - F.sum("n2")).cast("bigint").alias("n_gt"),
+            (F.max("post") - F.sum("pos2")).cast("bigint").alias("pos_gt"),
+        )
+        .selectExpr(
+            "band AS threshold_band", "n_le", "pos_le", "n_gt", "pos_gt"
+        )
+        .orderBy("threshold_band")
+    )

@@ -1818,3 +1818,69 @@ def value_range_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_null"),
         )
     )
+
+
+# ================================================================ round 9
+
+
+@query(
+    "delete_cascade_sim",
+    oracle="""
+    WITH del_cust AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    ),
+    del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    ),
+    del_lines AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+    )
+    SELECT 'customer' AS relation,
+           CAST((SELECT COUNT(*) FROM del_cust) AS BIGINT) AS n_cascade,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM del_orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM del_lines) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    ORDER BY relation
+    """,
+)
+def delete_cascade_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON DELETE CASCADE dry-run: how many rows a GDPR-style deletion
+    predicate (negative-balance customers) would remove from each
+    relation down the FK chain customer -> orders -> lineitem —
+    the blast-radius report you run BEFORE the irreversible delete
+    (pairs with fk_orphan_audit, which checks the opposite direction).
+
+    Scale shape: each hop is one semi-join (the deletable-key side is
+    the small one after the predicate; AQE broadcasts it while it
+    fits), each feeding a 1-row count; at 100 TB the lineitem hop is
+    the one orderkey-keyed exchange."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    del_cust = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    del_orders = o.join(
+        del_cust, o.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_lines = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+    def row(rel, cascade_df, total_df):
+        return cascade_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cascade")
+        ).crossJoin(
+            total_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        ).select(F.lit(rel).alias("relation"), "n_cascade", "n_total")
+    return (
+        row("customer", del_cust, c)
+        .unionByName(row("orders", del_orders, o))
+        .unionByName(row("lineitem", del_lines, li))
+        .orderBy("relation")
+    )

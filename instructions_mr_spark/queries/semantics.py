@@ -1264,3 +1264,78 @@ def group_by_all_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "string_split_contract",
+    oracle="""
+    WITH toks AS (
+      SELECT c_custkey,
+             string_split(c_name, '0') AS parts
+      FROM customer
+    )
+    SELECT CAST(len(parts) AS BIGINT) AS n_parts,
+           CAST(len(list_filter(parts, p -> p = '')) AS BIGINT) AS n_empty,
+           CAST(COUNT(*) AS BIGINT) AS n_names,
+           CAST(SUM(length(parts[1]) + length(parts[len(parts)])) AS BIGINT)
+             AS edge_len_sum
+    FROM toks GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def string_split_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split() semantics contract on the nastiest real input —
+    customer names are zero-padded ('Customer#000000123'), so
+    splitting on '0' produces runs of EMPTY tokens and, for names
+    ending in 0, a trailing empty: both engines must keep every empty
+    token INCLUDING trailing ones (Java's split(limit=0) would drop
+    them — the migration bug this pins), agree on token count, empty
+    count, and first/last token lengths.
+
+    Scale shape: in-row split + array arithmetic on the scan; one
+    bounded (n_parts, n_empty) rollup."""
+    toks = t(spark, sf_dir, "customer").select(
+        F.split(F.col("c_name"), "0").alias("parts")
+    )
+    return (
+        toks.selectExpr(
+            "CAST(size(parts) AS BIGINT) AS n_parts",
+            "CAST(size(filter(parts, p -> p = '')) AS BIGINT) AS n_empty",
+            "length(element_at(parts, 1))"
+            " + length(element_at(parts, size(parts))) AS edge_len",
+        )
+        .groupBy("n_parts", "n_empty")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_names"),
+            F.sum("edge_len").cast("bigint").alias("edge_len_sum"),
+        )
+        .orderBy("n_parts", "n_empty")
+    )
+
+
+@query(
+    "order_by_all_contract",
+    oracle="""
+    SELECT p_brand, p_size % 7 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM part GROUP BY 1, 2
+    ORDER BY ALL
+    LIMIT 50
+    """,
+)
+def order_by_all_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL contract: both engines must order by every select
+    column left-to-right (brand, bucket, n) — checked syntax-to-syntax
+    like group_by_all_contract, because a different ALL expansion
+    reorders the LIMIT cut and silently changes the result set.
+
+    Scale shape: bounded-key aggregate + top-50 of a 175-row table."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("v_part_oball")
+    return spark.sql(
+        """
+        SELECT p_brand, p_size % 7 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v_part_oball GROUP BY 1, 2
+        ORDER BY ALL
+        LIMIT 50
+        """
+    )

@@ -3208,3 +3208,59 @@ def char_bigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(COUNT(*) * 1000000 DIV SUM(c) AS BIGINT)").alias("diversity_e6"),
         F.expr("CAST(MAX(c) * 1000000 DIV SUM(c) AS BIGINT)").alias("top_share_e6"),
     )
+
+
+@query(
+    "source_common_prefix",
+    oracle="""
+    WITH mm AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             MIN(substr(text, 1, 100)) AS lo,
+             MAX(substr(text, 1, 100)) AS hi
+      FROM documents GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(len(list_filter(range(1, LEAST(length(lo), length(hi)) + 1),
+                i -> substr(lo, 1, i) = substr(hi, 1, i))) AS BIGINT)
+             AS lcp_len,
+           substr(lo, 1,
+             len(list_filter(range(1, LEAST(length(lo), length(hi)) + 1),
+                 i -> substr(lo, 1, i) = substr(hi, 1, i)))) AS lcp
+    FROM mm ORDER BY source
+    """,
+)
+def source_common_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate head detection per source: the longest
+    common prefix shared by EVERY document of a source, computed via
+    the order-statistics identity LCP(set) = LCP(lexicographic min,
+    lexicographic max) — so the whole corpus collapses to TWO strings
+    per source in one aggregate, and no doc-pair comparison ever
+    happens.  A non-trivial shared prefix is the signature of a
+    scraper template ('Subscribe to read...') that should be stripped
+    before dedup/training.  Prefix equality is monotone, so counting
+    the equal-prefix positions (capped at 100 chars) IS the LCP
+    length.
+
+    Scale shape: one source-keyed MIN/MAX aggregate (map-side
+    combinable) over the corpus; the O(cap^2) prefix scan runs on
+    |sources| rows."""
+    mm = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(F.expr("substring(text, 1, 100)")).alias("lo"),
+            F.max(F.expr("substring(text, 1, 100)")).alias("hi"),
+        )
+    )
+    lcp_len = (
+        "size(filter(sequence(1, LEAST(length(lo), length(hi))),"
+        " i -> substring(lo, 1, i) = substring(hi, 1, i)))"
+    )
+    return mm.selectExpr(
+        "source",
+        "n_docs",
+        f"CAST({lcp_len} AS BIGINT) AS lcp_len",
+        f"substring(lo, 1, {lcp_len}) AS lcp",
+    ).orderBy("source")
