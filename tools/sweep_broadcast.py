@@ -1,14 +1,16 @@
 """Broadcast-threshold sweep: time the join-heavy headline queries
-under several ``spark.sql.autoBroadcastJoinThreshold`` settings to
-verify the explicit-broadcast hints keep their plans (and their
-speed) even when the automatic threshold would demote them.
+under several ``spark.sql.autoBroadcastJoinThreshold`` settings.
 
-At 100 TB the threshold interacts with dimension growth: a dim that
-fits under 10 MB at sf0.1 can exceed it at sf100, silently turning a
-broadcast star join into a 5-way shuffle.  The engine hints
-broadcasts explicitly (F.broadcast on BROADCAST_DIMS), so timings
-must stay flat across this sweep — a rising curve at low thresholds
-means some join is relying on the automatic threshold.
+ROUND-9 POLICY INVERSION: sf-scaling dims (supplier/part/customer)
+are deliberately hint-FREE (a forced hint is a deterministic OOM once
+the dim outgrows memory — tools/broadcast_guard.py bans it), so their
+joins now FOLLOW the threshold: at ``-1`` they demote to shuffle
+joins (slower here, and exactly what must happen at 100 TB when the
+dim is measured big), at the default they broadcast.  Only the
+genuinely bounded nation/region hints stay threshold-immune.  A flat
+curve is therefore NO LONGER the pass criterion; this sweep now
+documents that the engine adapts instead of betting the cluster on a
+hint.
 
 Usage: python tools/sweep_broadcast.py [sf_dir]
 Prints one JSON line per threshold.
