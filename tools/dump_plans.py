@@ -18,7 +18,10 @@ NOTES = {
     "(PushedFilters/ReadSchema); partial_sum before the exchange (map-side "
     "combine); whole-stage codegen (*(n) spans) end to end.",
     "join_broadcast": "Star join: all three dims BroadcastHashJoin — the fact "
-    "table never shuffles before the aggregate.",
+    "table never shuffles before the aggregate.  nation/region are forced "
+    "hints (bounded at every sf); supplier is hint-free and broadcasts from "
+    "its measured size (r9 policy — the planner demotes it to a shuffle "
+    "join once it outgrows the threshold).",
     "join_asof": "Union + last-ignorenulls window: ONE hash exchange on the "
     "key, no Python stage, right side semi-join-pruned to keys present on "
     "the left.",
@@ -62,9 +65,12 @@ NOTES = {
     "key fans over 8 reducers.",
     "funnel_by_segment": "Sessionization = one exchange on user_id; the "
     "funnel stage joins reuse the (user_id, sid) hash partitioning "
-    "(no re-exchange until the tiny segment rollup); customer dim broadcasts.",
+    "(no re-exchange until the tiny segment rollup); the customer dim joins "
+    "hint-free (broadcast here by size estimate; shuffles at scale — r9).",
     "q9_product_profit": "5-way star: supplier/nation/part(LIKE-filtered) "
-    "broadcast, so lineitem reaches the orders join without shuffling; "
+    "broadcast at this sf, so lineitem reaches the orders join without "
+    "shuffling; only nation is a forced hint — supplier/part broadcast from "
+    "size estimates and demote gracefully at scale (r9); "
     "StringContains(p_name,gear) is a PushedFilter on the part scan.",
     "q4_order_priority": "EXISTS decorrelated to LeftSemi BroadcastHashJoin "
     "with the non-equi lateness predicate as the join residual; the quarter "
@@ -75,13 +81,15 @@ NOTES = {
     "sides align on the orderkey hash partitioning.",
     "q21_waiting_supplier": "Sole-late-supplier: count-over-window on the "
     "deduped late set (no self-join back, 2 lineitem scans total); all "
-    "intermediates keyed on l_orderkey; supplier dim broadcasts.",
+    "intermediates keyed on l_orderkey; the supplier dim joins hint-free "
+    "(broadcast here by size estimate — r9).",
     "window_running_distinct": "Running COUNT(DISTINCT) via the "
     "first-occurrence-flag identity: two Window ops sharing the event_type "
     "hash partitioning — one exchange, no per-row set state.",
-    "cohort_retention": "One wide exchange (per-user MIN); first_seen "
-    "broadcasts back to events; distinct + rollup on the tiny "
-    "(cohort, offset) key space.",
+    "cohort_retention": "One wide exchange (per-user MIN); first_seen joins "
+    "back to events hint-free (r9 — it is per-user, corpus-scaling; AQE "
+    "broadcasts it only while measured small); distinct + rollup on the "
+    "tiny (cohort, offset) key space.",
     "join_bucketed": "Co-located bucketed join: both scans report "
     "SelectedBucketsCount, the join has NO Exchange on either key — the "
     "write-once bucket shuffle is amortized across every query on the key.",
