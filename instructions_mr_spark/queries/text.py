@@ -3264,3 +3264,91 @@ def source_common_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST({lcp_len} AS BIGINT) AS lcp_len",
         f"substring(lo, 1, {lcp_len}) AS lcp",
     ).orderBy("source")
+
+
+# Winnowing geometry: k-gram size, window width, text cap.
+_WIN_K = 8
+_WIN_W = 4
+_WIN_CAP = 200
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, length(substr(text, 1, {_WIN_CAP})) - {_WIN_K} + 2),
+               i -> ('0x' || substr(md5(substr(substr(text, 1, {_WIN_CAP}), i, {_WIN_K})), 1, 8))::BIGINT
+             ) AS gh
+      FROM documents WHERE length(text) >= {_WIN_K}
+    ),
+    sel AS (
+      SELECT doc_id, len(gh) AS n_grams,
+             list_distinct(list_transform(range(1, len(gh) - {_WIN_W} + 2),
+               j -> (CAST(j AS BIGINT)
+                     + {_WIN_W} + 1
+                     - list_position(list_reverse(gh[j:j+{_WIN_W - 1}]),
+                                     list_min(gh[j:j+{_WIN_W - 1}]))
+                     - 1) * 4294967296
+                    + list_min(gh[j:j+{_WIN_W - 1}])
+             )) AS fps
+      FROM g WHERE len(gh) >= {_WIN_W}
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(list_sum(fps) AS BIGINT) AS fp_checksum
+    FROM sel ORDER BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every {k}-char gram of the first {cap}
+    chars, slide a width-{w} window, and select each window's minimal
+    hash with the RIGHTMOST-occurrence tie rule; consecutive windows
+    re-selecting the same (position, hash) collapse to one
+    fingerprint.  Winnowing's guarantee — at least one selection per
+    window, so any match of length >= k + w - 1 between two documents
+    shares a fingerprint — is what makes it the local-similarity
+    sibling of MinHash (global resemblance) and the span-digest
+    family (exact substrings).  Fingerprints are encoded
+    pos * 2^32 + hash32 so the selection set is an integer list on
+    both engines; the output ships count + checksum per doc (the
+    fingerprint INDEX would be the (hash -> doc, pos) inversion of
+    this projection).
+
+    Scale shape: entirely in-row Column algebra over the scan —
+    O(cap * w) per document, no shuffle at all until a consumer
+    groups by fingerprint."""
+    cap, k, w = _WIN_CAP, _WIN_K, _WIN_W
+    gh = (
+        f"transform(sequence(1, length(substring(text, 1, {cap})) - {k} + 1),"
+        f" i -> CAST(CONV(SUBSTRING(MD5(CAST(substring(substring(text, 1, {cap}), i, {k})"
+        f" AS BINARY)), 1, 8), 16, 10) AS BIGINT))"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, size(gh) - {w} + 1),"
+        f" j -> (CAST(j AS BIGINT) + {w} + 1"
+        f"       - array_position(reverse(slice(gh, j, {w})),"
+        f"                        array_min(slice(gh, j, {w}))) - 1) * 4294967296"
+        f"      + array_min(slice(gh, j, {w}))))"
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= k)
+        .selectExpr("doc_id", f"{gh} AS gh")
+        .filter(F.expr(f"size(gh) >= {w}"))
+        .selectExpr(
+            "doc_id",
+            "CAST(size(gh) AS BIGINT) AS n_grams",
+            f"{sel} AS fps",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_grams",
+            "CAST(size(fps) AS BIGINT) AS n_fingerprints",
+            "CAST(aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
+            " AS fp_checksum",
+        )
+        .orderBy("doc_id")
+    )

@@ -282,3 +282,19 @@ def test_clip_calibration_rank_definition(spark, tmp_path):
     assert (r["dim"], r["n"]) == (1, 100)
     assert r["p01_e6"] == 1_000_000
     assert r["p99_e6"] == 99_000_000
+
+
+def test_winnowing_density_guarantee(spark, sf_dir):
+    """Winnowing invariants on real docs: every window selects
+    something, one selection covers at most w consecutive windows —
+    so ceil(n_windows / w) <= n_fingerprints <= n_windows."""
+    import math
+
+    from instructions_mr_spark.queries.text import _WIN_W
+
+    rows = registry.QUERIES["winnowing_fingerprints"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n_windows = r["n_grams"] - _WIN_W + 1
+        assert 1 <= r["n_fingerprints"] <= n_windows
+        assert r["n_fingerprints"] >= math.ceil(n_windows / _WIN_W)
