@@ -6887,15 +6887,17 @@ def session_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(x) AS s, COUNT(*) AS n FROM daily),
     objs AS (
       SELECT day,
-             cs * cs * 1000 // cn
-               + (s - cs) * (s - cs) * 1000
-                 // (CASE WHEN n - cn = 0 THEN 1 ELSE n - cn END) AS obj_e3
+             (CAST(cs AS HUGEINT) * cs * 1000 // cn
+               + CAST(s - cs AS HUGEINT) * (s - cs) * 1000
+                 // (CASE WHEN n - cn = 0 THEN 1 ELSE n - cn END)) // n
+               AS obj_e3
       FROM cum, tot WHERE cn < n
     ),
     best AS (SELECT MAX(obj_e3) AS bo FROM objs)
     SELECT CAST(MIN(day) AS BIGINT) AS best_split_day,
            CAST(bo AS BIGINT) AS best_obj_e3,
-           CAST((SELECT s * s * 1000 // n FROM tot) AS BIGINT) AS base_obj_e3,
+           CAST((SELECT CAST(s AS HUGEINT) * s * 1000 // n // n FROM tot)
+               AS BIGINT) AS base_obj_e3,
            CAST((SELECT n FROM tot) AS BIGINT) AS n_days
     FROM objs, best WHERE obj_e3 = bo GROUP BY bo
     """,
@@ -6908,8 +6910,12 @@ def best_split_sse_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity), in e3 integer arithmetic on whole dollars (both
     engines truncate identically; ties resolve to the EARLIEST day).
     Complements cusum_changepoint (drift detection) with the
-    variance-reduction view.  Envelope: daily dollars <= ~1e7 at
-    sf100 -> S^2 * 1e3 <= ~1e17, inside BIGINT.
+    variance-reduction view.  The objective is normalized PER DAY
+    (DIV n) with DECIMAL(38,0)/HUGEINT intermediates (the
+    pareto/t-closeness convention): S^2 grows quadratically with the
+    corpus and passed BIGINT already at sf2 (caught by this round's
+    sf2 curve run), while the per-day objective ~ (mean daily
+    dollars)^2 * 1e3 stays inside BIGINT past sf1000.
 
     Scale shape: the corpus collapses to the bounded day grid in one
     map-side-combinable aggregate; the prefix sums are one ordered
@@ -6937,15 +6943,22 @@ def best_split_sse_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cn") < F.col("n"))
         .selectExpr(
             "day",
-            # the CASE guard keeps ANSI Spark from tripping on the
-            # filtered-out last row (codegen can evaluate the
-            # projection alongside the cn < n filter)
-            "cs * cs * 1000 DIV cn + (s - cs) * (s - cs) * 1000"
-            " DIV (CASE WHEN n - cn = 0 THEN 1 ELSE n - cn END) AS obj_e3",
+            # DECIMAL(38,0) squares (BIGINT overflows at sf2); the CASE
+            # guard keeps ANSI Spark from tripping on the filtered-out
+            # last row (codegen can evaluate the projection alongside
+            # the cn < n filter)
+            "CAST((CAST(cs AS DECIMAL(38,0)) * cs * 1000 DIV cn"
+            " + CAST(s - cs AS DECIMAL(38,0)) * (s - cs) * 1000"
+            " DIV (CASE WHEN n - cn = 0 THEN 1 ELSE n - cn END)) DIV n"
+            " AS BIGINT) AS obj_e3",
         )
     )
     best = objs.agg(F.max("obj_e3").alias("bo"))
-    base = tot.selectExpr("s * s * 1000 DIV n AS base_obj_e3", "n")
+    base = tot.selectExpr(
+        "CAST(CAST(s AS DECIMAL(38,0)) * s * 1000 DIV n DIV n AS BIGINT)"
+        " AS base_obj_e3",
+        "n",
+    )
     return (
         objs.crossJoin(F.broadcast(best))
         .filter(F.col("obj_e3") == F.col("bo"))

@@ -104,9 +104,9 @@ def test_best_split_finds_the_level_shift(spark, tmp_path):
     day3 = int(datetime(2024, 1, 3).timestamp() // 86400)
     assert r["n_days"] == 6
     assert r["best_split_day"] == day3
-    # S_l=300,n=3 ; S_r=1200,n=3 -> 30e6 + 480e6
-    assert r["best_obj_e3"] == 510_000_000
-    assert r["base_obj_e3"] == 375_000_000
+    # (S_l=300,n=3 ; S_r=1200,n=3 -> 30e6 + 480e6) DIV 6 days
+    assert r["best_obj_e3"] == 85_000_000
+    assert r["base_obj_e3"] == 62_500_000
 
 
 def test_session_entry_exit_pairs(spark, tmp_path):
