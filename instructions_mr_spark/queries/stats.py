@@ -4295,3 +4295,101 @@ def embedding_clip_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("CAST(dim AS BIGINT) AS dim", "p01_e6", "p99_e6", "n")
         .orderBy("dim")
     )
+
+
+@query(
+    "quantile_norm_map",
+    oracle="""
+    WITH pooled AS (
+      SELECT n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    pq AS (
+      SELECT q, MAX(CASE WHEN rn = CEIL(q * n / 10.0) THEN n_chars END)
+               AS pooled_val
+      FROM pooled, (SELECT UNNEST(range(1, 10)) AS q) qs
+      GROUP BY q
+    ),
+    per_src AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    sq AS (
+      SELECT source, q,
+             MAX(CASE WHEN rn = CEIL(q * ns / 10.0) THEN n_chars END)
+               AS source_val
+      FROM per_src, (SELECT UNNEST(range(1, 10)) AS q) qs
+      GROUP BY source, q
+    )
+    SELECT s.source, CAST(s.q AS BIGINT) AS decile,
+           CAST(s.source_val AS BIGINT) AS source_val,
+           CAST(p.pooled_val AS BIGINT) AS pooled_val,
+           CAST(s.source_val - p.pooled_val AS BIGINT) AS shift
+    FROM sq s JOIN pq p ON p.q = s.q
+    ORDER BY s.source, decile
+    """,
+)
+def quantile_norm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization map: each source's decile order
+    statistics of document length against the pooled corpus deciles
+    (exact rank-ceil(q*n/10) elections, ties by doc_id) — the lookup
+    table that maps a source's distribution onto the corpus
+    distribution (the bioinformatics quantile-normalization recipe
+    applied to corpus mixing), and the per-decile SHIFT column is the
+    skew diagnosis: a source whose q9 sits far above pooled q9 is the
+    long-document outlier that dominates token budgets.
+
+    Scale shape: the per-source ranks run under source-keyed windows;
+    the pooled rank avoids the global sort via the two-phase bucketed
+    prefix sum (two_phase_rank on the n_chars value-domain bucket).
+    Both sides collapse to 9 rows (pooled) / 9*|sources| rows before
+    the join."""
+    from instructions_mr_spark.queries._util import two_phase_rank
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    qs = spark.range(1, 10).select(F.col("id").cast("int").alias("q"))
+    pooled = two_phase_rank(
+        d,
+        bucket=(F.col("n_chars") / F.lit(64)).cast("bigint"),
+        order_cols=[F.col("n_chars"), F.col("doc_id")],
+        rn_name="rn",
+        n_name="n",
+    )
+    pq = (
+        pooled.crossJoin(F.broadcast(qs))
+        .filter(F.expr("rn = CEIL(q * n / 10.0)"))
+        .groupBy("q")
+        .agg(F.max("n_chars").alias("pooled_val"))
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    per_src = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(
+            wn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("ns"),
+    )
+    sq = (
+        per_src.crossJoin(F.broadcast(qs))
+        .filter(F.expr("rn = CEIL(q * ns / 10.0)"))
+        .groupBy("source", "q")
+        .agg(F.max("n_chars").alias("source_val"))
+    )
+    return (
+        sq.join(F.broadcast(pq), "q")
+        .selectExpr(
+            "source",
+            "CAST(q AS BIGINT) AS decile",
+            "CAST(source_val AS BIGINT) AS source_val",
+            "CAST(pooled_val AS BIGINT) AS pooled_val",
+            "CAST(source_val - pooled_val AS BIGINT) AS shift",
+        )
+        .orderBy("source", "decile")
+    )

@@ -112,7 +112,14 @@ DRIVER_WINDOW: list[str] = [
 # Round-10 rotation plan: the remaining never-driver-checked backlog
 # (names below MINUS the round-9 DRIVER_WINDOW above, which lands fresh
 # rows in CORRECTNESS_r09 — cross the landed ones off there), plus any
-# r9-new queries not in the window and anything whose contract changes:
+# r9-new queries not in the window and anything whose contract changes.
+# r9-new names NOT in the r9 window (never driver-checked, prioritize):
+#   group_by_all_contract, engagement_decay_scores,
+#   near_zero_variance_audit, embedding_clip_calibration,
+#   delete_cascade_sim, source_common_prefix, cart_split_gain_terms,
+#   string_split_contract, order_by_all_contract,
+#   winnowing_fingerprints, quantile_norm_map.
+# Older backlog:
 #   dpp_filtered_dim_scan, embedding_pair_cosine, funnel_by_segment,
 #   json_from_schema, json_map_ops, lsh_bucket_stats, nested_roundtrip,
 #   rollup_time_hierarchy, vector_avg_by_label, dedup_span_cut_keepfirst,
