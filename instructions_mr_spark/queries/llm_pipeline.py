@@ -3213,3 +3213,71 @@ def embedding_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("sz") > 1, F.col("keeper")).otherwise(0)), F.lit(0)
         ).cast("bigint").alias("keeper_checksum"),
     )
+
+
+@query(
+    "simhash_bit_bias_by_source",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source,
+           {' + '.join(f"(CASE WHEN (list_sum(list_transform(words, w -> CASE WHEN (({_duck_h32('w', 99)} >> {b}) & 1) = 1 THEN 1 ELSE -1 END))) > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))}
+             AS simhash
+      FROM (SELECT source, string_split(text, ' ') AS words FROM documents)
+    ),
+    bits AS (
+      SELECT source, b.bit, (simhash >> b.bit) & 1 AS v
+      FROM fp, (SELECT UNNEST(range(0, {_SIMHASH_BITS})) AS bit) b
+    )
+    SELECT source, CAST(bit AS BIGINT) AS bit,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(v) AS BIGINT) AS n_set,
+           CAST(ABS(2 * SUM(v) - COUNT(*)) * 1000000 // COUNT(*) AS BIGINT)
+             AS bias_e6
+    FROM bits GROUP BY source, bit
+    ORDER BY source, bit
+    """,
+)
+def simhash_bit_bias_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bit-bias profile per source: for each of the {B}
+    fingerprint bits, how far the set-bit share deviates from the
+    1/2 a diverse corpus produces (bias_e6 = |2*n_set - n| * 1e6 DIV
+    n).  Independent random documents give near-zero bias on every
+    bit; a source whose docs share template vocabulary drags many
+    bits toward 0 or 1 — so a high-bias source is EXACTLY the one
+    whose SimHash buckets will run hot in dedup_simhash_hamming (the
+    skew this profile predicts before the join pays for it; the
+    MinHash twin is lsh_bucket_stats).
+
+    Scale shape: the per-doc fingerprint is in-row word-hash algebra
+    on the scan; bits explode 16x; ONE (source, bit) aggregate —
+    map-side combinable, bounded |sources| x 16 output."""
+    words = t(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("words")
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN AGGREGATE(words, 0, (acc, w) -> acc + "
+        f"CASE WHEN (SHIFTRIGHT({_spark_h32('w', 99)}, {b}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    fp = words.selectExpr("source", f"{bit_terms} AS simhash")
+    bits = fp.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
+        "simhash",
+    ).selectExpr("source", "bit", "(SHIFTRIGHT(simhash, bit) & 1) AS v")
+    return (
+        bits.groupBy("source", "bit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("v").cast("bigint").alias("n_set"),
+            F.expr(
+                "CAST(ABS(2 * SUM(v) - COUNT(*)) * 1000000 DIV COUNT(*)"
+                " AS BIGINT)"
+            ).alias("bias_e6"),
+        )
+        .selectExpr(
+            "source", "CAST(bit AS BIGINT) AS bit", "n_docs", "n_set", "bias_e6"
+        )
+        .orderBy("source", "bit")
+    )

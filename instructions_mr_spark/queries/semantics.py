@@ -1339,3 +1339,45 @@ def order_by_all_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+@query(
+    "regexp_extract_all_contract",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey,
+             regexp_extract_all(p_type, '[A-Z]+') AS toks
+      FROM part
+    )
+    SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def regexp_extract_all_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all parity: both engines must produce the same
+    match LIST (count, first, last) for a character-class pattern —
+    Spark runs java.util.regex, DuckDB runs RE2, and their semantics
+    agree only on the regex subset this engine permits in shared
+    fragments (no backrefs, no lookaround); this contract pins that
+    overlap on real data so a drift into engine-specific syntax fails
+    loudly.
+
+    Scale shape: in-row regex on the scan; bounded rollup."""
+    # Spark's regexp_extract_all defaults idx=1 (a capture group);
+    # idx=0 = the whole match, which is what DuckDB returns by default
+    m = t(spark, sf_dir, "part").select(
+        F.expr("regexp_extract_all(p_type, '[A-Z]+', 0)").alias("toks")
+    )
+    return (
+        m.selectExpr(
+            "CAST(size(toks) AS BIGINT) AS n_tokens",
+            "element_at(toks, 1) AS first_tok",
+            "element_at(toks, size(toks)) AS last_tok",
+        )
+        .groupBy("n_tokens", "first_tok", "last_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("n_tokens", "first_tok", "last_tok")
+    )
