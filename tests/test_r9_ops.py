@@ -298,3 +298,16 @@ def test_winnowing_density_guarantee(spark, sf_dir):
         n_windows = r["n_grams"] - _WIN_W + 1
         assert 1 <= r["n_fingerprints"] <= n_windows
         assert r["n_fingerprints"] >= math.ceil(n_windows / _WIN_W)
+
+
+def test_simhash_bit_bias_invariants(spark, sf_dir):
+    """16 rows per source; n_set <= n_docs; bias_e6 = |2*n_set - n| *
+    1e6 DIV n recomputed row-by-row."""
+    rows = registry.QUERIES["simhash_bit_bias_by_source"](spark, sf_dir).collect()
+    assert rows
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r)
+        assert 0 <= r["n_set"] <= r["n_docs"]
+        assert r["bias_e6"] == abs(2 * r["n_set"] - r["n_docs"]) * 1_000_000 // r["n_docs"]
+    assert all(len(v) == 16 for v in per_source.values())
