@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from instructions_mr_spark.queries._util import DEC_PRICE, supersede_checkpoint, t
+from instructions_mr_spark.queries._util import (
+    DEC_PRICE,
+    supersede_checkpoint,
+    t,
+    ts_epoch_seconds,
+)
 from instructions_mr_spark.registry import query
 
 # z-score from EXACT decimal moments, shared verbatim by both engines
@@ -4393,3 +4398,367 @@ def quantile_norm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# Welch t: both engines derive the float t/df from the SAME BIGINT
+# sufficient statistics with the SAME expression text, so the double
+# arithmetic is bit-identical (the house *_terms float rule).
+_WELCH_MA = "CAST(sum_a AS DOUBLE) / n_a"
+_WELCH_MB = "CAST(sum_b AS DOUBLE) / n_b"
+_WELCH_VA = "(CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a) / (n_a - 1)"
+_WELCH_VB = "(CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b) / (n_b - 1)"
+_WELCH_SE2 = f"({_WELCH_VA} / n_a + {_WELCH_VB} / n_b)"
+_WELCH_T = f"ROUND(({_WELCH_MA} - {_WELCH_MB}) / SQRT({_WELCH_SE2}), 6)"
+_WELCH_DF = (
+    f"ROUND({_WELCH_SE2} * {_WELCH_SE2} / "
+    f"(({_WELCH_VA} / n_a) * ({_WELCH_VA} / n_a) / (n_a - 1) + "
+    f"({_WELCH_VB} / n_b) * ({_WELCH_VB} / n_b) / (n_b - 1)), 6)"
+)
+
+
+@query(
+    "welch_ttest_terms",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CASE WHEN (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4)
+                       % 7 IN (6, 0) THEN 1 ELSE 0 END AS sat_sun,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(sat_sun) AS BIGINT) AS n_a,
+             CAST(SUM(1 - sat_sun) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN sat_sun = 1 THEN cents ELSE 0 END) AS BIGINT) AS sum_a,
+             CAST(SUM(CASE WHEN sat_sun = 0 THEN cents ELSE 0 END) AS BIGINT) AS sum_b,
+             CAST(SUM(CASE WHEN sat_sun = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_a,
+             CAST(SUM(CASE WHEN sat_sun = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_b
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b, sum_a, sum_b, ss_a, ss_b,
+           {_WELCH_T} AS t_welch, {_WELCH_DF} AS df_welch
+    FROM g WHERE n_a > 1 AND n_b > 1
+    ORDER BY event_type
+    """,
+)
+def welch_ttest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event type: Saturday+Sunday
+    event values (cents-exact) against weekday values — the A/B
+    readout that does NOT assume the two arms share a variance (unlike
+    the pooled-s Cohen's d sibling).  BIGINT sufficient statistics
+    cross the engines; t and the Welch–Satterthwaite df are derived
+    from them by one shared expression, so the doubles are
+    bit-identical.  Envelope: cents <= ~6e4 so cents^2 <= ~3.2e9 and
+    BIGINT ss holds past 2e9 rows per (type, arm).
+
+    Weekend here is the calendar Saturday/Sunday ((epoch_day+4)%7 in
+    {{6,0}}, 1970-01-01 being a Thursday) — deliberately NOT Spark's
+    locale-flavored dayofweek(), which disagrees with DuckDB's.
+
+    Scale shape: one map-side-combinable conditional aggregate keyed
+    by event_type (5 groups); the t/df arithmetic runs on the 5-row
+    result.  No window, no join."""
+    sec = ts_epoch_seconds("ts")
+    dow = (F.floor(sec / F.lit(86400)).cast("bigint") + 4) % 7
+    d = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(dow.isin(6, 0), 1).otherwise(0).alias("sat_sun"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    g = (
+        d.groupBy("event_type")
+        .agg(
+            F.sum("sat_sun").cast("bigint").alias("n_a"),
+            F.sum(F.lit(1) - F.col("sat_sun")).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("sat_sun") == 1, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_a"),
+            F.sum(F.when(F.col("sat_sun") == 0, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_b"),
+            F.sum(
+                F.when(F.col("sat_sun") == 1, F.col("cents") * F.col("cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ss_a"),
+            F.sum(
+                F.when(F.col("sat_sun") == 0, F.col("cents") * F.col("cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ss_b"),
+        )
+        .filter("n_a > 1 AND n_b > 1")
+    )
+    return g.selectExpr(
+        "event_type",
+        "n_a",
+        "n_b",
+        "sum_a",
+        "sum_b",
+        "ss_a",
+        "ss_b",
+        f"{_WELCH_T} AS t_welch",
+        f"{_WELCH_DF} AS df_welch",
+    ).orderBy("event_type")
+
+
+# Exact-integer chi-square cell contribution (the chi2_lang_source
+# idiom): (O*N - R*C)^2 * 1e6 // (N*R*C), numerator widened to
+# 128-bit (HUGEINT / DECIMAL(38,0)).  Integer, so the per-group SUM
+# is order-independent — no float ever crosses the engines.
+def _duck_contrib_e6(o: str, r: str, c: str, n: str) -> str:
+    return (
+        f"(({o}) * ({n}) - ({r}) * ({c}))"
+        f" * CAST(({o}) * ({n}) - ({r}) * ({c}) AS HUGEINT)"
+        f" * 1000000 // (CAST(({n}) AS HUGEINT) * ({r}) * ({c}))"
+    )
+
+
+def _spark_contrib_e6(o: str, r: str, c: str, n: str) -> str:
+    return (
+        f"CAST(({o}) * ({n}) - ({r}) * ({c}) AS DECIMAL(38,0))"
+        f" * (({o}) * ({n}) - ({r}) * ({c}))"
+        f" * 1000000 DIV (CAST(({n}) AS DECIMAL(38,0)) * ({r}) * ({c}))"
+    )
+
+
+# df=4 chi-square survival is CLOSED FORM: P(X > x) = e^(-x/2)(1+x/2)
+# — an exact p-value, derived from the exact integer chi2_e6 by one
+# shared expression (bit-identical doubles on both engines).
+_BH_P = "EXP(-chi2_e6 / 2e6) * (1 + chi2_e6 / 2e6)"
+
+
+@query(
+    "benjamini_hochberg_fdr",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS nn FROM tok),
+    lm AS (SELECT lang, COUNT(*) AS ln FROM tok GROUP BY 1),
+    tc AS (SELECT w, lang, COUNT(*) AS o FROM tok GROUP BY 1, 2),
+    tn AS (SELECT w, SUM(o) AS nt FROM tc GROUP BY 1 HAVING SUM(o) >= 100),
+    grid AS (
+      SELECT tn.w, tn.nt, lm.lang, lm.ln, COALESCE(tc.o, 0) AS o, n.nn
+      FROM tn CROSS JOIN lm
+      LEFT JOIN tc ON tc.w = tn.w AND tc.lang = lm.lang, n
+    ),
+    chi AS (
+      SELECT w, MAX(nt) AS n_t,
+             CAST(SUM({_duck_contrib_e6("o", "nt", "ln", "nn")}
+                    + {_duck_contrib_e6("ln - o", "nn - nt", "ln", "nn")})
+                  AS BIGINT) AS chi2_e6
+      FROM grid GROUP BY w
+    ),
+    ranked AS (
+      SELECT w, n_t, chi2_e6, {_BH_P} AS p,
+             ROW_NUMBER() OVER (ORDER BY chi2_e6 DESC, w) AS rn,
+             COUNT(*) OVER () AS m
+      FROM chi
+    )
+    SELECT w AS term, CAST(n_t AS BIGINT) AS n_t, chi2_e6,
+           ROUND(p, 9) AS p_value, CAST(rn AS BIGINT) AS rn,
+           CASE WHEN rn <= COALESCE(
+                  MAX(CASE WHEN p <= 0.05 * rn / m THEN rn END) OVER (), 0)
+                THEN 1 ELSE 0 END AS kept
+    FROM ranked
+    ORDER BY rn
+    """,
+)
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR selection over per-term language-skew
+    tests: each vocabulary term with >= 100 occurrences is tested for
+    independence from language (the 2 x |langs| contingency table of
+    'this term vs the rest of the corpus' against the 5 language
+    marginals, df = 4), its EXACT p-value comes from the closed-form
+    even-df survival e^(-x/2)(1+x/2), and the BH(0.05) step-up rule
+    keeps every term ranked at or below the largest rank k with
+    p_(k) <= 0.05*k/m — the multiple-testing-correct version of 'which
+    words are language markers', the difference between one spurious
+    hit per 20 tests and a controlled false-discovery rate.
+
+    Cross-engine exactness: cell contributions use the widened
+    integer (O*N-R*C)^2*1e6//(N*R*C) idiom (chi2_lang_source_terms),
+    so chi2_e6 is an order-free BIGINT sum and p is one shared
+    expression over it — the BH comparisons are bit-identical.  Exact
+    through ~1e8 docs (the documented DECIMAL(38) numerator bound).
+
+    Scale shape: the corpus-sized work is one (term, lang) count
+    aggregate (map-side combinable); everything after runs on the
+    vocabulary-sized (Zipf-bounded) term table, where the ranking
+    window is allowlisted as bounded."""
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    tc = tok.groupBy("w", "lang").agg(F.count(F.lit(1)).alias("o"))
+    tc = supersede_checkpoint("bh_term_lang", tc.localCheckpoint())
+    lm = tc.groupBy("lang").agg(F.sum("o").alias("ln"))
+    n = tc.agg(F.sum("o").alias("nn"))
+    tn = tc.groupBy("w").agg(F.sum("o").alias("nt")).filter("nt >= 100")
+    grid = (
+        tn.crossJoin(F.broadcast(lm))
+        .join(tc, ["w", "lang"], "left")
+        .crossJoin(F.broadcast(n))
+        .selectExpr("w", "nt", "ln", "COALESCE(o, 0) AS o", "nn")
+    )
+    chi = grid.groupBy("w").agg(
+        F.max("nt").alias("n_t"),
+        F.expr(
+            f"CAST(SUM({_spark_contrib_e6('o', 'nt', 'ln', 'nn')}"
+            f" + {_spark_contrib_e6('ln - o', 'nn - nt', 'ln', 'nn')})"
+            " AS BIGINT)"
+        ).alias("chi2_e6"),
+    )
+    w_rank = Window.orderBy(F.col("chi2_e6").desc(), "w")
+    w_all = Window.partitionBy()
+    ranked = chi.select(
+        "w",
+        "n_t",
+        "chi2_e6",
+        F.expr(_BH_P).alias("p"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1))
+        .over(w_all.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("m"),
+    )
+    thr = F.max(
+        F.when(F.col("p") <= 0.05 * F.col("rn") / F.col("m"), F.col("rn"))
+    ).over(w_all.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (
+        ranked.select(
+            F.col("w").alias("term"),
+            F.col("n_t").cast("bigint").alias("n_t"),
+            "chi2_e6",
+            F.round("p", 9).alias("p_value"),
+            F.col("rn").cast("bigint").alias("rn"),
+            F.when(F.col("rn") <= F.coalesce(thr, F.lit(0)), 1)
+            .otherwise(0)
+            .alias("kept"),
+        )
+        .orderBy("rn")
+    )
+
+
+# NULL (not an error) when a pair is degenerate: min(r,c)=1 has no
+# association to normalize (and Spark's ANSI mode would throw on /0)
+_CRAMERS_V = (
+    "ROUND(SQRT(CAST(chi2_e6 AS DOUBLE) / 1e6"
+    " / (n * NULLIF(LEAST(r_levels, c_levels) - 1, 0))), 6)"
+)
+
+
+def _duck_cramers_pair(pair: str, table: str, a: str, b: str) -> str:
+    # the FULL r x c grid (margin cross join, zero-fill unobserved
+    # cells): chi-square gets its expected-count contribution from
+    # EVERY cell, or a perfect bijection would read as V<1
+    return f"""
+    SELECT '{pair}' AS pair, n_rows AS n, r_levels, c_levels, chi2_e6,
+           {_CRAMERS_V} AS cramers_v
+    FROM (
+      SELECT MAX(nn) AS n_rows,
+             COUNT(DISTINCT ra) AS r_levels,
+             COUNT(DISTINCT cb) AS c_levels,
+             CAST(SUM({_duck_contrib_e6("o", "rn", "cn", "nn")}) AS BIGINT)
+               AS chi2_e6
+      FROM (
+        SELECT r.ra, c.cb, COALESCE(o.o, 0) AS o, r.rn, c.cn, n.nn
+        FROM (SELECT {a} AS ra, COUNT(*) AS rn FROM {table} GROUP BY 1) r
+        CROSS JOIN (SELECT {b} AS cb, COUNT(*) AS cn FROM {table} GROUP BY 1) c
+        LEFT JOIN (SELECT {a} AS ra, {b} AS cb, COUNT(*) AS o
+                   FROM {table} GROUP BY 1, 2) o
+          ON o.ra = r.ra AND o.cb = c.cb,
+        (SELECT COUNT(*) AS nn FROM {table}) n
+      )
+    )
+    """
+
+
+@query(
+    "cramers_v_matrix",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow
+      FROM events
+    )
+    {_duck_cramers_pair("doc_lang_x_source", "documents", "lang", "source")}
+    UNION ALL
+    {_duck_cramers_pair("event_type_x_dow", "ev", "event_type", "dow")}
+    UNION ALL
+    {_duck_cramers_pair(
+        "order_priority_x_status", "orders", "o_orderpriority", "o_orderstatus"
+    )}
+    ORDER BY pair
+    """,
+)
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix across three categorical pairs —
+    (lang x source) on documents, (event_type x day-of-week) on
+    events, (priority x status) on orders: the normalized-to-[0,1]
+    effect size that lets an analyst compare association STRENGTH
+    across tables where raw chi-square only scales with n.  Cell
+    contributions use the widened exact-integer idiom
+    (chi2_lang_source_terms), so chi2_e6 is an order-free BIGINT sum
+    and V is one shared expression over exact terms.
+
+    Scale shape: per pair, one map-side-combinable cell count over
+    bounded category domains (5x20 / 5x7 / 5x3 cells); margins derive
+    from the cell table (never a re-scan) and broadcast back.  Three
+    one-row results union — no window, no corpus join."""
+
+    def pair(pair_name: str, df: DataFrame, a: str, b: str) -> DataFrame:
+        o = (
+            df.selectExpr(f"{a} AS ra", f"{b} AS cb")
+            .groupBy("ra", "cb")
+            .agg(F.count(F.lit(1)).alias("o"))
+            .localCheckpoint()
+        )
+        o = supersede_checkpoint(f"cramers_{pair_name}", o)
+        r = o.groupBy("ra").agg(F.sum("o").alias("rn"))
+        c = o.groupBy("cb").agg(F.sum("o").alias("cn"))
+        n = o.agg(F.sum("o").alias("nn"))
+        # full r x c grid with zero-filled unobserved cells (see the
+        # oracle note): every cell contributes its expectation term
+        return (
+            r.crossJoin(F.broadcast(c))
+            .join(o, ["ra", "cb"], "left")
+            .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+            .crossJoin(F.broadcast(n))
+            .agg(
+                F.max("nn").alias("n_rows"),
+                F.countDistinct("ra").alias("r_levels"),
+                F.countDistinct("cb").alias("c_levels"),
+                F.expr(
+                    f"CAST(SUM({_spark_contrib_e6('o', 'rn', 'cn', 'nn')})"
+                    " AS BIGINT)"
+                ).alias("chi2_e6"),
+            )
+            .selectExpr(
+                f"'{pair_name}' AS pair",
+                "n_rows AS n",
+                "r_levels",
+                "c_levels",
+                "chi2_e6",
+                f"{_CRAMERS_V} AS cramers_v",
+            )
+        )
+
+    sec = ts_epoch_seconds("ts")
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.floor(sec / F.lit(86400)).cast("bigint") + 4) % 7).alias("dow"),
+    )
+    out = (
+        pair("doc_lang_x_source", t(spark, sf_dir, "documents"), "lang", "source")
+        .unionAll(pair("event_type_x_dow", ev, "event_type", "dow"))
+        .unionAll(
+            pair(
+                "order_priority_x_status",
+                t(spark, sf_dir, "orders"),
+                "o_orderpriority",
+                "o_orderstatus",
+            )
+        )
+    )
+    return out.orderBy("pair")

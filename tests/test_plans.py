@@ -345,6 +345,7 @@ def test_no_global_window_outside_allowlist(spark, sf_dir):
         # language-/vocabulary-sized tables (Zipf: vocab << corpus)
         "zipf_vocab_fit",            # frequency histogram
         "vocab_coverage",            # vocab running sum (documented swap)
+        "benjamini_hochberg_fdr",    # BH rank over tested vocab terms
         # small-domain dimension tables
         "metric_change_contribution",  # one row per segment
         "budget_apportion_hamilton",   # one row per source

@@ -1,0 +1,158 @@
+"""Semantic pins for the round-9 statistics additions: Welch t/df on
+a handcrafted unequal-variance split, the BH step-up keep/reject
+boundary on a planted language marker, and Cramér's V = 1 / ~0 on
+perfectly-associated vs independent categorical pairs."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from instructions_mr_spark import registry
+
+registry.load_all()
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type, value)"""
+    full = [(i, ts, u, et, float(v), "{}") for i, ts, u, et, v in rows]
+    spark.createDataFrame(
+        full,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def _write_documents(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang, source)"""
+    full = [(i, txt, lang, src, len(txt)) for i, txt, lang, src in rows]
+    spark.createDataFrame(
+        full, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_welch_ttest_terms_hand_computed(spark, tmp_path):
+    """Saturday arm {1, 3} vs weekday arm {10, 10, 16}: terms, the
+    Welch t and the Satterthwaite df all match the textbook formulas
+    (df must land strictly between min(n)-1 and n_a+n_b-2)."""
+    sat = datetime(2024, 1, 6)  # a Saturday
+    mon = datetime(2024, 1, 8)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, sat, 1, "view", 1.0),
+            (2, sat, 1, "view", 3.0),
+            (3, mon, 1, "view", 10.0),
+            (4, mon, 1, "view", 10.0),
+            (5, mon, 1, "view", 16.0),
+        ],
+    )
+    [r] = registry.QUERIES["welch_ttest_terms"](spark, str(tmp_path)).collect()
+    assert (r["n_a"], r["n_b"]) == (2, 3)
+    assert (r["sum_a"], r["sum_b"]) == (400, 3600)
+    # cents: a = {100, 300}, b = {1000, 1000, 1600}
+    assert r["ss_a"] == 100 * 100 + 300 * 300
+    assert r["ss_b"] == 1000 * 1000 + 1000 * 1000 + 1600 * 1600
+    va = (r["ss_a"] - r["sum_a"] ** 2 / r["n_a"]) / (r["n_a"] - 1)
+    vb = (r["ss_b"] - r["sum_b"] ** 2 / r["n_b"]) / (r["n_b"] - 1)
+    se2 = va / r["n_a"] + vb / r["n_b"]
+    t_exp = (r["sum_a"] / r["n_a"] - r["sum_b"] / r["n_b"]) / math.sqrt(se2)
+    df_exp = se2 * se2 / (
+        (va / r["n_a"]) ** 2 / (r["n_a"] - 1) + (vb / r["n_b"]) ** 2 / (r["n_b"] - 1)
+    )
+    assert abs(r["t_welch"] - round(t_exp, 6)) < 1e-9
+    assert abs(r["df_welch"] - round(df_exp, 6)) < 1e-9
+    assert min(r["n_a"], r["n_b"]) - 1 < r["df_welch"] < r["n_a"] + r["n_b"] - 2
+
+
+def test_welch_drops_single_observation_arms(spark, tmp_path):
+    """An event type with n=1 in one arm has no variance estimate —
+    the row is filtered, not NaN-polluted."""
+    sat = datetime(2024, 1, 6)
+    mon = datetime(2024, 1, 8)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, sat, 1, "click", 1.0),
+            (2, mon, 1, "click", 2.0),
+            (3, mon, 1, "click", 3.0),
+        ],
+    )
+    assert registry.QUERIES["welch_ttest_terms"](spark, str(tmp_path)).count() == 0
+
+
+def test_bh_keeps_planted_marker_rejects_uniform(spark, tmp_path):
+    """A term appearing ONLY in lang en (perfect marker) must be kept;
+    a term spread exactly like the language marginals must sort last
+    and be rejected.  120 occurrences each to clear the n>=100 gate."""
+    docs = []
+    did = 0
+    # 'marker' only in en; 'fill' balances langs so marginals are even.
+    for i in range(120):
+        docs.append((did, "marker " * 1 + "base", "en", "s1"))
+        did += 1
+    for lang in ["en", "de", "fr"]:
+        for i in range(40):
+            docs.append((did, "uniform base base", lang, "s1"))
+            did += 1
+    # pad de/fr token mass so 'base' is spread and marginals non-trivial
+    for lang in ["de", "fr"]:
+        for i in range(60):
+            docs.append((did, "base base", lang, "s1"))
+            did += 1
+    _write_documents(spark, tmp_path, docs)
+    rows = {
+        r["term"]: r
+        for r in registry.QUERIES["benjamini_hochberg_fdr"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows["marker"]["kept"] == 1
+    assert rows["marker"]["rn"] == 1  # strongest association ranks first
+    assert rows["uniform"]["kept"] == 0
+    # not an exact-marginal split (the pad docs skew lang token mass),
+    # but far from any BH keep boundary
+    assert rows["uniform"]["p_value"] > 0.05
+    # BH monotonicity: the kept set is a prefix of the ranking
+    ranked = sorted(rows.values(), key=lambda r: r["rn"])
+    flags = [r["kept"] for r in ranked]
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_cramers_v_perfect_and_independent(spark, tmp_path):
+    """lang==source bijection gives V=1; a balanced independent grid
+    gives V=0 (chi2_e6 exactly 0)."""
+    docs = []
+    did = 0
+    for lang, src in [("en", "en"), ("de", "de"), ("fr", "fr")]:
+        for i in range(10):
+            docs.append((did, "x", lang, src))
+            did += 1
+    _write_documents(spark, tmp_path, docs)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (i, datetime(2024, 1, 1 + ((i // 2) % 4)), 1, ["a", "b"][i % 2], 1.0)
+            for i in range(80)
+        ],
+    )
+    spark.createDataFrame(
+        [(1, 1, "O", 10.0, datetime(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["pair"]: r
+        for r in registry.QUERIES["cramers_v_matrix"](spark, str(tmp_path)).collect()
+    }
+    perfect = out["doc_lang_x_source"]
+    assert perfect["r_levels"] == perfect["c_levels"] == 3
+    assert abs(perfect["cramers_v"] - 1.0) < 1e-4  # e6 truncation only
+    indep = out["event_type_x_dow"]
+    assert indep["chi2_e6"] == 0
+    assert indep["cramers_v"] == 0.0
+    # degenerate single-level pair: V is NULL, never a /0 error
+    assert out["order_priority_x_status"]["cramers_v"] is None
