@@ -1381,3 +1381,138 @@ def regexp_extract_all_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("n_tokens", "first_tok", "last_tok")
     )
+
+
+# --------------------------------------- DISTINCT ON vs row_number
+
+
+@query(
+    "distinct_on_contract",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(o_orderkey AS BIGINT) AS latest_orderkey,
+           CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+                AS BIGINT) AS latest_epoch_day,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS latest_cents
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def distinct_on_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-order-per-customer two ways: DuckDB/Postgres
+    ``DISTINCT ON (key) ... ORDER BY key, sort DESC`` (the oracle)
+    against Spark's canonical ``ROW_NUMBER() = 1`` window pick — the
+    single most common idiom gap in warehouse migrations (Spark has
+    no DISTINCT ON).  The tiebreak MUST be total (orderdate DESC,
+    then orderkey DESC): DISTINCT ON with a partial sort is
+    nondeterministic on both engines, which is exactly the trap this
+    contract pins.
+
+    Scale shape: one window exchange on o_custkey; Spark 4 compiles
+    the rn=1 filter to WindowGroupLimit (top-1 per key runs map-side
+    before the shuffle), so the exchange carries one row per customer
+    — the DISTINCT ON plan, recovered by the optimizer."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter("rn = 1")
+        .select(
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            F.col("o_orderkey").cast("bigint").alias("latest_orderkey"),
+            F.floor(ts_epoch_seconds("o_orderdate") / F.lit(86400))
+            .cast("bigint")
+            .alias("latest_epoch_day"),
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "latest_cents"
+            ),
+        )
+    )
+
+
+# --------------------------------------- posexplode ordinality
+
+
+@query(
+    "posexplode_contract",
+    oracle="""
+    WITH tok AS (
+      SELECT CAST(p AS BIGINT) AS pos, words[p + 1] AS w
+      FROM (SELECT string_split(text, ' ') AS words FROM documents),
+           (SELECT UNNEST(range(0, 5)) AS p)
+      WHERE p < len(words)
+    )
+    SELECT pos, w, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok GROUP BY pos, w
+    ORDER BY pos, w
+    """,
+)
+def posexplode_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-position contract: Spark ``posexplode`` emits 0-BASED
+    positions while SQL array subscripts (DuckDB/Postgres, and
+    ``UNNEST WITH ORDINALITY`` where available) are 1-BASED — the
+    off-by-one every UDTF port hits, pinned by normalizing the oracle
+    to words[pos + 1] and counting (position, token) pairs over each
+    document's first five tokens.
+
+    Scale shape: explode is pipelined (no shuffle); the only exchange
+    is the (pos, w) count — 5 x vocabulary rows, map-side
+    combinable."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .filter(F.col("pos") < 5)
+        .groupBy(F.col("pos").cast("bigint").alias("pos"), "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("pos", "w")
+    )
+
+
+# --------------------------------------- regexp backreferences
+
+
+@query(
+    "regexp_replace_backrefs_contract",
+    oracle=r"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           regexp_replace(array_to_string(string_split(text, ' ')[1:4], ' '),
+                          '([a-z0-9]+) ([a-z0-9]+)', '\2 \1', 'g')
+             AS swapped
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def regexp_replace_backrefs_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backreference syntax contract: Spark's ``regexp_replace``
+    takes Java-style ``$1`` backrefs and replaces ALL matches by
+    default; DuckDB takes RE2-style ``\\1`` and replaces only the
+    FIRST match unless the ``'g'`` flag is passed.  Both engines scan
+    left-to-right with non-overlapping matches, so swapping adjacent
+    word pairs over each document's first four tokens gives
+    byte-identical output once each engine's dialect is spoken — the
+    two gaps (backref sigil, global-by-default) are the contract.
+
+    Scale shape: pure in-row string algebra on the scan — no shuffle
+    at all (the ORDER BY is presentation-only)."""
+    first4 = F.array_join(F.slice(F.split("text", " "), 1, 4), " ")
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.regexp_replace(
+                first4, r"([a-z0-9]+) ([a-z0-9]+)", r"$2 $1"
+            ).alias("swapped"),
+        )
+        .orderBy("doc_id")
+    )

@@ -156,3 +156,60 @@ def test_cramers_v_perfect_and_independent(spark, tmp_path):
     assert indep["cramers_v"] == 0.0
     # degenerate single-level pair: V is NULL, never a /0 error
     assert out["order_priority_x_status"]["cramers_v"] is None
+
+
+def test_distinct_on_contract_total_tiebreak(spark, tmp_path):
+    """Two orders on the same date: the higher orderkey wins (the
+    total-order tiebreak), never an arbitrary row."""
+    spark.createDataFrame(
+        [
+            (1, 7, "O", 10.0, datetime(2024, 3, 1), "P"),
+            (2, 7, "O", 20.0, datetime(2024, 3, 1), "P"),
+            (3, 7, "O", 30.0, datetime(2024, 2, 1), "P"),
+            (4, 8, "O", 40.0, datetime(2024, 1, 1), "P"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["custkey"]: r
+        for r in registry.QUERIES["distinct_on_contract"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[7]["latest_orderkey"] == 2  # same-date tie -> higher key
+    assert out[7]["latest_cents"] == 2000
+    assert out[8]["latest_orderkey"] == 4
+
+
+def test_distinct_on_compiles_to_window_group_limit(spark):
+    """The rn=1 pick must compile to WindowGroupLimit (top-1 per key
+    runs map-side before the shuffle) — the docstring's scale claim,
+    checked mechanically."""
+    df = registry.QUERIES["distinct_on_contract"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_posexplode_positions_zero_based(spark, tmp_path):
+    _write_documents(
+        spark,
+        tmp_path,
+        [(1, "alpha beta gamma delta epsilon zeta", "en", "s1"), (2, "alpha", "en", "s1")],
+    )
+    rows = registry.QUERIES["posexplode_contract"](spark, str(tmp_path)).collect()
+    got = {(r["pos"], r["w"]): r["n"] for r in rows}
+    assert got[(0, "alpha")] == 2  # both docs start with alpha
+    assert got[(4, "epsilon")] == 1
+    assert (5, "zeta") not in got  # only the first five positions
+    assert all(0 <= p <= 4 for p, _ in got)
+
+
+def test_regexp_backrefs_swap_all_pairs(spark, tmp_path):
+    """$2 $1 swaps EVERY adjacent pair (global replace), matching the
+    DuckDB 'g'-flag oracle — 4 tokens give two swapped pairs."""
+    _write_documents(spark, tmp_path, [(1, "aa bb cc dd ee", "en", "s1")])
+    [r] = registry.QUERIES["regexp_replace_backrefs_contract"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r["swapped"] == "bb aa dd cc"
