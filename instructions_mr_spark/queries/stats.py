@@ -4762,3 +4762,168 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("pair")
+
+
+# Embedding floats cross the engines ONLY as e8-quantized BIGINTs
+# (the embedding_dim_stats idiom); every sum below is integer-exact
+# and the final ratios are one shared expression over exact terms.
+_ISO_MEAN_NORM2 = "CAST(ss_all AS DOUBLE) / 1e16 / n"
+_ISO_NORM2_OF_MEAN = "CAST(s2 AS DOUBLE) / 1e16 / n / n"
+_ISO_RATIO = f"ROUND(({_ISO_NORM2_OF_MEAN}) / ({_ISO_MEAN_NORM2}), 9)"
+
+
+@query(
+    "embedding_isotropy_terms",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, u.i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 100000000) AS BIGINT)
+               AS xi
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ),
+    per_dim AS (
+      SELECT label, dim, SUM(xi) AS s,
+             SUM(CAST(xi AS HUGEINT) * xi) AS ss
+      FROM dims GROUP BY label, dim
+    ),
+    per_label AS (
+      SELECT label,
+             SUM(CAST(s AS HUGEINT) * s) AS s2,
+             SUM(ss) AS ss_all
+      FROM per_dim GROUP BY label
+    ),
+    n_tab AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+    SELECT l.label, CAST(n.n AS BIGINT) AS n,
+           ROUND({_ISO_MEAN_NORM2}, 9) AS mean_norm2,
+           ROUND({_ISO_NORM2_OF_MEAN}, 9) AS norm2_of_mean,
+           {_ISO_RATIO} AS isotropy_defect
+    FROM (SELECT label, CAST(s2 AS DOUBLE) AS s2,
+                 CAST(ss_all AS DOUBLE) AS ss_all FROM per_label) l
+    JOIN n_tab n USING (label)
+    ORDER BY l.label
+    """,
+)
+def embedding_isotropy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding isotropy diagnosis: mean squared norm
+    E||v||^2, squared norm of the mean ||E v||^2, and their ratio —
+    the 'common-direction defect' that predicts when cosine
+    similarity degenerates (an isotropic cloud has ratio ~1/n; a
+    cloud riding a shared bias direction has ratio near 1, and
+    SemDeDup-style cosine blocking starts bucketing everything
+    together).  The standard fix this measures the need for is
+    mean-centering before ANN (all-but-the-top).
+
+    Cross-engine exactness: e8-quantized BIGINT coordinates, 128-bit
+    widened integer sums (per-dim s, ss), floats derived at the end
+    by one shared expression.
+
+    Scale shape: one (label, dim) aggregate over the exploded
+    coordinates (map-side combinable, |labels| x 64 cells), collapsed
+    to |labels| rows — no window, no join-back to the corpus."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.expr("CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)").alias("xi"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.sum("xi").alias("s"),
+        F.sum(F.expr("CAST(xi AS DECIMAL(38,0)) * xi")).alias("ss"),
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s")).alias("s2"),
+        F.sum("ss").alias("ss_all"),
+    )
+    n_tab = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_label.selectExpr(
+            "label",
+            "CAST(s2 AS DOUBLE) AS s2",
+            "CAST(ss_all AS DOUBLE) AS ss_all",
+        )
+        .join(F.broadcast(n_tab), "label")
+        .selectExpr(
+            "label",
+            "CAST(n AS BIGINT) AS n",
+            f"ROUND({_ISO_MEAN_NORM2}, 9) AS mean_norm2",
+            f"ROUND({_ISO_NORM2_OF_MEAN}, 9) AS norm2_of_mean",
+            f"{_ISO_RATIO} AS isotropy_defect",
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "embedding_mahalanobis_outliers",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, u.i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 100000000) AS BIGINT)
+               AS xi
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ),
+    g AS (
+      SELECT dim, COUNT(*) AS n, SUM(xi) AS s,
+             SUM(CAST(xi AS HUGEINT) * xi) AS ss
+      FROM dims GROUP BY dim
+    ),
+    cells AS (
+      SELECT d.vec_id, d.label,
+             (d.xi * g.n - g.s) * CAST(d.xi * g.n - g.s AS HUGEINT) * 1000000
+               // NULLIF(g.n * g.ss - CAST(g.s AS HUGEINT) * g.s, 0) AS z2_e6
+      FROM dims d JOIN g USING (dim)
+    )
+    SELECT vec_id, label, CAST(SUM(z2_e6) AS BIGINT) AS maha2_e6
+    FROM cells GROUP BY vec_id, label
+    ORDER BY maha2_e6 DESC, vec_id
+    LIMIT 20
+    """,
+)
+def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by diagonal Mahalanobis distance:
+    each coordinate standardized against its global dim mean/variance
+    and the squared z summed over dims — the cheap whitened-distance
+    screen that catches corrupted vectors (NaN-fills, scale bugs,
+    wrong-model rows) BEFORE they poison ANN centroids or dedup
+    thresholds.  Diagonal covariance by design: the full-matrix
+    Mahalanobis needs an inverse no SQL engine should do.
+
+    Cross-engine exactness: per-cell z^2 uses the widened
+    exact-integer form (xi*N - S)^2 * 1e6 // (N*SS - S^2) — the
+    chi2-contrib idiom against moment terms — so the per-vector sum
+    is an order-free BIGINT; constant dims (variance 0) contribute
+    NULL and drop out rather than dividing by zero.
+
+    Scale shape: one 64-row dim-moments aggregate broadcast back
+    onto the exploded coordinates, one vec-keyed sum, then a global
+    top-20 (TakeOrdered — never a full sort)."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.expr("CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)").alias("xi"),
+    )
+    g = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("s"),
+        F.sum(F.expr("CAST(xi AS DECIMAL(38,0)) * xi")).alias("ss"),
+    )
+    cells = dims.join(F.broadcast(g), "dim").selectExpr(
+        "vec_id",
+        "label",
+        "CAST(xi * n - s AS DECIMAL(38,0)) * (xi * n - s) * 1000000"
+        " DIV NULLIF(n * ss - CAST(s AS DECIMAL(38,0)) * s, 0) AS z2_e6",
+    )
+    return (
+        cells.groupBy("vec_id", "label")
+        .agg(F.sum("z2_e6").cast("bigint").alias("maha2_e6"))
+        .orderBy(F.col("maha2_e6").desc(), "vec_id")
+        .limit(20)
+    )

@@ -213,3 +213,60 @@ def test_regexp_backrefs_swap_all_pairs(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert r["swapped"] == "bb aa dd cc"
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    """rows: (vec_id, embedding list[float], label)"""
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], lb) for i, v, lb in rows],
+        "vec_id long, embedding array<double>, label long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+
+def test_isotropy_defect_extremes(spark, tmp_path):
+    """Label 0: two antipodal vectors -> mean is zero -> defect 0.
+    Label 1: two identical vectors -> mean IS the vector -> defect 1."""
+    _write_embeddings(
+        spark,
+        tmp_path,
+        [
+            (1, [0.5, 0.0], 0),
+            (2, [-0.5, 0.0], 0),
+            (3, [0.3, 0.4], 1),
+            (4, [0.3, 0.4], 1),
+        ],
+    )
+    out = {
+        r["label"]: r
+        for r in registry.QUERIES["embedding_isotropy_terms"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0]["norm2_of_mean"] == 0.0
+    assert out[0]["isotropy_defect"] == 0.0
+    assert abs(out[1]["mean_norm2"] - 0.25) < 1e-9
+    assert abs(out[1]["isotropy_defect"] - 1.0) < 1e-9
+
+
+def test_mahalanobis_flags_planted_outlier(spark, tmp_path):
+    """49 inliers near the origin + one far point: the far point must
+    rank first, and a constant dim contributes nothing (no /0)."""
+    rows = [(i, [0.001 * (i % 7 - 3), 0.002 * (i % 5 - 2), 0.42], 0) for i in range(49)]
+    rows.append((99, [0.4, -0.4, 0.42], 1))  # dim 2 constant everywhere
+    _write_embeddings(spark, tmp_path, rows)
+    out = registry.QUERIES["embedding_mahalanobis_outliers"](
+        spark, str(tmp_path)
+    ).collect()
+    assert out[0]["vec_id"] == 99
+    assert out[0]["maha2_e6"] > out[1]["maha2_e6"]
+    assert len(out) == 20
+
+
+def test_mahalanobis_compiles_to_take_ordered(spark):
+    """The global top-20 must be TakeOrderedAndProject, not a full
+    sort — the docstring's scale claim, checked mechanically."""
+    df = registry.QUERIES["embedding_mahalanobis_outliers"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
