@@ -7163,3 +7163,101 @@ def cart_split_gain_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_band")
     )
+
+
+@query(
+    "cold_start_recs_by_nation",
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+               AS max_day
+      FROM orders
+    ),
+    recent AS (
+      SELECT o_orderkey FROM orders, anchor
+      WHERE epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+            > anchor.max_day - 30
+    ),
+    rev AS (
+      SELECT c.c_nationkey AS nationkey, l.l_partkey AS partkey,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(8,4)))) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN recent r ON r.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nationkey, partkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY nationkey
+                                ORDER BY cents DESC, partkey) AS rnk
+      FROM rev
+    )
+    SELECT n.n_name AS nation, CAST(rnk AS BIGINT) AS rnk,
+           CAST(partkey AS BIGINT) AS partkey, cents
+    FROM ranked JOIN nation n ON n.n_nationkey = ranked.nationkey
+    WHERE rnk <= 3
+    ORDER BY nation, rnk
+    """,
+)
+def cold_start_recs_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start recommendation baseline: the top-3 parts by
+    discounted revenue over the trailing 30 days (anchored to the
+    corpus's max order date — deterministic, never wall-clock), per
+    customer nation — the popularity-by-region fallback every
+    recommender serves to users with no history, built as a table so
+    serving is a broadcast-joinable lookup rather than a model call.
+
+    Scale shape: the 1-row anchor broadcasts onto the orders scan
+    (date filter pushes to the recent slice); revenue aggregates on
+    (nationkey, partkey); the per-nation top-3 window compiles to
+    WindowGroupLimit (map-side top-k before the exchange); the
+    25-row nation dim is the one justified broadcast."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(ts_epoch_seconds("o_orderdate") / F.lit(86400)).alias("day"),
+    )
+    anchor = o.agg(F.max("day").alias("max_day"))
+    recent = (
+        o.crossJoin(F.broadcast(anchor))
+        .filter(F.col("day") > F.col("max_day") - 30)
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.expr(
+                "CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(8,4)))"
+            ).alias("r"),
+        )
+        .join(recent, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.expr("CAST(FLOOR(SUM(r) * 100) AS BIGINT)").alias("cents"))
+    )
+    w = Window.partitionBy("nationkey").orderBy(F.col("cents").desc(), "partkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rev.select("nationkey", "partkey", "cents", F.row_number().over(w).alias("rnk"))
+        .filter("rnk <= 3")
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("partkey").cast("bigint").alias("partkey"),
+            "cents",
+        )
+        .orderBy("nation", "rnk")
+    )

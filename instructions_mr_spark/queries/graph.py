@@ -1650,3 +1650,180 @@ def modularity_terms_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
         .limit(50)
     )
+
+
+_CCDF_EDGES_SQL = """
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY 1
+    )
+"""
+
+
+@query(
+    "graph_degree_ccdf",
+    oracle=f"""
+    {_CCDF_EDGES_SQL},
+    th AS (SELECT CAST(POW(2, g) AS BIGINT) AS threshold
+           FROM (SELECT UNNEST(range(0, 11)) AS g)),
+    n AS (SELECT COUNT(*) AS nv FROM deg)
+    SELECT th.threshold,
+           CAST(SUM(CASE WHEN deg.d >= th.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ge,
+           ROUND(CAST(SUM(CASE WHEN deg.d >= th.threshold THEN 1 ELSE 0 END)
+                      AS DOUBLE) / MAX(n.nv), 6) AS frac_ge
+    FROM th CROSS JOIN deg CROSS JOIN n
+    GROUP BY th.threshold
+    ORDER BY th.threshold
+    """,
+)
+def graph_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution CCDF of the co-purchase graph at the
+    power-of-two thresholds 1..1024: P(deg >= 2^k) per k — the
+    log-log tail readout that distinguishes a heavy-tailed
+    (scale-free-ish) product graph from a bounded-degree one, and the
+    input to 'will the wedge join blow up' capacity planning (wedge
+    count is sum d^2, dominated by exactly this tail).  Thresholds
+    are exact integer comparisons — no float log2 bucketing whose
+    boundary rounding could differ across engines.
+
+    Scale shape: degrees from one edge-keyed count; the 11-row
+    threshold table broadcast-crosses the degree table (vertex-sized,
+    not corpus-sized) into a map-side-combinable conditional sum."""
+    from instructions_mr_spark.queries.analytics import copurchase_pairs
+
+    e = copurchase_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    th = spark.range(0, 11).select(
+        F.pow(F.lit(2), F.col("id")).cast("bigint").alias("threshold")
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("nv"))
+    return (
+        deg.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(n))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("d") >= F.col("threshold"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ge"),
+            F.round(
+                F.sum(
+                    F.when(F.col("d") >= F.col("threshold"), 1).otherwise(0)
+                ).cast("double")
+                / F.max("nv"),
+                6,
+            ).alias("frac_ge"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@query(
+    "graph_conductance_brand",
+    oracle=f"""
+    {_CCDF_EDGES_SQL},
+    lbl AS (SELECT p_partkey AS v, p_brand AS brand FROM part),
+    el AS (
+      SELECT la.brand AS brand_a, lb.brand AS brand_b
+      FROM e JOIN lbl la ON la.v = e.a JOIN lbl lb ON lb.v = e.b
+    ),
+    vol AS (
+      SELECT lbl.brand, SUM(deg.d) AS vol, COUNT(*) AS n_vertices
+      FROM deg JOIN lbl ON lbl.v = deg.v GROUP BY 1
+    ),
+    cut AS (
+      SELECT brand, SUM(x) AS cut FROM (
+        SELECT brand_a AS brand, CASE WHEN brand_a <> brand_b THEN 1 ELSE 0 END AS x FROM el
+        UNION ALL
+        SELECT brand_b AS brand, CASE WHEN brand_a <> brand_b THEN 1 ELSE 0 END AS x FROM el
+      ) GROUP BY 1
+    ),
+    m AS (SELECT COUNT(*) * 2 AS vol_total FROM e)
+    SELECT vol.brand, CAST(vol.n_vertices AS BIGINT) AS n_vertices,
+           CAST(vol.vol AS BIGINT) AS vol,
+           CAST(COALESCE(cut.cut, 0) AS BIGINT) AS cut,
+           ROUND(CAST(COALESCE(cut.cut, 0) AS DOUBLE)
+                 / NULLIF(LEAST(vol.vol, m.vol_total - vol.vol), 0), 6)
+             AS conductance
+    FROM vol LEFT JOIN cut USING (brand), m
+    ORDER BY vol.brand
+    """,
+)
+def graph_conductance_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of each brand's part set inside the co-purchase
+    graph: cut(S, S-bar) / min(vol(S), vol(S-bar)) — the
+    community-quality score that says whether a brand's products are
+    bought together (low conductance: a real cluster, safe to
+    co-partition) or spread across baskets (high: any brand-keyed
+    graph partition will shuffle most edges anyway).  The standard
+    pre-flight for partition-by-category graph layouts.
+
+    Scale shape: edges keyed by endpoint join the part label twice
+    (hint-free equi-joins — part grows with sf, never broadcast);
+    volumes and cuts are brand-keyed map-side-combinable sums over
+    the edge list; the final table is |brands| rows."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+    from instructions_mr_spark.queries.analytics import copurchase_pairs
+
+    e = supersede_checkpoint(
+        "conductance_edges",
+        copurchase_pairs(spark, sf_dir)
+        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        .localCheckpoint(),
+    )
+    lbl = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("v"), F.col("p_brand").alias("brand")
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    el = (
+        e.join(lbl.withColumnRenamed("brand", "brand_a"), F.col("v") == F.col("a"))
+        .drop("v")
+        .join(lbl.withColumnRenamed("brand", "brand_b"), F.col("v") == F.col("b"))
+        .select("brand_a", "brand_b")
+    )
+    vol = (
+        deg.join(lbl, "v")
+        .groupBy("brand")
+        .agg(F.sum("d").alias("vol"), F.count(F.lit(1)).alias("n_vertices"))
+    )
+    x = F.when(F.col("brand_a") != F.col("brand_b"), 1).otherwise(0).alias("x")
+    cut = (
+        el.select(F.col("brand_a").alias("brand"), x)
+        .unionAll(el.select(F.col("brand_b").alias("brand"), x))
+        .groupBy("brand")
+        .agg(F.sum("x").alias("cut"))
+    )
+    m = e.agg((F.count(F.lit(1)) * 2).alias("vol_total"))
+    return (
+        vol.join(cut, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .selectExpr(
+            "brand",
+            "CAST(n_vertices AS BIGINT) AS n_vertices",
+            "CAST(vol AS BIGINT) AS vol",
+            "CAST(COALESCE(cut, 0) AS BIGINT) AS cut",
+            "ROUND(CAST(COALESCE(cut, 0) AS DOUBLE)"
+            " / NULLIF(LEAST(vol, vol_total - vol), 0), 6) AS conductance",
+        )
+        .orderBy("brand")
+    )

@@ -270,3 +270,115 @@ def test_mahalanobis_compiles_to_take_ordered(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    """rows: (orderkey, partkey)"""
+    full = [
+        (ok, pk, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+        for ok, pk in rows
+    ]
+    spark.createDataFrame(
+        full,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def _write_part_brand(spark, tmp_path, rows):
+    """rows: (partkey, brand)"""
+    spark.createDataFrame(
+        [(pk, f"part{pk}", b, "T", 1, 1.0) for pk, b in rows],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+
+def test_degree_ccdf_monotone_and_exact(spark, tmp_path):
+    """Triangle {1,2,3} (each pair in 2 orders): all degrees 2, so
+    n_ge is 3 at thresholds 1 and 2 and 0 from 4 on; CCDF is
+    monotone non-increasing by construction."""
+    pairs = [(1, 2), (1, 3), (2, 3)]
+    rows = []
+    ok = 0
+    for a, b in pairs:
+        for _ in range(2):  # support >= 2
+            ok += 1
+            rows += [(ok, a), (ok, b)]
+    _write_lineitem(spark, tmp_path, rows)
+    out = registry.QUERIES["graph_degree_ccdf"](spark, str(tmp_path)).collect()
+    got = {r["threshold"]: r["n_ge"] for r in out}
+    assert got[1] == 3 and got[2] == 3 and got[4] == 0
+    assert got[1024] == 0
+    ccdf = [r["n_ge"] for r in sorted(out, key=lambda r: r["threshold"])]
+    assert ccdf == sorted(ccdf, reverse=True)
+    assert out[0]["frac_ge"] == 1.0
+
+
+def test_conductance_isolated_vs_bridged(spark, tmp_path):
+    """Brand A is a closed pair (conductance 0); brands B and C share
+    their only edge (conductance 1 on each side)."""
+    pairs = [(1, 2), (3, 4)]  # A-A edge, B-C bridge
+    rows = []
+    ok = 0
+    for a, b in pairs:
+        for _ in range(2):
+            ok += 1
+            rows += [(ok, a), (ok, b)]
+    _write_lineitem(spark, tmp_path, rows)
+    _write_part_brand(spark, tmp_path, [(1, "A"), (2, "A"), (3, "B"), (4, "C")])
+    out = {
+        r["brand"]: r
+        for r in registry.QUERIES["graph_conductance_brand"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["A"]["cut"] == 0 and out["A"]["conductance"] == 0.0
+    assert out["A"]["vol"] == 2 and out["A"]["n_vertices"] == 2
+    assert out["B"]["cut"] == 1 and out["B"]["conductance"] == 1.0
+    assert out["C"]["conductance"] == 1.0
+
+
+def test_cold_start_window_and_ranking(spark, tmp_path):
+    """An order 40 days before the anchor is excluded; parts rank by
+    recent revenue with partkey tiebreak."""
+    spark.createDataFrame(
+        [
+            (1, 1, "O", 1.0, datetime(2024, 3, 1), "P"),   # anchor day
+            (2, 1, "O", 1.0, datetime(2024, 2, 25), "P"),  # inside window
+            (3, 1, "O", 1.0, datetime(2024, 1, 20), "P"),  # outside
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    full = [
+        (1, 10, 200.0),  # recent: 200
+        (2, 11, 300.0),  # recent: 300 -> rank 1
+        (3, 12, 999.0),  # stale: excluded
+    ]
+    spark.createDataFrame(
+        [
+            (ok, pk, 1, 1, 1.0, ep, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+            for ok, pk, ep in full
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "alice", 7, "BUILDING", 0.0)],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_mktsegment string, c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(7, "FRANCE", 1)], "n_nationkey long, n_name string, n_regionkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    out = registry.QUERIES["cold_start_recs_by_nation"](spark, str(tmp_path)).collect()
+    assert [(r["rnk"], r["partkey"], r["cents"]) for r in out] == [
+        (1, 11, 30000),
+        (2, 10, 20000),
+    ]
+    assert all(r["nation"] == "FRANCE" for r in out)
