@@ -3352,3 +3352,170 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Flesch-style reading ease from integer sufficient statistics: the
+# corpus has no sentence punctuation, so each DOCUMENT is the
+# sentence unit (documented proxy).  One shared expression derives
+# the floats from exact BIGINT sums.
+_FLESCH = (
+    "ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_docs)"
+    " - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6)"
+)
+
+
+@query(
+    "readability_proxy_profile",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS w,
+             (SELECT SUM(GREATEST(len(regexp_extract_all(t.tok, '[aeiou]+')), 1))
+              FROM UNNEST(string_split(text, ' ')) AS t(tok)) AS s
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS n_words,
+             CAST(SUM(s) AS BIGINT) AS n_syll
+      FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, n_words, n_syll,
+           ROUND(CAST(n_syll AS DOUBLE) / n_words, 6) AS syll_per_word,
+           {_FLESCH} AS flesch_proxy
+    FROM agg
+    ORDER BY source
+    """,
+)
+def readability_proxy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease proxy: syllables approximated
+    as vowel-group runs per token (minimum 1 — consonant-only tokens
+    still cost a syllable), sentences approximated as documents (the
+    corpus carries no punctuation, documented), and the classic
+    206.835 - 1.015*(W/S) - 84.6*(Syll/W) formula derived from exact
+    BIGINT sums by one shared expression.  The standard 'is this feed
+    drifting toward harder/garbled text' composition dial.
+
+    Scale shape: in-row token algebra on the scan (explode + regexp
+    count, pipelined), then one source-keyed map-side-combinable
+    aggregate — 20 result rows, no join, no window."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split("text", " ")).alias("w"),
+        F.expr(
+            "aggregate(transform(split(text, ' '),"
+            " tok -> GREATEST(size(regexp_extract_all(tok, '[aeiou]+', 0)), 1)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("s"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("s").cast("bigint").alias("n_syll"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_syll",
+            "ROUND(CAST(n_syll AS DOUBLE) / n_words, 6) AS syll_per_word",
+            f"{_FLESCH} AS flesch_proxy",
+        )
+        .orderBy("source")
+    )
+
+
+# Entropy cells cross the engines as ROUND(p*log2(p), 10) DECIMALs
+# (the column_entropy idiom): the per-cell double is rounded far below
+# any libm 1-ulp disagreement, and the SUM is decimal — order-free.
+_ENT_CELL = (
+    "CAST(ROUND((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 10)"
+    " AS DECIMAL(38,10))"
+)
+
+
+@query(
+    "bigram_conditional_entropy_by_source",
+    oracle=f"""
+    WITH bi AS (
+      SELECT source, ws[p] AS w1, ws[p + 1] AS w2
+      FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(range(1, len(ws))) AS t(p)
+    ),
+    c2 AS (SELECT source, w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+    c1 AS (SELECT source, w1, SUM(c) AS c FROM c2 GROUP BY 1, 2),
+    n AS (SELECT source, SUM(c) AS n FROM c1 GROUP BY 1),
+    h2 AS (
+      SELECT c2.source, -CAST(SUM({_ENT_CELL}) AS DOUBLE) AS h
+      FROM c2 JOIN n USING (source) GROUP BY 1
+    ),
+    h1 AS (
+      SELECT c1.source, -CAST(SUM({_ENT_CELL}) AS DOUBLE) AS h
+      FROM c1 JOIN n USING (source) GROUP BY 1
+    )
+    SELECT n.source, CAST(n.n AS BIGINT) AS n_bigrams,
+           ROUND(h2.h, 6) AS h_bigram,
+           ROUND(h1.h, 6) AS h_prefix,
+           ROUND(h2.h - h1.h, 6) AS h_cond
+    FROM n JOIN h2 USING (source) JOIN h1 USING (source)
+    ORDER BY n.source
+    """,
+)
+def bigram_conditional_entropy_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source conditional next-word entropy H(w2|w1) = H(bigram)
+    - H(prefix): the information-theoretic repetitiveness dial —
+    templated or boilerplate-heavy feeds predict their next token
+    (low H_cond) while diverse prose doesn't, making this the
+    principled cousin of the n-gram repetition heuristics (and a
+    direct proxy for 'how much will a language model memorize this
+    source').  Entropies use the rounded-decimal cell idiom
+    (column_entropy) so the sums are order-free.
+
+    Scale shape: one (source, w1, w2) count is the corpus exchange
+    (map-side combinable); the prefix marginal derives from it
+    (never re-scans); both entropy sums run over the Zipf-bounded
+    bigram-vocabulary table — 20 result rows."""
+    bi = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.split("text", " ").alias("ws"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("source", "p.w1", "p.w2")
+    )
+    c2 = bi.groupBy("source", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c2 = supersede_checkpoint("bigram_cond_c2", c2.localCheckpoint())
+    c1 = c2.groupBy("source", "w1").agg(F.sum("c").alias("c"))
+    n = c1.groupBy("source").agg(F.sum("c").alias("n"))
+    h2 = (
+        c2.join(F.broadcast(n), "source")
+        .groupBy("source")
+        .agg((-F.sum(F.expr(_ENT_CELL)).cast("double")).alias("h2"))
+    )
+    h1 = (
+        c1.join(F.broadcast(n), "source")
+        .groupBy("source")
+        .agg((-F.sum(F.expr(_ENT_CELL)).cast("double")).alias("h1"))
+    )
+    return (
+        n.join(h2, "source")
+        .join(h1, "source")
+        .selectExpr(
+            "source",
+            "CAST(n AS BIGINT) AS n_bigrams",
+            "ROUND(h2, 6) AS h_bigram",
+            "ROUND(h1, 6) AS h_prefix",
+            "ROUND(h2 - h1, 6) AS h_cond",
+        )
+        .orderBy("source")
+    )

@@ -382,3 +382,51 @@ def test_cold_start_window_and_ranking(spark, tmp_path):
         (2, 10, 20000),
     ]
     assert all(r["nation"] == "FRANCE" for r in out)
+
+
+def test_readability_proxy_hand_computed(spark, tmp_path):
+    """'go to it' = 3 words, 3 syllable-groups, 1 doc; a vowel-less
+    token still costs one syllable (GREATEST floor)."""
+    _write_documents(
+        spark, tmp_path, [(1, "go to it", "en", "s1"), (2, "xyz qrst", "en", "s2")]
+    )
+    out = {
+        r["source"]: r
+        for r in registry.QUERIES["readability_proxy_profile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    s1 = out["s1"]
+    assert (s1["n_docs"], s1["n_words"], s1["n_syll"]) == (1, 3, 3)
+    assert s1["syll_per_word"] == 1.0
+    assert abs(s1["flesch_proxy"] - round(206.835 - 1.015 * 3 - 84.6 * 1.0, 6)) < 1e-9
+    s2 = out["s2"]
+    assert s2["n_syll"] == 2  # consonant-only tokens floor at 1 each
+
+
+def test_bigram_conditional_entropy_extremes(spark, tmp_path):
+    """Alternating 'a b a b a' is perfectly predictable (H_cond = 0);
+    'a a a b' has one uncertain continuation (H_cond = H2 - 0)."""
+    _write_documents(
+        spark,
+        tmp_path,
+        [(1, "a b a b a", "alt", "alt"), (2, "a a a b", "skew", "skew")],
+    )
+    # documents writer uses (doc_id, text, lang, source)
+    out = {
+        r["source"]: r
+        for r in registry.QUERIES["bigram_conditional_entropy_by_source"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    alt = out["alt"]
+    assert alt["n_bigrams"] == 4
+    assert alt["h_bigram"] == 1.0 and alt["h_prefix"] == 1.0
+    assert alt["h_cond"] == 0.0
+    skew = out["skew"]
+    assert skew["n_bigrams"] == 3
+    assert skew["h_prefix"] == 0.0
+    import math
+
+    h2 = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert abs(skew["h_cond"] - round(h2, 6)) < 2e-6
