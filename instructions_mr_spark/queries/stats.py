@@ -4927,3 +4927,220 @@ def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("maha2_e6").desc(), "vec_id")
         .limit(20)
     )
+
+
+# Variance ratio from exact terms: block-level integer sums; the
+# float VR derives from (n, s, ss) of the k-blocks against the k=1
+# row by one shared expression.
+_VR = (
+    "ROUND((ss_b / n_b - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b))"
+    " / (k * (ss1 / n1 - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1))), 6)"
+)
+
+
+@query(
+    "variance_ratio_terms",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(8,4)))) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) - MIN(day) + 1 AS nd FROM daily),
+    idx AS (SELECT UNNEST(range(0, 20000)) AS i),
+    spine AS (
+      SELECT b.d0 + i.i AS day, b.d0, b.nd
+      FROM bounds b JOIN idx i ON i.i < b.nd
+    ),
+    filled AS (
+      SELECT s.day, s.d0, s.nd, COALESCE(d.cents, 0) AS cents
+      FROM spine s LEFT JOIN daily d ON d.day = s.day
+    ),
+    ks AS (SELECT UNNEST([1, 2, 4, 8]) AS k),
+    blocks AS (
+      SELECT ks.k, (f.day - f.d0) // ks.k AS blk, f.cents
+      FROM filled f CROSS JOIN ks
+      WHERE (f.day - f.d0) // ks.k < f.nd // ks.k
+    ),
+    bsums AS (SELECT k, blk, SUM(cents) AS bc FROM blocks GROUP BY 1, 2),
+    terms AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(bc) AS BIGINT) AS s_b,
+             CAST(SUM(CAST(bc AS HUGEINT) * bc) AS DOUBLE) AS ss_b
+      FROM bsums GROUP BY k
+    ),
+    base AS (SELECT n_b AS n1, s_b AS s1, ss_b AS ss1 FROM terms WHERE k = 1)
+    SELECT k, n_b AS n_blocks, s_b AS sum_cents, ss_b AS ss,
+           {_VR} AS vr
+    FROM terms, base
+    ORDER BY k
+    """,
+)
+def variance_ratio_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio terms on the daily revenue series:
+    Var(k-day block sums) / (k * Var(daily)) at k = 1, 2, 4, 8 over
+    the zero-filled calendar spine (complete blocks only) — VR ~ 1
+    for a random walk, < 1 mean-reverting, > 1 trending; the standard
+    'is this series momentum or noise' screen, here over exact cents.
+
+    Cross-engine exactness: block sums are integer cents; ss is
+    128-bit-widened and exposed as DOUBLE; VR derives from (n, s, ss)
+    by one shared expression against the k=1 row.  The spine index is
+    capped at 20,000 days (~54 years — any order-date span fits; a
+    longer span truncates loudly to an empty spine tail, never
+    silently wrong blocks).
+
+    Scale shape: one day-keyed aggregate (calendar-bounded) is the
+    only corpus exchange; the spine, block roll-ups and the 4-row
+    ratio all run on day-grid-sized tables.  No window."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    daily = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.floor(ts_epoch_seconds("l_shipdate") / F.lit(86400)).alias("day"),
+            F.expr(
+                "CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(8,4)))"
+            ).alias("r"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(FLOOR(SUM(r) * 100) AS BIGINT)").alias("cents"))
+    )
+    daily = supersede_checkpoint("vr_daily", daily.localCheckpoint())
+    bounds = daily.agg(
+        F.min("day").alias("d0"), (F.max("day") - F.min("day") + 1).alias("nd")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.expr("sequence(0, LEAST(nd, 20000) - 1)")).alias("i"),
+            "d0",
+            "nd",
+        )
+        .select((F.col("d0") + F.col("i")).alias("day"), "d0", "nd")
+        .join(daily, "day", "left")
+        .select(
+            "day", "d0", "nd", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+        )
+    )
+    ks = spark.createDataFrame([(1,), (2,), (4,), (8,)], "k int")
+    blocks = (
+        spine.crossJoin(F.broadcast(ks))
+        .filter(
+            F.floor((F.col("day") - F.col("d0")) / F.col("k"))
+            < F.floor(F.col("nd") / F.col("k"))
+        )
+        .select(
+            "k",
+            F.floor((F.col("day") - F.col("d0")) / F.col("k")).alias("blk"),
+            "cents",
+        )
+    )
+    terms = (
+        blocks.groupBy("k", "blk")
+        .agg(F.sum("cents").alias("bc"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.sum("bc").cast("bigint").alias("s_b"),
+            F.sum(F.expr("CAST(bc AS DECIMAL(38,0)) * bc"))
+            .cast("double")
+            .alias("ss_b"),
+        )
+    )
+    base = terms.filter("k = 1").selectExpr(
+        "n_b AS n1", "s_b AS s1", "ss_b AS ss1"
+    )
+    return (
+        terms.crossJoin(F.broadcast(base))
+        .selectExpr(
+            "k",
+            "n_b AS n_blocks",
+            "s_b AS sum_cents",
+            "ss_b AS ss",
+            f"{_VR} AS vr",
+        )
+        .orderBy("k")
+    )
+
+
+_BURST_MEAN = "CAST(sum_gap AS DOUBLE) / n_gaps"
+_BURST_VAR = (
+    "(ss_gap / n_gaps - (CAST(sum_gap AS DOUBLE) / n_gaps)"
+    " * (CAST(sum_gap AS DOUBLE) / n_gaps))"
+)
+_BURST_CV = f"SQRT({_BURST_VAR}) / ({_BURST_MEAN})"
+
+
+@query(
+    "interarrival_burstiness_terms",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+             event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type,
+             sec - LAG(sec) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY sec, event_id) AS gap
+      FROM e
+    ),
+    terms AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS sum_gap,
+             CAST(SUM(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS ss_gap
+      FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n_gaps, sum_gap, ss_gap,
+           ROUND({_BURST_CV}, 6) AS cv,
+           ROUND(({_BURST_CV} - 1) / ({_BURST_CV} + 1), 6) AS burstiness
+    FROM terms
+    ORDER BY event_type
+    """,
+)
+def interarrival_burstiness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness per event type from per-user
+    interarrival gaps: B = (cv - 1)/(cv + 1) over the coefficient of
+    variation of same-user consecutive-event gaps — B ~ -1 for a
+    metronome, 0 for Poisson, -> 1 for heavy-tailed bursts.  The
+    capacity-planning readout that tells a streaming-ingest sizing
+    exercise whether mean rates lie (bursty types need peak-sized
+    state stores, not mean-sized).
+
+    Gaps are computed PER USER (user-keyed window — thousands of
+    parallel partitions), never per type (5 corpus-sized partitions
+    would serialize the sort at scale); the type roll-up is a
+    map-side-combinable sum of BIGINT gap terms (ss 128-bit-widened,
+    exposed as DOUBLE); cv and B derive by one shared expression."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_epoch_seconds("ts").alias("sec"), "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    gaps = e.select(
+        "event_type", (F.col("sec") - F.lag("sec").over(w)).alias("gap")
+    ).filter("gap IS NOT NULL")
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap").cast("bigint").alias("sum_gap"),
+            F.sum(F.expr("CAST(gap AS DECIMAL(38,0)) * gap"))
+            .cast("double")
+            .alias("ss_gap"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_gaps",
+            "sum_gap",
+            "ss_gap",
+            f"ROUND({_BURST_CV}, 6) AS cv",
+            f"ROUND(({_BURST_CV} - 1) / ({_BURST_CV} + 1), 6) AS burstiness",
+        )
+        .orderBy("event_type")
+    )

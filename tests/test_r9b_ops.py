@@ -430,3 +430,58 @@ def test_bigram_conditional_entropy_extremes(spark, tmp_path):
 
     h2 = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
     assert abs(skew["h_cond"] - round(h2, 6)) < 2e-6
+
+
+def test_variance_ratio_alternating_series(spark, tmp_path):
+    """Alternating 0/200-cent days: daily variance is positive but
+    every 2-day block sums to the same 200 -> VR collapses to 0 at
+    k = 2, 4, 8; block counts halve exactly."""
+    rows = []
+    for d in range(8):
+        if d % 2 == 1:  # odd days ship 2.00, even days nothing
+            rows.append((d + 1, 1, 2.0, datetime(2024, 1, 1 + d)))
+    # one zero-revenue anchor line on day 0 so the spine starts there
+    rows.append((100, 1, 0.0, datetime(2024, 1, 1)))
+    spark.createDataFrame(
+        [
+            (ok, pk, 1, 1, 1.0, ep, 0.0, 0.0, "N", "O", d)
+            for ok, pk, ep, d in rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r["k"]: r for r in registry.QUERIES["variance_ratio_terms"](
+        spark, str(tmp_path)).collect()}
+    assert [out[k]["n_blocks"] for k in (1, 2, 4, 8)] == [8, 4, 2, 1]
+    assert out[1]["vr"] == 1.0            # VR(1) is identically 1
+    assert out[2]["vr"] == 0.0            # constant block sums
+    assert out[4]["vr"] == 0.0
+    assert out[1]["sum_cents"] == 800     # zero-filled spine kept all days
+
+
+def test_burstiness_metronome_vs_spread(spark, tmp_path):
+    """Equal 10s gaps -> cv 0, B = -1.  Gaps {1, 9} -> cv 0.8,
+    B = -1/9 (population variance, shared-expression floats)."""
+    base = datetime(2024, 1, 1)
+    from datetime import timedelta
+
+    evs = [
+        (1, base, 1, "tick", 1.0),
+        (2, base + timedelta(seconds=10), 1, "tick", 1.0),
+        (3, base + timedelta(seconds=20), 1, "tick", 1.0),
+        (4, base, 2, "burst", 1.0),
+        (5, base + timedelta(seconds=1), 2, "burst", 1.0),
+        (6, base + timedelta(seconds=10), 2, "burst", 1.0),
+    ]
+    _write_events(spark, tmp_path, evs)
+    out = {r["event_type"]: r for r in registry.QUERIES[
+        "interarrival_burstiness_terms"](spark, str(tmp_path)).collect()}
+    tick = out["tick"]
+    assert (tick["n_gaps"], tick["sum_gap"]) == (2, 20)
+    assert tick["cv"] == 0.0 and tick["burstiness"] == -1.0
+    burst = out["burst"]
+    assert (burst["n_gaps"], burst["sum_gap"]) == (2, 10)
+    assert abs(burst["cv"] - 0.8) < 1e-9
+    assert abs(burst["burstiness"] - round(-1 / 9, 6)) < 1e-9
