@@ -380,3 +380,98 @@ batch_padding_waste.__doc__ = (
     .replace("{_PAD_BUCKET_W}", str(_PAD_BUCKET_W))
     .replace("{_PAD_BATCH}", str(_PAD_BATCH))
 )
+
+
+# Deterministic MLM mask plan: a token at (doc_id, pos) is masked iff
+# h60(doc_id:pos) % 5 == 0 (~20%), and a masked token STARTS a span
+# iff pos == 0 or the previous position hashes unmasked — pure in-row
+# recomputation of the neighbor's coin, no window, no shuffle.
+from instructions_mr_spark.queries._util import duck_h60, spark_h60
+
+_MLM_SEED = 9041
+_MLM_POS = "doc_id || ':' || pos"
+_MLM_POS_PREV = "doc_id || ':' || (pos - 1)"
+_MLM_DUCK_MASK = "(" + duck_h60(_MLM_POS, _MLM_SEED) + ") % 5 = 0"
+_MLM_DUCK_PREV = "(" + duck_h60(_MLM_POS_PREV, _MLM_SEED) + ") % 5 = 0"
+_MLM_SPARK_MASK = "(" + spark_h60(_MLM_POS, _MLM_SEED) + ") % 5 = 0"
+_MLM_SPARK_PREV = "(" + spark_h60(_MLM_POS_PREV, _MLM_SEED) + ") % 5 = 0"
+
+
+@query(
+    "mlm_mask_plan_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST(p AS BIGINT) AS pos
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents),
+           UNNEST(range(0, 100000)) AS u(p)
+      WHERE p < len(ws)
+    ),
+    flags AS (
+      SELECT doc_id, source,
+             CASE WHEN {_MLM_DUCK_MASK} THEN 1 ELSE 0 END AS m,
+             CASE WHEN ({_MLM_DUCK_MASK})
+                   AND (pos = 0 OR NOT ({_MLM_DUCK_PREV}))
+                  THEN 1 ELSE 0 END AS starts
+      FROM tok
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(m) AS BIGINT) AS n_masked,
+           CAST(SUM(starts) AS BIGINT) AS n_spans,
+           ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6) AS mask_rate,
+           ROUND(CAST(SUM(m) AS DOUBLE) / NULLIF(SUM(starts), 0), 6)
+             AS avg_span_len
+    FROM flags GROUP BY source
+    ORDER BY source
+    """,
+)
+def mlm_mask_plan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BERT/T5-style mask-plan audit: every token draws
+    its mask coin from the portable 60-bit digest of (doc_id, pos) —
+    reproducible across engines, runs and partitionings, which is the
+    property a training pipeline needs to resume mid-epoch or audit a
+    loss spike back to the exact masked positions.  Per source:
+    token/mask counts, the number of contiguous mask SPANS, the
+    realized mask rate (~0.2 by construction) and mean span length
+    (~1.25 for independent 20% coins — a measured deviation means the
+    hash is biased, which this audit would catch).
+
+    Span starts need NO window: the neighbor's coin is recomputed
+    in-row from (doc_id, pos-1) — the plan is scan + two md5s per
+    token + one source-keyed aggregate.  The position explode is
+    bounded at 100k tokens/doc (any real doc chunker caps far lower;
+    documented)."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .select("doc_id", "source", F.col("pos").cast("bigint").alias("pos"))
+    )
+    flags = tok.selectExpr(
+        "doc_id",
+        "source",
+        f"CASE WHEN {_MLM_SPARK_MASK} THEN 1 ELSE 0 END AS m",
+        f"CASE WHEN ({_MLM_SPARK_MASK})"
+        f" AND (pos = 0 OR NOT ({_MLM_SPARK_PREV})) THEN 1 ELSE 0 END AS starts",
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("m").cast("bigint").alias("n_masked"),
+            F.sum("starts").cast("bigint").alias("n_spans"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_masked",
+            "n_spans",
+            "ROUND(CAST(n_masked AS DOUBLE) / n_tokens, 6) AS mask_rate",
+            "ROUND(CAST(n_masked AS DOUBLE) / NULLIF(n_spans, 0), 6)"
+            " AS avg_span_len",
+        )
+        .orderBy("source")
+    )

@@ -1516,3 +1516,60 @@ def regexp_replace_backrefs_contract(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------- pivot with two aggregates
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@query(
+    "pivot_two_aggs_contract",
+    oracle="""
+    SELECT source,
+    """
+    + ",\n    ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN lang = '{lg}' THEN n_chars END), 0)"
+        f" AS BIGINT) AS {lg}_chars,\n    "
+        f"CAST(COALESCE(SUM(CASE WHEN lang = '{lg}' THEN 1 END), 0)"
+        f" AS BIGINT) AS {lg}_docs"
+        for lg in _PIVOT_LANGS
+    )
+    + """
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def pivot_two_aggs_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate pivot naming contract: Spark's
+    ``.pivot(col, values).agg(a.alias('x'), b.alias('y'))`` flattens
+    to ``{value}_{alias}`` columns — pinned against the explicit
+    CASE-WHEN spelling so a dbt/warehouse port knows exactly which
+    column is which.  Pivot VALUES are passed explicitly (the
+    five-language contract set): omitting them makes Spark run a
+    distinct-scan job at PLAN TIME to discover them — a hidden
+    pre-query no 100 TB pipeline wants — and makes the output schema
+    data-dependent, which breaks downstream DDL.  Missing cells
+    COALESCE to 0 on both engines.
+
+    Scale shape: one source-keyed exchange, map-side combinable; the
+    pivot is a fixed 10-column projection, not a shuffle."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(
+            F.sum("n_chars").alias("chars"),
+            F.count(F.lit(1)).alias("docs"),
+        )
+        .select(
+            "source",
+            *[
+                F.coalesce(F.col(f"{lg}_{m}"), F.lit(0))
+                .cast("bigint")
+                .alias(f"{lg}_{m}")
+                for lg in _PIVOT_LANGS
+                for m in ("chars", "docs")
+            ],
+        )
+        .orderBy("source")
+    )

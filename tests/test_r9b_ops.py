@@ -485,3 +485,35 @@ def test_burstiness_metronome_vs_spread(spark, tmp_path):
     assert (burst["n_gaps"], burst["sum_gap"]) == (2, 10)
     assert abs(burst["cv"] - 0.8) < 1e-9
     assert abs(burst["burstiness"] - round(-1 / 9, 6)) < 1e-9
+
+
+def test_mlm_mask_plan_deterministic_and_sane(spark, tmp_path):
+    """Same fixture twice -> identical plans (hash-derived, no RNG);
+    mask rate lands near the 1/5 coin and spans never exceed masks."""
+    docs = [(i, " ".join(f"w{j}" for j in range(200)), "en", "s1") for i in range(20)]
+    _write_documents(spark, tmp_path, docs)
+    q = registry.QUERIES["mlm_mask_plan_stats"]
+    [a] = q(spark, str(tmp_path)).collect()
+    [b] = q(spark, str(tmp_path)).collect()
+    assert a == b
+    assert a["n_tokens"] == 4000
+    assert 0.15 < a["mask_rate"] < 0.25
+    assert 0 < a["n_spans"] <= a["n_masked"]
+    assert a["avg_span_len"] >= 1.0
+
+
+def test_pivot_two_aggs_zero_fill_and_naming(spark, tmp_path):
+    """A source with no zh docs gets zh_chars = zh_docs = 0 (never
+    NULL); the flattened {value}_{alias} columns are the contract."""
+    _write_documents(
+        spark,
+        tmp_path,
+        [(1, "abc", "en", "s1"), (2, "defgh", "en", "s1"), (3, "xy", "zh", "s2")],
+    )
+    out = {r["source"]: r for r in registry.QUERIES["pivot_two_aggs_contract"](
+        spark, str(tmp_path)).collect()}
+    assert out["s1"]["en_chars"] == 8 and out["s1"]["en_docs"] == 2
+    assert out["s1"]["zh_chars"] == 0 and out["s1"]["zh_docs"] == 0
+    assert out["s2"]["zh_docs"] == 1 and out["s2"]["en_docs"] == 0
+    cols = registry.QUERIES["pivot_two_aggs_contract"](spark, str(tmp_path)).columns
+    assert cols[:3] == ["source", "de_chars", "de_docs"]
