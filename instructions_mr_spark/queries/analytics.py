@@ -7261,3 +7261,70 @@ def cold_start_recs_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "rnk")
     )
+
+
+@query(
+    "unit_price_dispersion_by_part",
+    oracle="""
+    WITH u AS (
+      SELECT l_partkey,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               // CAST(l_quantity AS BIGINT) AS unitc
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    terms AS (
+      SELECT l_partkey AS partkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(unitc) AS BIGINT) AS min_unitc,
+             CAST(MAX(unitc) AS BIGINT) AS max_unitc,
+             CAST(SUM(unitc) AS BIGINT) AS sum_unitc
+      FROM u GROUP BY 1 HAVING COUNT(*) >= 3
+    )
+    SELECT partkey, n, min_unitc, max_unitc,
+           CAST((max_unitc - min_unitc) * 1000000 * n // sum_unitc
+                AS BIGINT) AS rel_range_e6
+    FROM terms
+    ORDER BY rel_range_e6 DESC, partkey
+    LIMIT 20
+    """,
+)
+def unit_price_dispersion_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by relative unit-price dispersion: unit price as
+    integer cents-per-unit under truncating division, then
+    (max - min) / mean as an e6 integer — the price-consistency audit
+    that surfaces data-entry errors and off-contract pricing (a part
+    selling at 3x its own median unit price is either a discount tier
+    or a decimal slip; both deserve a look before revenue modeling).
+    Parts with fewer than 3 sales are excluded (a 1-line 'range' is
+    noise, not dispersion).
+
+    Scale shape: one part-keyed map-side-combinable aggregate, then a
+    global top-20 via TakeOrderedAndProject — never a full sort."""
+    u = (
+        t(spark, sf_dir, "lineitem")
+        .filter("l_quantity > 0")
+        .selectExpr(
+            "l_partkey",
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+            " DIV CAST(l_quantity AS BIGINT) AS unitc",
+        )
+    )
+    return (
+        u.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("unitc").cast("bigint").alias("min_unitc"),
+            F.max("unitc").cast("bigint").alias("max_unitc"),
+            F.sum("unitc").cast("bigint").alias("sum_unitc"),
+        )
+        .filter("n >= 3")
+        .selectExpr(
+            "partkey",
+            "n",
+            "min_unitc",
+            "max_unitc",
+            "CAST((max_unitc - min_unitc) * 1000000 * n DIV sum_unitc"
+            " AS BIGINT) AS rel_range_e6",
+        )
+        .orderBy(F.col("rel_range_e6").desc(), "partkey")
+        .limit(20)
+    )

@@ -1573,3 +1573,64 @@ def pivot_two_aggs_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------- GROUPS frame emulation
+
+
+@query(
+    "groups_frame_emulation",
+    oracle="""
+    WITH g AS (
+      SELECT p_brand, p_size,
+             SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) AS cents_g
+      FROM part GROUP BY 1, 2
+    )
+    SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+           CAST(SUM(cents_g) OVER (PARTITION BY p_brand ORDER BY p_size
+                                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                AS BIGINT) AS frame_cents
+    FROM g
+    ORDER BY p_brand, p_size
+    """,
+)
+def groups_frame_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS window frames without GROUPS support: Spark has ROWS
+    and RANGE but not the SQL:2011 GROUPS frame (sum over the current
+    PEER GROUP and one group either side) — and neither does the
+    DuckDB in this container.  The portable equivalence pinned here:
+    collapse to one row per (partition, order value) first, after
+    which a +-1 frame over the collapsed table IS the GROUPS frame.
+    The two engines spell the frame differently on purpose — DuckDB
+    ROWS +-1 on the collapsed CTE, Spark RANGE +-1 over a dense
+    row_number index — two independent emulations that must match to
+    the cent.
+
+    Scale shape: the collapse is a (brand, size) map-side-combinable
+    aggregate; the window runs over the collapsed (domain-sized)
+    table partitioned by brand — the emulation is CHEAPER than a raw
+    GROUPS frame at scale, which is the migration guidance."""
+    g = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.expr("SUM(CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT))").alias(
+                "cents_g"
+            )
+        )
+    )
+    idx = Window.partitionBy("p_brand").orderBy("p_size")
+    frame = (
+        Window.partitionBy("p_brand")
+        .orderBy("gidx")
+        .rangeBetween(-1, 1)
+    )
+    return (
+        g.withColumn("gidx", F.row_number().over(idx))
+        .select(
+            "p_brand",
+            F.col("p_size").cast("bigint").alias("p_size"),
+            F.sum("cents_g").over(frame).cast("bigint").alias("frame_cents"),
+        )
+        .orderBy("p_brand", "p_size")
+    )

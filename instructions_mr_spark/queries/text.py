@@ -3519,3 +3519,119 @@ def bigram_conditional_entropy_by_source(
         )
         .orderBy("source")
     )
+
+
+# JS divergence cells cross the engines as ROUND(x*log2(x), 10)
+# DECIMALs (the column_entropy idiom).  p, q, m = (p+q)/2 derive from
+# integer char counts; each of the three entropy sums is order-free.
+_JS_CELL_P = (
+    "CAST(ROUND((CAST(cp AS DOUBLE) / np) * log2(CAST(cp AS DOUBLE) / np), 10)"
+    " AS DECIMAL(38,10))"
+)
+_JS_CELL_Q = (
+    "CAST(ROUND((CAST(cq AS DOUBLE) / nq) * log2(CAST(cq AS DOUBLE) / nq), 10)"
+    " AS DECIMAL(38,10))"
+)
+_JS_M = "(CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq) / 2"
+_JS_CELL_M = f"CAST(ROUND(({_JS_M}) * log2({_JS_M}), 10) AS DECIMAL(38,10))"
+
+
+@query(
+    "char_js_divergence_langs",
+    oracle=f"""
+    WITH ch AS (
+      SELECT lang, UNNEST(regexp_extract_all(text, '[a-z]')) AS c
+      FROM documents
+    ),
+    cnt AS (SELECT lang, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(n) AS nl FROM cnt GROUP BY 1),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b FROM tot a JOIN tot b
+      ON a.lang < b.lang
+    ),
+    cells AS (
+      SELECT p.lang_a, p.lang_b, c.c,
+             COALESCE(ca.n, 0) AS cp, ta.nl AS np,
+             COALESCE(cb.n, 0) AS cq, tb.nl AS nq
+      FROM pairs p
+      CROSS JOIN (SELECT DISTINCT c FROM cnt) c
+      JOIN tot ta ON ta.lang = p.lang_a
+      JOIN tot tb ON tb.lang = p.lang_b
+      LEFT JOIN cnt ca ON ca.lang = p.lang_a AND ca.c = c.c
+      LEFT JOIN cnt cb ON cb.lang = p.lang_b AND cb.c = c.c
+    )
+    SELECT lang_a, lang_b,
+           ROUND(
+             -CAST(SUM(CASE WHEN cp > 0 OR cq > 0 THEN {_JS_CELL_M} END)
+                   AS DOUBLE)
+             + (CAST(SUM(CASE WHEN cp > 0 THEN {_JS_CELL_P} END) AS DOUBLE)
+                + CAST(SUM(CASE WHEN cq > 0 THEN {_JS_CELL_Q} END) AS DOUBLE))
+               / 2, 6) AS js_bits
+    FROM cells
+    GROUP BY lang_a, lang_b
+    ORDER BY lang_a, lang_b
+    """,
+)
+def char_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between language
+    letter-frequency profiles: JS(p, q) = H(m) - (H(p) + H(q))/2 with
+    m the midpoint — the symmetric, bounded-by-1-bit distance that
+    language-ID confusions track (close language pairs like es/fr
+    have low char-JS; zh transliterations sit far away).  The
+    production use: pick which language pairs need a stronger
+    classifier than character statistics.
+
+    Cross-engine exactness: char counts are integers; each entropy
+    cell crosses as a ROUND(x*log2 x, 10) DECIMAL (column_entropy
+    idiom), so the three sums are order-free and js_bits is exact to
+    the rounding contract.
+
+    Scale shape: one (lang, char) count over the extracted letters is
+    the corpus exchange; pairs x chars is a 10 x 26 grid — everything
+    after the count is constant-size."""
+    ch = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.expr("regexp_extract_all(text, '[a-z]', 0)")).alias("c")
+    )
+    cnt = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n"))
+    cnt = supersede_checkpoint("js_char_cnt", cnt.localCheckpoint())
+    tot = cnt.groupBy("lang").agg(F.sum("n").alias("nl"))
+    pairs = (
+        tot.select(F.col("lang").alias("lang_a"), F.col("nl").alias("np"))
+        .crossJoin(tot.select(F.col("lang").alias("lang_b"), F.col("nl").alias("nq")))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    chars = cnt.select("c").distinct()
+    ca = cnt.select(
+        F.col("lang").alias("lang_a"), F.col("c").alias("c"), F.col("n").alias("cp")
+    )
+    cb = cnt.select(
+        F.col("lang").alias("lang_b"), F.col("c").alias("c"), F.col("n").alias("cq")
+    )
+    cells = (
+        pairs.crossJoin(F.broadcast(chars))
+        .join(ca, ["lang_a", "c"], "left")
+        .join(cb, ["lang_b", "c"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            "c",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            "np",
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+            "nq",
+        )
+    )
+    return (
+        cells.groupBy("lang_a", "lang_b")
+        .agg(
+            F.expr(
+                f"""ROUND(
+              -CAST(SUM(CASE WHEN cp > 0 OR cq > 0 THEN {_JS_CELL_M} END)
+                    AS DOUBLE)
+              + (CAST(SUM(CASE WHEN cp > 0 THEN {_JS_CELL_P} END) AS DOUBLE)
+                 + CAST(SUM(CASE WHEN cq > 0 THEN {_JS_CELL_Q} END) AS DOUBLE))
+                / 2, 6)"""
+            ).alias("js_bits")
+        )
+        .orderBy("lang_a", "lang_b")
+    )

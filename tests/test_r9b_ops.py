@@ -517,3 +517,74 @@ def test_pivot_two_aggs_zero_fill_and_naming(spark, tmp_path):
     assert out["s2"]["zh_docs"] == 1 and out["s2"]["en_docs"] == 0
     cols = registry.QUERIES["pivot_two_aggs_contract"](spark, str(tmp_path)).columns
     assert cols[:3] == ["source", "de_chars", "de_docs"]
+
+
+def _write_part_sizes(spark, tmp_path, rows):
+    """rows: (partkey, brand, size, retailprice)"""
+    spark.createDataFrame(
+        [(pk, f"p{pk}", b, "T", sz, rp) for pk, b, sz, rp in rows],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+
+def test_groups_frame_peers_collapse(spark, tmp_path):
+    """Two same-size rows form ONE peer group: size 1's frame must
+    include BOTH size-2 rows plus itself (GROUPS semantics), and a
+    gap (size 9) is still the adjacent GROUP, not an adjacent value."""
+    _write_part_sizes(
+        spark,
+        tmp_path,
+        [(1, "B", 1, 1.0), (2, "B", 2, 2.0), (3, "B", 2, 3.0), (4, "B", 9, 10.0)],
+    )
+    out = {r["p_size"]: r["frame_cents"] for r in registry.QUERIES[
+        "groups_frame_emulation"](spark, str(tmp_path)).collect()}
+    assert out[1] == 100 + 200 + 300        # self + whole size-2 group
+    assert out[2] == 100 + 500 + 1000       # both neighbors despite gap
+    assert out[9] == 500 + 1000
+
+
+def test_unit_price_dispersion_ranks_slip_first(spark, tmp_path):
+    """A part sold at 1.00/unit twice and 10.00/unit once dominates a
+    constant-price part; n<3 parts are excluded."""
+    rows = [
+        (1, 1, 1.0, 1.0), (2, 1, 1.0, 1.0), (3, 1, 1.0, 10.0),  # dispersed
+        (4, 2, 2.0, 4.0), (5, 2, 2.0, 4.0), (6, 2, 2.0, 4.0),   # constant unit 2.0
+        (7, 3, 1.0, 5.0), (8, 3, 1.0, 9.0),                     # only 2 sales
+    ]
+    spark.createDataFrame(
+        [
+            (ok, pk, 1, 1, q, ep, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+            for ok, pk, q, ep in rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = registry.QUERIES["unit_price_dispersion_by_part"](
+        spark, str(tmp_path)).collect()
+    assert [r["partkey"] for r in out] == [1, 2]
+    top = out[0]
+    # units 100,100,1000 cents: range 900, mean 400 -> 2.25e6
+    assert (top["min_unitc"], top["max_unitc"]) == (100, 1000)
+    assert top["rel_range_e6"] == 2_250_000
+    assert out[1]["rel_range_e6"] == 0
+
+
+def test_char_js_divergence_extremes(spark, tmp_path):
+    """Identical letter profiles -> JS 0; disjoint alphabets -> JS
+    1 bit (the JS upper bound)."""
+    _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, "abab", "en", "s"), (2, "ab", "de", "s"),   # same profile
+            (3, "cccc", "fr", "s"),                          # disjoint letters
+        ],
+    )
+    out = {(r["lang_a"], r["lang_b"]): r["js_bits"] for r in registry.QUERIES[
+        "char_js_divergence_langs"](spark, str(tmp_path)).collect()}
+    assert out[("de", "en")] == 0.0
+    assert abs(out[("en", "fr")] - 1.0) < 1e-6
+    assert abs(out[("de", "fr")] - 1.0) < 1e-6
