@@ -3281,3 +3281,66 @@ def simhash_bit_bias_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bit")
     )
+
+
+_HN_PROBES = 16
+_HN_K = 3
+
+
+@query(
+    "hard_negative_topk",
+    oracle=f"""
+    SELECT probe_id, probe_label, cand_id, cand_label, cosine, rnk FROM (
+      SELECT p.vec_id AS probe_id, p.label AS probe_label,
+             c.vec_id AS cand_id, c.label AS cand_label,
+             {_KNN_PAIR_DOT} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                ORDER BY {_KNN_PAIR_DOT} DESC, c.vec_id) AS rnk
+      FROM embeddings p JOIN embeddings c
+        ON p.vec_id < {_HN_PROBES} AND c.label <> p.label
+    ) WHERE rnk <= {_HN_K}
+    ORDER BY probe_id, rnk
+    """,
+)
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector (the per-batch anchor set, bounded at {_HN_PROBES}), the
+    top-{_HN_K} most-similar vectors with a DIFFERENT label — the
+    negatives that actually move an embedding model, vs the
+    uninformative random negatives of negative_sampling_pairs.  Exact
+    brute-force cosine (both engines fold the dot product
+    left-to-right over the same element order, so the ROUND(...,6)
+    values are identical; ranks tie-break on candidate id).
+
+    Scale shape: the bounded probe batch broadcasts onto the corpus
+    scan (the label-exclusion rides the join condition — nothing
+    shuffles for it); per-probe top-k is one window already
+    partitioned by probe.  For corpus-scale anchor sets swap the
+    nested loop for the IVF cell join (sim_search_ivf_kmeans), same
+    downstream window.
+
+    Reference parity: no counterpart (the reference has no vector
+    surface, SURVEY.md §2.6) — EXT training-data mandate."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _HN_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("q"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("label") != F.col("probe_label"))
+        .select(
+            "probe_id",
+            "probe_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            _cosine_col(F.col("q"), F.col("embedding")).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HN_K)
+        .orderBy("probe_id", "rnk")
+    )

@@ -1634,3 +1634,49 @@ def groups_frame_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "p_size")
     )
+
+
+# --------------------------------------- QUALIFY emulation
+
+
+@query(
+    "qualify_emulation_contract",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+           CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM customer
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) <= 2
+    ORDER BY nationkey, acctbal_cents DESC, custkey
+    """,
+)
+def qualify_emulation_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-clause emulation: DuckDB/Snowflake/BigQuery filter on a
+    window function directly with QUALIFY (the oracle); Spark has no
+    QUALIFY, and the pinned equivalence is the subquery spelling —
+    compute the window column, then filter it.  Subtlety worth the
+    contract: QUALIFY evaluates AFTER window functions but BEFORE the
+    outer ORDER BY/projection, which is exactly what the
+    select-then-filter emulation reproduces; filtering in the SAME
+    select that defines the window (a WHERE) is illegal on both.
+
+    Scale shape: one nation-keyed window; Spark compiles the rn<=2
+    filter to WindowGroupLimit, so the exchange carries two rows per
+    nation — QUALIFY costs nothing extra in the emulation."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").alias(
+                "acctbal_cents"
+            ),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter("rn <= 2")
+        .drop("rn")
+        .orderBy("nationkey", F.col("acctbal_cents").desc(), "custkey")
+    )

@@ -588,3 +588,42 @@ def test_char_js_divergence_extremes(spark, tmp_path):
     assert out[("de", "en")] == 0.0
     assert abs(out[("en", "fr")] - 1.0) < 1e-6
     assert abs(out[("de", "fr")] - 1.0) < 1e-6
+
+
+def test_hard_negatives_exclude_same_label(spark, tmp_path):
+    """The nearest vector overall shares the probe's label — it must
+    NOT appear; the top negative is the nearest OTHER-label vector."""
+    _write_embeddings(
+        spark,
+        tmp_path,
+        [
+            (0, [1.0, 0.0], 5),       # probe, label 5
+            (20, [0.99, 0.01], 5),    # nearest but same label -> excluded
+            (21, [0.9, 0.1], 7),      # nearest other-label
+            (22, [0.0, 1.0], 7),      # orthogonal other-label
+            (23, [-1.0, 0.0], 8),     # antipodal
+        ],
+    )
+    out = registry.QUERIES["hard_negative_topk"](spark, str(tmp_path)).collect()
+    mine = [r for r in out if r["probe_id"] == 0]
+    assert [r["cand_id"] for r in mine] == [21, 22, 23]
+    assert all(r["cand_label"] != 5 for r in mine)
+    assert mine[0]["cosine"] > 0.99  # cos(0.9,0.1 vs 1,0) ~ 0.9939
+
+
+def test_qualify_emulation_top2_per_nation(spark, tmp_path):
+    spark.createDataFrame(
+        [
+            (1, "a", 7, "B", 50.0),
+            (2, "b", 7, "B", 90.0),
+            (3, "c", 7, "B", 70.0),
+            (4, "d", 8, "B", 10.0),
+        ],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_mktsegment string, c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = registry.QUERIES["qualify_emulation_contract"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [(r["nationkey"], r["custkey"]) for r in out] == [(7, 2), (7, 3), (8, 4)]
+    assert "rn" not in out[0].asDict()  # QUALIFY never leaks the window col
