@@ -79,34 +79,33 @@ DRIVER_WINDOW: list[str] = [
     "embedding_exact_dup",
     "curriculum_interleave_order",
     "char_bigram_diversity",
-    # timeseries family (never driver-checked)
-    "ccf_lag_terms",
-    "rsi_cutler_daily",
-    "bollinger_breach_daily",
-    "vwap_anchored_daily",
-    "forecast_dow_naive_terms",
-    "drawdown_daily",
-    "updown_streaks",
-    # graph additions (never driver-checked)
+    # r9 third-session additions (first driver exposure — new code
+    # outranks the judge-swept backlog for the scarce driver slots)
+    "welch_ttest_terms",
+    "benjamini_hochberg_fdr",
+    "cramers_v_matrix",
+    "distinct_on_contract",
+    "posexplode_contract",
+    "regexp_replace_backrefs_contract",
+    "embedding_isotropy_terms",
+    "embedding_mahalanobis_outliers",
+    "graph_degree_ccdf",
+    "graph_conductance_brand",
+    "cold_start_recs_by_nation",
+    "readability_proxy_profile",
+    "bigram_conditional_entropy_by_source",
+    "variance_ratio_terms",
+    "interarrival_burstiness_terms",
+    "mlm_mask_plan_stats",
+    "pivot_two_aggs_contract",
+    "groups_frame_emulation",
+    "unit_price_dispersion_by_part",
+    "char_js_divergence_langs",
+    "hard_negative_topk",
+    "qualify_emulation_contract",
+    # heavies continuity (iteration-staged plans, keep one driver eye on)
     "k_core_peel3",
-    "bellman_ford_bounded",
-    "label_propagation_2round",
-    "graph_hits_unnormalized",
-    "graph_bfs_hops",
-    "modularity_terms_lp",
-    "graph_resource_allocation",
-    "ppr_recommend_parts",
     "attribution_markov_removal",
-    # SQL semantics contracts (never driver-checked)
-    "join_null_safe",
-    "not_in_null_semantics",
-    "topk_with_ties",
-    "hof_lambda_suite",
-    "like_any_all_contract",
-    "nulls_ordering_contract",
-    # lake audits (never driver-checked)
-    "benford_digit_audit",
-    "zone_map_skip_audit",
 ]
 
 # Round-10 rotation plan: the remaining never-driver-checked backlog
@@ -114,6 +113,15 @@ DRIVER_WINDOW: list[str] = [
 # rows in CORRECTNESS_r09 — cross the landed ones off there), plus any
 # r9-new queries not in the window and anything whose contract changes.
 # r9-new names NOT in the r9 window (never driver-checked, prioritize):
+#   the timeseries family (ccf_lag_terms, rsi_cutler_daily,
+#   bollinger_breach_daily, vwap_anchored_daily, forecast_dow_naive_terms,
+#   drawdown_daily, updown_streaks), the graph additions
+#   (bellman_ford_bounded, label_propagation_2round,
+#   graph_hits_unnormalized, graph_bfs_hops, modularity_terms_lp,
+#   graph_resource_allocation, ppr_recommend_parts), the SQL semantics
+#   contracts (join_null_safe, not_in_null_semantics, topk_with_ties,
+#   hof_lambda_suite, like_any_all_contract, nulls_ordering_contract),
+#   the lake audits (benford_digit_audit, zone_map_skip_audit),
 #   group_by_all_contract, engagement_decay_scores,
 #   near_zero_variance_audit, embedding_clip_calibration,
 #   delete_cascade_sim, source_common_prefix, cart_split_gain_terms,
