@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from instructions_mr_spark.config import Instruction, LlmConfig, Stage
-from instructions_mr_spark.queries._util import REVENUE, sum_d, t
+from instructions_mr_spark.queries._util import REVENUE, sum_d, t, ts_epoch_seconds
 from instructions_mr_spark.registry import query
 
 # ------------------------------------------------------- TPC-H shapes
@@ -802,4 +802,90 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 2000)
         .select("o_orderkey", tag("o_orderpriority", "o_orderkey").alias("tag"))
+    )
+
+
+@query(
+    "cogrouped_pandas_event_order_merge",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      FROM events
+    ),
+    o AS (
+      SELECT o_custkey AS user_id,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000 AS osec
+      FROM orders
+    ),
+    matched AS (
+      SELECT e.user_id, e.event_id, e.sec, MAX(o.osec) AS osec
+      FROM e LEFT JOIN o ON o.user_id = e.user_id AND o.osec <= e.sec
+      GROUP BY e.user_id, e.event_id, e.sec
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(osec) AS BIGINT) AS n_matched,
+           CAST(COALESCE(SUM(sec - osec), 0) AS BIGINT) AS gap_sum_sec
+    FROM matched GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def cogrouped_pandas_event_order_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cogrouped-pandas API surface (``groupBy().cogroup(...)
+    .applyInPandas``): events and orders shuffle ONCE each on the
+    user key, and each user's two frames meet in a single pandas
+    ``merge_asof`` — the per-entity two-stream merge shape (sensor +
+    maintenance-log, click + purchase) that would otherwise need a
+    range join.  Per user: events, events with a preceding order, and
+    the summed event-to-latest-order gap.
+
+    The oracle is the equivalent SQL as-of (LEFT JOIN on osec <= sec,
+    MAX per event) — the cogroup path must reproduce it exactly,
+    which pins both the API mechanics (keys present on either side,
+    empty frames) and merge_asof's allow_exact_matches=True default.
+
+    Scale shape: two user-keyed exchanges (one per input — the
+    minimum any two-stream merge pays), Arrow-batched per-group
+    Python, output one row per user with events."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_epoch_seconds("ts").alias("sec")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        ts_epoch_seconds("o_orderdate").alias("osec"),
+    )
+    out_schema = "user_id long, n_events long, n_matched long, gap_sum_sec long"
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:  # user has orders but no events: no output row
+            return pd.DataFrame(
+                {"user_id": [], "n_events": [], "n_matched": [], "gap_sum_sec": []}
+            ).astype("int64")
+        ev = left.sort_values(["sec", "event_id"]).reset_index(drop=True)
+        od = right.sort_values("osec").reset_index(drop=True)
+        if od.empty:
+            m = ev.assign(osec=pd.NA)
+        else:
+            m = pd.merge_asof(
+                ev, od[["osec"]], left_on="sec", right_on="osec"
+            )  # allow_exact_matches=True: an order ON the event second matches
+        matched = m["osec"].notna()
+        gaps = (m.loc[matched, "sec"] - m.loc[matched, "osec"]).sum()
+        return pd.DataFrame(
+            {
+                "user_id": [int(ev["user_id"].iloc[0])],
+                "n_events": [len(ev)],
+                "n_matched": [int(matched.sum())],
+                "gap_sum_sec": [int(gaps)],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(merge, schema=out_schema)
+        .orderBy("user_id")
     )

@@ -5144,3 +5144,102 @@ def interarrival_burstiness_terms(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "approx_quantile_drift_audit",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM v
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 50 * n THEN cents END) AS BIGINT)
+             AS p50_cents,
+           CAST(MIN(CASE WHEN 100 * cum_c >= 95 * n THEN cents END) AS BIGINT)
+             AS p95_cents,
+           CAST(1 AS BIGINT) AS p50_within_2pct,
+           CAST(1 AS BIGINT) AS p95_within_2pct
+    FROM cum GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def approx_quantile_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit behind every 'switch to approx_percentile at 100 TB'
+    note in this package, made mechanical: per event type, the EXACT
+    discrete p50/p95 (value-domain two-phase — no per-group sort) next
+    to Spark's t-digest ``approx_percentile`` at accuracy 10000, and a
+    within-2%-relative flag per quantile.  The oracle re-computes the
+    exact side and asserts the flags are 1 — so if the sketch ever
+    drifts past the advertised envelope on this data shape, the
+    DuckDB gate goes red rather than a production migration finding
+    out.  (The approx values themselves stay out of the compared
+    columns: a t-digest is not reproducible in another engine.)
+
+    Scale shape: the exact side shuffles (group, value, count); the
+    approx side is a map-side-mergeable sketch per group — the two
+    costs this audit lets you trade."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.selectExpr(
+            "event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents"
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("event_type")
+    cum = v.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(wc).alias("cum_c"),
+        F.sum("c")
+        .over(wn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+    )
+    exact = cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(MIN(CASE WHEN 100 * cum_c >= 50 * n THEN cents END) AS BIGINT)"
+        ).alias("p50_cents"),
+        F.expr(
+            "CAST(MIN(CASE WHEN 100 * cum_c >= 95 * n THEN cents END) AS BIGINT)"
+        ).alias("p95_cents"),
+    )
+    approx = (
+        e.selectExpr(
+            "event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(cents, 0.50, 10000)").alias("a50"),
+            F.expr("approx_percentile(cents, 0.95, 10000)").alias("a95"),
+        )
+    )
+    return (
+        exact.join(approx, "event_type")
+        .selectExpr(
+            "event_type",
+            "n",
+            "p50_cents",
+            "p95_cents",
+            "CAST(CASE WHEN ABS(a50 - p50_cents) * 50 <= p50_cents"
+            " THEN 1 ELSE 0 END AS BIGINT) AS p50_within_2pct",
+            "CAST(CASE WHEN ABS(a95 - p95_cents) * 50 <= p95_cents"
+            " THEN 1 ELSE 0 END AS BIGINT) AS p95_within_2pct",
+        )
+        .orderBy("event_type")
+    )

@@ -627,3 +627,44 @@ def test_qualify_emulation_top2_per_nation(spark, tmp_path):
     ).collect()
     assert [(r["nationkey"], r["custkey"]) for r in out] == [(7, 2), (7, 3), (8, 4)]
     assert "rn" not in out[0].asDict()  # QUALIFY never leaks the window col
+
+
+def test_cogroup_merge_matches_and_orphans(spark, tmp_path):
+    """User 1: two events, one order between them -> first event
+    unmatched, second matched with the exact gap.  User 2 has events
+    but no orders; user 3 has an order but no events (no output)."""
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 10)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, base - timedelta(days=2), 1, "view", 1.0),
+            (2, base + timedelta(seconds=100), 1, "view", 1.0),
+            (3, base, 2, "view", 1.0),
+        ],
+    )
+    spark.createDataFrame(
+        [(1, 1, "O", 1.0, base, "P"), (2, 3, "O", 1.0, base, "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r["user_id"]: r for r in registry.QUERIES[
+        "cogrouped_pandas_event_order_merge"](spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}  # user 3: orders only, no row
+    u1 = out[1]
+    assert (u1["n_events"], u1["n_matched"], u1["gap_sum_sec"]) == (2, 1, 100)
+    u2 = out[2]
+    assert (u2["n_matched"], u2["gap_sum_sec"]) == (0, 0)
+
+
+def test_approx_drift_flags_green_on_real_shape(spark):
+    """At sf0.001 the t-digest at accuracy 10000 must sit within 2%
+    of the exact discrete percentiles for every event type."""
+    out = registry.QUERIES["approx_quantile_drift_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) > 0
+    assert all(r["p50_within_2pct"] == 1 and r["p95_within_2pct"] == 1 for r in out)
+    assert all(r["p50_cents"] <= r["p95_cents"] for r in out)
