@@ -1680,3 +1680,63 @@ def qualify_emulation_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("nationkey", F.col("acctbal_cents").desc(), "custkey")
     )
+
+
+# --------------------------------------- XML build/parse roundtrip
+
+
+@query(
+    "xml_roundtrip_contract",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           '<order><key>' || o_orderkey || '</key><status>'
+             || o_orderstatus || '</status><cents>'
+             || CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+             || '</cents></order>' AS xml,
+           CAST(o_orderkey AS BIGINT) AS parsed_key,
+           o_orderstatus AS parsed_status,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS parsed_cents
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY orderkey
+    """,
+)
+def xml_roundtrip_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML build/parse roundtrip on the Spark 4 native XML surface:
+    serialize order fields into an XML fragment with plain string
+    algebra, parse it back with ``from_xml`` under an explicit
+    schema, and emit both the fragment and the parsed fields — the
+    oracle rebuilds the same fragment and supplies the fields
+    directly, so any from_xml coercion quirk (whitespace trim,
+    numeric cast, tag-order sensitivity) surfaces as a value diff.
+    The feed-ingestion contract for the XML half of the world the
+    JSON ops don't cover.
+
+    Scale shape: pure in-row build + parse on the scan, sliced to a
+    bounded key range (contract demo, not a corpus op); no shuffle
+    beyond the presentation sort."""
+    xml = (
+        "'<order><key>' || o_orderkey || '</key><status>' || o_orderstatus"
+        " || '</status><cents>' || CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+        " || '</cents></order>'"
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .filter("o_orderkey < 100")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS orderkey", f"{xml} AS xml")
+        .select(
+            "orderkey",
+            "xml",
+            F.from_xml(
+                "xml", "key BIGINT, status STRING, cents BIGINT"
+            ).alias("p"),
+        )
+        .select(
+            "orderkey",
+            "xml",
+            F.col("p.key").alias("parsed_key"),
+            F.col("p.status").alias("parsed_status"),
+            F.col("p.cents").alias("parsed_cents"),
+        )
+        .orderBy("orderkey")
+    )

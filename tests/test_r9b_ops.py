@@ -668,3 +668,16 @@ def test_approx_drift_flags_green_on_real_shape(spark):
     assert len(out) > 0
     assert all(r["p50_within_2pct"] == 1 and r["p95_within_2pct"] == 1 for r in out)
     assert all(r["p50_cents"] <= r["p95_cents"] for r in out)
+
+
+def test_xml_roundtrip_parses_back_exactly(spark, tmp_path):
+    spark.createDataFrame(
+        [(7, 1, "O", 12.345, datetime(2024, 1, 1), "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    [r] = registry.QUERIES["xml_roundtrip_contract"](spark, str(tmp_path)).collect()
+    assert r["parsed_key"] == 7
+    assert r["parsed_status"] == "O"
+    assert r["parsed_cents"] == 1235  # half-up at the cent boundary
+    assert r["xml"].startswith("<order><key>7</key>")

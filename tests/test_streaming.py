@@ -919,3 +919,32 @@ def test_stream_topk_types_matches_batch(spark, events_stream, sf_dir):
         )[:3]
         want = [(i + 1, t2, c) for i, (c, t2) in enumerate(ranked)]
         assert sorted(twin[w]) == sorted(want)
+
+
+def test_trigger_available_now_terminates_and_matches_batch(spark, events_stream):
+    """Trigger.AvailableNow: the incremental-backfill pattern — the
+    query drains every file already in the source, commits, and STOPS
+    ON ITS OWN (no processAllAvailable/stop choreography).  Counts
+    must equal the batch twin exactly; termination must happen within
+    the timeout (a hung availableNow run means the trigger fell back
+    to continuous processing)."""
+    stream, batch = events_stream
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("avail_now_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    terminated = q.awaitTermination(timeout=120)
+    assert terminated, "availableNow query did not self-terminate"
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.sql("SELECT * FROM avail_now_t").collect()
+    }
+    expected = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
