@@ -1884,3 +1884,130 @@ def delete_cascade_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("lineitem", del_lines, li))
         .orderBy("relation")
     )
+
+
+# ------------------------------------------ shuffle-skew forecast
+
+_SKEW_K = 200  # the hypothetical shuffle partition count being sized
+
+
+@query(
+    "shuffle_skew_forecast",
+    oracle=f"""
+    WITH parts AS (
+      SELECT ('0x' || substr(md5(user_id || '#77'), 1, 15))::BIGINT % {_SKEW_K}
+               AS pid,
+             COUNT(*) AS rows_in
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rows_in, ROW_NUMBER() OVER (ORDER BY rows_in, pid) AS rn,
+             COUNT(*) OVER () AS np
+      FROM parts
+    )
+    SELECT CAST({_SKEW_K} AS BIGINT) AS k,
+           CAST(MAX(CASE WHEN rn = CEIL(np / 2.0) THEN rows_in END) AS BIGINT)
+             AS p50_rows,
+           CAST(MAX(rows_in) AS BIGINT) AS max_rows,
+           ROUND(CAST(MAX(rows_in) AS DOUBLE)
+                 / MAX(CASE WHEN rn = CEIL(np / 2.0) THEN rows_in END), 6)
+             AS skew_ratio
+    FROM ranked
+    """,
+)
+def shuffle_skew_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-skew forecast: hash every row's user_id
+    into the {_SKEW_K} partitions a user-keyed exchange would create
+    (the portable 60-bit digest, so the forecast itself is
+    reproducible) and report max vs median partition size — the
+    straggler predictor you read BEFORE launching the 4-hour join,
+    and the quantitative trigger for salting or AQE skew handling
+    (ratio ~1: safe; >>1: one reducer owns the job's tail latency).
+
+    Scale shape: one map-side-combinable (pid) count — {_SKEW_K}
+    rows; the median/max roll-up is constant-size.  The window runs
+    over the {_SKEW_K}-row partition table (bounded)."""
+    from instructions_mr_spark.queries._util import spark_h60
+
+    from pyspark.sql import Window
+
+    parts = (
+        t(spark, sf_dir, "events")
+        .selectExpr(f"({spark_h60('user_id', 77)}) % {_SKEW_K} AS pid")
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("rows_in"))
+    )
+    w = Window.orderBy("rows_in", "pid")
+    wa = Window.partitionBy()
+    ranked = parts.select(
+        "rows_in",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(wa.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("np"),
+    )
+    return ranked.agg(
+        F.lit(_SKEW_K).cast("bigint").alias("k"),
+        F.expr(
+            "CAST(MAX(CASE WHEN rn = CEIL(np / 2.0) THEN rows_in END) AS BIGINT)"
+        ).alias("p50_rows"),
+        F.max("rows_in").cast("bigint").alias("max_rows"),
+        F.expr(
+            "ROUND(CAST(MAX(rows_in) AS DOUBLE)"
+            " / MAX(CASE WHEN rn = CEIL(np / 2.0) THEN rows_in END), 6)"
+        ).alias("skew_ratio"),
+    )
+
+
+# ------------------------------------------ dim broadcast budget
+
+
+_DIM_SPECS = [
+    # (table, key width proxy: fixed 8B per numeric col + string bytes)
+    ("nation", "nation", "8 * 2 + LENGTH(n_name)"),
+    ("region", "region", "8 * 1 + LENGTH(r_name)"),
+    ("supplier", "supplier", "8 * 3 + LENGTH(s_name)"),
+    ("customer", "customer", "8 * 3 + LENGTH(c_name) + LENGTH(c_mktsegment)"),
+    ("part", "part", "8 * 3 + LENGTH(p_name) + LENGTH(p_brand) + LENGTH(p_type)"),
+]
+
+
+@query(
+    "dim_broadcast_budget",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS relation, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({width}) AS BIGINT) AS est_bytes,
+           CAST(CASE WHEN SUM({width}) <= 10485760 THEN 1 ELSE 0 END AS BIGINT)
+             AS fits_10mb
+    FROM {tbl}"""
+        for name, tbl, width in _DIM_SPECS
+    )
+    + "\n    ORDER BY relation",
+)
+def dim_broadcast_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-budget audit for every joinable dimension: estimated
+    in-memory bytes (8 B per numeric column + actual string bytes —
+    the deliberately simple estimator both engines can agree on) vs
+    the classic 10 MB autoBroadcastJoinThreshold.  The table that
+    makes the engine's broadcast policy INSPECTABLE: nation/region
+    stay eligible forever, while supplier/customer/part flip to 0 as
+    sf grows — exactly the cardinality cliff the no-unbounded-hint
+    plan guard (tools/broadcast_guard.py) enforces, here as data
+    instead of a test.
+
+    Scale shape: five independent map-side-combinable scans, one
+    row each; no join, no window."""
+    out = None
+    for name, tbl, width in _DIM_SPECS:
+        d = t(spark, sf_dir, tbl).selectExpr(f"{width} AS w")
+        row = d.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("w").cast("bigint").alias("est_bytes"),
+            F.expr(
+                "CAST(CASE WHEN SUM(w) <= 10485760 THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("fits_10mb"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("relation")

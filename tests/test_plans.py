@@ -328,6 +328,7 @@ def test_no_global_window_outside_allowlist(spark, sf_dir):
         "auc_mann_whitney",          # distinct score values
         "sketch_quantile_merge",     # bounded histogram bins
         "join_key_skew_profile",     # key-COUNT histogram (Zipf-bounded)
+        "shuffle_skew_forecast",     # fixed 200-row partition table
         "session_duration_profile",  # distinct duration values
         "t_closeness_audit",         # global bucket distribution (m rows)
         "zone_map_skip_audit",       # one row per parquet row-group/file

@@ -681,3 +681,26 @@ def test_xml_roundtrip_parses_back_exactly(spark, tmp_path):
     assert r["parsed_status"] == "O"
     assert r["parsed_cents"] == 1235  # half-up at the cent boundary
     assert r["xml"].startswith("<order><key>7</key>")
+
+
+def test_shuffle_skew_forecast_uniform_vs_hot_key(spark, tmp_path):
+    """A single hot user owning most rows must push max_rows far above
+    the median; k is the documented 200."""
+    evs = [(i, datetime(2024, 1, 1), 999, "view", 1.0) for i in range(500)]
+    evs += [(1000 + u, datetime(2024, 1, 1), u, "view", 1.0) for u in range(200)]
+    _write_events(spark, tmp_path, evs)
+    [r] = registry.QUERIES["shuffle_skew_forecast"](spark, str(tmp_path)).collect()
+    assert r["k"] == 200
+    assert r["max_rows"] >= 500          # the hot user's partition
+    assert r["p50_rows"] <= 3            # everyone else spreads thin
+    assert r["skew_ratio"] >= 100
+
+
+def test_dim_broadcast_budget_flags(spark):
+    """nation and region always fit 10 MB; estimates are positive and
+    row counts match the tables."""
+    out = {r["relation"]: r for r in registry.QUERIES["dim_broadcast_budget"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"nation", "region", "supplier", "customer", "part"}
+    assert out["nation"]["fits_10mb"] == 1 and out["region"]["fits_10mb"] == 1
+    assert all(r["est_bytes"] > r["n_rows"] for r in out.values())
