@@ -502,3 +502,89 @@ def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("position")
         .limit(20)
     )
+
+
+@query(
+    "top_p_quality_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT source, len(string_split(text, ' ')) AS score
+      FROM documents
+    ),
+    classes AS (
+      SELECT source, score, COUNT(*) AS n_docs,
+             CAST(SUM(score) AS BIGINT) AS tokens
+      FROM scored GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, score, n_docs, tokens,
+             SUM(tokens) OVER (PARTITION BY source ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) - tokens AS cum_before,
+             SUM(tokens) OVER (PARTITION BY source) AS total
+      FROM classes
+    )
+    SELECT source,
+           CAST(MIN(score) AS BIGINT) AS threshold_score,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(tokens) AS BIGINT) AS tokens_kept,
+           ROUND(CAST(SUM(tokens) AS DOUBLE) / MAX(total), 6) AS share_kept
+    FROM cum
+    WHERE 10 * cum_before < 9 * total
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def top_p_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style (top-p) corpus selection: per source, keep the
+    highest-scoring documents until 90% of the source's token mass is
+    covered — the 'take the best, cap the budget' gate that beats a
+    fixed score threshold when sources have different score scales.
+    Selection is CLASS-granular on the score's value domain (a class
+    is kept iff the mass before it is strictly inside the budget), so
+    the cumulative window runs over (source x distinct scores) — the
+    value-domain trick that keeps exact selection scale-safe (the
+    percentile_group_twophase shape), never a per-document sort.
+    Score = token count here; swap in any integer quality score with
+    the same plan.
+
+    Integer exactness: the budget test is 10*cum_before < 9*total —
+    no float division decides membership; share_kept is a derived
+    readout."""
+    from pyspark.sql import Window
+
+    scored = t(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("score")
+    )
+    classes = scored.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score").cast("bigint").alias("tokens"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = classes.select(
+        "source",
+        "score",
+        "n_docs",
+        "tokens",
+        (F.sum("tokens").over(w_cum) - F.col("tokens")).alias("cum_before"),
+        F.sum("tokens")
+        .over(w_all.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("total"),
+    )
+    return (
+        cum.filter(10 * F.col("cum_before") < 9 * F.col("total"))
+        .groupBy("source")
+        .agg(
+            F.min("score").cast("bigint").alias("threshold_score"),
+            F.sum("n_docs").cast("bigint").alias("n_docs_kept"),
+            F.sum("tokens").cast("bigint").alias("tokens_kept"),
+            F.round(
+                F.sum("tokens").cast("double") / F.max("total"), 6
+            ).alias("share_kept"),
+        )
+        .orderBy("source")
+    )

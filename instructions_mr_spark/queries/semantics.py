@@ -1740,3 +1740,51 @@ def xml_roundtrip_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey")
     )
+
+
+# --------------------------------------- lateral column aliases
+
+
+@query(
+    "lateral_alias_contract",
+    oracle="""
+    SELECT source,
+           CAST(SUM(y) AS BIGINT) AS sum_chained,
+           CAST(SUM(p) AS BIGINT) AS sum_shadowed
+    FROM (
+      SELECT source,
+             n_chars + 1 AS x, x * 2 AS y,          -- alias chain
+             n_chars * 2 AS n_chars2, n_chars + 1 AS p
+      FROM documents
+    )
+    GROUP BY source ORDER BY source
+    """,
+)
+def lateral_alias_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column-alias resolution contract (Spark 3.4+ feature,
+    shared by DuckDB): an alias defined earlier in the SAME select is
+    referenceable (x -> y = (n_chars+1)*2), BUT a reference that
+    matches a REAL underlying column resolves to the column, not a
+    sibling alias — both engines prefer the relation's column, so
+    shadowing an input name with an alias and then referencing it is
+    a silent trap this contract keeps pinned (probed: both return
+    the underlying-column reading).
+
+    Scale shape: in-row arithmetic plus one source-keyed
+    map-side-combinable rollup."""
+    return (
+        t(spark, sf_dir, "documents")
+        .selectExpr(
+            "source",
+            "n_chars + 1 AS x",
+            "x * 2 AS y",
+            "n_chars * 2 AS n_chars2",
+            "n_chars + 1 AS p",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("y").cast("bigint").alias("sum_chained"),
+            F.sum("p").cast("bigint").alias("sum_shadowed"),
+        )
+        .orderBy("source")
+    )

@@ -704,3 +704,32 @@ def test_dim_broadcast_budget_flags(spark):
     assert set(out) == {"nation", "region", "supplier", "customer", "part"}
     assert out["nation"]["fits_10mb"] == 1 and out["region"]["fits_10mb"] == 1
     assert all(r["est_bytes"] > r["n_rows"] for r in out.values())
+
+
+def test_lateral_alias_shadowing_prefers_column(spark, tmp_path):
+    """y chains the alias ((n+1)*2); p references a SHADOWED name and
+    must read the underlying column (n+1, not (n*2)+1)."""
+    _write_documents(spark, tmp_path, [(1, "xxxxxxxxxx", "en", "s1")])  # n_chars 10
+    [r] = registry.QUERIES["lateral_alias_contract"](spark, str(tmp_path)).collect()
+    assert r["sum_chained"] == 22   # (10+1)*2
+    assert r["sum_shadowed"] == 11  # 10+1 — the column, not the alias
+
+
+def test_top_p_keeps_best_classes_until_budget(spark, tmp_path):
+    """Source with token masses 50/30/20 by class: the 50 and 30
+    classes fit the 90% budget, the 20 class starts at exactly 80%
+    (< 90%) so it is kept too; a 50/45/5 split drops the 5."""
+    docs, did = [], 0
+    # source A: scores 50, 30, 20 (one doc each)
+    for sc in (50, 30, 20):
+        docs.append((did, " ".join(["w"] * sc), "en", "A")); did += 1
+    # source B: 50, 45, 5 -> cum_before of the 5-class is 95% >= 90%
+    for sc in (50, 45, 5):
+        docs.append((did, " ".join(["w"] * sc), "en", "B")); did += 1
+    _write_documents(spark, tmp_path, docs)
+    out = {r["source"]: r for r in registry.QUERIES["top_p_quality_filter"](
+        spark, str(tmp_path)).collect()}
+    assert out["A"]["n_docs_kept"] == 3 and out["A"]["share_kept"] == 1.0
+    assert out["B"]["n_docs_kept"] == 2
+    assert out["B"]["tokens_kept"] == 95
+    assert out["B"]["threshold_score"] == 45
