@@ -588,3 +588,142 @@ def top_p_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "contribution_bounding_curve",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                         event_id) AS rn
+      FROM events
+    ),
+    caps AS (SELECT UNNEST([1, 2, 4, 8]) AS cap)
+    SELECT caps.cap AS cap, ranked.event_type,
+           CAST(SUM(CASE WHEN ranked.rn <= caps.cap THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           ROUND(CAST(SUM(CASE WHEN ranked.rn <= caps.cap THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS kept_share
+    FROM ranked CROSS JOIN caps
+    GROUP BY caps.cap, ranked.event_type
+    ORDER BY cap, event_type
+    """,
+)
+def contribution_bounding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution bounding (the deterministic half of
+    DP-style aggregation): keep each user's first C events per type
+    (earliest-first, event_id tiebreak) and report the retained share
+    at C = 1, 2, 4, 8 — the curve an analyst reads to pick the cap
+    that bounds any single user's influence on a count while losing
+    the least data (the same preprocessing a DP release or a
+    heavy-user-robust metric needs, no noise involved).
+
+    Scale shape: one (user, type)-keyed window ranks contributions
+    (thousands of parallel partitions); the 4-row cap table broadcast
+    crosses the ranked rows into a map-side-combinable conditional
+    sum — 4 x |types| result rows."""
+    from pyspark.sql import Window
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        ts_epoch_seconds("ts"), "event_id"
+    )
+    ranked = t(spark, sf_dir, "events").select(
+        "event_type", F.row_number().over(w).alias("rn")
+    )
+    caps = spark.createDataFrame([(1,), (2,), (4,), (8,)], "cap int")
+    return (
+        ranked.crossJoin(F.broadcast(caps))
+        .groupBy("cap", "event_type")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("cap"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept"),
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+        )
+        .selectExpr(
+            "CAST(cap AS INT) AS cap",
+            "event_type",
+            "kept",
+            "total",
+            "ROUND(CAST(kept AS DOUBLE) / total, 6) AS kept_share",
+        )
+        .orderBy("cap", "event_type")
+    )
+
+
+@query(
+    "group_kfold_assign",
+    oracle="""
+    WITH folds AS (
+      SELECT user_id, event_id,
+             ('0x' || substr(md5(user_id || '#41'), 1, 15))::BIGINT % 5 AS fold
+      FROM events
+    ),
+    integrity AS (
+      SELECT user_id, COUNT(DISTINCT fold) AS nf FROM folds GROUP BY 1
+    )
+    SELECT fold,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM folds), 6) AS event_share,
+           CAST((SELECT SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END)
+                 FROM integrity) AS BIGINT) AS split_users
+    FROM folds f
+    GROUP BY fold
+    ORDER BY fold
+    """,
+)
+def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-integrity k-fold assignment: every event lands in the
+    fold of its USER (portable h60 of user_id mod 5), so no user's
+    behavior leaks across train/validation folds — the grouped-CV
+    prep that doc-level hash splits (split_train_test) get wrong for
+    behavioral models.  Emits per-fold user/event counts, the event
+    share (balance check ~0.2), and split_users — the count of users
+    appearing in more than one fold, which is ZERO BY CONSTRUCTION
+    and pinned so any refactor that keys the hash on something else
+    goes red.
+
+    Scale shape: the fold is in-row hash arithmetic on the scan; one
+    fold-keyed count plus a user-keyed distinct — both map-side
+    combinable; 5 result rows."""
+    from instructions_mr_spark.queries._util import spark_h60, supersede_checkpoint
+
+    folds = t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        f"({spark_h60('user_id', 41)}) % 5 AS fold",
+    )
+    folds = supersede_checkpoint("kfold_folds", folds.localCheckpoint())
+    total = folds.agg(F.count(F.lit(1)).alias("tot"))
+    split = (
+        folds.groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(
+            F.sum(F.when(F.col("nf") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("split_users")
+        )
+    )
+    return (
+        folds.groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(split))
+        .selectExpr(
+            "fold",
+            "n_users",
+            "n_events",
+            "ROUND(CAST(n_events AS DOUBLE) / tot, 6) AS event_share",
+            "split_users",
+        )
+        .orderBy("fold")
+    )

@@ -733,3 +733,35 @@ def test_top_p_keeps_best_classes_until_budget(spark, tmp_path):
     assert out["B"]["n_docs_kept"] == 2
     assert out["B"]["tokens_kept"] == 95
     assert out["B"]["threshold_score"] == 45
+
+
+def test_contribution_bounding_caps_exactly(spark, tmp_path):
+    """A user with 6 'view' events keeps 1/2/4/6 at caps 1/2/4/8;
+    earliest-first is the retained prefix."""
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1)
+    evs = [(i, base + timedelta(seconds=i), 1, "view", 1.0) for i in range(6)]
+    _write_events(spark, tmp_path, evs)
+    out = {r["cap"]: r for r in registry.QUERIES["contribution_bounding_curve"](
+        spark, str(tmp_path)).collect()}
+    assert [out[c]["kept"] for c in (1, 2, 4, 8)] == [1, 2, 4, 6]
+    assert all(r["total"] == 6 for r in out.values())
+    assert out[8]["kept_share"] == 1.0
+
+
+def test_group_kfold_no_split_users_and_balance(spark, tmp_path):
+    """500 users x 2 events: split_users must be exactly 0 and every
+    fold's event share within a loose band around 1/5."""
+    evs = []
+    for u in range(500):
+        evs.append((2 * u, datetime(2024, 1, 1), u, "view", 1.0))
+        evs.append((2 * u + 1, datetime(2024, 1, 2), u, "click", 1.0))
+    _write_events(spark, tmp_path, evs)
+    out = registry.QUERIES["group_kfold_assign"](spark, str(tmp_path)).collect()
+    assert len(out) == 5
+    assert all(r["split_users"] == 0 for r in out)
+    assert sum(r["n_events"] for r in out) == 1000
+    assert all(0.1 < r["event_share"] < 0.3 for r in out)
+    # both of a user's events land together: every count is even
+    assert all(r["n_events"] % 2 == 0 for r in out)
