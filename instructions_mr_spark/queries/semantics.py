@@ -1788,3 +1788,140 @@ def lateral_alias_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------- IGNORE NULLS emulation
+
+
+@query(
+    "ignore_nulls_contract",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS pc
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, event_id, us, pc,
+             COUNT(pc) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS g
+      FROM e
+    ),
+    locf AS (
+      SELECT user_id, event_id, us, pc,
+             MAX(pc) OVER (PARTITION BY user_id, g) AS last_purchase_cents
+      FROM grp
+    )
+    SELECT user_id, event_id, last_purchase_cents,
+           CASE WHEN pc IS NOT NULL
+                THEN LAG(last_purchase_cents)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id)
+                ELSE last_purchase_cents END AS prev_purchase_cents
+    FROM locf
+    ORDER BY user_id, event_id
+    """,
+)
+def ignore_nulls_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window contract: at every event, the user's
+    last-purchase value (LOCF) and last-purchase-STRICTLY-BEFORE
+    value — Spark spells both natively (``last_value ... IGNORE
+    NULLS``, ``lag ... IGNORE NULLS``); engines without the syntax
+    (this DuckDB) use the count-group emulation the oracle encodes:
+    g = running COUNT(x) steps on each non-null, MAX(x) within
+    (key, g) is the LOCF, and lag-ignore-nulls is lag(locf) on
+    non-null rows / locf itself on null rows.  The two spellings must
+    agree row-for-row — the portability recipe, executable.
+
+    Scale shape: user-keyed windows end to end (thousands of
+    partitions); no join, no global sort."""
+    from instructions_mr_spark.queries._util import ts_epoch_micros
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ts_epoch_micros("ts").alias("us"),
+        F.expr(
+            "CASE WHEN event_type = 'purchase'"
+            " THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END"
+        ).alias("pc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "pc",
+            F.last("pc", ignorenulls=True)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("last_purchase_cents"),
+            F.expr("lag(pc) IGNORE NULLS").over(w).alias("lag_ign"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "last_purchase_cents",
+            F.col("lag_ign").alias("prev_purchase_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------- MapType semantics
+
+
+@query(
+    "map_semantics_contract",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           o_orderstatus AS status_val,
+           CAST(NULL AS BIGINT) AS missing_val,
+           CAST(2 AS INT) AS n_keys,
+           'cents,status' AS keys_sorted,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 2
+             AS cents_doubled,
+           CAST(CASE WHEN FLOOR(o_totalprice * 100 + 0.5) > 10000
+                     THEN 1 ELSE 0 END AS INT) AS big_filter_kept
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY orderkey
+    """,
+)
+def map_semantics_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType operational semantics, pinned against direct column
+    computation: ``element_at`` on a present key, ``try_element_at``
+    on a missing key is NULL (plain element_at THROWS under ANSI —
+    the migration trap), ``map_keys`` has NO order guarantee (always
+    array_sort before comparing), ``transform_values`` rewrites
+    values lambda-side, and ``map_filter`` keeps matching entries.
+    Every map is built, transformed and read back in-row; the oracle
+    computes the same answers straight from the columns, so any map
+    semantic drift diffs.
+
+    Scale shape: in-row map algebra on a bounded key slice (contract
+    demo); no shuffle beyond the presentation sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter("o_orderkey < 100")
+        .selectExpr(
+            "CAST(o_orderkey AS BIGINT) AS orderkey",
+            "map('status', CAST(o_orderstatus AS STRING),"
+            " 'cents', CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " AS STRING)) AS m",
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .selectExpr(
+            "orderkey",
+            "element_at(m, 'status') AS status_val",
+            "CAST(try_element_at(m, 'nope') AS BIGINT) AS missing_val",
+            "size(m) AS n_keys",
+            "array_join(array_sort(map_keys(m)), ',') AS keys_sorted",
+            "CAST(element_at(transform_values("
+            "  map('cents', cents), (k, v) -> v * 2), 'cents') AS BIGINT)"
+            " AS cents_doubled",
+            "CAST(size(map_filter(map('cents', cents),"
+            " (k, v) -> v > 10000)) AS INT) AS big_filter_kept",
+        )
+        .orderBy("orderkey")
+    )

@@ -765,3 +765,44 @@ def test_group_kfold_no_split_users_and_balance(spark, tmp_path):
     assert all(0.1 < r["event_share"] < 0.3 for r in out)
     # both of a user's events land together: every count is even
     assert all(r["n_events"] % 2 == 0 for r in out)
+
+
+def test_ignore_nulls_locf_and_strict_before(spark, tmp_path):
+    """Purchase at t0 (5.00) then views then purchase at t3 (7.00):
+    LOCF carries 500 through the views; prev at t3 is 500 (strictly
+    before), prev at t0 is NULL."""
+    from datetime import timedelta
+
+    b = datetime(2024, 1, 1)
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (0, b, 1, "purchase", 5.0),
+            (1, b + timedelta(seconds=1), 1, "view", 0.0),
+            (2, b + timedelta(seconds=2), 1, "view", 0.0),
+            (3, b + timedelta(seconds=3), 1, "purchase", 7.0),
+        ],
+    )
+    rows = {r["event_id"]: r for r in registry.QUERIES["ignore_nulls_contract"](
+        spark, str(tmp_path)).collect()}
+    assert [rows[i]["last_purchase_cents"] for i in range(4)] == [500, 500, 500, 700]
+    assert rows[0]["prev_purchase_cents"] is None
+    assert rows[1]["prev_purchase_cents"] == 500
+    assert rows[3]["prev_purchase_cents"] == 500
+
+
+def test_map_semantics_missing_key_and_lambdas(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, 1, "O", 150.0, datetime(2024, 1, 1), "P"),
+         (2, 1, "F", 50.0, datetime(2024, 1, 1), "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r["orderkey"]: r for r in registry.QUERIES["map_semantics_contract"](
+        spark, str(tmp_path)).collect()}
+    assert out[1]["status_val"] == "O" and out[2]["status_val"] == "F"
+    assert out[1]["missing_val"] is None        # try_element_at, never a throw
+    assert out[1]["keys_sorted"] == "cents,status"
+    assert out[1]["cents_doubled"] == 30000
+    assert out[1]["big_filter_kept"] == 1 and out[2]["big_filter_kept"] == 0
