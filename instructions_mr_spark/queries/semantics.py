@@ -1925,3 +1925,43 @@ def map_semantics_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey")
     )
+
+
+# --------------------------------------- SQL pipe syntax
+
+
+@query(
+    "sql_pipe_syntax_contract",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_quantity < 30
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`FROM t |> WHERE ... |> AGGREGATE ...
+    GROUP BY ...`): the linear query dialect, pinned against the
+    standard spelling the oracle runs — stage order in pipe syntax is
+    EXECUTION order (filter before aggregate, no clause reordering to
+    reason about), and the AGGREGATE stage's GROUP BY columns come
+    back first in the output schema.  Same plan, different grammar —
+    Catalyst compiles both to the identical aggregate.
+
+    Scale shape: identical to q1 — one map-side-combinable aggregate
+    over the filtered scan."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_quantity < 30
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS n
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, n
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

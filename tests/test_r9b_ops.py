@@ -806,3 +806,24 @@ def test_map_semantics_missing_key_and_lambdas(spark, tmp_path):
     assert out[1]["keys_sorted"] == "cents,status"
     assert out[1]["cents_doubled"] == 30000
     assert out[1]["big_filter_kept"] == 1 and out[2]["big_filter_kept"] == 0
+
+
+def test_sql_pipe_syntax_matches_standard(spark, tmp_path):
+    """Pipe stages run in written order: the WHERE stage filters rows
+    BEFORE the aggregate sees them."""
+    rows = [
+        (1, 1, 10.0), (2, 1, 40.0),  # only the 10 passes the filter
+    ]
+    spark.createDataFrame(
+        [
+            (ok, pk, 1, 1, q, 1.0, 0.0, 0.0, "N", "O", datetime(2024, 1, 1))
+            for ok, pk, q in rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    [r] = registry.QUERIES["sql_pipe_syntax_contract"](spark, str(tmp_path)).collect()
+    assert (r["sum_qty"], r["n"]) == (10, 1)
+    assert list(r.asDict()) == ["l_returnflag", "l_linestatus", "sum_qty", "n"]
