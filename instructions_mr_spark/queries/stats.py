@@ -5243,3 +5243,195 @@ def approx_quantile_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "hll_intersection_audit",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM (SELECT DISTINCT source FROM tok) a
+      JOIN (SELECT DISTINCT source FROM tok) b ON a.source < b.source
+    ),
+    inter AS (
+      SELECT p.src_a, p.src_b, COUNT(*) AS exact_inter
+      FROM pairs p
+      JOIN tok ta ON ta.source = p.src_a
+      JOIN tok tb ON tb.source = p.src_b AND tb.w = ta.w
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b,
+           CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(1 AS BIGINT) AS hll_within_15pct
+    FROM pairs p LEFT JOIN inter i
+      ON i.src_a = p.src_a AND i.src_b = p.src_b
+    ORDER BY p.src_a, p.src_b
+    """,
+)
+def hll_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog intersection by inclusion-exclusion, audited
+    against the exact answer: |A ∩ B| ~ hll(A) + hll(B) - hll(A ∪ B)
+    over per-source vocabularies — the sketch-only estimate every
+    overlap dashboard wants (three mergeable sketches instead of a
+    pairwise join), next to the exact intersection and a
+    within-15%-relative flag the oracle asserts.  I-E error compounds
+    (three estimates, each ±2% standard error at this precision), so
+    the audited envelope is deliberately wider than a single HLL's —
+    when the flag goes red, the estimate is no longer usable for that
+    pair and the exact join is the fallback.  The approx values stay
+    out of the compared columns (sketches aren't cross-engine
+    reproducible).
+
+    Scale shape: the exact side is one (source, term) distinct + a
+    vocab-keyed pair join; the sketch side is three
+    map-side-mergeable approx_count_distinct aggregates per pair —
+    the trade this audit prices."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    tok = supersede_checkpoint("hll_ie_tok", tok.localCheckpoint())
+    srcs = tok.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    ta = tok.select(F.col("source").alias("src_a"), "w")
+    tb = tok.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        pairs.join(ta, "src_a")
+        .join(tb, ["src_b", "w"])
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    per_src = tok.groupBy("source").agg(
+        F.expr("approx_count_distinct(w, 0.02)").alias("h")
+    )
+    uni = (
+        pairs.join(ta, "src_a")
+        .select("src_a", "src_b", "w")
+        .unionAll(pairs.join(tb, "src_b").select("src_a", "src_b", "w"))
+        .groupBy("src_a", "src_b")
+        .agg(F.expr("approx_count_distinct(w, 0.02)").alias("h_union"))
+    )
+    ha = per_src.select(F.col("source").alias("src_a"), F.col("h").alias("h_a"))
+    hb = per_src.select(F.col("source").alias("src_b"), F.col("h").alias("h_b"))
+    return (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .join(F.broadcast(ha), "src_a")
+        .join(F.broadcast(hb), "src_b")
+        .join(uni, ["src_a", "src_b"])
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "CAST(COALESCE(exact_inter, 0) AS BIGINT) AS exact_inter",
+            "CAST(CASE WHEN ABS((h_a + h_b - h_union)"
+            " - COALESCE(exact_inter, 0)) * 100"
+            " <= 15 * GREATEST(COALESCE(exact_inter, 0), 1)"
+            " THEN 1 ELSE 0 END AS BIGINT) AS hll_within_15pct",
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "median_ci_orderstat",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    ranks AS (
+      SELECT event_type, cents, cum_c, n,
+             CAST(FLOOR(n / 2.0 - 0.98 * SQRT(n)) AS BIGINT) AS r_lo,
+             CAST(CEIL(1 + n / 2.0 + 0.98 * SQRT(n)) AS BIGINT) AS r_hi,
+             CAST(CEIL(n / 2.0) AS BIGINT) AS r_med
+      FROM cum
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum_c >= r_med THEN cents END) AS BIGINT)
+             AS median_cents,
+           CAST(MIN(CASE WHEN cum_c >= GREATEST(r_lo, 1) THEN cents END)
+                AS BIGINT) AS ci_lo_cents,
+           CAST(MIN(CASE WHEN cum_c >= LEAST(r_hi, n) THEN cents END)
+                AS BIGINT) AS ci_hi_cents
+    FROM ranks GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median via
+    binomial order statistics: the interval [x_(n/2 - z/2*sqrt(n)),
+    x_(n/2 + z/2*sqrt(n))] (z = 1.96, so 0.98*sqrt(n) on each side)
+    covers the true median with ~95% probability for ANY value
+    distribution — no normality assumption, no bootstrap resampling;
+    the robust uncertainty bar a metrics dashboard should draw around
+    a median.  Rank arithmetic is exact integers; rank election runs
+    on the value domain (the percentile_group_twophase shape — no
+    per-group row sort).
+
+    Scale shape: one (type, value) count exchange; cumulative reads
+    over distinct values; 5 result rows."""
+    from pyspark.sql import Window
+
+    v = (
+        t(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents"
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("event_type")
+    cum = v.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(wc).alias("cum_c"),
+        F.sum("c")
+        .over(wn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+    )
+    ranks = cum.selectExpr(
+        "event_type",
+        "cents",
+        "cum_c",
+        "n",
+        "CAST(FLOOR(n / 2.0 - 0.98 * SQRT(n)) AS BIGINT) AS r_lo",
+        "CAST(CEIL(1 + n / 2.0 + 0.98 * SQRT(n)) AS BIGINT) AS r_hi",
+        "CAST(CEIL(n / 2.0) AS BIGINT) AS r_med",
+    )
+    return (
+        ranks.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.expr(
+                "CAST(MIN(CASE WHEN cum_c >= r_med THEN cents END) AS BIGINT)"
+            ).alias("median_cents"),
+            F.expr(
+                "CAST(MIN(CASE WHEN cum_c >= GREATEST(r_lo, 1) THEN cents END)"
+                " AS BIGINT)"
+            ).alias("ci_lo_cents"),
+            F.expr(
+                "CAST(MIN(CASE WHEN cum_c >= LEAST(r_hi, n) THEN cents END)"
+                " AS BIGINT)"
+            ).alias("ci_hi_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -827,3 +827,34 @@ def test_sql_pipe_syntax_matches_standard(spark, tmp_path):
     [r] = registry.QUERIES["sql_pipe_syntax_contract"](spark, str(tmp_path)).collect()
     assert (r["sum_qty"], r["n"]) == (10, 1)
     assert list(r.asDict()) == ["l_returnflag", "l_linestatus", "sum_qty", "n"]
+
+
+def test_hll_ie_exact_on_planted_overlap(spark, tmp_path):
+    """Sources sharing exactly 2 of their terms: exact_inter = 2 and
+    the I-E estimate stays within the audited envelope (flag 1)."""
+    _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma", "en", "A"),
+            (2, "beta gamma delta epsilon", "en", "B"),
+        ],
+    )
+    [r] = registry.QUERIES["hll_intersection_audit"](spark, str(tmp_path)).collect()
+    assert (r["src_a"], r["src_b"]) == ("A", "B")
+    assert r["exact_inter"] == 2
+    assert r["hll_within_15pct"] == 1  # tiny sets: HLL is near-exact
+
+
+def test_median_ci_brackets_median(spark, tmp_path):
+    """Values 1..99 cents: median 50, CI strictly brackets it and
+    widens no further than the data range."""
+    evs = [(i, datetime(2024, 1, 1), 1, "view", i / 100) for i in range(1, 100)]
+    _write_events(spark, tmp_path, evs)
+    [r] = registry.QUERIES["median_ci_orderstat"](spark, str(tmp_path)).collect()
+    assert r["n"] == 99
+    assert r["median_cents"] == 50
+    assert r["ci_lo_cents"] < 50 < r["ci_hi_cents"]
+    # z*sqrt(n)/2 ~ 9.75 -> bounds near 40/61
+    assert 35 <= r["ci_lo_cents"] <= 45
+    assert 55 <= r["ci_hi_cents"] <= 65
