@@ -5435,3 +5435,78 @@ def median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_HILL_K = 100
+
+
+@query(
+    "hill_tail_index_terms",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+             o_orderkey
+      FROM orders
+    ),
+    topk AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, o_orderkey) AS rn
+      FROM cents QUALIFY rn <= {_HILL_K + 1}
+    ),
+    xk AS (SELECT c AS c_k FROM topk WHERE rn = {_HILL_K + 1}),
+    lnsum AS (
+      SELECT CAST(SUM(CAST(ROUND(LN(CAST(t.c AS DOUBLE) / xk.c_k), 10)
+                           AS DECIMAL(38,10))) AS DOUBLE) AS s,
+             COUNT(*) AS k
+      FROM topk t, xk WHERE t.rn <= {_HILL_K}
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST((SELECT c_k FROM xk) AS BIGINT) AS threshold_cents,
+           ROUND(s / k, 9) AS mean_log_excess,
+           ROUND(k / s, 6) AS hill_alpha
+    FROM lnsum
+    """,
+)
+def hill_tail_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index: alpha =
+    k / sum(ln(x_(i) / x_(k+1))) over the top-k order statistics —
+    alpha < 2 means infinite variance (means and A/B tests on this
+    metric are unstable; use medians), alpha > 3 means a tame tail.
+    The one-number answer to 'can I trust the mean of this revenue
+    column'.  Log cells cross the engines as ROUND(.,10) DECIMALs
+    (the entropy-cell idiom) so the k-term sum is order-free; the
+    top-(k+1) election is a TakeOrdered, never a full sort.
+
+    Scale shape: one global top-101 (map-side partial top-k), then
+    constant-size arithmetic."""
+    from pyspark.sql import Window
+
+    cents = t(spark, sf_dir, "orders").selectExpr(
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c", "o_orderkey"
+    )
+    topk = (
+        cents.orderBy(F.col("c").desc(), "o_orderkey")
+        .limit(_HILL_K + 1)
+        .select("c", F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "o_orderkey")
+        ).alias("rn"))
+    )
+    topk = supersede_checkpoint("hill_topk", topk.localCheckpoint())
+    xk = topk.filter(f"rn = {_HILL_K + 1}").select(F.col("c").alias("c_k"))
+    lnsum = (
+        topk.filter(f"rn <= {_HILL_K}")
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(LN(CAST(c AS DOUBLE) / c_k), 10)"
+                " AS DECIMAL(38,10))) AS DOUBLE)"
+            ).alias("s"),
+            F.count(F.lit(1)).alias("k"),
+            F.max("c_k").alias("c_k"),
+        )
+    )
+    return lnsum.selectExpr(
+        "CAST(k AS BIGINT) AS k",
+        "CAST(c_k AS BIGINT) AS threshold_cents",
+        "ROUND(s / k, 9) AS mean_log_excess",
+        "ROUND(k / s, 6) AS hill_alpha",
+    )

@@ -3635,3 +3635,84 @@ def char_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@query(
+    "kneser_ney_continuation_terms",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT ws[p] AS w1, ws[p + 1] AS w2
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+           UNNEST(range(1, len(ws))) AS t(p)
+    ),
+    cont AS (
+      SELECT w2 AS w, COUNT(*) AS n_left FROM bi GROUP BY 1
+    ),
+    freq AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    fc AS (SELECT w, COUNT(*) AS c FROM freq GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_bigram_types FROM bi)
+    SELECT fc.w AS term, CAST(fc.c AS BIGINT) AS freq,
+           CAST(COALESCE(cont.n_left, 0) AS BIGINT) AS n_left_contexts,
+           ROUND(CAST(COALESCE(cont.n_left, 0) AS DOUBLE)
+                 / tot.n_bigram_types, 9) AS p_continuation,
+           ROUND(CAST(COALESCE(cont.n_left, 0) AS DOUBLE) / fc.c, 6)
+             AS context_diversity
+    FROM fc LEFT JOIN cont ON cont.w = fc.w, tot
+    WHERE fc.c >= 50
+    ORDER BY term
+    """,
+)
+def kneser_ney_continuation_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney continuation counts for every frequent term: how
+    many DISTINCT left contexts a word follows (the KN insight —
+    'Francisco' is frequent but only ever follows 'San', so its
+    continuation probability should be tiny) next to its raw
+    frequency, the continuation probability n_left/|bigram types|,
+    and the diversity ratio n_left/freq that separates versatile
+    words from frozen-collocation tails.  These are THE sufficient
+    statistics of the KN-smoothed bigram LM — the strongest n-gram
+    smoother — and the quality signal behind 'is this source pasting
+    templates' (template terms have high freq, low diversity).
+
+    Scale shape: one DISTINCT (w1, w2) bigram-type exchange and one
+    unigram count — both map-side combinable, both Zipf-bounded
+    outputs; the join runs on the vocabulary."""
+    d = t(spark, sf_dir, "documents").select(F.split("text", " ").alias("ws"))
+    bi = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .distinct()
+    )
+    bi = supersede_checkpoint("kn_bigram_types", bi.localCheckpoint())
+    cont = bi.groupBy(F.col("w2").alias("w")).agg(F.count(F.lit(1)).alias("n_left"))
+    fc = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c >= 50")
+    )
+    tot = bi.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    return (
+        fc.join(cont, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "w AS term",
+            "CAST(c AS BIGINT) AS freq",
+            "CAST(COALESCE(n_left, 0) AS BIGINT) AS n_left_contexts",
+            "ROUND(CAST(COALESCE(n_left, 0) AS DOUBLE) / n_bigram_types, 9)"
+            " AS p_continuation",
+            "ROUND(CAST(COALESCE(n_left, 0) AS DOUBLE) / c, 6)"
+            " AS context_diversity",
+        )
+        .orderBy("term")
+    )

@@ -858,3 +858,40 @@ def test_median_ci_brackets_median(spark, tmp_path):
     # z*sqrt(n)/2 ~ 9.75 -> bounds near 40/61
     assert 35 <= r["ci_lo_cents"] <= 45
     assert 55 <= r["ci_hi_cents"] <= 65
+
+
+def test_kneser_ney_frozen_collocation(spark, tmp_path):
+    """'francisco' always follows 'san' (1 left context) while 'the'
+    follows many — diversity separates them even at similar freq."""
+    docs, did = [], 0
+    for i in range(60):
+        docs.append((did, "san francisco", "en", "s")); did += 1
+    for w in ["cat", "dog", "sun", "map", "cup"]:
+        for i in range(12):
+            docs.append((did, w + " the", "en", "s")); did += 1
+    _write_documents(spark, tmp_path, docs)
+    out = {r["term"]: r for r in registry.QUERIES[
+        "kneser_ney_continuation_terms"](spark, str(tmp_path)).collect()}
+    fr = out["francisco"]
+    assert fr["n_left_contexts"] == 1 and fr["freq"] == 60
+    th = out["the"]
+    assert th["n_left_contexts"] == 5 and th["freq"] == 60
+    assert th["context_diversity"] > fr["context_diversity"]
+
+
+def test_hill_alpha_recovers_pareto_exponent(spark, tmp_path):
+    """Exact Pareto(alpha=2) order values x_i = (n/i)^(1/2): the Hill
+    estimator over the top-100 must land near 2."""
+    n = 2000
+    rows = []
+    for i in range(1, n + 1):
+        x = (n / i) ** 0.5 * 100.0  # alpha = 2 tail
+        rows.append((i, 1, "O", x, datetime(2024, 1, 1), "P"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    [r] = registry.QUERIES["hill_tail_index_terms"](spark, str(tmp_path)).collect()
+    assert r["k"] == 100
+    assert 1.7 < r["hill_alpha"] < 2.3
