@@ -1965,3 +1965,56 @@ def sql_pipe_syntax_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+# --------------------------------------- DataFrame.transpose
+
+
+@query(
+    "transpose_contract",
+    oracle="""
+    WITH g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT 'n_docs' AS key,
+           (SELECT n_docs FROM g WHERE lang = 'de') AS de,
+           (SELECT n_docs FROM g WHERE lang = 'en') AS en,
+           (SELECT n_docs FROM g WHERE lang = 'es') AS es,
+           (SELECT n_docs FROM g WHERE lang = 'fr') AS fr,
+           (SELECT n_docs FROM g WHERE lang = 'zh') AS zh
+    UNION ALL
+    SELECT 'sum_chars',
+           (SELECT sum_chars FROM g WHERE lang = 'de'),
+           (SELECT sum_chars FROM g WHERE lang = 'en'),
+           (SELECT sum_chars FROM g WHERE lang = 'es'),
+           (SELECT sum_chars FROM g WHERE lang = 'fr'),
+           (SELECT sum_chars FROM g WHERE lang = 'zh')
+    ORDER BY key
+    """,
+)
+def transpose_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose()`` (Spark 4): metric rows become
+    columns keyed by the first column's VALUES — pinned against the
+    hand-built scalar-subquery transpose.  The contract points: the
+    index column is named ``key``, new columns take the index
+    column's values in first-column order (the five-language set —
+    data-dependent schemas are why transpose belongs on SMALL
+    aggregate outputs only, never a corpus table), and uniform input
+    types survive (all-BIGINT metrics stay BIGINT, no silent
+    stringify).
+
+    Scale shape: transpose collects the (tiny) aggregate to pivot its
+    schema — correct ONLY after a bounded roll-up, which is exactly
+    how this query uses it (5 langs x 2 metrics)."""
+    g = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+    return g.transpose().orderBy("key")

@@ -895,3 +895,47 @@ def test_hill_alpha_recovers_pareto_exponent(spark, tmp_path):
     [r] = registry.QUERIES["hill_tail_index_terms"](spark, str(tmp_path)).collect()
     assert r["k"] == 100
     assert 1.7 < r["hill_alpha"] < 2.3
+
+
+SESSION_NEW_OPS = [
+    "welch_ttest_terms", "benjamini_hochberg_fdr", "cramers_v_matrix",
+    "distinct_on_contract", "posexplode_contract",
+    "regexp_replace_backrefs_contract", "embedding_isotropy_terms",
+    "embedding_mahalanobis_outliers", "graph_degree_ccdf",
+    "graph_conductance_brand", "cold_start_recs_by_nation",
+    "readability_proxy_profile", "bigram_conditional_entropy_by_source",
+    "variance_ratio_terms", "interarrival_burstiness_terms",
+    "mlm_mask_plan_stats", "pivot_two_aggs_contract",
+    "groups_frame_emulation", "unit_price_dispersion_by_part",
+    "char_js_divergence_langs", "hard_negative_topk",
+    "qualify_emulation_contract", "cogrouped_pandas_event_order_merge",
+    "approx_quantile_drift_audit", "xml_roundtrip_contract",
+    "shuffle_skew_forecast", "dim_broadcast_budget",
+    "lateral_alias_contract", "top_p_quality_filter",
+    "contribution_bounding_curve", "group_kfold_assign",
+    "ignore_nulls_contract", "map_semantics_contract",
+    "sql_pipe_syntax_contract", "hll_intersection_audit",
+    "median_ci_orderstat", "kneser_ney_continuation_terms",
+    "hill_tail_index_terms", "transpose_contract",
+]
+
+
+def test_session_new_ops_survive_empty_inputs(spark, tmp_path):
+    """Every session-new operator must return cleanly (possibly zero
+    rows) on EMPTY tables with the production schemas — the first
+    thing that happens when an upstream filter matches nothing."""
+    src = "/root/testdata/sf0.001"
+    for tbl in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        spark.read.parquet(f"{src}/{tbl}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"{tbl}.parquet"))
+    failures = []
+    for name in SESSION_NEW_OPS:
+        try:
+            registry.QUERIES[name](spark, str(tmp_path)).collect()
+        except Exception as e:  # noqa: BLE001 — collecting a failure list
+            failures.append((name, str(e).splitlines()[0][:120]))
+    assert not failures, failures
