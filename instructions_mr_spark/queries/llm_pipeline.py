@@ -3344,3 +3344,158 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _HN_K)
         .orderBy("probe_id", "rnk")
     )
+
+
+# (bands, rows) configurations that tile the same 12 minhashes
+_TUNE_CFGS = [(2, 6), (3, 4), (4, 3), (6, 2)]
+
+
+def _tune_band_rows_duck() -> str:
+    parts = []
+    for b, r in _TUNE_CFGS:
+        for band in range(b):
+            key = " || '_' || ".join(f"mh{band * r + j}" for j in range(r))
+            parts.append(
+                f"SELECT doc_id, '{b}x{r}' AS cfg, {band} AS band,"
+                f" {key} AS key FROM sigs"
+            )
+    return "\n      UNION ALL\n      ".join(parts)
+
+
+@query(
+    "lsh_band_tuning_curve",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {_minhash_cols_duck()} FROM ({_DUCK_SHINGLE_DOCS})
+    ),
+    bands AS (
+      {_tune_band_rows_duck()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.cfg AS cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.cfg = b.cfg AND a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+    jac AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                   / len(list_distinct(wa.ws || wb.ws)), 6) AS jaccard
+      FROM pairs
+      JOIN (SELECT doc_id, shingles AS ws FROM ({_DUCK_SHINGLE_DOCS})) wa
+        ON pairs.doc_a = wa.doc_id
+      JOIN (SELECT doc_id, shingles AS ws FROM ({_DUCK_SHINGLE_DOCS})) wb
+        ON pairs.doc_b = wb.doc_id
+    ),
+    scored AS (
+      SELECT cand.cfg, jac.jaccard >= {_LSH_THRESHOLD} AS hit
+      FROM cand JOIN jac USING (doc_a, doc_b)
+    ),
+    per_cfg AS (
+      SELECT cfg, CAST(COUNT(*) AS BIGINT) AS n_cand,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+      FROM scored GROUP BY cfg
+    ),
+    ref AS (SELECT n_true AS ref_true FROM per_cfg WHERE cfg = '6x2')
+    SELECT cfg, n_cand, n_true,
+           ROUND(CAST(n_true AS DOUBLE) / NULLIF(n_cand, 0), 6) AS precision_,
+           ROUND(CAST(n_true AS DOUBLE) / NULLIF(ref.ref_true, 0), 6)
+             AS recall_vs_most_sensitive
+    FROM per_cfg, ref
+    ORDER BY cfg
+    """,
+)
+def lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-tuning table: the SAME 12 minhashes tiled as 2x6,
+    3x4, 4x3 and 6x2 (bands x rows), each scored for candidate
+    volume, verified near-dups (Jaccard >= {_LSH_THRESHOLD}),
+    precision, and recall relative to the most sensitive tiling (6x2
+    — more bands with shorter keys fire on weaker similarity).  The
+    s-curve trade made empirical on YOUR corpus: pick the config
+    where recall is acceptable and candidate volume (the shuffle the
+    verify stage pays) is lowest — the number-one knob a minhash
+    dedup at 100 TB gets tuned by.
+
+    Recall here is RELATIVE (vs 6x2's verified pairs), not absolute:
+    the absolute denominator needs the all-pairs exact join this
+    operator exists to avoid; relative recall ranks configs
+    identically (documented envelope).
+
+    Scale shape: signatures are in-row projections; each config's
+    candidates come from bucketed band-key equi-joins (never
+    all-pairs); the Jaccard verify joins shingle payloads back to the
+    DISTINCT pair union across configs (each pair verified once);
+    roll-up is 4 rows."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = _minhash_signatures(docs)
+    sigs = supersede_checkpoint("tune_sigs", sigs.localCheckpoint())
+    band_frames = []
+    for b, r in _TUNE_CFGS:
+        for band in range(b):
+            key = F.concat_ws(
+                "_", *[F.col(f"mh{band * r + j}") for j in range(r)]
+            )
+            band_frames.append(
+                sigs.select(
+                    "doc_id",
+                    F.lit(f"{b}x{r}").alias("cfg"),
+                    F.lit(band).alias("band"),
+                    key.alias("key"),
+                )
+            )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionAll(bf)
+    a = bands.select(
+        "cfg", "band", "key", F.col("doc_id").alias("doc_a")
+    )
+    bb = bands.select(
+        "cfg", "band", "key", F.col("doc_id").alias("doc_b")
+    )
+    cand = (
+        a.join(bb, ["cfg", "band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("cfg", "doc_a", "doc_b")
+        .distinct()
+    )
+    cand = supersede_checkpoint("tune_cand", cand.localCheckpoint())
+    pairs = cand.select("doc_a", "doc_b").distinct()
+    sh = _shingle_docs(docs)
+    wa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("ws_a"))
+    wb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("ws_b"))
+    jac = (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+                / F.size(F.array_distinct(F.concat("ws_a", "ws_b"))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    scored = cand.join(jac, ["doc_a", "doc_b"]).select(
+        "cfg", (F.col("jaccard") >= _LSH_THRESHOLD).alias("hit")
+    )
+    per_cfg = scored.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_true"),
+    )
+    ref = per_cfg.filter("cfg = '6x2'").select(
+        F.col("n_true").alias("ref_true")
+    )
+    return (
+        per_cfg.crossJoin(F.broadcast(ref))
+        .selectExpr(
+            "cfg",
+            "n_cand",
+            "n_true",
+            "ROUND(CAST(n_true AS DOUBLE) / NULLIF(n_cand, 0), 6) AS precision_",
+            "ROUND(CAST(n_true AS DOUBLE) / NULLIF(ref_true, 0), 6)"
+            " AS recall_vs_most_sensitive",
+        )
+        .orderBy("cfg")
+    )

@@ -939,3 +939,31 @@ def test_session_new_ops_survive_empty_inputs(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 — collecting a failure list
             failures.append((name, str(e).splitlines()[0][:120]))
     assert not failures, failures
+
+
+def test_lsh_band_tuning_monotone_sensitivity(spark, tmp_path):
+    """More bands with shorter keys can only fire MORE: candidate
+    counts must be monotone 2x6 <= 3x4 <= 4x3 <= 6x2, the most
+    sensitive config has relative recall 1, and precision never
+    exceeds 1."""
+    docs = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        docs.append((i, base, "en", "s"))                    # exact clones
+    for i in range(30, 60):
+        docs.append((i, base + f" tail{i}", "en", "s"))      # near-dups
+    for i in range(60, 90):
+        docs.append((i, f"u{i} v{i} w{i} x{i} y{i}", "en", "s"))  # uniques
+    _write_documents(spark, tmp_path, docs)
+    out = {r["cfg"]: r for r in registry.QUERIES["lsh_band_tuning_curve"](
+        spark, str(tmp_path)).collect()}
+    assert set(out) == {"2x6", "3x4", "4x3", "6x2"}
+    assert (
+        out["2x6"]["n_cand"] <= out["3x4"]["n_cand"]
+        <= out["4x3"]["n_cand"] <= out["6x2"]["n_cand"]
+    )
+    assert out["6x2"]["recall_vs_most_sensitive"] == 1.0
+    assert all(r["precision_"] is None or r["precision_"] <= 1.0
+               for r in out.values())
+    # the clone cluster must be caught even by the strictest config
+    assert out["2x6"]["n_true"] >= 30 * 29 // 2
