@@ -3499,3 +3499,94 @@ def lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cfg")
     )
+
+
+_EPS_LEVELS = [5, 10, 20, 50]  # eps * 100: cos >= 0.95, 0.90, 0.80, 0.50
+
+
+@query(
+    "semdedup_eps_sweep",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    n AS (SELECT COUNT(*) AS ns FROM s),
+    pr AS (
+      SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b, {_PAIR_DOT} AS cos
+      FROM s ea JOIN s eb ON ea.vec_id < eb.vec_id
+    ),
+    eps AS (SELECT UNNEST([{', '.join(str(x) for x in _EPS_LEVELS)}]) AS eps_e2)
+    SELECT eps.eps_e2,
+           CAST(SUM(CASE WHEN pr.cos >= 1 - eps.eps_e2 / 100.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN pr.cos >= 1 - eps.eps_e2 / 100.0
+                    THEN pr.vec_b END) AS BIGINT) AS n_dropped,
+           ROUND(1 - CAST(COUNT(DISTINCT CASE WHEN
+                    pr.cos >= 1 - eps.eps_e2 / 100.0 THEN pr.vec_b END)
+                    AS DOUBLE) / MAX(n.ns), 6) AS keep_rate
+    FROM eps CROSS JOIN pr CROSS JOIN n
+    GROUP BY eps.eps_e2
+    ORDER BY eps.eps_e2
+    """,
+)
+def semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup epsilon dial, measured: on the exact 10%-sample audit
+    set (the same deterministic vec_id % 10 slice semdedup_cells
+    audits with), the near-dup pair count, the documents the
+    keep-lowest-id rule would drop, and the corpus keep-rate at
+    eps in {{0.05, 0.10, 0.20, 0.50}} (cos >= 1 - eps) — the table a
+    data-curation owner reads to pick epsilon BEFORE running the
+    blocked kernel over the full corpus (SemDeDup's own paper tunes
+    exactly this dial; keep-rate falls off a cliff past the corpus's
+    natural similarity mode).  Dropping is per-pair higher-id
+    (greedy lowest-id keeper), the same deterministic rule the
+    production kernel applies per cluster.
+
+    Scale shape: the sweep is exact all-pairs ON THE SAMPLE ONLY
+    (n/10 squared, the documented audit budget — the full corpus
+    never self-joins); the 4-level eps table broadcast-crosses the
+    scored pairs into one conditional roll-up."""
+    e = t(spark, sf_dir, "embeddings")
+    s = e.filter("vec_id % 10 = 0").select("vec_id", "embedding")
+    s = supersede_checkpoint("eps_sweep_sample", s.localCheckpoint())
+    n = s.agg(F.count(F.lit(1)).alias("ns"))
+    ea = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pr = (
+        ea.crossJoin(eb)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _cosine_col(F.col("ea"), F.col("eb")).alias("cos"),
+        )
+    )
+    eps = spark.createDataFrame([(x,) for x in _EPS_LEVELS], "eps_e2 int")
+    return (
+        pr.crossJoin(F.broadcast(eps))
+        .crossJoin(F.broadcast(n))
+        .groupBy("eps_e2")
+        .agg(
+            F.sum(
+                F.when(F.col("cos") >= 1 - F.col("eps_e2") / 100.0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("cos") >= 1 - F.col("eps_e2") / 100.0, F.col("vec_b"))
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.round(
+                1
+                - F.countDistinct(
+                    F.when(
+                        F.col("cos") >= 1 - F.col("eps_e2") / 100.0, F.col("vec_b")
+                    )
+                ).cast("double")
+                / F.max("ns"),
+                6,
+            ).alias("keep_rate"),
+        )
+        .orderBy("eps_e2")
+    )

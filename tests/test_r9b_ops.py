@@ -967,3 +967,26 @@ def test_lsh_band_tuning_monotone_sensitivity(spark, tmp_path):
                for r in out.values())
     # the clone cluster must be caught even by the strictest config
     assert out["2x6"]["n_true"] >= 30 * 29 // 2
+
+
+def test_semdedup_eps_sweep_monotone(spark, tmp_path):
+    """Widening epsilon can only drop MORE: pairs and drops are
+    monotone in eps, keep_rate monotone down; planted exact clones
+    are dropped at every eps."""
+    vecs = []
+    # sampled ids are multiples of 10
+    vecs.append((0, [1.0, 0.0, 0.0], 0))
+    vecs.append((10, [1.0, 0.0, 0.0], 0))    # exact clone of 0 -> dropped
+    vecs.append((20, [0.95, 0.3122, 0.0], 0))  # cos ~0.95 with 0
+    vecs.append((30, [0.0, 1.0, 0.0], 1))    # orthogonal
+    _write_embeddings(spark, tmp_path, vecs)
+    out = {r["eps_e2"]: r for r in registry.QUERIES["semdedup_eps_sweep"](
+        spark, str(tmp_path)).collect()}
+    assert [out[e]["n_pairs"] for e in (5, 10, 20, 50)] == sorted(
+        out[e]["n_pairs"] for e in (5, 10, 20, 50)
+    )
+    assert out[5]["n_dropped"] >= 1            # the exact clone
+    assert out[5]["keep_rate"] > out[50]["keep_rate"] or (
+        out[5]["n_dropped"] == out[50]["n_dropped"]
+    )
+    assert out[50]["keep_rate"] == 1 - out[50]["n_dropped"] / 4
