@@ -3716,3 +3716,70 @@ def kneser_ney_continuation_terms(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("term")
     )
+
+
+@query(
+    "quality_feature_matrix",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           lang, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr,
+           CAST(len(list_filter(range(1, len(ws)),
+                                i -> ws[i] = ws[i + 1])) AS BIGINT)
+             AS n_adjacent_repeats,
+           ROUND((CAST(LENGTH(text) AS DOUBLE) - (len(ws) - 1)) / len(ws), 6)
+             AS avg_token_len,
+           ROUND(CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
+                 / LENGTH(replace(text, ' ', '')), 6) AS vowel_ratio
+    FROM (SELECT doc_id, lang, source, n_chars, text,
+                 string_split(text, ' ') AS ws
+          FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality feature matrix — the training table for a
+    fastText/logistic quality classifier (the 'learn the filter from
+    labeled seeds' step of modern curation, vs the hand-tuned Gopher
+    thresholds): type-token ratio (templated text repeats itself),
+    adjacent-repeat count (the classic generation-loop artifact),
+    average token length and vowel ratio (garbled-encoding signals),
+    all computed IN-ROW from the scan with no corpus pass — so
+    feature extraction is a projection, shuffles nothing, and
+    arbitrary downstream labels can join on doc_id.
+
+    Scale shape: pure scan projection (whole-stage codegen); the
+    ORDER BY is presentation-only."""
+    return (
+        t(spark, sf_dir, "documents")
+        .withColumn("ws", F.split("text", " "))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lang",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.size("ws").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.size(F.array_distinct("ws")).cast("double") / F.size("ws"), 6
+            ).alias("ttr"),
+            F.expr(
+                "CAST(size(filter(sequence(1, size(ws) - 1),"
+                " i -> ws[i - 1] = ws[i])) AS BIGINT)"
+            ).alias("n_adjacent_repeats"),
+            F.round(
+                (F.length("text").cast("double") - (F.size("ws") - 1))
+                / F.size("ws"),
+                6,
+            ).alias("avg_token_len"),
+            F.round(
+                F.size(F.expr("regexp_extract_all(text, '[aeiou]', 0)")).cast(
+                    "double"
+                )
+                / F.length(F.regexp_replace("text", " ", "")),
+                6,
+            ).alias("vowel_ratio"),
+        )
+        .orderBy("doc_id")
+    )

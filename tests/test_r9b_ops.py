@@ -990,3 +990,15 @@ def test_semdedup_eps_sweep_monotone(spark, tmp_path):
         out[5]["n_dropped"] == out[50]["n_dropped"]
     )
     assert out[50]["keep_rate"] == 1 - out[50]["n_dropped"] / 4
+
+
+def test_quality_feature_matrix_hand_computed(spark, tmp_path):
+    """'aa aa bb': 3 tokens, 2 distinct (ttr 2/3), one adjacent
+    repeat, avg token len 2, vowels 4/6 chars."""
+    _write_documents(spark, tmp_path, [(1, "aa aa bb", "en", "s1")])
+    [r] = registry.QUERIES["quality_feature_matrix"](spark, str(tmp_path)).collect()
+    assert r["n_tokens"] == 3
+    assert abs(r["ttr"] - round(2 / 3, 6)) < 1e-9
+    assert r["n_adjacent_repeats"] == 1
+    assert r["avg_token_len"] == 2.0
+    assert abs(r["vowel_ratio"] - round(4 / 6, 6)) < 1e-9
