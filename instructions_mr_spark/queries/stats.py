@@ -5510,3 +5510,90 @@ def hill_tail_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(s / k, 9) AS mean_log_excess",
         "ROUND(k / s, 6) AS hill_alpha",
     )
+
+
+# PSI cells cross as ROUND(.,10) DECIMALs (entropy-cell idiom); p and
+# q are Laplace-smoothed (+1 per bucket) so empty cells never divide
+# or log zero.
+# explicit DOUBLE casts: a bare 1.0 literal is DECIMAL to Spark's
+# parser, and LONG/DECIMAL division truncates scale (measured 7e-7
+# cell error) — CAST first so both engines run pure double arithmetic
+_PSI_P = "((CAST(cs AS DOUBLE) + 1) / (ns + 10))"
+_PSI_Q = "((CAST(cc AS DOUBLE) + 1) / (nc + 10))"
+_PSI_CELL = (
+    f"CAST(ROUND(({_PSI_P} - {_PSI_Q}) * LN({_PSI_P} / {_PSI_Q}), 8)"
+    " AS DECIMAL(38,8))"
+)
+
+
+@query(
+    "drift_psi_by_source",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, LEAST(n_chars // 120, 9) AS bucket FROM documents
+    ),
+    corpus AS (SELECT bucket, COUNT(*) AS cc FROM b GROUP BY 1),
+    nc_t AS (SELECT COUNT(*) AS nc FROM b),
+    src AS (SELECT source, bucket, COUNT(*) AS cs FROM b GROUP BY 1, 2),
+    ns_t AS (SELECT source, COUNT(*) AS ns FROM b GROUP BY 1),
+    grid AS (
+      SELECT n.source, c.bucket, COALESCE(s.cs, 0) AS cs, n.ns,
+             c.cc, t.nc
+      FROM ns_t n CROSS JOIN corpus c
+      LEFT JOIN src s ON s.source = n.source AND s.bucket = c.bucket,
+      nc_t t
+    )
+    SELECT source,
+           CAST(ROUND(SUM({_PSI_CELL}), 6) AS DOUBLE) AS psi,
+           CAST(SUM(cs) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN ROUND(SUM({_PSI_CELL}), 6) >= 0.2
+                THEN 1 ELSE 0 END AS BIGINT) AS drift_alert
+    FROM grid GROUP BY source
+    ORDER BY source
+    """,
+)
+def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    profile against the pooled corpus: PSI = sum over buckets of
+    (p_src - p_corpus) * ln(p_src / p_corpus), the industry-standard
+    drift score (PSI < 0.1 stable, 0.1-0.2 watch, >= 0.2 act — the
+    alert flag encodes the 0.2 rule) — where dataset_drift_kl is
+    asymmetric KL, PSI is the symmetric-by-construction variant risk
+    teams actually threshold on.  Laplace-smoothed (+1) so a source
+    missing a bucket contributes a finite penalty instead of a log of
+    zero; cells cross as ROUND(.,8) DECIMALs — coarse enough that a
+    1-ulp libm LN disagreement (~1e-16) can never flip a cell, which
+    a first cut at 10 decimals measurably did.
+
+    Scale shape: one (source, bucket) count over the scan (10 fixed
+    length buckets); the grid and the PSI roll-up are
+    |sources| x 10."""
+    b = t(spark, sf_dir, "documents").select(
+        "source", F.least(F.floor(F.col("n_chars") / 120), F.lit(9)).alias("bucket")
+    )
+    src = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("cs"))
+    src = supersede_checkpoint("psi_src_cells", src.localCheckpoint())
+    corpus = src.groupBy("bucket").agg(F.sum("cs").alias("cc"))
+    ns_t = src.groupBy("source").agg(F.sum("cs").alias("ns"))
+    nc_t = src.agg(F.sum("cs").alias("nc"))
+    grid = (
+        ns_t.crossJoin(F.broadcast(corpus))
+        .join(src, ["source", "bucket"], "left")
+        .withColumn("cs", F.coalesce("cs", F.lit(0)))
+        .crossJoin(F.broadcast(nc_t))
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.round(F.sum(F.expr(_PSI_CELL)), 6).cast("double").alias("psi"),
+            F.sum("cs").cast("bigint").alias("n_docs"),
+        )
+        .selectExpr(
+            "source",
+            "psi",
+            "n_docs",
+            "CAST(CASE WHEN psi >= 0.2 THEN 1 ELSE 0 END AS BIGINT)"
+            " AS drift_alert",
+        )
+        .orderBy("source")
+    )

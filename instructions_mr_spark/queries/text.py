@@ -3783,3 +3783,94 @@ def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Fixed published weights (a trained filter would substitute its own;
+# literals keep the op deterministic and cross-engine identical).
+_LR_SCORE = (
+    "1 / (1 + EXP(-("
+    "-2.0 + 4.0 * ttr - 0.8 * n_adjacent_repeats"
+    " + 0.3 * avg_token_len + 2.0 * vowel_ratio)))"
+)
+
+
+@query(
+    "quality_logreg_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+             len(list_filter(range(1, len(ws)), i -> ws[i] = ws[i + 1]))
+               AS n_adjacent_repeats,
+             (CAST(LENGTH(text) AS DOUBLE) - (len(ws) - 1)) / len(ws)
+               AS avg_token_len,
+             CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
+               / LENGTH(replace(text, ' ', '')) AS vowel_ratio
+      FROM (SELECT doc_id, source, text, string_split(text, ' ') AS ws
+            FROM documents)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {_LR_SCORE} >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN {_LR_SCORE} >= 0.5 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+           ROUND(AVG(ROUND({_LR_SCORE}, 9)), 6) AS mean_score
+    FROM feat GROUP BY source
+    ORDER BY source
+    """,
+)
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of the learned quality filter: a logistic
+    score over the quality_feature_matrix features with FIXED
+    published weights (swap in trained coefficients, same plan), a
+    keep gate at 0.5, and per-source keep-rate / mean-score — how a
+    fastText-style filter actually runs at corpus scale: one in-row
+    sigmoid per document, one source-keyed rollup, zero shuffles
+    before the rollup.  Float discipline: the sigmoid is a single
+    shared expression over in-row doubles, and the only cross-row
+    float (mean_score) averages ROUND(.,9) values.
+
+    Scale shape: scan projection + map-side-combinable aggregate; 20
+    result rows."""
+    feat = (
+        t(spark, sf_dir, "documents")
+        .withColumn("ws", F.split("text", " "))
+        .select(
+            "source",
+            (F.size(F.array_distinct("ws")).cast("double") / F.size("ws")).alias(
+                "ttr"
+            ),
+            F.expr(
+                "size(filter(sequence(1, size(ws) - 1), i -> ws[i - 1] = ws[i]))"
+            ).alias("n_adjacent_repeats"),
+            (
+                (F.length("text").cast("double") - (F.size("ws") - 1))
+                / F.size("ws")
+            ).alias("avg_token_len"),
+            (
+                F.size(F.expr("regexp_extract_all(text, '[aeiou]', 0)")).cast(
+                    "double"
+                )
+                / F.length(F.regexp_replace("text", " ", ""))
+            ).alias("vowel_ratio"),
+        )
+    )
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr(f"CASE WHEN {_LR_SCORE} >= 0.5 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(F.avg(F.expr(f"ROUND({_LR_SCORE}, 9)")), 6).alias("mean_score"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_kept",
+            "ROUND(CAST(n_kept AS DOUBLE) / n_docs, 6) AS keep_rate",
+            "mean_score",
+        )
+        .orderBy("source")
+    )

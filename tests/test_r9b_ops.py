@@ -1002,3 +1002,61 @@ def test_quality_feature_matrix_hand_computed(spark, tmp_path):
     assert r["n_adjacent_repeats"] == 1
     assert r["avg_token_len"] == 2.0
     assert abs(r["vowel_ratio"] - round(4 / 6, 6)) < 1e-9
+
+
+def test_quality_logreg_separates_planted_junk(spark, tmp_path):
+    """Repetitive single-token docs score below diverse ones; keep
+    rate reflects the gate."""
+    docs = [(i, "aa aa aa aa aa aa", "en", "junk") for i in range(10)]
+    docs += [(100 + i, "quick brown fox jumps over lazy dog", "en", "good")
+             for i in range(10)]
+    _write_documents(spark, tmp_path, docs)
+    out = {r["source"]: r for r in registry.QUERIES["quality_logreg_score"](
+        spark, str(tmp_path)).collect()}
+    assert out["good"]["mean_score"] > out["junk"]["mean_score"]
+    assert out["good"]["keep_rate"] >= out["junk"]["keep_rate"]
+
+
+def test_psi_zero_for_identical_and_alerts_on_shift(spark, tmp_path):
+    """A source distributed exactly like the corpus has PSI ~ 0; a
+    source concentrated in one far bucket alerts (>= 0.2)."""
+    docs, did = [], 0
+    # two sources with IDENTICAL length profiles (buckets 0 and 1)
+    for src in ("A", "B"):
+        for i in range(20):
+            docs.append((did, "x" * 60, "en", src)); did += 1    # bucket 0
+            docs.append((did, "x" * 180, "en", src)); did += 1   # bucket 1
+    # source C: all mass in bucket 9 (very long docs)
+    for i in range(40):
+        docs.append((did, "x" * 1500, "en", "C")); did += 1
+    _write_documents(spark, tmp_path, docs)
+    out = {r["source"]: r for r in registry.QUERIES["drift_psi_by_source"](
+        spark, str(tmp_path)).collect()}
+    # A vs corpus: corpus includes C's bucket-9 mass, so A is not 0 —
+    # but A and B must be EQUAL (identical profiles)
+    assert out["A"]["psi"] == out["B"]["psi"]
+    assert out["C"]["drift_alert"] == 1
+    assert out["C"]["psi"] > out["A"]["psi"]
+
+
+def test_spark_bare_decimal_literal_truncates_division(spark):
+    """The trap drift_psi_by_source dodges, pinned: Spark parses 1.0
+    as DECIMAL, and LONG + DECIMAL division truncates scale — the
+    result differs from pure double arithmetic by ~1e-12 or worse
+    (measured 7e-7 through decimal-typed columns).  Portable spelling:
+    CAST(... AS DOUBLE) before dividing."""
+    import math
+
+    [r] = spark.sql(
+        "SELECT (4 + 1.0) / 35 AS dec_div,"
+        " (CAST(4 AS DOUBLE) + 1) / 35 AS dbl_div"
+    ).collect()
+    from decimal import Decimal
+
+    assert isinstance(r["dec_div"], Decimal)  # decimal, NOT double
+    assert isinstance(r["dbl_div"], float)
+    # the quotient scale collapses to SIX digits here (5/35 ->
+    # 0.142857): a 1.4e-7 error from one bare literal
+    assert r["dec_div"] == Decimal("0.142857")
+    assert abs(float(r["dec_div"]) - 5 / 35) > 1e-8  # materially wrong
+    assert r["dbl_div"] == 5 / 35                    # exact IEEE
