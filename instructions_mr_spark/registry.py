@@ -113,6 +113,15 @@ DRIVER_WINDOW: list[str] = [
 # rows in CORRECTNESS_r09 — cross the landed ones off there), plus any
 # r9-new queries not in the window and anything whose contract changes.
 # r9-new names NOT in the r9 window (never driver-checked, prioritize):
+#   the 17 third-session ops added AFTER the window rotation
+#   (lateral_alias_contract, top_p_quality_filter,
+#   contribution_bounding_curve, group_kfold_assign,
+#   ignore_nulls_contract, map_semantics_contract,
+#   sql_pipe_syntax_contract, hll_intersection_audit,
+#   median_ci_orderstat, kneser_ney_continuation_terms,
+#   hill_tail_index_terms, transpose_contract, lsh_band_tuning_curve,
+#   semdedup_eps_sweep, quality_feature_matrix, quality_logreg_score,
+#   drift_psi_by_source),
 #   the timeseries family (ccf_lag_terms, rsi_cutler_daily,
 #   bollinger_breach_daily, vwap_anchored_daily, forecast_dow_naive_terms,
 #   drawdown_daily, updown_streaks), the graph additions
