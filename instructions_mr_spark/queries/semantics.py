@@ -2018,3 +2018,53 @@ def transpose_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
     return g.transpose().orderBy("key")
+
+
+# --------------------------------------- zip_with length padding
+
+
+@query(
+    "zip_longest_contract",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(5 AS BIGINT) AS zipped_len,
+           CAST(150
+                + CASE WHEN len(ws) >= 1 THEN LENGTH(ws[1]) ELSE 0 END
+                + CASE WHEN len(ws) >= 2 THEN LENGTH(ws[2]) ELSE 0 END
+                + CASE WHEN len(ws) >= 3 THEN LENGTH(ws[3]) ELSE 0 END
+                AS BIGINT) AS padded_sum
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def zip_longest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``zip_with`` LENGTH semantics: Spark zips to the LONGEST input
+    and fills the short side with NULL (SQL-standard engines
+    with list_zip often truncate to the shortest — the silent
+    data-loss direction).  Pinned by zipping each document's first-3
+    tokens against the fixed weight list [10,20,30,40,50]: the result
+    length must be 5 (the longer side, for docs with <= 5 tokens
+    capped at 3 vs 5), and the padded sum treats NULL tokens as
+    length 0 via COALESCE — the defensive spelling a port needs
+    either way.
+
+    Scale shape: in-row array algebra on a bounded slice; no
+    shuffle."""
+    ws3 = F.slice(F.split("text", " "), 1, 3)
+    weights = F.array(*[F.lit(x) for x in (10, 20, 30, 40, 50)])
+    zipped = F.zip_with(
+        ws3, weights, lambda w, x: F.coalesce(F.length(w), F.lit(0)) + x
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .filter("doc_id < 50")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.size(zipped).cast("bigint").alias("zipped_len"),
+            F.aggregate(zipped, F.lit(0).cast("bigint"), lambda a, x: a + x)
+            .cast("bigint")
+            .alias("padded_sum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -682,3 +682,62 @@ def session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("end_sec"),
         "n_events",
     )
+
+
+# Per-key state widths of the engine's stateful streaming operators
+# (streaming/__init__.py structs): documented constants, so the
+# sizing table is reproducible arithmetic, not a guess.
+_STATE_SPECS = [
+    # (op, bytes per key: struct fields + per-key store overhead)
+    ("running_max_per_user", 8 + 8 + 40),      # user_id, max, overhead
+    ("session_funnel", 8 + 8 + 8 + 8 + 40),    # user, stage, t0, last, ovh
+    ("stream_dedup_keys", 8 + 8 + 40),         # key, first-seen ts, ovh
+]
+_STATE_TARGET_MB = 64  # HDFSBackedStateStore comfort ceiling per partition
+
+
+@query(
+    "stream_state_sizing_estimate",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{op}' AS op,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST({width} AS BIGINT) AS bytes_per_key,
+           CAST(COUNT(DISTINCT user_id) * {width} AS BIGINT) AS est_bytes,
+           CAST(CEIL(COUNT(DISTINCT user_id) * {width}
+                / ({_STATE_TARGET_MB} * 1048576.0)) AS BIGINT)
+             AS min_state_partitions
+    FROM events"""
+        for op, width in _STATE_SPECS
+    )
+    + "\n    ORDER BY op",
+)
+def stream_state_sizing_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store capacity plan for the engine's stateful streaming
+    operators: distinct keys x documented per-key struct width (the
+    applyInPandasWithState schemas in streaming/__init__.py, plus
+    store overhead) and the minimum shuffle-partition count that
+    keeps each partition's state under {_STATE_TARGET_MB} MB — the
+    number you set spark.sql.shuffle.partitions to BEFORE the first
+    OOM, not after.  Mean rates don't size state stores; key
+    cardinality does (see interarrival_burstiness_terms for the
+    rate-side half of the sizing).
+
+    Scale shape: one distinct-count per spec over the scan (map-side
+    partial distinct); 3 result rows of arithmetic."""
+    out = None
+    for op, width in _STATE_SPECS:
+        row = (
+            t(spark, sf_dir, "events")
+            .agg(F.countDistinct("user_id").alias("nk"))
+            .selectExpr(
+                f"'{op}' AS op",
+                "CAST(nk AS BIGINT) AS n_keys",
+                f"CAST({width} AS BIGINT) AS bytes_per_key",
+                f"CAST(nk * {width} AS BIGINT) AS est_bytes",
+                f"CAST(CEIL(nk * {width} / ({_STATE_TARGET_MB} * 1048576.0))"
+                " AS BIGINT) AS min_state_partitions",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("op")

@@ -1060,3 +1060,26 @@ def test_spark_bare_decimal_literal_truncates_division(spark):
     assert r["dec_div"] == Decimal("0.142857")
     assert abs(float(r["dec_div"]) - 5 / 35) > 1e-8  # materially wrong
     assert r["dbl_div"] == 5 / 35                    # exact IEEE
+
+
+def test_state_sizing_partitions_scale_with_keys(spark, tmp_path):
+    """10 distinct users -> est bytes = 10 x width and a single
+    partition suffices at the 64 MB target."""
+    evs = [(i, datetime(2024, 1, 1), i % 10, "view", 1.0) for i in range(50)]
+    _write_events(spark, tmp_path, evs)
+    out = {r["op"]: r for r in registry.QUERIES["stream_state_sizing_estimate"](
+        spark, str(tmp_path)).collect()}
+    rm = out["running_max_per_user"]
+    assert rm["n_keys"] == 10
+    assert rm["est_bytes"] == 10 * rm["bytes_per_key"]
+    assert rm["min_state_partitions"] == 1
+    assert out["session_funnel"]["bytes_per_key"] > rm["bytes_per_key"]
+
+
+def test_zip_longest_pads_to_five(spark, tmp_path):
+    """A 2-token doc still zips to length 5; NULL tokens count 0 in
+    the padded sum (150 + len('ab') + len('c'))."""
+    _write_documents(spark, tmp_path, [(1, "ab c", "en", "s1")])
+    [r] = registry.QUERIES["zip_longest_contract"](spark, str(tmp_path)).collect()
+    assert r["zipped_len"] == 5
+    assert r["padded_sum"] == 150 + 2 + 1
