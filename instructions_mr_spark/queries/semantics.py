@@ -2068,3 +2068,70 @@ def zip_longest_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------- array edit + string index
+
+
+@query(
+    "array_edit_contract",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           array_to_string(list_concat(list_concat([ws[1]], ['INS']),
+                                       ws[2:3]), ',') AS inserted_at_2,
+           array_to_string(list_concat(ws[1:3], ['TAIL']), ',')
+             AS appended_neg1,
+           array_to_string(list_filter([ws[1], NULL, ws[2], NULL],
+                                       x -> x IS NOT NULL), ',')
+             AS compacted,
+           array_to_string(['x', 'x', 'x'], ',') AS repeated,
+           substr(text, -8) AS last8,
+           lpad(ws[1], 10, '.') AS padded
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+          FROM documents)
+    WHERE doc_id < 40 AND len(ws) >= 3
+    ORDER BY doc_id
+    """,
+)
+def array_edit_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-editing and negative-index string surface (Spark 3.4+
+    additions), pinned against DuckDB list spellings: ``array_insert``
+    at a POSITIVE index shifts right (1-based; insert at 2 lands
+    between the first and second element), at -1 it APPENDS (the
+    probe result this contract freezes — several engines instead
+    insert before the last element), ``array_compact`` strips NULLs
+    (list_filter twin), ``array_repeat`` builds constant arrays, and
+    ``substr(s, -8)`` counts from the end identically on both
+    engines; multichar ``lpad`` fills left-to-right.
+
+    Scale shape: in-row array algebra on a bounded slice; no
+    shuffle."""
+    ws = F.split("text", " ")
+    return (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 40) & (F.size(F.split("text", " ")) >= 3))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.array_join(
+                F.array_insert(F.slice(ws, 1, 3), 2, F.lit("INS")), ","
+            ).alias("inserted_at_2"),
+            F.array_join(
+                F.array_insert(F.slice(ws, 1, 3), -1, F.lit("TAIL")), ","
+            ).alias("appended_neg1"),
+            F.array_join(
+                F.array_compact(
+                    F.array(
+                        F.element_at(ws, 1),
+                        F.lit(None).cast("string"),
+                        F.element_at(ws, 2),
+                        F.lit(None).cast("string"),
+                    )
+                ),
+                ",",
+            ).alias("compacted"),
+            F.array_join(F.array_repeat(F.lit("x"), 3), ",").alias("repeated"),
+            F.expr("substr(text, -8)").alias("last8"),
+            F.lpad(F.element_at(ws, 1), 10, ".").alias("padded"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1083,3 +1083,16 @@ def test_zip_longest_pads_to_five(spark, tmp_path):
     [r] = registry.QUERIES["zip_longest_contract"](spark, str(tmp_path)).collect()
     assert r["zipped_len"] == 5
     assert r["padded_sum"] == 150 + 2 + 1
+
+
+def test_array_edit_insert_semantics(spark, tmp_path):
+    """insert-at-2 shifts right; insert-at--1 APPENDS (not
+    before-last); compact strips NULLs; substr(-8) is the tail."""
+    _write_documents(spark, tmp_path, [(1, "aa bb cc dd", "en", "s1")])
+    [r] = registry.QUERIES["array_edit_contract"](spark, str(tmp_path)).collect()
+    assert r["inserted_at_2"] == "aa,INS,bb,cc"
+    assert r["appended_neg1"] == "aa,bb,cc,TAIL"
+    assert r["compacted"] == "aa,bb"
+    assert r["repeated"] == "x,x,x"
+    assert r["last8"] == "bb cc dd"
+    assert r["padded"] == "........aa"

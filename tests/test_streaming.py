@@ -948,3 +948,49 @@ def test_trigger_available_now_terminates_and_matches_batch(spark, events_stream
         for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == expected
+
+
+def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
+    """Kill-and-resume exactly-once: a file-source query with a
+    checkpoint processes two files, stops, two MORE files land, a NEW
+    query object resumes from the same checkpoint — the sink must
+    hold every input row exactly once (offsets came from the
+    checkpoint log, not from re-reading the source from scratch)."""
+    import glob
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(i):
+        spark.createDataFrame(
+            [(i * 10 + j, f"u{j}") for j in range(5)], "id long, u string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    write_batch(0)
+    write_batch(1)
+    schema = spark.read.parquet(str(src)).schema
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    assert q.awaitTermination(timeout=120)
+    n_first = spark.read.parquet(str(sink)).count()
+    assert n_first == 10
+    write_batch(2)
+    write_batch(3)
+    q2 = start()  # resume from checkpoint — a fresh query object
+    assert q2.awaitTermination(timeout=120)
+    out = spark.read.parquet(str(sink))
+    assert out.count() == 20              # no re-emission of files 0-1
+    assert out.select("id").distinct().count() == 20  # and no dupes
