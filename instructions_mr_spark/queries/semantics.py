@@ -2135,3 +2135,55 @@ def array_edit_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------- SQL-defined functions
+
+
+@query(
+    "sql_udf_contract",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+           CAST(l_linenumber AS BIGINT) AS linenumber,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(FLOOR((CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+                      / 100) AS BIGINT) AS discounted_cents
+    FROM lineitem
+    WHERE l_orderkey < 50
+    ORDER BY orderkey, linenumber
+    """,
+)
+def sql_udf_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 3.5 ``CREATE TEMPORARY
+    FUNCTION ... RETURN expr`` — DuckDB's twin is ``CREATE MACRO``):
+    a cents converter and a discount function that CALLS the first
+    (nested SQL-UDF invocation), applied over a lineitem slice and
+    pinned against the fully-inlined oracle expression — so the
+    contract covers definition, nested resolution, and the promise
+    that a SQL UDF is pure inlining (Catalyst substitutes the body;
+    same plan, no black box, predicate pushdown unbroken).
+
+    Scale shape: in-row arithmetic on a bounded slice; functions are
+    session-scoped temporaries (re-created idempotently)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION imr_to_cents(x DOUBLE)"
+        " RETURNS BIGINT RETURN CAST(FLOOR(x * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION imr_discounted(p DOUBLE, d DOUBLE)"
+        " RETURNS BIGINT RETURN"
+        " CAST(FLOOR((imr_to_cents(p) * (100 - imr_to_cents(d))) / 100) AS BIGINT)"
+    )
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+               CAST(l_linenumber AS BIGINT) AS linenumber,
+               imr_to_cents(l_extendedprice) AS cents,
+               imr_discounted(l_extendedprice, l_discount) AS discounted_cents
+        FROM sqludf_lineitem
+        WHERE l_orderkey < 50
+        ORDER BY orderkey, linenumber
+        """
+    )

@@ -1096,3 +1096,18 @@ def test_array_edit_insert_semantics(spark, tmp_path):
     assert r["repeated"] == "x,x,x"
     assert r["last8"] == "bb cc dd"
     assert r["padded"] == "........aa"
+
+
+def test_sql_udf_nested_and_exact(spark, tmp_path):
+    """The nested SQL UDF (discounted calls to_cents twice) matches
+    hand arithmetic: 10.00 at 10% -> 900 cents."""
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 10.0, 0.10, 0.0, "N", "O", datetime(2024, 1, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    [r] = registry.QUERIES["sql_udf_contract"](spark, str(tmp_path)).collect()
+    assert r["cents"] == 1000
+    assert r["discounted_cents"] == 900
