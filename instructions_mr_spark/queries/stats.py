@@ -5597,3 +5597,86 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Quantize the BASIS, not the product: ROUND(COS(theta), 4) as an
+# exact DECIMAL(6,4) — a 1-ulp libm cos() disagreement cannot flip a
+# 4-decimal rounding (margin ~1e-12 vs ulp ~1e-16), and BIGINT cents
+# times an exact decimal is exact, so the regression sums are
+# order-free.  (Rounding the PRODUCT instead leaves ~1e-7 ulp noise
+# against a 5e-5 boundary — a measurable flip risk at 2,500 cells.)
+_FOURIER_C = "CAST(ROUND(COS(2 * PI() * doy / 365), 4) AS DECIMAL(6,4))"
+_FOURIER_S = "CAST(ROUND(SIN(2 * PI() * doy / 365), 4) AS DECIMAL(6,4))"
+
+
+@query(
+    "fourier_seasonality_terms",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(8,4)))) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    basis AS (
+      SELECT cents, day % 365 AS doy FROM daily
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sy,
+             CAST(SUM(cents * {_FOURIER_C}) AS DOUBLE) AS syc,
+             CAST(SUM(cents * {_FOURIER_S}) AS DOUBLE) AS sys
+      FROM basis
+    )
+    SELECT n, sy,
+           ROUND(2 * syc / n, 4) AS a1_cents,
+           ROUND(2 * sys / n, 4) AS b1_cents,
+           ROUND(SQRT((2 * syc / n) * (2 * syc / n)
+                      + (2 * sys / n) * (2 * sys / n)), 4) AS amplitude_cents,
+           ROUND(ATAN2(2 * sys / n, 2 * syc / n), 6) AS phase_rad
+    FROM sums
+    """,
+)
+def fourier_seasonality_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-harmonic Fourier fit of annual revenue seasonality:
+    a1 = 2/n * sum(y * cos(2*pi*doy/365)), b1 likewise with sin, and
+    the derived amplitude/phase — the 'does this business breathe
+    yearly, and when does it peak' decomposition that a day-of-week
+    profile (seasonality_profile) can't see.  doy is epoch-day mod
+    365 (the documented leap-drift proxy: < 1 day of phase error per
+    4 years of data — fine for a first harmonic).
+
+    Scale shape: one day-keyed aggregate (calendar-bounded) is the
+    corpus exchange; the regression sums run over the day grid and
+    collapse to one row."""
+    from instructions_mr_spark.queries._util import ts_epoch_seconds
+
+    daily = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.floor(ts_epoch_seconds("l_shipdate") / F.lit(86400)).alias("day"),
+            F.expr(
+                "CAST(l_extendedprice AS DECIMAL(12,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(8,4)))"
+            ).alias("r"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(FLOOR(SUM(r) * 100) AS BIGINT)").alias("cents"))
+    )
+    basis = daily.selectExpr("cents", "day % 365 AS doy")
+    sums = basis.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.expr(f"CAST(SUM(cents * {_FOURIER_C}) AS DOUBLE)").alias("syc"),
+        F.expr(f"CAST(SUM(cents * {_FOURIER_S}) AS DOUBLE)").alias("sys"),
+    )
+    return sums.selectExpr(
+        "n",
+        "sy",
+        "ROUND(2 * syc / n, 4) AS a1_cents",
+        "ROUND(2 * sys / n, 4) AS b1_cents",
+        "ROUND(SQRT((2 * syc / n) * (2 * syc / n)"
+        " + (2 * sys / n) * (2 * sys / n)), 4) AS amplitude_cents",
+        "ROUND(ATAN2(2 * sys / n, 2 * syc / n), 6) AS phase_rad",
+    )

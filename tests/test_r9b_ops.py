@@ -1111,3 +1111,35 @@ def test_sql_udf_nested_and_exact(spark, tmp_path):
     [r] = registry.QUERIES["sql_udf_contract"](spark, str(tmp_path)).collect()
     assert r["cents"] == 1000
     assert r["discounted_cents"] == 900
+
+
+def test_fourier_recovers_planted_harmonic(spark, tmp_path):
+    """Revenue 100 + 50*cos(2*pi*doy/365) cents planted over a full
+    year: a1 ~ 50, b1 ~ 0, amplitude ~ 50, phase ~ 0."""
+    import math
+    from datetime import timedelta
+
+    base = datetime(2023, 1, 1)
+    rows = []
+    for d in range(365):
+        cents = 100 + 50 * math.cos(2 * math.pi * (d % 365) / 365)
+        # one line whose extendedprice floors to that cent value
+        rows.append((d + 1, 1, cents / 100 + 1e-9, base + timedelta(days=d)))
+    spark.createDataFrame(
+        [
+            (ok, pk, 1, 1, 1.0, ep, 0.0, 0.0, "N", "O", dt)
+            for ok, pk, ep, dt in rows
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    [r] = registry.QUERIES["fourier_seasonality_terms"](
+        spark, str(tmp_path)
+    ).collect()
+    assert r["n"] == 365
+    # epoch-day%365 phase-shifts the planted doy by a constant, so
+    # compare AMPLITUDE (phase-invariant); rounding gives ~0.5c slack
+    assert abs(r["amplitude_cents"] - 50) < 1.0
+    assert abs(r["phase_rad"]) <= math.pi
