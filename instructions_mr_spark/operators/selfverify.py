@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from instructions_mr_spark.config import Instruction, LlmConfig, Stage
+from instructions_mr_spark.config import LlmConfig, Stage
 from instructions_mr_spark.llm.client import LlmClient, make_client
 from instructions_mr_spark.operators.llm_map import _chatml
 from instructions_mr_spark.operators.prompts import build_sys_msg, user_msg_col

@@ -1562,7 +1562,6 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_simsearch.py) — plus a VALUE-BEARING column: the exact
     L2 scan's top-10 id sum, recomputed by DuckDB with the identical
     left-fold, certifying the reference side of the recall bound."""
-    from instructions_mr_spark.functions import cosine_sim
     from instructions_mr_spark.operators.simsearch import (
         pq_adc_search,
         train_pq_codebooks,

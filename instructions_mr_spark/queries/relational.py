@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from instructions_mr_spark.registry import query
 from instructions_mr_spark.queries._util import (
     CHARGE,
-    DEC_BAL,
     DEC_PRICE,
     DEC_QTY,
     DEC_TOTAL,
