@@ -3874,3 +3874,115 @@ def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# NDCG@10 discount weights as EXACT e6 integers (1e6 / log2(i+1),
+# floored): literal constants, so DCG is pure integer arithmetic and
+# the metric is bit-identical everywhere.
+_NDCG_W_E6 = [1000000, 630929, 500000, 430676, 386852,
+              356207, 333333, 315464, 301029, 289064]
+_NDCG_QUERY_TERMS = ["join", "hash", "row", "batch", "scan"]
+
+
+def _ndcg_weight_case(rank_col: str) -> str:
+    cases = " ".join(
+        f"WHEN {rank_col} = {i + 1} THEN {w}"
+        for i, w in enumerate(_NDCG_W_E6)
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+@query(
+    "ndcg_at10_terms",
+    oracle=f"""
+    WITH q AS (SELECT UNNEST({_NDCG_QUERY_TERMS!r}) AS term),
+    tf AS (
+      SELECT q.term, d.doc_id,
+             len(list_filter(string_split(d.text, ' '), w -> w = q.term))
+               AS rel
+      FROM documents d CROSS JOIN q
+    ),
+    nz AS (SELECT term, doc_id, rel FROM tf WHERE rel > 0),
+    ranked AS (
+      SELECT term, rel,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY rel DESC, doc_id) AS rnk
+      FROM nz
+    ),
+    ideal AS (
+      SELECT term, rel,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY rel DESC, doc_id) AS rnk
+      FROM nz
+    ),
+    dcg AS (
+      SELECT term,
+             CAST(SUM(CASE WHEN rnk <= 10
+                      THEN rel * {_ndcg_weight_case("rnk")} ELSE 0 END)
+                  AS BIGINT) AS dcg_e6
+      FROM ranked GROUP BY term
+    ),
+    idcg AS (
+      SELECT term,
+             CAST(SUM(CASE WHEN rnk <= 10
+                      THEN rel * {_ndcg_weight_case("rnk")} ELSE 0 END)
+                  AS BIGINT) AS idcg_e6
+      FROM ideal GROUP BY term
+    )
+    SELECT dcg.term, dcg.dcg_e6, idcg.idcg_e6,
+           CAST(dcg.dcg_e6 * 1000000 // idcg.idcg_e6 AS BIGINT) AS ndcg_e6
+    FROM dcg JOIN idcg USING (term)
+    ORDER BY dcg.term
+    """,
+)
+def ndcg_at10_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 harness for the retrieval family: term-frequency
+    graded relevance, rank by (rel DESC, doc_id), log2 position
+    discounts as EXACT e6 integer literals — so DCG, ideal DCG and
+    their e6 ratio are pure integer arithmetic, bit-identical across
+    engines (no float log in the hot path at all).  With the ranking
+    equal to the ideal ordering NDCG is exactly 1e6 here — the
+    harness exists so any RERANKER (fusion, PQ, MMR) can be scored by
+    swapping its ordering into the ranked CTE and reading the drop.
+
+    Scale shape: per-term postings from one in-row count (terms are a
+    literal broadcast set); per-term top-10 windows compile to
+    WindowGroupLimit; 5 result rows."""
+    q = spark.createDataFrame(
+        [(w,) for w in _NDCG_QUERY_TERMS], "term string"
+    )
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "term",
+            "doc_id",
+            F.expr(
+                "size(filter(split(text, ' '), w -> w = term))"
+            ).alias("rel"),
+        )
+        .filter("rel > 0")
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("term").orderBy(F.col("rel").desc(), "doc_id")
+    ranked = tf.select("term", "rel", F.row_number().over(wr).alias("rnk"))
+    wcase = _ndcg_weight_case("rnk")
+    dcg = ranked.groupBy("term").agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN rnk <= 10 THEN rel * {wcase} ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("dcg_e6")
+    )
+    # identical ordering IS the ideal ordering in this harness
+    idcg = dcg.select("term", F.col("dcg_e6").alias("idcg_e6"))
+    return (
+        dcg.join(idcg, "term")
+        .selectExpr(
+            "term",
+            "dcg_e6",
+            "idcg_e6",
+            "CAST(dcg_e6 * 1000000 DIV idcg_e6 AS BIGINT) AS ndcg_e6",
+        )
+        .orderBy("term")
+    )

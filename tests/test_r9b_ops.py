@@ -1143,3 +1143,25 @@ def test_fourier_recovers_planted_harmonic(spark, tmp_path):
     # compare AMPLITUDE (phase-invariant); rounding gives ~0.5c slack
     assert abs(r["amplitude_cents"] - 50) < 1.0
     assert abs(r["phase_rad"]) <= math.pi
+
+
+def test_ndcg_ideal_ordering_is_one(spark, tmp_path):
+    """Relevance-sorted ranking == ideal ranking -> NDCG exactly 1e6;
+    DCG uses the exact e6 integer discount table (top doc rel 3 at
+    weight 1e6 + rel 1 at 630929)."""
+    _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, "join join join filter", "en", "s"),
+            (2, "join scan", "en", "s"),
+            (3, "scan scan", "en", "s"),
+        ],
+    )
+    out = {r["term"]: r for r in registry.QUERIES["ndcg_at10_terms"](
+        spark, str(tmp_path)).collect()}
+    j = out["join"]
+    assert j["ndcg_e6"] == 1_000_000
+    assert j["dcg_e6"] == 3 * 1_000_000 + 1 * 630_929
+    s = out["scan"]
+    assert s["dcg_e6"] == 2 * 1_000_000 + 1 * 630_929
