@@ -7328,3 +7328,141 @@ def unit_price_dispersion_by_part(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("rel_range_e6").desc(), "partkey")
         .limit(20)
     )
+
+
+@query(
+    "revenue_growth_accounting",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey AS cust,
+             year(CAST(o_orderdate AS TIMESTAMP)) * 12
+               + month(CAST(o_orderdate AS TIMESTAMP)) AS m,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    months AS (SELECT DISTINCT m FROM cm),
+    pairs AS (
+      SELECT cur.m AS m, cur.cust,
+             COALESCE(prev.cents, 0) AS prev_cents, cur.cents AS cur_cents
+      FROM cm cur LEFT JOIN cm prev
+        ON prev.cust = cur.cust AND prev.m = cur.m - 1
+      UNION ALL
+      SELECT prev.m + 1 AS m, prev.cust, prev.cents AS prev_cents,
+             0 AS cur_cents
+      FROM cm prev LEFT JOIN cm cur
+        ON cur.cust = prev.cust AND cur.m = prev.m + 1
+      WHERE cur.cust IS NULL AND prev.m + 1 IN (SELECT m FROM months)
+    )
+    SELECT CAST(m AS BIGINT) AS month_idx,
+           CAST(SUM(CASE WHEN prev_cents = 0 AND cur_cents > 0
+                    THEN cur_cents ELSE 0 END) AS BIGINT) AS new_cents,
+           CAST(SUM(CASE WHEN prev_cents > 0 AND cur_cents > prev_cents
+                    THEN cur_cents - prev_cents ELSE 0 END) AS BIGINT)
+             AS expansion_cents,
+           CAST(SUM(CASE WHEN cur_cents > 0 AND cur_cents < prev_cents
+                    THEN cur_cents - prev_cents ELSE 0 END) AS BIGINT)
+             AS contraction_cents,
+           CAST(SUM(CASE WHEN cur_cents = 0 AND prev_cents > 0
+                    THEN -prev_cents ELSE 0 END) AS BIGINT) AS churn_cents,
+           CAST(SUM(cur_cents - prev_cents) AS BIGINT) AS net_delta_cents
+    FROM pairs GROUP BY m
+    ORDER BY month_idx
+    """,
+)
+def revenue_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SaaS-style growth accounting over order revenue: each month's
+    net change split into NEW (customer absent last month), EXPANSION
+    (spent more), CONTRACTION (spent less, still active) and CHURN
+    (went to zero — materialized by the anti-join side of the union,
+    since churned customers have no current-month row to aggregate),
+    with the accounting identity new + expansion + contraction +
+    churn = net delta holding exactly in integer cents.  The
+    month-over-month decomposition that tells a revenue team WHY the
+    number moved, not just that it did.
+
+    Prev-month lookups are customer-keyed equi-joins (co-partitioned
+    with the (cust, month) rollup — no broadcast of the
+    corpus-scaling customer side); churn months are restricted to
+    observed months so the series never invents a trailing month.
+
+    Scale shape: one (cust, month) aggregate, two self-joins on the
+    same key, a month-keyed rollup — |months| result rows."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        (
+            F.year(F.col("o_orderdate").cast("timestamp")) * 12
+            + F.month(F.col("o_orderdate").cast("timestamp"))
+        ).alias("m"),
+        F.expr("CAST(o_totalprice AS DECIMAL(12,2))").alias("p"),
+    )
+    cm = o.groupBy("cust", "m").agg(
+        F.expr("CAST(FLOOR(SUM(p) * 100) AS BIGINT)").alias("cents")
+    )
+    cm = supersede_checkpoint("growth_cm", cm.localCheckpoint())
+    months = cm.select("m").distinct()
+    prev = cm.select(
+        F.col("cust").alias("p_cust"),
+        (F.col("m") + 1).alias("p_m"),
+        F.col("cents").alias("prev_cents"),
+    )
+    cur_side = cm.join(
+        prev,
+        (F.col("cust") == F.col("p_cust")) & (F.col("m") == F.col("p_m")),
+        "left",
+    ).select(
+        "m",
+        "cust",
+        F.coalesce("prev_cents", F.lit(0)).alias("prev_cents"),
+        F.col("cents").alias("cur_cents"),
+    )
+    churn_side = (
+        prev.join(
+            cm,
+            (F.col("cust") == F.col("p_cust")) & (F.col("m") == F.col("p_m")),
+            "left_anti",
+        )
+        .join(months, F.col("p_m") == F.col("m"), "left_semi")
+        .select(
+            F.col("p_m").alias("m"),
+            F.col("p_cust").alias("cust"),
+            "prev_cents",
+            F.lit(0).alias("cur_cents"),
+        )
+    )
+    pairs = cur_side.unionAll(churn_side)
+    return (
+        pairs.groupBy("m")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN prev_cents = 0 AND cur_cents > 0"
+                " THEN cur_cents ELSE 0 END) AS BIGINT)"
+            ).alias("new_cents"),
+            F.expr(
+                "CAST(SUM(CASE WHEN prev_cents > 0 AND cur_cents > prev_cents"
+                " THEN cur_cents - prev_cents ELSE 0 END) AS BIGINT)"
+            ).alias("expansion_cents"),
+            F.expr(
+                "CAST(SUM(CASE WHEN cur_cents > 0 AND cur_cents < prev_cents"
+                " THEN cur_cents - prev_cents ELSE 0 END) AS BIGINT)"
+            ).alias("contraction_cents"),
+            F.expr(
+                "CAST(SUM(CASE WHEN cur_cents = 0 AND prev_cents > 0"
+                " THEN -prev_cents ELSE 0 END) AS BIGINT)"
+            ).alias("churn_cents"),
+            F.expr("CAST(SUM(cur_cents - prev_cents) AS BIGINT)").alias(
+                "net_delta_cents"
+            ),
+        )
+        .selectExpr(
+            "CAST(m AS BIGINT) AS month_idx",
+            "new_cents",
+            "expansion_cents",
+            "contraction_cents",
+            "churn_cents",
+            "net_delta_cents",
+        )
+        .orderBy("month_idx")
+    )

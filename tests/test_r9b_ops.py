@@ -1165,3 +1165,31 @@ def test_ndcg_ideal_ordering_is_one(spark, tmp_path):
     assert j["dcg_e6"] == 3 * 1_000_000 + 1 * 630_929
     s = out["scan"]
     assert s["dcg_e6"] == 2 * 1_000_000 + 1 * 630_929
+
+
+def test_growth_accounting_identity_and_classes(spark, tmp_path):
+    """Jan: A=100. Feb: A=150 (expansion 50), B=200 (new).  Mar: A=0
+    (churn -150), B=80 (contraction -120).  Components sum to the
+    net delta every month."""
+    rows = [
+        (1, 1, 1.0, datetime(2024, 1, 5)),
+        (2, 1, 1.5, datetime(2024, 2, 5)),
+        (3, 2, 2.0, datetime(2024, 2, 10)),
+        (4, 2, 0.8, datetime(2024, 3, 5)),
+    ]
+    spark.createDataFrame(
+        [(ok, ck, "O", tp, dt, "P") for ok, ck, tp, dt in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r["month_idx"]: r for r in registry.QUERIES[
+        "revenue_growth_accounting"](spark, str(tmp_path)).collect()}
+    jan, feb, mar = 2024 * 12 + 1, 2024 * 12 + 2, 2024 * 12 + 3
+    assert out[jan]["new_cents"] == 100
+    assert out[feb]["new_cents"] == 200 and out[feb]["expansion_cents"] == 50
+    assert out[mar]["churn_cents"] == -150
+    assert out[mar]["contraction_cents"] == -120
+    for r in out.values():
+        assert (r["new_cents"] + r["expansion_cents"]
+                + r["contraction_cents"] + r["churn_cents"]
+                ) == r["net_delta_cents"]
