@@ -3986,3 +3986,74 @@ def ndcg_at10_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@query(
+    "crawl_quality_drift",
+    oracle="""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    per_doc AS (
+      SELECT CAST(doc_id * 10 // mx.n AS BIGINT) AS decile,
+             CAST(ROUND(1000000.0 * len(list_distinct(ws)) / len(ws))
+                  AS BIGINT) AS ttr_e6
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), mx
+    ),
+    dec AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ttr_e6) // COUNT(*) AS BIGINT) AS mean_ttr_e6
+      FROM per_doc GROUP BY decile
+    ),
+    ends AS (
+      SELECT MAX(CASE WHEN decile = 0 THEN mean_ttr_e6 END) AS first_d,
+             MAX(CASE WHEN decile = 9 THEN mean_ttr_e6 END) AS last_d
+      FROM dec
+    )
+    SELECT dec.decile, dec.n_docs, dec.mean_ttr_e6,
+           CAST(ends.last_d - ends.first_d AS BIGINT) AS drift_last_vs_first_e6
+    FROM dec, ends
+    ORDER BY dec.decile
+    """,
+)
+def crawl_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality drift along ingestion order: mean type-token ratio per
+    doc_id decile (doc_id is the ingest sequence in this corpus), and
+    the last-vs-first decile delta — the 'is the crawl frontier
+    degrading' monitor that catches quality decay long before an
+    aggregate corpus score moves (frontier pages are fetched last;
+    their junk hides in the global mean).  Per-doc TTR is quantized
+    to an e6 integer BEFORE averaging, so the decile means are exact
+    integer arithmetic.
+
+    Scale shape: one 1-row max broadcast onto the scan (the decile
+    is in-row arithmetic), one decile-keyed map-side-combinable
+    aggregate, 10 result rows."""
+    mx = t(spark, sf_dir, "documents").agg((F.max("doc_id") + 1).alias("n"))
+    per_doc = (
+        t(spark, sf_dir, "documents")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("CAST(doc_id * 10 DIV n AS BIGINT)").alias("decile"),
+            F.expr(
+                "CAST(ROUND(1000000.0 * size(array_distinct(split(text, ' ')))"
+                " / size(split(text, ' '))) AS BIGINT)"
+            ).alias("ttr_e6"),
+        )
+    )
+    dec = per_doc.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(SUM(ttr_e6) DIV COUNT(*) AS BIGINT)").alias("mean_ttr_e6"),
+    )
+    ends = dec.agg(
+        F.expr("MAX(CASE WHEN decile = 0 THEN mean_ttr_e6 END)").alias("first_d"),
+        F.expr("MAX(CASE WHEN decile = 9 THEN mean_ttr_e6 END)").alias("last_d"),
+    )
+    return (
+        dec.crossJoin(F.broadcast(ends))
+        .selectExpr(
+            "decile",
+            "n_docs",
+            "mean_ttr_e6",
+            "CAST(last_d - first_d AS BIGINT) AS drift_last_vs_first_e6",
+        )
+        .orderBy("decile")
+    )

@@ -1193,3 +1193,20 @@ def test_growth_accounting_identity_and_classes(spark, tmp_path):
         assert (r["new_cents"] + r["expansion_cents"]
                 + r["contraction_cents"] + r["churn_cents"]
                 ) == r["net_delta_cents"]
+
+
+def test_crawl_drift_detects_planted_decay(spark, tmp_path):
+    """First half diverse docs, second half repetitive: the drift
+    delta must be strongly negative and decile means monotone-ish."""
+    docs = []
+    for i in range(50):
+        docs.append((i, "a b c d e f g h i j", "en", "s"))      # ttr 1.0
+    for i in range(50, 100):
+        docs.append((i, "a a a a a a a a a a", "en", "s"))      # ttr 0.1
+    _write_documents(spark, tmp_path, docs)
+    out = {r["decile"]: r for r in registry.QUERIES["crawl_quality_drift"](
+        spark, str(tmp_path)).collect()}
+    assert out[0]["mean_ttr_e6"] == 1_000_000
+    assert out[9]["mean_ttr_e6"] == 100_000
+    assert out[0]["drift_last_vs_first_e6"] == -900_000
+    assert len(out) == 10 and all(r["n_docs"] == 10 for r in out.values())
