@@ -895,3 +895,67 @@ def cogrouped_pandas_event_order_merge(
         .applyInPandas(merge, schema=out_schema)
         .orderBy("user_id")
     )
+
+
+@query(
+    "pandas_grouped_agg_udf",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(cents) AS BIGINT) AS top3_cents,
+           CAST(MAX(nseg) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c_mktsegment,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS nseg
+      FROM customer
+    ) x
+    WHERE rn <= 3
+    GROUP BY c_mktsegment, nseg
+    ORDER BY c_mktsegment
+    """,
+)
+def pandas_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the third pandas-on-Spark aggregation
+    surface (vs applyInPandas' full-frame callback and applyInArrow's
+    batches): a ``@pandas_udf`` whose function takes Series and
+    returns ONE scalar, usable directly inside ``.agg()`` (here: sum
+    of each segment's top-3 balance cents, plus a pandas-side count).
+    The API LIMITATION this op pins: Spark refuses to mix a
+    GROUPED_AGG pandas UDF with JVM aggregates in the same .agg()
+    (INVALID_PANDAS_UDF_PLACEMENT) — every aggregate in the call must
+    cross the Arrow boundary together, so the count is a second
+    pandas UDF, not F.count.
+
+    Exactness: the UDF sorts (cents, custkey) descending and sums the
+    top 3 INTEGER cents — no float path.
+
+    Scale shape: one segment-keyed exchange; Arrow-batched Series in,
+    scalars out."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def top3_cents(cents: pd.Series, custkey: pd.Series) -> int:
+        df = pd.DataFrame({"c": cents, "k": custkey})
+        top = df.sort_values(["c", "k"], ascending=[False, True]).head(3)
+        return int(top["c"].sum())
+
+    @pandas_udf("long")
+    def n_rows(cents: pd.Series) -> int:
+        return int(len(cents))
+
+    return (
+        t(spark, sf_dir, "customer")
+        .selectExpr(
+            "c_mktsegment",
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents",
+            "c_custkey",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            top3_cents(F.col("cents"), F.col("c_custkey")).alias("top3_cents"),
+            n_rows(F.col("cents")).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )

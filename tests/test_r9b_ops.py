@@ -1210,3 +1210,31 @@ def test_crawl_drift_detects_planted_decay(spark, tmp_path):
     assert out[9]["mean_ttr_e6"] == 100_000
     assert out[0]["drift_last_vs_first_e6"] == -900_000
     assert len(out) == 10 and all(r["n_docs"] == 10 for r in out.values())
+
+
+def test_pandas_grouped_agg_top3_and_mix_ban(spark, tmp_path):
+    """Top-3 cents sum is exact; mixing GROUPED_AGG with a JVM
+    aggregate raises INVALID_PANDAS_UDF_PLACEMENT (the pinned
+    limitation)."""
+    spark.createDataFrame(
+        [(i, f"c{i}", 7, "BUILDING", float(i)) for i in range(1, 6)],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_mktsegment string, c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    [r] = registry.QUERIES["pandas_grouped_agg_udf"](spark, str(tmp_path)).collect()
+    assert r["top3_cents"] == 500 + 400 + 300
+    assert r["n_customers"] == 5
+    # the ban itself
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit eval type: the module's future-annotations make the
+    # hint a string the inline inference can't resolve here
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def s(x):
+        return int(x.sum())
+
+    df = spark.range(4).withColumn("g", F.col("id") % 2)
+    with pytest.raises(Exception, match="INVALID_PANDAS_UDF_PLACEMENT"):
+        df.groupBy("g").agg(s(F.col("id")), F.count(F.lit(1))).collect()
