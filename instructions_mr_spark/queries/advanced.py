@@ -959,3 +959,55 @@ def pandas_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "pandas_udf_over_window",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           c_mktsegment,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY c_mktsegment) AS BIGINT) AS seg_cents,
+           CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS own_cents
+    FROM customer
+    WHERE c_custkey < 200
+    ORDER BY custkey
+    """,
+)
+def pandas_udf_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF in WINDOW position — the fourth and
+    last pandas placement (scalar select / grouped agg / grouped
+    window): the same Series-to-scalar function evaluates once per
+    partition over an unbounded frame and broadcasts back onto every
+    row, exactly like a built-in analytic.  Pinned against the native
+    SUM OVER oracle so the Arrow path must agree to the cent.  (The
+    placement matters operationally: a pandas window UDF ships the
+    whole partition's column through Arrow — bounded partitions only;
+    this demo slices the key range.)
+
+    Scale shape: one segment-keyed window exchange on the bounded
+    slice; Arrow ships one Series per partition."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cents_sum(cents: pd.Series) -> int:
+        return int(cents.sum())
+
+    w = Window.partitionBy("c_mktsegment")
+    return (
+        t(spark, sf_dir, "customer")
+        .filter("c_custkey < 200")
+        .selectExpr(
+            "CAST(c_custkey AS BIGINT) AS custkey",
+            "c_mktsegment",
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS own_cents",
+        )
+        .select(
+            "custkey",
+            "c_mktsegment",
+            cents_sum(F.col("own_cents")).over(w).alias("seg_cents"),
+            "own_cents",
+        )
+        .orderBy("custkey")
+    )

@@ -1238,3 +1238,20 @@ def test_pandas_grouped_agg_top3_and_mix_ban(spark, tmp_path):
     df = spark.range(4).withColumn("g", F.col("id") % 2)
     with pytest.raises(Exception, match="INVALID_PANDAS_UDF_PLACEMENT"):
         df.groupBy("g").agg(s(F.col("id")), F.count(F.lit(1))).collect()
+
+
+def test_pandas_window_udf_matches_builtin(spark, tmp_path):
+    """The pandas window UDF's per-partition sum equals the native
+    SUM OVER on every row."""
+    spark.createDataFrame(
+        [(i, f"c{i}", 7, ["A", "B"][i % 2], float(i)) for i in range(1, 7)],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_mktsegment string, c_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = registry.QUERIES["pandas_udf_over_window"](spark, str(tmp_path)).collect()
+    segs = {}
+    for r in out:
+        segs.setdefault(r["c_mktsegment"], []).append(r)
+    for seg, rows in segs.items():
+        expect = sum(r["own_cents"] for r in rows)
+        assert all(r["seg_cents"] == expect for r in rows)
