@@ -1,0 +1,317 @@
+"""Unbounded-broadcast-hint certification on logical plans.
+
+Core logic for the mechanical no-unbounded-broadcast guard (VERDICT r8
+item #1), moved into the package in round 10 so
+``queries._util.supersede_checkpoint`` can certify every checkpointed
+subtree on its PRE-checkpoint plan (VERDICT r9 item #1: an eager
+``localCheckpoint()`` truncates lineage to a ``LogicalRDD``, so a hint
+executed at checkpoint time was invisible to the registry-wide sweep,
+which walks only final plans).  ``tools/broadcast_guard.py`` re-exports
+everything here and keeps the standalone CLI sweep.
+
+A forced ``F.broadcast()`` hint — unlike an AQE- or estimate-chosen
+broadcast, which backs off when the measured size is large — is a
+deterministic executor OOM once the hinted table outgrows memory.  A
+hint is therefore only legitimate on a subtree whose cardinality is
+BOUNDED by construction: a value-domain / calendar / bucket-keyed
+aggregate, a LIMIT, a literal table, or one of the two genuinely
+fixed dims (nation, region).  A hint on anything keyed by an entity
+id (users, customers, orders, parts, suppliers, docs, vectors) scales
+with the corpus and fails at 100x.
+
+This module parses the OPTIMIZED logical plan (where
+``EliminateResolvedHint`` has attached every user hint to its join as
+``leftHint=/rightHint=(strategy=broadcast)``), extracts each hinted
+subtree, and certifies it bounded by recursion:
+
+* leaf ``Relation`` nodes are classified by their column fingerprint
+  (``n_nationkey`` -> nation, ``c_custkey`` -> customer, ...): only
+  nation / region / LocalRelation / Range / OneRowRelation are bounded;
+* ``Aggregate`` / ``Deduplicate`` bound everything beneath them IFF no
+  grouping key references an entity-id column;
+* ``GlobalLimit`` bounds unconditionally;
+* semi / anti joins bound iff their LEFT side is bounded; other joins
+  iff ALL children are bounded; every other node inherits from its
+  children (no children -> unbounded, conservatively).
+
+Used by tests/test_plans.py::test_no_unbounded_broadcast_hints over
+every registered query, and runnable standalone:
+
+    python tools/broadcast_guard.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# Entity-id columns whose distinct count grows with the corpus.  A
+# grouping key referencing any of these marks the aggregate (and the
+# hinted subtree above it) unbounded.  Value-domain keys (event_type,
+# segment, brand, band/bucket ids, calendar indices, vocab words) are
+# NOT listed: their aggregates are histogram-shaped and broadcastable.
+UNBOUNDED_COLS = frozenset({
+    "user_id", "event_id", "sid", "session_id",
+    "c_custkey", "o_custkey", "custkey",
+    "o_orderkey", "l_orderkey", "orderkey",
+    "p_partkey", "l_partkey", "ps_partkey", "partkey",
+    "s_suppkey", "l_suppkey", "ps_suppkey", "suppkey",
+    "doc_id", "vec_id", "url",
+})
+
+# Relation fingerprints: a parquet Relation leaf is classified by which
+# marker column appears in its output list.  Only nation/region are
+# bounded dims (25 / 5 rows at EVERY scale factor); everything else —
+# including part/supplier/customer, which are "dims" but grow linearly
+# with sf — is unbounded.
+_REL_MARKERS = [
+    ("n_nationkey", "nation", True),
+    ("r_regionkey", "region", True),
+    ("c_custkey", "customer", False),
+    ("o_orderkey", "orders", False),
+    ("l_orderkey", "lineitem", False),
+    ("ps_partkey", "partsupp", False),
+    ("p_partkey", "part", False),
+    ("s_suppkey", "supplier", False),
+    ("event_id", "events", False),
+    ("doc_id", "documents", False),
+    ("vec_id", "embeddings", False),
+]
+
+_COLREF = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+@dataclass
+class Node:
+    text: str
+    children: list["Node"] = field(default_factory=list)
+
+    @property
+    def name(self) -> str:
+        return self.text.split(" ", 1)[0].split("(", 1)[0]
+
+
+def parse_plan(plan: str) -> Node:
+    """Parse a logical plan ``toString()`` into a Node tree.
+
+    Each line's depth is the count of leading 3-char indent groups
+    (``':  '`` / ``'   '`` fillers plus the final ``':- '`` / ``'+- '``
+    connector).  Inner children (subquery plans) parse as ordinary
+    children — harmless for boundedness, which defaults to
+    all-children recursion."""
+    root: Node | None = None
+    stack: list[tuple[int, Node]] = []
+    for raw in plan.splitlines():
+        if not raw.strip():
+            continue
+        i, depth = 0, 0
+        while raw[i: i + 3] in (":  ", "   "):
+            i += 3
+            depth += 1
+        if raw[i: i + 3] in (":- ", "+- "):
+            i += 3
+            depth += 1
+        node = Node(raw[i:])
+        if depth == 0 and root is None:
+            root = node
+            stack = [(0, node)]
+            continue
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            stack[-1][1].children.append(node)
+        stack.append((depth, node))
+    assert root is not None, "empty plan"
+    return root
+
+
+def _first_bracket(text: str) -> str:
+    """The content of the first top-level [...] group in a node line."""
+    start = text.find("[")
+    if start < 0:
+        return ""
+    depth = 0
+    for j in range(start, len(text)):
+        if text[j] == "[":
+            depth += 1
+        elif text[j] == "]":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1: j]
+    return text[start + 1:]
+
+
+def _grouping_keys(text: str) -> str:
+    """Grouping keys of an Aggregate/Deduplicate node line, or '' for a
+    global (1-row) aggregate.
+
+    ``Aggregate`` prints TWO top-level bracket groups when grouped
+    (``Aggregate [keys], [exprs]``) but only ONE for an empty grouping
+    (``Aggregate [exprs]``) — a single-bracket form is a global
+    aggregate whose expressions must NOT be read as keys."""
+    start = text.find("[")
+    if start < 0:
+        return ""
+    depth = 0
+    end = -1
+    for j in range(start, len(text)):
+        if text[j] == "[":
+            depth += 1
+        elif text[j] == "]":
+            depth -= 1
+            if depth == 0:
+                end = j
+                break
+    if end < 0:
+        return ""
+    if text[end + 1: end + 3] == ", " and text[end + 3: end + 4] == "[":
+        return text[start + 1: end]
+    return ""  # single bracket group -> global aggregate
+
+
+def _keys_unbounded(keys_text: str) -> bool:
+    return any(m in UNBOUNDED_COLS for m in _COLREF.findall(keys_text))
+
+
+def classify_relation(text: str) -> tuple[str, bool]:
+    cols = set(_COLREF.findall(_first_bracket(text)))
+    for marker, table, bounded in _REL_MARKERS:
+        if marker in cols:
+            return table, bounded
+    return "unknown", False
+
+
+_ID_PIN = re.compile(
+    r"\((" + "|".join(sorted(UNBOUNDED_COLS)) + r")#\d+L? (?:<=|<|=) -?\d"
+)
+
+
+def _filter_pins_entity(text: str) -> bool:
+    """True when a Filter pins an entity-id column to a literal
+    (equality or a constant upper range): ``vec_id = 0`` selects one
+    entity, ``vec_id < 16`` at most 16 — both constant in corpus size.
+    Disabled when the condition contains an OR (a disjunct can undo
+    the pin)."""
+    return " OR " not in text and bool(_ID_PIN.search(text))
+
+
+def bounded(node: Node) -> bool:
+    name = node.name
+    if name in ("GlobalLimit", "LocalLimit"):
+        return True
+    if name == "Filter" and _filter_pins_entity(node.text):
+        return True
+    if name in ("LocalRelation", "OneRowRelation", "Range", "LogicalRDD"):
+        # LogicalRDD = spark.createDataFrame(...) driver-side literal
+        return True
+    if name == "Relation":
+        return classify_relation(node.text)[1]
+    if name == "Aggregate":
+        if _keys_unbounded(_grouping_keys(node.text)):
+            return False
+        return True
+    if name == "Deduplicate":
+        if _keys_unbounded(_first_bracket(node.text)):
+            return False
+        return True
+    if name == "Join":
+        kind = node.text.split(" ")[1].rstrip(",") if " " in node.text else ""
+        kids = node.children
+        if not kids:
+            return False
+        if kind in ("LeftSemi", "LeftAnti") and len(kids) >= 1:
+            return bounded(kids[0])
+        return all(bounded(k) for k in kids)
+    if not node.children:
+        return False
+    return all(bounded(k) for k in node.children)
+
+
+def _why_unbounded(node: Node) -> str:
+    """First node that breaks the bounded certificate, for diagnosis."""
+    name = node.name
+    if name in ("GlobalLimit", "LocalLimit", "LocalRelation",
+                "OneRowRelation", "Range", "LogicalRDD"):
+        return ""
+    if name == "Filter" and _filter_pins_entity(node.text):
+        return ""
+    if name == "Relation":
+        table, ok = classify_relation(node.text)
+        return "" if ok else f"Relation({table})"
+    if name in ("Aggregate", "Deduplicate"):
+        keys = (
+            _grouping_keys(node.text)
+            if name == "Aggregate"
+            else _first_bracket(node.text)
+        )
+        if _keys_unbounded(keys):
+            return f"{name} keyed [{keys[:80]}]"
+        return ""
+    if name == "Join":
+        kind = node.text.split(" ")[1].rstrip(",") if " " in node.text else ""
+        kids = node.children
+        if not kids:
+            return "Join(no children)"
+        if kind in ("LeftSemi", "LeftAnti"):
+            return _why_unbounded(kids[0])
+        for k in kids:
+            why = _why_unbounded(k)
+            if why:
+                return why
+        return ""
+    if not node.children:
+        return f"leaf {name}"
+    for k in node.children:
+        why = _why_unbounded(k)
+        if why:
+            return why
+    return ""
+
+
+def hinted_offenders(plan: str) -> list[str]:
+    """Headers of broadcast-HINTED join children that are NOT provably
+    bounded.  AQE/estimate-chosen broadcasts never appear here — only
+    explicit hints survive into the optimized plan's JoinHint."""
+    root = parse_plan(plan)
+    bad: list[str] = []
+
+    def walk(n: Node) -> None:
+        if n.name == "Join" and "strategy=broadcast" in n.text:
+            kids = [k for k in n.children]
+            if "leftHint=(strategy=broadcast" in n.text and kids:
+                if not bounded(kids[0]):
+                    why = _why_unbounded(kids[0])
+                    bad.append(f"LEFT [{why}] of: " + n.text[:140])
+            if "rightHint=(strategy=broadcast" in n.text and len(kids) >= 2:
+                if not bounded(kids[-1]):
+                    why = _why_unbounded(kids[-1])
+                    bad.append(f"RIGHT [{why}] of: " + n.text[:140])
+        for k in n.children:
+            walk(k)
+
+    walk(root)
+    return bad
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+
+
+def certify_no_unbounded_hints(df, label: str) -> None:
+    """Raise if ``df``'s optimized plan carries a broadcast hint on a
+    subtree not provably bounded.  Called by
+    ``queries._util.supersede_checkpoint`` on every staged table
+    BEFORE ``localCheckpoint()`` materializes it — the only moment the
+    hinted lineage is still visible (afterwards the plan is one
+    ``LogicalRDD`` leaf and the registry-wide sweep certifies a
+    vacuous truth)."""
+    # full node strings: a length-truncated Aggregate line hides its
+    # grouping keys from the boundedness classifier
+    df.sparkSession.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    hits = hinted_offenders(optimized_plan(df))
+    if hits:
+        raise AssertionError(
+            f"unbounded broadcast hint behind checkpoint {label!r}: {hits}"
+        )

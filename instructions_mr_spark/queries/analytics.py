@@ -859,7 +859,7 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct exchange per side (2x the corpus cost at 100 TB)
     p = supersede_checkpoint(
         "copurchase_parts",
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(),
+        li.select("l_orderkey", "l_partkey").distinct(),
     )
     a = p.alias("a")
     b = p.alias("b")
@@ -932,7 +932,7 @@ def supplier_assortment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged once: sizes, and both self-join sides, read this table
     m = supersede_checkpoint(
         "assortment_members",
-        li.select("l_suppkey", "l_partkey").distinct().localCheckpoint(),
+        li.select("l_suppkey", "l_partkey").distinct(),
     )
     sz = m.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
     a = m.alias("a")
@@ -2755,7 +2755,7 @@ def itemset3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     p = supersede_checkpoint(
         "itemset3_parts",
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(),
+        li.select("l_orderkey", "l_partkey").distinct(),
     )
     a, b, c = p.alias("a"), p.alias("b"), p.alias("c")
     return (
@@ -2902,16 +2902,19 @@ def brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves' shares are e6 integers and the delta is a pure integer
     subtraction (negatives fine — no division of signed values).
 
-    Scale shape: part joins broadcast onto the fact scan; the brand
-    half-sums are ONE map-side-combinable aggregate over bounded
-    (brand) keys; the calendar midpoint is a 1-row broadcast scalar;
-    shares run on the |brands| aggregate."""
+    Scale shape: part joins the fact scan HINT-FREE (part grows
+    linearly with sf — a forced broadcast is a deterministic OOM at
+    100x; AQE still picks a broadcast when the measured size is
+    small, r9 verdict item #1); the brand half-sums are ONE
+    map-side-combinable aggregate over bounded (brand) keys; the
+    calendar midpoint is a 1-row broadcast scalar; shares run on the
+    |brands| aggregate."""
     from instructions_mr_spark.queries._util import supersede_checkpoint
 
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     li = (
         t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .selectExpr(
             "p_brand AS brand",
             "unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000"
@@ -2921,7 +2924,7 @@ def brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS cents",
         )
     )
-    li = supersede_checkpoint("brand_shift_li", li.localCheckpoint())
+    li = supersede_checkpoint("brand_shift_li", li)
     mid = li.agg(
         F.expr("(MIN(day_idx) + MAX(day_idx)) DIV 2").alias("m")
     )
@@ -3645,7 +3648,7 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     p = supersede_checkpoint(
         "lift_parts",
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(),
+        li.select("l_orderkey", "l_partkey").distinct(),
     )
     n = p.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = p.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
@@ -4226,7 +4229,7 @@ def rolling_retention_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    d = supersede_checkpoint("rolling_ret_d", d.localCheckpoint())
+    d = supersede_checkpoint("rolling_ret_d", d)
     a, b = d.alias("a"), d.alias("b")
     ret = (
         a.join(
@@ -4298,7 +4301,7 @@ def assoc_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = supersede_checkpoint(
         "rules_distinct",
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(),
+        li.select("l_orderkey", "l_partkey").distinct(),
     )
     item = p.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     a, b = p.alias("a"), p.alias("b")
@@ -4910,7 +4913,7 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("src", "dst", "_num DIV _den AS p_e6")
         .coalesce(1)
-        .localCheckpoint(),
+        ,
     )
     chan = prob.filter(F.col("src") != "START").select(
         F.col("src").alias("c")
@@ -4920,7 +4923,7 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         chan.select(F.col("c").alias("r"))
         .unionByName(spark.createDataFrame([("(none)",)], "r string"))
         .coalesce(1)
-        .localCheckpoint(),
+        ,
     )
     p_adj = (
         prob.crossJoin(F.broadcast(rkeys))
@@ -4953,7 +4956,7 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r", "src", "dst")
         .agg(F.sum("p_e6").alias("p_e6"))
         .coalesce(1)
-        .localCheckpoint(),
+        ,
     )
     v = rkeys.select(
         F.col("r").alias("vr"),
@@ -4975,7 +4978,7 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .coalesce(1)
         )
     v = supersede_checkpoint(
-        "markov_removal_vfinal", v.localCheckpoint()
+        "markov_removal_vfinal", v
     )
     conv = rkeys.join(
         v.filter(F.col("state") == "CONV").select("vr", "m"),
@@ -7401,7 +7404,7 @@ def revenue_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     cm = o.groupBy("cust", "m").agg(
         F.expr("CAST(FLOOR(SUM(p) * 100) AS BIGINT)").alias("cents")
     )
-    cm = supersede_checkpoint("growth_cm", cm.localCheckpoint())
+    cm = supersede_checkpoint("growth_cm", cm)
     months = cm.select("m").distinct()
     prev = cm.select(
         F.col("cust").alias("p_cust"),

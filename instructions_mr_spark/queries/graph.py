@@ -424,7 +424,7 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
         "triangle_edges",
         copurchase_pairs(spark, sf_dir)
         .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
-        .localCheckpoint(),
+        ,
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -451,7 +451,7 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
     # staged: wedge sides o1/o2 and the closing build side are three
     # consumers of the same oriented-edge table
     oriented = supersede_checkpoint(
-        "triangle_oriented", oriented_plan.localCheckpoint()
+        "triangle_oriented", oriented_plan
     )
     return e, deg, oriented
 
@@ -1006,7 +1006,7 @@ def graph_hits_unnormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hits_edges",
         copurchase_pairs(spark, sf_dir)
         .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
-        .localCheckpoint(),
+        ,
     )
     a1 = e.groupBy(F.col("b").alias("v")).agg(F.count(F.lit(1)).alias("s"))
     h1 = (
@@ -1296,7 +1296,7 @@ def k_core_peel3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from instructions_mr_spark.queries._util import supersede_checkpoint
 
-    edges = supersede_checkpoint("kcore_edges", edges.localCheckpoint())
+    edges = supersede_checkpoint("kcore_edges", edges)
     traces = []
     for rnd in (1, 2, 3):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -1407,7 +1407,7 @@ def ppr_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from instructions_mr_spark.queries._util import supersede_checkpoint
 
-    edges = supersede_checkpoint("ppr_edges", edges.localCheckpoint())
+    edges = supersede_checkpoint("ppr_edges", edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e_deg = edges.join(deg, "src")
     seed = li.agg(F.min("p").alias("sp"))
@@ -1784,7 +1784,7 @@ def graph_conductance_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conductance_edges",
         copurchase_pairs(spark, sf_dir)
         .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
-        .localCheckpoint(),
+        ,
     )
     lbl = t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("v"), F.col("p_brand").alias("brand")

@@ -345,7 +345,7 @@ def _lsh_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_MINHASH_K)
         ],
     )
-    return supersede_checkpoint("lsh_sigs", sigs.localCheckpoint())
+    return supersede_checkpoint("lsh_sigs", sigs)
 
 
 def _band_rows(sigs: DataFrame, with_shingles: bool) -> DataFrame:
@@ -552,6 +552,16 @@ def _verify_lsh_pairs(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
 
 _LSH_HOT_MIN = 32  # bucket size above which the salted path kicks in
 _LSH_SALT = 4  # sub-buckets per hot bucket
+# Hard cap on how many hot (band, key) buckets get the salted
+# treatment: the hot-key list is BROADCAST, and without a cap its
+# cardinality is corpus-dependent (one row per over-threshold bucket —
+# a boilerplate-heavy crawl could produce millions; r9 verdict item
+# #2).  Capping at the top-N largest buckets bounds the broadcast by
+# construction (GlobalLimit — guard-certifiable) and keeps the salting
+# where it matters: the WORST buckets.  Buckets beyond the cap simply
+# stay on the cold (unsalted) path — output pairs are identical either
+# way; residual skew past 4096 hot buckets is AQE skew-join territory.
+_LSH_HOT_CAP = 4096
 
 
 def _lsh_candidate_pairs_salted(
@@ -580,6 +590,8 @@ def _lsh_candidate_pairs_salted(
         .groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .filter(F.col("bucket_n") > hot_min)
+        .orderBy(F.col("bucket_n").desc(), "band", "key")
+        .limit(_LSH_HOT_CAP)
         .select("band", "key", F.lit(True).alias("is_hot"))
     )
     # Materialized once: the flagged table feeds five subplans (cold
@@ -590,7 +602,7 @@ def _lsh_candidate_pairs_salted(
     # this variant when lsh_bucket_stats reports hot buckets.
     flagged = supersede_checkpoint(
         "lsh_salted_flagged",
-        bands.join(F.broadcast(hot_keys), ["band", "key"], "left").localCheckpoint(),
+        bands.join(F.broadcast(hot_keys), ["band", "key"], "left"),
     )
     cold = flagged.filter(F.col("is_hot").isNull()).drop("is_hot", "bucket_n")
     cold_pairs = _lsh_candidate_pairs(cold)
@@ -987,7 +999,7 @@ def _ann_recall_eval(spark: SparkSession, sf_dir: str, cand_expr: str, key: str)
             F.expr(cand_expr).alias("is_cand"),
             _cosine_col(F.col("qemb"), F.col("embedding")).alias("cosine"),
         )
-        .localCheckpoint(),
+        ,
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     exact10 = (
@@ -1733,7 +1745,7 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.count()  # bounded scalar agg (the k dial needs corpus size)
     k_eff = max(_SEMDEDUP_K, n // _SEMDEDUP_CELL_TARGET)
     pairs, _ = _cell_blocked_pairs(e, k=k_eff, threshold=_SEM_COS_T)
-    pairs = supersede_checkpoint("semdedup_pairs", pairs.localCheckpoint())
+    pairs = supersede_checkpoint("semdedup_pairs", pairs)
     # Sampled-recall audit: brute-force pairs among the 10% hash sample.
     s = e.filter(F.col("vec_id") % 10 == 0)
     sa, sb = s.alias("sa"), s.alias("sb")
@@ -2249,7 +2261,7 @@ def _simhash60_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(_SH64_BITS)
     )
     fp = words.selectExpr("doc_id", f"{bit_terms} AS fp")
-    return supersede_checkpoint("simhash60_fp", fp.localCheckpoint())
+    return supersede_checkpoint("simhash60_fp", fp)
 
 
 def _duck_simhash60() -> str:
@@ -2590,7 +2602,7 @@ def ann_recall_truncated_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(F.col("embedding"), 1, _TRUNC_DIMS),
             ).alias("cos_trunc"),
         )
-        .localCheckpoint(),
+        ,
     )
     wf = Window.partitionBy("qid").orderBy(F.col("cos_full").desc(), F.col("vec_id"))
     wt = Window.partitionBy("qid").orderBy(F.col("cos_trunc").desc(), F.col("vec_id"))
@@ -2662,7 +2674,7 @@ def set_sim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
     )
-    d = supersede_checkpoint("ssj_wordsets", d.localCheckpoint())
+    d = supersede_checkpoint("ssj_wordsets", d)
     tok = d.select("doc_id", F.explode("ws").alias("w"), F.size("ws").alias("n"))
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
     ranked = (
@@ -3090,7 +3102,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "embedding", cq_e6.alias("cq_e6"))
             .orderBy(F.col("cq_e6").desc(), F.col("vec_id"))
             .limit(_MMR_POOL)
-        ).localCheckpoint(),
+        ),
     )
     ca = cand.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
@@ -3107,7 +3119,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("va", "vb", "CAST(FLOOR(s6 * 1000000 + 0.5) AS BIGINT) AS s_e6")
     )
-    sim = supersede_checkpoint("mmr_sim", sim.localCheckpoint())
+    sim = supersede_checkpoint("mmr_sim", sim)
     pool = cand.select("vec_id", "cq_e6")
     picked = (
         pool.agg(
@@ -3428,7 +3440,7 @@ def lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll-up is 4 rows."""
     docs = t(spark, sf_dir, "documents")
     sigs = _minhash_signatures(docs)
-    sigs = supersede_checkpoint("tune_sigs", sigs.localCheckpoint())
+    sigs = supersede_checkpoint("tune_sigs", sigs)
     band_frames = []
     for b, r in _TUNE_CFGS:
         for band in range(b):
@@ -3458,7 +3470,7 @@ def lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cfg", "doc_a", "doc_b")
         .distinct()
     )
-    cand = supersede_checkpoint("tune_cand", cand.localCheckpoint())
+    cand = supersede_checkpoint("tune_cand", cand)
     pairs = cand.select("doc_a", "doc_b").distinct()
     sh = _shingle_docs(docs)
     wa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("ws_a"))
@@ -3547,7 +3559,7 @@ def semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored pairs into one conditional roll-up."""
     e = t(spark, sf_dir, "embeddings")
     s = e.filter("vec_id % 10 = 0").select("vec_id", "embedding")
-    s = supersede_checkpoint("eps_sweep_sample", s.localCheckpoint())
+    s = supersede_checkpoint("eps_sweep_sample", s)
     n = s.agg(F.count(F.lit(1)).alias("ns"))
     ea = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))

@@ -699,7 +699,7 @@ def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         f"({spark_h60('user_id', 41)}) % 5 AS fold",
     )
-    folds = supersede_checkpoint("kfold_folds", folds.localCheckpoint())
+    folds = supersede_checkpoint("kfold_folds", folds)
     total = folds.agg(F.count(F.lit(1)).alias("tot"))
     split = (
         folds.groupBy("user_id")

@@ -716,7 +716,7 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "u div CAST('1' || repeat('0', GREATEST(digits - 6, 0)) AS DECIMAL(38,0))"
                 ).alias("v"),
             )
-            .localCheckpoint(),
+            ,
         )
     norm = v.agg(F.expr("SUM(CAST(v AS DECIMAL(38,0)) * v)").alias("n2"))
     conv = (
@@ -2411,7 +2411,7 @@ def chi2_lang_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("obs"))
-        .localCheckpoint()
+        
     )
     from instructions_mr_spark.queries._util import supersede_checkpoint
 
@@ -2819,7 +2819,7 @@ def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem")
     kc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    kc = supersede_checkpoint("cm_key_counts", kc.localCheckpoint())
+    kc = supersede_checkpoint("cm_key_counts", kc)
     seeds = spark.range(_CM_SEEDS).select(F.col("id").cast("int").alias("seed"))
     h = spark_h60("CAST(l_partkey AS STRING)", "' || seed || '")
     keyed = kc.crossJoin(F.broadcast(seeds)).selectExpr(
@@ -4592,7 +4592,7 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split("text", " ")).alias("w")
     )
     tc = tok.groupBy("w", "lang").agg(F.count(F.lit(1)).alias("o"))
-    tc = supersede_checkpoint("bh_term_lang", tc.localCheckpoint())
+    tc = supersede_checkpoint("bh_term_lang", tc)
     lm = tc.groupBy("lang").agg(F.sum("o").alias("ln"))
     n = tc.agg(F.sum("o").alias("nn"))
     tn = tc.groupBy("w").agg(F.sum("o").alias("nt")).filter("nt >= 100")
@@ -4712,7 +4712,7 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.selectExpr(f"{a} AS ra", f"{b} AS cb")
             .groupBy("ra", "cb")
             .agg(F.count(F.lit(1)).alias("o"))
-            .localCheckpoint()
+            
         )
         o = supersede_checkpoint(f"cramers_{pair_name}", o)
         r = o.groupBy("ra").agg(F.sum("o").alias("rn"))
@@ -5009,7 +5009,7 @@ def variance_ratio_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.expr("CAST(FLOOR(SUM(r) * 100) AS BIGINT)").alias("cents"))
     )
-    daily = supersede_checkpoint("vr_daily", daily.localCheckpoint())
+    daily = supersede_checkpoint("vr_daily", daily)
     bounds = daily.agg(
         F.min("day").alias("d0"), (F.max("day") - F.min("day") + 1).alias("nd")
     )
@@ -5295,7 +5295,7 @@ def hll_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
     )
-    tok = supersede_checkpoint("hll_ie_tok", tok.localCheckpoint())
+    tok = supersede_checkpoint("hll_ie_tok", tok)
     srcs = tok.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("src_a"))
@@ -5490,7 +5490,7 @@ def hill_tail_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.col("c").desc(), "o_orderkey")
         ).alias("rn"))
     )
-    topk = supersede_checkpoint("hill_topk", topk.localCheckpoint())
+    topk = supersede_checkpoint("hill_topk", topk)
     xk = topk.filter(f"rn = {_HILL_K + 1}").select(F.col("c").alias("c_k"))
     lnsum = (
         topk.filter(f"rn <= {_HILL_K}")
@@ -5572,7 +5572,7 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.least(F.floor(F.col("n_chars") / 120), F.lit(9)).alias("bucket")
     )
     src = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("cs"))
-    src = supersede_checkpoint("psi_src_cells", src.localCheckpoint())
+    src = supersede_checkpoint("psi_src_cells", src)
     corpus = src.groupBy("bucket").agg(F.sum("cs").alias("cc"))
     ns_t = src.groupBy("source").agg(F.sum("cs").alias("ns"))
     nc_t = src.agg(F.sum("cs").alias("nc"))

@@ -1377,7 +1377,7 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate the corpus-sized aggregate; eager materializes it once.
     # NOTE: this runs a corpus-sized job at query-BUILD time (not just
     # at collect); superseded across invocations to cap the leak.
-    pairs = supersede_checkpoint("pmi_pairs", pairs.localCheckpoint())
+    pairs = supersede_checkpoint("pmi_pairs", pairs)
     lefts = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     rights = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
     tot = pairs.agg(F.sum("c12").alias("n"))
@@ -1522,7 +1522,7 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigram_pairs",
         grams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(),
+        ,
     )
     lefts = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = pairs.agg(F.countDistinct("w2").alias("v"))
@@ -1734,7 +1734,7 @@ def quality_ensemble_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ensemble_lm",
         quality_unigram_logprob(spark, sf_dir)
         .select("doc_id", "mean_logp")
-        .localCheckpoint(),
+        ,
     )
     n = lm.count()  # bounded scalar: the decile dial needs corpus size
     k = n // 10
@@ -2561,7 +2561,7 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("source", f"{spark_h60('tok', 43)} AS gk")
         .distinct()
     )
-    v = supersede_checkpoint("vocab_overlap_v", v.localCheckpoint())
+    v = supersede_checkpoint("vocab_overlap_v", v)
     sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = v.alias("a"), v.alias("b")
     inter = (
@@ -2757,13 +2757,13 @@ def greedy_set_cover_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("source", f"{spark_h60('big', 47)} AS gk")
         .distinct()
     )
-    v = supersede_checkpoint("setcover_v", v.localCheckpoint())
+    v = supersede_checkpoint("setcover_v", v)
 
     def argmax(counts):
         return counts.orderBy(F.desc("gain"), "source").limit(1)
 
     c1 = v.groupBy("source").agg(F.count(F.lit(1)).alias("gain"))
-    p1 = argmax(c1).localCheckpoint()
+    p1 = supersede_checkpoint("setcover_p1", argmax(c1))
     cov1 = v.join(F.broadcast(p1.select("source")), "source").select("gk").distinct()
     rest2 = v.join(F.broadcast(p1.select("source")), "source", "left_anti")
     c2 = (
@@ -2771,7 +2771,7 @@ def greedy_set_cover_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("gain"))
     )
-    p2 = argmax(c2).localCheckpoint()
+    p2 = supersede_checkpoint("setcover_p2", argmax(c2))
     cov2 = cov1.unionByName(
         v.join(F.broadcast(p2.select("source")), "source").select("gk")
     ).distinct()
@@ -3494,7 +3494,7 @@ def bigram_conditional_entropy_by_source(
         .select("source", "p.w1", "p.w2")
     )
     c2 = bi.groupBy("source", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    c2 = supersede_checkpoint("bigram_cond_c2", c2.localCheckpoint())
+    c2 = supersede_checkpoint("bigram_cond_c2", c2)
     c1 = c2.groupBy("source", "w1").agg(F.sum("c").alias("c"))
     n = c1.groupBy("source").agg(F.sum("c").alias("n"))
     h2 = (
@@ -3593,7 +3593,7 @@ def char_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.expr("regexp_extract_all(text, '[a-z]', 0)")).alias("c")
     )
     cnt = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("n"))
-    cnt = supersede_checkpoint("js_char_cnt", cnt.localCheckpoint())
+    cnt = supersede_checkpoint("js_char_cnt", cnt)
     tot = cnt.groupBy("lang").agg(F.sum("n").alias("nl"))
     pairs = (
         tot.select(F.col("lang").alias("lang_a"), F.col("nl").alias("np"))
@@ -3692,7 +3692,7 @@ def kneser_ney_continuation_terms(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("p.w1", "p.w2")
         .distinct()
     )
-    bi = supersede_checkpoint("kn_bigram_types", bi.localCheckpoint())
+    bi = supersede_checkpoint("kn_bigram_types", bi)
     cont = bi.groupBy(F.col("w2").alias("w")).agg(F.count(F.lit(1)).alias("n_left"))
     fc = (
         t(spark, sf_dir, "documents")

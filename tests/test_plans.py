@@ -439,3 +439,48 @@ def test_band_self_joins_extract_equi_keys(spark, sf_dir):
     for name in ("event_cooccurrence_60s", "embedding_covariance_terms"):
         plan = _plan(registry.QUERIES[name](spark, sf_dir))
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan, name
+
+
+def test_no_bare_localcheckpoint_in_queries():
+    """Every checkpoint in queries/ must flow through
+    supersede_checkpoint, which (round 10) certifies the
+    PRE-checkpoint optimized plan for unbounded broadcast hints — an
+    eager localCheckpoint truncates lineage to a LogicalRDD, so a
+    hint executed at checkpoint time is invisible to the final-plan
+    sweep above (r9 verdict: brand_share_shift's F.broadcast(part)
+    hid exactly this way).  A bare .localCheckpoint() in queries/
+    would bypass the certification seam; operators/ keeps its own
+    iterative-loop checkpoints (graph.py), which per-round tests
+    cover."""
+    import glob
+    import os
+
+    qdir = os.path.join(
+        os.path.dirname(__file__), "..", "instructions_mr_spark", "queries"
+    )
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(qdir, "*.py"))):
+        if os.path.basename(path) == "_util.py":
+            continue  # the seam itself
+        for i, line in enumerate(open(path), 1):
+            if ".localCheckpoint(" in line:
+                offenders.append(f"{os.path.basename(path)}:{i}")
+    assert not offenders, f"bare localCheckpoint outside the seam: {offenders}"
+
+
+def test_checkpoint_guard_catches_hidden_hint(spark, sf_dir):
+    """The supersede_checkpoint certification must fire on a hinted
+    unbounded subtree that would afterwards hide behind the
+    checkpoint's LogicalRDD — the exact r9 blind-spot reproduction
+    (brand_share_shift's part broadcast), kept as a regression
+    harness now that the query itself is hint-free."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from instructions_mr_spark.queries._util import supersede_checkpoint, t
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = t(spark, sf_dir, "part").select("p_partkey")
+    hinted = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    with pytest.raises(AssertionError, match="unbounded broadcast hint"):
+        supersede_checkpoint("test_hidden_hint", hinted)
