@@ -110,6 +110,25 @@ def supersede_checkpoint(key: str, df: DataFrame) -> DataFrame:
     return ck
 
 
+_SHARED_STAGE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def shared_checkpoint(key: str, spark, sf_dir: str, build) -> DataFrame:
+    """Session-level staged table SHARED across query builders (r9
+    verdict item #6): the copurchase edge family (triangle / HITS /
+    conductance / degree-CCDF) each staged its own copy of the same
+    support-counted edge table — one corpus-scale distinct +
+    self-join + rollup per query.  ``build()`` runs once per (key,
+    sf_dir, app) and every later builder reuses the certified
+    checkpoint.  Entries die with the staging list:
+    free_staged_checkpoints() clears the cache BEFORE unpersisting,
+    so a freed checkpoint can never be handed out again."""
+    k = (key, sf_dir, spark.sparkContext.applicationId)
+    if k not in _SHARED_STAGE:
+        _SHARED_STAGE[k] = supersede_checkpoint(key, build())
+    return _SHARED_STAGE[k]
+
+
 def free_staged_checkpoints() -> int:
     """Release every staged checkpoint recorded since the last call.
     Call ONLY when all previously-built query results are fully
@@ -117,6 +136,7 @@ def free_staged_checkpoints() -> int:
     Returns the number of checkpoints freed."""
     from instructions_mr_spark.operators.graph import _free_checkpoint
 
+    _SHARED_STAGE.clear()
     n = len(_STAGED_CKPTS)
     for df in _STAGED_CKPTS:
         _free_checkpoint(df)

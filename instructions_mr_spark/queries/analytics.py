@@ -825,6 +825,38 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COP_MIN_SUPPORT = 2
 
 
+def _order_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared staged (l_orderkey, l_partkey) distinct — the common
+    input of copurchase_pairs and copurchase_lift (one corpus
+    exchange per session instead of one per query)."""
+    from instructions_mr_spark.queries._util import shared_checkpoint
+
+    return shared_checkpoint(
+        "order_part_distinct",
+        spark,
+        sf_dir,
+        lambda: t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    )
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared staged copurchase edge table (r9 verdict item #6): the
+    support-counted (part_a, part_b, n_orders) pairs, built once per
+    session and reused by every graph-family consumer (triangle
+    count, HITS, conductance, degree CCDF) instead of each staging
+    its own copy of the same distinct + self-join + rollup."""
+    from instructions_mr_spark.queries._util import shared_checkpoint
+
+    return shared_checkpoint(
+        "copurchase_edges",
+        spark,
+        sf_dir,
+        lambda: copurchase_pairs(spark, sf_dir),
+    )
+
+
 @query(
     "copurchase_pairs",
     oracle=f"""
@@ -852,15 +884,10 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in lineitems.  The support rollup shuffles bare integer
     pairs; hot pairs (promo bundles) are a salting candidate but the
     key space is wide enough that AQE's skew split covers it."""
-    from instructions_mr_spark.queries._util import supersede_checkpoint
-
-    li = t(spark, sf_dir, "lineitem")
     # stage the distinct once — a raw self-join re-plans the scan +
-    # distinct exchange per side (2x the corpus cost at 100 TB)
-    p = supersede_checkpoint(
-        "copurchase_parts",
-        li.select("l_orderkey", "l_partkey").distinct(),
-    )
+    # distinct exchange per side (2x the corpus cost at 100 TB); the
+    # staged table is SHARED with copurchase_lift (same projection)
+    p = _order_part_distinct(spark, sf_dir)
     a = p.alias("a")
     b = p.alias("b")
     return (
@@ -3642,14 +3669,9 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-order distinct is staged once; pair mining
     is the copurchase_pairs plan; per-item counts come from the SAME
     distinct table and broadcast onto the bounded pair table — no
-    second corpus exchange."""
-    from instructions_mr_spark.queries._util import supersede_checkpoint
-
-    li = t(spark, sf_dir, "lineitem")
-    p = supersede_checkpoint(
-        "lift_parts",
-        li.select("l_orderkey", "l_partkey").distinct(),
-    )
+    second corpus exchange (and the distinct itself is the
+    session-shared _order_part_distinct stage)."""
+    p = _order_part_distinct(spark, sf_dir)
     n = p.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = p.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     a, b = p.alias("a"), p.alias("b")

@@ -416,15 +416,13 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
     each (localCheckpoint) because degrees, wedge sides, and closing
     builds are all multi-consumers.  Returns (edges, deg, oriented)."""
     from instructions_mr_spark.queries._util import supersede_checkpoint
-    from instructions_mr_spark.queries.analytics import copurchase_pairs
+    from instructions_mr_spark.queries.analytics import copurchase_edges
 
-    # stage the edge set: three consumers (degrees, edge count, wedge
-    # join) would otherwise each re-run the support-counting subplan
-    e = supersede_checkpoint(
-        "triangle_edges",
-        copurchase_pairs(spark, sf_dir)
-        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
-        ,
+    # session-shared staged edge set (r10): three consumers here
+    # (degrees, edge count, wedge join) plus the HITS / conductance /
+    # CCDF queries all read the ONE staged support-counted table
+    e = copurchase_edges(spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -999,14 +997,10 @@ def graph_hits_unnormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     as plain DataFrame ops, co-partitionable end to end at 100 TB
     (scores bounded by deg^4 ~ 1e12 at web-scale degrees, inside
     BIGINT).  TakeOrderedAndProject for the top-10, no global sort."""
-    from instructions_mr_spark.queries._util import supersede_checkpoint
-    from instructions_mr_spark.queries.analytics import copurchase_pairs
+    from instructions_mr_spark.queries.analytics import copurchase_edges
 
-    e = supersede_checkpoint(
-        "hits_edges",
-        copurchase_pairs(spark, sf_dir)
-        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
-        ,
+    e = copurchase_edges(spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
     a1 = e.groupBy(F.col("b").alias("v")).agg(F.count(F.lit(1)).alias("s"))
     h1 = (
@@ -1698,9 +1692,9 @@ def graph_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: degrees from one edge-keyed count; the 11-row
     threshold table broadcast-crosses the degree table (vertex-sized,
     not corpus-sized) into a map-side-combinable conditional sum."""
-    from instructions_mr_spark.queries.analytics import copurchase_pairs
+    from instructions_mr_spark.queries.analytics import copurchase_edges
 
-    e = copurchase_pairs(spark, sf_dir).select(
+    e = copurchase_edges(spark, sf_dir).select(
         F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
     deg = (
@@ -1777,14 +1771,10 @@ def graph_conductance_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hint-free equi-joins — part grows with sf, never broadcast);
     volumes and cuts are brand-keyed map-side-combinable sums over
     the edge list; the final table is |brands| rows."""
-    from instructions_mr_spark.queries._util import supersede_checkpoint
-    from instructions_mr_spark.queries.analytics import copurchase_pairs
+    from instructions_mr_spark.queries.analytics import copurchase_edges
 
-    e = supersede_checkpoint(
-        "conductance_edges",
-        copurchase_pairs(spark, sf_dir)
-        .select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
-        ,
+    e = copurchase_edges(spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
     lbl = t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("v"), F.col("p_brand").alias("brand")
