@@ -26,7 +26,15 @@ from instructions_mr_spark.session import get_spark
 # Estimator/harness version, recorded in the output line so cross-round
 # deltas are only read within one harness (the r3->r4 min-of-2 ->
 # min-of-3 change inflated the apparent r4 win; never again).
-HARNESS = "min3-noop-warmup-v2"
+# v2-abnoise (round 10, r9 verdict item #5): the headline estimator is
+# UNCHANGED (min of 3 noop-sink runs), but each headline query now runs
+# 2x3 interleaved A/B slots of the SAME code and the output carries a
+# noise_band block — the A/A min-vs-min ratio distribution IS the
+# session noise floor, so a per-query round-over-round delta smaller
+# than the band is unreadable by construction (r9's text_stats "1.27x
+# regression" sat inside a measured 8.73-11.26s same-code session
+# spread; now the band is measured in-process, per run).
+HARNESS = "min3-noop-warmup-v2-abnoise"
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -97,37 +105,71 @@ def main() -> None:
     names_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
     names = [n for n in names_env.split(",") if n] or HEADLINE
 
-    def time_set(set_names: list[str]) -> dict[str, float]:
+    def _one_run(fn) -> float:
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink: materializes every output column/row (count()
+        # would let Catalyst prune the projections away).
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    def time_set(
+        set_names: list[str], ab_noise: bool = False
+    ) -> tuple[dict[str, float], dict[str, float]]:
         out: dict[str, float] = {}
+        ab: dict[str, float] = {}
         for name in set_names:
             fn = registry.QUERIES[name]
-            best = None
-            for _ in range(max(1, runs)):
-                t0 = time.time()
-                df = fn(spark, sf_dir)
-                # noop sink: materializes every output column/row
-                # (count() would let Catalyst prune the projections
-                # away).
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            out[name] = round(best, 3)
+            if ab_noise:
+                # interleaved A/A: 2x runs alternating slots of the
+                # SAME code.  The reported timing is min over slot-A
+                # runs (the historical min-of-3 estimator); the A-vs-B
+                # min ratio is a same-code, same-process measurement
+                # of the session noise floor.
+                slot_a, slot_b = [], []
+                for i in range(2 * max(1, runs)):
+                    (slot_a if i % 2 == 0 else slot_b).append(_one_run(fn))
+                out[name] = round(min(slot_a), 3)
+                lo, hi = sorted((min(slot_a), min(slot_b)))
+                ab[name] = round(hi / lo, 3) if lo > 0 else 1.0
+            else:
+                out[name] = round(
+                    min(_one_run(fn) for _ in range(max(1, runs))), 3
+                )
             # release staged localCheckpoints (LSH signature / PMI
             # pair tables) once this query's runs are fully consumed —
             # without this a long bench session accumulates one block
             # set per staged table per run
             # (queries/_util.free_staged_checkpoints)
             free_staged_checkpoints()
-            print(f"# {name}: {out[name]:.3f}s", file=sys.stderr)
-        return out
+            print(
+                f"# {name}: {out[name]:.3f}s"
+                + (f" (A/A noise {ab[name]:.3f}x)" if ab_noise else ""),
+                file=sys.stderr,
+            )
+        return out, ab
 
-    timings = time_set(names)
+    timings, ab_ratios = time_set(names, ab_noise=True)
     # the heavies lists only run on a default invocation (an env
-    # override is a one-off scale/curve run, keep it minimal)
-    heavies = {} if names_env else time_set(HEAVIES)
-    heavies_r8 = {} if names_env else time_set(HEAVIES_R8)
+    # override is a one-off scale/curve run, keep it minimal); no A/B
+    # pass on the heavies — they are long and the band transfers
+    heavies = {} if names_env else time_set(HEAVIES)[0]
+    heavies_r8 = {} if names_env else time_set(HEAVIES_R8)[0]
 
     total = round(sum(timings.values()), 3)
+    # noise band: the distribution of same-code A/A min ratios across
+    # the headline queries.  A per-query cross-round delta below
+    # noise_band.max is inside the measured session noise.
+    srt = sorted(ab_ratios.values())
+    noise_band = (
+        {
+            "median": round(srt[len(srt) // 2], 3),
+            "max": round(srt[-1], 3),
+            "per_query": ab_ratios,
+        }
+        if srt
+        else {}
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     # Per-query deltas vs the previous round's recorded bench (if any):
@@ -162,6 +204,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "noise_band": noise_band,
                 "heavies": heavies,
                 "heavies_r8": heavies_r8,
                 "sf": float(sf) if sf else sf_dir,
