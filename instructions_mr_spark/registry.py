@@ -42,70 +42,84 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rotates each round onto never-driver-checked names; everything else keeps
 # registration order after it, with the still-never-checked names ahead of
 # the already-green ones so future rounds can rotate coverage simply by
-# editing this list.  Round-9 rotation: every query whose CONTRACT or
-# implementation changed this round MUST land a fresh driver row (the
-# RANGE-frame rolling corr, the capped probe/bench sets, the adaptive-width
-# LSH + top-4 SemDeDup, the sync echo path), plus all 15 r9-new queries,
-# plus the verdict-prioritized never-checked families: timeseries
-# (RSI/Bollinger/VWAP/CCF), the graph additions, the SQL semantics
-# contracts, and the lake audits.
+# editing this list.  Round-10 rotation (42 of 50 first-exposure):
+# every query whose implementation changed this round lands a fresh
+# driver row (the prescreened SemDeDup kernel, the hot-capped salted
+# LSH, the hint-free brand_share_shift, and the session-shared
+# copurchase edge/distinct stages), plus the r9-verdict-prioritized
+# never-checked families: the SQL semantics contracts
+# (sql_pipe_syntax/transpose/zip_longest/array_edit/sql_udf), the new
+# text/quality ops (kneser_ney, quality_logreg, crawl_quality_drift,
+# ndcg@10), the stats additions (hll_intersection, median_ci, fourier,
+# hill_tail, drift_psi), then breadth: pandas-UDF surfaces, streaming-
+# shaped batch, iterative graph, and LSH diagnostics.
 DRIVER_WINDOW: list[str] = [
-    # continuity rows (driver-green r1-r8, anchor the comparison)
+    # continuity rows (driver-green r1-r9, anchor the comparison)
     "q1_pricing_summary",
     "scope_project",
-    # r9: contract/implementation changed this round
-    "rolling_corr_terms",          # ROWS -> RANGE frame over epoch-hours
-    "contamination_minhash",       # bench side capped at 1024 docs
-    "knn_label_vote_accuracy",     # probes capped at 64
-    "triplet_margin_stats",        # probes capped at 64
-    "dedup_embedding_cosine",      # adaptive bits(n) sign-LSH
-    "semdedup_cells",              # top-4 cell multi-assignment
-    "semdedup_planted_k32",        # shares _cell_blocked_pairs
-    "llm_echo_map",                # sync (loop-free) echo path
-    "llm_echo_mapreduce_fused",    # sync fused kernel
-    # r9-new queries (first driver exposure)
-    "trade_flow_matrix",
-    "price_volume_bridge",
-    "xyz_demand_variability",
-    "effect_size_cohens_d_terms",
-    "session_entry_exit_matrix",
-    "best_split_sse_terms",
-    "time_split_boundary_audit",
-    "bootstrap_mean_ci_terms",
-    "kanon_generalization_ladder",
-    "sentinel_value_audit",
-    "ivf_cell_imbalance",
-    "mmr_diverse_topk",
-    "embedding_exact_dup",
-    "curriculum_interleave_order",
-    "char_bigram_diversity",
-    # r9 third-session additions (first driver exposure — new code
-    # outranks the judge-swept backlog for the scarce driver slots)
-    "welch_ttest_terms",
-    "benjamini_hochberg_fdr",
-    "cramers_v_matrix",
-    "distinct_on_contract",
-    "posexplode_contract",
-    "regexp_replace_backrefs_contract",
-    "embedding_isotropy_terms",
-    "embedding_mahalanobis_outliers",
-    "graph_degree_ccdf",
+    # r10: implementation changed this round, previously driver-checked
+    # (prescreened SemDeDup kernel; hot-capped salted LSH; the
+    # session-shared copurchase edge stage)
+    "semdedup_cells",
+    "semdedup_planted_k32",
+    "dedup_minhash_lsh_salted",
     "graph_conductance_brand",
-    "cold_start_recs_by_nation",
-    "readability_proxy_profile",
-    "bigram_conditional_entropy_by_source",
-    "variance_ratio_terms",
-    "interarrival_burstiness_terms",
-    "mlm_mask_plan_stats",
-    "pivot_two_aggs_contract",
-    "groups_frame_emulation",
-    "unit_price_dispersion_by_part",
-    "char_js_divergence_langs",
-    "hard_negative_topk",
-    "qualify_emulation_contract",
-    # heavies continuity (iteration-staged plans, keep one driver eye on)
-    "k_core_peel3",
-    "attribution_markov_removal",
+    "graph_triangle_count",
+    "graph_degree_ccdf",
+    # r10: implementation changed this round AND first driver exposure
+    "brand_share_shift",          # F.broadcast(part) hint dropped
+    "copurchase_pairs",           # shared order-part distinct stage
+    "copurchase_lift",            # shared order-part distinct stage
+    "graph_hits_unnormalized",    # shared copurchase edge stage
+    "graph_resource_allocation",  # shared _copurchase_oriented staging
+    "degree_assortativity_terms",
+    "graph_bfs_hops",
+    "dedup_quality_bias",
+    "modularity_terms_lp",
+    "semdedup_eps_sweep",
+    # r9-verdict-prioritized never-driver-checked families:
+    # the semantics contracts
+    "sql_pipe_syntax_contract",
+    "transpose_contract",
+    "zip_longest_contract",
+    "array_edit_contract",
+    "sql_udf_contract",
+    # the new text/quality ops
+    "kneser_ney_continuation_terms",
+    "quality_logreg_score",
+    "crawl_quality_drift",
+    "ndcg_at10_terms",
+    # the stats additions
+    "hll_intersection_audit",
+    "median_ci_orderstat",
+    "fourier_seasonality_terms",
+    "hill_tail_index_terms",
+    "drift_psi_by_source",
+    # remaining never-checked backlog, breadth across families:
+    # pandas-UDF surfaces
+    "cogrouped_pandas_event_order_merge",
+    "pandas_grouped_agg_udf",
+    "pandas_udf_over_window",
+    # streaming-shaped batch ops
+    "stream_topk_types",
+    "ts_ohlc_hourly",
+    "stream_quantile_bins",
+    # iterative graph
+    "bellman_ford_bounded",
+    "label_propagation_2round",
+    "ppr_recommend_parts",
+    # text/quality breadth
+    "quality_feature_matrix",
+    "winnowing_fingerprints",
+    "good_turing_spectrum",
+    "tokenizer_fertility",
+    # SQL semantics breadth
+    "nulls_ordering_contract",
+    "try_arithmetic_nulls",
+    "window_locf_fill",
+    # LSH diagnostics
+    "lsh_band_tuning_curve",
+    "simhash_bit_bias_by_source",
 ]
 
 # Round-10 rotation plan: the remaining never-driver-checked backlog
@@ -236,6 +250,28 @@ DRIVER_WINDOW: list[str] = [
 # Names hash-green in some CORRECTNESS_r0{1..8}.json — kept at the back of
 # the registration order so never-checked queries fill the sampled prefix.
 _DRIVER_GREEN_PAST = frozenset({
+    # r9 window - all 50 green in CORRECTNESS_r09.json
+    "attribution_markov_removal", "benjamini_hochberg_fdr",
+    "best_split_sse_terms", "bigram_conditional_entropy_by_source",
+    "bootstrap_mean_ci_terms", "char_bigram_diversity",
+    "char_js_divergence_langs", "cold_start_recs_by_nation",
+    "contamination_minhash", "cramers_v_matrix", "curriculum_interleave_order",
+    "dedup_embedding_cosine", "distinct_on_contract",
+    "effect_size_cohens_d_terms", "embedding_exact_dup",
+    "embedding_isotropy_terms", "embedding_mahalanobis_outliers",
+    "graph_conductance_brand", "graph_degree_ccdf", "groups_frame_emulation",
+    "hard_negative_topk", "interarrival_burstiness_terms",
+    "ivf_cell_imbalance", "k_core_peel3", "kanon_generalization_ladder",
+    "knn_label_vote_accuracy", "llm_echo_map", "llm_echo_mapreduce_fused",
+    "mlm_mask_plan_stats", "mmr_diverse_topk", "pivot_two_aggs_contract",
+    "posexplode_contract", "price_volume_bridge", "q1_pricing_summary",
+    "qualify_emulation_contract", "readability_proxy_profile",
+    "regexp_replace_backrefs_contract", "rolling_corr_terms", "scope_project",
+    "semdedup_cells", "semdedup_planted_k32", "sentinel_value_audit",
+    "session_entry_exit_matrix", "time_split_boundary_audit",
+    "trade_flow_matrix", "triplet_margin_stats",
+    "unit_price_dispersion_by_part", "variance_ratio_terms",
+    "welch_ttest_terms", "xyz_demand_variability",
     # r8 window — all 50 green in CORRECTNESS_r08.json
     "customer_rfm_segments", "pareto_revenue_share", "decile_lift_table",
     "segment_migration_matrix", "quality_bucket_shares",
