@@ -1225,8 +1225,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth is free where this operator operates.  At the weak 0.4
     threshold the recall tradeoff is real (0.174 -> 0.039 at sf1);
     that regime's tool is the SemDeDup cell blocking
-    (semdedup_cells, top-4 multi-assignment, measured recall 0.818
-    at sf1), not hyperplane LSH."""
+    (semdedup_cells, top-5 multi-assignment + 256-bit prescreen,
+    measured recall 0.947 at sf1), not hyperplane LSH."""
     e = t(spark, sf_dir, "embeddings")
     bits = _emb_bits_for(e.count())
     bands = F.array(
@@ -1620,21 +1620,25 @@ _SEM_COS_T = 0.4  # pair threshold (matches dedup_embedding_cosine)
 
 # SemDeDup cell dial: k_eff = max(_SEMDEDUP_K, n // _SEMDEDUP_CELL_TARGET)
 # holds the EXPECTED CELL SIZE constant (~_SEMDEDUP_CELL_TARGET vectors,
-# 4x that after top-4 multi-assignment), which makes the cell-blocked
+# m x that after top-m multi-assignment), which makes the cell-blocked
 # candidate count LINEAR in n — the production SemDeDup scaling (k ~
 # n/10k at 0.95+ thresholds; the demo target is smaller so the tiny
-# driver corpus still exercises multi-cell blocking).  r9 frontier at
+# driver corpus still exercises multi-cell blocking).  r10 frontier at
 # sf1 (20k vectors, 0.4-threshold audit — the worst case for cell
-# blocking; BENCH_sf1.json round9_semdedup_top4.frontier_sf1): the
-# adopted (target 500, top-4) point measures recall 0.818 @ 148s and
-# is undominated — (500, top-3) 0.700 @ 109s, (300, top-4) 0.790 @
-# 146s, (250, top-4) 0.682 @ 100s.  The recall_ok bound (>= 0.5)
-# holds with wide headroom and candidates stay linear in n at every
-# point.  The high-threshold/k=32 regime has its own oracled entry
-# below (semdedup_planted_k32) plus the planted-duplicate recall test
-# in tests/test_simsearch.py.
+# blocking; 13 points over (cell_target, m, screen_min), recorded in
+# BENCH_sf1.json round10_semdedup_frontier): the prescreen reshaped
+# the whole frontier, and the adopted (target 700, top-5, screen 146)
+# point measures recall 0.947 @ 54s — vs r9's (500, top-4, no screen)
+# 0.818 @ 148s.  Nearby: (500,5,146) 0.911 @ 53s, (500,6,150) 0.923 @
+# 51s, (500,5,150) 0.884 @ 42s, (500,4,146) 0.829 @ 36s — the wall
+# dial is screen_min, the recall dial is m and cell_target.  The
+# recall_ok bound (>= 0.5) holds with ~1.9x headroom and candidates
+# stay linear in n at every point.  The high-threshold/k=32 regime
+# has its own oracled entry below (semdedup_planted_k32) plus the
+# planted-duplicate recall test in tests/test_simsearch.py.
 _SEMDEDUP_K = 8
-_SEMDEDUP_CELL_TARGET = 500
+_SEMDEDUP_CELL_TARGET = 700
+_SEMDEDUP_TOPM = 5
 
 
 # Within-cell prescreen (r9 verdict item #4): a 256-bit sign signature
@@ -1647,14 +1651,15 @@ _SEMDEDUP_CELL_TARGET = 500
 # the exact cosine.  Measured on the sf0.1 fixture (3k vectors, all
 # pairs, 300k-sample background): keep rate 0.189 (5.3x fewer exact
 # cosines) at screen recall 0.9989 over true cos>=0.4 pairs —
-# composed with the top-4 cell blocking this measures 0.838 audit
-# recall at sf1 (>= the 0.8 bar; the >= 0.5 contract by 1.7x).
-# Gaussian planes measured no better (0.188 keep at equal recall);
-# difference planes keep both engines literal-expressible.  sf1
-# end-to-end (20k vectors): exact-cosine pairs 93.87M -> 22.22M
-# (4.22x fewer), semdedup_cells wall 148s -> 65s.
+# composed with the adopted (700, top-5, screen 146) operating point
+# this measures 0.947 audit recall at sf1 (>= the 0.8 bar; the >= 0.5
+# contract by 1.9x).  Gaussian planes measured no better (0.188 keep
+# at equal recall); difference planes keep both engines
+# literal-expressible.  sf1 end-to-end (20k vectors): exact-cosine
+# pairs cut ~4-5x, semdedup_cells frontier wall 148s -> 54s at BETTER
+# recall (0.818 -> 0.947); see round10_semdedup_frontier.
 _SEM_SCREEN_BITS = 256
-_SEM_SCREEN_MIN = 140  # matching bits required to reach exact cosine
+_SEM_SCREEN_MIN = 146  # matching bits required to reach exact cosine
 
 
 def _screen_dims(k: int) -> tuple[int, int]:
@@ -1682,14 +1687,16 @@ def _prescreen_sigs(e):
     return e.select("vec_id", *words)
 
 
-def _cell_blocked_pairs(e, k: int, threshold: float):
+def _cell_blocked_pairs(e, k: int, threshold: float,
+                        m: int = _SEMDEDUP_TOPM,
+                        screen_min: int = _SEM_SCREEN_MIN):
     """Shared SemDeDup kernel: k-means cell blocking -> 256-bit
     sign-signature prescreen -> exact-cosine pairs above
     ``threshold``.  Returns (pairs_df, n_centroids).
 
     Plan shape (the part that holds at 100 TB): the cell self-join
     carries NARROW (cell, vec_id) rows — candidate id-pairs dedupe
-    across the top-4 multi-assignment as 16-byte rows, and the
+    across the top-m multi-assignment as 16-byte rows, and the
     embeddings join BACK by id so each surviving pair pays the O(d)
     cosine exactly once and no array ever rides the candidate
     shuffle.  (The r6 rewrite: deduping via groupBy(first(embedding))
@@ -1704,13 +1711,13 @@ def _cell_blocked_pairs(e, k: int, threshold: float):
     )
 
     cents = train_ivf_centroids(e, k=k, seed=42)
-    # top-4 multi-assignment (r8 verdict item #4 — was top-2 -> top-3):
-    # on the decorrelated sf1 fixture at cos>=0.4 blocking recall
-    # measured 0.44 (top-2) / 0.63 (top-3) / 0.81 (top-4); a dedup
-    # gate at 0.63 silently ships 37% of true near-dups, so top-4 is
-    # the default operating point — ~1.3x top-3's candidate volume,
-    # still linear in n (cell size stays constant via the adaptive k)
-    cells = assign_topm_cells(e, cents, m=4).select("cell", "vec_id")
+    # top-m multi-assignment (r8 item #4 took top-2 -> top-4; the r10
+    # prescreen made top-5 affordable): sf1 audit recall 0.44 (top-2)
+    # / 0.63 (top-3) / 0.84 (top-4) / 0.95 (top-5, adopted) — a dedup
+    # gate at 0.63 silently ships 37% of true near-dups.  Candidate
+    # volume stays linear in n (cell size constant via the adaptive
+    # k); the prescreen absorbs the extra within-cell pairs
+    cells = assign_topm_cells(e, cents, m=m).select("cell", "vec_id")
     a, b = cells.alias("a"), cells.alias("b")
     cand = (
         a.join(
@@ -1744,7 +1751,7 @@ def _cell_blocked_pairs(e, k: int, threshold: float):
             F.expr(
                 f"{_SEM_SCREEN_BITS} - "
                 + " - ".join(f"bit_count(a{w} ^ b{w})" for w in range(4))
-                + f" >= {_SEM_SCREEN_MIN}"
+                + f" >= {screen_min}"
             )
         )
         .select("vec_a", "vec_b")
@@ -1788,9 +1795,10 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): block the
     O(n^2) pair space with k-means cells (k adaptive — constant cell
     size, see _SEMDEDUP_CELL_TARGET — so candidates scale LINEARLY in
-    n), top-4 multi-assignment so boundary-straddling pairs still
-    share a block (measured blocking recall 0.81 at sf1 vs 0.63 for
-    top-3 — see _cell_blocked_pairs), exact cosine within blocks,
+    n), top-5 multi-assignment so boundary-straddling pairs still
+    share a block, a 256-bit sign-signature prescreen (see
+    _SEM_SCREEN_MIN), exact cosine within blocks (measured audit
+    recall 0.947 at sf1 — see _cell_blocked_pairs),
     drop any vector with a
     lower-id neighbor above the threshold.  Centroids aren't
     SQL-expressible, so the driver-checked contract has two parts:
