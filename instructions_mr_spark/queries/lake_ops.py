@@ -2011,3 +2011,176 @@ def dim_broadcast_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("relation")
+
+
+# ------------------------------- Z-order vs linear skip audit
+
+_ZQ_CHUNK = 256   # rows per simulated row-group
+_ZQ_BITS = 8      # 8+8-bit Morton key (256x256 grid)
+# the 2-D box predicate, on the normalized 0..255 bucket axes:
+# a quarter of each axis -> 1/16 of the value space
+_ZQ_CX_LO, _ZQ_CX_HI = 64, 127
+_ZQ_DY_LO, _ZQ_DY_HI = 32, 95
+
+
+@query(
+    "zorder_skip_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             o_custkey,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               AS day_idx
+      FROM orders
+    ),
+    bounds AS (
+      SELECT MAX(o_custkey) AS maxc, MIN(day_idx) AS mind,
+             MAX(day_idx) AS maxd
+      FROM base
+    ),
+    keyed AS (
+      SELECT o_orderkey,
+             LEAST(o_custkey * 256 // (maxc + 1), 255) AS cx,
+             LEAST((day_idx - mind) * 256 // (maxd - mind + 1), 255) AS dy
+      FROM base, bounds
+    ),
+    zkeyed AS (
+      SELECT o_orderkey, cx, dy,
+             {_zsql("cx", "dy", _ZQ_BITS)} AS zkey
+      FROM keyed
+    ),
+    layouts AS (
+      SELECT 'natural' AS layout, o_orderkey // {_ZQ_CHUNK} AS chunk,
+             cx, dy
+      FROM zkeyed
+      UNION ALL
+      SELECT 'date_clustered',
+             (ROW_NUMBER() OVER (ORDER BY dy, o_orderkey) - 1)
+               // {_ZQ_CHUNK},
+             cx, dy
+      FROM zkeyed
+      UNION ALL
+      SELECT 'zorder',
+             (ROW_NUMBER() OVER (ORDER BY zkey, o_orderkey) - 1)
+               // {_ZQ_CHUNK},
+             cx, dy
+      FROM zkeyed
+    ),
+    zones AS (
+      SELECT layout, chunk,
+             MIN(cx) AS mn_cx, MAX(cx) AS mx_cx,
+             MIN(dy) AS mn_dy, MAX(dy) AS mx_dy,
+             COUNT(*) AS rows_in_chunk
+      FROM layouts GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN mx_cx < {_ZQ_CX_LO} OR mn_cx > {_ZQ_CX_HI}
+                           OR mx_dy < {_ZQ_DY_LO} OR mn_dy > {_ZQ_DY_HI}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+           CAST(SUM(rows_in_chunk) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN mx_cx < {_ZQ_CX_LO} OR mn_cx > {_ZQ_CX_HI}
+                           OR mx_dy < {_ZQ_DY_LO} OR mn_dy > {_ZQ_DY_HI}
+                    THEN rows_in_chunk ELSE 0 END) AS BIGINT)
+             AS rows_skippable
+    FROM zones GROUP BY layout ORDER BY layout
+    """,
+)
+def zorder_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout data-skipping audit for a TWO-column
+    box predicate (customer range x date range) — the measurement
+    behind 'is Z-ORDER BY (custkey, orderdate) worth it?': orders are
+    bucketed onto a 256x256 normalized grid, laid out three ways
+    (natural orderkey chunks; date-clustered; Morton-curve order via
+    the shared zorder_key_sql fragment), and each layout's per-chunk
+    min/max zone maps are tested against the box.  Expected shape:
+    date clustering skips ~3/4 of chunks (the dy axis only), the
+    natural layout skips ~nothing (both axes straddle every chunk),
+    and the Z-curve skips on BOTH axes at once — the 2-D locality no
+    1-D sort can give.
+
+    Scale shape: bucket normalization is one scalar-bounds broadcast;
+    the two clustered layouts rank via two_phase_rank (bucket-keyed
+    prefix sums on the BOUNDED dy / zkey-page domains — no
+    partitionless window); zone maps are one map-side-combinable
+    aggregate per layout; the audit runs on chunk-count rows.  At
+    100 TB the ranking becomes the range partitioner's job
+    (range_partition_bounds) — the zone-map math is unchanged."""
+    from instructions_mr_spark.queries._util import two_phase_rank
+
+    base = t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        " AS day_idx",
+    )
+    bounds = base.agg(
+        F.max("o_custkey").alias("maxc"),
+        F.min("day_idx").alias("mind"),
+        F.max("day_idx").alias("maxd"),
+    )
+    keyed = base.crossJoin(F.broadcast(bounds)).selectExpr(
+        "o_orderkey",
+        "LEAST(o_custkey * 256 DIV (maxc + 1), 255) AS cx",
+        "LEAST((day_idx - mind) * 256 DIV (maxd - mind + 1), 255) AS dy",
+    )
+    zkeyed = keyed.selectExpr(
+        "o_orderkey", "cx", "dy", f"{_zsql('cx', 'dy', _ZQ_BITS)} AS zkey"
+    )
+    natural = zkeyed.select(
+        F.lit("natural").alias("layout"),
+        F.expr(f"o_orderkey DIV {_ZQ_CHUNK}").alias("chunk"),
+        "cx",
+        "dy",
+    )
+    dated = two_phase_rank(
+        zkeyed, F.col("dy"), [F.col("dy"), F.col("o_orderkey")], rn_name="rn"
+    ).select(
+        F.lit("date_clustered").alias("layout"),
+        F.expr(f"(rn - 1) DIV {_ZQ_CHUNK}").alias("chunk"),
+        "cx",
+        "dy",
+    )
+    # zkey pages (zkey DIV 256) are an order-preserving BOUNDED bucket
+    # domain (256 values) for the two-phase rank
+    zordered = two_phase_rank(
+        zkeyed,
+        F.expr("zkey DIV 256"),
+        [F.col("zkey"), F.col("o_orderkey")],
+        rn_name="rn",
+    ).select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"(rn - 1) DIV {_ZQ_CHUNK}").alias("chunk"),
+        "cx",
+        "dy",
+    )
+    zones = (
+        natural.unionByName(dated)
+        .unionByName(zordered)
+        .groupBy("layout", "chunk")
+        .agg(
+            F.min("cx").alias("mn_cx"),
+            F.max("cx").alias("mx_cx"),
+            F.min("dy").alias("mn_dy"),
+            F.max("dy").alias("mx_dy"),
+            F.count(F.lit(1)).alias("rows_in_chunk"),
+        )
+    )
+    skippable = (
+        (F.col("mx_cx") < _ZQ_CX_LO)
+        | (F.col("mn_cx") > _ZQ_CX_HI)
+        | (F.col("mx_dy") < _ZQ_DY_LO)
+        | (F.col("mn_dy") > _ZQ_DY_HI)
+    )
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(skippable.cast("int")).cast("bigint").alias("n_skippable"),
+            F.sum("rows_in_chunk").cast("bigint").alias("rows_total"),
+            F.sum(F.when(skippable, F.col("rows_in_chunk")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_skippable"),
+        )
+        .orderBy("layout")
+    )

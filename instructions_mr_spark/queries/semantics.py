@@ -2187,3 +2187,57 @@ def sql_udf_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY orderkey, linenumber
         """
     )
+
+
+# ----------------------------- substring_index semantics contract
+
+
+@query(
+    "substring_index_contract",
+    oracle="""
+    WITH cases(cid, s, n) AS (
+      VALUES (1, 'a/b/c/d', 2), (2, 'a/b/c/d', -2), (3, 'a/b/c/d', 0),
+             (4, 'a/b/c/d', 9), (5, 'a/b/c/d', -9), (6, 'no_delim', 2),
+             (7, '', 1), (8, '/lead/trail/', 2), (9, '/lead/trail/', -2),
+             (10, 'a//b', 2)
+    ),
+    split AS (SELECT cid, s, n, string_split(s, '/') AS parts FROM cases)
+    SELECT cid, s, CAST(n AS BIGINT) AS n,
+           CASE
+             WHEN n = 0 THEN ''
+             WHEN n > 0 AND n >= len(parts) THEN s
+             WHEN n < 0 AND -n >= len(parts) THEN s
+             WHEN n > 0 THEN array_to_string(parts[1:n], '/')
+             ELSE array_to_string(parts[len(parts) + n + 1:len(parts)], '/')
+           END AS head_or_tail
+    FROM split ORDER BY cid
+    """,
+)
+def substring_index_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``substring_index`` semantics pin — the function every URL /
+    path / domain extraction in the repo leans on, with the edge
+    cases that differ silently across engines: n = 0 (empty string,
+    NOT NULL), |n| >= the number of parts (the WHOLE input comes
+    back, delimiters included), negative n (count from the right),
+    empty input, leading/trailing delimiters (empty fields count as
+    parts), and doubled delimiters.  DuckDB has no substring_index,
+    so the oracle is the split/slice/join EMULATION — the contract
+    pins that the emulation and the builtin agree on every branch,
+    which is exactly what a migration in either direction needs.
+
+    Scale shape: 10 literal rows; in-row string functions only."""
+    cases = spark.createDataFrame(
+        [
+            (1, "a/b/c/d", 2), (2, "a/b/c/d", -2), (3, "a/b/c/d", 0),
+            (4, "a/b/c/d", 9), (5, "a/b/c/d", -9), (6, "no_delim", 2),
+            (7, "", 1), (8, "/lead/trail/", 2), (9, "/lead/trail/", -2),
+            (10, "a//b", 2),
+        ],
+        "cid int, s string, n int",
+    )
+    return cases.selectExpr(
+        "cid",
+        "s",
+        "CAST(n AS BIGINT) AS n",
+        "substring_index(s, '/', n) AS head_or_tail",
+    ).orderBy("cid")

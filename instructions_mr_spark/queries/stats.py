@@ -5680,3 +5680,236 @@ def fourier_seasonality_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + (2 * sys / n) * (2 * sys / n)), 4) AS amplitude_cents",
         "ROUND(ATAN2(2 * sys / n, 2 * syc / n), 6) AS phase_rad",
     )
+
+
+# -------------------------------------- 1-D Wasserstein drift
+
+
+# Exact 1-D earth-mover distance between each source's doc-length
+# distribution and the corpus-wide one: W1 = integral |CDF_s - CDF_g|
+# over the value axis, evaluated on a FIXED 256-cell grid (n_chars
+# DIV _W1_CELL, capped) so the integral is a bounded sum of exact
+# rationals — no sort, no quantile approximation.  PSI/KL (drift_psi,
+# dataset_drift_kl) blow up on empty cells and ignore distances
+# between cells; W1 is the metric that knows 'all mass moved one cell
+# right' is small drift and 'all mass moved 200 cells right' is big.
+_W1_CELL = 16
+_W1_CELLS = 256
+
+
+@query(
+    "wasserstein1d_by_source",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source, LEAST(n_chars // {_W1_CELL}, {_W1_CELLS - 1}) AS v,
+             COUNT(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    grid AS (SELECT UNNEST(range(0, {_W1_CELLS})) AS v),
+    srcs AS (SELECT source, SUM(cnt) AS n_s FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n_g FROM cells),
+    cdf_s AS (
+      SELECT s.source, g.v,
+             COALESCE(SUM(c.cnt), 0) AS cum_s
+      FROM srcs s CROSS JOIN grid g
+      LEFT JOIN cells c ON c.source = s.source AND c.v <= g.v
+      GROUP BY 1, 2
+    ),
+    cdf_g AS (
+      SELECT g.v, COALESCE(SUM(c.cnt), 0) AS cum_g
+      FROM grid g LEFT JOIN cells c ON c.v <= g.v
+      GROUP BY 1
+    )
+    SELECT s.source,
+           CAST(srcs.n_s AS BIGINT) AS n_docs,
+           CAST(SUM(ABS(CAST(s.cum_s AS DECIMAL(38,0)) * tot.n_g
+                        - CAST(g.cum_g AS DECIMAL(38,0)) * srcs.n_s))
+                * {_W1_CELL} * 1000000
+                // (CAST(srcs.n_s AS DECIMAL(38,0)) * tot.n_g)
+                AS BIGINT) AS w1_chars_e6
+    FROM cdf_s s
+    JOIN cdf_g g USING (v)
+    JOIN srcs ON srcs.source = s.source
+    CROSS JOIN tot
+    GROUP BY 1, 2, srcs.n_s, tot.n_g
+    ORDER BY 1
+    """,
+)
+def wasserstein1d_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein (earth-mover) distance between each
+    source's document-length distribution and the corpus-wide one —
+    the drift metric that respects the METRIC on the value axis
+    (unlike PSI/KL, which treat cells as unordered categories): W1 =
+    integral of |CDF_source - CDF_global| dx, evaluated exactly on a
+    fixed 256-cell grid of n_chars.  All arithmetic is integer /
+    DECIMAL(38) rationals over a common denominator (n_s * n_g), so
+    the e6 result is bit-identical across engines; reported in
+    CHARACTER units (cells x {_W1_CELL}).
+
+    Scale shape: ONE map-side-combinable (source, cell) count over
+    the scan; everything after runs on |sources| x 256 bounded rows —
+    the CDFs come from a banded self-join against the LITERAL grid
+    (spark.range), deliberately not a partitionless window.  At 100x
+    the only growing cost is the first aggregate."""
+    d = t(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy(
+            "source",
+            F.expr(
+                f"LEAST(n_chars DIV {_W1_CELL}, {_W1_CELLS - 1})"
+            ).alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = supersede_checkpoint("w1_cells", cells)
+    grid = spark.range(0, _W1_CELLS).select(F.col("id").alias("v"))
+    srcs = cells.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    tot = cells.agg(F.sum("cnt").alias("n_g"))
+    cdf_s = (
+        srcs.crossJoin(F.broadcast(grid))
+        .alias("sg")
+        .join(
+            cells.alias("c"),
+            (F.col("c.source") == F.col("sg.source"))
+            & (F.col("c.v") <= F.col("sg.v")),
+            "left",
+        )
+        .groupBy(F.col("sg.source").alias("source"), F.col("sg.v").alias("v"))
+        .agg(F.coalesce(F.sum("c.cnt"), F.lit(0)).alias("cum_s"))
+    )
+    cdf_g = (
+        grid.alias("g")
+        .join(cells.alias("c"), F.col("c.v") <= F.col("g.v"), "left")
+        .groupBy(F.col("g.v").alias("v"))
+        .agg(F.coalesce(F.sum("c.cnt"), F.lit(0)).alias("cum_g"))
+    )
+    return (
+        cdf_s.join(cdf_g, "v")
+        .join(srcs, "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "n_g")
+        .agg(
+            F.expr(
+                "SUM(ABS(CAST(cum_s AS DECIMAL(38,0)) * n_g"
+                " - CAST(cum_g AS DECIMAL(38,0)) * n_s))"
+            ).alias("num")
+        )
+        .selectExpr(
+            "source",
+            "CAST(n_s AS BIGINT) AS n_docs",
+            f"CAST(num * {_W1_CELL} * 1000000"
+            " DIV (CAST(n_s AS DECIMAL(38,0)) * n_g) AS BIGINT)"
+            " AS w1_chars_e6",
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------- KMV distinct-count sketch
+
+
+# K-minimum-values cardinality sketch: keep the K smallest values of a
+# uniform 60-bit hash of each distinct key; the (K-1) / kth_min
+# estimator (Bar-Yossef et al. 2002) needs only K BIGINTs per scope —
+# the mergeable, bounded-memory way to count distincts at 100 TB
+# (union of sketches = K smallest of the concatenation).  The hash is
+# the repo's portable md5-based h60, so both engines compute the SAME
+# sketch and the estimate is deterministic, not merely close.
+_KMV_K = 64
+_KMV_DOMAIN = 1 << 60
+
+
+@query(
+    "kmv_distinct_estimate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source,
+               UNNEST(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS w
+        FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+        WHERE len(ws) >= 2
+      )
+    ),
+    hashed AS (
+      SELECT source, ('0x' || substr(md5(w || '#71'), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    ranked AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n_true
+      FROM hashed
+    )
+    SELECT source,
+           CAST(n_true AS BIGINT) AS true_distinct,
+           CAST(h AS BIGINT) AS kth_min_hash,
+           CAST(({_KMV_K} - 1) * CAST({_KMV_DOMAIN} AS HUGEINT) // h
+                AS BIGINT) AS kmv_estimate,
+           CAST(ABS(({_KMV_K} - 1) * CAST({_KMV_DOMAIN} AS HUGEINT) // h
+                    - n_true) * 1000000 // n_true AS BIGINT) AS abs_err_e6
+    FROM ranked WHERE rnk = {_KMV_K}
+    ORDER BY source
+    """,
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per source (Bar-Yossef
+    et al., 2002): hash every distinct token with the portable 60-bit
+    md5 digest (keys are word BIGRAMS — the high-cardinality unit the
+    synthetic corpus offers), keep the K={_KMV_K} smallest per
+    source, estimate
+    |distinct| as (K-1) * 2^60 / kth_min.  Unlike
+    approx_count_distinct (HLL, engine-private registers) the KMV
+    sketch is REPRODUCIBLE across engines — DuckDB computes the
+    byte-identical kth hash and estimate, so the oracle checks the
+    sketch itself, not a tolerance.  The true distinct count and the
+    e6 relative error ride along (the estimator's ~1/sqrt(K) noise is
+    data-independent; the row pins what it measures).
+
+    Scale shape: distinct (source, token) is one exchange; the
+    per-source K-smallest ranking is a vocab-sized window keyed by
+    source (never partitionless); output is |sources| rows of 4
+    integers.  At 100 TB the sketch merges across partitions by
+    construction — K BIGINTs per scope is the whole state."""
+    d = t(spark, sf_dir, "documents")
+    from instructions_mr_spark.queries._util import spark_h60
+
+    toks = (
+        d.select("source", F.split("text", " ").alias("ws"))
+        .filter(F.expr("size(ws) >= 2"))
+        .select(
+            "source",
+            F.expr(
+                "explode(transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ',"
+                " element_at(ws, i + 1))))"
+            ).alias("w"),
+        )
+        .distinct()
+        .select("source", F.expr(spark_h60("w", 71)).alias("h"))
+    )
+    w_src = Window.partitionBy("source").orderBy("h")
+    ranked = toks.select(
+        "source",
+        "h",
+        F.row_number().over(w_src).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_true"),
+    )
+    return (
+        ranked.filter(F.col("rnk") == _KMV_K)
+        .selectExpr(
+            "source",
+            "CAST(n_true AS BIGINT) AS true_distinct",
+            "CAST(h AS BIGINT) AS kth_min_hash",
+            f"CAST(({_KMV_K} - 1) * CAST({_KMV_DOMAIN} AS DECIMAL(38,0))"
+            " DIV h AS BIGINT) AS kmv_estimate",
+            f"CAST(ABS(({_KMV_K} - 1) * CAST({_KMV_DOMAIN} AS DECIMAL(38,0))"
+            " DIV h - n_true) * 1000000 DIV n_true AS BIGINT) AS abs_err_e6",
+        )
+        .orderBy("source")
+    )
+
+
+kmv_distinct_estimate.__doc__ = (kmv_distinct_estimate.__doc__ or "").replace(
+    "{_KMV_K}", str(_KMV_K)
+)

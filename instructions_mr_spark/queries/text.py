@@ -4057,3 +4057,235 @@ def crawl_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ------------------------------------------ MRR@10 retrieval eval
+
+
+# Reciprocal-rank weights as exact e6 integer literals (1e6 / rank,
+# floored) — same convention as the NDCG discount table: no float
+# division anywhere, so the metric is bit-identical across engines.
+_MRR_W_E6 = [1000000, 500000, 333333, 250000, 200000,
+             166666, 142857, 125000, 111111, 100000]
+_MRR_REL_MIN = 2  # graded rel >= 2 counts as "relevant" for MRR
+
+
+def _mrr_weight_case(rank_col: str) -> str:
+    cases = " ".join(
+        f"WHEN {rank_col} = {i + 1} THEN {w}"
+        for i, w in enumerate(_MRR_W_E6)
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+@query(
+    "mrr_at10_terms",
+    oracle=f"""
+    WITH q AS (SELECT UNNEST({_NDCG_QUERY_TERMS!r}) AS term),
+    tf AS (
+      SELECT q.term, d.doc_id,
+             len(list_filter(string_split(d.text, ' '), w -> w = q.term))
+               AS rel
+      FROM documents d CROSS JOIN q
+    ),
+    nz AS (SELECT term, doc_id, rel FROM tf WHERE rel > 0),
+    ranked AS (
+      SELECT term, rel,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY rel DESC, doc_id) AS rnk
+      FROM nz
+    ),
+    firstrel AS (
+      SELECT term, MIN(rnk) AS first_rank
+      FROM ranked
+      WHERE rel >= {_MRR_REL_MIN} AND rnk <= 10
+      GROUP BY term
+    )
+    SELECT q.term,
+           CAST(COALESCE(f.first_rank, 0) AS BIGINT) AS first_rel_rank,
+           CAST(COALESCE({_mrr_weight_case("f.first_rank")}, 0) AS BIGINT)
+             AS rr_e6
+    FROM q LEFT JOIN firstrel f USING (term)
+    ORDER BY q.term
+    """,
+)
+def mrr_at10_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank harness (the third leg of the retrieval
+    eval set, after recall@k and NDCG@10): per query term, rank docs
+    by graded term-frequency relevance, call a doc RELEVANT when the
+    term appears >= {_MRR_REL_MIN} times, and report the rank of the
+    first relevant doc in the top-10 plus its reciprocal rank as an
+    exact e6 integer (literal 1e6/rank table — no float division).
+    first_rel_rank = 0 means no relevant doc reached the top 10; the
+    MRR over terms is the mean of rr_e6, left to the reader so the
+    per-term rows stay auditable.
+
+    Scale shape: identical to ndcg_at10_terms — literal broadcast
+    term set, in-row relevance counting on the scan, per-term top-10
+    windows (WindowGroupLimit), |terms| result rows."""
+    q = spark.createDataFrame(
+        [(w,) for w in _NDCG_QUERY_TERMS], "term string"
+    )
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "term",
+            "doc_id",
+            F.expr(
+                "size(filter(split(text, ' '), w -> w = term))"
+            ).alias("rel"),
+        )
+        .filter("rel > 0")
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("term").orderBy(F.col("rel").desc(), "doc_id")
+    ranked = tf.select("term", "rel", F.row_number().over(wr).alias("rnk"))
+    firstrel = (
+        ranked.filter(
+            (F.col("rel") >= _MRR_REL_MIN) & (F.col("rnk") <= 10)
+        )
+        .groupBy("term")
+        .agg(F.min("rnk").alias("first_rank"))
+    )
+    return (
+        q.join(firstrel, "term", "left")
+        .selectExpr(
+            "term",
+            "CAST(COALESCE(first_rank, 0) AS BIGINT) AS first_rel_rank",
+            f"CAST(COALESCE({_mrr_weight_case('first_rank')}, 0) AS BIGINT)"
+            " AS rr_e6",
+        )
+        .orderBy("term")
+    )
+
+
+mrr_at10_terms.__doc__ = (mrr_at10_terms.__doc__ or "").replace(
+    "{_MRR_REL_MIN}", str(_MRR_REL_MIN)
+)
+
+
+# ---------------------------------- cross-doc CDC chunk dedup
+
+
+@query(
+    "cdc_cross_doc_dedup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(ws) AS w,
+             CAST(UNNEST(range(1, len(ws) + 1)) AS BIGINT) AS pos,
+             len(ws) AS n
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    flagged AS (
+      SELECT doc_id, w, pos,
+             CASE WHEN pos > 1 AND pos < n
+                       AND ('0x' || substr(md5(w || '#5'), 1, 8))::BIGINT
+                           % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS is_boundary
+      FROM words
+    ),
+    chunked AS (
+      SELECT doc_id, w, pos,
+             SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+             COUNT(*) AS n_words
+      FROM chunked GROUP BY 1, 2
+    ),
+    digests AS (
+      SELECT ('0x' || substr(md5(chunk_text || '#9'), 1, 15))::BIGINT AS dg,
+             n_words
+      FROM chunks
+    ),
+    uniq AS (
+      SELECT dg, MAX(n_words) AS n_words, COUNT(*) AS copies
+      FROM digests GROUP BY dg
+    )
+    SELECT CAST(SUM(copies) AS BIGINT) AS total_chunks,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+           CAST(SUM(copies * n_words) AS BIGINT) AS total_words,
+           CAST(SUM((copies - 1) * n_words) AS BIGINT) AS dup_words,
+           CAST(SUM((copies - 1) * n_words) * 1000000
+                // SUM(copies * n_words) AS BIGINT) AS savings_e6
+    FROM uniq
+    """,
+)
+def cdc_cross_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document content-defined-chunk deduplication audit — the
+    storage-level dedup measurement behind 'how much of this crawl is
+    shared boilerplate?': every doc is split at the SAME
+    content-defined boundaries as cdc_chunk_stats (interior words
+    whose 32-bit digest is 0 mod 8 — boundaries survive insertions,
+    unlike fixed-size blocks), chunks are digested with the portable
+    60-bit hash, and identical chunks across (or within) docs are
+    counted once.  dup_words / total_words is the byte-savings a
+    chunk-level dedup store would realize; the 60-bit digest keeps
+    birthday collisions negligible at the corpus sizes the repo
+    tests.
+
+    Scale shape: posexplode + one doc_id-keyed window (per-doc
+    running boundary count — bounded by DOC LENGTH, never corpus) +
+    one (doc, chunk) assembly groupBy; the cross-doc dedup shuffles
+    16-byte digests only, never chunk text (the digest election
+    pattern every dedup op here uses).  Output is one row of five
+    integers."""
+    d = t(spark, sf_dir, "documents")
+    from instructions_mr_spark.queries._util import spark_h60
+    from pyspark.sql import Window
+
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).select("doc_id", "w", (F.col("pos0") + 1).alias("pos"), "n")
+    flagged = words.select(
+        "doc_id",
+        "w",
+        "pos",
+        F.expr(
+            "CASE WHEN pos > 1 AND pos < n AND"
+            " CAST(CONV(SUBSTRING(MD5(CAST(w || '#5' AS BINARY)), 1, 8),"
+            " 16, 10) AS BIGINT) % "
+            f"{_CDC_MOD} = 0 THEN 1 ELSE 0 END"
+        ).alias("is_boundary"),
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = flagged.select(
+        "doc_id",
+        "w",
+        "pos",
+        F.sum("is_boundary").over(w_doc).alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, w))), s -> s.w))"
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    digests = chunks.select(
+        F.expr(spark_h60("chunk_text", 9)).alias("dg"), "n_words"
+    )
+    uniq = digests.groupBy("dg").agg(
+        F.max("n_words").alias("n_words"), F.count(F.lit(1)).alias("copies")
+    )
+    return uniq.agg(
+        F.sum("copies").cast("bigint").alias("total_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chunks"),
+        F.sum(F.expr("copies * n_words")).cast("bigint").alias("total_words"),
+        F.sum(F.expr("(copies - 1) * n_words")).cast("bigint").alias("dup_words"),
+        F.expr(
+            "CAST(SUM((copies - 1) * n_words) * 1000000"
+            " DIV SUM(copies * n_words) AS BIGINT)"
+        ).alias("savings_e6"),
+    )
