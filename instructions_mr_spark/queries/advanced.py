@@ -778,6 +778,113 @@ def multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample_plan",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 600 WHEN 1 THEN 1000
+               WHEN 2 THEN 90000 ELSE 24000 END AS BIGINT) AS timescale,
+             CAST(doc_id * 1001 % 100000 + 1 AS BIGINT) AS duration
+      FROM documents
+    ),
+    planned AS (
+      SELECT doc_id, timescale, duration,
+             LEAST(8, GREATEST(1, (duration * 1000 // timescale) // 500))
+               AS n_frames
+      FROM meta
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * duration // n_frames AS BIGINT) AS t_units,
+           CAST((i * duration // n_frames) * 1000 // timescale AS BIGINT)
+             AS t_ms
+    FROM planned, generate_series(0, 7) AS g(i)
+    WHERE i < n_frames
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling schedule over REAL decoded video headers — the
+    step a video-training pipeline runs between 'decode container
+    metadata' and 'extract frames': from each MP4's (timescale,
+    duration), recovered by the SAME stdlib ISO-BMFF box walker as
+    multimodal_video_real (not from the synthesis formulas), plan up
+    to 8 uniformly-spaced sample points, one per >= 500 ms of media,
+    as exact integer media-units and milliseconds.  The oracle
+    recomputes the schedule from the doc_id-derived header parameters
+    — a mismatch means either the box walker or the schedule
+    arithmetic drifted.  The frame DECODE itself needs codec
+    libraries this container lacks; the schedule is the Spark-side
+    contract a decode kernel plugs into (same mapInPandas shape as
+    the header walkers).
+
+    Scale shape: header synthesis + Arrow-batched header walk are
+    per-row; the schedule is an in-row sequence explode (<= 8 rows
+    per video); no shuffle anywhere until a consumer aggregates."""
+    from instructions_mr_spark.operators.multimodal import decode_video_headers
+
+    ts = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(90000), F.lit(24000)),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    dur = (F.col("doc_id") * 1001 % 100000 + 1).cast("int")
+    ntrak = (F.col("doc_id") % 3 + 1).cast("int")
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    ftyp = F.concat(be32(F.lit(16)), F.lit(b"ftyp"), F.lit(b"isomiso2"))
+    mvhd = F.concat(
+        be32(F.lit(28)),
+        F.lit(b"mvhd"),
+        F.lit(b"\x00\x00\x00\x00"),
+        F.lit(b"\x00" * 8),
+        be32(ts),
+        be32(dur),
+    )
+    trak = F.concat(be32(F.lit(8)), F.lit(b"trak"))
+    traks = F.aggregate(
+        F.sequence(F.lit(1), ntrak),
+        F.lit(b""),
+        lambda acc, _i: F.concat(acc, trak),
+    )
+    moov = F.concat(be32(F.lit(36) + ntrak * 8), F.lit(b"moov"), mvhd, traks)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(ftyp, moov).alias("payload")
+    )
+    decoded = decode_video_headers(d, "payload").select(
+        "doc_id",
+        F.col("timescale").cast("bigint").alias("timescale"),
+        F.col("duration").cast("bigint").alias("duration"),
+    )
+    planned = decoded.selectExpr(
+        "doc_id",
+        "timescale",
+        "duration",
+        "LEAST(8, GREATEST(1, (duration * 1000 DIV timescale) DIV 500))"
+        " AS n_frames",
+    )
+    return (
+        planned.select(
+            "doc_id",
+            "timescale",
+            "duration",
+            "n_frames",
+            F.explode(F.expr("sequence(0, CAST(n_frames - 1 AS INT))")).alias("i"),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(i AS BIGINT) AS frame_idx",
+            "CAST(i * duration DIV n_frames AS BIGINT) AS t_units",
+            "CAST((i * duration DIV n_frames) * 1000 DIV timescale AS BIGINT)"
+            " AS t_ms",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@query(
     "udf_arrow_scalar",
     oracle="""
     SELECT o_orderkey,
