@@ -1717,44 +1717,38 @@ def _cell_blocked_pairs(e, k: int, threshold: float,
     # gate at 0.63 silently ships 37% of true near-dups.  Candidate
     # volume stays linear in n (cell size constant via the adaptive
     # k); the prescreen absorbs the extra within-cell pairs
-    cells = assign_topm_cells(e, cents, m=m).select("cell", "vec_id")
+    # prescreen INSIDE the self-join (r10 follow-up): the 4 signature
+    # words ride the narrow cells rows (32 extra bytes x m rows per
+    # vector), the hamming test evaluates as a RESIDUAL condition of
+    # the cell equi-join, and the pair-dedup DISTINCT therefore
+    # exchanges only the ~1-in-5 SURVIVORS — at sf1 that is a 22M-row
+    # distinct instead of a 94M-row one (pre-screen-then-distinct was
+    # the first cut; moving the screen into the join measured the
+    # remaining win).  Only surviving deduped pairs pay the 256-byte
+    # array join-back and the O(d) cosine.
+    sigs = supersede_checkpoint("semdedup_screen_sigs", _prescreen_sigs(e))
+    cells = (
+        assign_topm_cells(e, cents, m=m)
+        .select("cell", "vec_id")
+        .join(sigs, "vec_id")
+    )
     a, b = cells.alias("a"), cells.alias("b")
-    cand = (
+    hamming_ok = F.expr(
+        f"{_SEM_SCREEN_BITS} - "
+        + " - ".join(f"bit_count(a.s{w} ^ b.s{w})" for w in range(4))
+        + f" >= {screen_min}"
+    )
+    screened = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & hamming_ok,
         )
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
         .distinct()
-    )
-    # prescreen: candidates first pay a 32-byte signature join + 4
-    # XOR/popcounts, and only surviving pairs (~1 in 5 at the 0.4
-    # audit threshold, measured) pay the 256-byte array join-back and
-    # the O(d) cosine.  The signature table is staged: it feeds both
-    # sides of the candidate join.
-    sigs = supersede_checkpoint("semdedup_screen_sigs", _prescreen_sigs(e))
-    siga = sigs.select(
-        F.col("vec_id").alias("vec_a"),
-        *[F.col(f"s{w}").alias(f"a{w}") for w in range(4)],
-    )
-    sigb = sigs.select(
-        F.col("vec_id").alias("vec_b"),
-        *[F.col(f"s{w}").alias(f"b{w}") for w in range(4)],
-    )
-    screened = (
-        cand.join(siga, "vec_a")
-        .join(sigb, "vec_b")
-        .filter(
-            F.expr(
-                f"{_SEM_SCREEN_BITS} - "
-                + " - ".join(f"bit_count(a{w} ^ b{w})" for w in range(4))
-                + f" >= {screen_min}"
-            )
-        )
-        .select("vec_a", "vec_b")
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
