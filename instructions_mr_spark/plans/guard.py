@@ -195,14 +195,53 @@ def _filter_pins_entity(text: str) -> bool:
     return " OR " not in text and bool(_ID_PIN.search(text))
 
 
+# Output-attribute ids of certified checkpoints -> the boundedness of
+# the PRE-checkpoint plan (round 10 hardening): a ``LogicalRDD`` leaf
+# is either a driver-side literal (createDataFrame — bounded) or a
+# materialized checkpoint, and for checkpoints made through
+# supersede_checkpoint the original plan's boundedness is recorded
+# here by attr id, so broadcasting a corpus-scale CHECKPOINTED table
+# downstream is flagged instead of waved through.  Limitation
+# (documented, tested): Spark's DeduplicateRelations re-ids one side
+# of a self-join, and those re-id'd attrs fall back to the literal
+# default — the certification at checkpoint-build time (which sees
+# the un-truncated plan) remains the primary seam; this lookup closes
+# the downstream-reuse window.
+CHECKPOINT_COLS_BOUNDED: dict[str, bool] = {}
+
+
+def register_checkpoint_bounds(df_ck, is_bounded: bool) -> None:
+    """Record a checkpointed DataFrame's output attribute ids with the
+    boundedness of the plan it truncated (see CHECKPOINT_COLS_BOUNDED).
+    Called by queries._util.supersede_checkpoint."""
+    out = df_ck._jdf.queryExecution().analyzed().output()
+    for i in range(out.size()):
+        attr = out.apply(i)
+        key = f"{attr.name()}#{attr.exprId().id()}"
+        CHECKPOINT_COLS_BOUNDED[key] = is_bounded
+
+
+def _logical_rdd_bounded(text: str) -> bool:
+    """A LogicalRDD is bounded unless a registered checkpoint column
+    says its source plan was corpus-scale.  Plan text prints attrs as
+    ``name#123L`` (type suffix after the id); the lookup key is
+    ``name#123``, which the id regex extracts directly."""
+    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*#\d+", _first_bracket(text)):
+        if CHECKPOINT_COLS_BOUNDED.get(m.group(0)) is False:
+            return False
+    return True
+
+
 def bounded(node: Node) -> bool:
     name = node.name
     if name in ("GlobalLimit", "LocalLimit"):
         return True
     if name == "Filter" and _filter_pins_entity(node.text):
         return True
-    if name in ("LocalRelation", "OneRowRelation", "Range", "LogicalRDD"):
-        # LogicalRDD = spark.createDataFrame(...) driver-side literal
+    if name == "LogicalRDD":
+        return _logical_rdd_bounded(node.text)
+    if name in ("LocalRelation", "OneRowRelation", "Range"):
+        # driver-side literal tables
         return True
     if name == "Relation":
         return classify_relation(node.text)[1]
@@ -230,8 +269,14 @@ def bounded(node: Node) -> bool:
 def _why_unbounded(node: Node) -> str:
     """First node that breaks the bounded certificate, for diagnosis."""
     name = node.name
+    if name == "LogicalRDD":
+        return (
+            ""
+            if _logical_rdd_bounded(node.text)
+            else "LogicalRDD(checkpoint of an unbounded plan)"
+        )
     if name in ("GlobalLimit", "LocalLimit", "LocalRelation",
-                "OneRowRelation", "Range", "LogicalRDD"):
+                "OneRowRelation", "Range"):
         return ""
     if name == "Filter" and _filter_pins_entity(node.text):
         return ""
@@ -299,19 +344,37 @@ def optimized_plan(df) -> str:
 
 
 
-def certify_no_unbounded_hints(df, label: str) -> None:
+def certify_no_unbounded_hints(df, label: str) -> bool:
     """Raise if ``df``'s optimized plan carries a broadcast hint on a
     subtree not provably bounded.  Called by
     ``queries._util.supersede_checkpoint`` on every staged table
     BEFORE ``localCheckpoint()`` materializes it — the only moment the
     hinted lineage is still visible (afterwards the plan is one
     ``LogicalRDD`` leaf and the registry-wide sweep certifies a
-    vacuous truth)."""
+    vacuous truth).  Returns whether the WHOLE plan is bounded, so the
+    caller can register the checkpoint's columns for downstream
+    LogicalRDD classification (see CHECKPOINT_COLS_BOUNDED)."""
     # full node strings: a length-truncated Aggregate line hides its
     # grouping keys from the boundedness classifier
     df.sparkSession.conf.set("spark.sql.debug.maxToStringFields", "2000")
-    hits = hinted_offenders(optimized_plan(df))
+    root = parse_plan(optimized_plan(df))
+    hits: list[str] = []
+
+    def walk(n: Node) -> None:
+        if n.name == "Join" and "strategy=broadcast" in n.text:
+            kids = list(n.children)
+            if "leftHint=(strategy=broadcast" in n.text and kids:
+                if not bounded(kids[0]):
+                    hits.append(f"LEFT [{_why_unbounded(kids[0])}] of: " + n.text[:140])
+            if "rightHint=(strategy=broadcast" in n.text and len(kids) >= 2:
+                if not bounded(kids[-1]):
+                    hits.append(f"RIGHT [{_why_unbounded(kids[-1])}] of: " + n.text[:140])
+        for k in n.children:
+            walk(k)
+
+    walk(root)
     if hits:
         raise AssertionError(
             f"unbounded broadcast hint behind checkpoint {label!r}: {hits}"
         )
+    return bounded(root)

@@ -102,10 +102,17 @@ def supersede_checkpoint(key: str, df: DataFrame) -> DataFrame:
     one-shot drivers leak at most one block set per staged table.
     ``key`` labels the site for debugging and guard diagnostics.
     """
-    from instructions_mr_spark.plans.guard import certify_no_unbounded_hints
+    from instructions_mr_spark.plans.guard import (
+        certify_no_unbounded_hints,
+        register_checkpoint_bounds,
+    )
 
-    certify_no_unbounded_hints(df, key)
+    is_bounded = certify_no_unbounded_hints(df, key)
     ck = df.localCheckpoint()
+    # record the truncated plan's boundedness by output attr id, so a
+    # downstream F.broadcast() of this checkpoint is classifiable
+    # (LogicalRDD leaves are otherwise assumed to be literals)
+    register_checkpoint_bounds(ck, is_bounded)
     _STAGED_CKPTS.append(ck)
     return ck
 

@@ -484,3 +484,35 @@ def test_checkpoint_guard_catches_hidden_hint(spark, sf_dir):
     hinted = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
     with pytest.raises(AssertionError, match="unbounded broadcast hint"):
         supersede_checkpoint("test_hidden_hint", hinted)
+
+
+def test_checkpoint_guard_sees_downstream_broadcast(spark, sf_dir):
+    """Round-10 hardening: broadcasting a corpus-scale table that was
+    CHECKPOINTED earlier must still be flagged — the checkpoint's
+    LogicalRDD leaf is classified via the attr-id registry recorded
+    at certification time, not assumed to be a literal.  The bounded
+    counterpart (a value-domain aggregate checkpoint) must stay
+    broadcastable."""
+    from pyspark.sql import functions as F
+
+    import tools.broadcast_guard as bg
+    from instructions_mr_spark.queries._util import supersede_checkpoint, t
+
+    li = t(spark, sf_dir, "lineitem")
+    # unbounded: per-orderkey distinct grows with the corpus
+    big = supersede_checkpoint(
+        "test_big_ckpt", li.select("l_orderkey", "l_partkey").distinct()
+    )
+    hinted = li.join(
+        F.broadcast(big.select(F.col("l_orderkey").alias("k"))),
+        F.col("l_orderkey") == F.col("k"),
+    )
+    hits = bg.hinted_offenders(bg.optimized_plan(hinted))
+    assert hits and "LogicalRDD(checkpoint of an unbounded plan)" in hits[0]
+    # bounded: returnflag-keyed aggregate (value domain)
+    small = supersede_checkpoint(
+        "test_small_ckpt",
+        li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")),
+    )
+    ok = li.join(F.broadcast(small), "l_returnflag")
+    assert bg.hinted_offenders(bg.optimized_plan(ok)) == []
