@@ -778,6 +778,227 @@ def multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_tile_plan",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST((doc_id * 37) % 4000 + 1 AS BIGINT) AS width,
+             CAST((doc_id * 91) % 3000 + 1 AS BIGINT) AS height
+      FROM documents
+    ),
+    grids AS (
+      SELECT doc_id, width, height,
+             LEAST(4, GREATEST(1, width // 224)) AS nx,
+             LEAST(4, GREATEST(1, height // 224)) AS ny
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS tile_x, CAST(j AS BIGINT) AS tile_y,
+           CAST(i * 224 AS BIGINT) AS x0, CAST(j * 224 AS BIGINT) AS y0,
+           CAST(LEAST(224, width - i * 224) AS BIGINT) AS w,
+           CAST(LEAST(224, height - j * 224) AS BIGINT) AS h
+    FROM grids, generate_series(0, 3) AS gx(i), generate_series(0, 3) AS gy(j)
+    WHERE i < nx AND j < ny
+    ORDER BY doc_id, tile_x, tile_y
+    """,
+)
+def multimodal_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style tile grid over REAL decoded image headers: from each
+    image's (width, height) — recovered by the stdlib PNG/JPEG/GIF
+    header parser, not from the synthesis formulas — plan a grid of
+    224x224 patches (up to 4x4 per image; edge tiles clamped to the
+    image), as exact integer origins and sizes.  The vision-encoder
+    preprocessing seam: the patch EXTRACTION needs an image lib this
+    container lacks; the schedule is the contract the extraction
+    kernel plugs into.
+
+    Scale shape: header synthesis + Arrow-batched parse per row; the
+    grid is an in-row double sequence explode (<= 16 rows/image); no
+    shuffle."""
+    from instructions_mr_spark.operators.multimodal import decode_image_headers
+
+    w = (F.col("doc_id") * 37 % 4000 + 1).cast("int")
+    h = (F.col("doc_id") * 91 % 3000 + 1).cast("int")
+
+    def be32(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def be16(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    def le16(c):
+        hx = F.lpad(F.hex(c), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),
+        be32(w),
+        be32(h),
+        F.lit(b"\x08\x06\x00\x00\x00"),
+    )
+    jpeg = F.concat(
+        F.lit(b"\xff\xd8"),
+        F.lit(b"\xff\xc0\x00\x11\x08"),
+        be16(h),
+        be16(w),
+        F.lit(b"\x03"),
+    )
+    gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00"))
+    mod3 = (F.col("doc_id") % 3).cast("int")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(mod3 == 0, png).when(mod3 == 1, jpeg).otherwise(gif).alias("payload"),
+    )
+    dims = decode_image_headers(d, "payload").select(
+        "doc_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+    )
+    grids = dims.selectExpr(
+        "doc_id",
+        "width",
+        "height",
+        "LEAST(4, GREATEST(1, width DIV 224)) AS nx",
+        "LEAST(4, GREATEST(1, height DIV 224)) AS ny",
+    )
+    return (
+        grids.select(
+            "*", F.explode(F.expr("sequence(0, CAST(nx - 1 AS INT))")).alias("i")
+        )
+        .select(
+            "*", F.explode(F.expr("sequence(0, CAST(ny - 1 AS INT))")).alias("j")
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(i AS BIGINT) AS tile_x",
+            "CAST(j AS BIGINT) AS tile_y",
+            "CAST(i * 224 AS BIGINT) AS x0",
+            "CAST(j * 224 AS BIGINT) AS y0",
+            "CAST(LEAST(224, width - i * 224) AS BIGINT) AS w",
+            "CAST(LEAST(224, height - j * 224) AS BIGINT) AS h",
+        )
+        .orderBy("doc_id", "tile_x", "tile_y")
+    )
+
+
+@query(
+    "multimodal_audio_chunk_plan",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+             CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples
+      FROM documents
+    ),
+    planned AS (
+      SELECT doc_id, sample_rate, n_samples,
+             sample_rate // 50 AS win,
+             GREATEST(1, sample_rate // 100) AS hop
+      FROM meta
+    ),
+    counted AS (
+      SELECT *, LEAST(8, CASE WHEN n_samples >= win
+                   THEN (n_samples - win) // hop + 1 ELSE 1 END) AS n_chunks
+      FROM planned
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * hop AS BIGINT) AS start_sample,
+           CAST(LEAST(i * hop + win, n_samples) AS BIGINT) AS end_sample
+    FROM counted, generate_series(0, 7) AS g(i)
+    WHERE i < n_chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def multimodal_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 ms / 50%-hop windowing schedule over REAL decoded WAV
+    headers: from each file's (sample_rate, n_samples) — recovered by
+    the stdlib RIFF chunk walker, not the synthesis formulas — plan
+    up to 8 analysis windows (win = sr/50 samples, hop = win/2) as
+    exact integer sample offsets.  The feature-extraction seam (MFCC
+    / mel filterbank kernels plug in here); completes the
+    image-tile / video-frame / audio-window preprocessing-plan trio.
+
+    Scale shape: header synthesis + Arrow-batched chunk walk per row;
+    in-row sequence explode (<= 8 rows per file); no shuffle."""
+    from instructions_mr_spark.operators.multimodal import decode_audio_headers
+
+    ch = (F.col("doc_id") % 2 + 1).cast("int")
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    n = (F.col("doc_id") % 1000 + 1).cast("int")
+    data_size = n * ch * 2
+    byte_rate = sr * ch * 2
+    block = ch * 2
+
+    def le16(c):
+        hx = F.lpad(F.hex(c), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    def le32(c):
+        hx = F.lpad(F.hex(c), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(hx, 7, 2),
+                F.substring(hx, 5, 2),
+                F.substring(hx, 3, 2),
+                F.substring(hx, 1, 2),
+            )
+        )
+
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        le32(data_size + 36),
+        F.lit(b"WAVE"),
+        F.lit(b"fmt "),
+        F.lit(b"\x10\x00\x00\x00"),
+        F.lit(b"\x01\x00"),
+        le16(ch),
+        le32(sr),
+        le32(byte_rate),
+        le16(block),
+        F.lit(b"\x10\x00"),
+        F.lit(b"data"),
+        le32(data_size),
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", wav.alias("payload"))
+    meta = decode_audio_headers(d, "payload").select(
+        "doc_id",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+    )
+    counted = meta.selectExpr(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "sample_rate DIV 50 AS win",
+        "GREATEST(1, sample_rate DIV 100) AS hop",
+    ).selectExpr(
+        "*",
+        "LEAST(8, CASE WHEN n_samples >= win"
+        " THEN (n_samples - win) DIV hop + 1 ELSE 1 END) AS n_chunks",
+    )
+    return (
+        counted.select(
+            "*",
+            F.explode(F.expr("sequence(0, CAST(n_chunks - 1 AS INT))")).alias("i"),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(i AS BIGINT) AS chunk_idx",
+            "CAST(i * hop AS BIGINT) AS start_sample",
+            "CAST(LEAST(i * hop + win, n_samples) AS BIGINT) AS end_sample",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
     "multimodal_frame_sample_plan",
     oracle="""
     WITH meta AS (
