@@ -2241,3 +2241,87 @@ def substring_index_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n",
         "substring_index(s, '/', n) AS head_or_tail",
     ).orderBy("cid")
+
+
+# --------------------------------- VARIANT (Spark 4) shredding
+
+
+@query(
+    "variant_shred_contract",
+    oracle="""
+    WITH built AS (
+      SELECT event_type,
+             json_object(
+               'id', event_id,
+               'u', json_object('uid', user_id,
+                                'vals', json_array(value, value * 2)),
+               'ty', event_type
+             ) AS js
+      FROM events
+    ),
+    shredded AS (
+      SELECT event_type,
+             CAST(js ->> '$.u.uid' AS BIGINT) AS uid,
+             CAST(js ->> '$.u.vals[1]' AS DOUBLE) AS v2,
+             js ->> '$.missing' AS absent
+      FROM built
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(uid) AS BIGINT) AS uid_sum,
+           CAST(SUM(CAST(FLOOR(v2 * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS v2_cents_sum,
+           CAST(SUM(CASE WHEN absent IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_null
+    FROM shredded GROUP BY event_type ORDER BY event_type
+    """,
+)
+def variant_shred_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type contract — the open-schema semi-structured
+    path (parse_json -> VARIANT -> variant_get typed extraction) that
+    replaces string get_json_object at scale: each event is rebuilt
+    as a nested JSON document (object-in-object plus an array),
+    parsed to VARIANT once, and shredded with typed paths — a nested
+    field as BIGINT, an array element by index as DOUBLE, and a
+    missing path (must be NULL, not an error).  DuckDB has no
+    VARIANT; the oracle is its JSON-arrow extraction over the same
+    constructed document, so the contract pins that VARIANT
+    extraction and classic JSON pathing agree on values, array
+    indexing (variant_get is 0-based via [1] meaning second element
+    in BOTH dialects here), and missing-path semantics.
+
+    Scale shape: document build + parse + shred are all in-row; one
+    bounded group-by on event_type.  VARIANT's binary encoding is
+    the part that matters at 100 TB — parse once, extract many, no
+    re-tokenizing per path (measured motivation for SPARK-45891)."""
+    e = t(spark, sf_dir, "events")
+    built = e.select(
+        "event_type",
+        F.expr(
+            "parse_json(to_json(named_struct("
+            "'id', event_id,"
+            "'u', named_struct('uid', user_id, 'vals', array(value, value * 2)),"
+            "'ty', event_type)))"
+        ).alias("v"),
+    )
+    shredded = built.select(
+        "event_type",
+        F.expr("variant_get(v, '$.u.uid', 'bigint')").alias("uid"),
+        F.expr("variant_get(v, '$.u.vals[1]', 'double')").alias("v2"),
+        F.expr("variant_get(v, '$.missing', 'string')").alias("absent"),
+    )
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("uid").cast("bigint").alias("uid_sum"),
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(v2 * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            ).alias("v2_cents_sum"),
+            F.expr(
+                "CAST(SUM(CASE WHEN absent IS NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_missing_null"),
+        )
+        .orderBy("event_type")
+    )

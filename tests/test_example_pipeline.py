@@ -97,3 +97,20 @@ def test_recsys_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # a labeled pair is never both positive and negative
     dup = df.groupBy("cust", "part").count().filter("count > 1")
     assert dup.count() == 0
+
+
+def test_multimodal_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The multimodal manifest pipeline must decode every synthesized
+    payload, gate on DECODED metadata, and emit one task row per
+    planned tile/window/frame — with the manifest total equal to the
+    sum of its modality parts."""
+    from examples.multimodal_pipeline import run
+
+    funnel = run(sf_dir, str(tmp_path / "mm"))
+    assert funnel["images_decoded"] > 0
+    assert 0 < funnel["images_gated"] <= funnel["images_decoded"]
+    assert funnel["manifest_rows"] == (
+        funnel["tile_tasks"] + funnel["audio_tasks"] + funnel["frame_tasks"]
+    )
+    # plans only cover gate survivors
+    assert funnel["tile_tasks"] >= funnel["images_gated"]  # >=1 tile each
