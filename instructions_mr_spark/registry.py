@@ -51,8 +51,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (sql_pipe_syntax/transpose/zip_longest/array_edit/sql_udf), the new
 # text/quality ops (kneser_ney, quality_logreg, crawl_quality_drift,
 # ndcg@10), the stats additions (hll_intersection, median_ci, fourier,
-# hill_tail, drift_psi), then breadth: pandas-UDF surfaces, streaming-
-# shaped batch, iterative graph, and LSH diagnostics.
+# hill_tail, drift_psi), then the 10 round-10-NEW queries (new code
+# outranks the judge-swept backlog), then breadth: pandas-UDF
+# surfaces, text/quality, and LSH diagnostics.  Streaming-shaped
+# batch and iterative-graph backlog names rotate in r11.
 DRIVER_WINDOW: list[str] = [
     # continuity rows (driver-green r1-r9, anchor the comparison)
     "q1_pricing_summary",
@@ -100,23 +102,23 @@ DRIVER_WINDOW: list[str] = [
     "cogrouped_pandas_event_order_merge",
     "pandas_grouped_agg_udf",
     "pandas_udf_over_window",
-    # streaming-shaped batch ops
-    "stream_topk_types",
-    "ts_ohlc_hourly",
-    "stream_quantile_bins",
-    # iterative graph
-    "bellman_ford_bounded",
-    "label_propagation_2round",
-    "ppr_recommend_parts",
+    # round-10 NEW queries (first driver exposure; new code outranks
+    # the judge-swept backlog for the scarce driver slots)
+    "wasserstein1d_by_source",
+    "kmv_distinct_estimate",
+    "mrr_at10_terms",
+    "cdc_cross_doc_dedup",
+    "zorder_skip_audit",
+    "substring_index_contract",
+    "multimodal_frame_sample_plan",
+    "multimodal_tile_plan",
+    "multimodal_audio_chunk_plan",
+    "variant_shred_contract",
     # text/quality breadth
     "quality_feature_matrix",
     "winnowing_fingerprints",
-    "good_turing_spectrum",
-    "tokenizer_fertility",
     # SQL semantics breadth
     "nulls_ordering_contract",
-    "try_arithmetic_nulls",
-    "window_locf_fill",
     # LSH diagnostics
     "lsh_band_tuning_curve",
     "simhash_bit_bias_by_source",
