@@ -1618,6 +1618,19 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_COS_T = 0.4  # pair threshold (matches dedup_embedding_cosine)
 
+# Audit sample dial: the in-query brute-force recall audit self-joins a
+# deterministic id slice.  A FIXED 10%% slice is quadratic in n (the
+# sf2 scale step measured the audit overtaking the linear dedup path),
+# so the modulus grows with the corpus to hold the audited sample near
+# _SEM_AUDIT_TARGET vectors — constant audit cost at any scale, and
+# byte-identical behavior at every historical test SF (m = 10 for all
+# n <= 20k).  Both engines derive m from the same table COUNT.
+_SEM_AUDIT_TARGET = 2000
+
+
+def _audit_mod(n: int) -> int:
+    return max(10, n // _SEM_AUDIT_TARGET)
+
 # SemDeDup cell dial: k_eff = max(_SEMDEDUP_K, n // _SEMDEDUP_CELL_TARGET)
 # holds the EXPECTED CELL SIZE constant (~_SEMDEDUP_CELL_TARGET vectors,
 # m x that after top-m multi-assignment), which makes the cell-blocked
@@ -1766,8 +1779,12 @@ def _cell_blocked_pairs(e, k: int, threshold: float,
 @query(
     "semdedup_cells",
     oracle=f"""
-    WITH s AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    WITH m AS (
+      SELECT GREATEST(10, COUNT(*) // {_SEM_AUDIT_TARGET}) AS md
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, embedding FROM embeddings, m WHERE vec_id % md = 0
     ),
     audit AS (
       SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b
@@ -1796,9 +1813,10 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop any vector with a
     lower-id neighbor above the threshold.  Centroids aren't
     SQL-expressible, so the driver-checked contract has two parts:
-    VALUE-BEARING — the sampled brute-force audit (all pairs among
-    vec_id % 10 == 0, the n^2/100 audit you'd actually run at 100 TB)
-    is recomputed exactly by DuckDB: pair count plus an
+    VALUE-BEARING — the sampled brute-force audit (all pairs among a
+    capped deterministic id slice, ~_SEM_AUDIT_TARGET vectors at any
+    corpus size — constant audit cost at 100 TB) is recomputed
+    exactly by DuckDB: pair count plus an
     order-independent pair checksum; BOOLEAN — cells == k, at least
     one cell-blocked pair found, and the blocked pass recovers >= 0.5
     of the audit pairs.  Exact counts are also asserted in
@@ -1820,8 +1838,9 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_eff = max(_SEMDEDUP_K, n // _SEMDEDUP_CELL_TARGET)
     pairs, _ = _cell_blocked_pairs(e, k=k_eff, threshold=_SEM_COS_T)
     pairs = supersede_checkpoint("semdedup_pairs", pairs)
-    # Sampled-recall audit: brute-force pairs among the 10% hash sample.
-    s = e.filter(F.col("vec_id") % 10 == 0)
+    # Sampled-recall audit: brute-force pairs among a capped
+    # deterministic id slice (see _SEM_AUDIT_TARGET).
+    s = e.filter(F.col("vec_id") % _audit_mod(n) == 0)
     sa, sb = s.alias("sa"), s.alias("sb")
     audit = (
         sa.join(sb, F.col("sa.vec_id") < F.col("sb.vec_id"))
@@ -3592,8 +3611,12 @@ _EPS_LEVELS = [5, 10, 20, 50]  # eps * 100: cos >= 0.95, 0.90, 0.80, 0.50
 @query(
     "semdedup_eps_sweep",
     oracle=f"""
-    WITH s AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    WITH m AS (
+      SELECT GREATEST(10, COUNT(*) // {_SEM_AUDIT_TARGET}) AS md
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, embedding FROM embeddings, m WHERE vec_id % md = 0
     ),
     n AS (SELECT COUNT(*) AS ns FROM s),
     pr AS (
@@ -3615,9 +3638,9 @@ _EPS_LEVELS = [5, 10, 20, 50]  # eps * 100: cos >= 0.95, 0.90, 0.80, 0.50
     """,
 )
 def semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup epsilon dial, measured: on the exact 10%-sample audit
-    set (the same deterministic vec_id % 10 slice semdedup_cells
-    audits with), the near-dup pair count, the documents the
+    """SemDeDup epsilon dial, measured: on the exact capped audit
+    sample (the same deterministic id slice semdedup_cells audits
+    with — see _SEM_AUDIT_TARGET), the near-dup pair count, the documents the
     keep-lowest-id rule would drop, and the corpus keep-rate at
     eps in {{0.05, 0.10, 0.20, 0.50}} (cos >= 1 - eps) — the table a
     data-curation owner reads to pick epsilon BEFORE running the
@@ -3628,11 +3651,13 @@ def semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     production kernel applies per cluster.
 
     Scale shape: the sweep is exact all-pairs ON THE SAMPLE ONLY
-    (n/10 squared, the documented audit budget — the full corpus
-    never self-joins); the 4-level eps table broadcast-crosses the
+    (capped near _SEM_AUDIT_TARGET vectors at any corpus size — the
+    full corpus never self-joins); the 4-level eps table broadcast-crosses the
     scored pairs into one conditional roll-up."""
     e = t(spark, sf_dir, "embeddings")
-    s = e.filter("vec_id % 10 = 0").select("vec_id", "embedding")
+    s = e.filter(
+        F.col("vec_id") % _audit_mod(e.count()) == 0
+    ).select("vec_id", "embedding")
     s = supersede_checkpoint("eps_sweep_sample", s)
     n = s.agg(F.count(F.lit(1)).alias("ns"))
     ea = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
