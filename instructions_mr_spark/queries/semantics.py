@@ -2325,3 +2325,67 @@ def variant_shred_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------- window frame EXCLUDE CURRENT ROW
+
+
+@query(
+    "window_exclude_emulation",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(CAST(FLOOR(value * 100) AS BIGINT) AS BIGINT) AS cents,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                  EXCLUDE CURRENT ROW) AS BIGINT) AS peer_cents,
+           CAST(COUNT(*) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                  EXCLUDE CURRENT ROW) AS BIGINT) AS n_peers
+    FROM events
+    WHERE user_id < 40
+    ORDER BY user_id, event_id
+    """,
+)
+def window_exclude_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXCLUDE CURRENT ROW`` window-frame emulation — the
+    leave-one-out neighborhood statistic (peer average, self-excluded
+    anomaly baselines) that DuckDB/Postgres express with the SQL:2011
+    frame-exclusion clause Spark doesn't implement: the emulation is
+    frame_agg - current_row (for SUM) and frame_count - 1 (for
+    COUNT), exact because cents are integers.  The oracle runs the
+    REAL EXCLUDE clause, so the contract certifies the emulation
+    against the native semantics, including both partition edges
+    (frames truncate identically on both sides).
+
+    Scale shape: one user-keyed window pass over a pruned scan; the
+    exclusion is plain column arithmetic on top."""
+    from pyspark.sql import Window
+
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .selectExpr(
+            "CAST(user_id AS BIGINT) AS user_id",
+            "CAST(event_id AS BIGINT) AS event_id",
+            "ts",
+            "CAST(FLOOR(value * 100) AS BIGINT) AS cents",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "cents",
+            (F.sum("cents").over(w) - F.col("cents")).alias("peer_cents"),
+            (F.count(F.lit(1)).over(w) - F.lit(1)).cast("bigint").alias("n_peers"),
+        )
+        .orderBy("user_id", "event_id")
+    )
