@@ -2389,3 +2389,57 @@ def window_exclude_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ----------------------------- Observation (observe) metrics
+
+
+@query(
+    "observation_metrics_contract",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_open
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def observation_metrics_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe`` contract — Spark's zero-extra-pass
+    pipeline observability: named aggregate metrics attach to a plan
+    node and are collected as a SIDE EFFECT of whatever action the
+    query already runs, which is how a production pipeline audits
+    row counts / value totals without a second scan.  The query
+    materializes the observed stream once (noop-equivalent count),
+    reads the metrics off the Observation handle, and returns them as
+    a 1-row DataFrame the oracle recomputes as plain aggregates — so
+    the contract pins that observed metrics equal the ground truth,
+    exactly, on a pruned filtered scan.
+
+    Scale shape: metrics ride the existing single pass (accumulator
+    semantics); the returned table is one literal row."""
+    from pyspark.sql import Observation
+
+    obs = Observation("orders_audit")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) * 100)"
+                    " AS BIGINT)"
+                )
+            ).alias("total_cents"),
+            F.sum((F.col("o_orderstatus") == "O").cast("int")).alias("n_open"),
+        )
+    )
+    o.write.format("noop").mode("overwrite").save()  # the one pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["total_cents"]), int(m["n_open"]))],
+        "n_rows bigint, total_cents bigint, n_open bigint",
+    )
