@@ -2443,3 +2443,44 @@ def observation_metrics_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["total_cents"]), int(m["n_open"]))],
         "n_rows bigint, total_cents bigint, n_open bigint",
     )
+
+
+# ------------------------------ stat.crosstab contingency table
+
+
+_CT_SOURCES = [f"src{i}" for i in range(20)]
+
+
+@query(
+    "stat_crosstab_contract",
+    oracle="""
+    SELECT lang AS lang_source,
+           """
+    + ",\n           ".join(
+        f"CAST(SUM(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {s}"
+        for s in _CT_SOURCES
+    )
+    + """
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def stat_crosstab_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` contract — the DataFrameStatFunctions
+    contingency-table API (pairwise frequency of two categorical
+    columns, zero-filled), pinned against explicit conditional
+    aggregation: one row per language, one BIGINT column per source.
+    The API is sugar over a (lang, source) count + pivot; the
+    contract certifies the zero-fill and the column-per-value
+    encoding agree with the hand-rolled form (the fixture generates
+    exactly the 20 sources the oracle enumerates).
+
+    Scale shape: ONE map-side-combinable (lang, source) count; the
+    pivot runs on |langs| x |sources| bounded cells."""
+    ct = (
+        t(spark, sf_dir, "documents")
+        .stat.crosstab("lang", "source")
+    )
+    return ct.select(
+        "lang_source", *[F.col(s).cast("bigint").alias(s) for s in _CT_SOURCES]
+    ).orderBy("lang_source")
