@@ -116,3 +116,26 @@ def test_substring_index_branches(spark):
     assert got[8] == "/lead"        # leading delim -> empty first part
     assert got[9] == "trail/"       # trailing delim -> empty last part
     assert got[10] == "a/"          # doubled delim -> empty middle part
+
+
+def test_variant_get_hand_values(spark):
+    """Hand-pinned VARIANT extraction on one literal document — the
+    oracle and the query both CONSTRUCT their JSON, so a shared
+    misreading of path semantics would pass the equivalence; this
+    pins the absolute values from the SQL reference: $.u.vals[1] is
+    the SECOND element (0-based indexing), missing paths are NULL
+    (not an error), and typed gets cast."""
+    row = spark.sql(
+        """
+        SELECT variant_get(v, '$.u.uid', 'bigint') AS uid,
+               variant_get(v, '$.u.vals[1]', 'double') AS v2,
+               variant_get(v, '$.missing', 'string') AS absent,
+               variant_get(v, '$.ty', 'string') AS ty
+        FROM (SELECT parse_json(
+          '{"id": 7, "u": {"uid": 42, "vals": [1.5, 2.5]}, "ty": "view"}') AS v)
+        """
+    ).collect()[0]
+    assert row.uid == 42
+    assert row.v2 == 2.5          # [1] = second element, 0-based
+    assert row.absent is None     # missing path -> NULL
+    assert row.ty == "view"
