@@ -104,6 +104,11 @@ def test_no_python_stage_outside_allowlist(spark, sf_dir):
         "multimodal_decode_real",
         "multimodal_audio_real",
         "multimodal_video_real",
+        # the preprocessing plans compose those same stdlib decode
+        # kernels before their in-row schedule algebra (round 10)
+        "multimodal_frame_sample_plan",
+        "multimodal_tile_plan",
+        "multimodal_audio_chunk_plan",
     }
     # iterative/ML queries execute work at plan-build time — checked
     # by their own tests, skipped here to keep the sweep fast
