@@ -139,3 +139,32 @@ def test_variant_get_hand_values(spark):
     assert row.v2 == 2.5          # [1] = second element, 0-based
     assert row.absent is None     # missing path -> NULL
     assert row.ty == "view"
+
+
+def test_shared_checkpoint_cache_semantics(spark):
+    """shared_checkpoint must (1) return the SAME staged table for
+    repeated (key, sf_dir, app) requests — build runs once — and
+    (2) hand out a FRESH build after free_staged_checkpoints(), never
+    a freed checkpoint."""
+    from instructions_mr_spark.queries._util import (
+        free_staged_checkpoints,
+        shared_checkpoint,
+    )
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(5).selectExpr("id", "id * 2 AS y")
+
+    a = shared_checkpoint("r10_test_key", spark, "/tmp/r10sf", build)
+    b = shared_checkpoint("r10_test_key", spark, "/tmp/r10sf", build)
+    assert a is b and len(builds) == 1          # one build, shared
+    assert a.count() == 5
+    # a different sf_dir is a different cache entry
+    c = shared_checkpoint("r10_test_key", spark, "/tmp/other", build)
+    assert c is not a and len(builds) == 2
+    free_staged_checkpoints()
+    d = shared_checkpoint("r10_test_key", spark, "/tmp/r10sf", build)
+    assert d is not a and len(builds) == 3      # freed -> rebuilt
+    assert d.count() == 5                       # and usable
