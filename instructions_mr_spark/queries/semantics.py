@@ -2484,3 +2484,54 @@ def stat_crosstab_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ct.select(
         "lang_source", *[F.col(s).cast("bigint").alias(s) for s in _CT_SOURCES]
     ).orderBy("lang_source")
+
+
+# --------------------------- file provenance + generated ids
+
+
+@query(
+    "file_provenance_contract",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+           TRUE AS row_index_contiguous_per_file,
+           TRUE AS monotonic_ids_unique
+    FROM lineitem
+    """,
+)
+def file_provenance_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-provenance contract — the lineage surface a 100 TB
+    curation pipeline leans on for 'which file did this training row
+    come from': the hidden ``_metadata`` struct (file_name,
+    row_index) and ``monotonically_increasing_id()``.  The pinned
+    semantics: row_index is a contiguous 0-based counter WITHIN each
+    file (so file_name + row_index is a durable row address across
+    re-reads, which a generated id is NOT), and generated ids are
+    globally unique in one job.  Booleans are computed layout-
+    independently (single-file and directory parquet both pass);
+    DuckDB recomputes rows_total and asserts the TRUE contract.
+
+    Scale shape: one scan; per-file bounds are a file-count-sized
+    aggregate; the uniqueness check is one distinct count over ids
+    (corpus-keyed — the one honest exchange here)."""
+    m = t(spark, sf_dir, "lineitem").select(
+        F.col("_metadata.file_name").alias("fn"),
+        F.col("_metadata.row_index").alias("ri"),
+        F.monotonically_increasing_id().alias("mid"),
+    )
+    per_file = m.groupBy("fn").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("ri").alias("mn"),
+        F.max("ri").alias("mx"),
+    )
+    contig = per_file.agg(
+        F.expr("BOOL_AND(mn = 0 AND mx = cnt - 1)").alias("ok")
+    )
+    uniq = m.agg(
+        (F.countDistinct("mid") == F.count(F.lit(1))).alias("ok"),
+        F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+    )
+    return uniq.crossJoin(F.broadcast(contig.select(F.col("ok").alias("c_ok")))).select(
+        "rows_total",
+        F.col("c_ok").alias("row_index_contiguous_per_file"),
+        F.col("ok").alias("monotonic_ids_unique"),
+    )
