@@ -111,7 +111,17 @@ def main() -> None:
         # noop sink: materializes every output column/row (count()
         # would let Catalyst prune the projections away).
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # free staged/shared checkpoints PER RUN, not per query: the
+        # round-10 session-shared stages (copurchase edges, the
+        # order-part distinct) would otherwise serve runs 2..k from
+        # cache and min-of-3 would record a warm number the r1-r9
+        # series never measured — the exact cross-harness misread the
+        # HARNESS note forbids.  Bench measures the COLD query cost;
+        # the sharing win is measured separately (BENCH_sf1.json
+        # round10_heavies_sf1 note) and benefits real sessions.
+        free_staged_checkpoints()
+        return dt
 
     def time_set(
         set_names: list[str], ab_noise: bool = False
@@ -136,12 +146,6 @@ def main() -> None:
                 out[name] = round(
                     min(_one_run(fn) for _ in range(max(1, runs))), 3
                 )
-            # release staged localCheckpoints (LSH signature / PMI
-            # pair tables) once this query's runs are fully consumed —
-            # without this a long bench session accumulates one block
-            # set per staged table per run
-            # (queries/_util.free_staged_checkpoints)
-            free_staged_checkpoints()
             print(
                 f"# {name}: {out[name]:.3f}s"
                 + (f" (A/A noise {ab[name]:.3f}x)" if ab_noise else ""),
@@ -149,7 +153,9 @@ def main() -> None:
             )
         return out, ab
 
-    timings, ab_ratios = time_set(names, ab_noise=True)
+    # A/A noise pass only on the default headline invocation — an env
+    # override is a one-off scale/curve run and never reads noise_band
+    timings, ab_ratios = time_set(names, ab_noise=not names_env)
     # the heavies lists only run on a default invocation (an env
     # override is a one-off scale/curve run, keep it minimal); no A/B
     # pass on the heavies — they are long and the band transfers

@@ -208,12 +208,28 @@ def _filter_pins_entity(text: str) -> bool:
 # the un-truncated plan) remains the primary seam; this lookup closes
 # the downstream-reuse window.
 CHECKPOINT_COLS_BOUNDED: dict[str, bool] = {}
+_CHECKPOINT_APP: list[str] = []  # appId the registry belongs to
+
+
+def clear_checkpoint_bounds() -> None:
+    """Drop every recorded checkpoint attr id.  Called by
+    free_staged_checkpoints() (once staged tables are released, plans
+    referencing them are gone) and on Spark application change (a
+    fresh JVM restarts exprIds from low numbers, so stale keys could
+    collide with new literals)."""
+    CHECKPOINT_COLS_BOUNDED.clear()
+    _CHECKPOINT_APP.clear()
 
 
 def register_checkpoint_bounds(df_ck, is_bounded: bool) -> None:
     """Record a checkpointed DataFrame's output attribute ids with the
     boundedness of the plan it truncated (see CHECKPOINT_COLS_BOUNDED).
     Called by queries._util.supersede_checkpoint."""
+    app = df_ck.sparkSession.sparkContext.applicationId
+    if _CHECKPOINT_APP and _CHECKPOINT_APP[0] != app:
+        clear_checkpoint_bounds()
+    if not _CHECKPOINT_APP:
+        _CHECKPOINT_APP.append(app)
     out = df_ck._jdf.queryExecution().analyzed().output()
     for i in range(out.size()):
         attr = out.apply(i)
@@ -313,16 +329,12 @@ def _why_unbounded(node: Node) -> str:
     return ""
 
 
-def hinted_offenders(plan: str) -> list[str]:
-    """Headers of broadcast-HINTED join children that are NOT provably
-    bounded.  AQE/estimate-chosen broadcasts never appear here — only
-    explicit hints survive into the optimized plan's JoinHint."""
-    root = parse_plan(plan)
+def _hinted_offenders_of(root: Node) -> list[str]:
     bad: list[str] = []
 
     def walk(n: Node) -> None:
         if n.name == "Join" and "strategy=broadcast" in n.text:
-            kids = [k for k in n.children]
+            kids = list(n.children)
             if "leftHint=(strategy=broadcast" in n.text and kids:
                 if not bounded(kids[0]):
                     why = _why_unbounded(kids[0])
@@ -336,6 +348,13 @@ def hinted_offenders(plan: str) -> list[str]:
 
     walk(root)
     return bad
+
+
+def hinted_offenders(plan: str) -> list[str]:
+    """Headers of broadcast-HINTED join children that are NOT provably
+    bounded.  AQE/estimate-chosen broadcasts never appear here — only
+    explicit hints survive into the optimized plan's JoinHint."""
+    return _hinted_offenders_of(parse_plan(plan))
 
 
 def optimized_plan(df) -> str:
@@ -355,24 +374,11 @@ def certify_no_unbounded_hints(df, label: str) -> bool:
     caller can register the checkpoint's columns for downstream
     LogicalRDD classification (see CHECKPOINT_COLS_BOUNDED)."""
     # full node strings: a length-truncated Aggregate line hides its
-    # grouping keys from the boundedness classifier
-    df.sparkSession.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    # grouping keys from the boundedness classifier (set once/session)
+    if df.sparkSession.conf.get("spark.sql.debug.maxToStringFields", "25") != "2000":
+        df.sparkSession.conf.set("spark.sql.debug.maxToStringFields", "2000")
     root = parse_plan(optimized_plan(df))
-    hits: list[str] = []
-
-    def walk(n: Node) -> None:
-        if n.name == "Join" and "strategy=broadcast" in n.text:
-            kids = list(n.children)
-            if "leftHint=(strategy=broadcast" in n.text and kids:
-                if not bounded(kids[0]):
-                    hits.append(f"LEFT [{_why_unbounded(kids[0])}] of: " + n.text[:140])
-            if "rightHint=(strategy=broadcast" in n.text and len(kids) >= 2:
-                if not bounded(kids[-1]):
-                    hits.append(f"RIGHT [{_why_unbounded(kids[-1])}] of: " + n.text[:140])
-        for k in n.children:
-            walk(k)
-
-    walk(root)
+    hits = _hinted_offenders_of(root)
     if hits:
         raise AssertionError(
             f"unbounded broadcast hint behind checkpoint {label!r}: {hits}"

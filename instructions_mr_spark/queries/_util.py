@@ -142,8 +142,13 @@ def free_staged_checkpoints() -> int:
     consumed (their lineage is truncated — recompute is impossible).
     Returns the number of checkpoints freed."""
     from instructions_mr_spark.operators.graph import _free_checkpoint
+    from instructions_mr_spark.plans.guard import clear_checkpoint_bounds
 
     _SHARED_STAGE.clear()
+    # freed checkpoints' plans are gone, so their recorded attr-id
+    # boundedness entries are dead weight (and stale ids could collide
+    # after a session restart) — drop them with the stage
+    clear_checkpoint_bounds()
     n = len(_STAGED_CKPTS)
     for df in _STAGED_CKPTS:
         _free_checkpoint(df)

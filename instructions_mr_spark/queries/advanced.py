@@ -410,6 +410,122 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---- shared synthesized-payload builders (one byte layout per
+# container, consumed by BOTH the _real decode contracts and the
+# round-10 preprocessing-plan queries — a layout fix lands once)
+
+def _be32(c):  # big-endian u32 (PNG IHDR dims, ISO-BMFF box sizes)
+    return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+
+def _be16(c):  # big-endian u16 (JPEG SOF dims)
+    return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+
+def _le16(c):  # little-endian u16 (GIF dims, RIFF shorts)
+    hx = F.lpad(F.hex(c), 4, "0")
+    return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+
+def _le32(c):  # little-endian u32 (RIFF sizes)
+    hx = F.lpad(F.hex(c), 8, "0")
+    return F.unhex(
+        F.concat(
+            F.substring(hx, 7, 2),
+            F.substring(hx, 5, 2),
+            F.substring(hx, 3, 2),
+            F.substring(hx, 1, 2),
+        )
+    )
+
+
+def _synth_image_payload():
+    """(payload Column) — doc_id-derived PNG/JPEG/GIF header bytes.
+    Dim formulas: width = doc_id*37 % 4000 + 1, height = doc_id*91
+    % 3000 + 1, format = doc_id % 3 (png/jpeg/gif)."""
+    w = (F.col("doc_id") * 37 % 4000 + 1).cast("int")
+    h = (F.col("doc_id") * 91 % 3000 + 1).cast("int")
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),
+        _be32(w),
+        _be32(h),
+        F.lit(b"\x08\x06\x00\x00\x00"),
+    )
+    jpeg = F.concat(
+        F.lit(b"\xff\xd8"),
+        F.lit(b"\xff\xc0\x00\x11\x08"),
+        _be16(h),
+        _be16(w),
+        F.lit(b"\x03"),
+    )
+    gif = F.concat(F.lit(b"GIF89a"), _le16(w), _le16(h), F.lit(b"\x00"))
+    mod3 = (F.col("doc_id") % 3).cast("int")
+    return F.when(mod3 == 0, png).when(mod3 == 1, jpeg).otherwise(gif)
+
+
+def _synth_wav_payload():
+    """(payload Column) — doc_id-derived RIFF/WAVE header bytes.
+    Param formulas: channels = doc_id % 2 + 1, sample_rate from a
+    4-entry table on doc_id % 4, n_samples = doc_id % 1000 + 1."""
+    ch = (F.col("doc_id") % 2 + 1).cast("int")
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    n = (F.col("doc_id") % 1000 + 1).cast("int")
+    data_size = n * ch * 2
+    byte_rate = sr * ch * 2
+    block = ch * 2
+    return F.concat(
+        F.lit(b"RIFF"),
+        _le32(data_size + 36),
+        F.lit(b"WAVE"),
+        F.lit(b"fmt "),
+        F.lit(b"\x10\x00\x00\x00"),  # fmt chunk size 16
+        F.lit(b"\x01\x00"),  # PCM
+        _le16(ch),
+        _le32(sr),
+        _le32(byte_rate),
+        _le16(block),
+        F.lit(b"\x10\x00"),  # 16 bits/sample
+        F.lit(b"data"),
+        _le32(data_size),
+    )
+
+
+def _synth_mp4_payload():
+    """(payload Column) — doc_id-derived ISO-BMFF box tree (ftyp +
+    moov[mvhd + N traks]).  Param formulas: timescale from a 4-entry
+    table on doc_id % 4, duration = doc_id*1001 % 100000 + 1,
+    n_tracks = doc_id % 3 + 1."""
+    ts = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(90000), F.lit(24000)),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    dur = (F.col("doc_id") * 1001 % 100000 + 1).cast("int")
+    ntrak = (F.col("doc_id") % 3 + 1).cast("int")
+    ftyp = F.concat(_be32(F.lit(16)), F.lit(b"ftyp"), F.lit(b"isomiso2"))
+    mvhd = F.concat(
+        _be32(F.lit(28)),
+        F.lit(b"mvhd"),
+        F.lit(b"\x00\x00\x00\x00"),  # version 0 + flags
+        F.lit(b"\x00" * 8),  # creation/modification time
+        _be32(ts),
+        _be32(dur),
+    )
+    trak = F.concat(_be32(F.lit(8)), F.lit(b"trak"))
+    traks = F.aggregate(
+        F.sequence(F.lit(1), ntrak),
+        F.lit(b""),
+        lambda acc, _i: F.concat(acc, trak),
+    )
+    moov = F.concat(_be32(F.lit(36) + ntrak * 8), F.lit(b"moov"), mvhd, traks)
+    return F.concat(ftyp, moov)
+
+
 @query(
     "multimodal_decode_real",
     oracle="""
@@ -432,38 +548,8 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the EXT multimodal-metadata contract."""
     from instructions_mr_spark.operators.multimodal import decode_image_headers
 
-    w = (F.col("doc_id") * 37 % 4000 + 1).cast("int")
-    h = (F.col("doc_id") * 91 % 3000 + 1).cast("int")
-
-    def be32(c):  # big-endian u32, as PNG IHDR stores dims
-        return F.unhex(F.lpad(F.hex(c), 8, "0"))
-
-    def be16(c):  # big-endian u16, as JPEG SOF stores dims
-        return F.unhex(F.lpad(F.hex(c), 4, "0"))
-
-    def le16(c):  # little-endian u16, as GIF stores dims
-        hx = F.lpad(F.hex(c), 4, "0")
-        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
-
-    png = F.concat(
-        F.lit(b"\x89PNG\r\n\x1a\n"),  # signature
-        F.lit(b"\x00\x00\x00\x0dIHDR"),  # IHDR length + type
-        be32(w),
-        be32(h),
-        F.lit(b"\x08\x06\x00\x00\x00"),  # bit depth / color / trailer
-    )
-    jpeg = F.concat(
-        F.lit(b"\xff\xd8"),  # SOI
-        F.lit(b"\xff\xc0\x00\x11\x08"),  # SOF0, len 17, precision 8
-        be16(h),
-        be16(w),
-        F.lit(b"\x03"),  # component count
-    )
-    gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00"))
-    mod3 = (F.col("doc_id") % 3).cast("int")
     d = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(mod3 == 0, png).when(mod3 == 1, jpeg).otherwise(gif).alias("payload"),
+        "doc_id", _synth_image_payload().alias("payload")
     )
     return decode_image_headers(d, "payload").select(
         "doc_id", "format", "width", "height"
@@ -669,47 +755,9 @@ def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_decode_real."""
     from instructions_mr_spark.operators.multimodal import decode_audio_headers
 
-    ch = (F.col("doc_id") % 2 + 1).cast("int")
-    sr = F.element_at(
-        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
-        (F.col("doc_id") % 4).cast("int") + 1,
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_wav_payload().alias("payload")
     )
-    n = (F.col("doc_id") % 1000 + 1).cast("int")
-    data_size = n * ch * 2
-    byte_rate = sr * ch * 2
-    block = ch * 2
-
-    def le16(c):  # little-endian u16, as RIFF stores shorts
-        hx = F.lpad(F.hex(c), 4, "0")
-        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
-
-    def le32(c):  # little-endian u32
-        hx = F.lpad(F.hex(c), 8, "0")
-        return F.unhex(
-            F.concat(
-                F.substring(hx, 7, 2),
-                F.substring(hx, 5, 2),
-                F.substring(hx, 3, 2),
-                F.substring(hx, 1, 2),
-            )
-        )
-
-    wav = F.concat(
-        F.lit(b"RIFF"),
-        le32(data_size + 36),
-        F.lit(b"WAVE"),
-        F.lit(b"fmt "),
-        F.lit(b"\x10\x00\x00\x00"),  # fmt chunk size 16
-        F.lit(b"\x01\x00"),  # PCM
-        le16(ch),
-        le32(sr),
-        le32(byte_rate),
-        le16(block),
-        F.lit(b"\x10\x00"),  # 16 bits/sample
-        F.lit(b"data"),
-        le32(data_size),
-    )
-    d = t(spark, sf_dir, "documents").select("doc_id", wav.alias("payload"))
     return decode_audio_headers(d, "payload").select(
         "doc_id", "format", "sample_rate", "channels", "n_samples"
     )
@@ -739,38 +787,8 @@ def multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     (image) and multimodal_audio_real (audio)."""
     from instructions_mr_spark.operators.multimodal import decode_video_headers
 
-    ts = F.element_at(
-        F.array(F.lit(600), F.lit(1000), F.lit(90000), F.lit(24000)),
-        (F.col("doc_id") % 4).cast("int") + 1,
-    )
-    dur = (F.col("doc_id") * 1001 % 100000 + 1).cast("int")
-    ntrak = (F.col("doc_id") % 3 + 1).cast("int")
-
-    def be32(c):  # big-endian u32, as ISO-BMFF stores box sizes
-        return F.unhex(F.lpad(F.hex(c), 8, "0"))
-
-    ftyp = F.concat(
-        be32(F.lit(16)), F.lit(b"ftyp"), F.lit(b"isomiso2")
-    )
-    mvhd = F.concat(
-        be32(F.lit(28)),
-        F.lit(b"mvhd"),
-        F.lit(b"\x00\x00\x00\x00"),  # version 0 + flags
-        F.lit(b"\x00" * 8),  # creation/modification time
-        be32(ts),
-        be32(dur),
-    )
-    trak = F.concat(be32(F.lit(8)), F.lit(b"trak"))
-    traks = F.aggregate(
-        F.sequence(F.lit(1), ntrak),
-        F.lit(b""),
-        lambda acc, _i: F.concat(acc, trak),
-    )
-    moov = F.concat(
-        be32(F.lit(36) + ntrak * 8), F.lit(b"moov"), mvhd, traks
-    )
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.concat(ftyp, moov).alias("payload")
+        "doc_id", _synth_mp4_payload().alias("payload")
     )
     return decode_video_headers(d, "payload").select(
         "doc_id", "format", "timescale", "duration", "n_tracks"
@@ -817,38 +835,8 @@ def multimodal_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from instructions_mr_spark.operators.multimodal import decode_image_headers
 
-    w = (F.col("doc_id") * 37 % 4000 + 1).cast("int")
-    h = (F.col("doc_id") * 91 % 3000 + 1).cast("int")
-
-    def be32(c):
-        return F.unhex(F.lpad(F.hex(c), 8, "0"))
-
-    def be16(c):
-        return F.unhex(F.lpad(F.hex(c), 4, "0"))
-
-    def le16(c):
-        hx = F.lpad(F.hex(c), 4, "0")
-        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
-
-    png = F.concat(
-        F.lit(b"\x89PNG\r\n\x1a\n"),
-        F.lit(b"\x00\x00\x00\x0dIHDR"),
-        be32(w),
-        be32(h),
-        F.lit(b"\x08\x06\x00\x00\x00"),
-    )
-    jpeg = F.concat(
-        F.lit(b"\xff\xd8"),
-        F.lit(b"\xff\xc0\x00\x11\x08"),
-        be16(h),
-        be16(w),
-        F.lit(b"\x03"),
-    )
-    gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00"))
-    mod3 = (F.col("doc_id") % 3).cast("int")
     d = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(mod3 == 0, png).when(mod3 == 1, jpeg).otherwise(gif).alias("payload"),
+        "doc_id", _synth_image_payload().alias("payload")
     )
     dims = decode_image_headers(d, "payload").select(
         "doc_id",
@@ -926,47 +914,9 @@ def multimodal_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row sequence explode (<= 8 rows per file); no shuffle."""
     from instructions_mr_spark.operators.multimodal import decode_audio_headers
 
-    ch = (F.col("doc_id") % 2 + 1).cast("int")
-    sr = F.element_at(
-        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
-        (F.col("doc_id") % 4).cast("int") + 1,
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_wav_payload().alias("payload")
     )
-    n = (F.col("doc_id") % 1000 + 1).cast("int")
-    data_size = n * ch * 2
-    byte_rate = sr * ch * 2
-    block = ch * 2
-
-    def le16(c):
-        hx = F.lpad(F.hex(c), 4, "0")
-        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
-
-    def le32(c):
-        hx = F.lpad(F.hex(c), 8, "0")
-        return F.unhex(
-            F.concat(
-                F.substring(hx, 7, 2),
-                F.substring(hx, 5, 2),
-                F.substring(hx, 3, 2),
-                F.substring(hx, 1, 2),
-            )
-        )
-
-    wav = F.concat(
-        F.lit(b"RIFF"),
-        le32(data_size + 36),
-        F.lit(b"WAVE"),
-        F.lit(b"fmt "),
-        F.lit(b"\x10\x00\x00\x00"),
-        F.lit(b"\x01\x00"),
-        le16(ch),
-        le32(sr),
-        le32(byte_rate),
-        le16(block),
-        F.lit(b"\x10\x00"),
-        F.lit(b"data"),
-        le32(data_size),
-    )
-    d = t(spark, sf_dir, "documents").select("doc_id", wav.alias("payload"))
     meta = decode_audio_headers(d, "payload").select(
         "doc_id",
         F.col("sample_rate").cast("bigint").alias("sample_rate"),
@@ -1045,34 +995,8 @@ def multimodal_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per video); no shuffle anywhere until a consumer aggregates."""
     from instructions_mr_spark.operators.multimodal import decode_video_headers
 
-    ts = F.element_at(
-        F.array(F.lit(600), F.lit(1000), F.lit(90000), F.lit(24000)),
-        (F.col("doc_id") % 4).cast("int") + 1,
-    )
-    dur = (F.col("doc_id") * 1001 % 100000 + 1).cast("int")
-    ntrak = (F.col("doc_id") % 3 + 1).cast("int")
-
-    def be32(c):
-        return F.unhex(F.lpad(F.hex(c), 8, "0"))
-
-    ftyp = F.concat(be32(F.lit(16)), F.lit(b"ftyp"), F.lit(b"isomiso2"))
-    mvhd = F.concat(
-        be32(F.lit(28)),
-        F.lit(b"mvhd"),
-        F.lit(b"\x00\x00\x00\x00"),
-        F.lit(b"\x00" * 8),
-        be32(ts),
-        be32(dur),
-    )
-    trak = F.concat(be32(F.lit(8)), F.lit(b"trak"))
-    traks = F.aggregate(
-        F.sequence(F.lit(1), ntrak),
-        F.lit(b""),
-        lambda acc, _i: F.concat(acc, trak),
-    )
-    moov = F.concat(be32(F.lit(36) + ntrak * 8), F.lit(b"moov"), mvhd, traks)
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.concat(ftyp, moov).alias("payload")
+        "doc_id", _synth_mp4_payload().alias("payload")
     )
     decoded = decode_video_headers(d, "payload").select(
         "doc_id",

@@ -5819,6 +5819,9 @@ _KMV_K = 64
 _KMV_DOMAIN = 1 << 60
 
 
+from instructions_mr_spark.queries._util import duck_h60 as _u_duck_h60
+
+
 @query(
     "kmv_distinct_estimate",
     oracle=f"""
@@ -5832,7 +5835,7 @@ _KMV_DOMAIN = 1 << 60
       )
     ),
     hashed AS (
-      SELECT source, ('0x' || substr(md5(w || '#71'), 1, 15))::BIGINT AS h
+      SELECT source, {_u_duck_h60("w", 71)} AS h
       FROM toks
     ),
     ranked AS (

@@ -4169,6 +4169,17 @@ mrr_at10_terms.__doc__ = (mrr_at10_terms.__doc__ or "").replace(
 # ---------------------------------- cross-doc CDC chunk dedup
 
 
+from instructions_mr_spark.queries._util import duck_h60 as _u_duck_h60
+
+
+def _h32_of(col: str, seed: int) -> str:
+    """Shared 32-bit digest fragment (delegates to the repo's portable
+    h32 so the convention lives in one place)."""
+    from instructions_mr_spark.queries.llm_pipeline import _spark_h32
+
+    return _spark_h32(col, seed)
+
+
 @query(
     "cdc_cross_doc_dedup",
     oracle=f"""
@@ -4183,7 +4194,7 @@ mrr_at10_terms.__doc__ = (mrr_at10_terms.__doc__ or "").replace(
              CASE WHEN pos > 1 AND pos < n
                        AND ('0x' || substr(md5(w || '#5'), 1, 8))::BIGINT
                            % {_CDC_MOD} = 0
-                  THEN 1 ELSE 0 END AS is_boundary
+                  THEN 1 ELSE 0 END AS is_boundary  -- h32(w, seed 5)
       FROM words
     ),
     chunked AS (
@@ -4199,7 +4210,7 @@ mrr_at10_terms.__doc__ = (mrr_at10_terms.__doc__ or "").replace(
       FROM chunked GROUP BY 1, 2
     ),
     digests AS (
-      SELECT ('0x' || substr(md5(chunk_text || '#9'), 1, 15))::BIGINT AS dg,
+      SELECT {_u_duck_h60("chunk_text", 9)} AS dg,
              n_words
       FROM chunks
     ),
@@ -4219,10 +4230,15 @@ mrr_at10_terms.__doc__ = (mrr_at10_terms.__doc__ or "").replace(
 def cdc_cross_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document content-defined-chunk deduplication audit — the
     storage-level dedup measurement behind 'how much of this crawl is
-    shared boilerplate?': every doc is split at the SAME
-    content-defined boundaries as cdc_chunk_stats (interior words
-    whose 32-bit digest is 0 mod 8 — boundaries survive insertions,
-    unlike fixed-size blocks), chunks are digested with the portable
+    shared boilerplate?': every doc is split at content-defined
+    boundaries — words at INTERIOR positions (2..n-1) whose 32-bit
+    digest is 0 mod 8; boundaries survive insertions, unlike
+    fixed-size blocks.  (cdc_chunk_stats' COUNT uses the same digest
+    rule over positions 1..n-1, so its n_chunks treats a boundary at
+    position 1 as opening a chunk after an empty head; a chunk STORE
+    never materializes an empty chunk, so this op excludes position 1
+    — for ~1/{_CDC_MOD} of docs the two counts differ by exactly
+    one.)  Chunks are digested with the portable
     60-bit hash, and identical chunks across (or within) docs are
     counted once.  dup_words / total_words is the byte-savings a
     chunk-level dedup store would realize; the 60-bit digest keeps
@@ -4249,10 +4265,8 @@ def cdc_cross_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "pos",
         F.expr(
-            "CASE WHEN pos > 1 AND pos < n AND"
-            " CAST(CONV(SUBSTRING(MD5(CAST(w || '#5' AS BINARY)), 1, 8),"
-            " 16, 10) AS BIGINT) % "
-            f"{_CDC_MOD} = 0 THEN 1 ELSE 0 END"
+            f"CASE WHEN pos > 1 AND pos < n AND"
+            f" {_h32_of('w', 5)} % {_CDC_MOD} = 0 THEN 1 ELSE 0 END"
         ).alias("is_boundary"),
     )
     w_doc = (
@@ -4275,7 +4289,7 @@ def cdc_cross_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     digests = chunks.select(
         F.expr(spark_h60("chunk_text", 9)).alias("dg"), "n_words"
-    )
+    )  # 60-bit digest: birthday-safe at corpus chunk counts
     uniq = digests.groupBy("dg").agg(
         F.max("n_words").alias("n_words"), F.count(F.lit(1)).alias("copies")
     )
