@@ -5916,3 +5916,101 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 kmv_distinct_estimate.__doc__ = (kmv_distinct_estimate.__doc__ or "").replace(
     "{_KMV_K}", str(_KMV_K)
 )
+
+
+@query(
+    "kmv_union_merge",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source,
+               UNNEST(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS w
+        FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+        WHERE len(ws) >= 2
+      )
+    ),
+    hashed AS (
+      SELECT source, {{h60}} AS h FROM toks
+    ),
+    per_source AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk
+      FROM hashed
+    ),
+    sketches AS (SELECT source, h FROM per_source WHERE rnk <= {_KMV_K}),
+    merged AS (
+      SELECT DISTINCT h FROM sketches
+    ),
+    kth AS (
+      SELECT h FROM merged ORDER BY h LIMIT 1 OFFSET {_KMV_K - 1}
+    ),
+    truth AS (SELECT COUNT(DISTINCT w) AS n_true FROM toks)
+    SELECT CAST((SELECT COUNT(*) FROM sketches) AS BIGINT)
+             AS merged_input_rows,
+           CAST((SELECT h FROM kth) AS BIGINT) AS kth_min_hash,
+           CAST(({_KMV_K} - 1) * CAST({_KMV_DOMAIN} AS HUGEINT)
+                // (SELECT h FROM kth) AS BIGINT) AS union_estimate,
+           CAST((SELECT n_true FROM truth) AS BIGINT) AS true_union_distinct
+    """.replace("{h60}", _u_duck_h60("w", 71)),
+)
+def kmv_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGEABILITY — the property that makes the sketch a
+    100 TB tool: the union's K smallest hashes are a subset of the
+    concatenation of each source's K smallest, so per-source sketches
+    (K BIGINTs each) merge into an exact union sketch WITHOUT
+    re-reading any data.  The query builds the 20 per-source sketches
+    (same hash/K as kmv_distinct_estimate), merges them (distinct +
+    K-th smallest), and estimates the corpus-wide distinct bigram
+    count — against the true union count.  Per-partition sketch ->
+    driver merge is exactly how a 1000-executor job counts distincts
+    with constant memory; the oracle recomputes the identical merge.
+
+    Scale shape: the sketch build is the kmv_distinct_estimate plan;
+    the merge runs on |sources| x K = bounded rows (a TakeOrdered of
+    K); truth is the one corpus-keyed distinct count (the thing the
+    sketch exists to avoid — here it is the certification)."""
+    from instructions_mr_spark.queries._util import spark_h60
+
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.split("text", " ").alias("ws"))
+        .filter(F.expr("size(ws) >= 2"))
+        .select(
+            "source",
+            F.expr(
+                "explode(transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ',"
+                " element_at(ws, i + 1))))"
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    toks = supersede_checkpoint(
+        "kmv_union_toks", toks.select("source", "w")
+    )
+    hashed = toks.select("source", F.expr(spark_h60("w", 71)).alias("h"))
+    w_src = Window.partitionBy("source").orderBy("h")
+    sketches = hashed.select(
+        "source", "h", F.row_number().over(w_src).alias("rnk")
+    ).filter(F.col("rnk") <= _KMV_K)
+    kth = (
+        sketches.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("kth"))
+    )
+    truth = toks.agg(F.countDistinct("w").alias("n_true"))
+    merged_n = sketches.agg(F.count(F.lit(1)).alias("m"))
+    return (
+        merged_n.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(truth))
+        .selectExpr(
+            "CAST(m AS BIGINT) AS merged_input_rows",
+            "CAST(kth AS BIGINT) AS kth_min_hash",
+            f"CAST(({_KMV_K} - 1) * CAST({_KMV_DOMAIN} AS DECIMAL(38,0))"
+            " DIV kth AS BIGINT) AS union_estimate",
+            "CAST(n_true AS BIGINT) AS true_union_distinct",
+        )
+    )
