@@ -124,10 +124,18 @@ DRIVER_WINDOW: list[str] = [
     "simhash_bit_bias_by_source",
 ]
 
-# Round-10 rotation plan: the remaining never-driver-checked backlog
-# (names below MINUS the round-9 DRIVER_WINDOW above, which lands fresh
-# rows in CORRECTNESS_r09 — cross the landed ones off there), plus any
-# r9-new queries not in the window and anything whose contract changes.
+# Round-11 rotation plan: the remaining never-driver-checked backlog
+# (names below MINUS the round-10 DRIVER_WINDOW above, which lands
+# fresh rows in CORRECTNESS_r10 — cross the landed ones off there),
+# plus anything whose contract or implementation changes in r11.
+# r10-new names NOT in the r10 window (never driver-checked,
+# prioritize): window_exclude_emulation, observation_metrics_contract,
+# stat_crosstab_contract, file_provenance_contract, kmv_union_merge.
+# Displaced-in-r10 breadth names (judge-swept green, still never
+# driver-checked): stream_topk_types, ts_ohlc_hourly,
+# stream_quantile_bins, bellman_ford_bounded, label_propagation_2round,
+# ppr_recommend_parts, good_turing_spectrum, tokenizer_fertility,
+# try_arithmetic_nulls, window_locf_fill.
 # r9-new names NOT in the r9 window (never driver-checked, prioritize):
 #   the 17 third-session ops added AFTER the window rotation
 #   (lateral_alias_contract, top_p_quality_filter,
