@@ -3700,3 +3700,132 @@ def semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eps_e2")
     )
+
+
+# ------------------------------ dedup method agreement matrix
+
+# Sample dial for the method-agreement audit: modulus grows with the
+# corpus so the all-pairs comparison stays ~bounded (see the semdedup
+# _SEM_AUDIT_TARGET precedent).
+_AGREE_TARGET = 200
+_AGREE_J_T = "0.5"   # word-set jaccard gate (the LSH verify threshold)
+_AGREE_H_T = 8       # simhash60 hamming radius
+_AGREE_C_T = "0.8"   # word-trigram containment gate
+
+
+_AGREE_DUCK_BITS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> "
+    f"CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+    f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(_SH64_BITS)
+)
+
+
+def _agree_oracle() -> str:
+    from instructions_mr_spark.queries._util import duck_h60
+
+    return f"""
+    WITH mm AS (
+      SELECT GREATEST(10, COUNT(*) // {_AGREE_TARGET}) AS md FROM documents
+    ),
+    s AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents, mm
+      WHERE doc_id % md = 0 AND len(string_split(text, ' ')) >= 3
+    ),
+    feat0 AS (
+      SELECT doc_id,
+             list_distinct(words) AS ws,
+             list_distinct(list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS tris,
+             list_transform(words, w -> {duck_h60("w", 7)}) AS hs
+      FROM s
+    ),
+    feat AS (
+      SELECT doc_id, ws, tris, {_AGREE_DUCK_BITS} AS fp FROM feat0
+    ),
+    pairs AS (
+      SELECT len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+               * 1.0 / len(list_distinct(list_concat(a.ws, b.ws))) AS jac,
+             bit_count(xor(a.fp, b.fp)) AS ham,
+             len(list_filter(a.tris, x -> list_contains(b.tris, x)))
+               * 1.0 / LEAST(len(a.tris), len(b.tris)) AS cont
+      FROM feat a JOIN feat b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(jac >= {_AGREE_J_T} AS BOOLEAN) AS jaccard_dup,
+           CAST(ham <= {_AGREE_H_T} AS BOOLEAN) AS simhash_dup,
+           CAST(cont >= {_AGREE_C_T} AS BOOLEAN) AS containment_dup,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """
+
+
+@query("dedup_method_agreement", oracle=_agree_oracle())
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-detector AGREEMENT matrix — the forensics a curation
+    owner reads before picking a cascade: on a capped deterministic
+    doc sample, every pair is scored by all three detector families
+    at their production gates (exact word-set jaccard >= 0.5 — the
+    LSH verify; 60-bit SimHash hamming <= 8; word-trigram containment
+    >= 0.8 — the substring family's gate) and pairs are counted per
+    agreement cell.  Off-diagonal cells are the documents one family
+    would delete and another would keep — the disagreement budget a
+    cascade must adjudicate (dedup_cascade_attribution shows who wins
+    today; THIS table shows how much is at stake).
+
+    Scale shape: the sample modulus grows with the corpus (~200 docs
+    at any scale), so the all-pairs comparison is bounded by
+    construction; fingerprints reuse the staged one-digest-per-word
+    SimHash pass; output is <= 8 rows."""
+    from instructions_mr_spark.queries._util import spark_h60
+
+    d = t(spark, sf_dir, "documents")
+    n = d.count()
+    mod = max(10, n // _AGREE_TARGET)
+    s = (
+        d.filter((F.col("doc_id") % mod == 0))
+        .selectExpr("doc_id", "split(text, ' ') AS words")
+        .filter(F.size("words") >= 3)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN AGGREGATE(hs, 0, (acc, h) -> acc + "
+        f"CASE WHEN (SHIFTRIGHT(h, {b}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(_SH64_BITS)
+    )
+    feat = supersede_checkpoint(
+        "agree_feat",
+        s.selectExpr(
+            "doc_id",
+            "array_distinct(words) AS ws",
+            "array_distinct(transform(sequence(1, size(words) - 2),"
+            " i -> concat(element_at(words, i), ' ',"
+            " element_at(words, i + 1), ' ', element_at(words, i + 2))))"
+            " AS tris",
+            f"TRANSFORM(words, w -> {spark_h60('w', 7)}) AS hs",
+        ).selectExpr("doc_id", "ws", "tris", f"{bit_terms} AS fp"),
+    )
+    a, b = feat.alias("a"), feat.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        (
+            F.expr("size(array_intersect(a.ws, b.ws))")
+            / F.expr("size(array_union(a.ws, b.ws))")
+        ).alias("jac"),
+        F.expr("bit_count(a.fp ^ b.fp)").alias("ham"),
+        (
+            F.expr("size(array_intersect(a.tris, b.tris))")
+            / F.expr("LEAST(size(a.tris), size(b.tris))")
+        ).alias("cont"),
+    )
+    return (
+        pairs.groupBy(
+            (F.col("jac") >= float(_AGREE_J_T)).alias("jaccard_dup"),
+            (F.col("ham") <= _AGREE_H_T).alias("simhash_dup"),
+            (F.col("cont") >= float(_AGREE_C_T)).alias("containment_dup"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("jaccard_dup", "simhash_dup", "containment_dup")
+    )
