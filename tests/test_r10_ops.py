@@ -11,16 +11,13 @@ from instructions_mr_spark.queries._util import t
 
 registry.load_all()
 
-SF = "/root/testdata/sf0.01"
-
-
-def test_zorder_layout_dominates_for_2d_box(spark):
+def test_zorder_layout_dominates_for_2d_box(spark, sf_dir):
     """The whole point of the audit: for a 2-D box predicate the
     Morton layout must skip at least as many rows as the best 1-D
     clustering, and the natural layout must be (near-)unskippable."""
     rows = {
         r.layout: r
-        for r in registry.QUERIES["zorder_skip_audit"](spark, SF).collect()
+        for r in registry.QUERIES["zorder_skip_audit"](spark, sf_dir).collect()
     }
     assert set(rows) == {"natural", "date_clustered", "zorder"}
     assert rows["zorder"].rows_skippable >= rows["date_clustered"].rows_skippable
@@ -36,24 +33,24 @@ def test_zorder_layout_dominates_for_2d_box(spark):
     )
 
 
-def test_kmv_estimate_within_sketch_noise(spark):
+def test_kmv_estimate_within_sketch_noise(spark, sf_dir):
     """(K-1)/kth-min with K=64 has ~1/sqrt(K-2) ~ 13% relative std;
     assert every per-source estimate lands within 4 sigma (52%) of
     the true distinct count — a real estimator failure (wrong domain
     constant, off-by-one on K) lands orders of magnitude away."""
-    rows = registry.QUERIES["kmv_distinct_estimate"](spark, SF).collect()
+    rows = registry.QUERIES["kmv_distinct_estimate"](spark, sf_dir).collect()
     assert rows, "expected >= 1 source with >= K distinct bigrams"
     for r in rows:
         assert r.true_distinct >= 64
         assert abs(r.kmv_estimate - r.true_distinct) <= 0.52 * r.true_distinct, r
 
 
-def test_wasserstein_bounds_and_degenerate_zero(spark):
+def test_wasserstein_bounds_and_degenerate_zero(spark, sf_dir):
     """Range pin on the registered output (0 <= W1 < axis span), plus
     the degenerate identity on a hand corpus: a source whose length
     distribution EQUALS the global one must measure exactly 0 — every
     integer CDF term cancels (cum_s * n_g == cum_g * n_s)."""
-    rows = registry.QUERIES["wasserstein1d_by_source"](spark, SF).collect()
+    rows = registry.QUERIES["wasserstein1d_by_source"](spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0 <= r.w1_chars_e6 < 256 * 16 * 1_000_000
@@ -73,10 +70,10 @@ def test_wasserstein_bounds_and_degenerate_zero(spark):
     assert a == b  # identical histograms -> zero drift by construction
 
 
-def test_mrr_weights_match_rank(spark):
+def test_mrr_weights_match_rank(spark, sf_dir):
     """rr_e6 must be exactly floor(1e6 / first_rel_rank) when a
     relevant doc is in the top-10, and 0 when none is."""
-    rows = registry.QUERIES["mrr_at10_terms"](spark, SF).collect()
+    rows = registry.QUERIES["mrr_at10_terms"](spark, sf_dir).collect()
     assert len(rows) == 5
     for r in rows:
         if r.first_rel_rank == 0:
@@ -86,11 +83,11 @@ def test_mrr_weights_match_rank(spark):
             assert r.rr_e6 == 1_000_000 // r.first_rel_rank
 
 
-def test_cdc_cross_doc_identities(spark):
+def test_cdc_cross_doc_identities(spark, sf_dir):
     """Bookkeeping identities of the dedup audit: distinct <= total,
     dup = total_words - words-under-distinct-keepers >= 0, and the
     savings ratio is exactly dup/total in e6."""
-    r = registry.QUERIES["cdc_cross_doc_dedup"](spark, SF).collect()[0]
+    r = registry.QUERIES["cdc_cross_doc_dedup"](spark, sf_dir).collect()[0]
     assert 0 < r.distinct_chunks <= r.total_chunks
     assert 0 <= r.dup_words < r.total_words
     assert r.savings_e6 == r.dup_words * 1_000_000 // r.total_words
@@ -98,13 +95,13 @@ def test_cdc_cross_doc_identities(spark):
     assert r.dup_words > 0
 
 
-def test_substring_index_branches(spark):
+def test_substring_index_branches(spark, sf_dir):
     """Pin the three branch families against hand values (the oracle
     emulation could share a misreading; these are from the Spark
     docs' definition)."""
     got = {
         r.cid: r.head_or_tail
-        for r in registry.QUERIES["substring_index_contract"](spark, SF).collect()
+        for r in registry.QUERIES["substring_index_contract"](spark, sf_dir).collect()
     }
     assert got[1] == "a/b"          # first 2 parts
     assert got[2] == "c/d"          # last 2 parts
