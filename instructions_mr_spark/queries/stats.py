@@ -5994,12 +5994,18 @@ def kmv_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = hashed.select(
         "source", "h", F.row_number().over(w_src).alias("rnk")
     ).filter(F.col("rnk") <= _KMV_K)
+    # Degenerate-corpus guard (ADVICE r10): the oracle's LIMIT 1
+    # OFFSET K-1 yields NULL when the merged sketch holds fewer than
+    # K distinct hashes; max() over the available rows would not.
+    # Emit NULL identically so both sides agree that a sketch with
+    # fewer than K entries has no K-th minimum (and therefore no
+    # estimate — NULL propagates through the DIV below).
     kth = (
         sketches.select("h")
         .distinct()
         .orderBy("h")
         .limit(_KMV_K)
-        .agg(F.max("h").alias("kth"))
+        .agg(F.when(F.count(F.lit(1)) == _KMV_K, F.max("h")).alias("kth"))
     )
     truth = toks.agg(F.countDistinct("w").alias("n_true"))
     merged_n = sketches.agg(F.count(F.lit(1)).alias("m"))

@@ -165,3 +165,41 @@ def test_shared_checkpoint_cache_semantics(spark):
     d = shared_checkpoint("r10_test_key", spark, "/tmp/r10sf", build)
     assert d is not a and len(builds) == 3      # freed -> rebuilt
     assert d.count() == 5                       # and usable
+
+
+def test_kmv_union_merge_degenerate_corpus_nulls(spark, tmp_path):
+    """ADVICE r10: when the merged sketch holds fewer than K=64
+    distinct bigram hashes, the oracle's LIMIT 1 OFFSET K-1 yields a
+    NULL kth_min_hash / union_estimate; the Spark side must emit the
+    identical NULLs instead of max-of-available.  Pin both engines on
+    a 3-bigram corpus and require they agree exactly."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "web", 16),
+            (2, "alpha beta", "en", "book", 10),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    row = registry.QUERIES["kmv_union_merge"](spark, sf).collect()[0]
+    assert row.kth_min_hash is None
+    assert row.union_estimate is None
+    assert row.merged_input_rows == 3          # 3 distinct (source, bigram)
+    assert row.true_union_distinct == 2        # 2 distinct bigrams
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    o = con.execute(registry.ORACLES["kmv_union_merge"]).fetchone()
+    assert o == (
+        row.merged_input_rows,
+        row.kth_min_hash,
+        row.union_estimate,
+        row.true_union_distinct,
+    )
