@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from instructions_mr_spark.plans.guard import certified_local_checkpoint
+
 
 def _free_checkpoint(df: DataFrame | None) -> None:
     """Release the block-manager storage of a SUPERSEDED
@@ -101,20 +103,19 @@ def connected_components_star(
     # only in a self-loop still gets a (node, node) label
     # (superseded per-round checkpoints are freed via _free_checkpoint;
     # see its docstring)
-    nodes = (
+    nodes = certified_local_checkpoint(
         raw.select(F.col("src").alias("node"))
         .unionByName(raw.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "cc_star_nodes",
     )
     e = raw.filter(F.col("src") != F.col("dst"))
     # canonical direction src > dst (edge points larger -> smaller)
-    e = (
+    e = certified_local_checkpoint(
         e.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        )
-        .distinct()
-        .localCheckpoint()
+        ).distinct(),
+        "cc_star_edges0",
     )
     prev_sig = None
     converged = False
@@ -138,10 +139,10 @@ def connected_components_star(
         # action (freeing earlier would tear blocks the still-lazy
         # chain needs).
         prev_e = e
-        e_large = (
-            large.filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint(eager=False)
+        e_large = certified_local_checkpoint(
+            large.filter(F.col("src") != F.col("dst")).distinct(),
+            "cc_star_large",
+            eager=False,
         )
         # ---- small-star: edges already point large->small; group by
         # src, link every smaller neighbor (and src) to the minimum
@@ -151,10 +152,10 @@ def connected_components_star(
             linked.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionByName(linked.select("src", F.col("m").alias("dst")))
         )
-        e = (
-            small.filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint(eager=False)
+        e = certified_local_checkpoint(
+            small.filter(F.col("src") != F.col("dst")).distinct(),
+            "cc_star_small",
+            eager=False,
         )
         sig = _edge_checksum(e)
         _free_checkpoint(prev_e)
@@ -197,11 +198,11 @@ def connected_components(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.persist()
-    labels = (
+    labels = certified_local_checkpoint(
         e.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .withColumn("component", F.col("node")),
+        "cc_labels0",
     )
     prev_sum = None
     converged = False
@@ -215,7 +216,7 @@ def connected_components(
         # round's one action and materializes it — no extra count()
         # job; the superseded round is freed only after that action.
         prev_labels = labels
-        labels = (
+        labels = certified_local_checkpoint(
             labels.join(nbr_min, labels.node == F.col("nb_node"), "left")
             .select(
                 "node",
@@ -223,8 +224,9 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            "cc_labels",
+            eager=False,
         )
         cur_sum = labels.agg(F.sum("component")).first()[0]
         _free_checkpoint(prev_labels)
@@ -305,11 +307,11 @@ def pagerank(
     # where ranks outgrow broadcast would a src-repartitioned cache
     # pay; at that point add .repartition("src") here.
     edeg = e.join(deg, "src").persist()
-    nodes = (
+    nodes = certified_local_checkpoint(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "pagerank_nodes",
     )
     n = nodes.count()
     if n == 0:
@@ -351,7 +353,7 @@ def pagerank(
         # re-plans the stacked rounds as one job).  Cadence chosen by
         # the r8 sf2 interleaved A/B recorded in BENCH_sf1.json.
         if (i + 1) % PR_CKPT_EVERY == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = certified_local_checkpoint(ranks, "pagerank_ranks")
             _free_checkpoint(last_ck)
             last_ck = ranks
     edeg.unpersist()

@@ -27,6 +27,7 @@ is oracle-checkable end to end.
 """
 
 from __future__ import annotations
+from instructions_mr_spark.plans.guard import literal_df
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -116,7 +117,7 @@ def public_suffix_table(spark) -> "DataFrame":  # noqa: F821
     ``slen`` is the suffix's label count (match length for the
     longest-match election)."""
     rows = [(s, s.count(".") + 1) for s in PUBLIC_SUFFIXES_DEMO]
-    return spark.createDataFrame(rows, "suffix string, slen int")
+    return literal_df(spark, rows, "suffix string, slen int")
 
 
 def registrable_domain_psl(hosts, spark):

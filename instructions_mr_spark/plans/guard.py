@@ -208,7 +208,38 @@ def _filter_pins_entity(text: str) -> bool:
 # the un-truncated plan) remains the primary seam; this lookup closes
 # the downstream-reuse window.
 CHECKPOINT_COLS_BOUNDED: dict[str, bool] = {}
+# Name-SET fallback for strict mode: Spark's DeduplicateRelations
+# re-ids one side of a self-join, so a checkpoint's attrs can appear
+# in a plan under ids the registry has never seen.  The column-NAME
+# frozenset survives the re-id; if the same name-set was ever
+# registered with conflicting boundedness, the conservative AND wins.
+CHECKPOINT_NAMES_BOUNDED: dict[frozenset, bool] = {}
 _CHECKPOINT_APP: list[str] = []  # appId the registry belongs to
+
+# Fail-closed toggle (ADVICE r10): _logical_rdd_bounded's literal
+# default ("unknown LogicalRDD = bounded") is right at a single query
+# seam — certification runs on the PRE-checkpoint plan, and literals
+# (arrow createDataFrame) are the only other LogicalRDD source — but
+# it inverts the guard's otherwise-conservative default for the
+# registry-wide sweep, where every package checkpoint IS registered
+# (the certified_local_checkpoint seam is grep-guard-enforced).  In
+# strict mode an unknown LogicalRDD falls back to the name-set
+# registry, then to UNBOUNDED.
+_STRICT_LOGICAL_RDD: list[bool] = []
+
+
+class strict_logical_rdd:
+    """Context manager: classify unregistered LogicalRDD leaves as
+    unbounded (fail-closed) for the duration.  Used by the
+    registry-wide sweep in tests/test_plans.py."""
+
+    def __enter__(self):
+        _STRICT_LOGICAL_RDD.append(True)
+        return self
+
+    def __exit__(self, *exc):
+        _STRICT_LOGICAL_RDD.pop()
+        return False
 
 
 def clear_checkpoint_bounds() -> None:
@@ -218,34 +249,76 @@ def clear_checkpoint_bounds() -> None:
     fresh JVM restarts exprIds from low numbers, so stale keys could
     collide with new literals)."""
     CHECKPOINT_COLS_BOUNDED.clear()
+    CHECKPOINT_NAMES_BOUNDED.clear()
     _CHECKPOINT_APP.clear()
 
 
 def register_checkpoint_bounds(df_ck, is_bounded: bool) -> None:
     """Record a checkpointed DataFrame's output attribute ids with the
     boundedness of the plan it truncated (see CHECKPOINT_COLS_BOUNDED).
-    Called by queries._util.supersede_checkpoint."""
+    Called by plans.guard.certified_local_checkpoint."""
     app = df_ck.sparkSession.sparkContext.applicationId
     if _CHECKPOINT_APP and _CHECKPOINT_APP[0] != app:
         clear_checkpoint_bounds()
     if not _CHECKPOINT_APP:
         _CHECKPOINT_APP.append(app)
     out = df_ck._jdf.queryExecution().analyzed().output()
+    names = []
     for i in range(out.size()):
         attr = out.apply(i)
         key = f"{attr.name()}#{attr.exprId().id()}"
         CHECKPOINT_COLS_BOUNDED[key] = is_bounded
+        names.append(attr.name())
+    nameset = frozenset(names)
+    CHECKPOINT_NAMES_BOUNDED[nameset] = (
+        CHECKPOINT_NAMES_BOUNDED.get(nameset, True) and is_bounded
+    )
+
+
+def literal_df(spark, data, schema=None):
+    """The ONLY sanctioned ``createDataFrame`` call in the package:
+    build a driver-side literal table and register its output attrs
+    as bounded.  PySpark's createDataFrame compiles to a LogicalRDD
+    (same leaf a checkpoint truncates to), so under the fail-closed
+    sweep (``strict_logical_rdd``) an unregistered literal would be
+    classified corpus-scale; registering at creation keeps the strict
+    default sound — every package-made LogicalRDD is registered, so
+    "unknown = unbounded" has no false positives.  A grep-guard
+    (tests/test_plans.py::test_no_bare_createdataframe_in_package)
+    keeps bare createDataFrame calls out of every other module."""
+    df = spark.createDataFrame(data, schema)
+    register_checkpoint_bounds(df, True)
+    return df
 
 
 def _logical_rdd_bounded(text: str) -> bool:
     """A LogicalRDD is bounded unless a registered checkpoint column
     says its source plan was corpus-scale.  Plan text prints attrs as
     ``name#123L`` (type suffix after the id); the lookup key is
-    ``name#123``, which the id regex extracts directly."""
-    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*#\d+", _first_bracket(text)):
-        if CHECKPOINT_COLS_BOUNDED.get(m.group(0)) is False:
-            return False
-    return True
+    ``name#123``, which the id regex extracts directly.
+
+    Unknown attrs (never registered): bounded by default — at the
+    certification seam the only unregistered LogicalRDDs are driver
+    literals.  Under ``strict_logical_rdd()`` (the registry-wide
+    sweep) the default flips to fail-closed: an unknown LogicalRDD is
+    unbounded unless its column-name SET matches a checkpoint the
+    seam registered as bounded (DeduplicateRelations re-ids self-join
+    attrs; the name-set survives)."""
+    attrs = [
+        m.group(0)
+        for m in re.finditer(
+            r"[A-Za-z_][A-Za-z0-9_]*#\d+", _first_bracket(text)
+        )
+    ]
+    known = [CHECKPOINT_COLS_BOUNDED[a] for a in attrs if a in CHECKPOINT_COLS_BOUNDED]
+    if any(k is False for k in known):
+        return False
+    if not _STRICT_LOGICAL_RDD:
+        return True
+    if attrs and len(known) == len(attrs):
+        return True  # every attr registered bounded
+    nameset = frozenset(a.split("#", 1)[0] for a in attrs)
+    return CHECKPOINT_NAMES_BOUNDED.get(nameset, False)
 
 
 def bounded(node: Node) -> bool:
@@ -359,6 +432,30 @@ def hinted_offenders(plan: str) -> list[str]:
 
 def optimized_plan(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def certified_local_checkpoint(df, label: str, eager: bool = True):
+    """The ONLY sanctioned ``localCheckpoint`` call in the package
+    (round 11, VERDICT r10 item #3): certify the PRE-checkpoint
+    optimized plan hint-bounded, checkpoint, then register the
+    truncated plan's output attr ids with its boundedness so a
+    downstream ``F.broadcast()`` of the checkpoint is classifiable.
+
+    ``queries._util.supersede_checkpoint`` wraps this with staging /
+    free-on-release lifecycle for query builders; ``operators/graph.py``
+    calls it directly inside its iterative loops (which run their own
+    free-on-supersede lifecycle via ``_free_checkpoint``).  A grep-guard
+    (tests/test_plans.py::test_no_bare_localcheckpoint_in_package)
+    keeps bare ``.localCheckpoint(`` out of every other module, so no
+    checkpoint seam can bypass certification.
+
+    ``eager=False`` defers materialization to the caller's next action
+    (the iterative loops' per-round checksum/convergence aggregate) —
+    certification happens at plan-build time either way."""
+    is_bounded = certify_no_unbounded_hints(df, label)
+    ck = df.localCheckpoint(eager=eager)
+    register_checkpoint_bounds(ck, is_bounded)
+    return ck
 
 
 

@@ -87,8 +87,9 @@ def supersede_checkpoint(key: str, df: DataFrame) -> DataFrame:
     the guard on the pre-checkpoint optimized plan closes that blind
     spot mechanically: every staged subtree is certified
     hint-bounded at build time, and a grep-guard test keeps bare
-    ``.localCheckpoint()`` calls out of queries/ so this seam cannot
-    be bypassed.
+    localCheckpoint calls out of the whole package (round 11: the
+    seam moved to plans.guard.certified_local_checkpoint and now
+    covers operators/ too) so it cannot be bypassed.
 
     Staging: query builders that eagerly checkpoint a staged table
     (PMI / bigram pair tables, LSH signature tables) otherwise leak
@@ -102,17 +103,12 @@ def supersede_checkpoint(key: str, df: DataFrame) -> DataFrame:
     one-shot drivers leak at most one block set per staged table.
     ``key`` labels the site for debugging and guard diagnostics.
     """
-    from instructions_mr_spark.plans.guard import (
-        certify_no_unbounded_hints,
-        register_checkpoint_bounds,
-    )
+    from instructions_mr_spark.plans.guard import certified_local_checkpoint
 
-    is_bounded = certify_no_unbounded_hints(df, key)
-    ck = df.localCheckpoint()
-    # record the truncated plan's boundedness by output attr id, so a
-    # downstream F.broadcast() of this checkpoint is classifiable
-    # (LogicalRDD leaves are otherwise assumed to be literals)
-    register_checkpoint_bounds(ck, is_bounded)
+    # certify-then-checkpoint-then-register lives in plans/guard.py
+    # (round 11: the same seam now also serves operators/graph.py's
+    # iterative loops); this wrapper adds the staging lifecycle only
+    ck = certified_local_checkpoint(df, key)
     _STAGED_CKPTS.append(ck)
     return ck
 

@@ -5,6 +5,7 @@ cohort retention.  Reference status: no aggregation of any kind
 """
 
 from __future__ import annotations
+from instructions_mr_spark.plans.guard import literal_df
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -4943,7 +4944,7 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rkeys = supersede_checkpoint(
         "markov_removal_rkeys",
         chan.select(F.col("c").alias("r"))
-        .unionByName(spark.createDataFrame([("(none)",)], "r string"))
+        .unionByName(literal_df(spark, [("(none)",)], "r string"))
         .coalesce(1)
         ,
     )
@@ -4964,7 +4965,7 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000000).cast("bigint").alias("p_e6"),
     )
     absorb = rkeys.crossJoin(
-        F.broadcast(spark.createDataFrame([("CONV",), ("NULL",)], "s string"))
+        F.broadcast(literal_df(spark, [("CONV",), ("NULL",)], "s string"))
     ).select(
         "r",
         F.col("s").alias("src"),
@@ -5745,7 +5746,7 @@ def dominant_period_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_idx"
         ),
     ).agg(F.count(F.lit(1)).alias("n"))
-    lags = ev.sparkSession.createDataFrame(
+    lags = literal_df(ev.sparkSession,
         [(i,) for i in range(1, 15)], "lag int"
     )
     a = daily.alias("a").crossJoin(F.broadcast(lags))

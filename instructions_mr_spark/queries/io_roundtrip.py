@@ -34,6 +34,7 @@ from instructions_mr_spark.operators.prompts import (
 )
 from instructions_mr_spark.queries._util import t
 from instructions_mr_spark.registry import query
+from instructions_mr_spark.plans.guard import literal_df
 from instructions_mr_spark.sources.io import (
     csv_scan,
     csv_sink,
@@ -169,7 +170,7 @@ def config_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for si, stage in enumerate(conf.stages)
         for ins in stage.instructions
     ]
-    return spark.createDataFrame(
+    return literal_df(spark,
         rows, "stage_idx int, kind string, name string, scope_csv string, content string"
     )
 

@@ -21,6 +21,7 @@ broadcasts the query vector; the IVF variant prunes by sign-bucket.
 """
 
 from __future__ import annotations
+from instructions_mr_spark.plans.guard import literal_df
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2184,7 +2185,7 @@ def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
         _cosine_col(F.col("a.embedding"), F.col("b.embedding")).alias("cosine")
     )
-    th = e.sparkSession.createDataFrame(
+    th = literal_df(e.sparkSession,
         [(0.5,), (0.7,), (0.8,), (0.9,)], "thr double"
     )
     return (
@@ -3671,7 +3672,7 @@ def semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cosine_col(F.col("ea"), F.col("eb")).alias("cos"),
         )
     )
-    eps = spark.createDataFrame([(x,) for x in _EPS_LEVELS], "eps_e2 int")
+    eps = literal_df(spark, [(x,) for x in _EPS_LEVELS], "eps_e2 int")
     return (
         pr.crossJoin(F.broadcast(eps))
         .crossJoin(F.broadcast(n))

@@ -17,6 +17,7 @@ engines.
 """
 
 from __future__ import annotations
+from instructions_mr_spark.plans.guard import literal_df
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -634,7 +635,7 @@ def contribution_bounding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = t(spark, sf_dir, "events").select(
         "event_type", F.row_number().over(w).alias("rn")
     )
-    caps = spark.createDataFrame([(1,), (2,), (4,), (8,)], "cap int")
+    caps = literal_df(spark, [(1,), (2,), (4,), (8,)], "cap int")
     return (
         ranked.crossJoin(F.broadcast(caps))
         .groupBy("cap", "event_type")

@@ -18,6 +18,7 @@ anti join) is the POINT of that audit and is documented in place.
 """
 
 from __future__ import annotations
+from instructions_mr_spark.plans.guard import literal_df
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -2226,7 +2227,7 @@ def substring_index_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what a migration in either direction needs.
 
     Scale shape: 10 literal rows; in-row string functions only."""
-    cases = spark.createDataFrame(
+    cases = literal_df(spark,
         [
             (1, "a/b/c/d", 2), (2, "a/b/c/d", -2), (3, "a/b/c/d", 0),
             (4, "a/b/c/d", 9), (5, "a/b/c/d", -9), (6, "no_delim", 2),
@@ -2439,7 +2440,7 @@ def observation_metrics_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o.write.format("noop").mode("overwrite").save()  # the one pass
     m = obs.get
-    return spark.createDataFrame(
+    return literal_df(spark,
         [(int(m["n_rows"]), int(m["total_cents"]), int(m["n_open"]))],
         "n_rows bigint, total_cents bigint, n_open bigint",
     )

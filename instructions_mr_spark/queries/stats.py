@@ -13,6 +13,7 @@ shapes are otherwise identical.
 """
 
 from __future__ import annotations
+from instructions_mr_spark.plans.guard import literal_df
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -2349,7 +2350,7 @@ def acf_lag_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x")
         )
     )
-    lags = daily.sparkSession.createDataFrame([(1,), (7,)], "lag int")
+    lags = literal_df(daily.sparkSession, [(1,), (7,)], "lag int")
     a = daily.alias("a").crossJoin(F.broadcast(lags))
     b = daily.alias("b")
     pairs = a.join(
@@ -5025,7 +5026,7 @@ def variance_ratio_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day", "d0", "nd", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
         )
     )
-    ks = spark.createDataFrame([(1,), (2,), (4,), (8,)], "k int")
+    ks = literal_df(spark, [(1,), (2,), (4,), (8,)], "k int")
     blocks = (
         spine.crossJoin(F.broadcast(ks))
         .filter(

@@ -8,6 +8,7 @@ scan-projection pipelines with full WholeStageCodegen.
 """
 
 from __future__ import annotations
+from instructions_mr_spark.plans.guard import literal_df
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1596,7 +1597,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
     )
     tot = vocab.agg(F.sum("cnt").alias("total"))
-    th = words.sparkSession.createDataFrame([(50,), (90,), (99,)], "p100 int")
+    th = literal_df(words.sparkSession, [(50,), (90,), (99,)], "p100 int")
     return (
         ranked.crossJoin(F.broadcast(tot))
         .join(
@@ -1885,7 +1886,7 @@ def topic_seed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the (doc_id, topic) count and the per-doc election window,
     both narrow int/short-string rows.  At 100 TB the election
     replaces ROW_NUMBER with max_by(struct) to skip the sort."""
-    seeds = spark.createDataFrame(_TOPIC_SEEDS, "topic string, kw string")
+    seeds = literal_df(spark, _TOPIC_SEEDS, "topic string, kw string")
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     hits = (
@@ -3948,7 +3949,7 @@ def ndcg_at10_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-term postings from one in-row count (terms are a
     literal broadcast set); per-term top-10 windows compile to
     WindowGroupLimit; 5 result rows."""
-    q = spark.createDataFrame(
+    q = literal_df(spark,
         [(w,) for w in _NDCG_QUERY_TERMS], "term string"
     )
     d = t(spark, sf_dir, "documents")
@@ -4123,7 +4124,7 @@ def mrr_at10_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to ndcg_at10_terms — literal broadcast
     term set, in-row relevance counting on the scan, per-term top-10
     windows (WindowGroupLimit), |terms| result rows."""
-    q = spark.createDataFrame(
+    q = literal_df(spark,
         [(w,) for w in _NDCG_QUERY_TERMS], "term string"
     )
     d = t(spark, sf_dir, "documents")

@@ -22,6 +22,7 @@ and are allow-listed in tests/test_plans.py with that justification.
 """
 
 from __future__ import annotations
+from instructions_mr_spark.plans.guard import literal_df
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -107,7 +108,7 @@ def ccf_lag_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y")
         )
     )
-    lags = ev.sparkSession.createDataFrame([(0,), (1,), (2,), (7,)], "lag int")
+    lags = literal_df(ev.sparkSession, [(0,), (1,), (2,), (7,)], "lag int")
     a = cx.alias("a").crossJoin(F.broadcast(lags))
     pairs = a.join(
         py.alias("b"),

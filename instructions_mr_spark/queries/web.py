@@ -23,6 +23,7 @@ from instructions_mr_spark.operators.urls import (
 )
 from instructions_mr_spark.queries._util import duck_h60, spark_h60, t
 from instructions_mr_spark.registry import query
+from instructions_mr_spark.plans.guard import literal_df
 
 # Shared Spark-SQL/DuckDB synthesis fragment (STRING is a valid cast
 # target in both dialects).
@@ -487,7 +488,7 @@ def robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the zero-padded (rule length, allow-bit) string pack whose 5th
     char holds the verdict.  Shared by the robots_txt_gate rollup and
     the web-curation example's per-doc gate."""
-    rules = spark.createDataFrame(
+    rules = literal_df(spark,
         _ROBOTS_RULES, "rhost string, prefix string, allow int"
     )
     u = _synth_urls(spark, sf_dir)

@@ -454,12 +454,19 @@ def test_no_unbounded_broadcast_hints(spark, sf_dir):
 
     spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
     offenders = []
-    for name, fn in sorted(registry.QUERIES.items()):
-        if name in bg.SKIP:
-            continue
-        hits = bg.hinted_offenders(bg.optimized_plan(fn(spark, sf_dir)))
-        if hits:
-            offenders.append((name, hits))
+    # fail-closed LogicalRDD default (ADVICE r10): every package
+    # checkpoint registers its boundedness through the
+    # certified_local_checkpoint seam (grep-guard-enforced below), so
+    # in this registry-wide sweep an UNREGISTERED LogicalRDD behind a
+    # hint is classified unbounded unless its column-name set matches
+    # a seam-registered bounded checkpoint (self-join re-id fallback).
+    with bg.strict_logical_rdd():
+        for name, fn in sorted(registry.QUERIES.items()):
+            if name in bg.SKIP:
+                continue
+            hits = bg.hinted_offenders(bg.optimized_plan(fn(spark, sf_dir)))
+            if hits:
+                offenders.append((name, hits))
     assert not offenders, f"unbounded broadcast hints in: {offenders}"
 
 
@@ -475,31 +482,60 @@ def test_band_self_joins_extract_equi_keys(spark, sf_dir):
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan, name
 
 
-def test_no_bare_localcheckpoint_in_queries():
-    """Every checkpoint in queries/ must flow through
-    supersede_checkpoint, which (round 10) certifies the
-    PRE-checkpoint optimized plan for unbounded broadcast hints — an
-    eager localCheckpoint truncates lineage to a LogicalRDD, so a
-    hint executed at checkpoint time is invisible to the final-plan
-    sweep above (r9 verdict: brand_share_shift's F.broadcast(part)
-    hid exactly this way).  A bare .localCheckpoint() in queries/
-    would bypass the certification seam; operators/ keeps its own
-    iterative-loop checkpoints (graph.py), which per-round tests
-    cover."""
+def test_no_bare_localcheckpoint_in_package():
+    """Every checkpoint in the PACKAGE must flow through
+    plans.guard.certified_local_checkpoint, which certifies the
+    PRE-checkpoint optimized plan for unbounded broadcast hints and
+    registers the truncated plan's boundedness — an eager
+    localCheckpoint truncates lineage to a LogicalRDD, so a hint
+    executed at checkpoint time is invisible to the final-plan sweep
+    above (r9 verdict: brand_share_shift's F.broadcast(part) hid
+    exactly this way; r10 verdict item #3: operators/graph.py's
+    iterative-loop checkpoints had the same blind spot outside
+    queries/).  The only file allowed to say ``.localCheckpoint(`` is
+    plans/guard.py — the seam itself."""
     import glob
     import os
 
-    qdir = os.path.join(
-        os.path.dirname(__file__), "..", "instructions_mr_spark", "queries"
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "instructions_mr_spark"
     )
     offenders = []
-    for path in sorted(glob.glob(os.path.join(qdir, "*.py"))):
-        if os.path.basename(path) == "_util.py":
+    for path in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+        rel = os.path.relpath(path, pkg)
+        if rel == os.path.join("plans", "guard.py"):
             continue  # the seam itself
         for i, line in enumerate(open(path), 1):
             if ".localCheckpoint(" in line:
-                offenders.append(f"{os.path.basename(path)}:{i}")
+                offenders.append(f"{rel}:{i}")
     assert not offenders, f"bare localCheckpoint outside the seam: {offenders}"
+
+
+def test_no_bare_createdataframe_in_package():
+    """Every driver-side literal table must flow through
+    plans.guard.literal_df, which registers the literal's output
+    attrs as bounded — PySpark's createDataFrame compiles to the same
+    LogicalRDD leaf a checkpoint truncates to, and the fail-closed
+    sweep above (strict_logical_rdd) classifies UNREGISTERED
+    LogicalRDDs as corpus-scale.  A bare createDataFrame in the
+    package would make its literal flag as an unbounded broadcast (a
+    false positive that would tempt someone to weaken the strict
+    default)."""
+    import glob
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "instructions_mr_spark"
+    )
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+        rel = os.path.relpath(path, pkg)
+        if rel == os.path.join("plans", "guard.py"):
+            continue  # the seam itself
+        for i, line in enumerate(open(path), 1):
+            if "createDataFrame(" in line:
+                offenders.append(f"{rel}:{i}")
+    assert not offenders, f"bare createDataFrame outside literal_df: {offenders}"
 
 
 def test_checkpoint_guard_catches_hidden_hint(spark, sf_dir):
@@ -550,3 +586,70 @@ def test_checkpoint_guard_sees_downstream_broadcast(spark, sf_dir):
     )
     ok = li.join(F.broadcast(small), "l_returnflag")
     assert bg.hinted_offenders(bg.optimized_plan(ok)) == []
+
+
+def test_strict_mode_fails_closed_on_unregistered_logicalrdd(spark):
+    """ADVICE r10: _logical_rdd_bounded failed OPEN — any LogicalRDD
+    with unregistered attrs was classified bounded, so a checkpoint
+    made outside the certified seam was waved through a downstream
+    broadcast hint.  Under strict_logical_rdd() (the registry-wide
+    sweep's mode) the default flips: an unregistered LogicalRDD under
+    a hint is an offender; registering it (literal_df / the seam)
+    clears it."""
+    from pyspark.sql import functions as F
+
+    import tools.broadcast_guard as bg
+    from instructions_mr_spark.plans.guard import (
+        register_checkpoint_bounds,
+        strict_logical_rdd,
+    )
+
+    # a bare checkpoint the certification seam never saw
+    rogue = (
+        spark.range(3).selectExpr("id AS rogue_k").localCheckpoint()
+    )
+    hinted = spark.range(10).join(
+        F.broadcast(rogue), F.col("id") == F.col("rogue_k")
+    )
+    plan = bg.optimized_plan(hinted)
+    assert bg.hinted_offenders(plan) == []            # fail-open default
+    with strict_logical_rdd():
+        assert bg.hinted_offenders(plan)              # fail-closed sweep
+        register_checkpoint_bounds(rogue, True)       # seam registration
+        assert bg.hinted_offenders(plan) == []        # ...clears it
+
+
+def test_strict_mode_nameset_fallback_covers_reid(spark):
+    """DeduplicateRelations re-ids one side of a self-join, so a
+    certified checkpoint can appear under attr ids the registry never
+    saw.  The column-NAME-set fallback must classify the re-id'd side
+    by the checkpoint's recorded boundedness: bounded name-sets pass,
+    and a name-set recorded UNBOUNDED stays flagged."""
+    from pyspark.sql import functions as F
+
+    import tools.broadcast_guard as bg
+    from instructions_mr_spark.plans.guard import (
+        CHECKPOINT_NAMES_BOUNDED,
+        strict_logical_rdd,
+    )
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    small = supersede_checkpoint(
+        "test_nameset_small",
+        spark.range(4).selectExpr("id AS ns_key", "id * 2 AS ns_val"),
+    )
+    assert CHECKPOINT_NAMES_BOUNDED[frozenset({"ns_key", "ns_val"})] is True
+    # self-join: the broadcast side's attrs get re-id'd by
+    # DeduplicateRelations -> id lookup misses -> name-set fallback
+    j = small.alias("a").join(
+        F.broadcast(small.alias("b")),
+        F.col("a.ns_key") == F.col("b.ns_val"),
+    )
+    with strict_logical_rdd():
+        assert bg.hinted_offenders(bg.optimized_plan(j)) == []
+        # flip the recorded boundedness: the same plan must now flag
+        CHECKPOINT_NAMES_BOUNDED[frozenset({"ns_key", "ns_val"})] = False
+        try:
+            assert bg.hinted_offenders(bg.optimized_plan(j))
+        finally:
+            CHECKPOINT_NAMES_BOUNDED[frozenset({"ns_key", "ns_val"})] = True

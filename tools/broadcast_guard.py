@@ -22,11 +22,13 @@ from instructions_mr_spark.plans.guard import (  # noqa: F401
     UNBOUNDED_COLS,
     Node,
     bounded,
+    certified_local_checkpoint,
     certify_no_unbounded_hints,
     classify_relation,
     hinted_offenders,
     optimized_plan,
     parse_plan,
+    strict_logical_rdd,
 )
 
 # Queries that execute work at plan-build time (iterative algorithms) —
@@ -45,15 +47,21 @@ def sweep(spark, sf_dir: str) -> list[tuple[str, list[str]]]:
     # full node strings — a truncated 'Aggregate' line hides its keys
     spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
     offenders = []
-    for name, fn in sorted(registry.QUERIES.items()):
-        if name in SKIP:
-            continue
-        try:
-            hits = hinted_offenders(optimized_plan(fn(spark, sf_dir)))
-        except Exception as exc:  # surface, don't hide, plan failures
-            hits = [f"PLAN ERROR: {exc}"]
-        if hits:
-            offenders.append((name, hits))
+    # fail-closed LogicalRDD classification (ADVICE r10): in the
+    # registry-wide sweep every package checkpoint is registered by
+    # the certified_local_checkpoint seam, so an UNREGISTERED
+    # LogicalRDD under a broadcast hint is unbounded unless its
+    # column-name set matches a seam-registered bounded checkpoint
+    with strict_logical_rdd():
+        for name, fn in sorted(registry.QUERIES.items()):
+            if name in SKIP:
+                continue
+            try:
+                hits = hinted_offenders(optimized_plan(fn(spark, sf_dir)))
+            except Exception as exc:  # surface, don't hide, plan failures
+                hits = [f"PLAN ERROR: {exc}"]
+            if hits:
+                offenders.append((name, hits))
     return offenders
 
 
