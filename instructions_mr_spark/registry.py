@@ -37,331 +37,444 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Driver-visibility window: the correctness driver oracle-checks exactly the
-# FIRST 50 entries of ``queries()`` in registration order (r5-r8 confirmed
-# all 50 window names landed in CORRECTNESS_r0{5..8}.json).  The window
-# rotates each round onto never-driver-checked names; everything else keeps
-# registration order after it, with the still-never-checked names ahead of
-# the already-green ones so future rounds can rotate coverage simply by
-# editing this list.  Round-10 rotation (42 of 50 first-exposure):
-# every query whose implementation changed this round lands a fresh
-# driver row (the prescreened SemDeDup kernel, the hot-capped salted
-# LSH, the hint-free brand_share_shift, and the session-shared
-# copurchase edge/distinct stages), plus the r9-verdict-prioritized
-# never-checked families: the SQL semantics contracts
-# (sql_pipe_syntax/transpose/zip_longest/array_edit/sql_udf), the new
-# text/quality ops (kneser_ney, quality_logreg, crawl_quality_drift,
-# ndcg@10), the stats additions (hll_intersection, median_ci, fourier,
-# hill_tail, drift_psi), then the 10 round-10-NEW queries (new code
-# outranks the judge-swept backlog), then breadth: pandas-UDF
-# surfaces, text/quality, and LSH diagnostics.  Streaming-shaped
-# batch and iterative-graph backlog names rotate in r11.
+# FIRST 50 entries of ``queries()`` in registration order (r5-r10
+# confirmed all window names landed in CORRECTNESS_r{05..10}.json).
+# The window rotates each round onto never-driver-checked names per the
+# ROTATION PLAN below; everything else keeps registration order after
+# it, with the still-never-checked names ahead of the already-green
+# ones so the plan's slices stay aligned.  Round-11 composition
+# (45 of 50 first-exposure): 2 continuity anchors, 3 changed-this-round
+# repeats (the certified-checkpoint seam now covers the graph loops and
+# markov staging), kmv_union_merge (changed AND first exposure), the 5
+# r10-new never-checked names incl. dedup_method_agreement (ADVICE
+# r10), then the 39 OLDEST never-checked names by introducing-commit
+# date — the r7/r8-era cohort VERDICT r10 item #2 prioritized.
 DRIVER_WINDOW: list[str] = [
-    # continuity rows (driver-green r1-r9, anchor the comparison)
+    # continuity rows (driver-green r1-r10, anchor the comparison)
     "q1_pricing_summary",
     "scope_project",
-    # r10: implementation changed this round, previously driver-checked
-    # (prescreened SemDeDup kernel; hot-capped salted LSH; the
-    # session-shared copurchase edge stage)
-    "semdedup_cells",
-    "semdedup_planted_k32",
-    "dedup_minhash_lsh_salted",
-    "graph_conductance_brand",
-    "graph_triangle_count",
-    "graph_degree_ccdf",
-    # r10: implementation changed this round AND first driver exposure
-    "brand_share_shift",          # F.broadcast(part) hint dropped
-    "copurchase_pairs",           # shared order-part distinct stage
-    "copurchase_lift",            # shared order-part distinct stage
-    "graph_hits_unnormalized",    # shared copurchase edge stage
-    "graph_resource_allocation",  # shared _copurchase_oriented staging
-    "degree_assortativity_terms",
-    "graph_bfs_hops",
-    "dedup_quality_bias",
-    "modularity_terms_lp",
-    "semdedup_eps_sweep",
-    # r9-verdict-prioritized never-driver-checked families:
-    # the semantics contracts
-    "sql_pipe_syntax_contract",
-    "transpose_contract",
-    "zip_longest_contract",
-    "array_edit_contract",
-    "sql_udf_contract",
-    # the new text/quality ops
-    "kneser_ney_continuation_terms",
-    "quality_logreg_score",
-    "crawl_quality_drift",
-    "ndcg_at10_terms",
-    # the stats additions
-    "hll_intersection_audit",
-    "median_ci_orderstat",
-    "fourier_seasonality_terms",
-    "hill_tail_index_terms",
-    "drift_psi_by_source",
-    # remaining never-checked backlog, breadth across families:
-    # pandas-UDF surfaces
-    "cogrouped_pandas_event_order_merge",
-    "pandas_grouped_agg_udf",
-    "pandas_udf_over_window",
-    # round-10 NEW queries (first driver exposure; new code outranks
-    # the judge-swept backlog for the scarce driver slots)
-    "wasserstein1d_by_source",
-    "kmv_distinct_estimate",
-    "mrr_at10_terms",
-    "cdc_cross_doc_dedup",
-    "zorder_skip_audit",
-    "substring_index_contract",
-    "multimodal_frame_sample_plan",
-    "multimodal_tile_plan",
-    "multimodal_audio_chunk_plan",
-    "variant_shred_contract",
-    # text/quality breadth
-    "quality_feature_matrix",
-    "winnowing_fingerprints",
-    # SQL semantics breadth
-    "nulls_ordering_contract",
-    # LSH diagnostics
-    "lsh_band_tuning_curve",
-    "simhash_bit_bias_by_source",
+    # r11: implementation changed this round, previously driver-checked
+    # (the iterative-loop checkpoints now route through the certified
+    # seam plans.guard.certified_local_checkpoint; markov's staged
+    # matrix/rkeys literals register through literal_df)
+    "dedup_cluster_cc",
+    "graph_pagerank",
+    "attribution_markov_removal",
+    # r11: implementation changed AND first driver exposure (ADVICE r10:
+    # degenerate-corpus NULL guard on the merged sketch's K-th minimum)
+    "kmv_union_merge",
+    # r10-new queries never driver-checked (new code outranks the
+    # judge-swept backlog; includes dedup_method_agreement per ADVICE)
+    "window_exclude_emulation",
+    "observation_metrics_contract",
+    "stat_crosstab_contract",
+    "file_provenance_contract",
+    "dedup_method_agreement",
+    # oldest never-driver-checked names, age order (introducing-commit
+    # date, then registration order) — ROTATION_BACKLOG's rule
+    "embedding_pair_cosine",
+    "vector_avg_by_label",
+    "json_from_schema",
+    "json_map_ops",
+    "funnel_by_segment",
+    "rollup_time_hierarchy",
+    "nested_roundtrip",
+    "lsh_bucket_stats",
+    "dpp_filtered_dim_scan",
+    "dedup_span_cut_keepfirst",
+    "domain_stats_psl",
+    "mixture_temperature_shares",
+    "join_fuzzy_blocked",
+    "quality_ensemble_keep",
+    "dedup_simhash_hamming",
+    "dedup_line_frequency",
+    "bpe_pair_counts",
+    "topic_seed_assign",
+    "posting_list_intersect",
+    "url_param_mining",
+    "crawl_frontier_politeness",
+    "langid_confusion",
+    "embedding_label_centroid",
+    "robots_txt_gate",
+    "dedup_cascade_attribution",
+    "embedding_top_pc",
+    "zipf_vocab_fit",
+    "event_attribution_last_touch",
+    "session_bounce_rate",
+    "simhash_hamming_calibration",
+    "dataset_drift_kl",
+    "event_transition_matrix",
+    "supplier_assortment_overlap",
+    "range_partition_bounds",
+    "label_agreement_kappa",
+    "ts_linear_interpolate",
+    "fd_candidate_audit",
+    "funnel_time_to_convert",
+    "attribution_position_based",
 ]
 
-# Round-11 rotation plan: the remaining never-driver-checked backlog
-# (names below MINUS the round-10 DRIVER_WINDOW above, which lands
-# fresh rows in CORRECTNESS_r10 — cross the landed ones off there),
-# plus anything whose contract or implementation changes in r11.
-# r10-new names NOT in the r10 window (never driver-checked,
-# prioritize): window_exclude_emulation, observation_metrics_contract,
-# stat_crosstab_contract, file_provenance_contract, kmv_union_merge.
-# Displaced-in-r10 breadth names (judge-swept green, still never
-# driver-checked): stream_topk_types, ts_ohlc_hourly,
-# stream_quantile_bins, bellman_ford_bounded, label_propagation_2round,
-# ppr_recommend_parts, good_turing_spectrum, tokenizer_fertility,
-# try_arithmetic_nulls, window_locf_fill.
-# r9-new names NOT in the r9 window (never driver-checked, prioritize):
-#   the 17 third-session ops added AFTER the window rotation
-#   (lateral_alias_contract, top_p_quality_filter,
-#   contribution_bounding_curve, group_kfold_assign,
-#   ignore_nulls_contract, map_semantics_contract,
-#   sql_pipe_syntax_contract, hll_intersection_audit,
-#   median_ci_orderstat, kneser_ney_continuation_terms,
-#   hill_tail_index_terms, transpose_contract, lsh_band_tuning_curve,
-#   semdedup_eps_sweep, quality_feature_matrix, quality_logreg_score,
-#   drift_psi_by_source),
-#   the timeseries family (ccf_lag_terms, rsi_cutler_daily,
-#   bollinger_breach_daily, vwap_anchored_daily, forecast_dow_naive_terms,
-#   drawdown_daily, updown_streaks), the graph additions
-#   (bellman_ford_bounded, label_propagation_2round,
-#   graph_hits_unnormalized, graph_bfs_hops, modularity_terms_lp,
-#   graph_resource_allocation, ppr_recommend_parts), the SQL semantics
-#   contracts (join_null_safe, not_in_null_semantics, topk_with_ties,
-#   hof_lambda_suite, like_any_all_contract, nulls_ordering_contract),
-#   the lake audits (benford_digit_audit, zone_map_skip_audit),
-#   group_by_all_contract, engagement_decay_scores,
-#   near_zero_variance_audit, embedding_clip_calibration,
-#   delete_cascade_sim, source_common_prefix, cart_split_gain_terms,
-#   string_split_contract, order_by_all_contract,
-#   winnowing_fingerprints, quantile_norm_map.
-# Older backlog:
-#   dpp_filtered_dim_scan, embedding_pair_cosine, funnel_by_segment,
-#   json_from_schema, json_map_ops, lsh_bucket_stats, nested_roundtrip,
-#   rollup_time_hierarchy, vector_avg_by_label, dedup_span_cut_keepfirst,
-#   domain_stats_psl, mixture_temperature_shares, join_fuzzy_blocked,
-#   quality_ensemble_keep, dedup_simhash_hamming, dedup_line_frequency,
-#   bpe_pair_counts, topic_seed_assign, posting_list_intersect,
-#   url_param_mining, crawl_frontier_politeness, embedding_label_centroid,
-#   langid_confusion, robots_txt_gate, dedup_cascade_attribution,
-#   embedding_top_pc, zipf_vocab_fit, event_attribution_last_touch,
-#   session_bounce_rate, simhash_hamming_calibration, dataset_drift_kl,
-#   event_transition_matrix, copurchase_pairs, supplier_assortment_overlap,
-#   range_partition_bounds, ts_linear_interpolate, label_agreement_kappa,
-#   fd_candidate_audit, funnel_time_to_convert, attribution_position_based,
-#   sketch_quantile_merge, trend_slope_by_type, segment_bitmap_intersect,
-#   stream_quantile_bins, dedup_cluster_size_hist, features_point_in_time,
-#   session_path_topk, join_size_estimate, negative_sampling_pairs,
-#   dedup_quality_bias, skyline_price_size, percentile_exact_twophase,
-#   time_weighted_avg, cdc_chunk_stats, experiment_assignment_srm,
-#   schema_merge_scan, incremental_agg_merge, event_disorder_histogram,
-#   rare_category_collapse, seasonality_profile, entity_resolution_clusters,
-#   metric_change_contribution, percentile_group_twophase,
-#   bloom_fpr_calibration, churn_label_table, set_sim_join_prefix,
-#   experiment_uplift_report, attribution_time_decay, ts_gap_report,
-#   sequence_pattern_support, phrase_match_positions, rank_fusion_borda,
-#   target_encoding_loo, cusum_changepoint, benford_digit_audit,
-#   degree_assortativity_terms, mad_robust_outliers, ks_split_drift,
-#   graph_bfs_hops, zone_map_skip_audit, gini_revenue_inequality,
-#   hhi_concentration, auc_mann_whitney, dau_wau_stickiness,
-#   recon_order_totals, graph_hits_unnormalized, itemset3_support,
-#   inventory_stockout_scan, kendall_tau_terms, ordinal_pattern_counts,
-#   bellman_ford_bounded, ngram_novelty_rate, winsorize_clip_stats,
-#   acf_lag_terms, chi2_lang_source_terms, brand_share_shift,
-#   backlog_aging_buckets, filter_waterfall_attrition, stream_topk_types,
-#   runs_test_counts, interpurchase_gap_profile, wow_revenue_delta,
-#   shipment_latency_audit, hash_shard_balance, attribution_linear,
-#   user_acquisition_curve, discount_volume_curve, source_vocab_overlap,
-#   dim_coverage_audit, set_ops_bag_semantics, cart_abandonment_daily,
-#   priceband_segment_mix, brand_return_rates, sentence_length_profile,
-#   copurchase_lift, user_activity_depth, basket_value_curve,
-#   session_duration_profile, part_supplier_redundancy, moving_7d_revenue,
-#   weekend_lift, greedy_set_cover_sources, budget_apportion_hamilton,
-#   rolling_retention_7d, multimodal_decode_real (re-green under any
-#   contract drift),
-#   plus the r8-new ops: spearman_rho_terms, theil_index_terms,
-#   mann_kendall_trend, sketch_countmin_heavy,
-#   feature_hash_collision_audit, assoc_rules_confidence,
-#   cohort_ltv_curve, new_vs_returning_split, duplicate_line_audit,
-#   ts_ohlc_hourly, kaplan_meier_retention, stl_residual_daily,
-#   markov_stationary_power, elasticity_loglog_terms,
-#   sample_weighted_ares, rank_fusion_rrf, orc_roundtrip,
-#   label_propagation_2round, theil_sen_slope, sketch_ams_f2,
-#   k_core_peel3, reciprocal_best_match,
-#   attribution_markov_removal, ppr_recommend_parts,
-#   ccf_lag_terms, rsi_cutler_daily, bollinger_breach_daily,
-#   vwap_anchored_daily, forecast_dow_naive_terms,
-#   join_null_safe, not_in_null_semantics, topk_with_ties,
-#   hof_lambda_suite, interval_merge_overlaps,
-#   drawdown_daily, updown_streaks, poisson_dispersion_audit,
-#   momentum_rank_monthly, promo_uplift_did,
-#   graph_resource_allocation, embedding_covariance_terms,
-#   centroid_affinity_terms, embedding_norm_histogram,
-#   simpsons_paradox_audit,
-#   doc_truncation_loss, tokenizer_fertility, charclass_token_profile,
-#   good_turing_spectrum, hapax_ratio_by_source,
-#   session_gap_sensitivity, audience_overlap_matrix,
-#   dedup_prefix_suffix_block, array_set_relations, agg_bitwise,
-#   window_nth_value, calendar_dim_generate, percentile_disc_vs_cont,
-#   moments34_terms, try_arithmetic_nulls,
-#   explode_outer_semantics, array_index_contract,
-#   union_by_name_contract, window_locf_fill, histogram_2d_grid,
-#   repeat_purchase_rate_by_brand, single_source_parts_risk,
-#   nation_trade_balance, bgnbd_input_terms, linenumber_contiguity_audit,
-#   event_cooccurrence_60s, agg_argminmax, agg_listagg_ordered,
-#   order_brand_diversity, dominant_period_by_type,
-#   agg_filter_clause, month_add_clamp_contract, user_longest_streak,
-#   agg_collect_set_sorted, hash_functions_contract,
-#   session_dynamic_gap, weighted_median_exact, csv_column_roundtrip,
-#   nested_array_flatten, catalog_dead_stock,
-#   modularity_terms_lp, like_any_all_contract, nulls_ordering_contract,
-#   window_percent_rank, greatest_least_null_contract,
-#   lag_features_daily, hour_of_week_matrix, anova_two_way_terms,
-#   binary_encoding_roundtrip, captive_customer_share,
-#   share_of_parent_two_level, dwell_time_by_type, arpu_weekly,
-#   daily_value_ribbon, knn_label_vote_accuracy,
-#   ratio_metric_terms, id_time_monotonicity_audit, topn_revenue_share,
-#   empty_agg_contract, iso_week_boundary_contract,
-#   feature_target_corr_terms, monthly_median_daily_rev,
-#   cube3_grouping_flags, count_distinct_multi, value_percentile_lookup,
-#   header_detail_integrity, order_content_fingerprint,
-#   burst_max_rate_per_user, join_range_banded_2d,
-#   tz_conversion_contract, triplet_margin_stats,
-#   user_dominance_share, supplier_customer_hhi,
-#   events_to_first_purchase, zero_day_share_by_type,
-#   double_charge_candidates, value_range_audit,
-#   trend_accel_7v28, top_movers_wow_parts
+# ROTATION PLAN (round 11, VERDICT r10 item #6) -------------------------
+# The driver checks the FIRST 50 registry names each round; everything
+# never driver-checked must eventually land a hard-signal row.  The
+# backlog below holds every registered query with NO CORRECTNESS_r* row
+# through r10, MINUS the 45 first-exposure names in this round's window,
+# ordered oldest-first (introducing-commit date via `git log -S`, ties
+# by registration order).  Each future round's window = 2 continuity
+# anchors + every query whose implementation/contract changed that
+# round + the next slice of this list (. = consumed, slice indices are
+# into the list AS CHECKED IN THIS ROUND — strike landed names off in
+# place rather than re-slicing):
+#
+#   round | fresh | cohort
+#   r11   |  45   | (in DRIVER_WINDOW above)          backlog 262 -> 217
+#   r12   |  48   | ROTATION_BACKLOG[0:48]            backlog -> 169
+#   r13   |  48   | ROTATION_BACKLOG[48:96]           backlog -> 121
+#   r14   |  48   | ROTATION_BACKLOG[96:144]          backlog ->  73
+#   r15   |  48   | ROTATION_BACKLOG[144:192]         backlog ->  25
+#   r16   |  25   | ROTATION_BACKLOG[192:217] + re-anchors; backlog -> 0
+#
+# (48/round assumes ~3 changed-query slots; a quiet round can take more
+# and finish earlier, a heavy round fewer — keep >= 42 first-exposure,
+# the r9-set floor.)  tests/test_rotation_plan.py asserts the window
+# and backlog stay registered, disjoint, and truly never-checked.
+ROTATION_BACKLOG: list[str] = [
+    "trend_slope_by_type",
+    "sketch_quantile_merge",
+    "segment_bitmap_intersect",
+    "stream_quantile_bins",
+    "dedup_cluster_size_hist",
+    "features_point_in_time",
+    "session_path_topk",
+    "join_size_estimate",
+    "negative_sampling_pairs",
+    "skyline_price_size",
+    "percentile_exact_twophase",
+    "time_weighted_avg",
+    "cdc_chunk_stats",
+    "experiment_assignment_srm",
+    "schema_merge_scan",
+    "incremental_agg_merge",
+    "event_disorder_histogram",
+    "rare_category_collapse",
+    "seasonality_profile",
+    "entity_resolution_clusters",
+    "metric_change_contribution",
+    "percentile_group_twophase",
+    "bloom_fpr_calibration",
+    "churn_label_table",
+    "set_sim_join_prefix",
+    "experiment_uplift_report",
+    "attribution_time_decay",
+    "sequence_pattern_support",
+    "ts_gap_report",
+    "phrase_match_positions",
+    "rank_fusion_borda",
+    "target_encoding_loo",
+    "cusum_changepoint",
+    "benford_digit_audit",
+    "mad_robust_outliers",
+    "ks_split_drift",
+    "zone_map_skip_audit",
+    "dau_wau_stickiness",
+    "gini_revenue_inequality",
+    "hhi_concentration",
+    "auc_mann_whitney",
+    "recon_order_totals",
+    "itemset3_support",
+    "inventory_stockout_scan",
+    "kendall_tau_terms",
+    "ordinal_pattern_counts",
+    "ngram_novelty_rate",
+    "bellman_ford_bounded",
+    "winsorize_clip_stats",
+    "acf_lag_terms",
+    "filter_waterfall_attrition",
+    "stream_topk_types",
+    "backlog_aging_buckets",
+    "chi2_lang_source_terms",
+    "interpurchase_gap_profile",
+    "wow_revenue_delta",
+    "runs_test_counts",
+    "shipment_latency_audit",
+    "hash_shard_balance",
+    "source_vocab_overlap",
+    "attribution_linear",
+    "user_acquisition_curve",
+    "discount_volume_curve",
+    "dim_coverage_audit",
+    "set_ops_bag_semantics",
+    "sentence_length_profile",
+    "cart_abandonment_daily",
+    "priceband_segment_mix",
+    "brand_return_rates",
+    "user_activity_depth",
+    "basket_value_curve",
+    "session_duration_profile",
+    "part_supplier_redundancy",
+    "moving_7d_revenue",
+    "weekend_lift",
+    "greedy_set_cover_sources",
+    "rolling_retention_7d",
+    "budget_apportion_hamilton",
+    "spearman_rho_terms",
+    "theil_index_terms",
+    "mann_kendall_trend",
+    "sketch_countmin_heavy",
+    "feature_hash_collision_audit",
+    "ts_ohlc_hourly",
+    "assoc_rules_confidence",
+    "cohort_ltv_curve",
+    "new_vs_returning_split",
+    "duplicate_line_audit",
+    "rank_fusion_rrf",
+    "label_propagation_2round",
+    "sample_weighted_ares",
+    "markov_stationary_power",
+    "elasticity_loglog_terms",
+    "kaplan_meier_retention",
+    "stl_residual_daily",
+    "orc_roundtrip",
+    "reciprocal_best_match",
+    "theil_sen_slope",
+    "sketch_ams_f2",
+    "ppr_recommend_parts",
+    "ccf_lag_terms",
+    "rsi_cutler_daily",
+    "bollinger_breach_daily",
+    "vwap_anchored_daily",
+    "forecast_dow_naive_terms",
+    "join_null_safe",
+    "not_in_null_semantics",
+    "topk_with_ties",
+    "hof_lambda_suite",
+    "interval_merge_overlaps",
+    "drawdown_daily",
+    "updown_streaks",
+    "poisson_dispersion_audit",
+    "momentum_rank_monthly",
+    "promo_uplift_did",
+    "simpsons_paradox_audit",
+    "embedding_covariance_terms",
+    "centroid_affinity_terms",
+    "embedding_norm_histogram",
+    "doc_truncation_loss",
+    "tokenizer_fertility",
+    "charclass_token_profile",
+    "good_turing_spectrum",
+    "hapax_ratio_by_source",
+    "dedup_prefix_suffix_block",
+    "session_gap_sensitivity",
+    "audience_overlap_matrix",
+    "array_set_relations",
+    "agg_bitwise",
+    "window_nth_value",
+    "try_arithmetic_nulls",
+    "percentile_disc_vs_cont",
+    "moments34_terms",
+    "calendar_dim_generate",
+    "explode_outer_semantics",
+    "array_index_contract",
+    "union_by_name_contract",
+    "window_locf_fill",
+    "histogram_2d_grid",
+    "repeat_purchase_rate_by_brand",
+    "single_source_parts_risk",
+    "nation_trade_balance",
+    "bgnbd_input_terms",
+    "linenumber_contiguity_audit",
+    "event_cooccurrence_60s",
+    "agg_argminmax",
+    "agg_listagg_ordered",
+    "order_brand_diversity",
+    "dominant_period_by_type",
+    "user_longest_streak",
+    "agg_filter_clause",
+    "month_add_clamp_contract",
+    "agg_collect_set_sorted",
+    "hash_functions_contract",
+    "session_dynamic_gap",
+    "catalog_dead_stock",
+    "weighted_median_exact",
+    "csv_column_roundtrip",
+    "nested_array_flatten",
+    "window_percent_rank",
+    "greatest_least_null_contract",
+    "like_any_all_contract",
+    "captive_customer_share",
+    "anova_two_way_terms",
+    "lag_features_daily",
+    "hour_of_week_matrix",
+    "binary_encoding_roundtrip",
+    "share_of_parent_two_level",
+    "dwell_time_by_type",
+    "arpu_weekly",
+    "daily_value_ribbon",
+    "topn_revenue_share",
+    "ratio_metric_terms",
+    "id_time_monotonicity_audit",
+    "empty_agg_contract",
+    "iso_week_boundary_contract",
+    "value_percentile_lookup",
+    "feature_target_corr_terms",
+    "monthly_median_daily_rev",
+    "cube3_grouping_flags",
+    "count_distinct_multi",
+    "join_range_banded_2d",
+    "burst_max_rate_per_user",
+    "header_detail_integrity",
+    "order_content_fingerprint",
+    "user_dominance_share",
+    "supplier_customer_hhi",
+    "tz_conversion_contract",
+    "events_to_first_purchase",
+    "zero_day_share_by_type",
+    "double_charge_candidates",
+    "value_range_audit",
+    "trend_accel_7v28",
+    "top_movers_wow_parts",
+    "engagement_decay_scores",
+    "near_zero_variance_audit",
+    "embedding_clip_calibration",
+    "group_by_all_contract",
+    "source_common_prefix",
+    "cart_split_gain_terms",
+    "delete_cascade_sim",
+    "string_split_contract",
+    "order_by_all_contract",
+    "quantile_norm_map",
+    "regexp_extract_all_contract",
+    "approx_quantile_drift_audit",
+    "xml_roundtrip_contract",
+    "shuffle_skew_forecast",
+    "dim_broadcast_budget",
+    "top_p_quality_filter",
+    "lateral_alias_contract",
+    "contribution_bounding_curve",
+    "group_kfold_assign",
+    "ignore_nulls_contract",
+    "map_semantics_contract",
+    "stream_state_sizing_estimate",
+    "revenue_growth_accounting",
+]
 
-# Names hash-green in some CORRECTNESS_r0{1..8}.json — kept at the back of
-# the registration order so never-checked queries fill the sampled prefix.
+# Names with a green driver row in some CORRECTNESS_r{01..10}.json (all
+# 324 latest-checks green, re-verified by the r10 judge) — kept at the
+# back of the registration order so never-checked queries fill the
+# sampled prefix.  Regenerate: union of keys across CORRECTNESS_r*.json.
 _DRIVER_GREEN_PAST = frozenset({
-    # r9 window - all 50 green in CORRECTNESS_r09.json
-    "attribution_markov_removal", "benjamini_hochberg_fdr",
-    "best_split_sse_terms", "bigram_conditional_entropy_by_source",
-    "bootstrap_mean_ci_terms", "char_bigram_diversity",
-    "char_js_divergence_langs", "cold_start_recs_by_nation",
-    "contamination_minhash", "cramers_v_matrix", "curriculum_interleave_order",
-    "dedup_embedding_cosine", "distinct_on_contract",
-    "effect_size_cohens_d_terms", "embedding_exact_dup",
-    "embedding_isotropy_terms", "embedding_mahalanobis_outliers",
-    "graph_conductance_brand", "graph_degree_ccdf", "groups_frame_emulation",
-    "hard_negative_topk", "interarrival_burstiness_terms",
-    "ivf_cell_imbalance", "k_core_peel3", "kanon_generalization_ladder",
-    "knn_label_vote_accuracy", "llm_echo_map", "llm_echo_mapreduce_fused",
-    "mlm_mask_plan_stats", "mmr_diverse_topk", "pivot_two_aggs_contract",
-    "posexplode_contract", "price_volume_bridge", "q1_pricing_summary",
-    "qualify_emulation_contract", "readability_proxy_profile",
-    "regexp_replace_backrefs_contract", "rolling_corr_terms", "scope_project",
-    "semdedup_cells", "semdedup_planted_k32", "sentinel_value_audit",
-    "session_entry_exit_matrix", "time_split_boundary_audit",
-    "trade_flow_matrix", "triplet_margin_stats",
-    "unit_price_dispersion_by_part", "variance_ratio_terms",
-    "welch_ttest_terms", "xyz_demand_variability",
-    # r8 window — all 50 green in CORRECTNESS_r08.json
-    "customer_rfm_segments", "pareto_revenue_share", "decile_lift_table",
-    "segment_migration_matrix", "quality_bucket_shares",
-    "abc_classification", "join_key_skew_profile", "sql_api_revenue",
-    "sql_exists_subquery", "sql_lateral_topk", "sql_scripting_param",
-    "agg_bool", "agg_corr_covar", "agg_grouping_sets",
-    "agg_mode_deterministic", "agg_percentile", "agg_percentile_approx",
-    "window_range_frame", "window_ewma_dyadic", "rolling_corr_terms",
-    "sample_hash_mod", "sample_reservoir_topup", "sample_stratified",
-    "shuffle_epoch_order", "pack_concat_chunks", "batch_padding_waste",
-    "k_anonymity_audit", "l_diversity_audit", "t_closeness_audit",
-    "ann_recall_at_k", "ann_recall_multiprobe", "ann_recall_truncated_dims",
-    "graph_clustering_coeff", "graph_link_prediction",
-    "graph_triangle_count", "collation_ci_group", "scalar_try_cast",
-    "doc_chunks", "doc_fingerprint", "doc_rolling_hash", "text_clean",
-    "text_ngram_freq", "token_count", "cohort_retention",
-    "pivot_segments", "unpivot_part", "table_profile", "value_histogram",
-    # r7 window — all 50 green in CORRECTNESS_r07.json
-    "dedup_span_cut", "url_dedup", "domain_stats", "split_leakage_audit",
-    "q4_order_priority", "q6_forecast_revenue", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_important_stock",
-    "q13_customer_distribution", "q15_top_supplier", "q16_supplier_cnt",
-    "q18_large_volume", "q19_disjunctive_filter", "q21_waiting_supplier",
-    "udf_pandas_scalar", "udf_arrow_scalar", "udaf_grouped_pandas",
-    "udaf_grouped_arrow", "udtf_tokenize", "udtf_dynamic_topn",
-    "scd2_history", "cdc_latest_version", "ts_gap_fill", "fk_orphan_audit",
-    "partition_pruned_scan", "quality_filter_gopher",
-    "quality_blocklist_hits", "join_salted_skew", "agg_salted_twophase",
-    "join_asof_tolerance", "join_range_banded", "stream_join_interval",
-    "stream_sliding", "multimodal_frame_sample", "multimodal_meta",
-    "multimodal_decode_fake", "recursive_cte_hierarchy", "variant_extract",
-    "zorder_cluster_key", "python_datasource_scan", "funnel_sessions",
-    "heavy_hitters", "text_redact_pii", "merge_upsert_balances",
-    # r1-r6 windows
-    "agg_approx_distinct", "agg_collect", "agg_cube", "agg_distinct",
-    "agg_hash", "agg_rollup", "agg_stats", "any_to_str", "binaryfile_scan",
-    "bm25_topk", "boilerplate_ngrams", "chatml_init",
-    "chatml_mistral_rewrite", "cluster_rep_best", "collocation_pmi",
-    "column_entropy", "config_scan", "contamination_check",
-    "contamination_minhash", "corpus_dedup_survivors", "csv_scan",
-    "csv_sink", "dataset_manifest", "dedup_cluster_cc",
+    "abc_classification", "agg_approx_distinct", "agg_bool", "agg_collect",
+    "agg_corr_covar", "agg_cube", "agg_distinct", "agg_grouping_sets",
+    "agg_hash", "agg_mode_deterministic", "agg_percentile",
+    "agg_percentile_approx", "agg_rollup", "agg_salted_twophase",
+    "agg_stats", "ann_recall_at_k", "ann_recall_multiprobe",
+    "ann_recall_truncated_dims", "any_to_str", "array_edit_contract",
+    "attribution_markov_removal", "batch_padding_waste",
+    "benjamini_hochberg_fdr", "best_split_sse_terms",
+    "bigram_conditional_entropy_by_source", "binaryfile_scan", "bm25_topk",
+    "boilerplate_ngrams", "bootstrap_mean_ci_terms", "brand_share_shift",
+    "cdc_cross_doc_dedup", "cdc_latest_version", "char_bigram_diversity",
+    "char_js_divergence_langs", "chatml_init", "chatml_mistral_rewrite",
+    "cluster_rep_best", "cogrouped_pandas_event_order_merge",
+    "cohort_retention", "cold_start_recs_by_nation", "collation_ci_group",
+    "collocation_pmi", "column_entropy", "config_scan",
+    "contamination_check", "contamination_minhash", "copurchase_lift",
+    "copurchase_pairs", "corpus_dedup_survivors", "cramers_v_matrix",
+    "crawl_quality_drift", "csv_scan", "csv_sink",
+    "curriculum_interleave_order", "customer_rfm_segments",
+    "dataset_manifest", "decile_lift_table", "dedup_cluster_cc",
     "dedup_cluster_cc_star", "dedup_containment", "dedup_edit_distance",
     "dedup_embedding_cosine", "dedup_exact", "dedup_exact_normalized",
     "dedup_incremental", "dedup_minhash_lsh", "dedup_minhash_lsh_salted",
     "dedup_minhash_signature", "dedup_ngram_jaccard", "dedup_paragraph",
-    "dedup_simhash", "dedup_span_coverage", "distinct_rows",
-    "dsir_importance_weights", "embedding_dim_stats",
-    "embedding_quantize_int8", "filter_pred", "graph_pagerank",
-    "interval_concurrency", "join_anti", "join_asof", "join_asof_forward",
-    "join_asof_nearest", "join_broadcast", "join_bucketed", "join_full",
-    "join_inner_eq", "join_left", "join_semi", "join_theta_range",
-    "json_clean", "json_extract", "json_parse_quarantine", "json_serialize",
-    "jsonl_scan", "jsonl_sink", "knn_join_batch", "lang_id", "llm_echo_map",
-    "llm_echo_map_arrow", "llm_echo_mapreduce", "llm_echo_mapreduce_fused",
-    "md_sink", "minhash_estimate_calibration", "mixture_resample",
-    "mixture_weights", "multimodal_audio_real", "multimodal_decode_real",
-    "multimodal_video_real", "neardup_threshold_curve", "outlier_iqr",
-    "pack_greedy", "pack_greedy_sharded", "pack_quantized", "project_expr",
-    "prompt_template_sub", "q12_late_priority", "q14_promo_share",
-    "q17_small_quantity", "q1_pricing_summary", "q20_excess_stock",
-    "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q5_local_supplier", "q7_volume_shipping", "quality_bigram_logprob",
-    "quality_bucket_shares", "quality_repetition", "quality_score",
-    "quality_unigram_logprob", "runtime_bloom_join", "scalar_array_map",
-    "scalar_conditional", "scalar_datetime", "scalar_math", "scalar_regexp",
-    "scalar_string", "scope_project", "semdedup_cells",
-    "semdedup_planted_k32", "set_except", "set_intersect", "set_union_all",
-    "sim_search_ivf", "sim_search_ivf_kmeans", "sim_search_pq",
-    "sim_search_topk", "sketch_hll_merge", "sketch_theta_union",
-    "snapshot_diff", "source_contamination_matrix", "split_train_test",
-    "stdout_sink", "stream_anomaly_zscore", "stream_dedup_keys",
-    "stream_funnel_sessions", "stream_running_max", "stream_session",
-    "stream_tumble", "stringify_kv", "sv_pipeline_echo",
-    "text_script_profile", "text_stats", "textfile_scan",
-    "tf_idf_top_terms", "token_budget_select", "token_percentiles",
-    "topk_global", "topk_per_group", "vocab_coverage", "window_first_last",
-    "window_lag_lead", "window_moving_avg", "window_moving_median",
-    "window_ntile_cume", "window_rank", "window_ratio_to_report",
-    "window_running_distinct", "window_running_sum", "xml_tag_wrap",
-    "zscore_by_group",
+    "dedup_quality_bias", "dedup_simhash", "dedup_span_coverage",
+    "dedup_span_cut", "degree_assortativity_terms", "distinct_on_contract",
+    "distinct_rows", "doc_chunks", "doc_fingerprint", "doc_rolling_hash",
+    "domain_stats", "drift_psi_by_source", "dsir_importance_weights",
+    "effect_size_cohens_d_terms", "embedding_dim_stats",
+    "embedding_exact_dup", "embedding_isotropy_terms",
+    "embedding_mahalanobis_outliers", "embedding_quantize_int8",
+    "filter_pred", "fk_orphan_audit", "fourier_seasonality_terms",
+    "funnel_sessions", "graph_bfs_hops", "graph_clustering_coeff",
+    "graph_conductance_brand", "graph_degree_ccdf",
+    "graph_hits_unnormalized", "graph_link_prediction", "graph_pagerank",
+    "graph_resource_allocation", "graph_triangle_count",
+    "groups_frame_emulation", "hard_negative_topk", "heavy_hitters",
+    "hill_tail_index_terms", "hll_intersection_audit",
+    "interarrival_burstiness_terms", "interval_concurrency",
+    "ivf_cell_imbalance", "join_anti", "join_asof", "join_asof_forward",
+    "join_asof_nearest", "join_asof_tolerance", "join_broadcast",
+    "join_bucketed", "join_full", "join_inner_eq", "join_key_skew_profile",
+    "join_left", "join_range_banded", "join_salted_skew", "join_semi",
+    "join_theta_range", "json_clean", "json_extract",
+    "json_parse_quarantine", "json_serialize", "jsonl_scan", "jsonl_sink",
+    "k_anonymity_audit", "k_core_peel3", "kanon_generalization_ladder",
+    "kmv_distinct_estimate", "kneser_ney_continuation_terms",
+    "knn_join_batch", "knn_label_vote_accuracy", "l_diversity_audit",
+    "lang_id", "llm_echo_map", "llm_echo_map_arrow", "llm_echo_mapreduce",
+    "llm_echo_mapreduce_fused", "lsh_band_tuning_curve", "md_sink",
+    "median_ci_orderstat", "merge_upsert_balances",
+    "minhash_estimate_calibration", "mixture_resample", "mixture_weights",
+    "mlm_mask_plan_stats", "mmr_diverse_topk", "modularity_terms_lp",
+    "mrr_at10_terms", "multimodal_audio_chunk_plan",
+    "multimodal_audio_real", "multimodal_decode_fake",
+    "multimodal_decode_real", "multimodal_frame_sample",
+    "multimodal_frame_sample_plan", "multimodal_meta",
+    "multimodal_tile_plan", "multimodal_video_real", "ndcg_at10_terms",
+    "neardup_threshold_curve", "nulls_ordering_contract", "outlier_iqr",
+    "pack_concat_chunks", "pack_greedy", "pack_greedy_sharded",
+    "pack_quantized", "pandas_grouped_agg_udf", "pandas_udf_over_window",
+    "pareto_revenue_share", "partition_pruned_scan", "pivot_segments",
+    "pivot_two_aggs_contract", "posexplode_contract",
+    "price_volume_bridge", "project_expr", "prompt_template_sub",
+    "python_datasource_scan", "q10_returned_items", "q11_important_stock",
+    "q12_late_priority", "q13_customer_distribution", "q14_promo_share",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
+    "q18_large_volume", "q19_disjunctive_filter", "q1_pricing_summary",
+    "q20_excess_stock", "q21_waiting_supplier", "q22_dormant_customers",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "qualify_emulation_contract",
+    "quality_bigram_logprob", "quality_blocklist_hits",
+    "quality_bucket_shares", "quality_feature_matrix",
+    "quality_filter_gopher", "quality_logreg_score", "quality_repetition",
+    "quality_score", "quality_unigram_logprob",
+    "readability_proxy_profile", "recursive_cte_hierarchy",
+    "regexp_replace_backrefs_contract", "rolling_corr_terms",
+    "runtime_bloom_join", "sample_hash_mod", "sample_reservoir_topup",
+    "sample_stratified", "scalar_array_map", "scalar_conditional",
+    "scalar_datetime", "scalar_math", "scalar_regexp", "scalar_string",
+    "scalar_try_cast", "scd2_history", "scope_project",
+    "segment_migration_matrix", "semdedup_cells", "semdedup_eps_sweep",
+    "semdedup_planted_k32", "sentinel_value_audit",
+    "session_entry_exit_matrix", "set_except", "set_intersect",
+    "set_union_all", "shuffle_epoch_order", "sim_search_ivf",
+    "sim_search_ivf_kmeans", "sim_search_pq", "sim_search_topk",
+    "simhash_bit_bias_by_source", "sketch_hll_merge", "sketch_theta_union",
+    "snapshot_diff", "source_contamination_matrix", "split_leakage_audit",
+    "split_train_test", "sql_api_revenue", "sql_exists_subquery",
+    "sql_lateral_topk", "sql_pipe_syntax_contract", "sql_scripting_param",
+    "sql_udf_contract", "stdout_sink", "stream_anomaly_zscore",
+    "stream_dedup_keys", "stream_funnel_sessions", "stream_join_interval",
+    "stream_running_max", "stream_session", "stream_sliding",
+    "stream_tumble", "stringify_kv", "substring_index_contract",
+    "sv_pipeline_echo", "t_closeness_audit", "table_profile", "text_clean",
+    "text_ngram_freq", "text_redact_pii", "text_script_profile",
+    "text_stats", "textfile_scan", "tf_idf_top_terms",
+    "time_split_boundary_audit", "token_budget_select", "token_count",
+    "token_percentiles", "topk_global", "topk_per_group",
+    "trade_flow_matrix", "transpose_contract", "triplet_margin_stats",
+    "ts_gap_fill", "udaf_grouped_arrow", "udaf_grouped_pandas",
+    "udf_arrow_scalar", "udf_pandas_scalar", "udtf_dynamic_topn",
+    "udtf_tokenize", "unit_price_dispersion_by_part", "unpivot_part",
+    "url_dedup", "value_histogram", "variance_ratio_terms",
+    "variant_extract", "variant_shred_contract", "vocab_coverage",
+    "wasserstein1d_by_source", "welch_ttest_terms", "window_ewma_dyadic",
+    "window_first_last", "window_lag_lead", "window_moving_avg",
+    "window_moving_median", "window_ntile_cume", "window_range_frame",
+    "window_rank", "window_ratio_to_report", "window_running_distinct",
+    "window_running_sum", "winnowing_fingerprints", "xml_tag_wrap",
+    "xyz_demand_variability", "zip_longest_contract", "zorder_cluster_key",
+    "zorder_skip_audit", "zscore_by_group",
 })
 
 
