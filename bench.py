@@ -34,7 +34,14 @@ from instructions_mr_spark.session import get_spark
 # than the band is unreadable by construction (r9's text_stats "1.27x
 # regression" sat inside a measured 8.73-11.26s same-code session
 # spread; now the band is measured in-process, per run).
-HARNESS = "min3-noop-warmup-v2-abnoise"
+# v3-abnoise-heavies (round 11, r10 verdict item #4): headline
+# estimator again UNCHANGED; the two heavies lists now get the same
+# interleaved A/A treatment (their reported number stays min over 3
+# cold slot-A runs) and the output carries heavies_noise_band /
+# heavies_r8_noise_band — r10's dedup_span_cut read 2.864s in the
+# recorded bench and 2.107s in a same-session preview, a 36% spread
+# that was unreadable without a per-query band.
+HARNESS = "min3-noop-warmup-v3-abnoise-heavies"
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -157,25 +164,30 @@ def main() -> None:
     # override is a one-off scale/curve run and never reads noise_band
     timings, ab_ratios = time_set(names, ab_noise=not names_env)
     # the heavies lists only run on a default invocation (an env
-    # override is a one-off scale/curve run, keep it minimal); no A/B
-    # pass on the heavies — they are long and the band transfers
-    heavies = {} if names_env else time_set(HEAVIES)[0]
-    heavies_r8 = {} if names_env else time_set(HEAVIES_R8)[0]
+    # override is a one-off scale/curve run, keep it minimal); round 11
+    # (r10 verdict item #4): the heavies carry their own A/A bands now
+    heavies, heavies_ab = ({}, {}) if names_env else time_set(
+        HEAVIES, ab_noise=True
+    )
+    heavies_r8, heavies_r8_ab = ({}, {}) if names_env else time_set(
+        HEAVIES_R8, ab_noise=True
+    )
 
     total = round(sum(timings.values()), 3)
     # noise band: the distribution of same-code A/A min ratios across
     # the headline queries.  A per-query cross-round delta below
     # noise_band.max is inside the measured session noise.
-    srt = sorted(ab_ratios.values())
-    noise_band = (
-        {
+    def _band(ratios: dict[str, float]) -> dict:
+        srt = sorted(ratios.values())
+        if not srt:
+            return {}
+        return {
             "median": round(srt[len(srt) // 2], 3),
             "max": round(srt[-1], 3),
-            "per_query": ab_ratios,
+            "per_query": ratios,
         }
-        if srt
-        else {}
-    )
+
+    noise_band = _band(ab_ratios)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     # Per-query deltas vs the previous round's recorded bench (if any):
@@ -212,7 +224,9 @@ def main() -> None:
                 "queries": timings,
                 "noise_band": noise_band,
                 "heavies": heavies,
+                "heavies_noise_band": _band(heavies_ab),
                 "heavies_r8": heavies_r8,
+                "heavies_r8_noise_band": _band(heavies_r8_ab),
                 "sf": float(sf) if sf else sf_dir,
                 "harness": HARNESS,
             }
