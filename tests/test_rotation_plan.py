@@ -68,8 +68,19 @@ def test_backlog_plus_window_covers_every_never_checked_name():
 def test_window_first_exposure_floor():
     """The r9-set floor: at least 42 of the 50 window slots must be
     first driver exposures (never-checked names), so the backlog
-    actually drains at the published rate."""
-    checked = _driver_checked()
+    actually drains at the published rate.
+
+    "Checked" excludes any CORRECTNESS file that recorded THIS window
+    (its key-set is a subset of the current window) — the driver
+    checking the window must not retroactively fail the floor it
+    satisfied."""
+    win = set(registry.DRIVER_WINDOW)
+    checked: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        keys = set(json.load(open(f)))
+        if keys <= win:
+            continue  # the round that consumed this window
+        checked |= keys
     if not checked:
         return
     fresh = [n for n in registry.DRIVER_WINDOW if n not in checked]
