@@ -451,8 +451,17 @@ def certified_local_checkpoint(df, label: str, eager: bool = True):
 
     ``eager=False`` defers materialization to the caller's next action
     (the iterative loops' per-round checksum/convergence aggregate) —
-    certification happens at plan-build time either way."""
-    is_bounded = certify_no_unbounded_hints(df, label)
+    certification happens at plan-build time either way.
+
+    Certification runs fail-closed (``strict_logical_rdd``): at this
+    seam every LogicalRDD leaf is either an earlier certified
+    checkpoint or a ``literal_df`` literal — both registered — so an
+    UNREGISTERED LogicalRDD under a hint here is a bypass, not a
+    literal.  This extends the registry-wide sweep's strict default to
+    the plans the sweep can't see: the per-iteration loop plans of the
+    iterative operators it SKIPs (CC / star / PageRank)."""
+    with strict_logical_rdd():
+        is_bounded = certify_no_unbounded_hints(df, label)
     ck = df.localCheckpoint(eager=eager)
     register_checkpoint_bounds(ck, is_bounded)
     return ck
