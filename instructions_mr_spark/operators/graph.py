@@ -48,6 +48,14 @@ def _free_checkpoint(df: DataFrame | None) -> None:
     if df is None:
         return
     try:
+        # drop the freed plan's attr-id boundedness entries: the plan
+        # is dead (lineage truncated, blocks released), so the ids can
+        # never be looked up again — without this, a long-lived driver
+        # calling the iterative operators per batch grows the guard
+        # registry by ~2 registrations x rounds per call, forever
+        from instructions_mr_spark.plans.guard import unregister_checkpoint_bounds
+
+        unregister_checkpoint_bounds(df)
         analyzed = df._jdf.queryExecution().analyzed()
         # Only a LogicalRDD node carries the checkpoint RDD; if a
         # future Spark wraps the checkpointed plan in something else,
@@ -143,6 +151,7 @@ def connected_components_star(
             large.filter(F.col("src") != F.col("dst")).distinct(),
             "cc_star_large",
             eager=False,
+            certify_once=True,
         )
         # ---- small-star: edges already point large->small; group by
         # src, link every smaller neighbor (and src) to the minimum
@@ -156,6 +165,7 @@ def connected_components_star(
             small.filter(F.col("src") != F.col("dst")).distinct(),
             "cc_star_small",
             eager=False,
+            certify_once=True,
         )
         sig = _edge_checksum(e)
         _free_checkpoint(prev_e)
@@ -227,6 +237,7 @@ def connected_components(
             ),
             "cc_labels",
             eager=False,
+            certify_once=True,
         )
         cur_sum = labels.agg(F.sum("component")).first()[0]
         _free_checkpoint(prev_labels)
@@ -353,7 +364,9 @@ def pagerank(
         # re-plans the stacked rounds as one job).  Cadence chosen by
         # the r8 sf2 interleaved A/B recorded in BENCH_sf1.json.
         if (i + 1) % PR_CKPT_EVERY == 0 or i == iterations - 1:
-            ranks = certified_local_checkpoint(ranks, "pagerank_ranks")
+            ranks = certified_local_checkpoint(
+                ranks, "pagerank_ranks", certify_once=True
+            )
             _free_checkpoint(last_ck)
             last_ck = ranks
     edeg.unpersist()

@@ -213,6 +213,12 @@ CHECKPOINT_COLS_BOUNDED: dict[str, bool] = {}
 # in a plan under ids the registry has never seen.  The column-NAME
 # frozenset survives the re-id; if the same name-set was ever
 # registered with conflicting boundedness, the conservative AND wins.
+# Accepted conservatism (round-11 review): the AND is sticky for the
+# session — once any UNBOUNDED checkpoint shares a name-set with a
+# bounded one, the bounded one's re-id'd self-joins flag under strict
+# mode (a false POSITIVE, never a false negative).  No registered
+# query trips this today (the strict sweep is green); if one ever
+# does, rename a column at the seam rather than weakening the AND.
 CHECKPOINT_NAMES_BOUNDED: dict[frozenset, bool] = {}
 _CHECKPOINT_APP: list[str] = []  # appId the registry belongs to
 
@@ -231,7 +237,14 @@ _STRICT_LOGICAL_RDD: list[bool] = []
 class strict_logical_rdd:
     """Context manager: classify unregistered LogicalRDD leaves as
     unbounded (fail-closed) for the duration.  Used by the
-    registry-wide sweep in tests/test_plans.py."""
+    registry-wide sweep in tests/test_plans.py and by the
+    certification seam itself (certified_local_checkpoint).
+
+    Caller contract: the plan text must be rendered with
+    ``spark.sql.debug.maxToStringFields`` raised (certify/sweep paths
+    set 2000) — a truncated attr list yields a wrong name-set, and in
+    strict mode a wrong name-set fails CLOSED (a registered bounded
+    checkpoint with >25 columns would flag as an offender)."""
 
     def __enter__(self):
         _STRICT_LOGICAL_RDD.append(True)
@@ -289,6 +302,23 @@ def literal_df(spark, data, schema=None):
     df = spark.createDataFrame(data, schema)
     register_checkpoint_bounds(df, True)
     return df
+
+
+def unregister_checkpoint_bounds(df_ck) -> None:
+    """Drop a freed checkpoint's attr-id entries (called by
+    operators.graph._free_checkpoint once the blocks are released and
+    the plan can never be referenced again).  Name-SET entries stay:
+    other live checkpoints may share the schema, and the set count is
+    bounded by distinct schemas, not by iterations."""
+    try:
+        out = df_ck._jdf.queryExecution().analyzed().output()
+        for i in range(out.size()):
+            attr = out.apply(i)
+            CHECKPOINT_COLS_BOUNDED.pop(
+                f"{attr.name()}#{attr.exprId().id()}", None
+            )
+    except Exception:
+        pass  # best-effort, like the block free itself
 
 
 def _logical_rdd_bounded(text: str) -> bool:
@@ -434,7 +464,12 @@ def optimized_plan(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
-def certified_local_checkpoint(df, label: str, eager: bool = True):
+_CERT_ONCE: dict[tuple, bool] = {}
+
+
+def certified_local_checkpoint(
+    df, label: str, eager: bool = True, certify_once: bool = False
+):
     """The ONLY sanctioned ``localCheckpoint`` call in the package
     (round 11, VERDICT r10 item #3): certify the PRE-checkpoint
     optimized plan hint-bounded, checkpoint, then register the
@@ -459,9 +494,26 @@ def certified_local_checkpoint(df, label: str, eager: bool = True):
     UNREGISTERED LogicalRDD under a hint here is a bypass, not a
     literal.  This extends the registry-wide sweep's strict default to
     the plans the sweep can't see: the per-iteration loop plans of the
-    iterative operators it SKIPs (CC / star / PageRank)."""
-    with strict_logical_rdd():
-        is_bounded = certify_no_unbounded_hints(df, label)
+    iterative operators it SKIPs (CC / star / PageRank).
+
+    ``certify_once=True`` (the iterative-loop sites): certify the
+    FIRST plan built under this (app, label) and reuse its verdict for
+    later rounds — the loop body is fixed code, so every round's plan
+    is shape-identical up to LogicalRDD leaf ids and a hint introduced
+    by a code change is present in round 1; skipping rounds 2..k saves
+    one full Catalyst optimizer pass per round on the driver's
+    critical path (~50 passes per cc_star call at max_iter=25)."""
+    if certify_once:
+        key = (df.sparkSession.sparkContext.applicationId, label)
+        if key in _CERT_ONCE:
+            is_bounded = _CERT_ONCE[key]
+        else:
+            with strict_logical_rdd():
+                is_bounded = certify_no_unbounded_hints(df, label)
+            _CERT_ONCE[key] = is_bounded
+    else:
+        with strict_logical_rdd():
+            is_bounded = certify_no_unbounded_hints(df, label)
     ck = df.localCheckpoint(eager=eager)
     register_checkpoint_bounds(ck, is_bounded)
     return ck

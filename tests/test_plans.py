@@ -482,18 +482,10 @@ def test_band_self_joins_extract_equi_keys(spark, sf_dir):
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan, name
 
 
-def test_no_bare_localcheckpoint_in_package():
-    """Every checkpoint in the PACKAGE must flow through
-    plans.guard.certified_local_checkpoint, which certifies the
-    PRE-checkpoint optimized plan for unbounded broadcast hints and
-    registers the truncated plan's boundedness — an eager
-    localCheckpoint truncates lineage to a LogicalRDD, so a hint
-    executed at checkpoint time is invisible to the final-plan sweep
-    above (r9 verdict: brand_share_shift's F.broadcast(part) hid
-    exactly this way; r10 verdict item #3: operators/graph.py's
-    iterative-loop checkpoints had the same blind spot outside
-    queries/).  The only file allowed to say ``.localCheckpoint(`` is
-    plans/guard.py — the seam itself."""
+def _package_lines_containing(needle: str) -> list[str]:
+    """``rel:lineno`` for every package line containing ``needle``,
+    excluding plans/guard.py — the one file that hosts the sanctioned
+    seams (certified_local_checkpoint, literal_df)."""
     import glob
     import os
 
@@ -506,8 +498,23 @@ def test_no_bare_localcheckpoint_in_package():
         if rel == os.path.join("plans", "guard.py"):
             continue  # the seam itself
         for i, line in enumerate(open(path), 1):
-            if ".localCheckpoint(" in line:
+            if needle in line:
                 offenders.append(f"{rel}:{i}")
+    return offenders
+
+
+def test_no_bare_localcheckpoint_in_package():
+    """Every checkpoint in the PACKAGE must flow through
+    plans.guard.certified_local_checkpoint, which certifies the
+    PRE-checkpoint optimized plan for unbounded broadcast hints and
+    registers the truncated plan's boundedness — an eager
+    localCheckpoint truncates lineage to a LogicalRDD, so a hint
+    executed at checkpoint time is invisible to the final-plan sweep
+    above (r9 verdict: brand_share_shift's F.broadcast(part) hid
+    exactly this way; r10 verdict item #3: operators/graph.py's
+    iterative-loop checkpoints had the same blind spot outside
+    queries/)."""
+    offenders = _package_lines_containing(".localCheckpoint(")
     assert not offenders, f"bare localCheckpoint outside the seam: {offenders}"
 
 
@@ -521,20 +528,7 @@ def test_no_bare_createdataframe_in_package():
     package would make its literal flag as an unbounded broadcast (a
     false positive that would tempt someone to weaken the strict
     default)."""
-    import glob
-    import os
-
-    pkg = os.path.join(
-        os.path.dirname(__file__), "..", "instructions_mr_spark"
-    )
-    offenders = []
-    for path in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
-        rel = os.path.relpath(path, pkg)
-        if rel == os.path.join("plans", "guard.py"):
-            continue  # the seam itself
-        for i, line in enumerate(open(path), 1):
-            if "createDataFrame(" in line:
-                offenders.append(f"{rel}:{i}")
+    offenders = _package_lines_containing("createDataFrame(")
     assert not offenders, f"bare createDataFrame outside literal_df: {offenders}"
 
 
@@ -634,22 +628,77 @@ def test_strict_mode_nameset_fallback_covers_reid(spark):
     )
     from instructions_mr_spark.queries._util import supersede_checkpoint
 
+    from instructions_mr_spark.queries._util import free_staged_checkpoints
+
     small = supersede_checkpoint(
         "test_nameset_small",
         spark.range(4).selectExpr("id AS ns_key", "id * 2 AS ns_val"),
     )
-    assert CHECKPOINT_NAMES_BOUNDED[frozenset({"ns_key", "ns_val"})] is True
-    # self-join: the broadcast side's attrs get re-id'd by
-    # DeduplicateRelations -> id lookup misses -> name-set fallback
-    j = small.alias("a").join(
-        F.broadcast(small.alias("b")),
-        F.col("a.ns_key") == F.col("b.ns_val"),
+    try:
+        assert CHECKPOINT_NAMES_BOUNDED[frozenset({"ns_key", "ns_val"})] is True
+        # self-join: the broadcast side's attrs get re-id'd by
+        # DeduplicateRelations -> id lookup misses -> name-set fallback
+        j = small.alias("a").join(
+            F.broadcast(small.alias("b")),
+            F.col("a.ns_key") == F.col("b.ns_val"),
+        )
+        with strict_logical_rdd():
+            assert bg.hinted_offenders(bg.optimized_plan(j)) == []
+            # flip the recorded boundedness: the same plan must now flag
+            CHECKPOINT_NAMES_BOUNDED[frozenset({"ns_key", "ns_val"})] = False
+            try:
+                assert bg.hinted_offenders(bg.optimized_plan(j))
+            finally:
+                CHECKPOINT_NAMES_BOUNDED[frozenset({"ns_key", "ns_val"})] = True
+    finally:
+        # don't leak the staged checkpoint's blocks or its {ns_key,
+        # ns_val} registrations into the rest of the shared session
+        free_staged_checkpoints()
+
+
+def test_guard_registry_does_not_grow_across_loop_frees(spark):
+    """Long-lived-driver lifecycle (round-11 review): an iterative
+    operator registers each round's checkpoint attrs; _free_checkpoint
+    must prune the freed plan's ids so the guard registry stays
+    bounded by LIVE checkpoints, and connected components over a bare
+    edge table must still be correct after many register/free
+    cycles."""
+    from instructions_mr_spark.operators.graph import connected_components
+    from instructions_mr_spark.plans.guard import CHECKPOINT_COLS_BOUNDED
+
+    edges = spark.range(10).selectExpr("id AS src", "id + 1 AS dst")
+    before = len(CHECKPOINT_COLS_BOUNDED)
+    comp = connected_components(edges).collect()
+    assert {(r.node, r.component) for r in comp} == {
+        (i, 0) for i in range(11)
+    }
+    after = len(CHECKPOINT_COLS_BOUNDED)
+    # the loop ran >= 10 rounds (chain diameter) x 2 attrs per round;
+    # only the FINAL labels checkpoint (+ its re-id'd twin at most)
+    # may remain registered after the per-round frees
+    assert after - before <= 4, (before, after)
+
+
+def test_certify_once_caches_per_label(spark, monkeypatch):
+    """certify_once=True must run the Catalyst certification exactly
+    once per (app, label): the loop body is fixed code, so a hint
+    introduced by a code change is present in round 1 and re-proving
+    the same shape every round is pure driver cost."""
+    import instructions_mr_spark.plans.guard as g
+
+    calls = []
+    real = g.certify_no_unbounded_hints
+    monkeypatch.setattr(
+        g, "certify_no_unbounded_hints",
+        lambda df, label: calls.append(label) or real(df, label),
     )
-    with strict_logical_rdd():
-        assert bg.hinted_offenders(bg.optimized_plan(j)) == []
-        # flip the recorded boundedness: the same plan must now flag
-        CHECKPOINT_NAMES_BOUNDED[frozenset({"ns_key", "ns_val"})] = False
-        try:
-            assert bg.hinted_offenders(bg.optimized_plan(j))
-        finally:
-            CHECKPOINT_NAMES_BOUNDED[frozenset({"ns_key", "ns_val"})] = True
+    df = spark.range(5).selectExpr("id AS co_key")
+    for _ in range(3):
+        ck = g.certified_local_checkpoint(
+            df, "test_certify_once", certify_once=True
+        )
+        g.unregister_checkpoint_bounds(ck)
+    assert calls == ["test_certify_once"]
+    g._CERT_ONCE.pop(
+        (spark.sparkContext.applicationId, "test_certify_once"), None
+    )
