@@ -1650,6 +1650,16 @@ def _audit_mod(n: int) -> int:
 # stay linear in n at every point.  The high-threshold/k=32 regime
 # has its own oracled entry below (semdedup_planted_k32) plus the
 # planted-duplicate recall test in tests/test_simsearch.py.
+#
+# Threshold-regime scale note (r11 sf4 octave, BENCH_sf1.json
+# round11_sf4_heavies): at this 0.4 demo threshold ~3.5e-4 of
+# ARBITRARY pairs pass (measured), so the true pair set — and hence
+# the output and wall of ANY exact-within-blocks dedup — grows
+# ~quadratically in n regardless of blocking; the engine cost stays
+# linear in candidates+output (constant ~475k pairs/s).  At 100 TB
+# run the production 0.95 regime (0 arbitrary passes measured —
+# output linear, duplicates only) or cap per-vector neighbors; the
+# 0.4 setting exists to stress the blocking on tiny corpora.
 _SEMDEDUP_K = 8
 _SEMDEDUP_CELL_TARGET = 700
 _SEMDEDUP_TOPM = 5
