@@ -40,7 +40,9 @@ from instructions_mr_spark.session import get_spark
 # cold slot-A runs) and the output carries heavies_noise_band /
 # heavies_r8_noise_band — r10's dedup_span_cut read 2.864s in the
 # recorded bench and 2.107s in a same-session preview, a 36% spread
-# that was unreadable without a per-query band.
+# that was unreadable without a per-query band.  Round 11 also adds a
+# fourth tracked list (HEAVIES_R11, same estimator + band) — a new
+# series, so no existing series' comparability changes.
 HARNESS = "min3-noop-warmup-v3-abnoise-heavies"
 
 HEADLINE = [
@@ -89,6 +91,18 @@ HEAVIES_R8 = [
     "interval_merge_overlaps",
     "doc_truncation_loss",
     "repeat_purchase_rate_by_brand",
+]
+
+# Fourth tracked list (round 11): the biggest walls the existing
+# series didn't cover — the shingle-winnowing fingerprint scan (the
+# text family's heavy: 12.8s at sf1), the cold conductance query
+# (measures the shared copurchase stage build, not just the warm
+# family reuse), and the salted-LSH skew twin.  Emitted under
+# "heavies_r11" with its own A/A band.
+HEAVIES_R11 = [
+    "winnowing_fingerprints",
+    "graph_conductance_brand",
+    "dedup_minhash_lsh_salted",
 ]
 
 
@@ -172,6 +186,9 @@ def main() -> None:
     heavies_r8, heavies_r8_ab = ({}, {}) if names_env else time_set(
         HEAVIES_R8, ab_noise=True
     )
+    heavies_r11, heavies_r11_ab = ({}, {}) if names_env else time_set(
+        HEAVIES_R11, ab_noise=True
+    )
 
     total = round(sum(timings.values()), 3)
     # noise band: the distribution of same-code A/A min ratios across
@@ -227,6 +244,8 @@ def main() -> None:
                 "heavies_noise_band": _band(heavies_ab),
                 "heavies_r8": heavies_r8,
                 "heavies_r8_noise_band": _band(heavies_r8_ab),
+                "heavies_r11": heavies_r11,
+                "heavies_r11_noise_band": _band(heavies_r11_ab),
                 "sf": float(sf) if sf else sf_dir,
                 "harness": HARNESS,
             }
