@@ -43,11 +43,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ROTATION PLAN below; everything else keeps registration order after
 # it, with the still-never-checked names ahead of the already-green
 # ones so the plan's slices stay aligned.  Round-11 composition
-# (45 of 50 first-exposure): 2 continuity anchors, 3 changed-this-round
+# (44 of 50 first-exposure): 2 continuity anchors, 4 changed-this-round
 # repeats (the certified-checkpoint seam now covers the graph loops and
 # markov staging), kmv_union_merge (changed AND first exposure), the 5
 # r10-new never-checked names incl. dedup_method_agreement (ADVICE
-# r10), then the 39 OLDEST never-checked names by introducing-commit
+# r10), then the 38 OLDEST never-checked names by introducing-commit
 # date — the r7/r8-era cohort VERDICT r10 item #2 prioritized.
 DRIVER_WINDOW: list[str] = [
     # continuity rows (driver-green r1-r10, anchor the comparison)
@@ -60,6 +60,9 @@ DRIVER_WINDOW: list[str] = [
     "dedup_cluster_cc",
     "graph_pagerank",
     "attribution_markov_removal",
+    # (late r11 change: the winnowing selection kernel was rewritten
+    # to the struct-min form — same values, fresh row per policy)
+    "winnowing_fingerprints",
     # r11: implementation changed AND first driver exposure (ADVICE r10:
     # degenerate-corpus NULL guard on the merged sketch's K-th minimum)
     "kmv_union_merge",
@@ -110,7 +113,6 @@ DRIVER_WINDOW: list[str] = [
     "ts_linear_interpolate",
     "fd_candidate_audit",
     "funnel_time_to_convert",
-    "attribution_position_based",
 ]
 
 # ROTATION PLAN (round 11, VERDICT r10 item #6) -------------------------
@@ -126,18 +128,19 @@ DRIVER_WINDOW: list[str] = [
 # place rather than re-slicing):
 #
 #   round | fresh | cohort
-#   r11   |  45   | (in DRIVER_WINDOW above)          backlog 262 -> 217
-#   r12   |  48   | ROTATION_BACKLOG[0:48]            backlog -> 169
-#   r13   |  48   | ROTATION_BACKLOG[48:96]           backlog -> 121
-#   r14   |  48   | ROTATION_BACKLOG[96:144]          backlog ->  73
-#   r15   |  48   | ROTATION_BACKLOG[144:192]         backlog ->  25
-#   r16   |  25   | ROTATION_BACKLOG[192:217] + re-anchors; backlog -> 0
+#   r11   |  44   | (in DRIVER_WINDOW above)          backlog 262 -> 218
+#   r12   |  48   | ROTATION_BACKLOG[0:48]            backlog -> 170
+#   r13   |  48   | ROTATION_BACKLOG[48:96]           backlog -> 122
+#   r14   |  48   | ROTATION_BACKLOG[96:144]          backlog ->  74
+#   r15   |  48   | ROTATION_BACKLOG[144:192]         backlog ->  26
+#   r16   |  26   | ROTATION_BACKLOG[192:218] + re-anchors; backlog -> 0
 #
 # (48/round assumes ~3 changed-query slots; a quiet round can take more
 # and finish earlier, a heavy round fewer — keep >= 42 first-exposure,
 # the r9-set floor.)  tests/test_rotation_plan.py asserts the window
 # and backlog stay registered, disjoint, and truly never-checked.
 ROTATION_BACKLOG: list[str] = [
+    "attribution_position_based",
     "trend_slope_by_type",
     "sketch_quantile_merge",
     "segment_bitmap_intersect",
