@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from instructions_mr_spark.queries._util import (
     duck_h60,
+    kernel_floor,
     spark_h60,
     supersede_checkpoint,
     t,
@@ -565,8 +566,12 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations on doc_id — shuffles proportional to corpus token
     count, no corpus-wide state.  Parity ref: the reference engine has
     no text-quality surface; signals follow Rae et al. (Gopher)
-    repetition filters."""
-    d = t(spark, sf_dir, "documents").select(
+    repetition filters.
+
+    The scan rides a kernel_floor (round 12): the word-split + bigram
+    explode map stage is CPU-dense and would otherwise run on as many
+    tasks as the scan has input splits (1, on a single-file layout)."""
+    d = kernel_floor(t(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("words")
     )
     n_words = F.size("words").cast("bigint")
@@ -1496,8 +1501,11 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab), so the score join carries NO broadcast hint: AQE broadcasts
     it when it fits and falls back to a (w1,w2)-keyed shuffle join when
     a web-scale bigram table doesn't.  DECIMAL-exact log-prob sums per
-    the float-stability convention."""
-    d = t(spark, sf_dir, "documents")
+    the float-stability convention.  The scan rides a kernel_floor
+    (round 12): the per-row bigram transform+explode feeds two
+    consumers and would otherwise run single-task on a single-split
+    input."""
+    d = kernel_floor(t(spark, sf_dir, "documents"))
     grams = (
         d.select("doc_id", F.split("text", " ").alias("words"))
         .filter(F.size("words") >= 2)
@@ -3318,9 +3326,13 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint INDEX would be the (hash -> doc, pos) inversion of
     this projection).
 
-    Scale shape: entirely in-row Column algebra over the scan —
-    O(cap * w) per document, no shuffle at all until a consumer
-    groups by fingerprint.
+    Scale shape: in-row Column algebra, O(cap * w) per document —
+    the most CPU-dense kernel in the text family — behind a
+    kernel_floor on the scan (round 12): riding the scan coupled the
+    task count to the input-split count, and sf0.1's single-file
+    documents table ran the whole kernel on 1 of 32 cores (10.25 s;
+    2.88 s with the floor's one cheap repartition).  No shuffle
+    after the floor until a consumer groups by fingerprint.
 
     Selection kernel (round 11 rewrite, same output values): the
     original form evaluated three window slices per position
@@ -3349,7 +3361,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" m -> (-m.negi) * 4294967296 + m.h))"
     )
     return (
-        t(spark, sf_dir, "documents")
+        kernel_floor(t(spark, sf_dir, "documents"))
         .filter(F.length("text") >= k)
         .selectExpr("doc_id", f"{gh} AS gh")
         .filter(F.expr(f"size(gh) >= {w}"))
