@@ -52,7 +52,19 @@ def _free_checkpoint(df: DataFrame | None) -> None:
         # is dead (lineage truncated, blocks released), so the ids can
         # never be looked up again — without this, a long-lived driver
         # calling the iterative operators per batch grows the guard
-        # registry by ~2 registrations x rounds per call, forever
+        # registry by ~2 registrations x rounds per call.  Residual
+        # growth (ADVICE r11): the per-CALL registrations — the
+        # round-0 checkpoints (cc_star_nodes/edges0, cc_labels0,
+        # pagerank_nodes) and each call's RETURNED labels/ranks
+        # checkpoint — stay registered while the result is live (the
+        # round-0 checkpoints can sit inside the returned plan's
+        # lineage, so they cannot be freed here).  Growth is
+        # O(live results), not O(calls x rounds): query-path callers
+        # go through supersede_checkpoint, whose
+        # free_staged_checkpoints() clears the whole registry between
+        # queries; a direct operator caller releases a consumed
+        # result by passing it to _free_checkpoint (which drops its
+        # entries via this same unregister).
         from instructions_mr_spark.plans.guard import unregister_checkpoint_bounds
 
         unregister_checkpoint_bounds(df)

@@ -467,6 +467,62 @@ def optimized_plan(df) -> str:
 _CERT_ONCE: dict[tuple, bool] = {}
 
 
+def _cert_profile(df) -> tuple:
+    """Cache key payload for ``certify_once``: a fingerprint of the
+    ANALYZED plan's shape plus the registered boundedness of every
+    LogicalRDD leaf (round 12, ADVICE r11).
+
+    The r11 cache keyed only (appId, label), which reused a verdict
+    across CALLS with different inputs: a first connected_components
+    over a bounded test graph cached ``cc_labels=True``, so a later
+    corpus-scale call registered ITS loop checkpoints as bounded and a
+    downstream broadcast of them passed the strict sweep — a false
+    negative in the very guard the seam hardens (and the reverse
+    direction stuck false positives).  Quantized and unquantized
+    pagerank also shared the 'pagerank_ranks' key despite different
+    loop bodies.
+
+    This profile makes the key input- and shape-sensitive while
+    keeping the saving (one full Catalyst optimizer pass per loop
+    round) intact:
+
+    * shape: the analyzed plan text with attr ids stripped — stable
+      across a loop's rounds (each round re-ids its checkpoint
+      leaves but the body is fixed code), different between loop
+      bodies (quantized pagerank embeds FLOOR/decimal casts and
+      n-dependent literals the plain body doesn't) and between scans
+      of different paths.  Analysis is already done eagerly by
+      PySpark, so rendering it costs a toString, not an optimizer
+      pass.
+    * leaves: each LogicalRDD leaf's strict-mode boundedness under
+      the CURRENT checkpoint registry.  Equal profiles ⇒ the
+      boundedness classifier sees the same tree with the same leaf
+      verdicts ⇒ the cached full-plan verdict is the verdict this
+      call would compute.
+    """
+    spark = df.sparkSession
+    # full node strings (same contract as certify_no_unbounded_hints):
+    # a truncated attr list would fingerprint a wrong name-set
+    if spark.conf.get("spark.sql.debug.maxToStringFields", "25") != "2000":
+        spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    txt = df._jdf.queryExecution().analyzed().toString()
+    leaves: list[tuple] = []
+
+    def walk(n: Node) -> None:
+        if n.name == "LogicalRDD":
+            with strict_logical_rdd():
+                verdict = _logical_rdd_bounded(n.text)
+            leaves.append(
+                (frozenset(_COLREF.findall(n.text)), verdict)
+            )
+        for k in n.children:
+            walk(k)
+
+    walk(parse_plan(txt))
+    shape = re.sub(r"#\d+", "#", txt)
+    return (hash(shape), tuple(leaves))
+
+
 def certified_local_checkpoint(
     df, label: str, eager: bool = True, certify_once: bool = False
 ):
@@ -497,17 +553,27 @@ def certified_local_checkpoint(
     iterative operators it SKIPs (CC / star / PageRank).
 
     ``certify_once=True`` (the iterative-loop sites): certify the
-    FIRST plan built under this (app, label) and reuse its verdict for
-    later rounds — the loop body is fixed code, so every round's plan
-    is shape-identical up to LogicalRDD leaf ids and a hint introduced
-    by a code change is present in round 1; skipping rounds 2..k saves
-    one full Catalyst optimizer pass per round on the driver's
-    critical path (~50 passes per cc_star call at max_iter=25)."""
+    FIRST plan built under this (app, label, profile) and reuse its
+    verdict for later rounds — the loop body is fixed code, so every
+    round's plan is shape-identical up to LogicalRDD leaf ids and a
+    hint introduced by a code change is present in round 1; skipping
+    rounds 2..k saves one full Catalyst optimizer pass per round on
+    the driver's critical path (~50 passes per cc_star call at
+    max_iter=25).  The key carries :func:`_cert_profile` (analyzed
+    shape + per-leaf boundedness), so a later call with DIFFERENT
+    inputs or a different loop body recomputes instead of reusing a
+    stale verdict (ADVICE r11: the (app, label)-only key leaked a
+    bounded test graph's verdict onto a corpus-scale call)."""
     if certify_once:
-        key = (df.sparkSession.sparkContext.applicationId, label)
+        app = df.sparkSession.sparkContext.applicationId
+        key = (app, label, _cert_profile(df))
         if key in _CERT_ONCE:
             is_bounded = _CERT_ONCE[key]
         else:
+            # a fresh JVM restarts exprIds; stale-app entries can
+            # never hit again — drop them instead of growing forever
+            for k in [k for k in _CERT_ONCE if k[0] != app]:
+                del _CERT_ONCE[k]
             with strict_logical_rdd():
                 is_bounded = certify_no_unbounded_hints(df, label)
             _CERT_ONCE[key] = is_bounded

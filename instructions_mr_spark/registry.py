@@ -42,104 +42,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The window rotates each round onto never-driver-checked names per the
 # ROTATION PLAN below; everything else keeps registration order after
 # it, with the still-never-checked names ahead of the already-green
-# ones so the plan's slices stay aligned.  Round-11 composition
-# (44 of 50 first-exposure): 2 continuity anchors, 4 changed-this-round
-# repeats (the certified-checkpoint seam now covers the graph loops and
-# markov staging), kmv_union_merge (changed AND first exposure), the 5
-# r10-new never-checked names incl. dedup_method_agreement (ADVICE
-# r10), then the 38 OLDEST never-checked names by introducing-commit
-# date — the r7/r8-era cohort VERDICT r10 item #2 prioritized.
+# ones so the plan's slices stay aligned.  Round-12 composition
+# (45 of 50 first-exposure): 2 continuity anchors, 3 changed-this-round
+# repeats (winnowing_fingerprints, quality_repetition and
+# quality_bigram_logprob now route their documents scan through the
+# kernel_floor parallelism floor — same values, fresh row per policy),
+# then ROTATION_BACKLOG[0:45] per the plan below (emitted by
+# tools/rotate_window.py --changed winnowing_fingerprints,
+# quality_repetition,quality_bigram_logprob).
 DRIVER_WINDOW: list[str] = [
-    # continuity rows (driver-green r1-r10, anchor the comparison)
     "q1_pricing_summary",
     "scope_project",
-    # r11: implementation changed this round, previously driver-checked
-    # (the iterative-loop checkpoints now route through the certified
-    # seam plans.guard.certified_local_checkpoint; markov's staged
-    # matrix/rkeys literals register through literal_df)
-    "dedup_cluster_cc",
-    "graph_pagerank",
-    "attribution_markov_removal",
-    # (late r11 change: the winnowing selection kernel was rewritten
-    # to the struct-min form — same values, fresh row per policy)
     "winnowing_fingerprints",
-    # r11: implementation changed AND first driver exposure (ADVICE r10:
-    # degenerate-corpus NULL guard on the merged sketch's K-th minimum)
-    "kmv_union_merge",
-    # r10-new queries never driver-checked (new code outranks the
-    # judge-swept backlog; includes dedup_method_agreement per ADVICE)
-    "window_exclude_emulation",
-    "observation_metrics_contract",
-    "stat_crosstab_contract",
-    "file_provenance_contract",
-    "dedup_method_agreement",
-    # oldest never-driver-checked names, age order (introducing-commit
-    # date, then registration order) — ROTATION_BACKLOG's rule
-    "embedding_pair_cosine",
-    "vector_avg_by_label",
-    "json_from_schema",
-    "json_map_ops",
-    "funnel_by_segment",
-    "rollup_time_hierarchy",
-    "nested_roundtrip",
-    "lsh_bucket_stats",
-    "dpp_filtered_dim_scan",
-    "dedup_span_cut_keepfirst",
-    "domain_stats_psl",
-    "mixture_temperature_shares",
-    "join_fuzzy_blocked",
-    "quality_ensemble_keep",
-    "dedup_simhash_hamming",
-    "dedup_line_frequency",
-    "bpe_pair_counts",
-    "topic_seed_assign",
-    "posting_list_intersect",
-    "url_param_mining",
-    "crawl_frontier_politeness",
-    "langid_confusion",
-    "embedding_label_centroid",
-    "robots_txt_gate",
-    "dedup_cascade_attribution",
-    "embedding_top_pc",
-    "zipf_vocab_fit",
-    "event_attribution_last_touch",
-    "session_bounce_rate",
-    "simhash_hamming_calibration",
-    "dataset_drift_kl",
-    "event_transition_matrix",
-    "supplier_assortment_overlap",
-    "range_partition_bounds",
-    "label_agreement_kappa",
-    "ts_linear_interpolate",
-    "fd_candidate_audit",
-    "funnel_time_to_convert",
-]
-
-# ROTATION PLAN (round 11, VERDICT r10 item #6) -------------------------
-# The driver checks the FIRST 50 registry names each round; everything
-# never driver-checked must eventually land a hard-signal row.  The
-# backlog below holds every registered query with NO CORRECTNESS_r* row
-# through r10, MINUS the 45 first-exposure names in this round's window,
-# ordered oldest-first (introducing-commit date via `git log -S`, ties
-# by registration order).  Each future round's window = 2 continuity
-# anchors + every query whose implementation/contract changed that
-# round + the next slice of this list (. = consumed, slice indices are
-# into the list AS CHECKED IN THIS ROUND — strike landed names off in
-# place rather than re-slicing):
-#
-#   round | fresh | cohort
-#   r11   |  44   | (in DRIVER_WINDOW above)          backlog 262 -> 218
-#   r12   |  48   | ROTATION_BACKLOG[0:48]            backlog -> 170
-#   r13   |  48   | ROTATION_BACKLOG[48:96]           backlog -> 122
-#   r14   |  48   | ROTATION_BACKLOG[96:144]          backlog ->  74
-#   r15   |  48   | ROTATION_BACKLOG[144:192]         backlog ->  26
-#   r16   |  26   | ROTATION_BACKLOG[192:218] + re-anchors; backlog -> 0
-#
-# (48/round assumes ~3 changed-query slots; a quiet round can take more
-# and finish earlier, a heavy round fewer — keep >= 42 first-exposure,
-# the r9-set floor.)  tests/test_rotation_plan.py asserts the window
-# and backlog stay registered, disjoint, and truly never-checked.
-ROTATION_BACKLOG: list[str] = [
+    "quality_repetition",
+    "quality_bigram_logprob",
     "attribution_position_based",
     "trend_slope_by_type",
     "sketch_quantile_merge",
@@ -185,6 +101,34 @@ ROTATION_BACKLOG: list[str] = [
     "recon_order_totals",
     "itemset3_support",
     "inventory_stockout_scan",
+]
+
+# ROTATION PLAN (round 11, VERDICT r10 item #6) -------------------------
+# The driver checks the FIRST 50 registry names each round; everything
+# never driver-checked must eventually land a hard-signal row.  The
+# backlog below holds every registered query with NO CORRECTNESS_r* row
+# through r10, MINUS the 44 first-exposure names in this round's window,
+# ordered oldest-first (introducing-commit date via `git log -S`, ties
+# by registration order).  Each future round's window = 2 continuity
+# anchors + every query whose implementation/contract changed that
+# round + the next slice of this list (. = consumed, slice indices are
+# into the list AS CHECKED IN THIS ROUND — strike landed names off in
+# place rather than re-slicing):
+#
+#   round | fresh | cohort
+#   r11   |  44   | (landed: CORRECTNESS_r11)          backlog 262 -> 218
+#   r12   |  45   | (in DRIVER_WINDOW above)           backlog 218 -> 173
+#   r13   |  48   | ROTATION_BACKLOG[0:48]             backlog -> 125
+#   r14   |  48   | ROTATION_BACKLOG[48:96]            backlog ->  77
+#   r15   |  48   | ROTATION_BACKLOG[96:144]           backlog ->  29
+#   r16   |  29   | ROTATION_BACKLOG[144:173] + re-anchors; backlog -> 0
+#
+# (r12 took 45, not 48: two of its three changed-query repeats were
+# already driver-checked, and the floor is >= 42 first-exposure, the
+# r9-set floor; a quiet round can take more and finish earlier.)
+# tests/test_rotation_plan.py asserts the window and backlog stay
+# registered, disjoint, and truly never-checked.
+ROTATION_BACKLOG: list[str] = [
     "kendall_tau_terms",
     "ordinal_pattern_counts",
     "ngram_novelty_rate",

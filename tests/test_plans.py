@@ -127,7 +127,9 @@ def test_no_python_stage_outside_allowlist(spark, sf_dir):
     }
     # Full Python-exec physical-node inventory for the pinned Spark
     # (4.1.2), read from spark-sql_2.13-4.1.2.jar's
-    # org/apache/spark/sql/execution/python/*Exec.class:
+    # org/apache/spark/sql/execution/python/*Exec.class
+    # (test_markers_inventory_matches_installed_spark fails on any
+    # version bump until this inventory is re-read from the new jar):
     #   BatchEvalPython, ArrowEvalPython         (row / Arrow scalar UDF)
     #   BatchEvalPythonUDTF, ArrowEvalPythonUDTF (UDTF — substring
     #                                             "PythonUDTF" covers both)
@@ -158,6 +160,25 @@ def test_no_python_stage_outside_allowlist(spark, sf_dir):
         if hit:
             offenders.append((name, hit))
     assert not offenders, f"Python stages in JVM-only queries: {offenders}"
+
+
+def test_markers_inventory_matches_installed_spark():
+    """The MARKERS tuple above is a hand-read inventory of the Python
+    exec nodes in spark-sql_2.13-4.1.2.jar; a marker name missing from
+    it makes the allowlist sweep silently blind to that node kind
+    (VERDICT r10 "What's wrong" #1 was exactly this).  The inventory
+    is only valid for the version it was read from — fail on any bump
+    until someone re-reads org/apache/spark/sql/execution/python/
+    *Exec.class in the new jar and re-dates this pin (VERDICT r11
+    item #6).  Re-inventoried: round 11 (4.1.2)."""
+    import pyspark
+
+    assert pyspark.__version__ == "4.1.2", (
+        f"Spark is {pyspark.__version__}, but the Python-stage MARKERS "
+        "inventory in test_no_python_stage_outside_allowlist was read "
+        "from the 4.1.2 jar — re-read the python exec node list and "
+        "update both the inventory comment and this pin"
+    )
 
 
 def test_every_registered_query_has_an_oracle():
@@ -699,6 +720,66 @@ def test_certify_once_caches_per_label(spark, monkeypatch):
         )
         g.unregister_checkpoint_bounds(ck)
     assert calls == ["test_certify_once"]
-    g._CERT_ONCE.pop(
-        (spark.sparkContext.applicationId, "test_certify_once"), None
+    for k in [k for k in g._CERT_ONCE if k[1] == "test_certify_once"]:
+        del g._CERT_ONCE[k]
+
+
+def test_certify_once_recomputes_for_different_inputs(spark, monkeypatch):
+    """The certify_once cache key must be input-sensitive (ADVICE
+    r11): with an (app, label)-only key, a first call over a BOUNDED
+    plan cached True and a later call over a corpus-scale plan under
+    the same label registered its checkpoint as bounded — so a
+    downstream F.broadcast() of that checkpoint passed the strict
+    sweep (false negative in the guard itself)."""
+    import instructions_mr_spark.plans.guard as g
+    from instructions_mr_spark.sources.tables import load_table
+
+    calls = []
+    real = g.certify_no_unbounded_hints
+    monkeypatch.setattr(
+        g, "certify_no_unbounded_hints",
+        lambda df, label: calls.append(label) or real(df, label),
     )
+    label = "test_certify_once_inputs"
+    try:
+        bounded_df = spark.range(7).selectExpr("id AS co_key")
+        ck1 = g.certified_local_checkpoint(bounded_df, label, certify_once=True)
+        key1 = next(iter(
+            f"{a.name()}#{a.exprId().id()}"
+            for a in _out_attrs(ck1)
+        ))
+        assert g.CHECKPOINT_COLS_BOUNDED[key1] is True
+
+        # same label, corpus-scale input: the documents scan is
+        # unbounded by the classifier's relation markers
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        unbounded_df = docs.selectExpr("doc_id AS co_key")
+        ck2 = g.certified_local_checkpoint(
+            unbounded_df, label, certify_once=True
+        )
+        key2 = next(iter(
+            f"{a.name()}#{a.exprId().id()}"
+            for a in _out_attrs(ck2)
+        ))
+        assert g.CHECKPOINT_COLS_BOUNDED[key2] is False, (
+            "corpus-scale checkpoint inherited the bounded test-graph "
+            "verdict through the certify_once cache"
+        )
+        # both certifications actually ran (no stale reuse) ...
+        assert calls == [label, label]
+        # ... and the SAME input still hits the cache (the saving the
+        # cache exists for)
+        g.certified_local_checkpoint(
+            docs.selectExpr("doc_id AS co_key"), label, certify_once=True
+        )
+        assert calls == [label, label]
+        g.unregister_checkpoint_bounds(ck1)
+        g.unregister_checkpoint_bounds(ck2)
+    finally:
+        for k in [k for k in g._CERT_ONCE if k[1] == label]:
+            del g._CERT_ONCE[k]
+
+
+def _out_attrs(df):
+    out = df._jdf.queryExecution().analyzed().output()
+    return [out.apply(i) for i in range(out.size())]

@@ -140,7 +140,7 @@ def test_transform_with_state_user_stats(spark, events_stream):
     wheel anywhere on disk, and the generated StateMessage_pb2 needs
     the full runtime (descriptor_pool + internal.builder + wire
     format), which is not shimmable honestly — so this stays an env
-    gate, exercised wherever protobuf exists.  Re-affirmed round 11
+    gate, exercised wherever protobuf exists.  Re-affirmed round 12
     (2026-08-16): `import google.protobuf` still raises and no wheel
     is on disk; the protobuf-free applyInPandasWithState twin below
     runs everywhere and covers the semantics."""
