@@ -783,3 +783,39 @@ def test_certify_once_recomputes_for_different_inputs(spark, monkeypatch):
 def _out_attrs(df):
     out = df._jdf.queryExecution().analyzed().output()
     return [out.apply(i) for i in range(out.size())]
+
+
+def test_certify_once_still_amortizes_across_loop_rounds(spark, monkeypatch):
+    """The input-sensitive cache key (shape hash + leaf boundedness
+    profile) must still HIT across the rounds of one iterative-operator
+    call — that per-round Catalyst-pass saving is the reason
+    certify_once exists.  A profile that accidentally varies per round
+    (e.g. leaking attr ids into the shape hash) would silently turn
+    every round into a full certification; pin the call count."""
+    import instructions_mr_spark.plans.guard as g
+    from instructions_mr_spark.operators.graph import connected_components
+    from instructions_mr_spark.plans.guard import literal_df
+
+    calls = []
+    real = g.certify_no_unbounded_hints
+    monkeypatch.setattr(
+        g, "certify_no_unbounded_hints",
+        lambda df, label: calls.append(label) or real(df, label),
+    )
+    # a 12-node chain: diameter forces >= 11 label-propagation rounds
+    edges = literal_df(
+        spark, [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    comp = connected_components(edges).collect()
+    assert {(r.node, r.component) for r in comp} == {(i, 0) for i in range(12)}
+    once = [c for c in calls if c == "cc_labels"]
+    # round 1 certifies; rounds 2+ must reuse (the round-1 plan reads
+    # the labels0 leaf, round 2+ read a loop checkpoint leaf — one
+    # extra miss for that shape transition is acceptable, more means
+    # the key is unstable per round)
+    assert 1 <= len(once) <= 2, (
+        f"certify ran {len(once)}x for cc_labels across >=11 rounds — "
+        "the certify_once key is varying per round"
+    )
+    for k in [k for k in g._CERT_ONCE if k[1] == "cc_labels"]:
+        del g._CERT_ONCE[k]
