@@ -298,8 +298,24 @@ def literal_df(spark, data, schema=None):
     default sound — every package-made LogicalRDD is registered, so
     "unknown = unbounded" has no false positives.  A grep-guard
     (tests/test_plans.py::test_no_bare_createdataframe_in_package)
-    keeps bare createDataFrame calls out of every other module."""
-    df = spark.createDataFrame(data, schema)
+    keeps bare createDataFrame calls out of every other module.
+
+    Single-slice (round 12): createDataFrame(list) parallelizes into
+    defaultParallelism Python-RDD slices (32 here, nearly all empty
+    for a literal).  Evaluating those in PARALLEL is one worker
+    round-trip, but any downstream ``coalesce(1)`` — the standard
+    shape for checkpointing a tiny staged table — evaluates all 32
+    sequentially in ONE task at ~150 ms of Python-worker round-trip
+    each: a measured ~4.8 s per checkpoint seam that dominated
+    several heavies (attribution_markov_removal's rkeys stage alone
+    was 3.7-5.0 s of it).  A literal is driver-local and tiny by
+    definition, so one slice is always right."""
+    if isinstance(data, list):
+        df = spark.createDataFrame(
+            spark.sparkContext.parallelize(data, 1), schema
+        )
+    else:
+        df = spark.createDataFrame(data, schema)
     register_checkpoint_bounds(df, True)
     return df
 

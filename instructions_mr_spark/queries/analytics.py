@@ -4872,14 +4872,16 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     lead window every sessionization op shares + one user-keyed
     first-event argmin); everything after lives on the K x K
     transition matrix crossed with |channels|+1 removal variants — a
-    few hundred rows broadcast through all {_MRK_STEPS} steps, so
-    iteration depth never reshuffles the corpus.  The removal
-    variants are built by crossJoin against the DISTINCT channel
-    table (no driver collect, no data-dependent loop).  The prob /
-    matrix / removal-key / final-vector tables are localCheckpointed
-    (supersede_checkpoint) so no broadcast subtree ever replays the
-    event-stream lineage or the step chain — the post-rollup cost is
-    a few seconds of fixed tiny-stage scheduling, CONSTANT in corpus
+    few hundred rows total.  The removal variants are built by
+    crossJoin against the DISTINCT channel table (no driver collect,
+    no data-dependent loop), and the {_MRK_STEPS}-step power
+    iteration is unrolled as chained map-algebra projections over ONE
+    collected row per variant (round 12; previously 8 broadcast
+    join+agg stages whose fixed scheduling cost dominated the wall at
+    every scale).  prob and the post-iteration conv vector are
+    localCheckpointed (supersede_checkpoint) so no broadcast subtree
+    replays the event-stream lineage — the post-rollup cost is one
+    tiny exchange plus codegen'd integer algebra, CONSTANT in corpus
     size (only the one event-stream pass scales)."""
     e = t(spark, sf_dir, "events")
     buys = e.filter(F.col("event_type") == "purchase")
@@ -4972,42 +4974,61 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("dst"),
         F.lit(1000000).cast("bigint").alias("p_e6"),
     )
-    p_full = supersede_checkpoint(
-        "markov_removal_matrix",
+    p_full = (
         p_adj.unionByName(self_null)
         .unionByName(absorb)
         .groupBy("r", "src", "dst")
         .agg(F.sum("p_e6").alias("p_e6"))
+    )
+    # Collapse the {_MRK_STEPS}-step power iteration into ONE
+    # higher-order fold over ONE collected row per removal variant
+    # (round 12).  The previous shape looped 8 broadcast join+agg
+    # stages over the same few-hundred-row matrix — correct and
+    # corpus-constant, but ~5 s of fixed tiny-stage scheduling at ANY
+    # scale (driver heavies r11: 6.3-6.7 s total).  Per r the matrix
+    # is K+2 states, so the whole iteration is O(steps * K * |trans|)
+    # integer algebra that whole-stage codegen evaluates in
+    # microseconds.  The fold MUST be a single aggregate() whose
+    # accumulator is the state map: chaining per-step projection
+    # columns instead lets CollapseProject inline step i's map
+    # expression into step i+1's per-element lambda, where it is
+    # RE-EVALUATED per element_at — an O(K^steps) blowup (measured:
+    # the 8-step chain hung the optimizer/codegen for minutes; the
+    # fold runs in milliseconds).  Arithmetic is bit-identical to the
+    # join version: per dst, SUM(m[src] * p_e6) DIV 1e6 with absent
+    # states contributing 0 (the join version drops them pre-sum;
+    # adding zero terms to an integer sum before the one truncating
+    # division changes nothing).
+    conv = supersede_checkpoint(
+        "markov_removal_conv",
+        p_full.groupBy("r")
+        .agg(F.collect_list(F.struct("src", "dst", "p_e6")).alias("trans"))
         .coalesce(1)
-        ,
-    )
-    v = rkeys.select(
-        F.col("r").alias("vr"),
-        F.lit("START").alias("state"),
-        F.lit(1000000).cast("bigint").alias("m"),
-    )
-    for _ in range(_MRK_STEPS):
-        # p_full and prob are checkpointed, so each nested broadcast
-        # subtree here replays only tiny single-partition joins — the
-        # depth-8 chain materializes in a couple hundred ms total.
-        v = (
-            p_full.join(
-                F.broadcast(v),
-                (F.col("r") == F.col("vr")) & (F.col("src") == F.col("state")),
-            )
-            .groupBy("r", "dst")
-            .agg(F.expr("SUM(m * p_e6) DIV 1000000 AS m"))
-            .select(F.col("r").alias("vr"), F.col("dst").alias("state"), "m")
-            .coalesce(1)
+        .withColumn(
+            "_dsts", F.expr("array_distinct(transform(trans, t -> t.dst))")
         )
-    v = supersede_checkpoint(
-        "markov_removal_vfinal", v
+        .select(
+            "r",
+            F.expr(
+                f"""coalesce(element_at(
+                  aggregate(
+                    sequence(1, {_MRK_STEPS}),
+                    map('START', CAST(1000000 AS BIGINT)),
+                    (v, step) -> map_from_arrays(
+                      _dsts,
+                      transform(_dsts, d ->
+                        aggregate(
+                          filter(trans, t -> t.dst = d),
+                          CAST(0 AS BIGINT),
+                          (acc, t) -> acc
+                            + coalesce(element_at(v, t.src),
+                                       CAST(0 AS BIGINT)) * t.p_e6
+                        ) DIV 1000000))
+                  ),
+                  'CONV'), CAST(0 AS BIGINT)) AS conv_e6"""
+            ),
+        ),
     )
-    conv = rkeys.join(
-        v.filter(F.col("state") == "CONV").select("vr", "m"),
-        F.col("r") == F.col("vr"),
-        "left",
-    ).select("r", F.coalesce("m", F.lit(0)).alias("conv_e6"))
     base = conv.filter(F.col("r") == "(none)").select(
         F.col("conv_e6").alias("_base")
     )
