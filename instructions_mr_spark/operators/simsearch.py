@@ -276,36 +276,48 @@ def assign_topm_cells(
     straddling a k-means boundary still share a block (measured on
     uniform embeddings: single-cell recall ~0.4, top-2 ~0.8; on the r8
     decorrelated sf1 mixture at cos>=0.4, top-2 0.44 -> top-3 clears
-    the 0.5 contract).  Pure Column algebra: repeat (argmax, mask the
-    winner to -inf) m times, then explode to (cell, rest...) rows
-    (m x replication — the blocking cost, linear in m)."""
+    the 0.5 contract).  Pure Column algebra: ONE sort of the k
+    (negated dot, index) structs, slice the first m indices, explode
+    (m x replication — the blocking cost, linear in m).
+
+    The sort-based pick replaced m chained (argmax, mask-winner)
+    projections (round 12): each masking step referenced the previous
+    dots array 2-3x, so CollapseProject inlined the k x d-literal dot
+    expression multiplicatively per level — at m=5 Catalyst/codegen
+    chewed a huge duplicated tree on EVERY plan build (~2.8 s at
+    k=8, d=64, and the SemDeDup self-join embeds it twice).  The
+    struct sort is pick-identical: array_sort on struct(-dot, idx)
+    orders by dot DESC then index ASC, exactly argmax-first-index
+    semantics, ties included (double equality, -0.0 == 0.0, matches
+    array_max/array_position).  Requires k >= m (every caller's k
+    floor is 8 >= m=5; the old masking path silently repeated cell 0
+    once k was exhausted)."""
+    assert len(centroids) >= m, (
+        f"top-{m} assignment needs >= {m} centroids, got {len(centroids)}"
+    )
     dots = F.array(
         *[
             dot_product(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
             for c in centroids
         ]
     )
-    df = df.withColumn("__d0", dots)
-    picks = []
-    for j in range(m):
-        cj = f"__c{j}"
-        df = df.withColumn(
-            cj, F.expr(f"array_position(__d{j}, array_max(__d{j}))").cast("int")
+    return (
+        df.withColumn("__dots", dots)
+        .withColumn(
+            "cell",
+            F.explode(
+                F.slice(
+                    F.expr(
+                        "transform(array_sort(transform(__dots,"
+                        " (x, i) -> struct(-x AS nd, i AS i))), s -> s.i)"
+                    ),
+                    1,
+                    m,
+                )
+            ),
         )
-        picks.append(cj)
-        if j + 1 < m:
-            df = df.withColumn(
-                f"__d{j + 1}",
-                F.expr(
-                    f"transform(__d{j}, (x, i) ->"
-                    f" IF(i = {cj} - 1, CAST(-1e300 AS DOUBLE), x))"
-                ),
-            )
-    out = df.withColumn(
-        "cell", F.explode(F.array(*[F.col(c) - 1 for c in picks]))
+        .drop("__dots")
     )
-    drop = [f"__d{j}" for j in range(m)] + picks
-    return out.drop(*drop)
 
 
 def assign_top2_cells(

@@ -820,8 +820,33 @@ _DOT = """
 def _cosine_col(a, b):
     dot = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     s = F.aggregate(dot, F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.round(s / (_norm_col(a) * _norm_col(b)), 6)
+
+
+def _norm_col(a):
+    """L2 norm of an embedding array — the exact subexpression
+    _cosine_col uses, exposed so pair joins can hoist it to the
+    per-VECTOR projection (round 12): higher-order functions are
+    CodegenFallback (interpreted per element), so recomputing two
+    64-element norms per candidate PAIR cost ~2.6 s of the SemDeDup
+    join-back at sf0.1 (178k pairs) where the same norms are one HOF
+    pass over 2k vectors.  Hoisting is bit-identical: the aggregate
+    runs over the same array in the same order, so the double (and
+    the final round(dot/(na*nb), 6)) is unchanged."""
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def _cosine_prenorm(ea, eb, na, nb):
+    """Pair cosine with per-vector norms hoisted (see _norm_col):
+    identical arithmetic to _cosine_col, ~3x less interpreted HOF
+    work per pair."""
+    dot = F.zip_with(ea, eb, lambda x, y: x.cast("double") * y.cast("double"))
+    s = F.aggregate(dot, F.lit(0.0), lambda acc, x: acc + x)
     return F.round(s / (na * nb), 6)
 
 
@@ -1774,13 +1799,28 @@ def _cell_blocked_pairs(e, k: int, threshold: float,
         )
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms hoisted to the per-vector projections (see _norm_col):
+    # each surviving pair pays one interpreted dot instead of a dot
+    # plus two 64-element norm recomputations — bit-identical cosine
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm_col(F.col("embedding")).alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm_col(F.col("embedding")).alias("nb"),
+    )
     pairs = (
         screened.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
-            "vec_a", "vec_b", _cosine_col(F.col("ea"), F.col("eb")).alias("cos")
+            "vec_a",
+            "vec_b",
+            _cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -1852,13 +1892,17 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sampled-recall audit: brute-force pairs among a capped
     # deterministic id slice (see _SEM_AUDIT_TARGET).
     s = e.filter(F.col("vec_id") % _audit_mod(n) == 0)
+    s = s.withColumn("nrm", _norm_col(F.col("embedding")))
     sa, sb = s.alias("sa"), s.alias("sb")
     audit = (
         sa.join(sb, F.col("sa.vec_id") < F.col("sb.vec_id"))
         .select(
             F.col("sa.vec_id").alias("vec_a"),
             F.col("sb.vec_id").alias("vec_b"),
-            _cosine_col(F.col("sa.embedding"), F.col("sb.embedding")).alias("cos"),
+            _cosine_prenorm(
+                F.col("sa.embedding"), F.col("sb.embedding"),
+                F.col("sa.nrm"), F.col("sb.nrm"),
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= _SEM_COS_T)
     )
