@@ -289,12 +289,11 @@ def assign_topm_cells(
     struct sort is pick-identical: array_sort on struct(-dot, idx)
     orders by dot DESC then index ASC, exactly argmax-first-index
     semantics, ties included (double equality, -0.0 == 0.0, matches
-    array_max/array_position).  Requires k >= m (every caller's k
-    floor is 8 >= m=5; the old masking path silently repeated cell 0
-    once k was exhausted)."""
-    assert len(centroids) >= m, (
-        f"top-{m} assignment needs >= {m} centroids, got {len(centroids)}"
-    )
+    array_max/array_position).  For k < m (degenerate corpora where
+    KMeans returns fewer centers) slice yields the k cells that exist;
+    the old masking path instead repeated cell 0 for the exhausted
+    picks — the same pair set after the blocking join's DISTINCT, with
+    fewer duplicate rows feeding it."""
     dots = F.array(
         *[
             dot_product(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
