@@ -43,19 +43,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ROTATION PLAN below; everything else keeps registration order after
 # it, with the still-never-checked names ahead of the already-green
 # ones so the plan's slices stay aligned.  Round-12 composition
-# (45 of 50 first-exposure): 2 continuity anchors, 3 changed-this-round
-# repeats (winnowing_fingerprints, quality_repetition and
-# quality_bigram_logprob now route their documents scan through the
-# kernel_floor parallelism floor — same values, fresh row per policy),
-# then ROTATION_BACKLOG[0:45] per the plan below (emitted by
-# tools/rotate_window.py --changed winnowing_fingerprints,
-# quality_repetition,quality_bigram_logprob).
+# (42 of 50 first-exposure): 2 continuity anchors, 6 changed-this-round
+# repeats (winnowing_fingerprints / quality_repetition /
+# quality_bigram_logprob ride the kernel_floor parallelism floor;
+# attribution_markov_removal's power iteration became one HOF fold;
+# semdedup_cells / semdedup_planted_k32 got the sort-based top-m
+# assignment + hoisted pair norms — all value-identical, fresh driver
+# row per policy), then ROTATION_BACKLOG[0:42] per the plan below
+# (emitted by tools/rotate_window.py --changed winnowing_fingerprints,
+# quality_repetition,quality_bigram_logprob,attribution_markov_removal,
+# semdedup_cells,semdedup_planted_k32).
 DRIVER_WINDOW: list[str] = [
     "q1_pricing_summary",
     "scope_project",
     "winnowing_fingerprints",
     "quality_repetition",
     "quality_bigram_logprob",
+    "attribution_markov_removal",
+    "semdedup_cells",
+    "semdedup_planted_k32",
     "attribution_position_based",
     "trend_slope_by_type",
     "sketch_quantile_merge",
@@ -98,9 +104,6 @@ DRIVER_WINDOW: list[str] = [
     "gini_revenue_inequality",
     "hhi_concentration",
     "auc_mann_whitney",
-    "recon_order_totals",
-    "itemset3_support",
-    "inventory_stockout_scan",
 ]
 
 # ROTATION PLAN (round 11, VERDICT r10 item #6) -------------------------
@@ -117,18 +120,22 @@ DRIVER_WINDOW: list[str] = [
 #
 #   round | fresh | cohort
 #   r11   |  44   | (landed: CORRECTNESS_r11)          backlog 262 -> 218
-#   r12   |  45   | (in DRIVER_WINDOW above)           backlog 218 -> 173
-#   r13   |  48   | ROTATION_BACKLOG[0:48]             backlog -> 125
-#   r14   |  48   | ROTATION_BACKLOG[48:96]            backlog ->  77
-#   r15   |  48   | ROTATION_BACKLOG[96:144]           backlog ->  29
-#   r16   |  29   | ROTATION_BACKLOG[144:173] + re-anchors; backlog -> 0
+#   r12   |  42   | (in DRIVER_WINDOW above)           backlog 218 -> 176
+#   r13   |  48   | ROTATION_BACKLOG[0:48]             backlog -> 128
+#   r14   |  48   | ROTATION_BACKLOG[48:96]            backlog ->  80
+#   r15   |  48   | ROTATION_BACKLOG[96:144]           backlog ->  32
+#   r16   |  32   | ROTATION_BACKLOG[144:176] + re-anchors; backlog -> 0
 #
-# (r12 took 45, not 48: two of its three changed-query repeats were
-# already driver-checked, and the floor is >= 42 first-exposure, the
-# r9-set floor; a quiet round can take more and finish earlier.)
+# (r12 took 42, the >= 42 first-exposure floor: six changed-query
+# repeats this round — three kernel_floor reroutes plus the markov
+# fold and the two SemDeDup kernel queries — each owed a fresh driver
+# row per policy; a quiet round can take more and finish earlier.)
 # tests/test_rotation_plan.py asserts the window and backlog stay
 # registered, disjoint, and truly never-checked.
 ROTATION_BACKLOG: list[str] = [
+    "recon_order_totals",
+    "itemset3_support",
+    "inventory_stockout_scan",
     "kendall_tau_terms",
     "ordinal_pattern_counts",
     "ngram_novelty_rate",
