@@ -819,3 +819,20 @@ def test_certify_once_still_amortizes_across_loop_rounds(spark, monkeypatch):
     )
     for k in [k for k in g._CERT_ONCE if k[1] == "cc_labels"]:
         del g._CERT_ONCE[k]
+
+
+def test_literal_df_is_single_slice(spark):
+    """literal_df must build ONE Python-RDD slice (round 12): with the
+    default createDataFrame path a literal carries defaultParallelism
+    mostly-empty slices, and any downstream coalesce(1) — the standard
+    checkpoint shape for tiny staged tables — evaluates them
+    SEQUENTIALLY in one task at a Python-worker round-trip each
+    (~4.8 s per checkpoint seam measured at 32 cores).  A literal is
+    driver-local and tiny by definition; one slice is always right."""
+    from instructions_mr_spark.plans.guard import literal_df
+
+    lit = literal_df(spark, [(1, "a"), (2, "b")], "id long, s string")
+    assert lit.rdd.getNumPartitions() == 1
+    assert [(r.id, r.s) for r in lit.orderBy("id").collect()] == [
+        (1, "a"), (2, "b"),
+    ]
