@@ -1283,15 +1283,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("ea_id"), F.col("embedding").alias("ea_emb"))
-    eb = e.select(F.col("vec_id").alias("eb_id"), F.col("embedding").alias("eb_emb"))
+    # norms hoisted to the per-vector join-back projections (see
+    # _norm_col: bit-identical cosine, ~3x less interpreted HOF work
+    # per candidate pair)
+    ea = e.select(
+        F.col("vec_id").alias("ea_id"),
+        F.col("embedding").alias("ea_emb"),
+        _norm_col(F.col("embedding")).alias("ea_n"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("eb_id"),
+        F.col("embedding").alias("eb_emb"),
+        _norm_col(F.col("embedding")).alias("eb_n"),
+    )
     return (
         cand.join(ea, cand.vec_a == ea.ea_id)
         .join(eb, cand.vec_b == eb.eb_id)
         .select(
             "vec_a",
             "vec_b",
-            _cosine_col(F.col("ea_emb"), F.col("eb_emb")).alias("cosine"),
+            _cosine_prenorm(
+                F.col("ea_emb"), F.col("eb_emb"),
+                F.col("ea_n"), F.col("eb_n"),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.4)
         .orderBy("vec_a", "vec_b")
@@ -3252,18 +3266,24 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(_MMR_POOL)
         ),
     )
+    # norms hoisted per pool vector (see _norm_col): bit-identical s6,
+    # the pool self-join pays one interpreted dot per pair, not three
     ca = cand.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        _norm_col(F.col("embedding")).alias("na"),
     )
     cb = cand.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        _norm_col(F.col("embedding")).alias("nb"),
     )
     sim = (
         ca.join(cb, F.col("va") != F.col("vb"))
         .select(
             "va",
             "vb",
-            _cosine_col(F.col("ea"), F.col("eb")).alias("s6"),
+            _cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("s6"),
         )
         .selectExpr("va", "vb", "CAST(FLOOR(s6 * 1000000 + 0.5) AS BIGINT) AS s_e6")
     )
@@ -3715,15 +3735,25 @@ def semdedup_eps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "embedding")
     s = supersede_checkpoint("eps_sweep_sample", s)
     n = s.agg(F.count(F.lit(1)).alias("ns"))
-    ea = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms hoisted per sample vector (see _norm_col): bit-identical
+    # cos, the all-pairs sweep pays one interpreted dot per pair
+    ea = s.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        _norm_col(F.col("embedding")).alias("na"),
+    )
+    eb = s.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        _norm_col(F.col("embedding")).alias("nb"),
+    )
     pr = (
         ea.crossJoin(eb)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            _cosine_col(F.col("ea"), F.col("eb")).alias("cos"),
+            _cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
         )
     )
     eps = literal_df(spark, [(x,) for x in _EPS_LEVELS], "eps_e2 int")
