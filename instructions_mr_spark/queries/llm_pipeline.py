@@ -3287,50 +3287,53 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("va", "vb", "CAST(FLOOR(s6 * 1000000 + 0.5) AS BIGINT) AS s_e6")
     )
-    sim = supersede_checkpoint("mmr_sim", sim)
-    pool = cand.select("vec_id", "cq_e6")
-    picked = (
-        pool.agg(
-            F.max(
-                F.struct(
-                    F.col("cq_e6").alias("s"),
-                    (-F.col("vec_id")).alias("ni"),
-                    F.col("vec_id").alias("v"),
-                    F.col("cq_e6").alias("c"),
-                )
-            ).alias("m")
-        )
-        .select(
-            F.lit(1).cast("bigint").alias("pick_rank"),
-            F.col("m.v").alias("vec_id"),
-            F.col("m.c").alias("cq_e6"),
+    # Greedy selection as ONE higher-order fold over one collected row
+    # (round 12; previously {_MMR_K}-1 chained anti-join + semi-join +
+    # agg stage groups over a <= {_MMR_POOL}-row pool — all fixed
+    # scheduling, ~3.3 s warm at sf0.1 for ~40k interpreted ops of
+    # actual selection work).  Selection semantics are unchanged and
+    # integer-exact: pick 1 maximizes (cq_e6, then smallest id) — the
+    # struct sort on (-cq_e6, id) — and each later step maximizes
+    # score = cq_e6 - max(s_e6 to picked) with the same smallest-id
+    # tie, exactly the old MAX(struct(score, -vec_id, ...)).  The
+    # collect_list order is irrelevant (filter/exists/greatest/sort
+    # are order-independent), and every candidate has a sim row to
+    # every picked vector (the pool self-join is complete), so the
+    # running max starts from a sentinel below any e6 cosine.
+    sims_1 = sim.agg(F.collect_list(F.struct("va", "vb", "s_e6")).alias("sims"))
+    pool_1 = cand.select("vec_id", "cq_e6").agg(
+        F.collect_list(F.struct("vec_id", "cq_e6")).alias("pool")
+    )
+    neg = "CAST(-4611686018427387904 AS BIGINT)"
+    picked_arr = pool_1.crossJoin(sims_1).select(
+        F.expr(
+            f"""aggregate(
+      sequence(2, {_MMR_K}),
+      array(element_at(array_sort(transform(pool,
+          c -> struct(-c.cq_e6 AS ns, c.vec_id AS v, c.cq_e6 AS c6))), 1)),
+      (acc, step) -> CASE WHEN size(filter(pool,
+              c -> NOT exists(acc, p -> p.v = c.vec_id))) = 0 THEN acc
+        ELSE concat(acc, array(element_at(array_sort(transform(
+          filter(pool, c -> NOT exists(acc, p -> p.v = c.vec_id)),
+          c -> struct(
+            -(c.cq_e6 - aggregate(
+                filter(sims, s -> s.va = c.vec_id
+                              AND exists(acc, p -> p.v = s.vb)),
+                {neg},
+                (m, s) -> greatest(m, s.s_e6))) AS ns,
+            c.vec_id AS v, c.cq_e6 AS c6))), 1))) END
+    ) AS picked"""
         )
     )
-    for k in range(2, _MMR_K + 1):
-        pk = picked.select("vec_id")
-        scored = (
-            pool.join(pk, "vec_id", "left_anti")
-            .join(sim.join(pk, sim.vb == pk.vec_id, "left_semi"),
-                  F.col("va") == pool.vec_id)
-            .groupBy(pool.vec_id, "cq_e6")
-            .agg((F.col("cq_e6") - F.max("s_e6")).alias("score"))
+    return (
+        picked_arr.select(F.posexplode("picked").alias("pos", "p"))
+        .select(
+            (F.col("pos") + 1).cast("bigint").alias("pick_rank"),
+            F.col("p.v").alias("vec_id"),
+            F.col("p.c6").alias("cq_e6"),
         )
-        nxt = scored.agg(
-            F.max(
-                F.struct(
-                    F.col("score").alias("s"),
-                    (-F.col("vec_id")).alias("ni"),
-                    F.col("vec_id").alias("v"),
-                    F.col("cq_e6").alias("c"),
-                )
-            ).alias("m")
-        ).select(
-            F.lit(k).cast("bigint").alias("pick_rank"),
-            F.col("m.v").alias("vec_id"),
-            F.col("m.c").alias("cq_e6"),
-        ).filter(F.col("vec_id").isNotNull())  # pool smaller than K
-        picked = picked.unionByName(nxt)
-    return picked.orderBy("pick_rank")
+        .orderBy("pick_rank")
+    )
 
 
 @query(
