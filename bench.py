@@ -105,6 +105,17 @@ HEAVIES_R11 = [
     "dedup_minhash_lsh_salted",
 ]
 
+# Fifth tracked list (round 12): the fixed-overhead rewrites of this
+# round that no existing series covers — the HOF-fold MMR selection
+# (was 5 chained anti-join/agg stage groups) and the LSH candidate
+# join-back with hoisted pair-cosine norms.  markov and semdedup, the
+# other r12 rewrites, already ride heavies_r8/heavies.  Emitted under
+# "heavies_r12" with its own A/A band.
+HEAVIES_R12 = [
+    "mmr_diverse_topk",
+    "dedup_embedding_cosine",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,6 +200,9 @@ def main() -> None:
     heavies_r11, heavies_r11_ab = ({}, {}) if names_env else time_set(
         HEAVIES_R11, ab_noise=True
     )
+    heavies_r12, heavies_r12_ab = ({}, {}) if names_env else time_set(
+        HEAVIES_R12, ab_noise=True
+    )
 
     total = round(sum(timings.values()), 3)
     noise_band = band(ab_ratios)
@@ -231,6 +245,7 @@ def main() -> None:
         ("heavies", heavies, heavies_ab),
         ("heavies_r8", heavies_r8, heavies_r8_ab),
         ("heavies_r11", heavies_r11, heavies_r11_ab),
+        ("heavies_r12", heavies_r12, heavies_r12_ab),
     ):
         if vals:
             print(json.dumps(
