@@ -7,10 +7,11 @@ Three tiers, trading exactness for scan reduction:
    exact, full scan — the recall baseline;
 2. sign-bucket LSH (sim_search_ivf query): deterministic pruning,
    oracle-checkable;
-3. k-means IVF (this module): train coarse centroids (pyspark.ml
-   KMeans, fixed seed), assign each vector to its nearest centroid,
-   search only the ``n_probe`` centroids nearest the query — the
-   production ANN path.  At 100 TB the assignment is a write-time
+3. k-means IVF (this module): train coarse centroids (deterministic
+   driver-side Lloyd's over a bounded hash-selected sample — RNG-free,
+   bit-stable across runs), assign each vector to its nearest
+   centroid, search only the ``n_probe`` centroids nearest the query —
+   the production ANN path.  At 100 TB the assignment is a write-time
    partition column, so probing becomes partition pruning.
 
 The cosine kernel is the JVM-side functions.cosine_sim everywhere —
@@ -25,6 +26,47 @@ from pyspark.sql import functions as F
 from instructions_mr_spark.functions import cosine_sim, dot_product
 
 
+def _collect_train_sample(
+    df: DataFrame, vec_col: str, train_cap: int | None
+):
+    """Deterministic bounded training sample for the coarse quantizer,
+    as a driver-side float64 matrix.
+
+    Rows are keyed by an md5-derived hash of the vector text (portable,
+    order-independent — the same sample and the same ROW ORDER on any
+    partitioning or engine), sorted by (hash, vector) and hard-bounded
+    by ``train_cap``.  For corpora above the cap a deterministic
+    hash-bucket prefilter (same construction the PQ/k-means samplers
+    have always used) cuts the candidate set to ~cap rows FIRST, so
+    the ordered limit is a top-k over ~cap candidates, never a
+    corpus-wide TakeOrdered (the 100 TB shape).  Exposed as its own
+    seam so tests can spy on how many rows training actually sees
+    (the contract: a bounded sample, never the corpus)."""
+    import numpy as np
+
+    hashed = df.select(
+        F.col(vec_col).alias("v"),
+        F.conv(F.substring(F.md5(F.col(vec_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    if train_cap is not None:
+        n = df.count()
+        if n > train_cap:
+            # expected survivors ~1.05x cap; bucket membership depends
+            # only on the vector bytes, so the filtered SET is stable
+            # across partitionings — the ordered limit then trims the
+            # overshoot deterministically
+            n_buckets = 1_000_003
+            keep = max(1, int(n_buckets * train_cap * 1.05 / n))
+            hashed = hashed.filter(F.pmod(F.abs(F.col("h")), F.lit(n_buckets)) < keep)
+        hashed = hashed.orderBy("h", "v").limit(train_cap)
+    else:
+        hashed = hashed.orderBy("h", "v")
+    rows = hashed.collect()
+    return np.array([r.v for r in rows], dtype=np.float64)
+
+
 def train_ivf_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -32,41 +74,44 @@ def train_ivf_centroids(
     seed: int = 42,
     train_cap: int = 100_000,
 ) -> list[list[float]]:
-    """Train k coarse centroids (fixed seed -> deterministic given the
-    same input and Spark version).
+    """Train k coarse centroids with a deterministic driver-side
+    Lloyd's k-means over a bounded sample (same construction as
+    :func:`train_pq_codebooks`: hash-selected sample, k evenly spaced
+    sample points as init, 20 mean/assign iterations — no RNG
+    anywhere, so the codebook is bit-stable across runs and engines;
+    ``seed`` is kept in the signature for call-site compatibility but
+    is unused).
 
-    Training is bounded by ``train_cap``: coarse-quantizer centroids need
-    only a representative sample, so running 20 KMeans iterations over the
-    full table (100 TB of vectors) would be pure waste.  The cap is applied
-    with a deterministic hash-bucket filter on the vector bytes (portable,
-    order-independent — same sample on any partitioning), sized from a
-    cheap count, then hard-bounded with ``limit``.  ``train_cap=None``
-    disables sampling (tiny tables / tests).
+    Round 12: this replaced the distributed pyspark.ml KMeans fit.
+    Coarse-quantizer centroids need only a representative sample, so
+    the 20-iteration fit was ~25 sequential tiny Spark jobs whose
+    fixed scheduling cost (~1.5 s warm at sf0.1) dwarfed the actual
+    math; the same sample collected once (``train_cap`` rows max —
+    51 MB of float64 at the 100k cap, driver-bounded at ANY corpus
+    size) trains in NumPy in milliseconds.  This is the guide's §1.2
+    step-1 move: the distributed algorithm was the waste, not the
+    per-task work.  Training cost is O(cap * k * d * iters) on the
+    driver; the corpus-sized assignment stays a Column projection.
+    ``train_cap=None`` disables sampling (tiny tables / tests).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    sample = df
-    if train_cap is not None:
-        n = df.count()
-        if n > train_cap:
-            # Deterministic membership: md5 of the vector rendered to text,
-            # keep buckets < cap/n of the space.  Not df.sample() — that
-            # depends on partitioning; this is stable across engines/runs.
-            n_buckets = 1_000_003
-            keep = max(1, int(n_buckets * train_cap / n))
-            bucket = F.pmod(
-                F.abs(
-                    F.conv(
-                        F.substring(F.md5(F.col(vec_col).cast("string")), 1, 15), 16, 10
-                    ).cast("long")
-                ),
-                F.lit(n_buckets),
-            )
-            sample = df.filter(bucket < keep).limit(train_cap)
-    feat = sample.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=20).fit(feat)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    X = _collect_train_sample(df, vec_col, train_cap)
+    if len(X) == 0:
+        return []
+    k_eff = min(k, len(X))
+    idx = np.linspace(0, len(X) - 1, k_eff).astype(int)
+    cent = X[idx].copy()
+    for _ in range(20):
+        # argmin L2 == argmax (x.c - |c|^2/2); matmul keeps the
+        # 100k x k distance pass vectorized
+        scores = X @ cent.T - 0.5 * (cent * cent).sum(axis=1)[None, :]
+        assign = scores.argmax(axis=1)
+        for j in range(k_eff):
+            pts = X[assign == j]
+            if len(pts):
+                cent[j] = pts.mean(axis=0)
+    return [[float(x) for x in c] for c in cent]
 
 
 def assign_ivf_cell(

@@ -72,19 +72,21 @@ def test_ivf_recall_vs_brute_force(emb, centroids):
 
 
 def test_train_cap_bounds_kmeans_input(emb, monkeypatch):
-    """KMeans must fit on at most ``train_cap`` rows (the 100 TB story:
-    coarse centroids from a deterministic sample, never 20 iterations
-    over the full vector table) — spied via the fit entry point."""
-    from pyspark.ml.clustering import KMeans
+    """Centroid training must see at most ``train_cap`` rows (the
+    100 TB story: coarse centroids from a deterministic bounded
+    sample, never the full vector table) — spied via the
+    sample-collection seam the driver-side Lloyd's trains on."""
+    from instructions_mr_spark.operators import simsearch as ss
 
     seen = {}
-    orig = KMeans.fit
+    orig = ss._collect_train_sample
 
-    def spy(self, dataset, *a, **kw):
-        seen["n"] = dataset.count()
-        return orig(self, dataset, *a, **kw)
+    def spy(df, vec_col, cap):
+        X = orig(df, vec_col, cap)
+        seen["n"] = len(X)
+        return X
 
-    monkeypatch.setattr(KMeans, "fit", spy)
+    monkeypatch.setattr(ss, "_collect_train_sample", spy)
     cap = 50
     assert emb.count() > cap  # the cap must actually engage
     c1 = train_ivf_centroids(emb, k=4, seed=42, train_cap=cap)

@@ -29,6 +29,7 @@ TOUCHED = [
     "mmr_diverse_topk",
     "dedup_embedding_cosine",
     "semdedup_eps_sweep",
+    "sim_search_ivf_kmeans",
 ]
 
 
