@@ -410,17 +410,23 @@ def cluster_rep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- triangle counting
 
 
-def _copurchase_oriented(spark: SparkSession, sf_dir: str):
-    """Shared triangle-machinery build: the co-purchase edge set, its
-    degree table, and the degree-ordered oriented edges — staged once
-    each (localCheckpoint) because degrees, wedge sides, and closing
-    builds are all multi-consumers.  Returns (edges, deg, oriented)."""
-    from instructions_mr_spark.queries._util import supersede_checkpoint
+def _copurchase_base(spark: SparkSession, sf_dir: str):
+    """Shared co-purchase graph base: the staged edge set and its
+    degree table.  Returns (edges, deg).
+
+    Split out of _copurchase_oriented (round 12, optimization session
+    5): five consumers (link prediction, degree assortativity, HITS,
+    Bellman-Ford, resource allocation) discarded the oriented-edge
+    table but still paid its build AND its eager localCheckpoint —
+    two joins, the certification pass and a checkpoint job of a table
+    they never read (~0.7-1.0 s of pure fixed overhead per query at
+    sf0.1).  Only the wedge-closing queries (triangle count,
+    clustering coefficient) go through _copurchase_oriented now."""
     from instructions_mr_spark.queries.analytics import copurchase_edges
 
-    # session-shared staged edge set (r10): three consumers here
-    # (degrees, edge count, wedge join) plus the HITS / conductance /
-    # CCDF queries all read the ONE staged support-counted table
+    # session-shared staged edge set (r10): degrees and the consumers'
+    # own joins plus the HITS / conductance / CCDF queries all read
+    # the ONE staged support-counted table
     e = copurchase_edges(spark, sf_dir).select(
         F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
@@ -430,6 +436,18 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str):
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    return e, deg
+
+
+def _copurchase_oriented(spark: SparkSession, sf_dir: str):
+    """Shared triangle-machinery build: the co-purchase edge set, its
+    degree table, and the degree-ordered oriented edges — staged once
+    each (localCheckpoint) because degrees, wedge sides, and closing
+    builds are all multi-consumers.  Returns (edges, deg, oriented).
+    Consumers that do not read ``oriented`` use _copurchase_base."""
+    from instructions_mr_spark.queries._util import supersede_checkpoint
+
+    e, deg = _copurchase_base(spark, sf_dir)
     # total-order key: degree-major, id-minor, packed into one BIGINT.
     # Packing bound (r7 advice): valid only while vertex ids < 1e12 and
     # degrees < ~9.2e6 (BIGINT headroom) — partkeys and basket-bounded
@@ -787,7 +805,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of deg^2 — at hub-heavy scale, degree-cap or orient exactly
     as graph_triangle_count does); pairs aggregate as bare integer
     ids; degrees broadcast back onto the scored pairs."""
-    e, deg, _ = _copurchase_oriented(spark, sf_dir)
+    e, deg = _copurchase_base(spark, sf_dir)
     adj = e.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
         e.select(F.col("b").alias("v"), F.col("a").alias("n"))
     )
@@ -858,7 +876,7 @@ def degree_assortativity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT holds Σd² up to ~10^9-edge, ~10^4-degree graphs."""
     from instructions_mr_spark.queries.graph import _copurchase_oriented
 
-    e, deg, _ = _copurchase_oriented(spark, sf_dir)
+    e, deg = _copurchase_base(spark, sf_dir)
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
     return (
@@ -924,7 +942,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     never exceeds |V| rows and the hop bound caps the rounds
     statically (no driver-side convergence loop).  Hub explosion is
     bounded because the frontier carries bare integer ids."""
-    e, _, _ = _copurchase_oriented(spark, sf_dir)
+    e, _ = _copurchase_base(spark, sf_dir)
     sym = e.select("a", "b").unionAll(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -1088,7 +1106,7 @@ def bellman_ford_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost table never exceeds |V| rows, rounds are statically bounded
     (no driver convergence loop), and weights ride the staged edge
     table so no recompute per round."""
-    e, _, _ = _copurchase_oriented(spark, sf_dir)
+    e, _ = _copurchase_base(spark, sf_dir)
     w_expr = (1 + (F.col("a") + F.col("b")) % 5).alias("w")
     sym = e.select("a", "b", w_expr).unionAll(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"), w_expr)
@@ -1485,7 +1503,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     after), so scoring needs no extra pass; pairs aggregate as bare
     int ids — same deg^2 wedge volume and degree-cap guidance as
     graph_triangle_count."""
-    e, deg, _ = _copurchase_oriented(spark, sf_dir)
+    e, deg = _copurchase_base(spark, sf_dir)
     adj = e.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
         e.select(F.col("b").alias("v"), F.col("a").alias("n"))
     )

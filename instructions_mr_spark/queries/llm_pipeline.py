@@ -1920,7 +1920,20 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= _SEM_COS_T)
     )
-    found_in_audit = audit.join(pairs.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi")
+    # ONE evaluation of the audit self-join (round 12, optimization
+    # session 5): the old shape aggregated `audit` once for
+    # (n_audit, checksum) and AGAIN under a left-semi join for
+    # n_found — two full evaluations of the sampled brute-force
+    # cosine self-join (~0.5 s at sf0.1).  `pairs` is unique on
+    # (vec_a, vec_b) by construction (the blocking DISTINCT precedes
+    # the join-back), so a left join preserves audit cardinality
+    # exactly and COUNT(_hit) == the old semi-join count — all three
+    # aggregates now ride one pass over one audit evaluation.
+    marked = audit.join(
+        pairs.select("vec_a", "vec_b", F.lit(1).alias("_hit")),
+        ["vec_a", "vec_b"],
+        "left",
+    )
     # Report the dial that was CONTRACTED (k_eff), not len(centroids):
     # Spark ML KMeans can return fewer centers on degenerate corpora,
     # which would red-row the driver hash while the dedup itself is
@@ -1929,16 +1942,16 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.agg((F.count("*") > 0).alias("pairs_nonzero"))
         .crossJoin(
-            audit.agg(
+            marked.agg(
                 F.count("*").alias("n_audit"),
                 F.coalesce(
                     F.sum(F.col("vec_a") * 1000003 + F.col("vec_b")), F.lit(0)
                 )
                 .cast("bigint")
                 .alias("audit_checksum"),
+                F.count("_hit").alias("n_found"),
             )
         )
-        .crossJoin(found_in_audit.agg(F.count("*").alias("n_found")))
         .select(
             n_cells.alias("n_cells"),
             F.col("n_audit").alias("n_audit_pairs"),
