@@ -152,7 +152,7 @@ def free_staged_checkpoints() -> int:
     return n
 
 
-def kernel_floor(df: DataFrame) -> DataFrame:
+def kernel_floor(df: DataFrame, full: bool = False) -> DataFrame:
     """Parallelism floor for CPU-dense per-row kernels that otherwise
     ride the scan (round 12, VERDICT r11 "What's wrong" #3).
 
@@ -168,15 +168,33 @@ def kernel_floor(df: DataFrame) -> DataFrame:
 
     Applied ONLY where the kernel cost dominates — for cheap
     projections the exchange is pure overhead and riding the scan
-    stays correct.  When the scan already has >= min(cores, 8)
-    splits (any realistic 100 TB layout), this is the identity: no
-    exchange is added and the plan is unchanged.  Row-level semantics
-    are unaffected either way (round-robin redistribution; every
-    caller is per-row algebra + order-insensitive aggregation or an
+    stays correct.  When the scan already has >= cores splits (any
+    realistic 100 TB layout), this is the identity: no exchange is
+    added and the plan is unchanged.  Row-level semantics are
+    unaffected either way (round-robin redistribution; every caller
+    is per-row algebra + order-insensitive aggregation or an
     explicit final orderBy).
+
+    ``full`` picks the engagement threshold, and the right value is a
+    property of the KERNEL, measured per caller (session 5, sf1's
+    10-file layout on a 32-core box — the in-between regime the first
+    min(cores, 8) cut never exercised):
+
+    * full=True — engage below ``cores`` splits.  For kernels heavy
+      enough that idle cores dominate the exchange: winnowing
+      measured 4.50/3.67 -> 3.11/2.24 s (two interleaved min-of-3
+      pairs at sf1) going from 10-way to 32-way.
+    * full=False (default) — engage only below min(cores, 8) splits
+      (the pathological single-file case).  For lighter kernels the
+      extra exchange LOSES: quality_repetition measured 1.73/1.84
+      (10-way) vs 2.01/2.60 s (forced 32-way) at sf1.
+
+    Still scale-adaptive either way: both sides of the comparison are
+    read at plan time, never a constant tuned to one machine.
     """
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min(cores, 8):
+    floor = cores if full else min(cores, 8)
+    if df.rdd.getNumPartitions() >= floor:
         return df
     return df.repartition(cores)
 

@@ -3281,6 +3281,79 @@ _WIN_W = 4
 _WIN_CAP = 200
 
 
+def _winnow_batches(batches):
+    """Arrow-batched winnowing kernel (round 12, optimization session
+    5; guide §4.2): gram-hash + window-select + distinct + checksum
+    for whole record batches in native code.  Exactly the values the
+    JVM expression chain produced (verified row-identical for all
+    5,000 sf0.1 documents before the swap; the oracle recomputes
+    every value in DuckDB):
+
+    * gram hash = first 8 md5 hex chars of the k-char substring,
+      parsed base-16 — identical to
+      CONV(SUBSTRING(MD5(CAST(. AS BINARY)), 1, 8), 16, 10) (md5 of
+      the UTF-8 bytes; Python str slicing is character-based like
+      substring());
+    * window min with the RIGHTMOST-occurrence tie rule via argmin
+      over the reversed window;
+    * fingerprint encoding pos * 2^32 + hash32, distinct, int64 sum
+      (max fp < 194 * 2^32, <= 190 per doc — no overflow).
+
+    Why Python here when the package doctrine is JVM-first: the HOF
+    chain evaluated ~965k interpreted md5+CONV elements per sf0.1
+    pass (~73 us/element — the md5 itself is sub-microsecond; the
+    cost is per-element interpreted expression overhead, and
+    transform() is CodegenFallback).  Measured interleaved at sf0.1:
+    3.23–3.30 s (JVM, min-of-3) -> 1.26–1.46 s Arrow.  Construction
+    (imports) happens once per task before the batch loop (§4.5);
+    only (doc_id, text<=cap) crosses the boundary."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    cap, k, w = _WIN_CAP, _WIN_K, _WIN_W
+    for pdf in batches:
+        out_id, out_ng, out_nf, out_ck = [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            s = text[:cap]
+            n = len(s) - k + 1
+            if n < w:  # same drop as .filter(size(gh) >= w)
+                continue
+            gh = np.fromiter(
+                (
+                    int(
+                        hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:8],
+                        16,
+                    )
+                    for i in range(n)
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            sw = np.lib.stride_tricks.sliding_window_view(gh, w)
+            # argmin takes the FIRST minimum; the winnowing tie rule is
+            # RIGHTMOST, so argmin over the reversed window
+            pos_in_win = w - 1 - sw[:, ::-1].argmin(axis=1)
+            rows = np.arange(len(sw))
+            fps = (rows + pos_in_win + 1).astype(np.int64) * 4294967296 + sw[
+                rows, pos_in_win
+            ]
+            uf = np.unique(fps)
+            out_id.append(doc_id)
+            out_ng.append(n)
+            out_nf.append(len(uf))
+            out_ck.append(int(uf.sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype="int64"),
+                "n_grams": pd.Series(out_ng, dtype="int64"),
+                "n_fingerprints": pd.Series(out_nf, dtype="int64"),
+                "fp_checksum": pd.Series(out_ck, dtype="int64"),
+            }
+        )
+
+
 @query(
     "winnowing_fingerprints",
     oracle=f"""
@@ -3326,61 +3399,34 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint INDEX would be the (hash -> doc, pos) inversion of
     this projection).
 
-    Scale shape: in-row Column algebra, O(cap * w) per document —
-    the most CPU-dense kernel in the text family — behind a
-    kernel_floor on the scan (round 12): riding the scan coupled the
-    task count to the input-split count, and sf0.1's single-file
+    Scale shape: an Arrow-batched per-row kernel, O(cap * w) per
+    document — the most CPU-dense kernel in the text family — behind
+    a kernel_floor on the scan (round 12): riding the scan coupled
+    the task count to the input-split count, and sf0.1's single-file
     documents table ran the whole kernel on 1 of 32 cores (10.25 s;
-    2.88 s with the floor's one cheap repartition).  No shuffle
-    after the floor until a consumer groups by fingerprint.
+    2.88 s with the floor's one cheap repartition).  Only
+    (doc_id, text) crosses the Python boundary and only four BIGINTs
+    come back; no shuffle after the floor until a consumer groups by
+    fingerprint.
 
-    Selection kernel (round 11 rewrite, same output values): the
-    original form evaluated three window slices per position
-    (array_min twice + reverse/array_position for the rightmost-tie
-    rule).  Pairing each gram hash with its NEGATED index once per
-    row makes ``array_min`` over the struct slice return the window
-    minimum AND its rightmost position in one comparison pass (struct
-    ordering: h asc, then -i asc = i desc), and a two-pass transform
-    evaluates that min once per window — measured 6.84s -> 5.33s at
-    sf1 against a 4.1s gram-hash floor, fp-set equality verified for
-    every sf1 document."""
-    cap, k, w = _WIN_CAP, _WIN_K, _WIN_W
-    gh = (
-        f"transform(sequence(1, length(substring(text, 1, {cap})) - {k} + 1),"
-        f" i -> CAST(CONV(SUBSTRING(MD5(CAST(substring(substring(text, 1, {cap}), i, {k})"
-        f" AS BINARY)), 1, 8), 16, 10) AS BIGINT))"
-    )
-    pre = (
-        "zip_with(gh, sequence(1, size(gh)),"
-        " (h, i) -> struct(h AS h, -CAST(i AS BIGINT) AS negi))"
-    )
-    sel = (
-        f"array_distinct(transform("
-        f"transform(sequence(1, size(ghs) - {w} + 1),"
-        f" j -> array_min(slice(ghs, j, {w}))),"
-        f" m -> (-m.negi) * 4294967296 + m.h))"
-    )
+    Kernel history: the round-11 rewrite made the JVM expression
+    chain evaluate one struct array_min per window (6.84 -> 5.33 s at
+    sf1).  Round 12 session 5 measured that the remaining cost was
+    the GRAM-HASH stage (2.58 s of the 3.1 s sf0.1 wall — ~965k
+    interpreted md5+CONV HOF elements at ~73 us each, transform()
+    being CodegenFallback), and moved the whole kernel to an
+    Arrow-batched mapInPandas per guide §4.2: 3.23–3.30 ->
+    1.26–1.46 s interleaved at sf0.1, row-identical output for all
+    5,000 documents (see _winnow_batches for the exactness
+    argument; the DuckDB oracle revalidates every value)."""
     return (
-        kernel_floor(t(spark, sf_dir, "documents"))
-        .filter(F.length("text") >= k)
-        .selectExpr("doc_id", f"{gh} AS gh")
-        .filter(F.expr(f"size(gh) >= {w}"))
-        .selectExpr(
-            "doc_id",
-            "CAST(size(gh) AS BIGINT) AS n_grams",
-            f"{pre} AS ghs",
-        )
-        .selectExpr(
-            "doc_id",
-            "n_grams",
-            f"{sel} AS fps",
-        )
-        .selectExpr(
-            "doc_id",
-            "n_grams",
-            "CAST(size(fps) AS BIGINT) AS n_fingerprints",
-            "CAST(aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
-            " AS fp_checksum",
+        kernel_floor(t(spark, sf_dir, "documents"), full=True)
+        .filter(F.length("text") >= _WIN_K)
+        .select("doc_id", "text")
+        .mapInPandas(
+            _winnow_batches,
+            "doc_id bigint, n_grams bigint, n_fingerprints bigint,"
+            " fp_checksum bigint",
         )
         .orderBy("doc_id")
     )

@@ -52,6 +52,22 @@ def test_floor_is_identity_on_wide_scan(spark):
     assert floored is df
 
 
+def test_full_floor_engages_between_8_and_cores(spark):
+    """full=True (heavy kernels, e.g. winnowing's Arrow kernel) must
+    engage on the in-between regime — more splits than 8 but fewer
+    than cores (sf1's 10-file layout on a 32-core box, measured
+    1.4-1.6x faster 32-way) — where the default floor stays identity."""
+    cores = spark.sparkContext.defaultParallelism
+    if cores <= 8:
+        import pytest
+
+        pytest.skip("needs > 8 cores to have an in-between regime")
+    df = spark.range(0, 1000, numPartitions=min(cores - 1, 10))
+    assert kernel_floor(df) is df
+    full = kernel_floor(df, full=True)
+    assert full.rdd.getNumPartitions() == cores
+
+
 def test_floor_preserves_rows(spark):
     df = spark.range(0, 57).coalesce(1)
     assert sorted(r.id for r in kernel_floor(df).collect()) == list(range(57))
@@ -82,7 +98,7 @@ def test_floored_queries_unchanged_results(spark, name):
     floored = registry.QUERIES[name](spark, SF)
     # patch the name the query modules bound at import time
     orig = textmod.kernel_floor
-    textmod.kernel_floor = lambda df: df
+    textmod.kernel_floor = lambda df, **kw: df
     try:
         bare = registry.QUERIES[name](spark, SF)
     finally:

@@ -118,6 +118,14 @@ def test_no_python_stage_outside_allowlist(spark, sf_dir):
         "pandas_grouped_agg_udf",
         "pandas_udf_over_window",
         "cogrouped_pandas_event_order_merge",
+        # the winnowing kernel moved to an Arrow-batched mapInPandas
+        # (round 12 session 5, guide §4.2): ~965k interpreted md5+CONV
+        # HOF elements dominated the JVM chain (73 us/element,
+        # transform() is CodegenFallback); the Arrow kernel measured
+        # 3.23-3.30 -> 1.26-1.46 s at sf0.1 with row-identical output
+        # (queries/text.py::_winnow_batches has the exactness
+        # argument; the DuckDB oracle revalidates every value)
+        "winnowing_fingerprints",
     }
     # iterative/ML queries execute work at plan-build time — checked
     # by their own tests, skipped here to keep the sweep fast
