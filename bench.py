@@ -241,21 +241,47 @@ def main() -> None:
     # they go out as separate earlier lines; the FINAL line is the
     # compact headline object the driver parses, length-pinned by
     # tests/test_bench_emit.py.
-    for metric, vals, ab in (
-        ("heavies", heavies, heavies_ab),
-        ("heavies_r8", heavies_r8, heavies_r8_ab),
-        ("heavies_r11", heavies_r11, heavies_r11_ab),
-        ("heavies_r12", heavies_r12, heavies_r12_ab),
+    #
+    # Round 13 (VERDICT r12 "What's wrong" #2: the r12 tail still ate
+    # the OLDEST aux series): aux lines now emit least-to-most
+    # important — per-query band detail first (it also lives on
+    # stderr), then the series newest-to-oldest so the longest-lived
+    # series (heavies, heavies_r8) sit nearest the pinned final line —
+    # and each series line carries only the band SUMMARY (median/max;
+    # per-query A/A ratios stay on stderr), roughly halving its width
+    # so all five lines + the final line fit a ~2000-char tail.
+    for line in aux_lines(
+        noise_band,
+        (
+            ("heavies_r12", heavies_r12, heavies_r12_ab),
+            ("heavies_r11", heavies_r11, heavies_r11_ab),
+            ("heavies_r8", heavies_r8, heavies_r8_ab),
+            ("heavies", heavies, heavies_ab),
+        ),
     ):
-        if vals:
-            print(json.dumps(
-                {"metric": metric, "queries": vals, "noise_band": band(ab)}
-            ))
+        print(line)
+    print(final_line(timings, total, noise_band, sf, sf_dir))
+
+
+def aux_lines(noise_band: dict, series) -> list[str]:
+    """The auxiliary stdout JSON lines, least-to-most important (the
+    driver keeps only the last ~2000 chars; see the emission comment
+    in main).  ``series`` is (metric, timings, ab_ratios) tuples in
+    the order they should print; series lines carry the band summary
+    only."""
+    out = []
     if noise_band:
-        print(json.dumps(
+        out.append(json.dumps(
             {"metric": "headline_noise_detail", "noise_band": noise_band}
         ))
-    print(final_line(timings, total, noise_band, sf, sf_dir))
+    for metric, vals, ab in series:
+        if vals:
+            b = band(ab)
+            b.pop("per_query", None)
+            out.append(json.dumps(
+                {"metric": metric, "queries": vals, "noise_band": b}
+            ))
+    return out
 
 
 def prev_queries(prev: dict) -> dict:

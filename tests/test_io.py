@@ -273,3 +273,35 @@ def test_python_datasource_writer_manifest(spark, tmp_path):
 
     assert sorted(rows) == list(range(57))
     assert rows[7] == hashlib.md5(b"7").hexdigest()
+
+
+def test_load_table_schema_catalog(spark, sf_dir):
+    """Round 13: load_table resolves schemas from a session-level
+    catalog (one inference per (app, sf_dir, table)) instead of
+    re-running footer inference per call (~98 ms each, any table
+    size).  The catalog must (a) hand out the exact inferred schema,
+    (b) be hit on repeat calls, and (c) keep the events nanos->micros
+    conversion intact."""
+    import os
+
+    from instructions_mr_spark.sources import tables
+
+    tables._SCHEMA_CATALOG.clear()
+    df = tables.load_table(spark, sf_dir, "nation")
+    key = (spark.sparkContext.applicationId, sf_dir, "nation")
+    assert key in tables._SCHEMA_CATALOG
+    # identical schema to a bare inference read (no drift)
+    bare = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    assert df.schema == bare.schema
+    # identical rows too
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, bare.collect()))
+    # repeat calls reuse the SAME schema object (no re-inference)
+    path = os.path.join(sf_dir, "nation.parquet")
+    s1 = tables._table_schema(spark, path, sf_dir, "nation")
+    s2 = tables._table_schema(spark, path, sf_dir, "nation")
+    assert s1 is s2
+    # the events special case still lands a microsecond timestamp
+    # (plain or NTZ depending on the fixture's parquet flavor — the
+    # raw-nanos bigint must never leak through)
+    ev = tables.load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
