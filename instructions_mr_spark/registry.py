@@ -42,97 +42,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The window rotates each round onto never-driver-checked names per the
 # ROTATION PLAN below; everything else keeps registration order after
 # it, with the still-never-checked names ahead of the already-green
-# ones so the plan's slices stay aligned.  Round-12 composition
-# (42 of 50 first-exposure): 2 continuity anchors, 6 changed-this-round
-# repeats (winnowing_fingerprints / quality_repetition /
-# quality_bigram_logprob ride the kernel_floor parallelism floor;
-# attribution_markov_removal's power iteration became one HOF fold;
-# semdedup_cells / semdedup_planted_k32 got the sort-based top-m
-# assignment + hoisted pair norms — all value-identical, fresh driver
-# row per policy), then ROTATION_BACKLOG[0:42] per the plan below
-# (emitted by tools/rotate_window.py --changed winnowing_fingerprints,
-# quality_repetition,quality_bigram_logprob,attribution_markov_removal,
-# semdedup_cells,semdedup_planted_k32).
+# ones so the plan's slices stay aligned.  Round-13 composition
+# (44 of 50 first-exposure): 2 continuity anchors, 4 changed-this-round
+# repeats (dedup_span_cut / dedup_span_coverage elect repeated grams
+# with a count window instead of an aggregate + semi-join — row
+# multiset proven identical by exceptAll; copurchase_pairs /
+# copurchase_lift gained the in-row basket pair-cap guard in the pair
+# expression — values identical on every real basket, fresh driver row
+# per policy), then ROTATION_BACKLOG[0:44] per the plan below
+# (emitted by tools/rotate_window.py --changed dedup_span_cut,
+# dedup_span_coverage,copurchase_pairs,copurchase_lift).  The
+# round-13 semdedup/LSH join-back refactor and the load_table schema
+# catalog are plan-identical / metadata-only — no repeat owed.
 DRIVER_WINDOW: list[str] = [
     "q1_pricing_summary",
     "scope_project",
-    "winnowing_fingerprints",
-    "quality_repetition",
-    "quality_bigram_logprob",
-    "attribution_markov_removal",
-    "semdedup_cells",
-    "semdedup_planted_k32",
-    "attribution_position_based",
-    "trend_slope_by_type",
-    "sketch_quantile_merge",
-    "segment_bitmap_intersect",
-    "stream_quantile_bins",
-    "dedup_cluster_size_hist",
-    "features_point_in_time",
-    "session_path_topk",
-    "join_size_estimate",
-    "negative_sampling_pairs",
-    "skyline_price_size",
-    "percentile_exact_twophase",
-    "time_weighted_avg",
-    "cdc_chunk_stats",
-    "experiment_assignment_srm",
-    "schema_merge_scan",
-    "incremental_agg_merge",
-    "event_disorder_histogram",
-    "rare_category_collapse",
-    "seasonality_profile",
-    "entity_resolution_clusters",
-    "metric_change_contribution",
-    "percentile_group_twophase",
-    "bloom_fpr_calibration",
-    "churn_label_table",
-    "set_sim_join_prefix",
-    "experiment_uplift_report",
-    "attribution_time_decay",
-    "sequence_pattern_support",
-    "ts_gap_report",
-    "phrase_match_positions",
-    "rank_fusion_borda",
-    "target_encoding_loo",
-    "cusum_changepoint",
-    "benford_digit_audit",
-    "mad_robust_outliers",
-    "ks_split_drift",
-    "zone_map_skip_audit",
-    "dau_wau_stickiness",
-    "gini_revenue_inequality",
-    "hhi_concentration",
-    "auc_mann_whitney",
-]
-
-# ROTATION PLAN (round 11, VERDICT r10 item #6) -------------------------
-# The driver checks the FIRST 50 registry names each round; everything
-# never driver-checked must eventually land a hard-signal row.  The
-# backlog below holds every registered query with NO CORRECTNESS_r* row
-# through r10, MINUS the 44 first-exposure names in this round's window,
-# ordered oldest-first (introducing-commit date via `git log -S`, ties
-# by registration order).  Each future round's window = 2 continuity
-# anchors + every query whose implementation/contract changed that
-# round + the next slice of this list (. = consumed, slice indices are
-# into the list AS CHECKED IN THIS ROUND — strike landed names off in
-# place rather than re-slicing):
-#
-#   round | fresh | cohort
-#   r11   |  44   | (landed: CORRECTNESS_r11)          backlog 262 -> 218
-#   r12   |  42   | (in DRIVER_WINDOW above)           backlog 218 -> 176
-#   r13   |  48   | ROTATION_BACKLOG[0:48]             backlog -> 128
-#   r14   |  48   | ROTATION_BACKLOG[48:96]            backlog ->  80
-#   r15   |  48   | ROTATION_BACKLOG[96:144]           backlog ->  32
-#   r16   |  32   | ROTATION_BACKLOG[144:176] + re-anchors; backlog -> 0
-#
-# (r12 took 42, the >= 42 first-exposure floor: six changed-query
-# repeats this round — three kernel_floor reroutes plus the markov
-# fold and the two SemDeDup kernel queries — each owed a fresh driver
-# row per policy; a quiet round can take more and finish earlier.)
-# tests/test_rotation_plan.py asserts the window and backlog stay
-# registered, disjoint, and truly never-checked.
-ROTATION_BACKLOG: list[str] = [
+    "dedup_span_cut",
+    "dedup_span_coverage",
+    "copurchase_pairs",
+    "copurchase_lift",
     "recon_order_totals",
     "itemset3_support",
     "inventory_stockout_scan",
@@ -177,6 +105,36 @@ ROTATION_BACKLOG: list[str] = [
     "feature_hash_collision_audit",
     "ts_ohlc_hourly",
     "assoc_rules_confidence",
+]
+
+# ROTATION PLAN (round 11, VERDICT r10 item #6) -------------------------
+# The driver checks the FIRST 50 registry names each round; everything
+# never driver-checked must eventually land a hard-signal row.  The
+# backlog below holds every registered query with NO CORRECTNESS_r* row
+# through r10, MINUS the 44 first-exposure names in this round's window,
+# ordered oldest-first (introducing-commit date via `git log -S`, ties
+# by registration order).  Each future round's window = 2 continuity
+# anchors + every query whose implementation/contract changed that
+# round + the next slice of this list (. = consumed, slice indices are
+# into the list AS CHECKED IN THIS ROUND — strike landed names off in
+# place rather than re-slicing):
+#
+#   round | fresh | cohort
+#   r11   |  44   | (landed: CORRECTNESS_r11)          backlog 262 -> 218
+#   r12   |  42   | (landed: CORRECTNESS_r12)          backlog 218 -> 176
+#   r13   |  44   | (in DRIVER_WINDOW above)           backlog 176 -> 132
+#   r14   |  48   | ROTATION_BACKLOG[0:48]             backlog ->  84
+#   r15   |  48   | ROTATION_BACKLOG[48:96]            backlog ->  36
+#   r16   |  36   | ROTATION_BACKLOG[96:132] + re-anchors; backlog -> 0
+#
+# (r12 took 42 and r13 took 44 — the >= 42 first-exposure floor —
+# because changed-query repeats take window slots per policy: six in
+# r12, four in r13 (the span-cut window election and the basket
+# pair-cap guard).  The r16 tail grows to 36 accordingly; a quiet
+# round can take more and finish earlier.)
+# tests/test_rotation_plan.py asserts the window and backlog stay
+# registered, disjoint, and truly never-checked.
+ROTATION_BACKLOG: list[str] = [
     "cohort_ltv_curve",
     "new_vs_returning_split",
     "duplicate_line_audit",
