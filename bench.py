@@ -210,10 +210,16 @@ def main() -> None:
 
     # Per-query deltas vs the previous round's recorded bench (if any):
     # regressions must be visible per query, not hidden in the total.
+    # Only canonical per-round records qualify (BENCH_r<NN>.json) —
+    # suffixed variants like the 8-core BENCH_r12_c8.json sort after
+    # the round file and would silently become the comparison base
+    # (round 13: the stderr deltas read against the 8-core record).
+    import re as _re
+
     here = os.path.dirname(os.path.abspath(__file__))
     prev_files = sorted(
         f for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json")
+        if _re.fullmatch(r"BENCH_r\d+\.json", f)
     )
     if prev_files:
         try:
