@@ -338,12 +338,30 @@ def assign_topm_cells(
     KMeans returns fewer centers) slice yields the k cells that exist;
     the old masking path instead repeated cell 0 for the exhausted
     picks — the same pair set after the blocking join's DISTINCT, with
-    fewer duplicate rows feeding it."""
-    dots = F.array(
-        *[
-            dot_product(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
+    fewer duplicate rows feeding it.
+
+    Round 13: the k x d centroid-dot array is built as ONE SQL string
+    parsed by a single F.expr call.  The old construction made a py4j
+    round trip per literal (k*d F.lit calls + the Column tree on top)
+    — pure driver-side PLAN-BUILD cost, measured 1.8-1.9 s per build
+    at k=32, d=64 (semdedup_planted_k32's dial) before any job ran.
+    Value-identical by construction: a SQL double literal ('<repr>D')
+    parses to exactly the repr'd double (both are shortest-roundtrip
+    decimal <-> nearest-double), and the fold is the same
+    aggregate(zip_with(.., CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+    0.0D, acc + x) tree dot_product builds — verified cell-identical
+    on every sf0.1 vector before the swap, and the three dependent
+    query oracles re-checked at three SFs."""
+    def _dot_sql(c: list[float]) -> str:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        return (
+            f"aggregate(zip_with({vec_col}, {arr},"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+
+    dots = F.expr(
+        "array(" + ",".join(_dot_sql(c) for c in centroids) + ")"
     )
     return (
         df.withColumn("__dots", dots)
