@@ -114,19 +114,34 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in cent]
 
 
+def _centroid_dots_sql(vec_col: str, centroids: list[list[float]]) -> str:
+    """The k x d centroid-dot array as ONE SQL string (round 13): the
+    per-literal ``F.lit`` construction made a py4j round trip per
+    literal — k*d calls per plan build, measured 1.8-1.9 s at k=32,
+    d=64 before any job ran.  A single F.expr parse is ~0.4 s warm.
+    Value-identical: a '<repr>D' double literal parses to exactly the
+    repr'd double (shortest-roundtrip both ways) and the fold is the
+    same aggregate/zip_with/CAST tree dot_product builds — verified
+    cell-identical on every sf0.1 vector before the swap."""
+    def dot(c: list[float]) -> str:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        return (
+            f"aggregate(zip_with({vec_col}, {arr},"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+
+    return "array(" + ",".join(dot(c) for c in centroids) + ")"
+
+
 def assign_ivf_cell(
     df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding", out: str = "cell"
 ) -> DataFrame:
     """Nearest-centroid assignment as a pure Column expression: argmax
     of dot products against centroid literals (no UDF, no shuffle —
-    a projection usable as a write-time partition column)."""
-    dots = F.array(
-        *[
-            dot_product(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
-    )
-    df = df.withColumn("__dots", dots)
+    a projection usable as a write-time partition column).  The dot
+    array is one parsed SQL string (see _centroid_dots_sql)."""
+    df = df.withColumn("__dots", F.expr(_centroid_dots_sql(vec_col, centroids)))
     best = F.expr(
         "array_position(__dots, array_max(__dots))"
     ).cast("int") - 1
@@ -234,22 +249,38 @@ def pq_encode(
     # array_position(scores, array_max(scores)) references the score
     # array twice, so stage each subspace's array in a named column
     # (projection-only; Catalyst collapses the withColumn chain).
+    #
+    # Round 13: each subspace's k x ds score array is built as ONE SQL
+    # string parsed by a single F.expr — the old construction made a
+    # py4j round trip per literal (m*k*ds = 1024 F.lit calls at the
+    # 8x16x8 dial) plus the Column trees on top, measured 5.7-6.2 s of
+    # pure driver-side plan-build per pq_encode call (the same
+    # pathology assign_topm_cells had).  Value-identical: '<repr>D'
+    # double literals parse to exactly the repr'd double, and the
+    # expression tree (slice -> zip_with/aggregate fold -> minus
+    # half-norm, argmax via array_position/array_max, packed base-k
+    # sum) is unchanged — packed codes verified exceptAll-identical
+    # on every sf0.1 vector before the swap.
     enc = df
-    packed = F.lit(0).cast("long")
+    packed_terms = ["CAST(0 AS BIGINT)"]
     for s in range(m):
-        sub = F.slice(F.col(vec_col), s * ds + 1, ds)
-        scores = F.array(
-            *[
-                dot_product(sub, F.array(*[F.lit(x) for x in c]))
-                - F.lit(sum(x * x for x in c) / 2.0)
-                for c in codebooks[s]
-            ]
+        sub = f"slice({vec_col}, {s * ds + 1}, {ds})"
+        cells = []
+        for c in codebooks[s]:
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            half = sum(x * x for x in c) / 2.0
+            cells.append(
+                f"aggregate(zip_with({sub}, {arr},"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                f" 0.0D, (acc, x) -> acc + x) - {float(half)!r}D"
+            )
+        col = f"__pq_s{s}"
+        enc = enc.withColumn(col, F.expr("array(" + ",".join(cells) + ")"))
+        packed_terms.append(
+            f"(CAST(array_position({col}, array_max({col})) AS BIGINT) - 1)"
+            f" * CAST({k ** s} AS BIGINT)"
         )
-        c = f"__pq_s{s}"
-        enc = enc.withColumn(c, scores)
-        code = F.expr(f"array_position({c}, array_max({c}))").cast("long") - 1
-        packed = packed + code * (k ** s)
-    enc = enc.withColumn(out, packed)
+    enc = enc.withColumn(out, F.expr(" + ".join(packed_terms)))
     return enc.drop(*[f"__pq_s{s}" for s in range(m)])
 
 
@@ -282,26 +313,31 @@ def pq_adc_search(
     k = len(codebooks[0])
     ds = len(codebooks[0][0])
     encoded = pq_encode(df, codebooks, vec_col=vec_col)
-    dist = F.lit(0.0)
+    # lookup tables + exact re-rank fold built as SQL strings for the
+    # same plan-build-cost reason as pq_encode (round 13); identical
+    # expression trees and literal values
+    dist_terms = ["0.0D"]
     for s in range(m):
         q = query_vec[s * ds : (s + 1) * ds]
         lut = [
             float(sum((qx - cx) ** 2 for qx, cx in zip(q, c))) for c in codebooks[s]
         ]
-        code_s = F.pmod((F.col("pq_code") / F.lit(k ** s)).cast("long"), F.lit(k))
-        dist = dist + F.element_at(F.array(*[F.lit(x) for x in lut]), code_s.cast("int") + 1)
+        arr = "array(" + ",".join(f"{x!r}D" for x in lut) + ")"
+        code_s = f"pmod(CAST(pq_code / {k ** s} AS BIGINT), {k})"
+        dist_terms.append(
+            f"element_at({arr}, CAST({code_s} AS INT) + 1)"
+        )
+    dist = F.expr(" + ".join(dist_terms))
     shortlist = (
         encoded.select(id_col, vec_col, dist.alias("approx_l2"))
         .orderBy(F.col("approx_l2").asc(), F.col(id_col))
         .limit(rerank * top_k)
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    exact_l2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col), qlit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    qarr = "array(" + ",".join(f"{float(x)!r}D" for x in query_vec) + ")"
+    exact_l2 = F.expr(
+        f"aggregate(zip_with({vec_col}, {qarr},"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
     return (
         shortlist.select(id_col, F.round(exact_l2, 6).alias("l2"))
@@ -341,30 +377,12 @@ def assign_topm_cells(
     fewer duplicate rows feeding it.
 
     Round 13: the k x d centroid-dot array is built as ONE SQL string
-    parsed by a single F.expr call.  The old construction made a py4j
-    round trip per literal (k*d F.lit calls + the Column tree on top)
-    — pure driver-side PLAN-BUILD cost, measured 1.8-1.9 s per build
-    at k=32, d=64 (semdedup_planted_k32's dial) before any job ran.
-    Value-identical by construction: a SQL double literal ('<repr>D')
-    parses to exactly the repr'd double (both are shortest-roundtrip
-    decimal <-> nearest-double), and the fold is the same
-    aggregate(zip_with(.., CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-    0.0D, acc + x) tree dot_product builds — verified cell-identical
-    on every sf0.1 vector before the swap, and the three dependent
-    query oracles re-checked at three SFs."""
-    def _dot_sql(c: list[float]) -> str:
-        arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-        return (
-            f"aggregate(zip_with({vec_col}, {arr},"
-            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " 0.0D, (acc, x) -> acc + x)"
-        )
-
-    dots = F.expr(
-        "array(" + ",".join(_dot_sql(c) for c in centroids) + ")"
-    )
+    parsed by a single F.expr call (see _centroid_dots_sql — the old
+    per-literal construction cost 1.8-1.9 s of plan-build at k=32,
+    d=64, semdedup_planted_k32's dial; value-identical, and the three
+    dependent query oracles re-checked at three SFs)."""
     return (
-        df.withColumn("__dots", dots)
+        df.withColumn("__dots", F.expr(_centroid_dots_sql(vec_col, centroids)))
         .withColumn(
             "cell",
             F.explode(
